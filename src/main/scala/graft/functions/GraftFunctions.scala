@@ -1,0 +1,30 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.functions.call_function
+
+/** Registration of graft's custom Catalyst expressions.
+  *
+  * Preferred wiring is `spark.sql.extensions=graft.GraftExtensions` (see
+  * [[graft.GraftExtensions]]); `ensureRegistered` covers sessions created
+  * without the extension (e.g. a harness-provided session).
+  */
+object GraftFunctions {
+  private val descriptors = Seq(JsonDeepMerge.descriptor, graft.syslog.ParseSyslog.descriptor)
+
+  def ensureRegistered(spark: SparkSession): Unit = {
+    val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+    descriptors.foreach { case (ident, info, builder) =>
+      if (!registry.functionExists(ident)) registry.registerFunction(ident, info, builder)
+    }
+  }
+
+  /** `json_deep_merge(target, fragment)` as a Column (session must be
+    * registered — all graft entry points do this). */
+  def jsonDeepMerge(target: Column, fragment: Column): Column =
+    call_function("json_deep_merge", target, fragment)
+
+  private[graft] def inject(ext: SparkSessionExtensions): Unit =
+    descriptors.foreach(ext.injectFunction)
+}

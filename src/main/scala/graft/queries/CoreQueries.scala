@@ -1,0 +1,409 @@
+package graft.queries
+
+import graft.config._
+import graft.rules.{RuleCompiler, Template}
+import graft.sinks.SchemaConv
+import graft.syslog.SyslogCols
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.1 operator query keys (O1–O24) with DuckDB oracle twins.
+  * Every query is deterministic and fully ordered so the driver's
+  * hash-compare is order-insensitive-safe.
+  */
+object CoreQueries {
+  import Synth._
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // O1/O3 — source: the synthesized line stream itself (batch analog of the
+  // TCP line source; parity gate for everything downstream).
+  private val srcLines: Q = (s, dir) =>
+    lines5424(events(s, dir)).orderBy("event_id")
+
+  // O3 — rule test mode (`hotdog -t`): every matcher applied to the RAW line
+  // (no syslog parse, src/rules.rs:27-46), collecting ALL matches.
+  private val srcFileTestMode: Q = (s, dir) =>
+    documents(s, dir)
+      .select(col("doc_id"),
+        graft.rules.TestMode.matchesStr(HotdogConfig, col("text")).as("matches"))
+      .orderBy("doc_id")
+
+  // O4 — RFC 5424 parse → 5-field projection.
+  private val parse5424Q: Q = (s, dir) =>
+    parsed(s, dir).select(col("event_id"), col("p.msg").as("msg"),
+      col("p.severity").as("severity"), col("p.facility").as("facility"),
+      col("p.hostname").as("hostname"), col("p.appname").as("appname"))
+      .orderBy("event_id")
+
+  // O5 — RFC 3164 fallback parse on the legacy-format stream.
+  private val parse3164Q: Q = (s, dir) =>
+    lines3164(events(s, dir))
+      .withColumn("p", SyslogCols.parseAuto(col("line")))
+      .filter(col("p").isNotNull)
+      .select(col("event_id"), col("p.msg").as("msg"),
+        col("p.severity").as("severity"), col("p.facility").as("facility"),
+        col("p.hostname").as("hostname"), col("p.appname").as("appname"))
+      .orderBy("event_id")
+
+  // O6 — malformed-line drop: every 10th line corrupted; unparseables drop.
+  private val parseErrorFilter: Q = (s, dir) =>
+    lines5424(events(s, dir))
+      .withColumn("line",
+        when(col("event_id") % 10 === 0, concat(lit("garbage "), col("line")))
+          .otherwise(col("line")))
+      .withColumn("p", SyslogCols.parseAuto(col("line")))
+      .filter(col("p").isNotNull)
+      .select(col("event_id"), col("p.msg").as("msg"))
+      .orderBy("event_id")
+
+  // O7 — regex predicate + named-capture extraction over documents.text.
+  private val matchRegexCapture: Q = (s, dir) => {
+    val p = "^(?P<first>\\w+) (?P<second>\\w+)"
+    val jp = Regexes.toJava(p)
+    documents(s, dir).filter(col("text").rlike(jp))
+      .select(col("doc_id"),
+        regexp_extract(col("text"), jp, 1).as("first"),
+        regexp_extract(col("text"), jp, 2).as("second"))
+      .orderBy("doc_id")
+  }
+
+  // O8 — JMESPath(dotted-path) match + value extraction over events.props.
+  private val matchJmespath: Q = (s, dir) =>
+    events(s, dir)
+      .select(col("event_id"),
+        get_json_object(col("props"), JmesPathSubset.toJsonPath("k")).as("value"))
+      .filter(col("value").isNotNull)
+      .orderBy("event_id")
+
+  // O9 — field selector: rules on a non-msg field (hostname), null-safe.
+  private val fieldSelect: Q = (s, dir) => {
+    val rules = List(
+      Rule(Field.Hostname, Some("^host-[0-3]$"), None, List(
+        Action.Replace("ws: {{msg}}"), Action.Forward("test"), Action.Stop)),
+      Rule(Field.Hostname, Some(".*"), None, List(
+        Action.Replace("other: {{msg}}"), Action.Forward("test"), Action.Stop)))
+    routed(s, dir, HotdogConfig.copy(rules = rules))
+      .orderBy("event_id")
+  }
+
+  // O10 — built-in variable enrichment (msg/version/iso8601).
+  private val enrichBuiltinVars: Q = (s, dir) =>
+    parsed(s, dir).select(col("event_id"), col("p.msg").as("msg"),
+      lit(Version).as("version"), lit(IsoPin).as("iso8601"))
+      .orderBy("event_id")
+
+  // O11 — replace action: plan-time-compiled Handlebars template.
+  private val replaceTemplate: Q = (s, dir) => {
+    val jp = Regexes.toJava("^hello\\s+(?P<name>\\w+)?")
+    val p = parsed(s, dir).filter(col("p.msg").rlike(jp))
+    val vars = Map(
+      "msg" -> col("p.msg"),
+      "name" -> regexp_extract(col("p.msg"), jp, 1))
+    p.select(col("event_id"),
+      Template.compile(
+        "This is the total message: {{msg}}\n\nAnd the name is: {{name}}\n", vars).as("value"))
+      .orderBy("event_id")
+  }
+
+  // O12 — deep JSON merge of the rendered fragment into events.props.
+  private val mergeJson: Q = (s, dir) => {
+    GraftFunctions.ensureRegistered(s)
+    val fragment = Template.renderStatic(
+      """{"meta":{"hotdog":{"timestamp":"{{iso8601}}","version":"{{version}}"}}}""",
+      Map("iso8601" -> IsoPin, "version" -> Version))
+    events(s, dir).select(col("event_id"),
+      GraftFunctions.jsonDeepMerge(col("props"), lit(fragment)).as("value"))
+      .orderBy("event_id")
+  }
+
+  // O13 — dynamic topic routing: rows claimed by the jmespath rule.
+  private val routeTopicDynamic: Q = (s, dir) =>
+    routed(s, dir).filter(col("topic").startsWith("t-"))
+      .select(col("event_id"), col("topic"))
+      .orderBy("event_id")
+
+  // O15/O16 — the full ordered cascade, first-terminal-wins.
+  private val routeFirstMatch: Q = (s, dir) =>
+    routed(s, dir).orderBy("event_id")
+
+  // O14 — stop action: jmespath-matched rows are dropped, rest flow on.
+  private val stopDrop: Q = (s, dir) => {
+    val rules = List(
+      Rule(Field.Msg, None, Some("meta.topic"), List(Action.Stop)),
+      Rule(Field.Msg, Some(".*"), None, List(Action.Forward("rest"), Action.Stop)))
+    routed(s, dir, HotdogConfig.copy(rules = rules))
+      .select(col("event_id"), col("topic"))
+      .orderBy("event_id")
+  }
+
+  // O17 — Kafka sink contract: bare (topic, value) rows.
+  private val sinkKafkaShape: Q = (s, dir) =>
+    routed(s, dir).select(col("topic"), col("value")).orderBy("topic", "value")
+
+  // O18 — per-destination grouping (the system's one shuffle).
+  private val sinkGroupByDestination: Q = (s, dir) =>
+    routed(s, dir).groupBy("topic")
+      .agg(count(lit(1)).as("n"), sum(length(col("value")) + 1).as("bytes"))
+      .orderBy("topic")
+
+  // O19 — size-threshold flush accounting (4 KiB threshold).
+  private val flushSizeThreshold: Q = (s, dir) => {
+    val threshold = 4096L
+    routed(s, dir).groupBy("topic")
+      .agg(sum(length(col("value")) + 1).as("bytes"))
+      .select(col("topic"), col("bytes"),
+        (col("bytes") / threshold).cast("long").as("full_flushes"),
+        when(col("bytes") % threshold > 0, lit(1L)).otherwise(lit(0L)).as("partial_flush"))
+      .orderBy("topic")
+  }
+
+  // O20 — time-interval flush: tumbling 60 s processing-time windows
+  // (batch analog over event timestamps).
+  private val flushTimeInterval: Q = (s, dir) => {
+    val ev = eventsTs(s, dir)
+      .select(col("event_id"), expr("timestamp_micros(ts_ns div 1000)").as("ts"))
+    val r = routed(s, dir)
+    r.join(ev, "event_id")
+      .groupBy(window(col("ts"), "60 seconds").as("w"), col("topic"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("w.start")).as("bucket"), col("topic"), col("n"))
+      .orderBy("bucket", "topic")
+  }
+
+  /** Declared schema for the routed t-* destinations (FIXTURES.md §4 shape). */
+  private val declaredSchema: TopicSchema = TopicSchema("t-purchase", List(
+    "k" -> FieldType.Lng,
+    "meta" -> FieldType.Struct(List(
+      "hotdog" -> FieldType.Struct(List(
+        "timestamp" -> FieldType.Str,
+        "version" -> FieldType.Str)),
+      "topic" -> FieldType.Str))))
+
+  // O22a — declared-schema JSON→typed projection.
+  private val schemaDeclaredProject: Q = (s, dir) => {
+    val st = SchemaConv.toStructType(declaredSchema.fields)
+    routed(s, dir).filter(col("topic").startsWith("t-"))
+      .withColumn("j", from_json(col("value"), st))
+      .select(col("event_id"), col("j.k").as("k"),
+        col("j.meta.hotdog.version").as("version"),
+        col("j.meta.topic").as("mtopic"))
+      .orderBy("event_id")
+  }
+
+  // O22b — schema inference from the first buffered line
+  // (src/sink/parquet.rs:186-212: first-line-only inference).
+  private val schemaInferJson: Q = (s, dir) => {
+    val vals = routed(s, dir).filter(col("topic").startsWith("t-"))
+    val first = vals.orderBy("event_id").select("value").limit(1)
+      .collect().headOption.map(_.getString(0)).getOrElse("{}")
+    vals.withColumn("j", from_json(col("value"), schema_of_json(lit(first))))
+      .select(col("event_id"), col("j.k").as("k"), col("j.meta.topic").as("mtopic"))
+      .orderBy("event_id")
+  }
+
+  // O23 — the scalar-function surface in one projection.
+  private val scalarSurface: Q = (s, dir) =>
+    eventsTs(s, dir).select(col("event_id"),
+      concat(lit("e"), col("event_id").cast("string")).as("tag"),
+      regexp_extract(col("event_type"), "^(\\w)", 1).as("initial"),
+      get_json_object(col("props"), "$.k").as("k"),
+      date_format(expr("timestamp_micros(ts_ns div 1000)"), "yyyy-MM-dd HH:mm:ss").as("tstr"),
+      length(col("props")).cast("long").as("len"))
+      .orderBy("event_id")
+
+  // O24 — operational counters (statsd metric names, src/status.rs:42-71).
+  private val metricsCounts: Q = (s, dir) => {
+    val withCorrupt = lines5424(events(s, dir))
+      .withColumn("line",
+        when(col("event_id") % 10 === 0, concat(lit("garbage "), col("line")))
+          .otherwise(col("line")))
+      .withColumn("p", SyslogCols.parseAuto(col("line")))
+    val total = withCorrupt.agg(count(lit(1)).as("value"))
+      .select(lit("lines").as("metric"), col("value"))
+    val errors = withCorrupt.filter(col("p").isNull).agg(count(lit(1)).as("value"))
+      .select(lit("error.log_parse").as("metric"), col("value"))
+    val ok = withCorrupt.filter(col("p").isNotNull)
+    val routedOk = ok
+      .withColumn("r", RuleCompiler.cascade(HotdogConfig, fieldCols(col("p")),
+        lit(Version), lit(IsoPin)))
+      .filter(col("r").isNotNull)
+    GraftFunctions.ensureRegistered(s)
+    val perTopic = routedOk.groupBy(col("r.topic").as("topic"))
+      .agg(count(lit(1)).as("value"))
+      .select(concat(lit("kafka.submitted."), col("topic")).as("metric"), col("value"))
+    total.unionAll(errors).unionAll(perTopic).orderBy("metric")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "src_lines" -> srcLines,
+    "src_file_test_mode" -> srcFileTestMode,
+    "parse_syslog_5424" -> parse5424Q,
+    "parse_syslog_3164" -> parse3164Q,
+    "parse_error_filter" -> parseErrorFilter,
+    "match_regex_capture" -> matchRegexCapture,
+    "match_jmespath" -> matchJmespath,
+    "field_select" -> fieldSelect,
+    "enrich_builtin_vars" -> enrichBuiltinVars,
+    "replace_template" -> replaceTemplate,
+    "merge_json" -> mergeJson,
+    "route_topic_dynamic" -> routeTopicDynamic,
+    "route_first_match" -> routeFirstMatch,
+    "stop_drop" -> stopDrop,
+    "sink_kafka_shape" -> sinkKafkaShape,
+    "sink_group_by_destination" -> sinkGroupByDestination,
+    "flush_size_threshold" -> flushSizeThreshold,
+    "flush_time_interval" -> flushTimeInterval,
+    "schema_declared_project" -> schemaDeclaredProject,
+    "schema_infer_json" -> schemaInferJson,
+    "scalar_surface" -> scalarSurface,
+    "metrics_counts" -> metricsCounts)
+
+  private val parsedSql = parsedCte(P5424Sql, 8, 3, 4)
+  private val parsed3164Sql = parsedCte(P3164Sql, 4, 2, 3)
+
+  val oracle: Map[String, String] = Map(
+    "src_lines" ->
+      s"$Lines5424Cte SELECT event_id, line FROM lines ORDER BY event_id",
+
+    "src_file_test_mode" ->
+      """SELECT doc_id,
+        |  (CASE WHEN regexp_matches(text, '^hello\s+(\w+)?') THEN '0,' ELSE '' END ||
+        |   CASE WHEN json_valid(text) AND json_extract_string(text, '$.meta.topic') IS NOT NULL
+        |        THEN '1,' ELSE '' END || '2') AS matches
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "parse_syslog_5424" ->
+      s"""$Lines5424Cte $parsedSql
+         |SELECT event_id, msg, severity, facility, hostname, appname
+         |FROM parsed ORDER BY event_id""".stripMargin,
+
+    "parse_syslog_3164" ->
+      s"""$Lines3164Cte $parsed3164Sql
+         |SELECT event_id, msg, severity, facility, hostname, appname
+         |FROM parsed ORDER BY event_id""".stripMargin,
+
+    "parse_error_filter" ->
+      s"""$Lines5424Cte, corrupted AS (
+         |  SELECT event_id,
+         |    CASE WHEN event_id % 10 = 0 THEN 'garbage ' || line ELSE line END AS line
+         |  FROM lines)
+         |SELECT event_id, regexp_extract(line, '$P5424Sql', 8) AS msg
+         |FROM corrupted WHERE regexp_matches(line, '$P5424Sql')
+         |ORDER BY event_id""".stripMargin,
+
+    "match_regex_capture" ->
+      """SELECT doc_id,
+        |  regexp_extract(text, '^(\w+) (\w+)', 1) AS first,
+        |  regexp_extract(text, '^(\w+) (\w+)', 2) AS second
+        |FROM documents WHERE regexp_matches(text, '^(\w+) (\w+)')
+        |ORDER BY doc_id""".stripMargin,
+
+    "match_jmespath" ->
+      """SELECT event_id, json_extract_string(props, '$.k') AS value
+        |FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL
+        |ORDER BY event_id""".stripMargin,
+
+    "field_select" ->
+      s"""$Lines5424Cte $parsedSql
+         |SELECT event_id, 'test' AS topic,
+         |  CASE WHEN regexp_matches(hostname, '^host-[0-3]$$') THEN 'ws: ' || msg
+         |       ELSE 'other: ' || msg END AS value
+         |FROM parsed ORDER BY event_id""".stripMargin,
+
+    "enrich_builtin_vars" ->
+      s"""$Lines5424Cte $parsedSql
+         |SELECT event_id, msg, '$Version' AS version, '$IsoPin' AS iso8601
+         |FROM parsed ORDER BY event_id""".stripMargin,
+
+    "replace_template" ->
+      s"""$Lines5424Cte $parsedSql
+         |SELECT event_id,
+         |  'This is the total message: ' || msg || chr(10) || chr(10) ||
+         |  'And the name is: ' || regexp_extract(msg, '^hello\\s+(\\w+)?', 1) || chr(10) AS value
+         |FROM parsed WHERE regexp_matches(msg, '^hello\\s+(\\w+)?')
+         |ORDER BY event_id""".stripMargin,
+
+    "merge_json" ->
+      s"""SELECT event_id,
+         |  '{"k":' || json_extract_string(props, '$$.k') ||
+         |  ',"meta":{"hotdog":{"timestamp":"$IsoPin","version":"$Version"}}}' AS value
+         |FROM events ORDER BY event_id""".stripMargin,
+
+    "route_topic_dynamic" ->
+      s"""$RoutedSql
+         |SELECT event_id, topic FROM routed WHERE topic LIKE 't-%'
+         |ORDER BY event_id""".stripMargin,
+
+    "route_first_match" ->
+      s"""$RoutedSql
+         |SELECT event_id, topic, value FROM routed ORDER BY event_id""".stripMargin,
+
+    "stop_drop" ->
+      s"""$Lines5424Cte $parsedSql
+         |SELECT event_id, 'rest' AS topic FROM parsed
+         |WHERE (CASE WHEN json_valid(msg)
+         |            THEN json_extract_string(msg, '$$.meta.topic') END) IS NULL
+         |ORDER BY event_id""".stripMargin,
+
+    "sink_kafka_shape" ->
+      s"""$RoutedSql
+         |SELECT topic, value FROM routed ORDER BY topic, value""".stripMargin,
+
+    "sink_group_by_destination" ->
+      s"""$RoutedSql
+         |SELECT topic, count(*) AS n, CAST(sum(length(value) + 1) AS BIGINT) AS bytes
+         |FROM routed GROUP BY topic ORDER BY topic""".stripMargin,
+
+    "flush_size_threshold" ->
+      s"""$RoutedSql
+         |SELECT topic, CAST(sum(length(value) + 1) AS BIGINT) AS bytes,
+         |  CAST(sum(length(value) + 1) // 4096 AS BIGINT) AS full_flushes,
+         |  CAST(CASE WHEN sum(length(value) + 1) % 4096 > 0 THEN 1 ELSE 0 END AS BIGINT) AS partial_flush
+         |FROM routed GROUP BY topic ORDER BY topic""".stripMargin,
+
+    "flush_time_interval" ->
+      s"""$RoutedSql
+         |SELECT CAST(floor(epoch(e.ts) / 60) * 60 AS BIGINT) AS bucket, r.topic, count(*) AS n
+         |FROM routed r JOIN events e ON r.event_id = e.event_id
+         |GROUP BY 1, 2 ORDER BY bucket, topic""".stripMargin,
+
+    "schema_declared_project" ->
+      s"""$RoutedSql
+         |SELECT event_id, CAST(json_extract_string(value, '$$.k') AS BIGINT) AS k,
+         |  json_extract_string(value, '$$.meta.hotdog.version') AS version,
+         |  json_extract_string(value, '$$.meta.topic') AS mtopic
+         |FROM routed WHERE topic LIKE 't-%' ORDER BY event_id""".stripMargin,
+
+    "schema_infer_json" ->
+      s"""$RoutedSql
+         |SELECT event_id, CAST(json_extract_string(value, '$$.k') AS BIGINT) AS k,
+         |  json_extract_string(value, '$$.meta.topic') AS mtopic
+         |FROM routed WHERE topic LIKE 't-%' ORDER BY event_id""".stripMargin,
+
+    "scalar_surface" ->
+      """SELECT event_id, 'e' || CAST(event_id AS VARCHAR) AS tag,
+        |  regexp_extract(event_type, '^(\w)', 1) AS initial,
+        |  json_extract_string(props, '$.k') AS k,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS tstr,
+        |  length(props) AS len
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "metrics_counts" ->
+      s"""$Lines5424Cte, corrupted AS (
+         |  SELECT event_id,
+         |    CASE WHEN event_id % 10 = 0 THEN 'garbage ' || line ELSE line END AS line
+         |  FROM lines),
+         |parsed AS (
+         |  SELECT event_id, regexp_extract(line, '$P5424Sql', 8) AS msg
+         |  FROM corrupted WHERE regexp_matches(line, '$P5424Sql')
+         |    AND CAST(regexp_extract(line, '$P5424Sql', 1) AS INT) <= 191)
+         |$RoutedCte
+         |SELECT 'lines' AS metric, count(*) AS value FROM corrupted
+         |UNION ALL
+         |SELECT 'error.log_parse', (SELECT count(*) FROM corrupted) - (SELECT count(*) FROM parsed)
+         |UNION ALL
+         |SELECT 'kafka.submitted.' || topic, count(*) FROM routed GROUP BY topic
+         |ORDER BY metric""".stripMargin)
+}

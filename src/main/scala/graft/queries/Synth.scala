@@ -1,0 +1,199 @@
+package graft.queries
+
+import graft.config._
+import graft.rules.RuleCompiler
+import graft.syslog.SyslogCols
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic syslog-line synthesis from the driver's `events` table
+  * (FIXTURES.md §6): the testdata has no syslog text, so both Spark and the
+  * DuckDB oracle build the SAME lines from the same columns, and every
+  * engine query key runs on them. Coverage by event_type:
+  *   - error              → `hello …` messages (regex rule + named capture;
+  *                           every 5th has no capturable name)
+  *   - purchase / signup  → JSON msg with meta.topic (jmespath rule, merge,
+  *                           dynamic routing)
+  *   - view / click       → plain JSON props (catch-all rule)
+  */
+object Synth {
+  val Version: String = GraftConfig.Version
+  /** Pinned `iso8601` built-in: per-connection in the reference
+    * (src/connection.rs:83), so any fixed value is equally faithful for the
+    * batch oracle (SURVEY.md §7.5). */
+  val IsoPin = "2024-01-01T00:00:00+00:00"
+
+  /** events.parquet carries a TIMESTAMP(NANOS) column that Spark 4 rejects
+    * at schema conversion; the engine queries don't need it, so read with an
+    * explicit ts-free schema (works in any session, no legacy flag). */
+  def events(s: SparkSession, dir: String): DataFrame =
+    s.read.schema("event_id long, user_id long, event_type string, value double, props string")
+      .parquet(s"$dir/events.parquet")
+
+  /** events with `ts_ns: long` (raw nanos) for the time-bucketing queries;
+    * requires spark.sql.legacy.parquet.nanosAsLong=true (set by graft's own
+    * sessions — Verify/Bench). */
+  def eventsTs(s: SparkSession, dir: String): DataFrame =
+    s.read.schema("event_id long, ts long, user_id long, event_type string, value double, props string")
+      .parquet(s"$dir/events.parquet")
+      .withColumnRenamed("ts", "ts_ns")
+  def documents(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  def embeddings(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+  def lineitem(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/lineitem.parquet")
+  def orders(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/orders.parquet")
+  def customer(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/customer.parquet")
+
+  /** The message body carried in the synthesized line (also = expected parsed msg). */
+  private def bodyCol: Column =
+    when(col("event_type").isin("purchase", "signup"),
+      concat(lit("{\"meta\":{\"topic\":\"t-"), col("event_type"),
+        lit("\"},\"k\":"), (col("event_id") % 100).cast("string"), lit("}")))
+    .when(col("event_type") === "error" && col("event_id") % 5 === 0, lit("hello  "))
+    .when(col("event_type") === "error",
+      concat(lit("hello world"), (col("event_id") % 7).cast("string"), lit(" extra")))
+    .otherwise(col("props"))
+
+  /** RFC 5424 lines: full facility×severity coverage via pri = event_id % 192. */
+  def lines5424(ev: DataFrame): DataFrame =
+    ev.select(col("event_id"),
+      concat(
+        lit("<"), (col("event_id") % 192).cast("string"),
+        lit(">1 2024-01-01T00:00:00Z host-"), (col("user_id") % 10).cast("string"),
+        lit(" app-"), col("event_type"), lit(" - - - "), bodyCol).as("line"))
+
+  /** RFC 3164 variant of the same stream. */
+  def lines3164(ev: DataFrame): DataFrame =
+    ev.select(col("event_id"),
+      concat(
+        lit("<"), (col("event_id") % 192).cast("string"),
+        lit(">May 13 21:45:18 host-"), (col("user_id") % 10).cast("string"),
+        lit(" app-"), col("event_type"), lit(": "), bodyCol).as("line"))
+
+  /** DuckDB twin of [[lines5424]] / [[lines3164]] (CTE named `lines`). */
+  val Lines5424Cte: String =
+    """WITH lines AS (
+      |  SELECT event_id,
+      |    '<' || CAST(event_id % 192 AS VARCHAR) || '>1 2024-01-01T00:00:00Z host-' ||
+      |    CAST(user_id % 10 AS VARCHAR) || ' app-' || event_type || ' - - - ' ||
+      |    CASE WHEN event_type IN ('purchase','signup')
+      |         THEN '{"meta":{"topic":"t-' || event_type || '"},"k":' || CAST(event_id % 100 AS VARCHAR) || '}'
+      |         WHEN event_type = 'error' AND event_id % 5 = 0 THEN 'hello  '
+      |         WHEN event_type = 'error' THEN 'hello world' || CAST(event_id % 7 AS VARCHAR) || ' extra'
+      |         ELSE props END AS line
+      |  FROM events)""".stripMargin
+
+  val Lines3164Cte: String =
+    """WITH lines AS (
+      |  SELECT event_id,
+      |    '<' || CAST(event_id % 192 AS VARCHAR) || '>May 13 21:45:18 host-' ||
+      |    CAST(user_id % 10 AS VARCHAR) || ' app-' || event_type || ': ' ||
+      |    CASE WHEN event_type IN ('purchase','signup')
+      |         THEN '{"meta":{"topic":"t-' || event_type || '"},"k":' || CAST(event_id % 100 AS VARCHAR) || '}'
+      |         WHEN event_type = 'error' AND event_id % 5 = 0 THEN 'hello  '
+      |         WHEN event_type = 'error' THEN 'hello world' || CAST(event_id % 7 AS VARCHAR) || ' extra'
+      |         ELSE props END AS line
+      |  FROM events)""".stripMargin
+
+  /** DuckDB severity/facility keyword lists (graft.syslog.Syslog tables). */
+  val SevListSql: String =
+    "['emerg','alert','crit','err','warning','notice','info','debug']"
+  val FacListSql: String =
+    "['kern','user','mail','daemon','auth','syslog','lpr','news','uucp','cron'," +
+    "'authpriv','ftp','ntp','audit','alert','clockd','local0','local1','local2'," +
+    "'local3','local4','local5','local6','local7']"
+
+  /** DuckDB twin of SyslogCols.P5424 / P3164 (identical RE2/Java-safe syntax). */
+  val P5424Sql: String = SyslogCols.P5424
+  val P3164Sql: String = SyslogCols.P3164
+
+  /** `parsed` CTE on top of `lines`: the five SyslogMessage fields. */
+  def parsedCte(lineP: String, msgGroup: Int, hostGroup: Int, appGroup: Int): String =
+    s""", parsed AS (
+       |  SELECT event_id,
+       |    regexp_extract(line, '$lineP', $msgGroup) AS msg,
+       |    $SevListSql[CAST(regexp_extract(line, '$lineP', 1) AS INT) % 8 + 1] AS severity,
+       |    $FacListSql[CAST(regexp_extract(line, '$lineP', 1) AS INT) // 8 + 1] AS facility,
+       |    nullif(regexp_extract(line, '$lineP', $hostGroup), '-') AS hostname,
+       |    nullif(regexp_extract(line, '$lineP', $appGroup), '-') AS appname
+       |  FROM lines
+       |  WHERE regexp_matches(line, '$lineP')
+       |    AND CAST(regexp_extract(line, '$lineP', 1) AS INT) <= 191)""".stripMargin
+
+  // ---------------------------------------------------------------- cascade
+
+  /** The shipped 3-rule cascade (hotdog.yml:26-68), constructed
+    * programmatically: regex+capture → replace+forward+stop; jmespath
+    * meta.topic → merge+dynamic-topic forward+stop; catch-all → logs-unknown.
+    */
+  val HotdogRules: List[Rule] = List(
+    Rule(Field.Msg, Some("^hello\\s+(?P<name>\\w+)?"), None, List(
+      Action.Replace("This is the total message: {{msg}}\n\nAnd the name is: {{name}}\n"),
+      Action.Forward("test"),
+      Action.Stop)),
+    Rule(Field.Msg, None, Some("meta.topic"), List(
+      Action.Merge("""{"meta":{"hotdog":{"timestamp":"{{iso8601}}","version":"{{version}}"}}}"""),
+      Action.Forward("{{value}}"),
+      Action.Stop)),
+    Rule(Field.Msg, Some(".*"), None, List(
+      Action.Forward("logs-unknown"),
+      Action.Stop)))
+
+  val HotdogConfig: GraftConfig =
+    GraftConfig(HotdogRules, Map.empty, Some("test"), 1024, None, 60000L, Map.empty)
+
+  def fieldCols(p: Column): RuleCompiler.FieldCols = RuleCompiler.FieldCols(
+    p.getField("msg"), p.getField("severity"), p.getField("facility"),
+    p.getField("hostname"), p.getField("appname"))
+
+  /** Parsed 5424 stream: (event_id, p struct) for parseable lines. */
+  def parsed(s: SparkSession, dir: String): DataFrame =
+    lines5424(events(s, dir))
+      .withColumn("p", SyslogCols.parse5424(col("line")))
+      .filter(col("p").isNotNull)
+
+  /** Full cascade output: (event_id, topic, value), dropped rows excluded. */
+  def routed(s: SparkSession, dir: String, cfg: GraftConfig = HotdogConfig): DataFrame = {
+    GraftFunctions.ensureRegistered(s)
+    parsed(s, dir)
+      .withColumn("r", RuleCompiler.cascade(cfg, fieldCols(col("p")), lit(Version), lit(IsoPin)))
+      .filter(col("r").isNotNull)
+      .select(col("event_id"), col("r.topic").as("topic"), col("r.value").as("value"))
+  }
+
+  private val Rx1 = """^hello\s+(\w+)?"""
+
+  /** DuckDB `routed` CTE (on top of `parsed`): the cascade's CASE WHEN twin.
+    * The merged-JSON value is constructible by concat because every
+    * rule-2-matching msg has the fixed shape {"meta":{"topic":…},"k":…} and
+    * graft serializes compact with sorted keys. */
+  val RoutedCte: String =
+    s""", jroute AS (
+       |  SELECT event_id, msg,
+       |    regexp_matches(msg, '$Rx1') AS m1,
+       |    (CASE WHEN json_valid(msg)
+       |          THEN json_extract_string(msg, '$$.meta.topic') END) AS mtopic
+       |  FROM parsed),
+       |routed AS (
+       |  SELECT event_id, msg,
+       |    CASE WHEN m1 THEN 'test'
+       |         WHEN mtopic IS NOT NULL THEN mtopic
+       |         ELSE 'logs-unknown' END AS topic,
+       |    CASE WHEN m1
+       |           THEN 'This is the total message: ' || msg || chr(10) || chr(10) ||
+       |                'And the name is: ' || regexp_extract(msg, '$Rx1', 1) || chr(10)
+       |         WHEN mtopic IS NOT NULL
+       |           THEN '{"k":' || json_extract_string(msg, '$$.k') ||
+       |                ',"meta":{"hotdog":{"timestamp":"$IsoPin","version":"$Version"},"topic":"' ||
+       |                mtopic || '"}}'
+       |         ELSE msg END AS value
+       |  FROM jroute)""".stripMargin
+
+  /** Shared full prologue: lines → parsed → routed. */
+  val RoutedSql: String = Lines5424Cte + parsedCte(P5424Sql, 8, 3, 4) + RoutedCte
+}

@@ -1,0 +1,157 @@
+package graft.rules
+
+import graft.config._
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Handlebars-subset template compiler. The reference precompiles templates
+  * at startup (src/connection.rs:260-289) and renders per message; we go one
+  * better and compile `{{var}}` interpolation to a Catalyst `concat` tree at
+  * PLAN time — constant segments are folded by ConstantFolding and the whole
+  * render stays inside whole-stage codegen. The shipped configs use only
+  * plain interpolation (README.adoc:433-459); helpers/conditionals are out of
+  * scope (SURVEY.md §7.4).
+  */
+object Template {
+  private val Var = "\\{\\{\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*\\}\\}".r
+
+  /** Variables absent from `vars` (or null at runtime) render as "" —
+    * Handlebars' lenient default, and what the reference does for
+    * non-participating capture groups (they're simply absent from the
+    * variable map, src/rules.rs:98-103).
+    */
+  def compile(template: String, vars: Map[String, Column]): Column = {
+    val parts = scala.collection.mutable.ListBuffer.empty[Column]
+    var last = 0
+    for (m <- Var.findAllMatchIn(template)) {
+      if (m.start > last) parts += lit(template.substring(last, m.start))
+      parts += vars.get(m.group(1)).map(c => coalesce(c, lit(""))).getOrElse(lit(""))
+      last = m.end
+    }
+    if (last < template.length) parts += lit(template.substring(last))
+    parts.toList match {
+      case Nil      => lit("")
+      case c :: Nil => c
+      case cs       => concat(cs: _*)
+    }
+  }
+
+  /** Static render for plan-time-constant variable maps (used by tests and
+    * the config inspector). */
+  def renderStatic(template: String, vars: Map[String, String]): String =
+    Var.replaceAllIn(template, m =>
+      scala.util.matching.Regex.quoteReplacement(vars.getOrElse(m.group(1), "")))
+}
+
+/** Compiles the ordered rule cascade (reference: src/connection.rs:107-243)
+  * into ONE Catalyst `CASE WHEN` chain producing `struct(topic, value)`,
+  * NULL when the message is dropped (unclaimed, stopped, or aborted by a
+  * merge failure).
+  *
+  * Key semantics preserved from the reference:
+  *   - rules evaluate strictly in config order; the first rule that
+  *     *terminates* (forward / stop / merge-failure) claims the message
+  *     (src/connection.rs:112-114). `CASE WHEN` short-circuits in generated
+  *     code, so no message evaluates later predicates once claimed.
+  *   - a matched rule that runs off the end of its action list has NO effect
+  *     on later rules: the output buffer is rule-local
+  *     (src/connection.rs:117) and merge does not mutate the message.
+  *   - built-in variables msg/version/iso8601 are inserted AFTER captures and
+  *     so override same-named captures (src/connection.rs:155-157 — the code,
+  *     not README.adoc:348-353, wins; SURVEY.md §7.5).
+  *   - forward with an empty output buffer sends the raw msg
+  *     (src/connection.rs:185-187) — a runtime emptiness check, so a replace
+  *     that rendered "" also falls back to msg.
+  *   - merge on a non-JSON msg aborts ALL remaining processing for the
+  *     message, dropping it (src/connection.rs:221-223, 331-334).
+  */
+object RuleCompiler {
+  val OutputType = "struct<topic:string,value:string>"
+
+  /** The five addressable fields (reference: src/settings.rs:53-61). */
+  final case class FieldCols(
+      msg: Column, severity: Column, facility: Column, hostname: Column, appname: Column) {
+    def apply(f: Field): Column = f match {
+      case Field.Msg      => msg
+      case Field.Severity => severity
+      case Field.Facility => facility
+      case Field.Hostname => hostname
+      case Field.Appname  => appname
+    }
+  }
+
+  /** Outcome of one rule, evaluated per row: `claims` = this rule terminates
+    * the cascade for the row; `result` = emitted (topic, value), null = drop.
+    */
+  private final case class Compiled(claims: Column, result: Column)
+
+  def cascade(cfg: GraftConfig, fields: FieldCols, version: Column, iso8601: Column): Column = {
+    val nullOut = lit(null).cast(OutputType)
+    cfg.rules
+      .map(compileRule(_, fields, version, iso8601))
+      .foldRight(nullOut)((r, rest) => when(r.claims, r.result).otherwise(rest))
+  }
+
+  private def compileRule(
+      rule: Rule, fields: FieldCols, version: Column, iso8601: Column): Compiled = {
+    val fieldCol = fields(rule.field)
+
+    // Predicate + extracted variables (src/rules.rs:69-104). A null field
+    // silently non-matches (src/connection.rs:121-145).
+    val (matches, extracted): (Column, Map[String, Column]) = (rule.regex, rule.jmespath) match {
+      case (Some(p), _) =>
+        val jp = Regexes.toJava(p)
+        val caps = Regexes.namedGroups(p).map { case (name, idx) =>
+          name -> regexp_extract(fieldCol, jp, idx)
+        }.toMap
+        (fieldCol.isNotNull && fieldCol.rlike(jp), caps)
+      case (_, Some(expr)) =>
+        // Dotted-path subset via get_json_object: non-null result = match,
+        // string result bound as `value` (src/rules.rs:75-93). Divergence
+        // (documented): a non-string result binds its JSON text here, where
+        // the reference leaves `value` unset.
+        val v = get_json_object(fieldCol, JmesPathSubset.toJsonPath(expr))
+        (fieldCol.isNotNull && v.isNotNull, Map("value" -> v))
+      case _ => (lit(false), Map.empty[String, Column])
+    }
+
+    // Built-ins inserted after captures → they override (src/connection.rs:155-157).
+    val vars = extracted ++ Map(
+      "msg" -> fields.msg, "version" -> version, "iso8601" -> iso8601)
+
+    // Symbolic walk of the action chain (src/connection.rs:167-242).
+    var out: Column = lit("")
+    var failed: Column = lit(false)
+    var terminal: Option[Column] = None // Some(result): forward/stop reached
+    val it = rule.actions.iterator
+    while (it.hasNext && terminal.isEmpty) {
+      it.next() match {
+        case Action.Replace(t) =>
+          out = Template.compile(t, vars)
+        case Action.Merge(fragment) =>
+          val rendered = Template.compile(fragment, vars)
+          val merged = GraftFunctions.jsonDeepMerge(fields.msg, rendered)
+          failed = failed || merged.isNull
+          out = coalesce(merged, lit(""))
+        case Action.Forward(topicTmpl) =>
+          val topic = Template.compile(topicTmpl, vars)
+          val value = when(length(out) === 0, fields.msg).otherwise(out)
+          terminal = Some(struct(topic.as("topic"), value.as("value")))
+        case Action.Stop =>
+          terminal = Some(lit(null).cast(OutputType))
+      }
+    }
+
+    terminal match {
+      case Some(result) =>
+        // Every matched row terminates here: merge-failures drop, the rest
+        // take the forward/stop result.
+        Compiled(matches, when(failed, lit(null).cast(OutputType)).otherwise(result))
+      case None =>
+        // No terminal action: only merge-failures terminate (and drop);
+        // other matched rows flow on to later rules.
+        Compiled(matches && failed, lit(null).cast(OutputType))
+    }
+  }
+}

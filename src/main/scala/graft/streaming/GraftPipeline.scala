@@ -1,0 +1,90 @@
+package graft.streaming
+
+import graft.config.GraftConfig
+import graft.functions.GraftFunctions
+import graft.rules.RuleCompiler
+import graft.queries.Synth
+import graft.sinks.RoutedSink
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, StreamingQueryListener, Trigger}
+
+/** The whole reference daemon as ONE Structured Streaming query
+  * (SURVEY.md §3.1): `source lines → parse → rule cascade → routed sink`,
+  * with `Trigger.ProcessingTime(flush_ms)` standing in for the reference's
+  * flush timer (src/sink/parquet.rs:103-113) and `observe` + a listener for
+  * its statsd counters (src/status.rs:42-71).
+  *
+  * Unlike the reference, delivery is checkpointed exactly-once per sink —
+  * strictly stronger than hotdog's best-effort detached produces
+  * (SURVEY.md §7.5).
+  */
+object GraftPipeline {
+  /** Core transformation, identical in batch and streaming: a DataFrame with
+    * a string `line` column → `(topic, value)` rows (dropped rows filtered),
+    * with operational metrics observed on the way through.
+    */
+  def transform(cfg: GraftConfig, lines: DataFrame): DataFrame = {
+    GraftFunctions.ensureRegistered(lines.sparkSession)
+    val iso8601 = date_format(current_timestamp(), "yyyy-MM-dd'T'HH:mm:ssxxx")
+    val parsed = lines
+      .withColumn("p", call_function("parse_syslog", col("line")))
+      .observe("graft", count(lit(1)).as("lines"),
+        count(when(col("p").isNull, 1)).as("error.log_parse"))
+      .filter(col("p").isNotNull)
+    parsed
+      .withColumn("r", RuleCompiler.cascade(cfg, Synth.fieldCols(col("p")),
+        lit(GraftConfig.Version), iso8601))
+      .filter(col("r").isNotNull)
+      .select(col("r.topic").as("topic"), col("r.value").as("value"))
+  }
+
+  /** File-based streaming entry (the v1 streaming source — SURVEY.md §7.5:
+    * Spark's socket source is test-only/no-TLS, so production streams enter
+    * via files or Kafka). Reads text lines appearing under `inputDir`.
+    */
+  def fileStream(spark: SparkSession, cfg: GraftConfig, inputDir: String): DataFrame =
+    transform(cfg, spark.readStream.text(inputDir).withColumnRenamed("value", "line"))
+
+  /** Routed parquet delivery: one dynamic-partition write per micro-batch —
+    * the group-by-destination buffer flush (src/sink/parquet.rs:127-230). */
+  def startParquetSink(routed: DataFrame, cfg: GraftConfig, url: String,
+      checkpoint: String): StreamingQuery =
+    routed.writeStream
+      .trigger(Trigger.ProcessingTime(cfg.flushMs))
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        RoutedSink.writeRouted(batch, cfg, url)
+      }
+      .start()
+
+  /** Kafka delivery: native topic-column routing + `kafka.` conf passthrough
+    * (reference: src/sink/kafka.rs:63-84,138-139). */
+  def startKafkaSink(routed: DataFrame, cfg: GraftConfig, bootstrap: String,
+      checkpoint: String): StreamingQuery = {
+    val w = routed.writeStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime(cfg.flushMs))
+    cfg.kafkaConf.foldLeft(w) { case (acc, (k, v)) => acc.option(s"kafka.$k", v) }
+      .start()
+  }
+
+  /** Listener translating query progress to the reference's statsd metric
+    * names (README.adoc:469-516) — here surfaced through the log. */
+  final class MetricsListener extends StreamingQueryListener {
+    private val log = org.apache.log4j.Logger.getLogger(classOf[MetricsListener])
+    override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit =
+      log.info(s"graft query started: ${e.id}")
+    override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
+      val obs = e.progress.observedMetrics
+      if (obs.containsKey("graft")) {
+        val row = obs.get("graft")
+        log.info(s"hotdog.lines=${row.getLong(0)} hotdog.error.log_parse=${row.getLong(1)}")
+      }
+    }
+    override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit =
+      log.info(s"graft query terminated: ${e.id}")
+  }
+}

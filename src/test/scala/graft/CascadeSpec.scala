@@ -1,0 +1,146 @@
+package graft
+
+import graft.config._
+import graft.queries.Synth
+import graft.rules.{RuleCompiler, Template, TestMode}
+import graft.streaming.GraftPipeline
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end rule-cascade semantics over the shipped hotdog.yml rules
+  * (hotdog.yml:26-68) and targeted edge-case configs.
+  */
+class CascadeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def routeRaw(cfg: GraftConfig, msgs: Seq[String]): Seq[Option[(String, String)]] = {
+    val fields = RuleCompiler.FieldCols(col("msg"), lit(null).cast("string"),
+      lit(null).cast("string"), col("host"), lit(null).cast("string"))
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val df = msgs.toDF("msg").withColumn("host", lit("testhost"))
+      .withColumn("r", RuleCompiler.cascade(cfg, fields, lit("0.1.0"), lit("TS")))
+    df.select("r.topic", "r.value").collect()
+      .map(r => if (r.isNullAt(0)) None else Some((r.getString(0), r.getString(1)))).toSeq
+  }
+
+  test("hotdog.yml cascade: regex rule → replace+forward to test") {
+    val out = routeRaw(Synth.HotdogConfig, Seq("hello there"))
+    val (topic, value) = out.head.get
+    assert(topic == "test")
+    assert(value == "This is the total message: hello there\n\nAnd the name is: there\n")
+  }
+
+  test("hotdog.yml cascade: optional capture absent renders empty") {
+    val out = routeRaw(Synth.HotdogConfig, Seq("hello  "))
+    assert(out.head.get._2.endsWith("And the name is: \n"))
+  }
+
+  test("hotdog.yml cascade: jmespath rule → merge + dynamic topic") {
+    val msg = """{"this": "is data", "meta": {"topic": "test"}}"""
+    val (topic, value) = routeRaw(Synth.HotdogConfig, Seq(msg)).head.get
+    assert(topic == "test")
+    // deep-merged, compact, sorted keys, hotdog metadata injected
+    assert(value ==
+      """{"meta":{"hotdog":{"timestamp":"TS","version":"0.1.0"},"topic":"test"},"this":"is data"}""")
+  }
+
+  test("hotdog.yml cascade: junk → catch-all logs-unknown with raw msg") {
+    val (topic, value) = routeRaw(Synth.HotdogConfig, Seq("some junk")).head.get
+    assert(topic == "logs-unknown")
+    assert(value == "some junk")
+  }
+
+  test("first-match-wins: hello-JSON hits rule 1, not rule 2") {
+    // a msg matching BOTH rule1's regex and rule2's jmespath goes to rule1
+    val msg = """hello {"meta":{"topic":"x"}}"""
+    assert(!routeRaw(Synth.HotdogConfig, Seq(msg)).head.get._1.startsWith("x"))
+  }
+
+  test("merge failure aborts ALL remaining rules (claimed-and-dropped)") {
+    val rules = List(
+      Rule(Field.Msg, Some("^x"), None, List(
+        Action.Merge("""{"a":1}"""))), // no terminal action
+      Rule(Field.Msg, Some(".*"), None, List(Action.Forward("rest"), Action.Stop)))
+    val cfg = Synth.HotdogConfig.copy(rules = rules)
+    val out = routeRaw(cfg, Seq("x-not-json", "other"))
+    assert(out(0).isEmpty) // matched rule1, merge failed → dropped, rule2 never ran
+    assert(out(1).get._1 == "rest") // rule1 unmatched → rule2
+  }
+
+  test("merge success without forward leaves message for later rules UNMODIFIED") {
+    val rules = List(
+      Rule(Field.Msg, Some("^\\{"), None, List(Action.Merge("""{"added":true}"""))),
+      Rule(Field.Msg, Some(".*"), None, List(Action.Forward("rest"), Action.Stop)))
+    val cfg = Synth.HotdogConfig.copy(rules = rules)
+    val out = routeRaw(cfg, Seq("""{"k":1}"""))
+    // output buffer is rule-local (src/connection.rs:117): rule2 forwards the RAW msg
+    assert(out.head.get._2 == """{"k":1}""")
+  }
+
+  test("builtin msg overrides a same-named capture (code wins over README)") {
+    val rules = List(
+      Rule(Field.Msg, Some("^(?P<msg>h)ello"), None, List(
+        Action.Replace("{{msg}}"), Action.Forward("t"), Action.Stop)))
+    val cfg = Synth.HotdogConfig.copy(rules = rules)
+    // capture would bind msg="h"; builtin insert happens after → full message
+    assert(routeRaw(cfg, Seq("hello world")).head.get._2 == "hello world")
+  }
+
+  test("null field silently non-matches (src/connection.rs:121-145)") {
+    val rules = List(
+      Rule(Field.Severity, Some(".*"), None, List(Action.Forward("sev"), Action.Stop)),
+      Rule(Field.Msg, Some(".*"), None, List(Action.Forward("rest"), Action.Stop)))
+    val cfg = Synth.HotdogConfig.copy(rules = rules)
+    // severity column is null in routeRaw → rule 1 skipped
+    assert(routeRaw(cfg, Seq("m")).head.get._1 == "rest")
+  }
+
+  test("stop without forward drops the message") {
+    val rules = List(
+      Rule(Field.Msg, Some("^drop"), None, List(Action.Stop)),
+      Rule(Field.Msg, Some(".*"), None, List(Action.Forward("rest"), Action.Stop)))
+    val cfg = Synth.HotdogConfig.copy(rules = rules)
+    val out = routeRaw(cfg, Seq("drop me", "keep me"))
+    assert(out(0).isEmpty && out(1).get._1 == "rest")
+  }
+
+  test("replace rendering empty falls back to raw msg on forward") {
+    val rules = List(
+      Rule(Field.Msg, Some(".*"), None, List(
+        Action.Replace("{{missing_var}}"), Action.Forward("t"), Action.Stop)))
+    val cfg = Synth.HotdogConfig.copy(rules = rules)
+    // rendered output is "" → forward sends msg (src/connection.rs:185-187)
+    assert(routeRaw(cfg, Seq("raw")).head.get._2 == "raw")
+  }
+
+  test("example.log test-mode matches (README.adoc:85-98)") {
+    val lines = Seq(
+      "hello there",
+      "This is a somewhat longer line of logs?",
+      "This is a MUCH longer log line and it should not be truncated, hopefully",
+      """{"this": "is some JSON data", "which": "should also be transmitted properly", "meta" : {"topic" : "test"}}""")
+    val out = lines.toDF("line")
+      .select(TestMode.matchesStr(Synth.HotdogConfig, col("line")).as("m"))
+      .collect().map(_.getString(0)).toSeq
+    assert(out == Seq("0,2", "2", "2", "1,2"))
+  }
+
+  test("pipeline transform end-to-end on syslog lines") {
+    val lines = Seq(
+      """<13>1 2020-04-15T21:16:43.268478-07:00 coconut tyler - - - {"meta":{"topic":"tp"}}""",
+      """<13>1 2020-04-15T21:16:43.268478-07:00 coconut tyler - - - some junk""",
+      "unparseable")
+    val out = GraftPipeline.transform(Synth.HotdogConfig, lines.toDF("line"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(out.length == 2)
+    assert(out.exists(_._1 == "tp"))
+    assert(out.exists { case (t, v) => t == "logs-unknown" && v == "some junk" })
+  }
+
+  test("template renderStatic") {
+    assert(Template.renderStatic("a {{x}} b {{ y }} c", Map("x" -> "1", "y" -> "2"))
+      == "a 1 b 2 c")
+    assert(Template.renderStatic("{{gone}}", Map.empty) == "")
+  }
+}
