@@ -1,0 +1,75 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over a (id, text) corpus. Designed for the
+  * 100 TB shape: every variant is a bounded number of shuffles on keys
+  * derived per-row (hash / signature / bucket), never an all-pairs compare —
+  * except the explicitly-naive exact-verification step, which only runs on
+  * LSH candidate pairs.
+  */
+object Dedup {
+  /** Exact dedup: hash-groupBy on content, keep the minimum id. One shuffle
+    * on a (hashable) content key; at scale, group on md5(text) instead of
+    * raw text to bound shuffle width. */
+  def exact(corpus: DataFrame, id: String = "doc_id", text: String = "text"): DataFrame =
+    corpus.groupBy(md5(col(text)).as("content_key"))
+      .agg(min(col(id)).as("keep_id"), count(lit(1)).as("n"))
+      .select("keep_id", "n")
+
+  /** Distinct-token set (order-preserving ops not needed for Jaccard). */
+  private def tokSet(text: Column): Column = array_distinct(TextAnalysis.tokens(text))
+
+  /** Scaled-integer Jaccard over two token arrays: floor(10000·|∩|/|∪|). */
+  def jaccardX10000(ta: Column, tb: Column): Column = {
+    val da = array_distinct(ta)
+    val db = array_distinct(tb)
+    val inter = size(array_intersect(da, db)).cast("long")
+    val uni = size(da).cast("long") + size(db) - inter
+    (lit(10000L) * inter / uni).cast("long")
+  }
+
+  /** MinHash + LSH near-dup pairs: shingle → n-hash signature → band
+    * buckets → bucket-join for candidates → exact Jaccard verify at
+    * `thresholdX10000`. The candidate join shuffles on (band, bucket) —
+    * collision groups, not the corpus cross product.
+    */
+  def minhashLshPairs(corpus: DataFrame, n: Int = 32, bands: Int = 4,
+      thresholdX10000: Long = 5000L): DataFrame = {
+    val rows = n / bands
+    // (doc_id, band, bucket) — ids only; token arrays stay out of the
+    // bucket shuffle.
+    val buckets = corpus
+      .withColumn("sg", TextAnalysis.shingles(TextAnalysis.tokens(col("text"))))
+      .filter(size(col("sg")) > 0)
+      .withColumn("sig", TextAnalysis.minhashSignature(col("sg"), n))
+      .select(col("doc_id"),
+        explode(TextAnalysis.bandBuckets(col("sig"), bands, rows)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val cand = buckets.as("a")
+      .join(buckets.as("b"), Seq("band", "bucket"))
+      .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
+      .filter(col("ida") < col("idb"))
+      .distinct()
+    // Exact verification only on the candidate set.
+    val toks = corpus.select(col("doc_id"), tokSet(col("text")).as("t"))
+    cand
+      .join(toks.select(col("doc_id").as("ida"), col("t").as("ta")), "ida")
+      .join(toks.select(col("doc_id").as("idb"), col("t").as("tb")), "idb")
+      .select(col("ida"), col("idb"), jaccardX10000(col("ta"), col("tb")).as("jacc_x10000"))
+      .filter(col("jacc_x10000") >= thresholdX10000)
+  }
+
+  /** SimHash signatures for the corpus (near-dups ⇒ small Hamming distance);
+    * pair-finding groups on the signature (or banded bit-prefixes at scale). */
+  def simhashSignatures(corpus: DataFrame): DataFrame =
+    corpus.select(col("doc_id"),
+      TextAnalysis.simhash16(TextAnalysis.tokens(col("text"))).as("simhash"))
+
+  /** Direct n-gram-Jaccard score between paired docs (the verification
+    * primitive; pair GENERATION at scale comes from [[minhashLshPairs]]). */
+  def ngramJaccardPairs(pairs: DataFrame, ta: String, tb: String): DataFrame =
+    pairs.withColumn("jacc_x10000",
+      jaccardX10000(TextAnalysis.tokens(col(ta)), TextAnalysis.tokens(col(tb))))
+}

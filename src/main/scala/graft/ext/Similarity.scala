@@ -1,0 +1,74 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search. Cosine is computed as a LEFT-TO-RIGHT double
+  * fold over the element products (`aggregate` over `zip_with`): sequential
+  * IEEE operations are bit-deterministic, so results are reproducible across
+  * engines and partitionings — unlike a parallel float reduction.
+  */
+object Similarity {
+  private def toDouble(a: Column): Column = transform(a, x => x.cast("double"))
+
+  private def foldSum(products: Column): Column =
+    aggregate(products, lit(0.0), (acc, x) => acc + x)
+
+  def dot(a: Column, b: Column): Column =
+    foldSum(zip_with(toDouble(a), toDouble(b), (x, y) => x * y))
+
+  def norm(a: Column): Column = {
+    val d = toDouble(a)
+    sqrt(foldSum(zip_with(d, d, (x, y) => x * y)))
+  }
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k: the exact baseline. The (small) query set is
+    * broadcast against the corpus — cost O(|queries|·N), one pass, no
+    * shuffle beyond the per-query top-k aggregation.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries.select(
+      col("vec_id").as("q_id"), col("embedding").as("q_emb")))
+    val scored = corpus.crossJoin(q)
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        cosine(col("q_emb"), col("embedding")).as("sim"))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "n_id", "sim")
+  }
+
+  /** Deterministic random-hyperplane LSH: 16 sign bits → bucket id. At scale
+    * the corpus is bucketed once (one narrow pass), queries probe only their
+    * bucket — the IVF-style scale path for ANN. */
+  def hyperplanes(nPlanes: Int = 16, dim: Int = 64, seed: Long = 42L): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(nPlanes, dim)(rnd.nextGaussian())
+  }
+
+  def lshBucket(emb: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, j) =>
+      when(dot(emb, typedLit(p.toSeq)) > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** ANN via LSH buckets: exact re-rank restricted to the query's bucket. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      planes: Array[Array[Double]]): DataFrame = {
+    val bucketed = corpus.withColumn("bucket", lshBucket(col("embedding"), planes))
+    val q = broadcast(queries
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .withColumn("bucket", lshBucket(col("q_emb"), planes)))
+    val scored = bucketed.join(q, "bucket")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        cosine(col("q_emb"), col("embedding")).as("sim"))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "n_id", "sim")
+  }
+}

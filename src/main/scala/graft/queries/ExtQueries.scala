@@ -1,0 +1,294 @@
+package graft.queries
+
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data-pipeline extension operators (build brief): dedup family,
+  * similarity search, text analysis, multimodal plumbing — each with a
+  * DuckDB oracle twin. Near-dup corpora plant duplicates deterministically
+  * (the base documents are all-distinct), so dedup outputs are non-trivial
+  * and identical across engines.
+  */
+object ExtQueries {
+  import Synth.{documents, embeddings}
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val Suffix = " almost identical suffix tokens"
+
+  /** documents ∪ near-dup copies (every 20th, suffixed) ∪ exact copies
+    * (every 25th). */
+  private def dupCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = documents(s, dir).select("doc_id", "text")
+    d.unionAll(d.filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat(col("text"), lit(Suffix)).as("text")))
+      .unionAll(d.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 2000000).as("doc_id"), col("text")))
+  }
+
+  private val CorpusCte: String =
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT doc_id + 1000000, text || '$Suffix' FROM documents WHERE doc_id % 20 = 0
+       |  UNION ALL SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 25 = 0)""".stripMargin
+
+  // ------------------------------------------------------------- dedup
+
+  private val dedupExact: Q = (s, dir) =>
+    Dedup.exact(dupCorpus(s, dir)).orderBy("keep_id")
+
+  private val dedupMinhashLsh: Q = (s, dir) =>
+    Dedup.minhashLshPairs(dupCorpus(s, dir)).orderBy("ida", "idb")
+
+  private val dedupSimhash: Q = (s, dir) =>
+    Dedup.simhashSignatures(dupCorpus(s, dir)).orderBy("doc_id")
+
+  private val dedupNgramJaccard: Q = (s, dir) =>
+    documents(s, dir).filter(col("doc_id") % 20 === 0)
+      .select(col("doc_id"),
+        Dedup.jaccardX10000(
+          TextAnalysis.tokens(col("text")),
+          TextAnalysis.tokens(concat(col("text"), lit(Suffix)))).as("jacc_x10000"))
+      .orderBy("doc_id")
+
+  private val dedupEmbeddingCosine: Q = (s, dir) => {
+    val e = embeddings(s, dir)
+    val copies = broadcast(e.filter(col("vec_id") % 50 === 0)
+      .select((col("vec_id") + 1000000).as("ida"), col("embedding").as("ea")))
+    e.crossJoin(copies)
+      .select(col("ida"), col("vec_id").as("idb"),
+        Similarity.cosine(col("ea"), col("embedding")).as("sim"))
+      .filter(col("sim") >= 0.999)
+      .orderBy("ida", "idb")
+  }
+
+  // -------------------------------------------------------- similarity
+
+  private val annBruteForce: Q = (s, dir) => {
+    val e = embeddings(s, dir)
+    Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), 5)
+      .orderBy("q_id", "rank")
+  }
+
+  private val Planes: Array[Array[Double]] = Similarity.hyperplanes(nPlanes = 6)
+
+  private val annLsh: Q = (s, dir) => {
+    val e = embeddings(s, dir)
+    Similarity.lshTopK(e, e.filter(col("vec_id") < 10), 5, Planes)
+      .orderBy("q_id", "rank")
+  }
+
+  // ------------------------------------------------------ text analysis
+
+  private val textTokens: Q = (s, dir) =>
+    documents(s, dir).select(col("doc_id"),
+      size(TextAnalysis.tokens(col("text"))).cast("long").as("ws_tokens"),
+      TextAnalysis.reTokenCount(col("text")).as("re_tokens"))
+      .orderBy("doc_id")
+
+  private val textQuality: Q = (s, dir) =>
+    documents(s, dir).select(
+      col("doc_id") +: col("n_chars") +: TextAnalysis.qualityCols(col("text")): _*)
+      .orderBy("doc_id")
+
+  private val textLangid: Q = (s, dir) =>
+    documents(s, dir).select(col("doc_id"),
+      (regexp_count(col("text"), lit("\\bthe\\b")) +
+        regexp_count(col("text"), lit("\\band\\b"))).cast("long").as("en_markers"),
+      TextAnalysis.langId(col("text")).as("guess"))
+      .orderBy("doc_id")
+
+  private val textFingerprint: Q = (s, dir) =>
+    documents(s, dir).select(col("doc_id"),
+      TextAnalysis.fingerprint(TextAnalysis.tokens(col("text"))).as("fp"))
+      .orderBy("doc_id")
+
+  // -------------------------------------------------------- multimodal
+
+  private val multimodalMeta: Q = (s, dir) =>
+    Multimodal.decode(Multimodal.asBlobs(documents(s, dir)))
+      .toDF().orderBy("doc_id")
+
+  val queries: Map[String, Q] = Map(
+    "dedup_exact" -> dedupExact,
+    "dedup_minhash_lsh" -> dedupMinhashLsh,
+    "dedup_simhash" -> dedupSimhash,
+    "dedup_ngram_jaccard" -> dedupNgramJaccard,
+    "dedup_embedding_cosine" -> dedupEmbeddingCosine,
+    "ann_brute_force" -> annBruteForce,
+    "ann_lsh" -> annLsh,
+    "text_tokens" -> textTokens,
+    "text_quality" -> textQuality,
+    "text_langid" -> textLangid,
+    "text_fingerprint" -> textFingerprint,
+    "multimodal_meta" -> multimodalMeta)
+
+  // ------------------------------------------------------ oracle SQL
+
+  /** Sequential left-fold dot product in DuckDB — mirrors Spark's
+    * aggregate-over-zip_with bit for bit. */
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      s"list_transform(range(1,65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), " +
+      "(x,y) -> x + y)"
+
+  private def cosSql(a: String, b: String): String =
+    s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
+
+  private val TokCte =
+    """tok AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS t FROM corpus)"""
+
+  private val ShingleCte =
+    """sh AS (SELECT doc_id,
+      |  CASE WHEN len(t) < 3 THEN []::VARCHAR[]
+      |       ELSE list_transform(range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+      |  END AS sg FROM tok)""".stripMargin
+
+  /** DuckDB twin of TextAnalysis.polyHash16 applied to every token. */
+  private val HashesCte =
+    """hs AS (SELECT doc_id,
+      |  list_transform(t, tk -> list_reduce(
+      |    list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(range(1, strlen(tk)+1),
+      |        i -> CAST(ascii(substr(tk, CAST(i AS INT), 1)) AS BIGINT))),
+      |    (a, c) -> (a*31 + c) % 65536)) AS h FROM tok)""".stripMargin
+
+  /** DuckDB twin of TextAnalysis.simhash16 — bit positions unrolled. */
+  private val SimhashExpr: String = (0 until 16).map { j =>
+    s"""CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |  list_transform(h, x -> ((x >> $j) % 2)*2 - 1)), (a,b) -> a+b) > 0
+       |  THEN ${1L << j} ELSE 0 END""".stripMargin
+  }.mkString(" + ")
+
+  private def planeSql(p: Array[Double]): String =
+    p.map(_.toString).mkString("[", ",", "]")
+
+  /** DuckDB twin of Similarity.lshBucket over the 6 fixed hyperplanes. */
+  private def bucketExpr(v: String): String = Planes.zipWithIndex.map { case (p, j) =>
+    s"CASE WHEN ${dotSql(v, planeSql(p))} > 0 THEN ${1L << j} ELSE 0 END"
+  }.mkString("(", " + ", ")")
+
+  val oracle: Map[String, String] = Map(
+    "dedup_exact" ->
+      s"""$CorpusCte
+         |SELECT min(doc_id) AS keep_id, count(*) AS n FROM corpus
+         |GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+
+    "dedup_minhash_lsh" ->
+      s"""$CorpusCte,
+         |$TokCte,
+         |$ShingleCte,
+         |sig AS (SELECT doc_id,
+         |  list_transform(range(0,32), i ->
+         |    list_min(list_transform(sg, s -> md5(CAST(i AS VARCHAR) || ':' || s)))) AS sig
+         |  FROM sh WHERE len(sg) > 0),
+         |bands AS (SELECT doc_id, b,
+         |  md5(array_to_string(sig[b*8+1 : b*8+8], ',')) AS bucket
+         |  FROM sig, range(0,4) r(b)),
+         |cand AS (SELECT DISTINCT a.doc_id AS ida, c.doc_id AS idb
+         |  FROM bands a JOIN bands c ON a.b = c.b AND a.bucket = c.bucket
+         |  WHERE a.doc_id < c.doc_id),
+         |ts AS (SELECT doc_id, list_distinct(regexp_split_to_array(text, '\\s+')) AS t FROM corpus),
+         |scored AS (SELECT ida, idb,
+         |  10000 * len(list_distinct(list_intersect(x.t, y.t)))
+         |    // (len(x.t) + len(y.t) - len(list_distinct(list_intersect(x.t, y.t)))) AS jacc_x10000
+         |  FROM cand JOIN ts x ON ida = x.doc_id JOIN ts y ON idb = y.doc_id)
+         |SELECT ida, idb, jacc_x10000 FROM scored
+         |WHERE jacc_x10000 >= 5000 ORDER BY ida, idb""".stripMargin,
+
+    "dedup_simhash" ->
+      s"""$CorpusCte,
+         |$TokCte,
+         |$HashesCte
+         |SELECT doc_id, CAST($SimhashExpr AS BIGINT) AS simhash
+         |FROM hs ORDER BY doc_id""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      s"""WITH pairs AS (
+         |  SELECT doc_id,
+         |    list_distinct(regexp_split_to_array(text, '\\s+')) AS ta,
+         |    list_distinct(regexp_split_to_array(text || '$Suffix', '\\s+')) AS tb
+         |  FROM documents WHERE doc_id % 20 = 0)
+         |SELECT doc_id,
+         |  10000 * len(list_distinct(list_intersect(ta, tb)))
+         |    // (len(ta) + len(tb) - len(list_distinct(list_intersect(ta, tb)))) AS jacc_x10000
+         |FROM pairs ORDER BY doc_id""".stripMargin,
+
+    "dedup_embedding_cosine" ->
+      s"""WITH copies AS (
+         |  SELECT vec_id + 1000000 AS ida, embedding AS ea
+         |  FROM embeddings WHERE vec_id % 50 = 0),
+         |scored AS (SELECT ida, e.vec_id AS idb,
+         |  ${cosSql("ea", "e.embedding")} AS sim
+         |  FROM embeddings e, copies)
+         |SELECT ida, idb, sim FROM scored WHERE sim >= 0.999
+         |ORDER BY ida, idb""".stripMargin,
+
+    "ann_brute_force" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+         |scored AS (SELECT q_id, e.vec_id AS n_id,
+         |  ${cosSql("qe", "e.embedding")} AS sim
+         |  FROM embeddings e, q WHERE e.vec_id <> q.q_id),
+         |ranked AS (SELECT q_id, n_id, sim,
+         |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS INT) AS rank
+         |  FROM scored)
+         |SELECT q_id, rank, n_id, sim FROM ranked WHERE rank <= 5
+         |ORDER BY q_id, rank""".stripMargin,
+
+    "ann_lsh" ->
+      s"""WITH bucketed AS (
+         |  SELECT vec_id, embedding,
+         |    ${bucketExpr("embedding")} AS bucket
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, embedding AS qe, bucket FROM bucketed WHERE vec_id < 10),
+         |scored AS (SELECT q_id, e.vec_id AS n_id,
+         |  ${cosSql("qe", "e.embedding")} AS sim
+         |  FROM bucketed e JOIN q USING (bucket) WHERE e.vec_id <> q.q_id),
+         |ranked AS (SELECT q_id, n_id, sim,
+         |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS INT) AS rank
+         |  FROM scored)
+         |SELECT q_id, rank, n_id, sim FROM ranked WHERE rank <= 5
+         |ORDER BY q_id, rank""".stripMargin,
+
+    "text_tokens" ->
+      """SELECT doc_id,
+        |  len(regexp_split_to_array(text, '\s+')) AS ws_tokens,
+        |  len(regexp_extract_all(text, '\w+|[^\w\s]')) AS re_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_quality" ->
+      """SELECT doc_id, n_chars,
+        |  len(regexp_split_to_array(text, '\s+')) AS words,
+        |  100 * length(regexp_replace(text, '\s+', '', 'g'))
+        |    // len(regexp_split_to_array(text, '\s+')) AS avg_wlen_x100,
+        |  10000 * len(list_filter(regexp_split_to_array(text, '\s+'),
+        |      t -> t IN ('the','a','of','and','to','in','is')))
+        |    // len(regexp_split_to_array(text, '\s+')) AS stop_x10000,
+        |  10000 * len(regexp_extract_all(text, '[^\w\s]')) // length(text) AS punct_x10000
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_langid" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(text, '\bthe\b')) + len(regexp_extract_all(text, '\band\b')) AS en_markers,
+        |  CASE WHEN len(regexp_extract_all(text, '\bthe\b')) + len(regexp_extract_all(text, '\band\b')) > 0
+        |       THEN 'en' ELSE 'und' END AS guess
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_fingerprint" ->
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents),
+         |$TokCte,
+         |$ShingleCte
+         |SELECT doc_id, list_min(list_transform(sg, s -> md5(s))) AS fp
+         |FROM sh ORDER BY doc_id""".stripMargin,
+
+    "multimodal_meta" ->
+      """SELECT doc_id,
+        |  CAST(strlen(text) AS BIGINT) AS bytes,
+        |  md5(text) AS digest,
+        |  CAST(strlen(text) % 640 + 1 AS BIGINT) AS width,
+        |  CAST(ascii(substr(text, 1, 1)) % 480 + 1 AS BIGINT) AS height,
+        |  CASE WHEN strlen(text) % 2 = 0 THEN 'even' ELSE 'odd' END AS format
+        |FROM documents ORDER BY doc_id""".stripMargin)
+}

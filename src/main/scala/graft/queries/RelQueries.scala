@@ -1,0 +1,198 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The standard relational surface (SURVEY.md §2.2: exposed natively via
+  * Catalyst — joins, aggregation, windows, sorts, set ops, grouping sets,
+  * as-of). Money sums go through DECIMAL(18,6) and back to DOUBLE: per-row
+  * double arithmetic is IEEE-identical across engines, the decimal cast
+  * rounds identically, and decimal summation is exact — so results are
+  * bit-equal regardless of partitioning/summation order (a plain double SUM
+  * would drift with partition count).
+  */
+object RelQueries {
+  import Synth._
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def dsum(c: org.apache.spark.sql.Column) =
+    sum(c.cast("decimal(18,6)")).cast("double")
+
+  // TPC-H-Q1-style aggregation: partial (map-side) agg + 2-key shuffle only.
+  private val q1Agg: Q = (s, dir) =>
+    lineitem(s, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))
+          .as("sum_charge"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  // 3-way join: customer is the small dimension → explicit broadcast, so the
+  // only shuffle is orders⋈lineitem on orderkey (scales to any lineitem size).
+  private val q3Join: Q = (s, dir) =>
+    lineitem(s, dir)
+      .join(orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n"))
+      .orderBy("c_mktsegment")
+
+  // Semi/anti joins (both broadcast the aggregated key set at scale).
+  private val qSemiAnti: Q = (s, dir) => {
+    val c = customer(s, dir)
+    val o = orders(s, dir)
+    val semi = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .agg(count(lit(1)).as("n")).select(lit("semi").as("kind"), col("n"))
+    val anti = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n")).select(lit("anti").as("kind"), col("n"))
+    anti.unionAll(semi).orderBy("kind")
+  }
+
+  // Window function: latest order per customer.
+  private val qWindow: Q = (s, dir) => {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    orders(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("o_custkey", "o_orderkey")
+      .orderBy("o_custkey")
+  }
+
+  // Global top-k: TakeOrderedAndProject (no full sort materialization).
+  private val qTopk: Q = (s, dir) =>
+    orders(s, dir)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+      .select("o_orderkey", "o_totalprice")
+
+  // Set operations over customer-key sets of two order-priority classes.
+  private val qSetops: Q = (s, dir) => {
+    val o = orders(s, dir)
+    def keys(p: String) = o.filter(col("o_orderpriority") === p)
+      .select(col("o_custkey")).distinct()
+    val hi = keys("1-URGENT")
+    val lo = keys("5-LOW")
+    def cnt(df: DataFrame, kind: String) =
+      df.agg(count(lit(1)).as("n")).select(lit(kind).as("kind"), col("n"))
+    cnt(hi.exceptAll(lo).distinct(), "except")
+      .unionAll(cnt(hi.intersect(lo), "intersect"))
+      .unionAll(cnt(hi.union(lo).distinct(), "union"))
+      .orderBy("kind")
+  }
+
+  // Grouping sets / rollup.
+  private val qRollup: Q = (s, dir) =>
+    lineitem(s, dir)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("n"), col("sum_qty"))
+      .orderBy("flag", "status")
+
+  // As-of join (operator the reference lacks; SURVEY.md §2.2): for each
+  // purchase event, the latest strictly-earlier click of the same user.
+  // Implemented as the scalable single-pass union+window form — no join
+  // explosion, no per-key range scan; skew-safe because each user's stream
+  // is one partition of a window, not a join side.
+  private val qAsofJoin: Q = (s, dir) => {
+    val ev = eventsTs(s, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select("event_id", "user_id", "event_type", "ts_ns")
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_ns"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ev.withColumn("prev_click",
+        last(when(col("event_type") === "click", col("event_id")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select("event_id", "prev_click")
+      .orderBy("event_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q1_agg" -> q1Agg,
+    "q3_join_broadcast" -> q3Join,
+    "q_semi_anti" -> qSemiAnti,
+    "q_window" -> qWindow,
+    "q_topk" -> qTopk,
+    "q_setops" -> qSetops,
+    "q_rollup" -> qRollup,
+    "q_asof_join" -> qAsofJoin)
+
+  private val DSum = "CAST(sum(CAST(%s AS DECIMAL(18,6))) AS DOUBLE)"
+
+  val oracle: Map[String, String] = Map(
+    "q1_agg" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${DSum.format("l_quantity")} AS sum_qty,
+         |  ${DSum.format("l_extendedprice")} AS sum_base,
+         |  ${DSum.format("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+         |  ${DSum.format("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
+         |  count(*) AS count_order
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q3_join_broadcast" ->
+      s"""SELECT c_mktsegment,
+         |  ${DSum.format("l_extendedprice * (1 - l_discount)")} AS revenue,
+         |  count(*) AS n
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_semi_anti" ->
+      """SELECT 'anti' AS kind, count(*) AS n FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        |UNION ALL
+        |SELECT 'semi', count(*) FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        |ORDER BY kind""".stripMargin,
+
+    "q_window" ->
+      """SELECT o_custkey, o_orderkey FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders) WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+
+    "q_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "q_setops" ->
+      """WITH hi AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+        |     lo AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '5-LOW')
+        |SELECT 'except' AS kind, count(*) AS n FROM (SELECT * FROM hi EXCEPT SELECT * FROM lo)
+        |UNION ALL
+        |SELECT 'intersect', count(*) FROM (SELECT * FROM hi INTERSECT SELECT * FROM lo)
+        |UNION ALL
+        |SELECT 'union', count(*) FROM (SELECT * FROM hi UNION SELECT * FROM lo)
+        |ORDER BY kind""".stripMargin,
+
+    "q_rollup" ->
+      s"""SELECT coalesce(l_returnflag, 'ALL') AS flag,
+         |  coalesce(l_linestatus, 'ALL') AS status,
+         |  count(*) AS n, ${DSum.format("l_quantity")} AS sum_qty
+         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         |ORDER BY flag, status""".stripMargin,
+
+    "q_asof_join" ->
+      """SELECT event_id, prev_click FROM (
+        |  SELECT event_id, event_type,
+        |    last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_click
+        |  FROM events WHERE event_type IN ('click', 'purchase'))
+        |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin)
+}

@@ -1,0 +1,117 @@
+package graft
+
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics of the training-data-pipeline extensions: do the dedup
+  * operators actually FIND planted duplicates, does LSH bucket near vectors
+  * together, does the multimodal stub preserve the batch contract.
+  */
+class ExtSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val base = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (1L, "spark engines shuffle partitions across executors with hash exchanges"),
+    (2L, "completely different content about databases and query optimizers"),
+    (3L, "rain in spain falls mainly on the plain every single year"))
+  // near-dup of 0 (appended tail → high shingle overlap), exact dup of 1
+  private val corpus = (base ++ Seq(
+    (100L, base.head._2 + " with a small tail"),
+    (101L, "spark engines shuffle partitions across executors with hash exchanges")))
+    .toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts, keeps min id") {
+    val out = Dedup.exact(corpus).orderBy("keep_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.contains((1L, 2L)))            // doc 1 + exact copy 101
+    assert(out.count(_._2 == 1L) == 4)        // the rest unique
+  }
+
+  test("minhash LSH finds the planted near-dup and exact-dup pairs") {
+    // 8 bands × 4 rows: higher recall for short test docs (the query key
+    // uses the precision-leaning 4×8 over longer documents)
+    val pairs = Dedup.minhashLshPairs(corpus, bands = 8, thresholdX10000 = 5000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 100L)), "near-dup pair missed")
+    assert(pairs.contains((1L, 101L)), "exact-dup pair missed")
+    assert(!pairs.exists { case (a, b) => Set(a, b) == Set(0L, 2L) })
+  }
+
+  test("simhash: near-dups at small hamming distance, unrelated docs far") {
+    val sh = Dedup.simhashSignatures(corpus).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(1L), sh(101L)) == 0)        // identical text → identical simhash
+    assert(ham(sh(0L), sh(100L)) <= 4)        // one-token change → near
+    assert(ham(sh(0L), sh(2L)) >= 3)          // unrelated → far
+  }
+
+  test("jaccard scaled-integer scores") {
+    val j = corpus.filter($"doc_id" === 0L)
+      .crossJoin(corpus.filter($"doc_id" === 100L).select($"text".as("t2")))
+      .select(Dedup.jaccardX10000(
+        TextAnalysis.tokens($"text"), TextAnalysis.tokens($"t2")).as("j"))
+      .head().getLong(0)
+    assert(j > 7000 && j < 10000) // one token of ~11 distinct changed
+  }
+
+  test("cosine: identical vectors ≈ 1, orthogonal = 0") {
+    val df = Seq(
+      (Array(1f, 0f, 0f), Array(1f, 0f, 0f)),
+      (Array(1f, 0f, 0f), Array(0f, 1f, 0f))).toDF("a", "b")
+    val sims = df.select(Similarity.cosine($"a", $"b")).collect().map(_.getDouble(0))
+    assert(math.abs(sims(0) - 1.0) < 1e-12)
+    assert(sims(1) == 0.0)
+  }
+
+  test("brute-force top-k ranks the planted nearest neighbor first") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(0.99f, 0.1f, 0f, 0f)), // closest to 0
+      (2L, Array(0f, 1f, 0f, 0f)),
+      (3L, Array(0f, 0f, 1f, 0f))).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" === 0L), 2)
+      .orderBy("rank").collect()
+    assert(top(0).getAs[Long]("n_id") == 1L)
+  }
+
+  test("LSH buckets put identical vectors together; topK recalls them") {
+    val planes = Similarity.hyperplanes(nPlanes = 4, dim = 4)
+    val vecs = Seq(
+      (0L, Array(1f, 0.2f, 0f, 0f)),
+      (1L, Array(0.98f, 0.21f, 0.01f, 0f)),
+      (2L, Array(-1f, 0.5f, 3f, 0f))).toDF("vec_id", "embedding")
+    val out = Similarity.lshTopK(vecs, vecs.filter($"vec_id" === 0L), 3, planes)
+      .collect().map(_.getAs[Long]("n_id")).toSet
+    assert(out.contains(1L))
+  }
+
+  test("multimodal stub: deterministic metadata through mapPartitions") {
+    val metas = Multimodal.decode(Multimodal.asBlobs(
+      Seq((7L, "abc")).toDF("doc_id", "text"))).collect()
+    val m = metas.head
+    assert(m.bytes == 3L)
+    assert(m.digest == "900150983cd24fb0d6963f7d28e17f72") // md5("abc")
+    assert(m.width == 4L && m.height == ('a'.toInt % 480 + 1).toLong)
+    assert(m.format == "odd")
+  }
+
+  test("text quality: integer-scaled stats") {
+    val r = Seq((1L, "the cat sat")).toDF("doc_id", "text")
+      .select(TextAnalysis.qualityCols($"text"): _*).head()
+    assert(r.getAs[Long]("words") == 3L)
+    assert(r.getAs[Long]("avg_wlen_x100") == 300L)  // 9 chars / 3 words
+    assert(r.getAs[Long]("stop_x10000") == 3333L)   // "the" of 3
+  }
+
+  test("fingerprint: stable under identical content, differs across docs") {
+    val fps = corpus.select($"doc_id",
+      TextAnalysis.fingerprint(TextAnalysis.tokens($"text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fps(1L) == fps(101L))
+    assert(fps(0L) != fps(2L))
+  }
+}
