@@ -40,12 +40,13 @@ object Dedup {
     val rows = n / bands
     // (doc_id, band, bucket) — ids only; token arrays stay out of the
     // bucket shuffle.
-    val buckets = corpus
-      .withColumn("sg", TextAnalysis.shingles(TextAnalysis.tokens(col("text"))))
-      .filter(size(col("sg")) > 0)
-      .withColumn("sig", TextAnalysis.minhashSignature(col("sg"), n))
-      .select(col("doc_id"),
-        explode(TextAnalysis.bandBuckets(col("sig"), bands, rows)).as("bb"))
+    val sig = TextAnalysis.minhashSignatureRows(corpus, n)
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat_ws(",", (0 until rows).map(r => col(s"h${b * rows + r}")): _*)).as("bucket"))
+    }
+    val buckets = sig
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
     val cand = buckets.as("a")
       .join(buckets.as("b"), Seq("band", "bucket"))
@@ -64,8 +65,7 @@ object Dedup {
   /** SimHash signatures for the corpus (near-dups ⇒ small Hamming distance);
     * pair-finding groups on the signature (or banded bit-prefixes at scale). */
   def simhashSignatures(corpus: DataFrame): DataFrame =
-    corpus.select(col("doc_id"),
-      TextAnalysis.simhash16(TextAnalysis.tokens(col("text"))).as("simhash"))
+    TextAnalysis.simhash16Rows(corpus)
 
   /** Direct n-gram-Jaccard score between paired docs (the verification
     * primitive; pair GENERATION at scale comes from [[minhashLshPairs]]). */

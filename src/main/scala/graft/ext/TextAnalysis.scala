@@ -1,6 +1,7 @@
 package graft.ext
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines — all
@@ -60,6 +61,57 @@ object TextAnalysis {
       when(vote > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
   }
+
+  // ---- relational forms -------------------------------------------------
+  // Nested higher-order functions re-evaluate their (inlined) inputs per
+  // lambda iteration in interpreted eval — an O(seeds × shingles × tokens)
+  // blowup. The flows below explode ONCE and aggregate, which is also the
+  // shape that scales: narrow passes + a single doc_id-partitioned
+  // window/groupBy (the groupBy reuses the window's partitioning — one
+  // shuffle total).
+
+  /** (doc_id, pos, tok) rows — the split runs once per document. */
+  def tokenRows(corpus: DataFrame): DataFrame =
+    corpus.select(col("doc_id"), posexplode(tokens(col("text"))))
+      .toDF("doc_id", "pos", "tok")
+
+  /** (doc_id, shingle) k=3 shingle rows via window lead. */
+  def shingleRows(corpus: DataFrame): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    tokenRows(corpus)
+      .select(col("doc_id"), col("tok"),
+        lead("tok", 1).over(w).as("t1"), lead("tok", 2).over(w).as("t2"))
+      .filter(col("t2").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("tok"), col("t1"), col("t2")).as("shingle"))
+  }
+
+  /** MinHash signature columns h0..h{n-1}: per-seed min(md5(seed:shingle)),
+    * one aggregation over the shingle rows. Same values as
+    * [[minhashSignature]]. */
+  def minhashSignatureRows(corpus: DataFrame, n: Int): DataFrame = {
+    val aggs = (0 until n).map(i =>
+      min(md5(concat(lit(s"$i:"), col("shingle")))).as(s"h$i"))
+    shingleRows(corpus).groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** (doc_id, simhash) via one aggregation of per-token votes. Same values
+    * as [[simhash16]]. */
+  def simhash16Rows(corpus: DataFrame): DataFrame = {
+    val hs = tokenRows(corpus).select(col("doc_id"), polyHash16(col("tok")).as("h"))
+    val votes = (0 until 16).map(j =>
+      sum((shiftright(col("h"), j) % 2) * 2 - 1).as(s"v$j"))
+    hs.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        (0 until 16).map(j => when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+  }
+
+  /** (doc_id, fp) min-shingle-md5 fingerprints; docs under 3 tokens get a
+    * NULL fp (left join), matching [[fingerprint]]. */
+  def fingerprintRows(corpus: DataFrame): DataFrame =
+    corpus.select("doc_id")
+      .join(shingleRows(corpus).groupBy("doc_id").agg(min(md5(col("shingle"))).as("fp")),
+        Seq("doc_id"), "left")
 
   /** Marker-token language id (n-gram heuristic floor): deterministic and
     * cheap; a real model slots into the same column contract. */

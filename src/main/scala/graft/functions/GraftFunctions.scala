@@ -10,7 +10,8 @@ import org.apache.spark.sql.functions.call_function
   * without the extension (e.g. a harness-provided session).
   */
 object GraftFunctions {
-  private val descriptors = Seq(JsonDeepMerge.descriptor, graft.syslog.ParseSyslog.descriptor)
+  private val descriptors =
+    Seq(JsonDeepMerge.descriptor, Opaque.descriptor, graft.syslog.ParseSyslog.descriptor)
 
   def ensureRegistered(spark: SparkSession): Unit = {
     val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]

@@ -32,31 +32,32 @@ object CoreQueries {
 
   // O4 — RFC 5424 parse → 5-field projection.
   private val parse5424Q: Q = (s, dir) =>
-    parsed(s, dir).select(col("event_id"), col("p.msg").as("msg"),
-      col("p.severity").as("severity"), col("p.facility").as("facility"),
-      col("p.hostname").as("hostname"), col("p.appname").as("appname"))
-      .orderBy("event_id")
+    parsed(s, dir).orderBy("event_id")
 
   // O5 — RFC 3164 fallback parse on the legacy-format stream.
-  private val parse3164Q: Q = (s, dir) =>
+  private val parse3164Q: Q = (s, dir) => {
+    GraftFunctions.ensureRegistered(s)
     lines3164(events(s, dir))
-      .withColumn("p", SyslogCols.parseAuto(col("line")))
+      .withColumn("p", call_function("parse_syslog", col("line")))
       .filter(col("p").isNotNull)
       .select(col("event_id"), col("p.msg").as("msg"),
         col("p.severity").as("severity"), col("p.facility").as("facility"),
         col("p.hostname").as("hostname"), col("p.appname").as("appname"))
       .orderBy("event_id")
+  }
 
   // O6 — malformed-line drop: every 10th line corrupted; unparseables drop.
-  private val parseErrorFilter: Q = (s, dir) =>
+  private val parseErrorFilter: Q = (s, dir) => {
+    GraftFunctions.ensureRegistered(s)
     lines5424(events(s, dir))
       .withColumn("line",
         when(col("event_id") % 10 === 0, concat(lit("garbage "), col("line")))
           .otherwise(col("line")))
-      .withColumn("p", SyslogCols.parseAuto(col("line")))
+      .withColumn("p", call_function("parse_syslog", col("line")))
       .filter(col("p").isNotNull)
       .select(col("event_id"), col("p.msg").as("msg"))
       .orderBy("event_id")
+  }
 
   // O7 — regex predicate + named-capture extraction over documents.text.
   private val matchRegexCapture: Q = (s, dir) => {
@@ -90,17 +91,17 @@ object CoreQueries {
 
   // O10 — built-in variable enrichment (msg/version/iso8601).
   private val enrichBuiltinVars: Q = (s, dir) =>
-    parsed(s, dir).select(col("event_id"), col("p.msg").as("msg"),
+    parsed(s, dir).select(col("event_id"), col("msg"),
       lit(Version).as("version"), lit(IsoPin).as("iso8601"))
       .orderBy("event_id")
 
   // O11 — replace action: plan-time-compiled Handlebars template.
   private val replaceTemplate: Q = (s, dir) => {
     val jp = Regexes.toJava("^hello\\s+(?P<name>\\w+)?")
-    val p = parsed(s, dir).filter(col("p.msg").rlike(jp))
+    val p = parsed(s, dir).filter(col("msg").rlike(jp))
     val vars = Map(
-      "msg" -> col("p.msg"),
-      "name" -> regexp_extract(col("p.msg"), jp, 1))
+      "msg" -> col("msg"),
+      "name" -> regexp_extract(col("msg"), jp, 1))
     p.select(col("event_id"),
       Template.compile(
         "This is the total message: {{msg}}\n\nAnd the name is: {{name}}\n", vars).as("value"))
@@ -215,11 +216,12 @@ object CoreQueries {
 
   // O24 — operational counters (statsd metric names, src/status.rs:42-71).
   private val metricsCounts: Q = (s, dir) => {
+    GraftFunctions.ensureRegistered(s)
     val withCorrupt = lines5424(events(s, dir))
       .withColumn("line",
         when(col("event_id") % 10 === 0, concat(lit("garbage "), col("line")))
           .otherwise(col("line")))
-      .withColumn("p", SyslogCols.parseAuto(col("line")))
+      .withColumn("p", call_function("parse_syslog", col("line")))
     val total = withCorrupt.agg(count(lit(1)).as("value"))
       .select(lit("lines").as("metric"), col("value"))
     val errors = withCorrupt.filter(col("p").isNull).agg(count(lit(1)).as("value"))
@@ -229,7 +231,6 @@ object CoreQueries {
       .withColumn("r", RuleCompiler.cascade(HotdogConfig, fieldCols(col("p")),
         lit(Version), lit(IsoPin)))
       .filter(col("r").isNotNull)
-    GraftFunctions.ensureRegistered(s)
     val perTopic = routedOk.groupBy(col("r.topic").as("topic"))
       .agg(count(lit(1)).as("value"))
       .select(concat(lit("kafka.submitted."), col("topic")).as("metric"), col("value"))

@@ -101,9 +101,7 @@ object ExtQueries {
       .orderBy("doc_id")
 
   private val textFingerprint: Q = (s, dir) =>
-    documents(s, dir).select(col("doc_id"),
-      TextAnalysis.fingerprint(TextAnalysis.tokens(col("text"))).as("fp"))
-      .orderBy("doc_id")
+    TextAnalysis.fingerprintRows(documents(s, dir)).orderBy("doc_id")
 
   // -------------------------------------------------------- multimodal
 

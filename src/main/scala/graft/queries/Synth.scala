@@ -24,26 +24,38 @@ object Synth {
     * batch oracle (SURVEY.md §7.5). */
   val IsoPin = "2024-01-01T00:00:00+00:00"
 
+  /** The driver's testdata ships one row group per file, so a scan is ONE
+    * task and every narrow compute phase (regex parse, cascade, hashing)
+    * would run on a single core. When the source is under-split relative to
+    * the cluster, spread it once; on a real deployment with many splittable
+    * files this is a no-op branch. */
+  private def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < math.max(2, target / 2)) df.repartition(target) else df
+  }
+
   /** events.parquet carries a TIMESTAMP(NANOS) column that Spark 4 rejects
     * at schema conversion; the engine queries don't need it, so read with an
     * explicit ts-free schema (works in any session, no legacy flag). */
   def events(s: SparkSession, dir: String): DataFrame =
-    s.read.schema("event_id long, user_id long, event_type string, value double, props string")
-      .parquet(s"$dir/events.parquet")
+    spread(s.read
+      .schema("event_id long, user_id long, event_type string, value double, props string")
+      .parquet(s"$dir/events.parquet"))
 
   /** events with `ts_ns: long` (raw nanos) for the time-bucketing queries;
     * requires spark.sql.legacy.parquet.nanosAsLong=true (set by graft's own
     * sessions — Verify/Bench). */
   def eventsTs(s: SparkSession, dir: String): DataFrame =
-    s.read.schema("event_id long, ts long, user_id long, event_type string, value double, props string")
+    spread(s.read
+      .schema("event_id long, ts long, user_id long, event_type string, value double, props string")
       .parquet(s"$dir/events.parquet")
-      .withColumnRenamed("ts", "ts_ns")
+      .withColumnRenamed("ts", "ts_ns"))
   def documents(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/documents.parquet")
+    spread(s.read.parquet(s"$dir/documents.parquet"))
   def embeddings(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/embeddings.parquet")
+    spread(s.read.parquet(s"$dir/embeddings.parquet"))
   def lineitem(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/lineitem.parquet")
+    spread(s.read.parquet(s"$dir/lineitem.parquet"))
   def orders(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/orders.parquet")
   def customer(s: SparkSession, dir: String): DataFrame =
@@ -151,20 +163,37 @@ object Synth {
     p.getField("msg"), p.getField("severity"), p.getField("facility"),
     p.getField("hostname"), p.getField("appname"))
 
-  /** Parsed 5424 stream: (event_id, p struct) for parseable lines. */
-  def parsed(s: SparkSession, dir: String): DataFrame =
-    lines5424(events(s, dir))
-      .withColumn("p", SyslogCols.parse5424(col("line")))
-      .filter(col("p").isNotNull)
-
-  /** Full cascade output: (event_id, topic, value), dropped rows excluded. */
-  def routed(s: SparkSession, dir: String, cfg: GraftConfig = HotdogConfig): DataFrame = {
+  /** Parsed 5424 stream, flattened to plain columns:
+    * (event_id, msg, severity, facility, hostname, appname).
+    *
+    * Parsing goes through the OPAQUE [[graft.syslog.ParseSyslog]] expression
+    * on purpose: the column-expression parse ([[SyslogCols]]) is a
+    * `when(cond, struct(…))` that SimplifyExtractValueOps distributes into
+    * every field reference — with the rule cascade referencing `msg` a dozen
+    * times, the full synthesis+regex would re-run per reference (~20× per
+    * row, measured 100 µs/row). An opaque expression is evaluated once and
+    * its fields are cheap GetStructField reads. */
+  def parsed(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.ensureRegistered(s)
+    lines5424(events(s, dir))
+      .withColumn("p", call_function("parse_syslog", col("line")))
+      .filter(col("p").isNotNull)
+      .select(col("event_id"), col("p.msg").as("msg"),
+        col("p.severity").as("severity"), col("p.facility").as("facility"),
+        col("p.hostname").as("hostname"), col("p.appname").as("appname"))
+  }
+
+  def parsedFieldCols: RuleCompiler.FieldCols = RuleCompiler.FieldCols(
+    col("msg"), col("severity"), col("facility"), col("hostname"), col("appname"))
+
+  /** Full cascade output: (event_id, topic, value), dropped rows excluded.
+    * The cascade runs over plain attribute columns so its many `msg`
+    * references are cheap reads, not re-parses. */
+  def routed(s: SparkSession, dir: String, cfg: GraftConfig = HotdogConfig): DataFrame =
     parsed(s, dir)
-      .withColumn("r", RuleCompiler.cascade(cfg, fieldCols(col("p")), lit(Version), lit(IsoPin)))
+      .withColumn("r", RuleCompiler.cascade(cfg, parsedFieldCols, lit(Version), lit(IsoPin)))
       .filter(col("r").isNotNull)
       .select(col("event_id"), col("r.topic").as("topic"), col("r.value").as("value"))
-  }
 
   private val Rx1 = """^hello\s+(\w+)?"""
 

@@ -88,9 +88,12 @@ object RuleCompiler {
 
   def cascade(cfg: GraftConfig, fields: FieldCols, version: Column, iso8601: Column): Column = {
     val nullOut = lit(null).cast(OutputType)
-    cfg.rules
+    val chain = cfg.rules
       .map(compileRule(_, fields, version, iso8601))
       .foldRight(nullOut)((r, rest) => when(r.claims, r.result).otherwise(rest))
+    // Opaque: keep the cascade evaluated ONCE per row even when callers
+    // reference .topic/.value/.isNotNull separately (see graft.functions.Opaque).
+    call_function("opaque", chain)
   }
 
   private def compileRule(

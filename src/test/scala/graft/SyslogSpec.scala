@@ -55,4 +55,24 @@ class SyslogSpec extends AnyFunSuite {
     assert(m.severity.isEmpty && m.facility.isEmpty)
     assert(m.hostname.contains("coconut"))
   }
+
+  test("column-expression parse agrees with the ParseSyslog expression") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val lines = Seq(
+      "<13>1 2024-01-01T00:00:00Z host-3 app-error - - - hello world3 extra",
+      "<190>1 2024-01-01T00:00:00Z host-0 app-view - - - {\"k\": 5}",
+      "<0>1 2024-01-01T00:00:00Z - - - - - nil fields",
+      "<99>May 13 21:45:18 host-7 app-click: body here",
+      "garbage <13>1 2024-01-01T00:00:00Z h a - - - x",
+      "not parseable").toDF("line")
+    val both = lines.select(
+      graft.syslog.SyslogCols.parseAuto($"line").as("c"),
+      call_function("parse_syslog", $"line").as("e"))
+    both.collect().foreach { r =>
+      assert(r.get(0) == r.get(1), s"column vs expression parse mismatch: $r")
+    }
+  }
 }
