@@ -39,12 +39,32 @@ object GraftPipeline {
       .select(col("r.topic").as("topic"), col("r.value").as("value"))
   }
 
-  /** File-based streaming entry (the v1 streaming source — SURVEY.md §7.5:
-    * Spark's socket source is test-only/no-TLS, so production streams enter
-    * via files or Kafka). Reads text lines appearing under `inputDir`.
+  /** File-based streaming entry (the v1 production stream source —
+    * SURVEY.md §7.5). Reads text lines appearing under `inputDir`.
     */
   def fileStream(spark: SparkSession, cfg: GraftConfig, inputDir: String): DataFrame =
     transform(cfg, spark.readStream.text(inputDir).withColumnRenamed("value", "line"))
+
+  /** Plaintext TCP line source (reference O1, src/serve/plain.rs): Spark's
+    * socket source splits on newlines like the reference's reader.lines().
+    * Test/dev only — not fault-tolerant; TLS (O2) has no built-in source
+    * and is documented out of scope for v1 (SURVEY.md §7.5). */
+  def socketStream(spark: SparkSession, cfg: GraftConfig, host: String, port: Int): DataFrame =
+    transform(cfg,
+      spark.readStream.format("socket")
+        .option("host", host).option("port", port).load()
+        .withColumnRenamed("value", "line"))
+
+  /** Kafka line source: consume raw lines from topics and route them through
+    * the same cascade (the reference never consumes Kafka, but a Spark
+    * deployment fed by a syslog→Kafka shipper enters here). */
+  def kafkaStream(spark: SparkSession, cfg: GraftConfig, bootstrap: String,
+      topics: String): DataFrame =
+    transform(cfg,
+      spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("subscribe", topics).load()
+        .selectExpr("CAST(value AS STRING) AS line"))
 
   /** Routed parquet delivery: one dynamic-partition write per micro-batch —
     * the group-by-destination buffer flush (src/sink/parquet.rs:127-230). */
