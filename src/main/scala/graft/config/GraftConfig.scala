@@ -102,7 +102,30 @@ object GraftConfig {
 
   def load(path: String): GraftConfig = {
     val in = new FileInputStream(new File(path))
-    try fromInputStream(in) finally in.close()
+    try withEnvOverlay(fromInputStream(in), sys.env) finally in.close()
+  }
+
+  /** Environment overlay, mirroring the reference's layered config load
+    * (yaml file, then HOTDOG_-prefixed environment variables override —
+    * src/settings.rs:28-44). Double underscore separates nesting:
+    * HOTDOG_GLOBAL__KAFKA__TOPIC=t overrides global.kafka.topic. Only the
+    * engine-relevant knobs are modeled (listener/statsd endpoints are
+    * deployment config).
+    */
+  def withEnvOverlay(cfg: GraftConfig, env: Map[String, String]): GraftConfig = {
+    def get(key: String): Option[String] =
+      env.get("HOTDOG_" + key.toUpperCase.replace(".", "__"))
+    val kafkaConf = cfg.kafkaConf ++ env.collect {
+      case (k, v) if k.startsWith("HOTDOG_GLOBAL__KAFKA__CONF__") =>
+        k.stripPrefix("HOTDOG_GLOBAL__KAFKA__CONF__").toLowerCase.replace("__", ".") -> v
+    }
+    cfg.copy(
+      defaultTopic = get("global.kafka.topic").orElse(cfg.defaultTopic),
+      kafkaBuffer = get("global.kafka.buffer").map(_.toInt).getOrElse(cfg.kafkaBuffer),
+      parquetBufferBytes =
+        get("global.parquet.buffer").map(_.toLong).orElse(cfg.parquetBufferBytes),
+      flushMs = get("global.parquet.flush_ms").map(_.toLong).getOrElse(cfg.flushMs),
+      kafkaConf = kafkaConf)
   }
 
   def fromYamlString(yaml: String): GraftConfig =

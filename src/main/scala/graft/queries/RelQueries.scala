@@ -45,6 +45,28 @@ object RelQueries {
         count(lit(1)).as("n"))
       .orderBy("c_mktsegment")
 
+  // TPC-H-Q5-shaped 5-way join: the region→nation dim chain broadcasts
+  // (tiny), customer/supplier broadcast (small), and the one big
+  // orders⋈lineitem shuffle carries the fact volume. Local-supplier
+  // predicate c_nationkey = s_nationkey, revenue by nation.
+  private val q5MultiJoin: Q = (s, dir) => {
+    val nations = broadcast(
+      s.read.parquet(s"$dir/nation.parquet")
+        .join(broadcast(s.read.parquet(s"$dir/region.parquet")
+          .filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey")))
+    lineitem(s, dir)
+      .join(orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(s.read.parquet(s"$dir/supplier.parquet")),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(nations, col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n"))
+      .orderBy("n_name")
+  }
+
   // Semi/anti joins (both broadcast the aggregated key set at scale).
   private val qSemiAnti: Q = (s, dir) => {
     val c = customer(s, dir)
@@ -122,6 +144,7 @@ object RelQueries {
   val queries: Map[String, Q] = Map(
     "q1_agg" -> q1Agg,
     "q3_join_broadcast" -> q3Join,
+    "q5_multi_join" -> q5MultiJoin,
     "q_semi_anti" -> qSemiAnti,
     "q_window" -> qWindow,
     "q_topk" -> qTopk,
@@ -149,6 +172,19 @@ object RelQueries {
          |FROM lineitem
          |JOIN orders ON l_orderkey = o_orderkey
          |JOIN customer ON o_custkey = c_custkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q5_multi_join" ->
+      s"""SELECT n_name,
+         |  ${DSum.format("l_extendedprice * (1 - l_discount)")} AS revenue,
+         |  count(*) AS n
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_semi_anti" ->

@@ -132,6 +132,22 @@ class ConfigSpec extends AnyFunSuite {
     assert(st.forall(_.nullable))
   }
 
+  test("env overlay overrides yaml (src/settings.rs:28-44 layering)") {
+    val cfg = GraftConfig.fromYamlString(hotdogYaml)
+    val over = GraftConfig.withEnvOverlay(cfg, Map(
+      "HOTDOG_GLOBAL__KAFKA__TOPIC" -> "overridden",
+      "HOTDOG_GLOBAL__KAFKA__BUFFER" -> "99",
+      "HOTDOG_GLOBAL__PARQUET__FLUSH_MS" -> "5000",
+      "HOTDOG_GLOBAL__KAFKA__CONF__BOOTSTRAP__SERVERS" -> "other:9092",
+      "UNRELATED" -> "x"))
+    assert(over.defaultTopic.contains("overridden"))
+    assert(over.kafkaBuffer == 99)
+    assert(over.flushMs == 5000L)
+    assert(over.kafkaConf("bootstrap.servers") == "other:9092")
+    // no env → unchanged
+    assert(GraftConfig.withEnvOverlay(cfg, Map.empty) == cfg)
+  }
+
   test("regex named-group index mapping") {
     assert(Regexes.namedGroups("^hello\\s+(?P<name>\\w+)?") == List(("name", 1)))
     assert(Regexes.namedGroups("(a)(?P<x>b)(?:c)(?<y>d)") == List(("x", 2), ("y", 3)))
