@@ -128,11 +128,14 @@ object RelQueries {
   // explosion, no per-key range scan; skew-safe because each user's stream
   // is one partition of a window, not a join side.
   private val qAsofJoin: Q = (s, dir) => {
+    // µs-truncated time: DuckDB timestamps are µs, the parquet carries ns —
+    // ordering must agree at µs granularity with event_id as tie-break.
     val ev = eventsTs(s, dir)
       .filter(col("event_type").isin("click", "purchase"))
-      .select("event_id", "user_id", "event_type", "ts_ns")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("ts_ns div 1000").as("ts_us"))
     val w = Window.partitionBy("user_id")
-      .orderBy(col("ts_ns"), col("event_id"))
+      .orderBy(col("ts_us"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     ev.withColumn("prev_click",
         last(when(col("event_type") === "click", col("event_id")), ignoreNulls = true).over(w))
@@ -141,7 +144,29 @@ object RelQueries {
       .orderBy("event_id")
   }
 
+  // Sessionization (stateful op the reference lacks, SURVEY.md §2.2): 30-min
+  // inactivity gap per user. Batch form = lag/gap-flag/running-sum windows —
+  // one user-partitioned shuffle; the streaming twin is
+  // graft.streaming.Sessionize (flatMapGroupsWithState).
+  private val qSessionize: Q = (s, dir) => {
+    val gapUs = 30L * 60 * 1000000L
+    val ev = eventsTs(s, dir)
+      .select(col("event_id"), col("user_id"), expr("ts_ns div 1000").as("ts_us"))
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val flagged = ev.withColumn("new_s",
+      when(lag("ts_us", 1).over(w).isNull ||
+        col("ts_us") - lag("ts_us", 1).over(w) > gapUs, 1L).otherwise(0L))
+    flagged
+      .withColumn("session_id",
+        sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        min("ts_us").as("start_us"), max("ts_us").as("end_us"))
+      .orderBy("user_id", "session_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "sessionize_events" -> qSessionize,
     "q1_agg" -> q1Agg,
     "q3_join_broadcast" -> q3Join,
     "q5_multi_join" -> q5MultiJoin,
@@ -227,8 +252,25 @@ object RelQueries {
       """SELECT event_id, prev_click FROM (
         |  SELECT event_id, event_type,
         |    last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
-        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_click
         |  FROM events WHERE event_type IN ('click', 'purchase'))
-        |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin)
+        |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+
+    "sessionize_events" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events),
+        |f AS (
+        |  SELECT user_id, event_id, ts_us,
+        |    CASE WHEN lag(ts_us) OVER w IS NULL
+        |           OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |g AS (
+        |  SELECT user_id, ts_us,
+        |    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM f)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  min(ts_us) AS start_us, max(ts_us) AS end_us
+        |FROM g GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin)
 }
