@@ -91,6 +91,19 @@ object GraftPipeline {
       .start()
   }
 
+  /** Event-time windowed delivery counts with late-data handling — the
+    * watermarked tumbling-window aggregation the reference's
+    * processing-time-only design lacks (SURVEY.md §2.2). `routed` must
+    * carry an event-time column `et`. State is bounded by the watermark;
+    * the window+topic grouping is one keyed shuffle. */
+  def windowedTopicCounts(routed: DataFrame, watermarkDelay: String,
+      windowLength: String): DataFrame =
+    routed
+      .withWatermark("et", watermarkDelay)
+      .groupBy(window(col("et"), windowLength).as("w"), col("topic"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("topic"), col("n"))
+
   /** Listener translating query progress to the reference's statsd metric
     * names (README.adoc:469-516) — here surfaced through the log. */
   final class MetricsListener extends StreamingQueryListener {

@@ -132,6 +132,26 @@ class ConfigSpec extends AnyFunSuite {
     assert(st.forall(_.nullable))
   }
 
+  test("declared schema decodes all seven field types (src/schema.rs:24-41)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val st = graft.sinks.SchemaConv.toStructType(List(
+      "b" -> FieldType.Bool, "f" -> FieldType.Flt, "i" -> FieldType.Int,
+      "l" -> FieldType.Lng, "s" -> FieldType.Str,
+      "t" -> FieldType.Ts,
+      "n" -> FieldType.Struct(List("x" -> FieldType.Lng))))
+    val json = """{"b":true,"f":1.5,"i":7,"l":123456789012,"s":"hi","t":"2024-01-02T03:04:05.678Z","n":{"x":9}}"""
+    val r = Seq(json).toDF("v").select(from_json($"v", st).as("j")).select("j.*").head()
+    assert(r.getAs[Boolean]("b"))
+    assert(r.getAs[Double]("f") == 1.5) // reference float = 64-bit
+    assert(r.getAs[Int]("i") == 7)
+    assert(r.getAs[Long]("l") == 123456789012L)
+    assert(r.getAs[String]("s") == "hi")
+    assert(r.getAs[java.sql.Timestamp]("t").toInstant.toString == "2024-01-02T03:04:05.678Z")
+    assert(r.getAs[org.apache.spark.sql.Row]("n").getAs[Long]("x") == 9L)
+  }
+
   test("env overlay overrides yaml (src/settings.rs:28-44 layering)") {
     val cfg = GraftConfig.fromYamlString(hotdogYaml)
     val over = GraftConfig.withEnvOverlay(cfg, Map(

@@ -62,6 +62,33 @@ class StreamSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$out/topic=tp").count() == 1)
   }
 
+  test("watermarked tumbling windows: on-time counted, too-late dropped") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val routed = input.toDF().toDF("sec", "topic")
+      .withColumn("et", org.apache.spark.sql.functions.timestamp_seconds($"sec" + 1000000000L))
+    val counts = GraftPipeline.windowedTopicCounts(routed, "10 seconds", "60 seconds")
+    val q = counts.writeStream.outputMode("append")
+      .format("memory").queryName("wtc").start()
+    try {
+      input.addData((5L, "a"), (15L, "a"), (65L, "b"))
+      q.processAllAvailable()
+      // advance watermark far past the first windows → they close and emit
+      input.addData((500L, "c"))
+      q.processAllAvailable()
+      // an event for an already-closed window is dropped by the watermark
+      input.addData((6L, "a"), (505L, "c"))
+      q.processAllAvailable()
+      input.addData((900L, "d"))
+      q.processAllAvailable()
+      val out = spark.table("wtc")
+        .select($"topic", $"n").as[(String, Long)].collect().toSet
+      assert(out.contains(("a", 2L)), s"got $out") // late (6,"a") NOT recounted
+      assert(out.contains(("b", 1L)), s"got $out")
+    } finally q.stop()
+  }
+
   test("observed metrics reach query progress (lines / error.log_parse)") {
     val in = Files.createTempDirectory("graft-obs-in")
     val out = Files.createTempDirectory("graft-obs-out")
