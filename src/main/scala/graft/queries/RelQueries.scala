@@ -165,7 +165,30 @@ object RelQueries {
       .orderBy("user_id", "session_id")
   }
 
+  // Skew-salted shuffle join: 80% of fact rows share one hot key; the salt
+  // column spreads the hot key across 16 sub-partitions and the small side
+  // is replicated per salt (explode) — the classic skew mitigation when AQE
+  // skew-splitting isn't available (e.g. bucketed/merge joins). The merge
+  // hint forces the shuffle path so the salting is actually exercised;
+  // results are identical to the unsalted join (the oracle does it plain).
+  private val qSkewJoinSalted: Q = (s, dir) => {
+    val S = 16L
+    val ev = events(s, dir)
+    val fact = ev.select(
+      when(col("event_id") % 10 < 8, lit(0L)).otherwise(col("user_id")).as("key"),
+      (col("event_id") % 1000).as("val"),
+      (col("event_id") % S).as("salt"))
+    val dim = ev.select(col("user_id").as("key")).distinct()
+      .select(col("key"), concat(lit("u"), col("key").cast("string")).as("label"))
+    val dimSalted = dim.withColumn("salt", explode(sequence(lit(0L), lit(S - 1))))
+    fact.join(dimSalted.hint("merge"), Seq("key", "salt"))
+      .groupBy("key", "label")
+      .agg(count(lit(1)).as("n"), sum("val").as("sum_val"))
+      .orderBy("key")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_skew_join_salted" -> qSkewJoinSalted,
     "sessionize_events" -> qSessionize,
     "q1_agg" -> q1Agg,
     "q3_join_broadcast" -> q3Join,
@@ -256,6 +279,18 @@ object RelQueries {
         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_click
         |  FROM events WHERE event_type IN ('click', 'purchase'))
         |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+
+    "q_skew_join_salted" ->
+      """WITH fact AS (
+        |  SELECT CASE WHEN event_id % 10 < 8 THEN 0 ELSE user_id END AS key,
+        |         event_id % 1000 AS val
+        |  FROM events),
+        |dim AS (
+        |  SELECT DISTINCT user_id AS key, 'u' || CAST(user_id AS VARCHAR) AS label
+        |  FROM events)
+        |SELECT f.key, d.label, count(*) AS n, CAST(sum(f.val) AS BIGINT) AS sum_val
+        |FROM fact f JOIN dim d ON f.key = d.key
+        |GROUP BY 1, 2 ORDER BY f.key""".stripMargin,
 
     "sessionize_events" ->
       """WITH e AS (

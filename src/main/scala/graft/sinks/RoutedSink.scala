@@ -27,8 +27,17 @@ object RoutedSink {
     * `<url>/topic=<destination>/part-*.parquet` — the Spark-native analog of
     * the reference's `{destination}/{uuid}.parquet` objects
     * (src/sink/parquet.rs:258).
+    *
+    * With `inferUndeclared = true`, destinations without a declared schema
+    * get the reference's inference semantics (src/sink/parquet.rs:186-221):
+    * the schema is inferred from the FIRST buffered line of the batch, and a
+    * destination whose first line doesn't yield a usable schema has its
+    * whole batch discarded. With `inferUndeclared = false` (default) the
+    * raw payload string is written instead — lossless, and readers can
+    * infer at scan time (divergence documented in SURVEY.md §7.5).
     */
-  def writeRouted(routed: DataFrame, cfg: GraftConfig, url: String): Unit = {
+  def writeRouted(routed: DataFrame, cfg: GraftConfig, url: String,
+      inferUndeclared: Boolean = false): Unit = {
     val schemas = cfg.schemas
     val declaredTopics = schemas.keySet
     // Declared destinations: decode JSON payloads to the typed schema.
@@ -39,12 +48,33 @@ object RoutedSink {
         .select(col("v.*"))
         .write.mode(SaveMode.Append).parquet(s"$url/topic=${ts.topic}")
     }
-    // Undeclared destinations: raw payload column, schema inference deferred
-    // to readers (divergence from first-line inference is documented in
-    // SURVEY.md §7.5).
     val rest =
       if (declaredTopics.isEmpty) routed
       else routed.filter(!col("topic").isInCollection(declaredTopics.toSeq))
-    rest.write.mode(SaveMode.Append).partitionBy("topic").parquet(url)
+    if (!inferUndeclared) {
+      rest.write.mode(SaveMode.Append).partitionBy("topic").parquet(url)
+    } else {
+      val spark = routed.sparkSession
+      import spark.implicits._
+      // destination count is bounded (it's a routing topic set), so the
+      // driver-side loop mirrors the reference's per-destination buffer map
+      rest.select("topic").distinct().as[String].collect().sorted.foreach { t =>
+        val vals = rest.filter(col("topic") === t).select("value")
+        vals.limit(1).as[String].collect().headOption.foreach { first =>
+          val schema = try {
+            org.apache.spark.sql.types.DataType.fromDDL(
+              spark.range(1).select(schema_of_json(lit(first)).as("s"))
+                .head().getString(0))
+          } catch { case _: Exception => null }
+          schema match {
+            case st: org.apache.spark.sql.types.StructType if st.nonEmpty =>
+              vals.select(from_json(col("value"), st).as("v")).select(col("v.*"))
+                .write.mode(SaveMode.Append).parquet(s"$url/topic=$t")
+            case _ => () // not a JSON object head → batch discarded, as the
+                         // reference does on inference failure
+          }
+        }
+      }
+    }
   }
 }

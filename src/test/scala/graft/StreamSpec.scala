@@ -62,6 +62,22 @@ class StreamSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$out/topic=tp").count() == 1)
   }
 
+  test("inferred-schema sink: JSON destinations typed, non-JSON batch discarded") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-infer-out")
+    val routed = Seq(
+      ("tj", """{"k": 1, "s": "x"}"""),
+      ("tj", """{"k": 2, "s": "y"}"""),
+      ("raw", "not json at all")).toDF("topic", "value")
+    RoutedSink.writeRouted(routed, Synth.HotdogConfig, out.toString, inferUndeclared = true)
+    val tj = spark.read.parquet(s"$out/topic=tj")
+    assert(tj.schema("k").dataType == org.apache.spark.sql.types.LongType)
+    assert(tj.count() == 2)
+    // non-JSON destination: inference fails → batch discarded (reference
+    // src/sink/parquet.rs:213-221)
+    assert(!Files.exists(out.resolve("topic=raw")))
+  }
+
   test("watermarked tumbling windows: on-time counted, too-late dropped") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
