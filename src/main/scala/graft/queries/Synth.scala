@@ -186,13 +186,21 @@ object Synth {
   def parsedFieldCols: RuleCompiler.FieldCols = RuleCompiler.FieldCols(
     col("msg"), col("severity"), col("facility"), col("hostname"), col("appname"))
 
+  /** Predicate-pushdown fence: the OR-clause is always false (ids are
+    * non-negative) but NONDETERMINISTIC, so PushDownPredicates cannot sink
+    * the expensive derived predicate below the spread exchange into the
+    * single-task scan stage (where the whole cascade would re-run serially).
+    * `rand() > 2` doesn't work here — the optimizer folds rand comparisons
+    * by range; monotonically_increasing_id has no such folding rule. */
+  def noPushFilter(cond: Column): Column = cond || (monotonically_increasing_id() < 0)
+
   /** Full cascade output: (event_id, topic, value), dropped rows excluded.
     * The cascade runs over plain attribute columns so its many `msg`
     * references are cheap reads, not re-parses. */
   def routed(s: SparkSession, dir: String, cfg: GraftConfig = HotdogConfig): DataFrame =
     parsed(s, dir)
       .withColumn("r", RuleCompiler.cascade(cfg, parsedFieldCols, lit(Version), lit(IsoPin)))
-      .filter(col("r").isNotNull)
+      .filter(noPushFilter(col("r").isNotNull))
       .select(col("event_id"), col("r.topic").as("topic"), col("r.value").as("value"))
 
   private val Rx1 = """^hello\s+(\w+)?"""

@@ -35,6 +35,9 @@ object GraftPipeline {
     parsed
       .withColumn("r", RuleCompiler.cascade(cfg, Synth.fieldCols(col("p")),
         lit(GraftConfig.Version), iso8601))
+      // plain filter: the batch-side pushdown fence (Synth.noPushFilter)
+      // uses monotonically_increasing_id, which streaming plans reject —
+      // and streaming has no spread exchange to fence against
       .filter(col("r").isNotNull)
       .select(col("r.topic").as("topic"), col("r.value").as("value"))
   }
