@@ -5,23 +5,24 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Embedding similarity search. Cosine is computed as a LEFT-TO-RIGHT double
-  * fold over the element products (`aggregate` over `zip_with`): sequential
-  * IEEE operations are bit-deterministic, so results are reproducible across
-  * engines and partitionings — unlike a parallel float reduction.
+  * accumulation over the element products: sequential IEEE operations are
+  * bit-deterministic, so results are reproducible across engines and
+  * partitionings — unlike a parallel float reduction. The accumulation runs
+  * in the codegen'd [[graft.functions.DotProduct]] expression (a tight JVM
+  * loop); [[foldDot]] is the equivalent built-in-functions form, kept for
+  * cross-checking in tests.
   */
 object Similarity {
   private def toDouble(a: Column): Column = transform(a, x => x.cast("double"))
 
-  private def foldSum(products: Column): Column =
-    aggregate(products, lit(0.0), (acc, x) => acc + x)
+  /** Interpreted reference implementation: aggregate-over-zip_with fold. */
+  def foldDot(a: Column, b: Column): Column =
+    aggregate(zip_with(toDouble(a), toDouble(b), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
 
-  def dot(a: Column, b: Column): Column =
-    foldSum(zip_with(toDouble(a), toDouble(b), (x, y) => x * y))
+  def dot(a: Column, b: Column): Column = call_function("dot_product", a, b)
 
-  def norm(a: Column): Column = {
-    val d = toDouble(a)
-    sqrt(foldSum(zip_with(d, d, (x, y) => x * y)))
-  }
+  def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 

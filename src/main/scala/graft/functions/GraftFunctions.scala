@@ -10,8 +10,9 @@ import org.apache.spark.sql.functions.call_function
   * without the extension (e.g. a harness-provided session).
   */
 object GraftFunctions {
-  private val descriptors =
-    Seq(JsonDeepMerge.descriptor, Opaque.descriptor, graft.syslog.ParseSyslog.descriptor)
+  private val descriptors = Seq(
+    JsonDeepMerge.descriptor, Opaque.descriptor, DotProduct.descriptor,
+    graft.syslog.ParseSyslog.descriptor)
 
   def ensureRegistered(spark: SparkSession): Unit = {
     val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]

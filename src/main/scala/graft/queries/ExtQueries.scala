@@ -54,6 +54,7 @@ object ExtQueries {
       .orderBy("doc_id")
 
   private val dedupEmbeddingCosine: Q = (s, dir) => {
+    graft.functions.GraftFunctions.ensureRegistered(s)
     val e = embeddings(s, dir)
     val copies = broadcast(e.filter(col("vec_id") % 50 === 0)
       .select((col("vec_id") + 1000000).as("ida"), col("embedding").as("ea")))
@@ -67,6 +68,7 @@ object ExtQueries {
   // -------------------------------------------------------- similarity
 
   private val annBruteForce: Q = (s, dir) => {
+    graft.functions.GraftFunctions.ensureRegistered(s)
     val e = embeddings(s, dir)
     Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), 5)
       .orderBy("q_id", "rank")
@@ -75,6 +77,7 @@ object ExtQueries {
   private val Planes: Array[Array[Double]] = Similarity.hyperplanes(nPlanes = 6)
 
   private val annLsh: Q = (s, dir) => {
+    graft.functions.GraftFunctions.ensureRegistered(s)
     val e = embeddings(s, dir)
     Similarity.lshTopK(e, e.filter(col("vec_id") < 10), 5, Planes)
       .orderBy("q_id", "rank")

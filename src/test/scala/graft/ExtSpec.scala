@@ -58,6 +58,18 @@ class ExtSpec extends AnyFunSuite {
     assert(j > 7000 && j < 10000) // one token of ~11 distinct changed
   }
 
+  test("codegen dot_product is bit-identical to the interpreted fold") {
+    val e = graft.queries.Synth.embeddings(spark, "/root/testdata/sf0.001")
+    val pairs = e.limit(50).crossJoin(
+      e.limit(7).select($"embedding".as("b")))
+    val diff = pairs.select(
+      Similarity.dot($"embedding", $"b").as("fast"),
+      Similarity.foldDot($"embedding", $"b").as("ref"))
+      .filter($"fast" =!= $"ref") // bitwise-equal doubles compare equal
+      .count()
+    assert(diff == 0L)
+  }
+
   test("cosine: identical vectors ≈ 1, orthogonal = 0") {
     val df = Seq(
       (Array(1f, 0f, 0f), Array(1f, 0f, 0f)),
