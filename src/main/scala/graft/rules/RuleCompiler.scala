@@ -63,8 +63,11 @@ object Template {
   *   - forward with an empty output buffer sends the raw msg
   *     (src/connection.rs:185-187) — a runtime emptiness check, so a replace
   *     that rendered "" also falls back to msg.
-  *   - merge on a non-JSON msg aborts ALL remaining processing for the
-  *     message, dropping it (src/connection.rs:221-223, 331-334).
+  *   - merge on a non-JSON msg sets continue_rules=false WITHOUT breaking
+  *     the current rule's action loop (src/connection.rs:213-224 has no
+  *     break): later actions in the SAME rule still run — a subsequent
+  *     forward still emits (with the unmerged buffer) — but no LATER rule
+  *     sees the message; a failing merge with no subsequent forward drops it.
   */
 object RuleCompiler {
   val OutputType = "struct<topic:string,value:string>"
@@ -125,7 +128,7 @@ object RuleCompiler {
 
     // Symbolic walk of the action chain (src/connection.rs:167-242).
     var out: Column = lit("")
-    var failed: Column = lit(false)
+    var failed: Column = lit(false) // continue_rules=false via merge failure
     var terminal: Option[Column] = None // Some(result): forward/stop reached
     val it = rule.actions.iterator
     while (it.hasNext && terminal.isEmpty) {
@@ -136,7 +139,9 @@ object RuleCompiler {
           val rendered = Template.compile(fragment, vars)
           val merged = GraftFunctions.jsonDeepMerge(fields.msg, rendered)
           failed = failed || merged.isNull
-          out = coalesce(merged, lit(""))
+          // on failure the output buffer is left as-is (src/connection.rs:218-222
+          // only assigns on Ok) and the action loop CONTINUES
+          out = coalesce(merged, out)
         case Action.Forward(topicTmpl) =>
           val topic = Template.compile(topicTmpl, vars)
           val value = when(length(out) === 0, fields.msg).otherwise(out)
@@ -148,9 +153,10 @@ object RuleCompiler {
 
     terminal match {
       case Some(result) =>
-        // Every matched row terminates here: merge-failures drop, the rest
-        // take the forward/stop result.
-        Compiled(matches, when(failed, lit(null).cast(OutputType)).otherwise(result))
+        // Every matched row terminates here with the forward/stop result —
+        // an earlier merge failure does NOT cancel a forward in the same
+        // rule (it only stopped later rules, which `claims` already does).
+        Compiled(matches, result)
       case None =>
         // No terminal action: only merge-failures terminate (and drop);
         // other matched rows flow on to later rules.

@@ -68,6 +68,21 @@ class CascadeSpec extends AnyFunSuite {
     assert(out(1).get._1 == "rest") // rule1 unmatched → rule2
   }
 
+  test("merge failure does NOT cancel a forward in the SAME rule (no break in the action loop)") {
+    // src/connection.rs:213-224: the Merge error arm sets continue_rules
+    // without breaking, so the rule's later actions still run
+    val rules = List(
+      Rule(Field.Msg, Some("^x"), None, List(
+        Action.Merge("""{"a":1}"""), Action.Forward("t1"), Action.Stop)),
+      Rule(Field.Msg, Some(".*"), None, List(Action.Forward("rest"), Action.Stop)))
+    val cfg = Synth.HotdogConfig.copy(rules = rules)
+    val out = routeRaw(cfg, Seq("x-not-json", """{"k":1}"""))
+    // merge failed, but the forward still emits the raw msg to t1
+    assert(out(0).contains(("t1", "x-not-json")))
+    // unmatched by rule1 → rule2
+    assert(out(1).get._1 == "rest")
+  }
+
   test("merge success without forward leaves message for later rules UNMODIFIED") {
     val rules = List(
       Rule(Field.Msg, Some("^\\{"), None, List(Action.Merge("""{"added":true}"""))),

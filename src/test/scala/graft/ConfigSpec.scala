@@ -172,4 +172,35 @@ class ConfigSpec extends AnyFunSuite {
     assert(Regexes.namedGroups("^hello\\s+(?P<name>\\w+)?") == List(("name", 1)))
     assert(Regexes.namedGroups("(a)(?P<x>b)(?:c)(?<y>d)") == List(("x", 2), ("y", 3)))
   }
+
+  test("jmespath subset: dotted paths with array indexes") {
+    assert(JmesPathSubset.isValid("meta.topic"))
+    assert(JmesPathSubset.isValid("a.b[0].c[12]"))
+    assert(!JmesPathSubset.isValid(". 0 meta.topic"))
+    assert(!JmesPathSubset.isValid("length(@)"))
+    assert(!JmesPathSubset.isValid(""))
+    assert(JmesPathSubset.toJsonPath("a.b[0]") == "$.a.b[0]")
+    // array-index extraction works through get_json_object
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val v = Seq("""{"a":{"b":[{"c":"hit"},{"c":"miss"}]}}""").toDF("j")
+      .select(org.apache.spark.sql.functions.get_json_object(
+        $"j", JmesPathSubset.toJsonPath("a.b[0].c")))
+      .head().getString(0)
+    assert(v == "hit")
+  }
+
+  test("GraftConfig.load: full file round-trip with rules + schemas") {
+    val f = java.nio.file.Files.createTempFile("graft-cfg", ".yml")
+    java.nio.file.Files.writeString(f,
+      hotdogYaml +
+        """schemas:
+          |  - topic: test
+          |    fields:
+          |      k: { type: long }
+          |""".stripMargin)
+    val cfg = GraftConfig.load(f.toString)
+    assert(cfg.rules.length == 3)
+    assert(cfg.schemas("test").fields == List("k" -> FieldType.Lng))
+  }
 }
