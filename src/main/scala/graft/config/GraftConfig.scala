@@ -40,15 +40,17 @@ object Action {
 }
 
 /** One rule of the ordered cascade (reference: src/settings.rs:90-117).
-  * Exactly one of `regex` / `jmespath` is set.
+  * At least one of `regex` / `jmespath` is set; when both are, jmespath
+  * wins and the regex is ignored — the reference checks jmespath first
+  * (src/rules.rs:74-94 `if let Some(expression) … else if let Some(regex)`).
   */
 final case class Rule(
     field: Field,
     regex: Option[String],
     jmespath: Option[String],
     actions: List[Action]) {
-  require(regex.isDefined != jmespath.isDefined,
-    "rule must declare exactly one of regex / jmespath")
+  require(regex.isDefined || jmespath.isDefined,
+    "rule must declare a regex or jmespath matcher")
 }
 
 /** Declared output-schema field types (reference: src/schema.rs:13-21).

@@ -104,15 +104,16 @@ object RuleCompiler {
     val fieldCol = fields(rule.field)
 
     // Predicate + extracted variables (src/rules.rs:69-104). A null field
-    // silently non-matches (src/connection.rs:121-145).
-    val (matches, extracted): (Column, Map[String, Column]) = (rule.regex, rule.jmespath) match {
-      case (Some(p), _) =>
+    // silently non-matches (src/connection.rs:121-145). jmespath is checked
+    // BEFORE regex, matching the reference's arm order (src/rules.rs:74-94).
+    val (matches, extracted): (Column, Map[String, Column]) = (rule.jmespath, rule.regex) match {
+      case (None, Some(p)) =>
         val jp = Regexes.toJava(p)
         val caps = Regexes.namedGroups(p).map { case (name, idx) =>
           name -> regexp_extract(fieldCol, jp, idx)
         }.toMap
         (fieldCol.isNotNull && fieldCol.rlike(jp), caps)
-      case (_, Some(expr)) =>
+      case (Some(expr), _) =>
         // Dotted-path subset via get_json_object: non-null result = match,
         // string result bound as `value` (src/rules.rs:75-93). Divergence
         // (documented): a non-string result binds its JSON text here, where

@@ -15,10 +15,11 @@ object TestMode {
     val parts = cfg.rules.zipWithIndex.map { case (r, i) =>
       if (r.field != Field.Msg) lit(null).cast("string")
       else {
-        val cond = (r.regex, r.jmespath) match {
-          case (Some(p), _) => line.rlike(Regexes.toJava(p))
-          case (_, Some(j)) =>
+        // jmespath wins when both matchers are set (src/rules.rs:74-94)
+        val cond = (r.jmespath, r.regex) match {
+          case (Some(j), _) =>
             get_json_object(line, JmesPathSubset.toJsonPath(j)).isNotNull
+          case (None, Some(p)) => line.rlike(Regexes.toJava(p))
           case _ => lit(false)
         }
         when(line.isNotNull && cond, lit(i.toString)).otherwise(lit(null).cast("string"))

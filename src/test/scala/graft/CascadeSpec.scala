@@ -102,6 +102,16 @@ class CascadeSpec extends AnyFunSuite {
     assert(routeRaw(cfg, Seq("hello world")).head.get._2 == "hello world")
   }
 
+  test("rule with BOTH matchers: jmespath wins, regex ignored (src/rules.rs:74-94)") {
+    val rules = List(
+      Rule(Field.Msg, Some(".*"), Some("meta.topic"), List(Action.Forward("jm"), Action.Stop)),
+      Rule(Field.Msg, Some(".*"), None, List(Action.Forward("rest"), Action.Stop)))
+    val cfg = Synth.HotdogConfig.copy(rules = rules)
+    val out = routeRaw(cfg, Seq("""{"meta":{"topic":"t"}}""", "plain text"))
+    assert(out(0).get._1 == "jm")   // jmespath matched
+    assert(out(1).get._1 == "rest") // regex .* on rule 1 is IGNORED → falls through
+  }
+
   test("null field silently non-matches (src/connection.rs:121-145)") {
     val rules = List(
       Rule(Field.Severity, Some(".*"), None, List(Action.Forward("sev"), Action.Stop)),
