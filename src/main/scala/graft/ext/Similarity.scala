@@ -56,6 +56,43 @@ object Similarity {
       when(dot(emb, typedLit(p.toSeq)) > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** IVF-style ANN: a deterministic coarse quantizer (one representative
+    * vector per `label` cell — the min-id member, a medoid stand-in for a
+    * trained centroid) partitions the corpus into inverted lists; a query
+    * probes only its nearest cell and re-ranks exactly inside it. At scale:
+    * representatives broadcast everywhere, the corpus is assigned in ONE
+    * narrow pass, and a probe touches ~N/cells vectors.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    // representatives: the min-vec_id member of each label cell
+    val w = Window.partitionBy("label").orderBy("vec_id")
+    val reps = broadcast(
+      corpus.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("label").as("cell"), col("embedding").as("rep")))
+    // nearest-cell assignment (cosine to each representative; ties → lower cell)
+    def assign(df: DataFrame, emb: String, out: String): DataFrame = {
+      val aw = Window.partitionBy("_aid").orderBy(col("_sim").desc, col("cell"))
+      df.withColumn("_aid", col("vec_id"))
+        .crossJoin(reps)
+        .withColumn("_sim", cosine(col(emb), col("rep")))
+        .withColumn("_rn", row_number().over(aw))
+        .filter(col("_rn") === 1)
+        .withColumnRenamed("cell", out)
+        .drop("rep", "_sim", "_rn", "_aid")
+    }
+    val bucketed = assign(corpus, "embedding", "ivf_cell")
+    val q = assign(queries, "embedding", "ivf_cell")
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("ivf_cell"))
+    val scored = bucketed.join(broadcast(q), "ivf_cell")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        cosine(col("q_emb"), col("embedding")).as("sim"))
+    val rw = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(rw))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "n_id", "sim")
+  }
+
   /** ANN via LSH buckets: exact re-rank restricted to the query's bucket. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       planes: Array[Array[Double]]): DataFrame = {

@@ -83,6 +83,13 @@ object ExtQueries {
       .orderBy("q_id", "rank")
   }
 
+  private val annIvf: Q = (s, dir) => {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val e = embeddings(s, dir)
+    Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), 5)
+      .orderBy("q_id", "rank")
+  }
+
   // ------------------------------------------------------ text analysis
 
   private val textTokens: Q = (s, dir) =>
@@ -120,6 +127,7 @@ object ExtQueries {
     "dedup_embedding_cosine" -> dedupEmbeddingCosine,
     "ann_brute_force" -> annBruteForce,
     "ann_lsh" -> annLsh,
+    "ann_ivf" -> annIvf,
     "text_tokens" -> textTokens,
     "text_quality" -> textQuality,
     "text_langid" -> textLangid,
@@ -247,6 +255,29 @@ object ExtQueries {
          |scored AS (SELECT q_id, e.vec_id AS n_id,
          |  ${cosSql("qe", "e.embedding")} AS sim
          |  FROM bucketed e JOIN q USING (bucket) WHERE e.vec_id <> q.q_id),
+         |ranked AS (SELECT q_id, n_id, sim,
+         |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS INT) AS rank
+         |  FROM scored)
+         |SELECT q_id, rank, n_id, sim FROM ranked WHERE rank <= 5
+         |ORDER BY q_id, rank""".stripMargin,
+
+    "ann_ivf" ->
+      s"""WITH reps AS (
+         |  SELECT label AS cell, embedding AS rep FROM (
+         |    SELECT label, embedding,
+         |      row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+         |    FROM embeddings) WHERE rn = 1),
+         |assigned AS (
+         |  SELECT vec_id, embedding, ivf_cell FROM (
+         |    SELECT e.vec_id, e.embedding, r.cell AS ivf_cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosSql("e.embedding", "r.rep")} DESC, r.cell) AS rn
+         |    FROM embeddings e, reps r) WHERE rn = 1),
+         |q AS (SELECT vec_id AS q_id, embedding AS qe, ivf_cell
+         |      FROM assigned WHERE vec_id < 10),
+         |scored AS (SELECT q_id, e.vec_id AS n_id,
+         |  ${cosSql("qe", "e.embedding")} AS sim
+         |  FROM assigned e JOIN q USING (ivf_cell) WHERE e.vec_id <> q.q_id),
          |ranked AS (SELECT q_id, n_id, sim,
          |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS INT) AS rank
          |  FROM scored)
