@@ -144,6 +144,59 @@ object RelQueries {
       .orderBy("event_id")
   }
 
+  // Outer joins with null-side aggregation: per customer (kept even with no
+  // orders) count + decimal-exact spend.
+  private val qOuterJoin: Q = (s, dir) => {
+    val c = customer(s, dir)
+    val o = orders(s, dir)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        coalesce(dsum(col("o_totalprice")), lit(0.0)).as("spend"))
+      .orderBy("c_custkey")
+  }
+
+  // Cube: all grouping-set combinations over two lineitem dimensions.
+  private val qCube: Q = (s, dir) =>
+    lineitem(s, dir)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("n"))
+      .orderBy("flag", "status")
+
+  // Range join via time binning — the scalable form of an inequality join
+  // (reference lacks range joins, SURVEY.md §2.2): for each purchase, count
+  // the same user's clicks in the preceding hour. Naive form is an
+  // inequality theta-join (quadratic per user); binning buckets time into
+  // hour cells, joins on the EQUI key (user, bucket) over the probe's two
+  // candidate cells, then applies the exact range predicate — shuffle on a
+  // bounded equi-key, linear in input.
+  private val qRangeJoinBinned: Q = (s, dir) => {
+    val BucketUs = 3600L * 1000000L
+    val ev = eventsTs(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("ts_ns div 1000").as("ts_us"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts_us").as("c_ts"),
+        expr(s"ts_us div $BucketUs").as("bucket"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us").as("p_ts"),
+        explode(array(
+          expr(s"ts_us div $BucketUs"),
+          expr(s"(ts_us - $BucketUs) div $BucketUs"))).as("bucket"))
+    purchases.join(clicks, Seq("user_id", "bucket"), "left_outer")
+      .withColumn("hit",
+        when(col("c_ts").isNotNull &&
+          col("c_ts") >= col("p_ts") - BucketUs && col("c_ts") <= col("p_ts"), 1L)
+          .otherwise(0L))
+      .groupBy("event_id")
+      .agg(sum("hit").as("clicks_in_hour"))
+      .orderBy("event_id")
+  }
+
   // Sessionization (stateful op the reference lacks, SURVEY.md §2.2): 30-min
   // inactivity gap per user. Batch form = lag/gap-flag/running-sum windows —
   // one user-partitioned shuffle; the streaming twin is
@@ -188,6 +241,9 @@ object RelQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    "q_outer_join" -> qOuterJoin,
+    "q_cube" -> qCube,
+    "q_range_join_binned" -> qRangeJoinBinned,
     "q_skew_join_salted" -> qSkewJoinSalted,
     "sessionize_events" -> qSessionize,
     "q1_agg" -> q1Agg,
@@ -279,6 +335,28 @@ object RelQueries {
         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_click
         |  FROM events WHERE event_type IN ('click', 'purchase'))
         |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+
+    "q_outer_join" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders,
+        |  coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 0.0) AS spend
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+        |  coalesce(l_linestatus, 'ALL') AS status, count(*) AS n
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY flag, status""".stripMargin,
+
+    "q_range_join_binned" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events)
+        |SELECT p.event_id, CAST(count(c.ts_us) AS BIGINT) AS clicks_in_hour
+        |FROM (SELECT event_id, user_id, ts_us FROM e WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT user_id, ts_us FROM e WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id
+        |  AND c.ts_us >= p.ts_us - 3600000000 AND c.ts_us <= p.ts_us
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_skew_join_salted" ->
       """WITH fact AS (
