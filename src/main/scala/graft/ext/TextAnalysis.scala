@@ -43,9 +43,14 @@ object TextAnalysis {
       struct(lit(b).as("band"),
         md5(concat_ws(",", slice(sig, b * rows + 1, rows))).as("bucket"))): _*)
 
-  /** 16-bit polynomial rolling hash of a token: fold acc*31+ascii mod 2^16.
-    * Integer-exact in any engine (the basis for [[simhash16]]). */
-  def polyHash16(tok: Column): Column =
+  /** 16-bit polynomial rolling hash of a token: fold acc*31+codepoint
+    * mod 2^16. Integer-exact in any engine (the basis for [[simhash16]]);
+    * runs in the codegen'd [[graft.functions.PolyHash16]] expression. */
+  def polyHash16(tok: Column): Column = call_function("poly_hash16", tok)
+
+  /** Interpreted built-in-functions form, kept as the cross-check reference
+    * for [[polyHash16]]. */
+  def polyHash16Fold(tok: Column): Column =
     aggregate(
       transform(sequence(lit(1), length(tok)), i => ascii(substr(tok, i, lit(1)))),
       lit(0L),

@@ -58,6 +58,17 @@ class ExtSpec extends AnyFunSuite {
     assert(j > 7000 && j < 10000) // one token of ~11 distinct changed
   }
 
+  test("codegen poly_hash16 equals the interpreted fold") {
+    val toks = graft.queries.Synth.documents(spark, "/root/testdata/sf0.001")
+      .select(org.apache.spark.sql.functions.explode(
+        TextAnalysis.tokens($"text")).as("tok")).limit(5000)
+    val diff = toks.select(
+      TextAnalysis.polyHash16($"tok").as("fast"),
+      TextAnalysis.polyHash16Fold($"tok").as("ref"))
+      .filter($"fast" =!= $"ref").count()
+    assert(diff == 0L)
+  }
+
   test("codegen dot_product is bit-identical to the interpreted fold") {
     val e = graft.queries.Synth.embeddings(spark, "/root/testdata/sf0.001")
     val pairs = e.limit(50).crossJoin(
