@@ -214,6 +214,17 @@ object CoreQueries {
       length(col("props")).cast("long").as("len"))
       .orderBy("event_id")
 
+  // Spark-4 VariantType path for JSON payloads (SURVEY.md §1.4 option):
+  // parse once to a variant, extract typed fields — the shredded-JSON
+  // alternative to repeated get_json_object string walks.
+  private val variantJson: Q = (s, dir) =>
+    events(s, dir)
+      .select(col("event_id"), parse_json(col("props")).as("v"))
+      .select(col("event_id"),
+        variant_get(col("v"), "$.k", "string").as("k_str"),
+        variant_get(col("v"), "$.k", "long").as("k_long"))
+      .orderBy("event_id")
+
   // O24 — operational counters (statsd metric names, src/status.rs:42-71).
   private val metricsCounts: Q = (s, dir) => {
     GraftFunctions.ensureRegistered(s)
@@ -259,6 +270,7 @@ object CoreQueries {
     "schema_declared_project" -> schemaDeclaredProject,
     "schema_infer_json" -> schemaInferJson,
     "scalar_surface" -> scalarSurface,
+    "variant_json" -> variantJson,
     "metrics_counts" -> metricsCounts)
 
   private val parsedSql = parsedCte(P5424Sql, 8, 3, 4)
@@ -389,6 +401,12 @@ object CoreQueries {
         |  json_extract_string(props, '$.k') AS k,
         |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS tstr,
         |  length(props) AS len
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "variant_json" ->
+      """SELECT event_id,
+        |  json_extract_string(props, '$.k') AS k_str,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_long
         |FROM events ORDER BY event_id""".stripMargin,
 
     "metrics_counts" ->
