@@ -43,7 +43,8 @@ object Dedup {
     val sig = TextAnalysis.minhashSignatureRows(corpus, n)
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
-        md5(concat_ws(",", (0 until rows).map(r => col(s"h${b * rows + r}")): _*)).as("bucket"))
+        md5(concat_ws(",",
+          (0 until rows).map(r => col(s"h${b * rows + r}").cast("string")): _*)).as("bucket"))
     }
     val buckets = sig
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))

@@ -149,6 +149,14 @@ object ExtQueries {
   private val TokCte =
     """tok AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS t FROM corpus)"""
 
+  /** DuckDB twin of Spark's `conv(substring(hx, start, len), 16, 10)`:
+    * left fold acc*16 + hexdigit over md5-hex positions [start, start+len). */
+  private def hexFoldSql(start: Int, len: Int): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(range($start, ${start + len}), " +
+      "j -> CAST(strpos('0123456789abcdef', substr(hx, CAST(j AS INT), 1)) - 1 AS BIGINT))), " +
+      "(x,y) -> x*16 + y)"
+
   private val ShingleCte =
     """sh AS (SELECT doc_id,
       |  CASE WHEN len(t) < 3 THEN []::VARCHAR[]
@@ -189,13 +197,23 @@ object ExtQueries {
       s"""$CorpusCte,
          |$TokCte,
          |$ShingleCte,
-         |sig AS (SELECT doc_id,
-         |  list_transform(range(0,32), i ->
-         |    list_min(list_transform(sg, s -> md5(CAST(i AS VARCHAR) || ':' || s)))) AS sig
-         |  FROM sh WHERE len(sg) > 0),
+         |shx AS (SELECT doc_id, md5(s) AS hx
+         |  FROM (SELECT doc_id, unnest(sg) AS s FROM sh)),
+         |hashes AS (SELECT doc_id,
+         |  ${hexFoldSql(1, 15)} % 1000000007 AS h1m,
+         |  ${hexFoldSql(17, 15)} % 1000000007 AS h2m
+         |  FROM shx),
+         |sigs AS (SELECT doc_id,
+         |  ${(0 until 32).map(i => s"min((h1m + $i*h2m) % 1000000007) AS h$i")
+              .mkString(", ")}
+         |  FROM hashes GROUP BY doc_id),
+         |sigl AS (SELECT doc_id,
+         |  list_transform([${(0 until 32).map(i => s"h$i").mkString(",")}],
+         |    x -> CAST(x AS VARCHAR)) AS sig
+         |  FROM sigs),
          |bands AS (SELECT doc_id, b,
          |  md5(array_to_string(sig[b*8+1 : b*8+8], ',')) AS bucket
-         |  FROM sig, range(0,4) r(b)),
+         |  FROM sigl, range(0,4) r(b)),
          |cand AS (SELECT DISTINCT a.doc_id AS ida, c.doc_id AS idb
          |  FROM bands a JOIN bands c ON a.b = c.b AND a.bucket = c.bucket
          |  WHERE a.doc_id < c.doc_id),

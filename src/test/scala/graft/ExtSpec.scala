@@ -13,7 +13,9 @@ class ExtSpec extends AnyFunSuite {
   import spark.implicits._
 
   private val base = Seq(
-    (0L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (0L, "the quick brown fox jumps over the lazy dog again and again today " +
+      "while the patient heron waits beside the quiet river watching silver " +
+      "fish drift slowly between the smooth stones under the morning light"),
     (1L, "spark engines shuffle partitions across executors with hash exchanges"),
     (2L, "completely different content about databases and query optimizers"),
     (3L, "rain in spain falls mainly on the plain every single year"))
