@@ -105,6 +105,28 @@ class StreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming exact dedup: duplicates within the watermark are dropped") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val deduped = input.toDF().toDF("sec", "value")
+      .withColumn("et", timestamp_seconds($"sec" + 1000000000L))
+      .withWatermark("et", "60 seconds")
+      .dropDuplicatesWithinWatermark("value")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("ddw").start()
+    try {
+      input.addData((1L, "a"), (2L, "a"), (3L, "b")) // dup "a" within watermark
+      q.processAllAvailable()
+      input.addData((500L, "c"))
+      q.processAllAvailable()
+      val vals = spark.table("ddw").select("value").as[String].collect().toSeq
+      assert(vals.count(_ == "a") == 1, s"got $vals")
+      assert(vals.contains("b") && vals.contains("c"))
+    } finally q.stop()
+  }
+
   test("observed metrics reach query progress (lines / error.log_parse)") {
     val in = Files.createTempDirectory("graft-obs-in")
     val out = Files.createTempDirectory("graft-obs-out")
