@@ -95,6 +95,8 @@ final case class GraftConfig(
     schemas: Map[String, TopicSchema],
     defaultTopic: Option[String],
     kafkaBuffer: Int,
+    kafkaTimeoutMs: Long,
+    parquetUrl: Option[String],
     parquetBufferBytes: Option[Long],
     flushMs: Long,
     kafkaConf: Map[String, String])
@@ -124,6 +126,10 @@ object GraftConfig {
     cfg.copy(
       defaultTopic = get("global.kafka.topic").orElse(cfg.defaultTopic),
       kafkaBuffer = get("global.kafka.buffer").map(_.toInt).getOrElse(cfg.kafkaBuffer),
+      kafkaTimeoutMs =
+        get("global.kafka.timeout_ms").map(_.toLong).getOrElse(cfg.kafkaTimeoutMs),
+      parquetUrl = get("global.parquet.url")
+        .orElse(env.get("S3_OUTPUT_URL")).orElse(cfg.parquetUrl),
       parquetBufferBytes =
         get("global.parquet.buffer").map(_.toLong).orElse(cfg.parquetBufferBytes),
       flushMs = get("global.parquet.flush_ms").map(_.toLong).getOrElse(cfg.flushMs),
@@ -163,6 +169,11 @@ object GraftConfig {
       schemas = schemas,
       defaultTopic = kafka.get("topic").map(_.toString),
       kafkaBuffer = kafka.get("buffer").map(_.toString.toInt).getOrElse(1024),
+      // produce timeout, default 60 s (src/sink/kafka.rs:140,229-231)
+      kafkaTimeoutMs = kafka.get("timeout_ms").map(_.toString.toLong).getOrElse(60000L),
+      // object-store destination; S3_OUTPUT_URL env fallback
+      // (src/sink/parquet.rs:306-311, README TIP)
+      parquetUrl = parquet.get("url").map(_.toString),
       parquetBufferBytes = parquet.get("buffer").map(_.toString.toLong),
       flushMs = parquet.get("flush_ms").map(_.toString.toLong).getOrElse(60000L),
       kafkaConf = asMap(kafka.getOrElse("conf", null)).map { case (k, v) => k -> v.toString })

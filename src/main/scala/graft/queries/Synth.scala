@@ -156,8 +156,10 @@ object Synth {
       Action.Forward("logs-unknown"),
       Action.Stop)))
 
-  val HotdogConfig: GraftConfig =
-    GraftConfig(HotdogRules, Map.empty, Some("test"), 1024, None, 60000L, Map.empty)
+  val HotdogConfig: GraftConfig = GraftConfig(
+    rules = HotdogRules, schemas = Map.empty, defaultTopic = Some("test"),
+    kafkaBuffer = 1024, kafkaTimeoutMs = 60000L, parquetUrl = None,
+    parquetBufferBytes = None, flushMs = 60000L, kafkaConf = Map.empty)
 
   def fieldCols(p: Column): RuleCompiler.FieldCols = RuleCompiler.FieldCols(
     p.getField("msg"), p.getField("severity"), p.getField("facility"),

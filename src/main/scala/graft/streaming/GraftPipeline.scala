@@ -88,6 +88,8 @@ object GraftPipeline {
     val w = routed.writeStream
       .format("kafka")
       .option("kafka.bootstrap.servers", bootstrap)
+      // produce timeout (reference default 60 s, src/sink/kafka.rs:140)
+      .option("kafka.message.timeout.ms", cfg.kafkaTimeoutMs.toString)
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.ProcessingTime(cfg.flushMs))
     cfg.kafkaConf.foldLeft(w) { case (acc, (k, v)) => acc.option(s"kafka.$k", v) }

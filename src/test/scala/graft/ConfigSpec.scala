@@ -157,13 +157,17 @@ class ConfigSpec extends AnyFunSuite {
     val over = GraftConfig.withEnvOverlay(cfg, Map(
       "HOTDOG_GLOBAL__KAFKA__TOPIC" -> "overridden",
       "HOTDOG_GLOBAL__KAFKA__BUFFER" -> "99",
+      "HOTDOG_GLOBAL__KAFKA__TIMEOUT_MS" -> "1234",
       "HOTDOG_GLOBAL__PARQUET__FLUSH_MS" -> "5000",
       "HOTDOG_GLOBAL__KAFKA__CONF__BOOTSTRAP__SERVERS" -> "other:9092",
+      "S3_OUTPUT_URL" -> "s3://bucket/streams/",
       "UNRELATED" -> "x"))
     assert(over.defaultTopic.contains("overridden"))
     assert(over.kafkaBuffer == 99)
+    assert(over.kafkaTimeoutMs == 1234L)
     assert(over.flushMs == 5000L)
     assert(over.kafkaConf("bootstrap.servers") == "other:9092")
+    assert(over.parquetUrl.contains("s3://bucket/streams/"))
     // no env → unchanged
     assert(GraftConfig.withEnvOverlay(cfg, Map.empty) == cfg)
   }
