@@ -40,12 +40,13 @@ object JsonMerge {
 
   def merge(a: JsonNode, b: JsonNode): JsonNode = (a, b) match {
     case (ao: ObjectNode, bo: ObjectNode) =>
-      val it = bo.fields()
+      val it = bo.fieldNames()
       while (it.hasNext) {
-        val e = it.next()
-        val existing = ao.get(e.getKey)
-        if (existing == null) ao.set(e.getKey, e.getValue.deepCopy[JsonNode]())
-        else ao.set(e.getKey, merge(existing, e.getValue))
+        val k = it.next()
+        val v = bo.get(k)
+        val existing = ao.get(k)
+        if (existing == null) ao.set(k, v.deepCopy[JsonNode]())
+        else ao.set(k, merge(existing, v))
       }
       ao
     case (aa: ArrayNode, ba: ArrayNode) =>
