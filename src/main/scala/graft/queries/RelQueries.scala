@@ -144,6 +144,15 @@ object RelQueries {
       .orderBy("event_id")
   }
 
+  // Distinct aggregation (expand + two-phase agg under the hood).
+  private val qDistinctAgg: Q = (s, dir) =>
+    lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
   // Outer joins with null-side aggregation: per customer (kept even with no
   // orders) count + decimal-exact spend.
   private val qOuterJoin: Q = (s, dir) => {
@@ -241,6 +250,7 @@ object RelQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    "q_distinct_agg" -> qDistinctAgg,
     "q_outer_join" -> qOuterJoin,
     "q_cube" -> qCube,
     "q_range_join_binned" -> qRangeJoinBinned,
@@ -335,6 +345,13 @@ object RelQueries {
         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_click
         |  FROM events WHERE event_type IN ('click', 'purchase'))
         |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+
+    "q_distinct_agg" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_outer_join" ->
       """SELECT c_custkey, count(o_orderkey) AS n_orders,
