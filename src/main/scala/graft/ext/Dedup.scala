@@ -73,4 +73,38 @@ object Dedup {
   def ngramJaccardPairs(pairs: DataFrame, ta: String, tb: String): DataFrame =
     pairs.withColumn("jacc_x10000",
       jaccardX10000(TextAnalysis.tokens(col(ta)), TextAnalysis.tokens(col(tb))))
+
+  /** Connected components over near-dup pairs — the clustering step that
+    * turns pairwise matches into dedup groups (keep min-id per component).
+    * Pregel-style min-label propagation: each iteration is one
+    * edge⋈label shuffle + a min aggregation; iterations ≤ graph diameter
+    * (checked via a converged count, capped). Scales as O(E) per round —
+    * no transitive-closure blowup.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 15): DataFrame = {
+    val edges = pairs.select(col("ida").as("a"), col("idb").as("b"))
+      .unionAll(pairs.select(col("idb").as("a"), col("ida").as("b")))
+      .distinct()
+    var labels = edges.select(col("a").as("doc_id")).distinct()
+      .withColumn("comp", col("doc_id"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val msgs = edges
+        .join(labels.withColumnRenamed("doc_id", "a"), "a")
+        .groupBy(col("b").as("doc_id"))
+        .agg(min("comp").as("nbr_min"))
+      val next = labels.join(msgs, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("comp"), coalesce(col("nbr_min"), col("comp"))).as("comp"))
+        .localCheckpoint() // truncate the iterative lineage
+      val changed = next.as("n")
+        .join(labels.as("o"), "doc_id")
+        .filter(col("n.comp") =!= col("o.comp")).count()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    labels
+  }
 }

@@ -42,6 +42,10 @@ object ExtQueries {
   private val dedupMinhashLsh: Q = (s, dir) =>
     Dedup.minhashLshPairs(dupCorpus(s, dir)).orderBy("ida", "idb")
 
+  private val dedupClusters: Q = (s, dir) =>
+    Dedup.connectedComponents(Dedup.minhashLshPairs(dupCorpus(s, dir)))
+      .orderBy("doc_id")
+
   private val dedupSimhash: Q = (s, dir) =>
     Dedup.simhashSignatures(dupCorpus(s, dir)).orderBy("doc_id")
 
@@ -122,6 +126,7 @@ object ExtQueries {
   val queries: Map[String, Q] = Map(
     "dedup_exact" -> dedupExact,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
+    "dedup_cluster_components" -> dedupClusters,
     "dedup_simhash" -> dedupSimhash,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_embedding_cosine" -> dedupEmbeddingCosine,
@@ -187,6 +192,38 @@ object ExtQueries {
     s"CASE WHEN ${dotSql(v, planeSql(p))} > 0 THEN ${1L << j} ELSE 0 END"
   }.mkString("(", " + ", ")")
 
+  /** Shared minhash pipeline CTEs ending in `scored(ida, idb, jacc_x10000)`
+    * — the DuckDB twin of Dedup.minhashLshPairs before thresholding. */
+  private val MinhashScoredCtes: String =
+    s"""$CorpusCte,
+       |$TokCte,
+       |$ShingleCte,
+       |shx AS (SELECT doc_id, md5(s) AS hx
+       |  FROM (SELECT doc_id, unnest(sg) AS s FROM sh)),
+       |hashes AS (SELECT doc_id,
+       |  ${hexFoldSql(1, 15)} % 1000000007 AS h1m,
+       |  ${hexFoldSql(17, 15)} % 1000000007 AS h2m
+       |  FROM shx),
+       |sigs AS (SELECT doc_id,
+       |  ${(0 until 32).map(i => s"min((h1m + $i*h2m) % 1000000007) AS h$i")
+            .mkString(", ")}
+       |  FROM hashes GROUP BY doc_id),
+       |sigl AS (SELECT doc_id,
+       |  list_transform([${(0 until 32).map(i => s"h$i").mkString(",")}],
+       |    x -> CAST(x AS VARCHAR)) AS sig
+       |  FROM sigs),
+       |bands AS (SELECT doc_id, b,
+       |  md5(array_to_string(sig[b*8+1 : b*8+8], ',')) AS bucket
+       |  FROM sigl, range(0,4) r(b)),
+       |cand AS (SELECT DISTINCT a.doc_id AS ida, c.doc_id AS idb
+       |  FROM bands a JOIN bands c ON a.b = c.b AND a.bucket = c.bucket
+       |  WHERE a.doc_id < c.doc_id),
+       |ts AS (SELECT doc_id, list_distinct(regexp_split_to_array(text, '\\s+')) AS t FROM corpus),
+       |scored AS (SELECT ida, idb,
+       |  10000 * len(list_distinct(list_intersect(x.t, y.t)))
+       |    // (len(x.t) + len(y.t) - len(list_distinct(list_intersect(x.t, y.t)))) AS jacc_x10000
+       |  FROM cand JOIN ts x ON ida = x.doc_id JOIN ts y ON idb = y.doc_id)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "dedup_exact" ->
       s"""$CorpusCte
@@ -194,36 +231,22 @@ object ExtQueries {
          |GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
 
     "dedup_minhash_lsh" ->
-      s"""$CorpusCte,
-         |$TokCte,
-         |$ShingleCte,
-         |shx AS (SELECT doc_id, md5(s) AS hx
-         |  FROM (SELECT doc_id, unnest(sg) AS s FROM sh)),
-         |hashes AS (SELECT doc_id,
-         |  ${hexFoldSql(1, 15)} % 1000000007 AS h1m,
-         |  ${hexFoldSql(17, 15)} % 1000000007 AS h2m
-         |  FROM shx),
-         |sigs AS (SELECT doc_id,
-         |  ${(0 until 32).map(i => s"min((h1m + $i*h2m) % 1000000007) AS h$i")
-              .mkString(", ")}
-         |  FROM hashes GROUP BY doc_id),
-         |sigl AS (SELECT doc_id,
-         |  list_transform([${(0 until 32).map(i => s"h$i").mkString(",")}],
-         |    x -> CAST(x AS VARCHAR)) AS sig
-         |  FROM sigs),
-         |bands AS (SELECT doc_id, b,
-         |  md5(array_to_string(sig[b*8+1 : b*8+8], ',')) AS bucket
-         |  FROM sigl, range(0,4) r(b)),
-         |cand AS (SELECT DISTINCT a.doc_id AS ida, c.doc_id AS idb
-         |  FROM bands a JOIN bands c ON a.b = c.b AND a.bucket = c.bucket
-         |  WHERE a.doc_id < c.doc_id),
-         |ts AS (SELECT doc_id, list_distinct(regexp_split_to_array(text, '\\s+')) AS t FROM corpus),
-         |scored AS (SELECT ida, idb,
-         |  10000 * len(list_distinct(list_intersect(x.t, y.t)))
-         |    // (len(x.t) + len(y.t) - len(list_distinct(list_intersect(x.t, y.t)))) AS jacc_x10000
-         |  FROM cand JOIN ts x ON ida = x.doc_id JOIN ts y ON idb = y.doc_id)
+      s"""$MinhashScoredCtes
          |SELECT ida, idb, jacc_x10000 FROM scored
          |WHERE jacc_x10000 >= 5000 ORDER BY ida, idb""".stripMargin,
+
+    "dedup_cluster_components" ->
+      s"""${MinhashScoredCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |pairs AS (SELECT ida, idb FROM scored WHERE jacc_x10000 >= 5000),
+         |edges AS (SELECT ida AS a, idb AS b FROM pairs
+         |          UNION SELECT idb, ida FROM pairs),
+         |verts AS (SELECT DISTINCT a AS v FROM edges),
+         |reach(v, r) AS (
+         |  SELECT v, v FROM verts
+         |  UNION
+         |  SELECT reach.v, e.b FROM reach JOIN edges e ON reach.r = e.a)
+         |SELECT v AS doc_id, CAST(min(r) AS BIGINT) AS comp
+         |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "dedup_simhash" ->
       s"""$CorpusCte,

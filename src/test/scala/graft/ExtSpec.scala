@@ -42,6 +42,16 @@ class ExtSpec extends AnyFunSuite {
     assert(!pairs.exists { case (a, b) => Set(a, b) == Set(0L, 2L) })
   }
 
+  test("connected components cluster transitive near-dup chains") {
+    import spark.implicits._
+    // chain 1-2-3 plus isolated pair 10-11: min-label propagation must
+    // reach across the chain (1 and 3 share no direct edge)
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("ida", "idb")
+    val comps = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("simhash: near-dups at small hamming distance, unrelated docs far") {
     val sh = Dedup.simhashSignatures(corpus).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
