@@ -82,9 +82,13 @@ object Dedup {
     * no transitive-closure blowup.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 15): DataFrame = {
+    // materialize the edge list once: every iteration (and its convergence
+    // count) would otherwise re-derive the full upstream pipeline (e.g. the
+    // whole MinHash candidate generation) through lineage
     val edges = pairs.select(col("ida").as("a"), col("idb").as("b"))
       .unionAll(pairs.select(col("idb").as("a"), col("ida").as("b")))
       .distinct()
+      .localCheckpoint()
     var labels = edges.select(col("a").as("doc_id")).distinct()
       .withColumn("comp", col("doc_id"))
     var converged = false
