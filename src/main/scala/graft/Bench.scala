@@ -6,11 +6,19 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_SF_DIR, materializing results through the noop sink (a bare
   * count() would let Catalyst prune the projections under test). Prints ONE
   * JSON line — the driver's BENCH_r{N}.json contract.
+  *
+  * Per-query times on this shared host jitter ±2-4× (cold codegen, GC), so
+  * each query is run `SPARK_GRAFT_BENCH_RUNS` times (default 3) and the
+  * MEDIAN is reported; the cache is cleared between runs so a query that
+  * persists intermediate state pays its real cost every time. A query that
+  * throws is reported as -1 with its name in the `errors` list — a failure
+  * must never improve the total.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -23,20 +31,33 @@ object Bench {
     // JVM/codegen warmup so the first measured query isn't paying JIT cost
     spark.range(1000000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
 
+    var errors = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      val times = (1 to runs).flatMap { _ =>
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            None
+        }
       }
-      val dt = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $name%-28s $dt%8.2f s")
-      name -> dt
+      val median =
+        if (times.size < runs) { errors ::= name; -1.0 }
+        else times.sorted.apply(times.size / 2)
+      System.err.println(
+        f"[bench] $name%-28s $median%8.2f s  (runs: ${
+          times.map(t => f"$t%.2f").mkString(", ")})")
+      name -> median
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val errJson = errors.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

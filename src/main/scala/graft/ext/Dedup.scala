@@ -74,6 +74,32 @@ object Dedup {
     pairs.withColumn("jacc_x10000",
       jaccardX10000(TextAnalysis.tokens(col(ta)), TextAnalysis.tokens(col(tb))))
 
+  /** Embedding near-dup pairs at cosine ≥ `threshold` — the bucketed scale
+    * path (replaces an O(|corpus|·|probes|) cross join). Both sides are
+    * bucketed by the SAME sign-LSH in one narrow pass each; candidate pairs
+    * come from the bucket equi-join (the small probe side broadcast, so the
+    * corpus never shuffles); the exact cosine verify runs on candidates only
+    * — expected |corpus|·|probes| / 2^planes compares. At a threshold this
+    * close to 1 the true pairs are (near-)identical vectors, which bucket
+    * identically by construction; raise the plane count as the corpus grows
+    * to keep expected bucket occupancy bounded.
+    *
+    * Inputs: `corpus(vec_id, embedding)`, `probes(vec_id, embedding)`.
+    * Output: `(ida = probe id, idb = corpus id, sim)`.
+    */
+  def embeddingCosinePairs(corpus: DataFrame, probes: DataFrame,
+      planes: Array[Array[Double]], threshold: Double): DataFrame = {
+    val bucketed = corpus
+      .withColumn("bucket", Similarity.lshBucket(col("embedding"), planes))
+    val p = broadcast(probes
+      .select(col("vec_id").as("ida"), col("embedding").as("ea"))
+      .withColumn("bucket", Similarity.lshBucket(col("ea"), planes)))
+    bucketed.join(p, "bucket")
+      .select(col("ida"), col("vec_id").as("idb"),
+        Similarity.cosine(col("ea"), col("embedding")).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
   /** Connected components over near-dup pairs — the clustering step that
     * turns pairwise matches into dedup groups (keep min-id per component).
     * Pregel-style min-label propagation: each iteration is one
@@ -98,17 +124,26 @@ object Dedup {
         .join(labels.withColumnRenamed("doc_id", "a"), "a")
         .groupBy(col("b").as("doc_id"))
         .agg(min("comp").as("nbr_min"))
+      // Carry a per-row `chg` flag through the (eager) checkpoint so the
+      // convergence signal comes from the SAME propagation job; the agg
+      // below only scans the materialized blocks — one heavy job per
+      // iteration instead of two.
       val next = labels.join(msgs, Seq("doc_id"), "left")
         .select(col("doc_id"),
-          least(col("comp"), coalesce(col("nbr_min"), col("comp"))).as("comp"))
-        .localCheckpoint() // truncate the iterative lineage
-      val changed = next.as("n")
-        .join(labels.as("o"), "doc_id")
-        .filter(col("n.comp") =!= col("o.comp")).count()
-      labels = next
-      converged = changed == 0
+          least(col("comp"), coalesce(col("nbr_min"), col("comp"))).as("comp"),
+          (col("nbr_min") < col("comp")).as("chg"))
+        .localCheckpoint() // truncate the iterative lineage + materialize
+      converged = !next.agg(max(coalesce(col("chg"), lit(false))))
+        .head().getBoolean(0)
+      labels = next.drop("chg")
       i += 1
     }
+    if (!converged)
+      // min-label propagation needs `diameter` rounds; silently returning
+      // partial labels would split components without any oracle catching it
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter iterations " +
+          "(component diameter exceeds maxIter); raise maxIter")
     labels
   }
 }

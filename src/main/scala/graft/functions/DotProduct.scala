@@ -11,10 +11,12 @@ import org.apache.spark.sql.types._
   *
   * Semantics are IDENTICAL to the interpreted
   * `aggregate(zip_with(a, b, _*_), 0.0, _+_)` fold it replaces in the
-  * similarity operators: left-to-right IEEE accumulation over
-  * min(len(a), len(b)) elements (float elements widen exactly to double),
-  * NULL if either array or any visited element is NULL. Sequential order is
-  * what keeps results bit-equal across engines and partitionings
+  * similarity operators: left-to-right IEEE accumulation (float elements
+  * widen exactly to double), NULL if either array or any element is NULL —
+  * including the zip_with length-mismatch case, where the shorter side is
+  * null-padded and the fold therefore yields NULL. A dimension mismatch thus
+  * surfaces as NULL, never as a silently-truncated similarity. Sequential
+  * order is what keeps results bit-equal across engines and partitionings
   * (see graft.ext.Similarity).
   */
 case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
@@ -44,7 +46,8 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
     val (af, bf) = (elemType(left) == FloatType, elemType(right) == FloatType)
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -67,9 +70,10 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
          |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
+         |if ($n != $b.numElements()) { ${ev.isNull} = true; }
+         |for (int $i = 0; !${ev.isNull} && $i < $n; $i++) {
          |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  $acc += ${read(a, elemType(left), i)} * ${read(b, elemType(right), i)};
          |}

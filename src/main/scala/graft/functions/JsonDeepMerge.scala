@@ -3,7 +3,7 @@ package graft.functions
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
 import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -28,6 +28,14 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object JsonMerge {
   private val mapper = new ObjectMapper()
+
+  /** UTF8String entry point shared by interpreted eval and generated code
+    * (the codegen emits a single static call to this — see
+    * [[JsonDeepMerge.doGenCode]]). */
+  def mergeUTF8(target: UTF8String, fragment: UTF8String): UTF8String = {
+    val out = mergeStrings(target.toString, fragment.toString)
+    if (out == null) null else UTF8String.fromString(out)
+  }
 
   /** null result = LHS was not valid JSON (abort marker). */
   def mergeStrings(target: String, fragment: String): String = {
@@ -120,20 +128,30 @@ object JsonMerge {
 }
 
 /** Catalyst expression wrapper: `json_deep_merge(target, fragment)`.
-  * CodegenFallback: the body is Jackson tree manipulation; whole-stage
-  * codegen around it still fuses the surrounding projection.
+  * Full codegen: the generated code is one static call into
+  * [[JsonMerge.mergeUTF8]] (the body is Jackson tree manipulation — nothing
+  * to inline further), so the expression participates in whole-stage codegen
+  * instead of forcing a CodegenFallback island that splits the cascade's
+  * generated span.
   */
 case class JsonDeepMerge(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = StringType
   override def nullable: Boolean = true
   override def prettyName: String = "json_deep_merge"
   override protected def withNewChildrenInternal(l: Expression, r: Expression): JsonDeepMerge =
     copy(left = l, right = r)
-  override protected def nullSafeEval(target: Any, fragment: Any): Any = {
-    val out = JsonMerge.mergeStrings(target.toString, fragment.toString)
-    if (out == null) null else UTF8String.fromString(out)
-  }
+  override protected def nullSafeEval(target: Any, fragment: Any): Any =
+    JsonMerge.mergeUTF8(target.asInstanceOf[UTF8String], fragment.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, f) => {
+      val out = ctx.freshName("merged")
+      s"""
+         |org.apache.spark.unsafe.types.UTF8String $out =
+         |  graft.functions.JsonMerge.mergeUTF8($t, $f);
+         |if ($out == null) { ${ev.isNull} = true; } else { ${ev.value} = $out; }
+       """.stripMargin
+    })
 }
 
 object JsonDeepMerge {

@@ -196,9 +196,15 @@ object CoreQueries {
   // O22b — schema inference from the first buffered line
   // (src/sink/parquet.rs:186-212: first-line-only inference).
   private val schemaInferJson: Q = (s, dir) => {
-    val vals = routed(s, dir).filter(col("topic").startsWith("t-"))
-    val first = vals.orderBy("event_id").select("value").limit(1)
-      .collect().headOption.map(_.getString(0)).getOrElse("{}")
+    // The reference infers from the first BUFFERED line — arrival order,
+    // which a distributed engine doesn't have; any deterministic cheap
+    // representative is equally faithful (here: min by event_id via one
+    // map-side-combinable aggregation, no global sort). persist() so the
+    // inference action and the projection share one pipeline run.
+    val vals = routed(s, dir).filter(col("topic").startsWith("t-")).persist()
+    val first = Option(
+      vals.agg(min_by(col("value"), col("event_id"))).head().getString(0))
+      .getOrElse("{}")
     vals.withColumn("j", from_json(col("value"), schema_of_json(lit(first))))
       .select(col("event_id"), col("j.k").as("k"), col("j.meta.topic").as("mtopic"))
       .orderBy("event_id")
@@ -228,11 +234,14 @@ object CoreQueries {
   // O24 — operational counters (statsd metric names, src/status.rs:42-71).
   private val metricsCounts: Q = (s, dir) => {
     GraftFunctions.ensureRegistered(s)
+    // persist: three union branches below each consume this pipeline; the
+    // cache makes the parse run once instead of three times
     val withCorrupt = lines5424(events(s, dir))
       .withColumn("line",
         when(col("event_id") % 10 === 0, concat(lit("garbage "), col("line")))
           .otherwise(col("line")))
       .withColumn("p", call_function("parse_syslog", col("line")))
+      .persist()
     val total = withCorrupt.agg(count(lit(1)).as("value"))
       .select(lit("lines").as("metric"), col("value"))
     val errors = withCorrupt.filter(col("p").isNull).agg(count(lit(1)).as("value"))

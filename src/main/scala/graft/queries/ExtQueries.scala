@@ -60,12 +60,9 @@ object ExtQueries {
   private val dedupEmbeddingCosine: Q = (s, dir) => {
     graft.functions.GraftFunctions.ensureRegistered(s)
     val e = embeddings(s, dir)
-    val copies = broadcast(e.filter(col("vec_id") % 50 === 0)
-      .select((col("vec_id") + 1000000).as("ida"), col("embedding").as("ea")))
-    e.crossJoin(copies)
-      .select(col("ida"), col("vec_id").as("idb"),
-        Similarity.cosine(col("ea"), col("embedding")).as("sim"))
-      .filter(col("sim") >= 0.999)
+    val copies = e.filter(col("vec_id") % 50 === 0)
+      .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
+    Dedup.embeddingCosinePairs(e, copies, Planes, threshold = 0.999)
       .orderBy("ida", "idb")
   }
 

@@ -38,43 +38,54 @@ object RoutedSink {
     */
   def writeRouted(routed: DataFrame, cfg: GraftConfig, url: String,
       inferUndeclared: Boolean = false): Unit = {
-    val schemas = cfg.schemas
-    val declaredTopics = schemas.keySet
-    // Declared destinations: decode JSON payloads to the typed schema.
-    schemas.values.foreach { ts =>
-      val st = SchemaConv.forTopic(ts)
-      routed.filter(col("topic") === ts.topic)
-        .select(from_json(col("value"), st).as("v"))
-        .select(col("v.*"))
-        .write.mode(SaveMode.Append).parquet(s"$url/topic=${ts.topic}")
-    }
-    val rest =
-      if (declaredTopics.isEmpty) routed
-      else routed.filter(!col("topic").isInCollection(declaredTopics.toSeq))
-    if (!inferUndeclared) {
-      rest.write.mode(SaveMode.Append).partitionBy("topic").parquet(url)
-    } else {
-      val spark = routed.sparkSession
-      import spark.implicits._
-      // destination count is bounded (it's a routing topic set), so the
-      // driver-side loop mirrors the reference's per-destination buffer map
-      rest.select("topic").distinct().as[String].collect().sorted.foreach { t =>
-        val vals = rest.filter(col("topic") === t).select("value")
-        vals.limit(1).as[String].collect().headOption.foreach { first =>
-          val schema = try {
-            org.apache.spark.sql.types.DataType.fromDDL(
-              spark.range(1).select(schema_of_json(lit(first)).as("s"))
-                .head().getString(0))
-          } catch { case _: Exception => null }
-          schema match {
-            case st: org.apache.spark.sql.types.StructType if st.nonEmpty =>
-              vals.select(from_json(col("value"), st).as("v")).select(col("v.*"))
-                .write.mode(SaveMode.Append).parquet(s"$url/topic=$t")
-            case _ => () // not a JSON object head → batch discarded, as the
-                         // reference does on inference failure
+    // Standard foreachBatch multi-sink pattern: this method runs 1+|schemas|
+    // write actions (more in infer mode) — without a persist each one would
+    // re-execute the whole upstream parse/cascade pipeline per micro-batch.
+    routed.persist()
+    try {
+      val schemas = cfg.schemas
+      val declaredTopics = schemas.keySet
+      // Declared destinations: decode JSON payloads to the typed schema.
+      schemas.values.foreach { ts =>
+        val st = SchemaConv.forTopic(ts)
+        routed.filter(col("topic") === ts.topic)
+          .select(from_json(col("value"), st).as("v"))
+          .select(col("v.*"))
+          .write.mode(SaveMode.Append).parquet(s"$url/topic=${ts.topic}")
+      }
+      val rest =
+        if (declaredTopics.isEmpty) routed
+        else routed.filter(!col("topic").isInCollection(declaredTopics.toSeq))
+      if (!inferUndeclared) {
+        rest.write.mode(SaveMode.Append).partitionBy("topic").parquet(url)
+      } else {
+        val spark = routed.sparkSession
+        import spark.implicits._
+        // destination count is bounded (it's a routing topic set), so the
+        // driver-side loop mirrors the reference's per-destination buffer map
+        rest.select("topic").distinct().as[String].collect().sorted.foreach { t =>
+          val vals = rest.filter(col("topic") === t).select("value")
+          // The reference infers from its first BUFFERED line — arrival order,
+          // which Spark doesn't preserve. Any deterministic representative is
+          // equally faithful; min(value) is stable across partitionings where
+          // a bare limit(1) is not.
+          vals.agg(min("value")).as[String].collect().headOption
+              .filter(_ != null).foreach { first =>
+            val schema = try {
+              org.apache.spark.sql.types.DataType.fromDDL(
+                spark.range(1).select(schema_of_json(lit(first)).as("s"))
+                  .head().getString(0))
+            } catch { case _: Exception => null }
+            schema match {
+              case st: org.apache.spark.sql.types.StructType if st.nonEmpty =>
+                vals.select(from_json(col("value"), st).as("v")).select(col("v.*"))
+                  .write.mode(SaveMode.Append).parquet(s"$url/topic=$t")
+              case _ => () // not a JSON object head → batch discarded, as the
+                           // reference does on inference failure
+            }
           }
         }
       }
-    }
+    } finally routed.unpersist()
   }
 }

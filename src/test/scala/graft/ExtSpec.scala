@@ -52,6 +52,31 @@ class ExtSpec extends AnyFunSuite {
     assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("embedding cosine dedup: bucketed plan finds planted copies, no cartesian") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val planes = Similarity.hyperplanes(nPlanes = 6, dim = 4)
+    val corpus = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)), (1L, Array(0f, 1f, 0f, 0f)),
+      (2L, Array(0.5f, 0.5f, 0.7f, 0f)), (3L, Array(-1f, 0.5f, 3f, 0f)))
+      .toDF("vec_id", "embedding")
+    val probes = Seq((1000L, Array(1f, 0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val out = Dedup.embeddingCosinePairs(corpus, probes, planes, 0.999)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"expected a bucket equi-join, got:\n$plan")
+    assert(out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1000L, 0L)))
+  }
+
+  test("connected components throw when maxIter is below the diameter") {
+    // a 5-hop path needs 5 min-label rounds; maxIter=2 must fail loudly,
+    // never return partially-propagated labels
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+      .toDF("ida", "idb")
+    assertThrows[IllegalStateException] {
+      Dedup.connectedComponents(path, maxIter = 2)
+    }
+  }
+
   test("simhash: near-dups at small hamming distance, unrelated docs far") {
     val sh = Dedup.simhashSignatures(corpus).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -91,6 +116,14 @@ class ExtSpec extends AnyFunSuite {
       .filter($"fast" =!= $"ref") // bitwise-equal doubles compare equal
       .count()
     assert(diff == 0L)
+  }
+
+  test("dot_product: dimension mismatch yields NULL (zip_with parity), not truncation") {
+    val df = Seq((Array(1f, 2f, 3f), Array(1f, 2f))).toDF("a", "b")
+    val out = df.select(
+      Similarity.dot($"a", $"b").as("fast"),
+      Similarity.foldDot($"a", $"b").as("ref")).head()
+    assert(out.isNullAt(0) && out.isNullAt(1))
   }
 
   test("cosine: identical vectors ≈ 1, orthogonal = 0") {
