@@ -48,10 +48,26 @@ object GraftPipeline {
   def fileStream(spark: SparkSession, cfg: GraftConfig, inputDir: String): DataFrame =
     transform(cfg, spark.readStream.text(inputDir).withColumnRenamed("value", "line"))
 
-  /** Plaintext TCP line source (reference O1, src/serve/plain.rs): Spark's
-    * socket source splits on newlines like the reference's reader.lines().
-    * Test/dev only — not fault-tolerant; TLS (O2) has no built-in source
-    * and is documented out of scope for v1 (SURVEY.md §7.5). */
+  /** TCP/TLS syslog SERVER source (reference O1/O2 at full fidelity): the
+    * `graft-syslog` DSv2 source accepts client connections and splits each
+    * byte stream on newlines, exactly the reference's front door
+    * (src/serve/mod.rs:73-172, src/serve/plain.rs:4-6); TLS via PEM
+    * cert+key options mirroring src/serve/tls.rs:73-124. Extra options
+    * (`name`, `numPartitions`, `tls.*`) pass through.
+    */
+  def tcpStream(spark: SparkSession, cfg: GraftConfig, host: String, port: Int,
+      options: Map[String, String] = Map.empty): DataFrame =
+    transform(cfg,
+      options.foldLeft(
+        spark.readStream.format("graft-syslog")
+          .option("host", host).option("port", port)) {
+        case (r, (k, v)) => r.option(k, v)
+      }.load())
+
+  /** Plaintext TCP line source via Spark's built-in CLIENT socket source
+    * (dials out to host:port — the inverse shape of [[tcpStream]]'s server;
+    * kept for dev parity with `nc -lk`). Test/dev only — not fault-tolerant,
+    * no TLS. */
   def socketStream(spark: SparkSession, cfg: GraftConfig, host: String, port: Int): DataFrame =
     transform(cfg,
       spark.readStream.format("socket")
