@@ -189,8 +189,12 @@ object GraftConfig {
     // config error (asserted by test/configs/single-rule-with-invalid-jmespath.yml).
     regex.foreach(r => java.util.regex.Pattern.compile(Regexes.toJava(r)))
     jmespath.foreach { p =>
-      if (!JmesPathSubset.isValid(p))
-        throw new GraftConfigException(s"invalid jmespath expression: $p")
+      try graft.jmespath.JmesPath.compile(p)
+      catch {
+        case e: graft.jmespath.JmesPath.JmesPathParseException =>
+          throw new GraftConfigException(
+            s"invalid jmespath expression: $p (${e.getMessage})")
+      }
     }
     Rule(
       field = Field.fromString(m.getOrElse("field", "msg").toString),
@@ -275,11 +279,11 @@ object Regexes {
 }
 
 /** The dotted-path JMESPath subset the shipped configs use (e.g. `meta.topic`,
-  * hotdog.yml:46). Identifiers separated by `.`, each optionally followed by
-  * `[n]` indexes. Anything else (spaces, functions, filters, slices) is
-  * rejected at load time — full JMESPath is out of scope (SURVEY.md §7.4);
-  * the reference fails startup on uncompilable expressions too
-  * (src/connection.rs:293-307).
+  * hotdog.yml:46): identifiers separated by `.`, each optionally followed by
+  * `[n]` indexes. This subset compiles to the codegen'd `get_json_object`
+  * FAST PATH in the rule compiler; everything else goes through the full
+  * [[graft.jmespath.JmesPath]] evaluator (validated at config load, matching
+  * the reference's startup compilation, src/connection.rs:293-307).
   */
 object JmesPathSubset {
   private val Segment = "[A-Za-z_][A-Za-z0-9_]*(\\[[0-9]+\\])*".r

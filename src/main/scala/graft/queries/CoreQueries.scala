@@ -78,6 +78,38 @@ object CoreQueries {
       .filter(col("value").isNotNull)
       .orderBy("event_id")
 
+  // O8-full — the complete JMESPath language (slices incl. negative step,
+  // filter projections with && and comparators, functions, expression
+  // references, pipes/or, multi-select hashes) over per-row synthesized
+  // JSON — parity with the reference's jmespath crate (src/rules.rs:74-94)
+  // beyond the dotted-path subset.
+  private val matchJmespathFull: Q = (s, dir) => {
+    GraftFunctions.ensureRegistered(s)
+    def m(n: Int) = (col("event_id") % n).cast("string")
+    val name = when(col("event_id") % 4 === 0, lit(""))
+      .otherwise(concat(lit("x"), col("event_type")))
+    val flag = when(col("event_id") % 2 === 0, lit("true")).otherwise(lit("false"))
+    val j = concat(
+      lit("{\"vals\":["), m(10), lit(","), m(7), lit(","), m(5), lit(","), m(3),
+      lit("],\"items\":[{\"v\":"), m(7), lit(",\"t\":\"a\"},{\"v\":"), m(5),
+      lit(",\"t\":\"b\"}],\"name\":\""), name, lit("\",\"flag\":"), flag, lit("}"))
+    def jq(p: String) = call_function("jmespath_query", col("j"), lit(p))
+    def jv(p: String) = call_function("jmespath_value", col("j"), lit(p))
+    events(s, dir).withColumn("j", j)
+      .select(col("event_id"),
+        // pipe stops the slice's projection so the filter sees the ARRAY
+        // (a bare [?...] after [1:] would filter inside the projection)
+        jq("sum(vals[1:] | [?@ >= `2`])").as("s_sum"),
+        jv("min_by(items, &v).t").as("s_minby"),
+        // note: a bare [0] after the slice would index per-element (slices
+        // are projections); the pipe stops the projection first
+        jq("vals[::-1] | [0]").as("s_revhead"),
+        jq("length(vals[?@ > `1` && @ < `5`])").as("s_filtlen"),
+        jv("name || 'fallback'").as("s_or"),
+        jq("{f: flag, n: !flag}").as("s_hash"))
+      .orderBy("event_id")
+  }
+
   // O9 — field selector: rules on a non-msg field (hostname), null-safe.
   private val fieldSelect: Q = (s, dir) => {
     val rules = List(
@@ -265,6 +297,7 @@ object CoreQueries {
     "parse_error_filter" -> parseErrorFilter,
     "match_regex_capture" -> matchRegexCapture,
     "match_jmespath" -> matchJmespath,
+    "match_jmespath_full" -> matchJmespathFull,
     "field_select" -> fieldSelect,
     "enrich_builtin_vars" -> enrichBuiltinVars,
     "replace_template" -> replaceTemplate,
@@ -326,6 +359,23 @@ object CoreQueries {
       """SELECT event_id, json_extract_string(props, '$.k') AS value
         |FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL
         |ORDER BY event_id""".stripMargin,
+
+    // the oracle replays the same arithmetic the synthesized JSON encodes
+    "match_jmespath_full" ->
+      """SELECT event_id,
+        |  CAST((CASE WHEN event_id % 7 >= 2 THEN event_id % 7 ELSE 0 END
+        |      + CASE WHEN event_id % 5 >= 2 THEN event_id % 5 ELSE 0 END
+        |      + CASE WHEN event_id % 3 >= 2 THEN event_id % 3 ELSE 0 END) AS VARCHAR) AS s_sum,
+        |  CASE WHEN event_id % 7 <= event_id % 5 THEN 'a' ELSE 'b' END AS s_minby,
+        |  CAST(event_id % 3 AS VARCHAR) AS s_revhead,
+        |  CAST((CASE WHEN event_id % 10 BETWEEN 2 AND 4 THEN 1 ELSE 0 END
+        |      + CASE WHEN event_id % 7 BETWEEN 2 AND 4 THEN 1 ELSE 0 END
+        |      + CASE WHEN event_id % 5 BETWEEN 2 AND 4 THEN 1 ELSE 0 END
+        |      + CASE WHEN event_id % 3 BETWEEN 2 AND 4 THEN 1 ELSE 0 END) AS VARCHAR) AS s_filtlen,
+        |  CASE WHEN event_id % 4 = 0 THEN 'fallback' ELSE 'x' || event_type END AS s_or,
+        |  CASE WHEN event_id % 2 = 0 THEN '{"f":true,"n":false}'
+        |       ELSE '{"f":false,"n":true}' END AS s_hash
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "field_select" ->
       s"""$Lines5424Cte $parsedSql

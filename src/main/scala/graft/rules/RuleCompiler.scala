@@ -113,13 +113,22 @@ object RuleCompiler {
           name -> regexp_extract(fieldCol, jp, idx)
         }.toMap
         (fieldCol.isNotNull && fieldCol.rlike(jp), caps)
-      case (Some(expr), _) =>
-        // Dotted-path subset via get_json_object: non-null result = match,
-        // string result bound as `value` (src/rules.rs:75-93). Divergence
-        // (documented): a non-string result binds its JSON text here, where
-        // the reference leaves `value` unset.
+      case (Some(expr), _) if JmesPathSubset.isValid(expr) =>
+        // Dotted-path fast path via get_json_object: non-null result =
+        // match, string result bound as `value` (src/rules.rs:75-93).
+        // Divergence (documented): a non-string result binds its JSON text
+        // here, where the reference leaves `value` unset.
         val v = get_json_object(fieldCol, JmesPathSubset.toJsonPath(expr))
         (fieldCol.isNotNull && v.isNotNull, Map("value" -> v))
+      case (Some(expr), _) =>
+        // Full JMESPath (functions, slices, filters, projections — parity
+        // with src/rules.rs:74-94 via the jmespath crate): non-null search
+        // result = match; ONLY a string result binds `value`
+        // (src/rules.rs:80-88) — jmespath_value is null otherwise, and
+        // Template renders a null variable as "".
+        val q = call_function("jmespath_query", fieldCol, lit(expr))
+        val v = call_function("jmespath_value", fieldCol, lit(expr))
+        (fieldCol.isNotNull && q.isNotNull, Map("value" -> v))
       case _ => (lit(false), Map.empty[String, Column])
     }
 

@@ -51,6 +51,33 @@ class CascadeSpec extends AnyFunSuite {
     assert(value == "some junk")
   }
 
+  test("full JMESPath rule: filter+function expression routes dynamically") {
+    // beyond the dotted-path subset: a filter projection + pipe picks the
+    // WA location's name as the dynamic topic (src/rules.rs:74-94 parity)
+    val cfg = Synth.HotdogConfig.copy(rules = List(
+      Rule(Field.Msg, None, Some("locations[?state == 'WA'].name | [0]"), List(
+        Action.Forward("{{value}}"), Action.Stop)),
+      Rule(Field.Msg, Some(".*"), None, List(
+        Action.Forward("unmatched"), Action.Stop))))
+    val hit = """{"locations":[{"name":"seattle","state":"WA"},{"name":"sf","state":"CA"}]}"""
+    val miss = """{"locations":[{"name":"sf","state":"CA"}]}"""
+    val out = routeRaw(cfg, Seq(hit, miss, "not json"))
+    assert(out(0).get._1 == "seattle")
+    // empty projection result → null → rule does not match → catch-all
+    assert(out(1).get._1 == "unmatched")
+    assert(out(2).get._1 == "unmatched")
+  }
+
+  test("full JMESPath rule: non-string result matches but binds no value") {
+    // the reference only binds `value` for string results (src/rules.rs:80-88);
+    // a matching rule with a number result forwards with an empty-render topic
+    val cfg = Synth.HotdogConfig.copy(rules = List(
+      Rule(Field.Msg, None, Some("length(items)"), List(
+        Action.Forward("n-{{value}}"), Action.Stop))))
+    val out = routeRaw(cfg, Seq("""{"items":[1,2,3]}"""))
+    assert(out.head.get._1 == "n-") // matched; {{value}} rendered as ""
+  }
+
   test("first-match-wins: hello-JSON hits rule 1, not rule 2") {
     // a msg matching BOTH rule1's regex and rule2's jmespath goes to rule1
     val msg = """hello {"meta":{"topic":"x"}}"""
