@@ -282,11 +282,34 @@ object CoreQueries {
     val routedOk = ok
       .withColumn("r", RuleCompiler.cascade(HotdogConfig, fieldCols(col("p")),
         lit(Version), lit(IsoPin)))
-      .filter(col("r").isNotNull)
+      .filter(col("r").isNotNull && col("r.topic").isNotNull)
     val perTopic = routedOk.groupBy(col("r.topic").as("topic"))
       .agg(count(lit(1)).as("value"))
       .select(concat(lit("kafka.submitted."), col("topic")).as("metric"), col("value"))
     total.unionAll(errors).unionAll(perTopic).orderBy("metric")
+  }
+
+  // O24b — merge-error counter (hotdog.error.merge_target_not_json,
+  // README.adoc:512-515): a regex-matched rule whose merge hits non-JSON
+  // msgs is claimed-and-dropped with the tagged err state; the catch-all
+  // takes the rest.
+  private val metricsMergeErrors: Q = (s, dir) => {
+    GraftFunctions.ensureRegistered(s)
+    val rules = List(
+      Rule(Field.Msg, Some("^hello"), None, List(
+        Action.Merge("""{"tag":"m"}"""))), // non-terminal: only failures drop
+      Rule(Field.Msg, Some(".*"), None, List(Action.Forward("rest"), Action.Stop)))
+    val r = parsed(s, dir)
+      .withColumn("r", RuleCompiler.cascade(HotdogConfig.copy(rules = rules),
+        parsedFieldCols, lit(Version), lit(IsoPin)))
+      .persist()
+    val merr = r.filter(col("r.err") === RuleCompiler.ErrMergeTargetNotJson)
+      .agg(count(lit(1)).as("value"))
+      .select(lit("error.merge_target_not_json").as("metric"), col("value"))
+    val sub = r.filter(col("r.topic").isNotNull)
+      .groupBy(col("r.topic").as("topic")).agg(count(lit(1)).as("value"))
+      .select(concat(lit("kafka.submitted."), col("topic")).as("metric"), col("value"))
+    merr.unionAll(sub).orderBy("metric")
   }
 
   val queries: Map[String, Q] = Map(
@@ -313,7 +336,8 @@ object CoreQueries {
     "schema_infer_json" -> schemaInferJson,
     "scalar_surface" -> scalarSurface,
     "variant_json" -> variantJson,
-    "metrics_counts" -> metricsCounts)
+    "metrics_counts" -> metricsCounts,
+    "metrics_merge_errors" -> metricsMergeErrors)
 
   private val parsedSql = parsedCte(P5424Sql, 8, 3, 4)
   private val parsed3164Sql = parsedCte(P3164Sql, 4, 2, 3)
@@ -483,5 +507,14 @@ object CoreQueries {
          |SELECT 'error.log_parse', (SELECT count(*) FROM corrupted) - (SELECT count(*) FROM parsed)
          |UNION ALL
          |SELECT 'kafka.submitted.' || topic, count(*) FROM routed GROUP BY topic
+         |ORDER BY metric""".stripMargin,
+
+    "metrics_merge_errors" ->
+      s"""$Lines5424Cte $parsedSql
+         |SELECT 'error.merge_target_not_json' AS metric, count(*) AS value
+         |FROM parsed WHERE regexp_matches(msg, '^hello')
+         |UNION ALL
+         |SELECT 'kafka.submitted.rest', count(*)
+         |FROM parsed WHERE NOT regexp_matches(msg, '^hello')
          |ORDER BY metric""".stripMargin)
 }

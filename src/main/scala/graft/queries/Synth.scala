@@ -202,7 +202,9 @@ object Synth {
   def routed(s: SparkSession, dir: String, cfg: GraftConfig = HotdogConfig): DataFrame =
     parsed(s, dir)
       .withColumn("r", RuleCompiler.cascade(cfg, parsedFieldCols, lit(Version), lit(IsoPin)))
-      .filter(noPushFilter(col("r").isNotNull))
+      // topic IS NULL also drops the tagged claimed-and-dropped state
+      // (merge failure, RuleCompiler.ErrMergeTargetNotJson)
+      .filter(noPushFilter(col("r").isNotNull && col("r.topic").isNotNull))
       .select(col("event_id"), col("r.topic").as("topic"), col("r.value").as("value"))
 
   private val Rx1 = """^hello\s+(\w+)?"""

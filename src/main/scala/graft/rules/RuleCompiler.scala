@@ -70,7 +70,11 @@ object Template {
   *     sees the message; a failing merge with no subsequent forward drops it.
   */
 object RuleCompiler {
-  val OutputType = "struct<topic:string,value:string>"
+  /** `err` tags the drop reason for the metrics surface: 1 = merge target
+    * not JSON (the claimed-and-dropped state). A dropped row is either a
+    * NULL struct (unclaimed / stop) or `topic IS NULL` with `err` set. */
+  val OutputType = "struct<topic:string,value:string,err:int>"
+  val ErrMergeTargetNotJson = 1
 
   /** The five addressable fields (reference: src/settings.rs:53-61). */
   final case class FieldCols(
@@ -155,7 +159,8 @@ object RuleCompiler {
         case Action.Forward(topicTmpl) =>
           val topic = Template.compile(topicTmpl, vars)
           val value = when(length(out) === 0, fields.msg).otherwise(out)
-          terminal = Some(struct(topic.as("topic"), value.as("value")))
+          terminal = Some(struct(topic.as("topic"), value.as("value"),
+            lit(null).cast("int").as("err")))
         case Action.Stop =>
           terminal = Some(lit(null).cast(OutputType))
       }
@@ -168,9 +173,14 @@ object RuleCompiler {
         // rule (it only stopped later rules, which `claims` already does).
         Compiled(matches, result)
       case None =>
-        // No terminal action: only merge-failures terminate (and drop);
-        // other matched rows flow on to later rules.
-        Compiled(matches && failed, lit(null).cast(OutputType))
+        // No terminal action: only merge-failures terminate (and drop) —
+        // tagged so the metrics surface can count them
+        // (error.merge_target_not_json, README.adoc:512-515); other matched
+        // rows flow on to later rules.
+        Compiled(matches && failed,
+          struct(lit(null).cast("string").as("topic"),
+            lit(null).cast("string").as("value"),
+            lit(ErrMergeTargetNotJson).as("err")))
     }
   }
 }

@@ -32,13 +32,27 @@ object GraftPipeline {
       .observe("graft", count(lit(1)).as("lines"),
         count(when(col("p").isNull, 1)).as("error.log_parse"))
       .filter(col("p").isNotNull)
-    parsed
+    // statically-known destinations get per-topic submitted counters
+    // (hotdog.kafka.submitted.<topic>, README.adoc:487-489); dynamic
+    // (templated) topics are covered by the total
+    val staticTopics = cfg.rules.flatMap(_.actions).collect {
+      case graft.config.Action.Forward(t) if !t.contains("{{") => t
+    }.distinct
+    val routed = parsed
       .withColumn("r", RuleCompiler.cascade(cfg, Synth.fieldCols(col("p")),
         lit(GraftConfig.Version), iso8601))
+    routed
+      .observe("graft_route",
+        count(when(col("r.err") === RuleCompiler.ErrMergeTargetNotJson, 1))
+          .as("error.merge_target_not_json"),
+        (count(when(col("r.topic").isNotNull, 1)).as("kafka.submitted") +:
+          staticTopics.map(t =>
+            count(when(col("r.topic") === t, 1)).as(s"kafka.submitted.$t"))): _*)
       // plain filter: the batch-side pushdown fence (Synth.noPushFilter)
       // uses monotonically_increasing_id, which streaming plans reject —
-      // and streaming has no spread exchange to fence against
-      .filter(col("r").isNotNull)
+      // and streaming has no spread exchange to fence against.
+      // topic IS NULL also drops the tagged merge-failure state.
+      .filter(col("r").isNotNull && col("r.topic").isNotNull)
       .select(col("r.topic").as("topic"), col("r.value").as("value"))
   }
 
@@ -125,19 +139,61 @@ object GraftPipeline {
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("window_start"), col("topic"), col("n"))
 
-  /** Listener translating query progress to the reference's statsd metric
-    * names (README.adoc:469-516) — here surfaced through the log. */
-  final class MetricsListener extends StreamingQueryListener {
+  /** Listener translating query progress to the reference's complete statsd
+    * metric name surface (graft.metrics.Stats, README.adoc:469-516) —
+    * logged always, emitted over UDP when an emitter is supplied. Per
+    * micro-batch it surfaces:
+    *   - `hotdog.lines` / `hotdog.error.log_parse` (observe on the parse),
+    *   - `hotdog.kafka.submitted(.<topic>)` and
+    *     `hotdog.error.merge_target_not_json` (observe on the cascade),
+    *   - `hotdog.connections` gauge + line counter from the graft-syslog
+    *     source's ReportsSourceMetrics,
+    *   - `hotdog.kafka.producer.sent` timer from the batch's addBatch
+    *     duration — the sink-write analog of the reference's produce timer
+    *     (src/sink/kafka.rs:130-155).
+    */
+  final class MetricsListener(emitter: Option[graft.metrics.StatsdEmitter] = None)
+      extends StreamingQueryListener {
+    import graft.metrics.Stats
     private val log = org.apache.log4j.Logger.getLogger(classOf[MetricsListener])
+
+    private def counter(name: String, v: Long): Unit = {
+      log.info(s"$name=$v")
+      emitter.foreach(_.counter(name, v))
+    }
+
     override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit =
       log.info(s"graft query started: ${e.id}")
+
     override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
-      val obs = e.progress.observedMetrics
+      val p = e.progress
+      val obs = p.observedMetrics
       if (obs.containsKey("graft")) {
         val row = obs.get("graft")
-        log.info(s"hotdog.lines=${row.getLong(0)} hotdog.error.log_parse=${row.getLong(1)}")
+        counter(Stats.Lines, row.getLong(0))
+        counter(Stats.LogParseError, row.getLong(1))
+      }
+      if (obs.containsKey("graft_route")) {
+        val row = obs.get("graft_route")
+        row.schema.fieldNames.zipWithIndex.foreach { case (f, i) =>
+          counter(s"${Stats.Prefix}.$f", row.getLong(i))
+        }
+      }
+      p.sources.foreach { s =>
+        val m = s.metrics
+        if (m != null && m.containsKey("connections")) {
+          val v = m.get("connections").toLong
+          log.info(s"${Stats.Connections}=$v")
+          emitter.foreach(_.gauge(Stats.Connections, v))
+        }
+      }
+      val add = p.durationMs.get("addBatch")
+      if (add != null) {
+        log.info(s"${Stats.KafkaProducerSent}=${add}ms")
+        emitter.foreach(_.timerMs(Stats.KafkaProducerSent, add))
       }
     }
+
     override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit =
       log.info(s"graft query terminated: ${e.id}")
   }
