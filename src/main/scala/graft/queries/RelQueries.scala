@@ -249,7 +249,67 @@ object RelQueries {
       .orderBy("key")
   }
 
+  // Bucketed co-located join: both sides written ONCE bucketed (+sorted) on
+  // the join key — the scan's output partitioning then satisfies the join's
+  // clustering requirement, so the sort-merge join runs with NO shuffle
+  // exchange on either side (plan-asserted in JoinPlanSpec). This is the
+  // write-once-join-many layout for 100 TB fact tables: the shuffle is paid
+  // once at ingest, not per query. The merge hint keeps the small side from
+  // broadcasting so the co-location is actually exercised; the key measures
+  // the honest write+join cost.
+  private val qBucketedJoin: Q = (s, dir) => {
+    // idempotent rebuild: the in-memory catalog forgets tables across
+    // sessions but their warehouse directories persist — clear both
+    def reset(table: String): Unit = {
+      s.sql(s"DROP TABLE IF EXISTS $table")
+      val wh = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), table)
+      wh.getFileSystem(s.sparkContext.hadoopConfiguration).delete(wh, true)
+    }
+    reset("graft_bucketed_orders")
+    reset("graft_bucketed_customer")
+    orders(s, dir).write
+      .bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .saveAsTable("graft_bucketed_orders")
+    customer(s, dir).write
+      .bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .saveAsTable("graft_bucketed_customer")
+    s.table("graft_bucketed_customer").hint("merge")
+      .join(s.table("graft_bucketed_orders"),
+        col("c_custkey") === col("o_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      .orderBy("c_mktsegment")
+  }
+
+  // The same 80%-hot-key join as q_skew_join_salted, UNSALTED — the modern
+  // mitigation: AQE's runtime skew-split (OptimizeSkewedJoin) carves the hot
+  // shuffle partition into parallel splits, replicating the matching dim
+  // rows per split exactly like the manual salt does, but decided from
+  // runtime statistics instead of hand-tuning. The merge hint forces the
+  // shuffle path (a broadcast would sidestep skew entirely). The dim is the
+  // customer PK table (covers every user_id incl. the hot key, unique keys)
+  // — a plain scan under the join, because OptimizeSkewedJoin only matches
+  // join sides whose sort sits DIRECTLY on the shuffle (an aggregation-
+  // derived dim like distinct() breaks the pattern). Results equal the
+  // salted key's row-for-row; JoinPlanSpec asserts the split engages under
+  // thresholds scaled to the test corpus.
+  private val qSkewJoinAqe: Q = (s, dir) => {
+    val ev = events(s, dir)
+    val fact = ev.select(
+      when(col("event_id") % 10 < 8, lit(0L)).otherwise(col("user_id")).as("key"),
+      (col("event_id") % 1000).as("val"))
+    val dim = customer(s, dir).select(col("c_custkey").as("key"),
+      concat(lit("u"), col("c_custkey").cast("string")).as("label"))
+    fact.join(dim.hint("merge"), Seq("key"))
+      .groupBy("key", "label")
+      .agg(count(lit(1)).as("n"), sum("val").as("sum_val"))
+      .orderBy("key")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_bucketed_join" -> qBucketedJoin,
+    "q_skew_join_aqe" -> qSkewJoinAqe,
     "q_distinct_agg" -> qDistinctAgg,
     "q_outer_join" -> qOuterJoin,
     "q_cube" -> qCube,
@@ -267,6 +327,20 @@ object RelQueries {
     "q_asof_join" -> qAsofJoin)
 
   private val DSum = "CAST(sum(CAST(%s AS DECIMAL(18,6))) AS DOUBLE)"
+
+  /** Shared by the salted and AQE skew-join keys — the result is
+    * plan-invariant, only the skew mitigation differs. */
+  private val SkewJoinSql: String =
+    """WITH fact AS (
+      |  SELECT CASE WHEN event_id % 10 < 8 THEN 0 ELSE user_id END AS key,
+      |         event_id % 1000 AS val
+      |  FROM events),
+      |dim AS (
+      |  SELECT DISTINCT user_id AS key, 'u' || CAST(user_id AS VARCHAR) AS label
+      |  FROM events)
+      |SELECT f.key, d.label, count(*) AS n, CAST(sum(f.val) AS BIGINT) AS sum_val
+      |FROM fact f JOIN dim d ON f.key = d.key
+      |GROUP BY 1, 2 ORDER BY f.key""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q1_agg" ->
@@ -375,17 +449,17 @@ object RelQueries {
         |  AND c.ts_us >= p.ts_us - 3600000000 AND c.ts_us <= p.ts_us
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
-    "q_skew_join_salted" ->
-      """WITH fact AS (
-        |  SELECT CASE WHEN event_id % 10 < 8 THEN 0 ELSE user_id END AS key,
-        |         event_id % 1000 AS val
-        |  FROM events),
-        |dim AS (
-        |  SELECT DISTINCT user_id AS key, 'u' || CAST(user_id AS VARCHAR) AS label
-        |  FROM events)
-        |SELECT f.key, d.label, count(*) AS n, CAST(sum(f.val) AS BIGINT) AS sum_val
-        |FROM fact f JOIN dim d ON f.key = d.key
-        |GROUP BY 1, 2 ORDER BY f.key""".stripMargin,
+    "q_skew_join_salted" -> SkewJoinSql,
+    // same result (customer's PK covers every fact key exactly once), skew
+    // handled by AQE at runtime instead of manual salting
+    "q_skew_join_aqe" -> SkewJoinSql.replace(
+      "SELECT DISTINCT user_id AS key, 'u' || CAST(user_id AS VARCHAR) AS label\n  FROM events",
+      "SELECT c_custkey AS key, 'u' || CAST(c_custkey AS VARCHAR) AS label\n  FROM customer"),
+
+    "q_bucketed_join" ->
+      s"""SELECT c_mktsegment, count(*) AS n, ${DSum.format("o_totalprice")} AS total
+         |FROM customer JOIN orders ON c_custkey = o_custkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "sessionize_events" ->
       """WITH e AS (
