@@ -151,8 +151,13 @@ object GraftPipeline {
     *   - `hotdog.kafka.producer.sent` timer from the batch's addBatch
     *     duration — the sink-write analog of the reference's produce timer
     *     (src/sink/kafka.rs:130-155).
+    *
+    * Every value also lands in the optional [[graft.metrics.StatusServer]]
+    * registry, so `GET /stats` serves live per-batch numbers (strictly more
+    * than the reference's empty map, src/status.rs:30-36).
     */
-  final class MetricsListener(emitter: Option[graft.metrics.StatsdEmitter] = None)
+  final class MetricsListener(emitter: Option[graft.metrics.StatsdEmitter] = None,
+      status: Option[graft.metrics.StatusServer] = None)
       extends StreamingQueryListener {
     import graft.metrics.Stats
     private val log = org.apache.log4j.Logger.getLogger(classOf[MetricsListener])
@@ -160,6 +165,7 @@ object GraftPipeline {
     private def counter(name: String, v: Long): Unit = {
       log.info(s"$name=$v")
       emitter.foreach(_.counter(name, v))
+      status.foreach(_.update(name, v))
     }
 
     override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit =
@@ -185,12 +191,14 @@ object GraftPipeline {
           val v = m.get("connections").toLong
           log.info(s"${Stats.Connections}=$v")
           emitter.foreach(_.gauge(Stats.Connections, v))
+          status.foreach(_.update(Stats.Connections, v))
         }
       }
       val add = p.durationMs.get("addBatch")
       if (add != null) {
         log.info(s"${Stats.KafkaProducerSent}=${add}ms")
         emitter.foreach(_.timerMs(Stats.KafkaProducerSent, add))
+        status.foreach(_.update(Stats.KafkaProducerSent, add))
       }
     }
 

@@ -62,11 +62,37 @@ class MetricsSpec extends AnyFunSuite {
     } finally { emitter.close(); receiver.close() }
   }
 
+  private def httpGet(port: Int, path: String): (Int, String) = {
+    val conn = new java.net.URL(s"http://127.0.0.1:$port$path")
+      .openConnection().asInstanceOf[java.net.HttpURLConnection]
+    conn.setConnectTimeout(5000); conn.setReadTimeout(5000)
+    val code = conn.getResponseCode
+    val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+    val body = new String(is.readAllBytes(), StandardCharsets.UTF_8)
+    is.close()
+    (code, body)
+  }
+
+  test("status server serves the reference's routes: banner, /stats, 404") {
+    val srv = new graft.metrics.StatusServer(0)
+    try {
+      assert(httpGet(srv.boundPort, "/") == (200, "hotdog status server"))
+      // at startup the reference serializes an EMPTY map (src/status.rs:30-36)
+      assert(httpGet(srv.boundPort, "/stats") == (200, "{}"))
+      assert(httpGet(srv.boundPort, "/nope")._1 == 404)
+      srv.update(Stats.Lines, 42)
+      srv.update(Stats.Connections, 3)
+      assert(httpGet(srv.boundPort, "/stats") ==
+        (200, """{"hotdog.connections":3,"hotdog.lines":42}"""))
+    } finally srv.close()
+  }
+
   test("listener translates one batch into the reference's metric names over UDP") {
     val receiver = new DatagramSocket(0)
     receiver.setSoTimeout(10000)
     val emitter = new StatsdEmitter("127.0.0.1", receiver.getLocalPort)
-    val listener = new GraftPipeline.MetricsListener(Some(emitter))
+    val status = new graft.metrics.StatusServer(0)
+    val listener = new GraftPipeline.MetricsListener(Some(emitter), Some(status))
     spark.streams.addListener(listener)
     try {
       val in = Files.createTempDirectory("graft-metrics-in")
@@ -115,9 +141,15 @@ class MetricsSpec extends AnyFunSuite {
       }
       // the sink-write timer fired too
       assert(got.keys.exists(_ == Stats.KafkaProducerSent), s"no timer in $got")
+      // the same values are live on GET /stats
+      val (code, body) = httpGet(status.boundPort, "/stats")
+      assert(code == 200)
+      assert(body.contains(s""""${Stats.Lines}":4"""), body)
+      assert(body.contains(s""""${Stats.MergeTargetNotJson}":1"""), body)
+      assert(body.contains(s""""${Stats.KafkaProducerSent}":"""), body)
     } finally {
       spark.streams.removeListener(listener)
-      emitter.close(); receiver.close()
+      emitter.close(); receiver.close(); status.close()
     }
   }
 }
