@@ -112,17 +112,23 @@ object GraftPipeline {
       .start()
 
   /** Kafka delivery: native topic-column routing + `kafka.` conf passthrough
-    * (reference: src/sink/kafka.rs:63-84,138-139). */
+    * (reference: src/sink/kafka.rs:63-84,138-139). Like the reference, the
+    * sink refuses to start until a broker answers the bootstrap probe
+    * (src/sink/kafka.rs:86-104); `KAFKA_BROKER`/`SASL_SCRAM_*` env overrides
+    * apply first. Pass `probe = false` to skip the gate (tests, shape-only
+    * plans). */
   def startKafkaSink(routed: DataFrame, cfg: GraftConfig, bootstrap: String,
-      checkpoint: String): StreamingQuery = {
+      checkpoint: String, probe: Boolean = true): StreamingQuery = {
+    val (servers, conf) = graft.sinks.KafkaBootstrap.withEnvOverrides(bootstrap, cfg.kafkaConf)
+    if (probe) graft.sinks.KafkaBootstrap.probe(servers, cfg.kafkaTimeoutMs.toInt)
     val w = routed.writeStream
       .format("kafka")
-      .option("kafka.bootstrap.servers", bootstrap)
+      .option("kafka.bootstrap.servers", servers)
       // produce timeout (reference default 60 s, src/sink/kafka.rs:140)
       .option("kafka.message.timeout.ms", cfg.kafkaTimeoutMs.toString)
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.ProcessingTime(cfg.flushMs))
-    cfg.kafkaConf.foldLeft(w) { case (acc, (k, v)) => acc.option(s"kafka.$k", v) }
+    conf.foldLeft(w) { case (acc, (k, v)) => acc.option(s"kafka.$k", v) }
       .start()
   }
 
