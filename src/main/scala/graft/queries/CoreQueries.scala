@@ -140,6 +140,22 @@ object CoreQueries {
       .orderBy("event_id")
   }
 
+  // O11 full Handlebars surface: default-escape interpolation ({{msg}} on
+  // JSON bodies hits & < > " '), raw triple-stache, and nested #if/else —
+  // the stock handlebars-rust behavior the reference gets from
+  // Handlebars::new() (src/connection.rs:22-33).
+  private val replaceTemplateFull: Q = (s, dir) => {
+    val jp = Regexes.toJava("^hello\\s+(?P<name>\\w+)?")
+    val vars = Map(
+      "msg" -> col("msg"),
+      "name" -> regexp_extract(col("msg"), jp, 1))
+    parsed(s, dir).select(col("event_id"),
+      Template.compile(
+        "{{#if name}}hello-from {{name}}{{else}}[{{msg}}]{{/if}} raw: {{{msg}}}",
+        vars).as("value"))
+      .orderBy("event_id")
+  }
+
   // O12 — deep JSON merge of the rendered fragment into events.props.
   private val mergeJson: Q = (s, dir) => {
     GraftFunctions.ensureRegistered(s)
@@ -324,6 +340,7 @@ object CoreQueries {
     "field_select" -> fieldSelect,
     "enrich_builtin_vars" -> enrichBuiltinVars,
     "replace_template" -> replaceTemplate,
+    "replace_template_full" -> replaceTemplateFull,
     "merge_json" -> mergeJson,
     "route_topic_dynamic" -> routeTopicDynamic,
     "route_first_match" -> routeFirstMatch,
@@ -401,12 +418,20 @@ object CoreQueries {
         |       ELSE '{"f":false,"n":true}' END AS s_hash
         |FROM events ORDER BY event_id""".stripMargin,
 
+    // {{msg}} renders through the default handlebars escape, so the oracle
+    // escapes & < > " ' the same way
     "field_select" ->
-      s"""$Lines5424Cte $parsedSql
+      s"""$Lines5424Cte $parsedSql,
+         |esc AS (
+         |  SELECT event_id, hostname,
+         |    replace(replace(replace(replace(replace(msg,
+         |      '&','&amp;'), '<','&lt;'), '>','&gt;'), '"','&quot;'),
+         |      chr(39),'&#x27;') AS emsg
+         |  FROM parsed)
          |SELECT event_id, 'test' AS topic,
-         |  CASE WHEN regexp_matches(hostname, '^host-[0-3]$$') THEN 'ws: ' || msg
-         |       ELSE 'other: ' || msg END AS value
-         |FROM parsed ORDER BY event_id""".stripMargin,
+         |  CASE WHEN regexp_matches(hostname, '^host-[0-3]$$') THEN 'ws: ' || emsg
+         |       ELSE 'other: ' || emsg END AS value
+         |FROM esc ORDER BY event_id""".stripMargin,
 
     "enrich_builtin_vars" ->
       s"""$Lines5424Cte $parsedSql
@@ -420,6 +445,17 @@ object CoreQueries {
          |  'And the name is: ' || regexp_extract(msg, '^hello\\s+(\\w+)?', 1) || chr(10) AS value
          |FROM parsed WHERE regexp_matches(msg, '^hello\\s+(\\w+)?')
          |ORDER BY event_id""".stripMargin,
+
+    "replace_template_full" ->
+      s"""$Lines5424Cte $parsedSql
+         |SELECT event_id,
+         |  CASE WHEN regexp_extract(msg, '^hello\\s+(\\w+)?', 1) != ''
+         |       THEN 'hello-from ' || regexp_extract(msg, '^hello\\s+(\\w+)?', 1)
+         |       ELSE '[' || replace(replace(replace(replace(replace(msg,
+         |              '&','&amp;'), '<','&lt;'), '>','&gt;'), '"','&quot;'),
+         |              chr(39),'&#x27;') || ']' END
+         |  || ' raw: ' || msg AS value
+         |FROM parsed ORDER BY event_id""".stripMargin,
 
     "merge_json" ->
       s"""SELECT event_id,

@@ -5,43 +5,145 @@ import graft.functions.GraftFunctions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** Handlebars-subset template compiler. The reference precompiles templates
-  * at startup (src/connection.rs:260-289) and renders per message; we go one
-  * better and compile `{{var}}` interpolation to a Catalyst `concat` tree at
-  * PLAN time — constant segments are folded by ConstantFolding and the whole
-  * render stays inside whole-stage codegen. The shipped configs use only
-  * plain interpolation (README.adoc:433-459); helpers/conditionals are out of
-  * scope (SURVEY.md §7.4).
+/** Handlebars template compiler, at parity with the reference's renderer
+  * (handlebars-rust v6 via `Handlebars::new()`, src/connection.rs:22-33)
+  * over its actual template context — a flat `HashMap<String, String>` of
+  * captures + built-ins (src/connection.rs:154-157). Supported, matching
+  * what stock handlebars does on that context:
+  *
+  *   - `{{var}}` — interpolation through the DEFAULT escape fn, which
+  *     HTML-escapes `& < > " '` (handlebars-rust `html_escape`; note: unlike
+  *     handlebars.js it does not touch backtick/equals)
+  *   - `{{{var}}}` — raw, unescaped interpolation
+  *   - `{{#if var}}…{{else}}…{{/if}}` and `{{#unless var}}…{{/unless}}`,
+  *     nested arbitrarily — on a string context, truthy ⇔ non-empty
+  *   - missing / null variables render as "" and are falsy (strict mode off,
+  *     the default; non-participating capture groups are simply absent from
+  *     the map, src/rules.rs:98-103)
+  *
+  * Anything else (`#each`/`#with`/custom helpers/paths) is rejected at
+  * compile time with the template position — the analog of the reference
+  * panicking at startup when a template fails to precompile
+  * (src/connection.rs:27-30: "Failed to precompile the handlebars
+  * templates"). `#each`/`#with` never iterate a flat string map usefully,
+  * so the rejection loses no reference behavior.
+  *
+  * The reference precompiles at startup and renders per message; we go one
+  * better and compile the whole template — conditionals included — to a
+  * Catalyst `when`/`concat` tree at PLAN time: constant segments fold, and
+  * the render (escaping included: a `replace` chain) stays inside
+  * whole-stage codegen.
   */
 object Template {
-  private val Var = "\\{\\{\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*\\}\\}".r
+  private sealed trait Node
+  private final case class Text(s: String) extends Node
+  private final case class Interp(name: String, raw: Boolean) extends Node
+  private final case class Cond(name: String, negate: Boolean,
+      yes: List[Node], no: List[Node]) extends Node
 
-  /** Variables absent from `vars` (or null at runtime) render as "" —
-    * Handlebars' lenient default, and what the reference does for
-    * non-participating capture groups (they're simply absent from the
-    * variable map, src/rules.rs:98-103).
-    */
-  def compile(template: String, vars: Map[String, Column]): Column = {
-    val parts = scala.collection.mutable.ListBuffer.empty[Column]
-    var last = 0
-    for (m <- Var.findAllMatchIn(template)) {
-      if (m.start > last) parts += lit(template.substring(last, m.start))
-      parts += vars.get(m.group(1)).map(c => coalesce(c, lit(""))).getOrElse(lit(""))
-      last = m.end
+  /** handlebars-rust v6 default escape set, `&` first so entities from the
+    * later passes survive. */
+  private val EscapePairs = List(
+    "&" -> "&amp;", "<" -> "&lt;", ">" -> "&gt;", "\"" -> "&quot;", "'" -> "&#x27;")
+
+  private val Name = "[A-Za-z_][A-Za-z0-9_]*"
+  private val NameRe = Name.r
+
+  private def fail(template: String, at: Int, what: String): Nothing =
+    throw new IllegalArgumentException(
+      s"template compile failed at offset $at: $what (in template: $template)")
+
+  /** Recursive-descent parse. Returns (nodes, closer-tag-or-"" , next index). */
+  private def parseNodes(t: String, from: Int, inBlock: Boolean): (List[Node], String, Int) = {
+    val nodes = scala.collection.mutable.ListBuffer.empty[Node]
+    var i = from
+    while (i < t.length) {
+      val open = t.indexOf("{{", i)
+      if (open < 0) { nodes += Text(t.substring(i)); i = t.length }
+      else {
+        if (open > i) nodes += Text(t.substring(i, open))
+        val raw = t.startsWith("{{{", open)
+        val closeTok = if (raw) "}}}" else "}}"
+        val close = t.indexOf(closeTok, open + (if (raw) 3 else 2))
+        if (close < 0) fail(t, open, "unterminated tag")
+        val body = t.substring(open + (if (raw) 3 else 2), close).trim
+        val next = close + closeTok.length
+        body match {
+          case "else" | "/if" | "/unless" if inBlock && !raw =>
+            return (nodes.toList, body, next)
+          case "else" => fail(t, open, "{{else}} outside a block")
+          case NameRe() => nodes += Interp(body, raw); i = next
+          case _ if raw => fail(t, open, s"raw tag must be a plain variable: {{{$body}}}")
+          case s if s.startsWith("#if") || s.startsWith("#unless") =>
+            val negate = s.startsWith("#unless")
+            val arg = s.stripPrefix(if (negate) "#unless" else "#if").trim
+            if (!NameRe.matches(arg))
+              fail(t, open, s"block argument must be a plain variable, got '$arg'")
+            val (yes, stop1, i1) = parseNodes(t, next, inBlock = true)
+            val closer = if (negate) "/unless" else "/if"
+            val (no, stop2, i2) =
+              if (stop1 == "else") parseNodes(t, i1, inBlock = true)
+              else (Nil, stop1, i1)
+            val stop = if (stop1 == "else") stop2 else stop1
+            if (stop != closer) fail(t, open, s"unclosed {{${if (negate) "#unless" else "#if"} $arg}}")
+            nodes += Cond(arg, negate, yes, no)
+            i = i2
+          case other =>
+            fail(t, open, s"unsupported helper or path '{{$other}}' — the engine " +
+              "supports interpolation, {{{raw}}}, #if/#unless/else over the " +
+              "flat variable map (reference context is HashMap<String,String>)")
+        }
+      }
     }
-    if (last < template.length) parts += lit(template.substring(last))
-    parts.toList match {
+    if (inBlock) fail(t, t.length, "unterminated block")
+    (nodes.toList, "", i)
+  }
+
+  private def parse(template: String): List[Node] =
+    parseNodes(template, 0, inBlock = false)._1
+
+  private def escapeCol(c: Column): Column =
+    EscapePairs.foldLeft(c) { case (acc, (s, r)) => replace(acc, lit(s), lit(r)) }
+
+  private def escapeStr(s: String): String =
+    EscapePairs.foldLeft(s) { case (acc, (a, b)) => acc.replace(a, b) }
+
+  private def compileNodes(nodes: List[Node], vars: Map[String, Column]): Column = {
+    def varCol(name: String) = vars.get(name).map(c => coalesce(c, lit("")))
+    val cols = nodes.map {
+      case Text(s) => lit(s)
+      case Interp(n, raw) =>
+        varCol(n).map(c => if (raw) c else escapeCol(c)).getOrElse(lit(""))
+      case Cond(n, negate, yes, no) =>
+        val t = varCol(n).map(c => c =!= lit("")).getOrElse(lit(false))
+        val cond = if (negate) !t else t
+        when(cond, compileNodes(yes, vars)).otherwise(compileNodes(no, vars))
+    }
+    cols match {
       case Nil      => lit("")
       case c :: Nil => c
       case cs       => concat(cs: _*)
     }
   }
 
+  /** Compile to a Catalyst column over runtime variable columns. */
+  def compile(template: String, vars: Map[String, Column]): Column =
+    compileNodes(parse(template), vars)
+
   /** Static render for plan-time-constant variable maps (used by tests and
-    * the config inspector). */
-  def renderStatic(template: String, vars: Map[String, String]): String =
-    Var.replaceAllIn(template, m =>
-      scala.util.matching.Regex.quoteReplacement(vars.getOrElse(m.group(1), "")))
+    * the config inspector). Identical semantics to [[compile]]. */
+  def renderStatic(template: String, vars: Map[String, String]): String = {
+    def render(nodes: List[Node]): String = nodes.map {
+      case Text(s) => s
+      case Interp(n, raw) =>
+        val v = vars.getOrElse(n, "")
+        if (raw) v else escapeStr(v)
+      case Cond(n, negate, yes, no) =>
+        val t = vars.getOrElse(n, "").nonEmpty
+        if (t != negate) render(yes) else render(no)
+    }.mkString
+    render(parse(template))
+  }
 }
 
 /** Compiles the ordered rule cascade (reference: src/connection.rs:107-243)

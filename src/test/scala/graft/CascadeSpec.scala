@@ -195,4 +195,58 @@ class CascadeSpec extends AnyFunSuite {
       == "a 1 b 2 c")
     assert(Template.renderStatic("{{gone}}", Map.empty) == "")
   }
+
+  test("template default escape matches handlebars-rust html_escape") {
+    // {{var}} escapes & < > " ' (and nothing else — unlike handlebars.js,
+    // backtick/equals pass through); {{{var}}} is raw
+    val v = Map("x" -> """a&b<c>d"e'f`g=h""")
+    assert(Template.renderStatic("{{x}}", v)
+      == "a&amp;b&lt;c&gt;d&quot;e&#x27;f`g=h")
+    assert(Template.renderStatic("{{{x}}}", v) == """a&b<c>d"e'f`g=h""")
+    // escape order: a pre-existing entity double-escapes its ampersand,
+    // exactly as handlebars does
+    assert(Template.renderStatic("{{y}}", Map("y" -> "&lt;")) == "&amp;lt;")
+  }
+
+  test("template #if / #unless / else with nesting and string truthiness") {
+    val t = "{{#if name}}hi {{name}}{{else}}{{#unless name}}anon{{/unless}}{{/if}}!"
+    assert(Template.renderStatic(t, Map("name" -> "bob")) == "hi bob!")
+    assert(Template.renderStatic(t, Map("name" -> "")) == "anon!")
+    assert(Template.renderStatic(t, Map.empty) == "anon!")
+    assert(Template.renderStatic(
+      "{{#unless x}}no-x{{else}}has-x{{/unless}}", Map("x" -> "1")) == "has-x")
+  }
+
+  test("template rejects unsupported helpers and malformed blocks at compile") {
+    def bad(t: String) = intercept[IllegalArgumentException] {
+      Template.renderStatic(t, Map.empty)
+    }
+    assert(bad("{{#each items}}x{{/each}}").getMessage.contains("unsupported"))
+    assert(bad("{{uppercase x}}").getMessage.contains("unsupported"))
+    assert(bad("{{a.b}}").getMessage.contains("unsupported"))
+    assert(bad("{{#if x}}never closed").getMessage.contains("unterminated block"))
+    assert(bad("{{x").getMessage.contains("unterminated"))
+    assert(bad("{{/if}}").getMessage.contains("unsupported"))
+  }
+
+  test("template column compile agrees with renderStatic on escapes and blocks") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val t = """{{#if name}}hello-from {{name}}{{else}}[{{msg}}]{{/if}} raw: {{{msg}}}"""
+    val rows = Seq(
+      ("""{"a":1,"b":"x&y<z>"}""", ""),
+      ("plain 'quoted' text", ""),
+      ("anything", "bob")).toDF("msg", "name")
+    val got = rows.select(
+      Template.compile(t, Map("msg" -> col("msg"), "name" -> col("name"))).as("v"))
+      .as[String].collect().toSeq
+    val want = Seq(
+      ("""{"a":1,"b":"x&y<z>"}""", ""),
+      ("plain 'quoted' text", ""),
+      ("anything", "bob")).map { case (m, n) =>
+      Template.renderStatic(t, Map("msg" -> m, "name" -> n))
+    }
+    assert(got == want)
+    assert(want.head == """[{&quot;a&quot;:1,&quot;b&quot;:&quot;x&amp;y&lt;z&gt;&quot;}] raw: {"a":1,"b":"x&y<z>"}""")
+  }
 }
