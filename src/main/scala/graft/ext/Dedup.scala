@@ -30,37 +30,107 @@ object Dedup {
     (lit(10000L) * inter / uni).cast("long")
   }
 
-  /** MinHash + LSH near-dup pairs: shingle → n-hash signature → band
-    * buckets → bucket-join for candidates → exact Jaccard verify at
-    * `thresholdX10000`. The candidate join shuffles on (band, bucket) —
-    * collision groups, not the corpus cross product.
+  /** MinHash + LSH near-dup pairs: exact-dup pre-collapse → shingle →
+    * n-hash signature → band buckets → bucket-join for candidates → exact
+    * Jaccard verify at `thresholdX10000`. The candidate join shuffles on
+    * (band, bucket) — collision groups, not the corpus cross product.
+    *
+    * The pre-collapse is the hot-bucket defense: byte-identical documents
+    * (boilerplate — the dominant duplication mode in web corpora, and the
+    * one way an LSH bucket degenerates quadratically) share ALL band
+    * buckets by construction. Collapsing them to one representative per
+    * md5(text) BEFORE signing keeps every bucket's occupancy at the
+    * near-dup rate, and the output is recovered exactly: identical docs
+    * have identical token sets, so a representative pair's verified
+    * Jaccard is every member pair's Jaccard, and within-group pairs are
+    * Jaccard 10000 by definition. Both expansions are content-key
+    * equi-joins — the per-group quadratic that remains is intrinsic to the
+    * requested all-pairs OUTPUT, not an artifact of the bucket shuffle.
+    *
+    * `maxBucket` (opt-in) additionally drops residual oversized buckets —
+    * near-identical-but-not-equal templated text — trading recall for a
+    * hard bound; dropped buckets are counted and logged loudly, never
+    * silently.
     */
   def minhashLshPairs(corpus: DataFrame, n: Int = 32, bands: Int = 4,
-      thresholdX10000: Long = 5000L): DataFrame = {
+      thresholdX10000: Long = 5000L, maxBucket: Int = 0): DataFrame = {
     val rows = n / bands
-    // (doc_id, band, bucket) — ids only; token arrays stay out of the
-    // bucket shuffle.
-    val sig = TextAnalysis.minhashSignatureRows(corpus, n)
+    // ONE content shuffle: per distinct text, the representative (min id +
+    // text) and the sorted member-id list. Everything downstream — the
+    // identical pairs and the member expansion — reads the id arrays, so no
+    // further corpus-wide shuffle exists (the expansion joins are against
+    // the tiny verified-pair set, which AQE broadcasts), and Catalyst
+    // reuses this exchange across the three consumers. Member arrays are
+    // bounded by the identical-group size — the same bound the all-pairs
+    // OUTPUT itself carries.
+    val groups = corpus
+      .select(col("doc_id"), col("text"), md5(col("text")).as("ck"))
+      .groupBy("ck")
+      .agg(min_by(struct(col("doc_id"), col("text")), col("doc_id")).as("r"),
+        sort_array(collect_list(col("doc_id"))).as("ids"))
+    val reps = groups.select(col("r.doc_id").as("doc_id"), col("r.text").as("text"))
+    // (doc_id, band, bucket) over DISTINCT texts — ids only; token arrays
+    // stay out of the bucket shuffle.
+    val sig = TextAnalysis.minhashSignatureRows(reps, n)
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         md5(concat_ws(",",
           (0 until rows).map(r => col(s"h${b * rows + r}").cast("string")): _*)).as("bucket"))
     }
-    val buckets = sig
+    val allBuckets = sig
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val buckets =
+      if (maxBucket <= 0) allBuckets
+      else {
+        val sized = allBuckets.withColumn("bsz",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window
+            .partitionBy("band", "bucket")))
+        val dropped = sized.filter(col("bsz") > maxBucket)
+          .select(countDistinct(struct(col("band"), col("bucket"))).as("nb"),
+            count(lit(1)).as("nd"))
+          .head()
+        if (dropped.getLong(1) > 0)
+          org.apache.log4j.Logger.getLogger(getClass).warn(
+            s"minhashLshPairs: dropping ${dropped.getLong(0)} buckets " +
+              s"(> $maxBucket members, ${dropped.getLong(1)} doc slots) — " +
+              "recall is bounded, not exact")
+        sized.filter(col("bsz") <= maxBucket).drop("bsz")
+      }
     val cand = buckets.as("a")
       .join(buckets.as("b"), Seq("band", "bucket"))
       .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
       .filter(col("ida") < col("idb"))
       .distinct()
-    // Exact verification only on the candidate set.
-    val toks = corpus.select(col("doc_id"), tokSet(col("text")).as("t"))
-    cand
+    // Exact verification only on the candidate (representative) pairs.
+    val toks = reps.select(col("doc_id"), tokSet(col("text")).as("t"))
+    val repPairs = cand
       .join(toks.select(col("doc_id").as("ida"), col("t").as("ta")), "ida")
       .join(toks.select(col("doc_id").as("idb"), col("t").as("tb")), "idb")
       .select(col("ida"), col("idb"), jaccardX10000(col("ta"), col("tb")).as("jacc_x10000"))
       .filter(col("jacc_x10000") >= thresholdX10000)
+    // expand representative pairs to every cross-group member pair (content
+    // keys partition docs, so each unordered pair is produced exactly once)
+    val repIds = groups.select(col("r.doc_id").as("rep"), col("ids"))
+    val expanded = repPairs
+      .join(repIds.select(col("rep").as("ida"), col("ids").as("idsa")), "ida")
+      .join(repIds.select(col("rep").as("idb"), col("ids").as("idsb")), "idb")
+      .select(explode(col("idsa")).as("ma"), col("idsb"), col("jacc_x10000"))
+      .select(col("ma"), explode(col("idsb")).as("mb"), col("jacc_x10000"))
+      .select(least(col("ma"), col("mb")).as("ida"),
+        greatest(col("ma"), col("mb")).as("idb"), col("jacc_x10000"))
+    // within-group pairs: byte-identical docs are Jaccard 10000 and always
+    // bucket-collide, so they are unconditionally in the exact output
+    // (ids is sorted, so the generated (x, y) honor ida < idb)
+    val identical = groups
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids) - i - 1), y ->
+          |    struct(x AS ida, y AS idb))))""".stripMargin)).as("p"))
+      .select(col("p.ida"), col("p.idb"), lit(10000L).as("jacc_x10000"))
+      .filter(lit(10000L >= thresholdX10000))
+    expanded.unionAll(identical)
   }
 
   /** SimHash signatures for the corpus (near-dups ⇒ small Hamming distance);

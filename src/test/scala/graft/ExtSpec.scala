@@ -42,6 +42,44 @@ class ExtSpec extends AnyFunSuite {
     assert(!pairs.exists { case (a, b) => Set(a, b) == Set(0L, 2L) })
   }
 
+  test("minhash LSH pre-collapse: identical-doc groups expand to exact pairs") {
+    import spark.implicits._
+    // 3 byte-identical docs (the degenerate hot-bucket shape) + a near-dup
+    // of them + an unrelated doc: the LSH stage only ever sees ONE
+    // representative of the trio, yet the output carries every member pair
+    val eps = "the quick brown fox jumps over the lazy dog again and again"
+    val corpus2 = Seq(
+      (1L, eps), (2L, eps), (3L, eps),
+      (4L, eps + " tonight"),
+      (9L, "completely unrelated content about catalyst optimizer rules")).toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshPairs(corpus2, bands = 8, thresholdX10000 = 5000L)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // within-group: all three pairs at exactly 10000
+    assert(pairs.get((1L, 2L)).contains(10000L))
+    assert(pairs.get((1L, 3L)).contains(10000L))
+    assert(pairs.get((2L, 3L)).contains(10000L))
+    // cross-group: the near-dup pairs with EVERY member, same score each
+    val cross = List((1L, 4L), (2L, 4L), (3L, 4L)).map(pairs.get)
+    assert(cross.forall(_.isDefined), s"missing cross-group pairs in $pairs")
+    assert(cross.distinct.size == 1, "member pairs must share the representative's score")
+    assert(!pairs.keySet.exists { case (a, b) => a == 9L || b == 9L })
+  }
+
+  test("minhash LSH maxBucket cap drops oversized buckets, keeps identical pairs") {
+    import spark.implicits._
+    // 4 distinct near-identical docs → every bucket holds all 4 reps;
+    // cap at 3 → cross-doc candidates all dropped, but the identical pair
+    // (5,6) survives via the pre-collapse path
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val corpus3 = Seq(
+      (1L, base + " one"), (2L, base + " two"), (3L, base + " three"),
+      (4L, base + " four"), (5L, base), (6L, base)).toDF("doc_id", "text")
+    val capped = Dedup.minhashLshPairs(corpus3, bands = 8,
+      thresholdX10000 = 5000L, maxBucket = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((5L, 6L)), s"got $capped")
+  }
+
   test("connected components cluster transitive near-dup chains") {
     import spark.implicits._
     // chain 1-2-3 plus isolated pair 10-11: min-label propagation must
