@@ -216,4 +216,18 @@ object Dedup {
           "(component diameter exceeds maxIter); raise maxIter")
     labels
   }
+
+  /** End-to-end corpus dedup: near-dup pairs → [[connectedComponents]]
+    * clusters → keep ONE canonical document per cluster (the min doc_id,
+    * which IS the component label) plus every unclustered document. This is
+    * the operation a training-data pipeline actually runs; the pairwise and
+    * clustering keys exist for auditing it. The only addition over the
+    * clustering is one left join of the corpus ids against the (small)
+    * component map — broadcastable whenever the duplicate population is a
+    * fraction of the corpus. */
+  def keepCanonical(corpus: DataFrame, pairs: DataFrame): DataFrame =
+    corpus.select("doc_id")
+      .join(connectedComponents(pairs), Seq("doc_id"), "left")
+      .filter(col("comp").isNull || col("comp") === col("doc_id"))
+      .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("cluster"))
 }

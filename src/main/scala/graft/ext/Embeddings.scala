@@ -1,0 +1,49 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding-column operators a large-scale training pipeline needs beyond
+  * similarity search: unit-normalization and int8 quantization (the standard
+  * storage/compute compression for ANN indexes and retrieval corpora).
+  *
+  * Both are narrow single-pass projections — no shuffle, whole-stage
+  * codegen'd, linear at any corpus size — and both are engineered for exact
+  * cross-engine determinism: per-element IEEE arithmetic in a pinned
+  * evaluation order ((x / s) * k, then floor), never order-sensitive
+  * accumulation. The only reduction (the norm) runs through the sequential
+  * left-fold `dot_product` expression, bit-equal to the DuckDB list_reduce
+  * twin.
+  */
+object Embeddings {
+  private def asDouble(emb: Column): Column = transform(emb, x => x.cast("double"))
+
+  /** max(|x_i|) — exact (comparisons only, no accumulation). */
+  private def absMax(e: Column): Column = array_max(transform(e, x => abs(x)))
+
+  /** Symmetric int8 quantization: scale = max(|x_i|), q_i = floor(x_i /
+    * scale * 127) in [-127, 127] (floor, not round: round-half modes differ
+    * across engines, floor is IEEE-pinned). All-zero vectors quantize to
+    * zeros with scale 0 rather than dividing by it. */
+  def quantizeInt8(emb: DataFrame, vecCol: String = "embedding"): DataFrame = {
+    val e = asDouble(col(vecCol))
+    val scale = absMax(e)
+    emb.select(col("vec_id"), scale.as("scale"),
+      when(scale === 0d, transform(e, _ => lit(0L)))
+        .otherwise(transform(e, x => floor(x / scale * lit(127d)).cast("long")))
+        .as("q"))
+  }
+
+  /** Unit-normalization, reported as scaled integers (floor(x / ‖v‖ · 10⁶))
+    * so the output is integer-exact across engines; the norm itself (one
+    * scalar double per vector) rides along. Zero vectors pass through as
+    * zeros with norm 0. */
+  def normalizeScaled(emb: DataFrame, vecCol: String = "embedding"): DataFrame = {
+    val e = asDouble(col(vecCol))
+    val norm = sqrt(call_function("dot_product", e, e))
+    emb.select(col("vec_id"), norm.as("norm"),
+      when(norm === 0d, transform(e, _ => lit(0L)))
+        .otherwise(transform(e, x => floor(x / norm * lit(1000000d)).cast("long")))
+        .as("unit_x1e6"))
+  }
+}

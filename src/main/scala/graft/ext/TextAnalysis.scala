@@ -120,6 +120,26 @@ object TextAnalysis {
     when(en > 0, lit("en")).otherwise(lit("und"))
   }
 
+  /** Gopher-style corpus quality gate over [[qualityCols]] + the corpus
+    * language label: each document gets the FIRST failing rule as its drop
+    * `reason` (null = kept), so the output doubles as a filter audit — the
+    * shape a production data pipeline keeps for ablations. One narrow pass,
+    * no shuffle, pure Catalyst. */
+  def qualityFilter(docs: DataFrame): DataFrame = {
+    val q = docs.select(
+      col("doc_id") +: col("lang") +: qualityCols(col("text")): _*)
+    q.select(col("doc_id"), col("words"), col("avg_wlen_x100"),
+        col("stop_x10000"), col("punct_x10000"),
+        when(col("words") < 25, "too_short")
+          .when(col("words") > 5000, "too_long")
+          .when(col("avg_wlen_x100") < 380 || col("avg_wlen_x100") > 1200, "word_length")
+          .when(col("stop_x10000") < 400, "low_stopword")
+          .when(col("punct_x10000") > 120, "high_punct")
+          .when(col("lang") =!= "en", "non_english")
+          .otherwise(lit(null).cast("string")).as("reason"))
+      .withColumn("keep", col("reason").isNull)
+  }
+
   /** Quality stats, all integer or scaled-integer (floor) for exactness:
     * word count, avg word length ×100, stopword ratio ×10000, punctuation
     * ratio ×10000. */

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Dedup, Embeddings, Multimodal, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -114,11 +114,37 @@ object ExtQueries {
   private val textFingerprint: Q = (s, dir) =>
     TextAnalysis.fingerprintRows(documents(s, dir)).orderBy("doc_id")
 
+  private val dedupKeepCanonical: Q = (s, dir) => {
+    val corpus = dupCorpus(s, dir)
+    Dedup.keepCanonical(corpus, Dedup.minhashLshPairs(corpus)).orderBy("doc_id")
+  }
+
+  private val corpusQualityFilter: Q = (s, dir) =>
+    TextAnalysis.qualityFilter(documents(s, dir)).orderBy("doc_id")
+
+  // -------------------------------------------------------- embeddings
+
+  private val embQuantizeInt8: Q = (s, dir) =>
+    Embeddings.quantizeInt8(embeddings(s, dir)).orderBy("vec_id")
+
+  private val embNormalize: Q = (s, dir) => {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    Embeddings.normalizeScaled(embeddings(s, dir)).orderBy("vec_id")
+  }
+
   // -------------------------------------------------------- multimodal
 
   private val multimodalMeta: Q = (s, dir) =>
     Multimodal.decode(Multimodal.asBlobs(documents(s, dir)))
       .toDF().orderBy("doc_id")
+
+  private val multimodalResize: Q = (s, dir) =>
+    Multimodal.resize(Multimodal.asBlobs(documents(s, dir)))
+      .toDF().orderBy("doc_id")
+
+  private val multimodalFrames: Q = (s, dir) =>
+    Multimodal.frameSample(Multimodal.asBlobs(documents(s, dir)))
+      .toDF().orderBy("doc_id", "frame_idx")
 
   val queries: Map[String, Q] = Map(
     "dedup_exact" -> dedupExact,
@@ -130,11 +156,17 @@ object ExtQueries {
     "ann_brute_force" -> annBruteForce,
     "ann_lsh" -> annLsh,
     "ann_ivf" -> annIvf,
+    "dedup_keep_canonical" -> dedupKeepCanonical,
+    "corpus_quality_filter" -> corpusQualityFilter,
+    "emb_quantize_int8" -> embQuantizeInt8,
+    "emb_normalize" -> embNormalize,
     "text_tokens" -> textTokens,
     "text_quality" -> textQuality,
     "text_langid" -> textLangid,
     "text_fingerprint" -> textFingerprint,
-    "multimodal_meta" -> multimodalMeta)
+    "multimodal_meta" -> multimodalMeta,
+    "multimodal_resize" -> multimodalResize,
+    "multimodal_frames" -> multimodalFrames)
 
   // ------------------------------------------------------ oracle SQL
 
@@ -360,5 +392,86 @@ object ExtQueries {
         |  CAST(strlen(text) % 640 + 1 AS BIGINT) AS width,
         |  CAST(ascii(substr(text, 1, 1)) % 480 + 1 AS BIGINT) AS height,
         |  CASE WHEN strlen(text) % 2 = 0 THEN 'even' ELSE 'odd' END AS format
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // strided byte subsample — documents are all-ASCII so SQL char positions
+    // equal the stub's byte offsets (substr is 1-based, the stub 0-based)
+    "multimodal_resize" ->
+      """WITH p AS (SELECT doc_id, text, strlen(text) AS len,
+        |  greatest(1, strlen(text) // 64) AS k FROM documents)
+        |SELECT doc_id, CAST(len AS BIGINT) AS src_bytes, CAST(k AS BIGINT) AS stride,
+        |  CAST(least(64, len) AS BIGINT) AS out_bytes,
+        |  md5(array_to_string(list_transform(range(0, least(64, len)),
+        |    i -> substr(text, CAST(1 + i*k AS INT), 1)), '')) AS digest
+        |FROM p ORDER BY doc_id""".stripMargin,
+
+    "multimodal_frames" ->
+      """SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+        |  md5(substr(text, CAST(i*64 + 1 AS INT), 64)) AS frame_md5
+        |FROM (SELECT doc_id, text,
+        |        unnest(range(0, strlen(text) // 64)) AS i FROM documents)
+        |WHERE i % 4 = 0 ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "dedup_keep_canonical" ->
+      s"""${MinhashScoredCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |pairs AS (SELECT ida, idb FROM scored WHERE jacc_x10000 >= 5000),
+         |edges AS (SELECT ida AS a, idb AS b FROM pairs
+         |          UNION SELECT idb, ida FROM pairs),
+         |verts AS (SELECT DISTINCT a AS v FROM edges),
+         |reach(v, r) AS (
+         |  SELECT v, v FROM verts
+         |  UNION
+         |  SELECT reach.v, e.b FROM reach JOIN edges e ON reach.r = e.a),
+         |comp AS (SELECT v AS doc_id, CAST(min(r) AS BIGINT) AS comp
+         |         FROM reach GROUP BY 1)
+         |SELECT c.doc_id, coalesce(m.comp, c.doc_id) AS cluster
+         |FROM corpus c LEFT JOIN comp m ON c.doc_id = m.doc_id
+         |WHERE m.comp IS NULL OR m.comp = c.doc_id
+         |ORDER BY c.doc_id""".stripMargin,
+
+    "corpus_quality_filter" ->
+      """WITH q AS (SELECT doc_id, lang,
+        |  len(regexp_split_to_array(text, '\s+')) AS words,
+        |  100 * length(regexp_replace(text, '\s+', '', 'g'))
+        |    // len(regexp_split_to_array(text, '\s+')) AS avg_wlen_x100,
+        |  10000 * len(list_filter(regexp_split_to_array(text, '\s+'),
+        |      t -> t IN ('the','a','of','and','to','in','is')))
+        |    // len(regexp_split_to_array(text, '\s+')) AS stop_x10000,
+        |  10000 * len(regexp_extract_all(text, '[^\w\s]')) // length(text) AS punct_x10000
+        |  FROM documents),
+        |r AS (SELECT doc_id, words, avg_wlen_x100, stop_x10000, punct_x10000,
+        |  CASE WHEN words < 25 THEN 'too_short'
+        |       WHEN words > 5000 THEN 'too_long'
+        |       WHEN avg_wlen_x100 < 380 OR avg_wlen_x100 > 1200 THEN 'word_length'
+        |       WHEN stop_x10000 < 400 THEN 'low_stopword'
+        |       WHEN punct_x10000 > 120 THEN 'high_punct'
+        |       WHEN lang <> 'en' THEN 'non_english'
+        |       ELSE NULL END AS reason
+        |  FROM q)
+        |SELECT doc_id, words, avg_wlen_x100, stop_x10000, punct_x10000,
+        |  reason, reason IS NULL AS keep
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    // evaluation order pinned both sides: (x / scale) * 127, then floor —
+    // IEEE-deterministic elementwise, no accumulation
+    "emb_quantize_int8" ->
+      """WITH e AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |  list_max(list_transform(v, x -> abs(x))) AS scale FROM e)
+        |SELECT vec_id, scale,
+        |  CASE WHEN scale = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+        |       ELSE list_transform(v, x -> CAST(floor(x / scale * 127) AS BIGINT))
+        |  END AS q
+        |FROM s ORDER BY vec_id""".stripMargin,
+
+    "emb_normalize" ->
+      s"""WITH e AS (SELECT vec_id,
+         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |s AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS norm FROM e)
+         |SELECT vec_id, norm,
+         |  CASE WHEN norm = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+         |       ELSE list_transform(v, x -> CAST(floor(x / norm * 1000000) AS BIGINT))
+         |  END AS unit_x1e6
+         |FROM s ORDER BY vec_id""".stripMargin)
 }

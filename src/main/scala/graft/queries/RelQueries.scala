@@ -227,6 +227,32 @@ object RelQueries {
       .orderBy("user_id", "session_id")
   }
 
+  // Event-time windowed aggregation (SURVEY.md §2.2 gap: the reference is
+  // processing-time only). Tumbling 15-min windows via the native window()
+  // function — Catalyst folds it to one bucket expression, so the plan is a
+  // plain 1-key agg shuffle with map-side partials; epoch-aligned in UTC so
+  // the DuckDB twin is integer µs bucketing.
+  private val qTumblingWindow: Q = (s, dir) =>
+    eventsTs(s, dir)
+      .select(expr("ts_ns div 1000").as("ts_us"), col("user_id"), col("value"))
+      .groupBy(window(timestamp_micros(col("ts_us")), "15 minutes").as("w"))
+      .agg(count(lit(1)).as("n"), countDistinct("user_id").as("users"),
+        dsum(col("value")).as("sum_value"))
+      .select(unix_micros(col("w.start")).as("w_start_us"),
+        col("n"), col("users"), col("sum_value"))
+      .orderBy("w_start_us")
+
+  // Sliding 30-min windows every 15 min: window() expands each event into
+  // exactly length/slide = 2 rows before the agg — the fan-out is the
+  // operator's semantics (an event is IN two windows), not a plan artifact.
+  private val qSlidingWindow: Q = (s, dir) =>
+    eventsTs(s, dir)
+      .select(expr("ts_ns div 1000").as("ts_us"), col("user_id"))
+      .groupBy(window(timestamp_micros(col("ts_us")), "30 minutes", "15 minutes").as("w"))
+      .agg(count(lit(1)).as("n"), countDistinct("user_id").as("users"))
+      .select(unix_micros(col("w.start")).as("w_start_us"), col("n"), col("users"))
+      .orderBy("w_start_us")
+
   // Skew-salted shuffle join: 80% of fact rows share one hot key; the salt
   // column spreads the hot key across 16 sub-partitions and the small side
   // is replicated per salt (explode) — the classic skew mitigation when AQE
@@ -316,6 +342,8 @@ object RelQueries {
     "q_range_join_binned" -> qRangeJoinBinned,
     "q_skew_join_salted" -> qSkewJoinSalted,
     "sessionize_events" -> qSessionize,
+    "q_tumbling_window" -> qTumblingWindow,
+    "q_sliding_window" -> qSlidingWindow,
     "q1_agg" -> q1Agg,
     "q3_join_broadcast" -> q3Join,
     "q5_multi_join" -> q5MultiJoin,
@@ -448,6 +476,21 @@ object RelQueries {
         |  ON p.user_id = c.user_id
         |  AND c.ts_us >= p.ts_us - 3600000000 AND c.ts_us <= p.ts_us
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_tumbling_window" ->
+      """SELECT (epoch_us(ts) // 900000000) * 900000000 AS w_start_us,
+        |  count(*) AS n, count(DISTINCT user_id) AS users,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // each event lands in exactly two 30-min/15-min-slide windows: starts
+    // floor15(t) and floor15(t) - 15 min
+    "q_sliding_window" ->
+      """WITH w AS (
+        |  SELECT ((epoch_us(ts) // 900000000) - j) * 900000000 AS w_start_us, user_id
+        |  FROM events, range(0, 2) r(j))
+        |SELECT w_start_us, count(*) AS n, count(DISTINCT user_id) AS users
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_skew_join_salted" -> SkewJoinSql,
     // same result (customer's PK covers every fact key exactly once), skew

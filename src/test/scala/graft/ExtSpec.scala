@@ -220,4 +220,74 @@ class ExtSpec extends AnyFunSuite {
     assert(fps(1L) == fps(101L))
     assert(fps(0L) != fps(2L))
   }
+
+  test("keepCanonical drops every non-canonical member, keeps the rest") {
+    // corpus: 0~100 near-dups, 1=101 exact dups, 2 and 3 unique
+    val kept = Dedup.keepCanonical(corpus,
+      Dedup.minhashLshPairs(corpus, bands = 8, thresholdX10000 = 5000L))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kept.keySet == Set(0L, 1L, 2L, 3L), s"got ${kept.keySet}")
+    assert(kept(0L) == 0L && kept(2L) == 2L) // cluster label = min member id
+  }
+
+  test("quality filter assigns the FIRST failing rule as the reason") {
+    val docs = Seq(
+      (1L, "en", "the quantum computing architecture requires the careful " +
+        "analysis of the distributed systems and the persistent storage " +
+        "layers while a comprehensive monitoring framework observes the " +
+        "throughput metrics in the production cluster environment today"),
+      (2L, "en", "tiny doc"),                            // too_short
+      (3L, "fr", "le developpement des architectures distribuees necessite " +
+        "une analyse approfondie des systemes persistants et des " +
+        "plateformes infonuagiques modernes the of and to in is " +
+        "the of and to in is"),
+      (4L, "en", "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+        "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega " +
+        "plus more filler words here now")               // no stopwords
+    ).toDF("doc_id", "lang", "text")
+    val out = TextAnalysis.qualityFilter(docs).collect()
+      .map(r => r.getLong(0) -> Option(r.getAs[String]("reason"))).toMap
+    assert(out(1L).isEmpty)                        // kept
+    assert(out(2L).contains("too_short"))          // short beats low_stopword
+    assert(out(3L).contains("non_english"))        // passes stats, fails lang
+    assert(out(4L).contains("low_stopword"))
+  }
+
+  test("int8 quantization: scale is max |x|, floor semantics, zero-safe") {
+    val rows = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f)),
+      (2L, Array(0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = graft.ext.Embeddings.quantizeInt8(rows).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getSeq[Long](2))).toMap
+    assert(out(1L)._1 == 1.0)
+    assert(out(1L)._2 == Seq(63L, -127L, 31L)) // floor(0.5*127)=63, floor(0.25*127)=31
+    assert(out(2L)._1 == 0.0 && out(2L)._2 == Seq(0L, 0L, 0L))
+  }
+
+  test("resize stub: strided subsample, ≤64 bytes out, digest of the samples") {
+    val short = "abc"                      // len<64 → stride 1, out=len
+    val long = ("x" * 100) + ("y" * 100)   // len=200 → stride 3, out=64
+    val out = Multimodal.resize(Multimodal.asBlobs(
+      Seq((1L, short), (2L, long)).toDF("doc_id", "text"))).collect()
+      .map(m => m.doc_id -> m).toMap
+    assert(out(1L).stride == 1L && out(1L).out_bytes == 3L)
+    assert(out(1L).digest == "900150983cd24fb0d6963f7d28e17f72") // md5("abc")
+    assert(out(2L).stride == 3L && out(2L).out_bytes == 64L)
+    // samples: positions 0,3,..,99 are 'x' (34 of them), then 'y' ×30
+    val expected = "x" * 34 + "y" * 30
+    val md = java.security.MessageDigest.getInstance("MD5")
+    assert(out(2L).digest ==
+      md.digest(expected.getBytes).map("%02x".format(_)).mkString)
+  }
+
+  test("frame sample: full frames only, every 4th, stable digests") {
+    val text = "ab" * 160                  // 320 bytes → 5 full frames → idx 0, 4
+    val frames = Multimodal.frameSample(Multimodal.asBlobs(
+      Seq((9L, text)).toDF("doc_id", "text"))).collect().sortBy(_.frame_idx)
+    assert(frames.map(_.frame_idx).toSeq == Seq(0L, 4L))
+    assert(frames(0).frame_md5 == frames(1).frame_md5) // identical content
+    val none = Multimodal.frameSample(Multimodal.asBlobs(
+      Seq((1L, "short")).toDF("doc_id", "text"))).collect()
+    assert(none.isEmpty)                   // <64 bytes → zero full frames
+  }
 }

@@ -20,6 +20,30 @@ class JoinPlanSpec extends AnyFunSuite {
     }
   }
 
+  test("tumbling window folds to a plain agg: ONE shuffle, no Expand fan-out") {
+    withConf("spark.sql.adaptive.enabled" -> "false") {
+      val df = SparkEntry.queries("q_tumbling_window")(spark, sf)
+      val plan = df.queryExecution.executedPlan
+      val expands = plan.collect {
+        case e: org.apache.spark.sql.execution.ExpandExec => e }
+      assert(expands.isEmpty,
+        "tumbling (slide == length) must compute the bucket directly, not expand")
+      // shuffles: source spread + (window,user) distinct phase + window agg
+      // + final orderBy range — the agg itself is the ONE hash shuffle pair
+      val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+      assert(shuffles.size <= 4, s"unexpected shuffle count:\n$plan")
+    }
+  }
+
+  test("sliding window expands each event into exactly length/slide windows") {
+    val n = spark.read
+      .schema("event_id long, user_id long, event_type string, value double, props string")
+      .parquet(s"$sf/events.parquet").count()
+    val windowed = SparkEntry.queries("q_sliding_window")(spark, sf)
+    val total = windowed.agg(org.apache.spark.sql.functions.sum("n")).head().getLong(0)
+    assert(total == 2 * n, s"every event must land in exactly 2 windows ($total vs ${2 * n})")
+  }
+
   test("bucketed join: sort-merge join with NO shuffle exchange on either side") {
     // AQE off so the static plan is inspectable directly
     withConf("spark.sql.adaptive.enabled" -> "false") {
