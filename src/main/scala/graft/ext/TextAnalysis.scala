@@ -113,6 +113,29 @@ object TextAnalysis {
       .join(shingleRows(corpus).groupBy("doc_id").agg(min(md5(col("shingle"))).as("fp")),
         Seq("doc_id"), "left")
 
+  /** Content-addressed train/val/test split: bucket = first 8 hex digits of
+    * md5(text) mod 100. Hashing the CONTENT (not the id) pins byte-identical
+    * documents to the same split — the standard defense against train/test
+    * leakage through duplicates — and the assignment is stable under
+    * re-sharding, re-ingestion, and id reassignment. Narrow, no shuffle. */
+  def hashSplit(docs: DataFrame, trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    val bucket = conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long") % 100
+    docs.select(col("doc_id"), bucket.as("bucket"),
+      when(bucket < trainPct, "train")
+        .when(bucket < trainPct + valPct, "val")
+        .otherwise("test").as("split"))
+  }
+
+  /** Vocabulary building: token → frequency, top `k` by count with a
+    * deterministic token tie-break. Map-side partial agg + one token-key
+    * shuffle; the top-k is TakeOrderedAndProject (no global sort) — the
+    * exact shape this takes over a 100 TB corpus. */
+  def vocabTopK(corpus: DataFrame, k: Int = 100): DataFrame =
+    tokenRows(corpus)
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok"))
+      .limit(k)
+
   /** Marker-token language id (n-gram heuristic floor): deterministic and
     * cheap; a real model slots into the same column contract. */
   def langId(text: Column): Column = {

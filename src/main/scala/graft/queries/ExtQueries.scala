@@ -122,6 +122,12 @@ object ExtQueries {
   private val corpusQualityFilter: Q = (s, dir) =>
     TextAnalysis.qualityFilter(documents(s, dir)).orderBy("doc_id")
 
+  private val corpusSplit: Q = (s, dir) =>
+    TextAnalysis.hashSplit(documents(s, dir)).orderBy("doc_id")
+
+  private val textVocabTopk: Q = (s, dir) =>
+    TextAnalysis.vocabTopK(documents(s, dir), 100)
+
   // -------------------------------------------------------- embeddings
 
   private val embQuantizeInt8: Q = (s, dir) =>
@@ -158,6 +164,8 @@ object ExtQueries {
     "ann_ivf" -> annIvf,
     "dedup_keep_canonical" -> dedupKeepCanonical,
     "corpus_quality_filter" -> corpusQualityFilter,
+    "corpus_split" -> corpusSplit,
+    "text_vocab_topk" -> textVocabTopk,
     "emb_quantize_int8" -> embQuantizeInt8,
     "emb_normalize" -> embNormalize,
     "text_tokens" -> textTokens,
@@ -451,6 +459,22 @@ object ExtQueries {
         |SELECT doc_id, words, avg_wlen_x100, stop_x10000, punct_x10000,
         |  reason, reason IS NULL AS keep
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    // content-hash split: same 8-hex-digit fold as the minhash twin
+    "corpus_split" ->
+      s"""WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents),
+         |b AS (SELECT doc_id, ${hexFoldSql(1, 8)} % 100 AS bucket FROM h)
+         |SELECT doc_id, bucket,
+         |  CASE WHEN bucket < 80 THEN 'train'
+         |       WHEN bucket < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM b ORDER BY doc_id""".stripMargin,
+
+    "text_vocab_topk" ->
+      """SELECT tok, count(*) AS n
+        |FROM (SELECT unnest(regexp_split_to_array(text, '\s+')) AS tok
+        |      FROM documents)
+        |GROUP BY tok ORDER BY n DESC, tok LIMIT 100""".stripMargin,
 
     // evaluation order pinned both sides: (x / scale) * 127, then floor —
     // IEEE-deterministic elementwise, no accumulation

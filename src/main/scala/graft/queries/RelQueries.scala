@@ -227,6 +227,17 @@ object RelQueries {
       .orderBy("user_id", "session_id")
   }
 
+  // Pivot: groupBy + pivot over the (small, enumerated) linestatus domain
+  // compiles to ONE agg over conditional sums — no extra shuffle vs the
+  // plain groupBy, no per-pivot-value pass.
+  private val qPivot: Q = (s, dir) =>
+    lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(dsum(col("l_quantity")))
+      .select(col("l_returnflag"), col("F").as("qty_f"), col("O").as("qty_o"))
+      .orderBy("l_returnflag")
+
   // Event-time windowed aggregation (SURVEY.md §2.2 gap: the reference is
   // processing-time only). Tumbling 15-min windows via the native window()
   // function — Catalyst folds it to one bucket expression, so the plan is a
@@ -344,6 +355,7 @@ object RelQueries {
     "sessionize_events" -> qSessionize,
     "q_tumbling_window" -> qTumblingWindow,
     "q_sliding_window" -> qSlidingWindow,
+    "q_pivot" -> qPivot,
     "q1_agg" -> q1Agg,
     "q3_join_broadcast" -> q3Join,
     "q5_multi_join" -> q5MultiJoin,
@@ -476,6 +488,14 @@ object RelQueries {
         |  ON p.user_id = c.user_id
         |  AND c.ts_us >= p.ts_us - 3600000000 AND c.ts_us <= p.ts_us
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN l_linestatus = 'F'
+        |    THEN CAST(l_quantity AS DECIMAL(18,6)) END) AS DOUBLE) AS qty_f,
+        |  CAST(sum(CASE WHEN l_linestatus = 'O'
+        |    THEN CAST(l_quantity AS DECIMAL(18,6)) END) AS DOUBLE) AS qty_o
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_tumbling_window" ->
       """SELECT (epoch_us(ts) // 900000000) * 900000000 AS w_start_us,

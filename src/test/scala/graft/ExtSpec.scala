@@ -280,6 +280,24 @@ class ExtSpec extends AnyFunSuite {
       md.digest(expected.getBytes).map("%02x".format(_)).mkString)
   }
 
+  test("hash split: content-addressed — identical text lands in one split") {
+    val docs = Seq((1L, "same content here"), (2L, "same content here"),
+      (3L, "different content")).toDF("doc_id", "text")
+    val out = TextAnalysis.hashSplit(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(out(1L) == out(2L), "duplicate text must share bucket AND split")
+    assert(out.values.forall { case (b, s) =>
+      (b < 80 && s == "train") || (b >= 80 && b < 90 && s == "val") ||
+        (b >= 90 && s == "test") })
+  }
+
+  test("vocab top-k: frequency order with deterministic token tie-break") {
+    val docs = Seq((1L, "b b b a a c"), (2L, "a c d")).toDF("doc_id", "text")
+    val out = TextAnalysis.vocabTopK(docs, 3).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(out == Seq(("a", 3L), ("b", 3L), ("c", 2L)))
+  }
+
   test("frame sample: full frames only, every 4th, stable digests") {
     val text = "ab" * 160                  // 320 bytes → 5 full frames → idx 0, 4
     val frames = Multimodal.frameSample(Multimodal.asBlobs(
