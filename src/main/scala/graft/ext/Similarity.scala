@@ -93,6 +93,81 @@ object Similarity {
       .select("q_id", "rank", "n_id", "sim")
   }
 
+  /** Product-quantization ANN (ADC flavor): the 100-TB-scale compression
+    * path — each vector is encoded once into `m` sub-space codebook indices
+    * (8 bytes here vs 256 for raw floats), and query scans touch only the
+    * codes plus a per-query distance LUT, never the full-dimensional data.
+    *
+    *   - "training" is deterministic for oracle parity: codeword j of
+    *     sub-space s is the s-th subvector of the corpus vector with
+    *     vec_id = j (a medoid stand-in for k-means, same contract).
+    *     The codebook collect is O(ksub) index construction, not a
+    *     data-path collect; at scale it would be a sampled k-means fit
+    *     broadcast the same way.
+    *   - encoding is a PURE PROJECTION (no join, no shuffle): argmin over
+    *     ksub literal codewords per sub-space, ties to the lower index.
+    *   - the query side materializes its LUT (m × ksub sub-distances) ONCE
+    *     per query and broadcasts it; the corpus-side ADC scan is then m
+    *     array lookups + a pinned left-to-right sum per (query, code) row.
+    *   - exact cosine re-ranks only the top-`nCand` ADC candidates.
+    *
+    * All distance folds are sequential left-to-right doubles, so candidate
+    * sets and ranks are bit-deterministic across engines and partitionings.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int, m: Int = 8,
+      ksub: Int = 16, nCand: Int = 32): DataFrame = {
+    val dim = 64
+    val d = dim / m
+    val cwRows = corpus.filter(col("vec_id") < ksub)
+      .select(col("vec_id"), toDouble(col("embedding")).as("e"))
+      .collect().map(r => r.getLong(0).toInt -> r.getSeq[Double](1).toArray).toMap
+    // cw(s)(j)(i): codeword j of sub-space s
+    val cw = Array.tabulate(m, ksub, d)((s, j, i) => cwRows(j)(s * d + i))
+
+    // squared L2 between sub-space s of `emb` and a literal codeword —
+    // 0.0 + t1 + ... + t8 left-associated (= the oracle's list_reduce fold)
+    def d2(emb: Column, s: Int, c: Array[Double]): Column =
+      (0 until d).map { i =>
+        val diff = element_at(emb, s * d + i + 1).cast("double") - lit(c(i))
+        diff * diff
+      }.foldLeft(lit(0.0))(_ + _)
+
+    def codeCol(emb: Column, s: Int): Column = {
+      val ds = array((0 until ksub).map(j => d2(emb, s, cw(s)(j))): _*)
+      (array_position(ds, array_min(ds)) - 1).cast("int")
+    }
+
+    // one narrow pass: vec_id + m small ints (the compressed index)
+    val codes = corpus.select(
+      col("vec_id").as("n_id") +: (0 until m).map(s =>
+        codeCol(col("embedding"), s).as(s"c$s")): _*)
+    // per-query LUT: lut[s][j] = d²(q_sub_s, cw[s][j]), computed once per
+    // query row, broadcast with it
+    val qlut = broadcast(queries.select(
+      col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+      array((0 until m).map(s =>
+        array((0 until ksub).map(j => d2(col("q_emb"), s, cw(s)(j))): _*)): _*)
+        .as("lut")))
+    val adc = codes.crossJoin(qlut)
+      .filter(col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"),
+        (0 until m).map(s =>
+            element_at(element_at(col("lut"), s + 1), col(s"c$s") + 1))
+          .foldLeft(lit(0.0))(_ + _).as("adist"))
+    val aw = Window.partitionBy("q_id").orderBy(col("adist"), col("n_id"))
+    val cand = adc.withColumn("arn", row_number().over(aw))
+      .filter(col("arn") <= nCand).select("q_id", "n_id")
+    // exact re-rank over the tiny candidate set only
+    val rer = corpus.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+      .join(broadcast(cand), "n_id")
+      .join(qlut.select(col("q_id"), col("q_emb")), "q_id")
+      .select(col("q_id"), col("n_id"), cosine(col("q_emb"), col("n_emb")).as("sim"))
+    val rw = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
+    rer.withColumn("rank", row_number().over(rw))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "n_id", "sim")
+  }
+
   /** ANN via LSH buckets: exact re-rank restricted to the query's bucket. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       planes: Array[Array[Double]]): DataFrame = {

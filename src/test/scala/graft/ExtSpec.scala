@@ -195,6 +195,20 @@ class ExtSpec extends AnyFunSuite {
     assert(out.contains(1L))
   }
 
+  test("PQ ANN: identical vector encodes to the same codes and wins re-rank") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    // 16 deterministic codebook/corpus vectors + an exact copy of vec 0
+    val rnd = new scala.util.Random(7)
+    val base = (0 until 16).map(j => (j.toLong, Array.fill(64)(rnd.nextFloat())))
+    val vecs = (base :+ (100L, base.head._2.clone())).toDF("vec_id", "embedding")
+    val top = Similarity.pqTopK(vecs, vecs.filter($"vec_id" === 0L), 3)
+      .orderBy("rank").collect()
+    // the byte-identical copy has identical codes → adist 0 → survives the
+    // candidate cut and wins the exact re-rank at sim ≈ 1
+    assert(top(0).getAs[Long]("n_id") == 100L, top.mkString(","))
+    assert(math.abs(top(0).getAs[Double]("sim") - 1.0) < 1e-12)
+  }
+
   test("multimodal stub: deterministic metadata through mapPartitions") {
     val metas = Multimodal.decode(Multimodal.asBlobs(
       Seq((7L, "abc")).toDF("doc_id", "text"))).collect()
