@@ -124,35 +124,28 @@ object Similarity {
     // cw(s)(j)(i): codeword j of sub-space s
     val cw = Array.tabulate(m, ksub, d)((s, j, i) => cwRows(j)(s * d + i))
 
-    // squared L2 between sub-space s of `emb` and a literal codeword —
-    // 0.0 + t1 + ... + t8 left-associated (= the oracle's list_reduce fold)
-    def d2(emb: Column, s: Int, c: Array[Double]): Column =
-      (0 until d).map { i =>
-        val diff = element_at(emb, s * d + i + 1).cast("double") - lit(c(i))
-        diff * diff
-      }.foldLeft(lit(0.0))(_ + _)
-
-    def codeCol(emb: Column, s: Int): Column = {
-      val ds = array((0 until ksub).map(j => d2(emb, s, cw(s)(j))): _*)
-      (array_position(ds, array_min(ds)) - 1).cast("int")
-    }
-
-    // one narrow pass: vec_id + m small ints (the compressed index)
-    val codes = corpus.select(
-      col("vec_id").as("n_id") +: (0 until m).map(s =>
-        codeCol(col("embedding"), s).as(s"c$s")): _*)
+    // one narrow pass: vec_id + m small ints (the compressed index). The
+    // argmin-over-codewords runs in the codegen'd pq_encode expression —
+    // one tight m·ksub·d loop per row with the codebook as a referenced
+    // constant. The equivalent built-in-expression formulation (m·ksub
+    // separate d²-sum trees + array_min/array_position, ~2000 plan nodes)
+    // computes the same math but costs seconds of optimizer + janino time
+    // per run and ~20× the per-row work at sf0.1 — the custom expression
+    // IS the operator here, per the build-brief preference order.
+    val cwLit = typedLit(cw.map(_.map(_.toSeq).toSeq).toSeq)
+    val codes = corpus.select(col("vec_id").as("n_id"),
+      call_function("pq_encode", col("embedding"), cwLit).as("codes"))
     // per-query LUT: lut[s][j] = d²(q_sub_s, cw[s][j]), computed once per
-    // query row, broadcast with it
+    // query row (same codegen'd loop), broadcast with it
     val qlut = broadcast(queries.select(
       col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-      array((0 until m).map(s =>
-        array((0 until ksub).map(j => d2(col("q_emb"), s, cw(s)(j))): _*)): _*)
-        .as("lut")))
+      call_function("pq_lut", col("embedding"), cwLit).as("lut")))
     val adc = codes.crossJoin(qlut)
       .filter(col("n_id") =!= col("q_id"))
       .select(col("q_id"), col("n_id"),
         (0 until m).map(s =>
-            element_at(element_at(col("lut"), s + 1), col(s"c$s") + 1))
+            element_at(element_at(col("lut"), s + 1),
+              element_at(col("codes"), s + 1) + 1))
           .foldLeft(lit(0.0))(_ + _).as("adist"))
     val aw = Window.partitionBy("q_id").orderBy(col("adist"), col("n_id"))
     val cand = adc.withColumn("arn", row_number().over(aw))

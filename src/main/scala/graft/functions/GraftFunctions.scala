@@ -12,7 +12,8 @@ import org.apache.spark.sql.functions.call_function
 object GraftFunctions {
   private val descriptors = Seq(
     JsonDeepMerge.descriptor, Opaque.descriptor, DotProduct.descriptor,
-    PolyHash16.descriptor, graft.syslog.ParseSyslog.descriptor,
+    PolyHash16.descriptor, PqEncode.descriptor, PqLut.descriptor,
+    graft.syslog.ParseSyslog.descriptor,
     JmesPathEval.queryDescriptor, JmesPathEval.valueDescriptor)
 
   def ensureRegistered(spark: SparkSession): Unit = {
