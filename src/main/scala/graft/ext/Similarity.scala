@@ -63,25 +63,45 @@ object Similarity {
     * representatives broadcast everywhere, the corpus is assigned in ONE
     * narrow pass, and a probe touches ~N/cells vectors.
     */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    // representatives: the min-vec_id member of each label cell
+  /** Coarse-quantizer representatives: the min-vec_id member of each label
+    * cell (a medoid stand-in for a trained centroid), broadcast. */
+  private def cellReps(corpus: DataFrame): DataFrame = {
     val w = Window.partitionBy("label").orderBy("vec_id")
-    val reps = broadcast(
+    broadcast(
       corpus.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
         .select(col("label").as("cell"), col("embedding").as("rep")))
-    // nearest-cell assignment (cosine to each representative; ties → lower cell)
-    def assign(df: DataFrame, emb: String, out: String): DataFrame = {
-      val aw = Window.partitionBy("_aid").orderBy(col("_sim").desc, col("cell"))
-      df.withColumn("_aid", col("vec_id"))
-        .crossJoin(reps)
-        .withColumn("_sim", cosine(col(emb), col("rep")))
-        .withColumn("_rn", row_number().over(aw))
-        .filter(col("_rn") === 1)
-        .withColumnRenamed("cell", out)
-        .drop("rep", "_sim", "_rn", "_aid")
-    }
-    val bucketed = assign(corpus, "embedding", "ivf_cell")
-    val q = assign(queries, "embedding", "ivf_cell")
+  }
+
+  /** Nearest-cell assignment (cosine to each broadcast representative;
+    * ties → lower cell) — one narrow pass over `df`. */
+  private def cellAssign(reps: DataFrame, df: DataFrame,
+      emb: String, out: String): DataFrame = {
+    val aw = Window.partitionBy("_aid").orderBy(col("_sim").desc, col("cell"))
+    df.withColumn("_aid", col("vec_id"))
+      .crossJoin(reps)
+      .withColumn("_sim", cosine(col(emb), col("rep")))
+      .withColumn("_rn", row_number().over(aw))
+      .filter(col("_rn") === 1)
+      .withColumnRenamed("cell", out)
+      .drop("rep", "_sim", "_rn", "_aid")
+  }
+
+  /** Deterministic PQ codebook: codeword j of sub-space s = the s-th
+    * subvector of the corpus vector with vec_id = j. Bounded O(ksub)
+    * index-construction collect (a sampled k-means fit would broadcast the
+    * same way at scale). */
+  private def codebook(corpus: DataFrame, m: Int, ksub: Int, d: Int)
+      : Array[Array[Array[Double]]] = {
+    val cwRows = corpus.filter(col("vec_id") < ksub)
+      .select(col("vec_id"), toDouble(col("embedding")).as("e"))
+      .collect().map(r => r.getLong(0).toInt -> r.getSeq[Double](1).toArray).toMap
+    Array.tabulate(m, ksub, d)((s, j, i) => cwRows(j)(s * d + i))
+  }
+
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val reps = cellReps(corpus)
+    val bucketed = cellAssign(reps, corpus, "embedding", "ivf_cell")
+    val q = cellAssign(reps, queries, "embedding", "ivf_cell")
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("ivf_cell"))
     val scored = bucketed.join(broadcast(q), "ivf_cell")
       .filter(col("vec_id") =!= col("q_id"))
@@ -118,11 +138,8 @@ object Similarity {
       ksub: Int = 16, nCand: Int = 32): DataFrame = {
     val dim = 64
     val d = dim / m
-    val cwRows = corpus.filter(col("vec_id") < ksub)
-      .select(col("vec_id"), toDouble(col("embedding")).as("e"))
-      .collect().map(r => r.getLong(0).toInt -> r.getSeq[Double](1).toArray).toMap
     // cw(s)(j)(i): codeword j of sub-space s
-    val cw = Array.tabulate(m, ksub, d)((s, j, i) => cwRows(j)(s * d + i))
+    val cw = codebook(corpus, m, ksub, d)
 
     // one narrow pass: vec_id + m small ints (the compressed index). The
     // argmin-over-codewords runs in the codegen'd pq_encode expression —
@@ -154,6 +171,50 @@ object Similarity {
     val rer = corpus.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
       .join(broadcast(cand), "n_id")
       .join(qlut.select(col("q_id"), col("q_emb")), "q_id")
+      .select(col("q_id"), col("n_id"), cosine(col("q_emb"), col("n_emb")).as("sim"))
+    val rw = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
+    rer.withColumn("rank", row_number().over(rw))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "n_id", "sim")
+  }
+
+  /** IVF+PQ — the full FAISS-style index as one plan: the coarse quantizer
+    * prunes the search to the query's cell (~N/cells candidates), PQ codes
+    * make scoring those candidates a LUT lookup sum instead of
+    * full-dimensional math, and exact cosine re-ranks only the top-`nCand`.
+    * At 100 TB: reps + codebook broadcast, the corpus is assigned and
+    * encoded in ONE narrow pass (8-byte codes + a cell id per vector), and
+    * a probe reads one inverted list of codes. PQ here encodes raw vectors
+    * (production FAISS encodes residuals x − centroid; raw-vector PQ keeps
+    * the same plan shape and exact oracle parity — the residual variant is
+    * one extra subtraction in the same codegen'd expressions). */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int, m: Int = 8,
+      ksub: Int = 16, nCand: Int = 32): DataFrame = {
+    val d = 64 / m
+    val cw = codebook(corpus, m, ksub, d)
+    val cwLit = typedLit(cw.map(_.map(_.toSeq).toSeq).toSeq)
+    val reps = cellReps(corpus)
+    // one narrow pass: cell id + m-int code per corpus vector
+    val codes = cellAssign(reps, corpus, "embedding", "ivf_cell")
+      .select(col("vec_id").as("n_id"), col("ivf_cell"),
+        call_function("pq_encode", col("embedding"), cwLit).as("codes"))
+    val q = broadcast(cellAssign(reps, queries, "embedding", "ivf_cell")
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("ivf_cell"),
+        call_function("pq_lut", col("embedding"), cwLit).as("lut")))
+    // cell-pruned ADC: the join key IS the inverted list
+    val adc = codes.join(q, "ivf_cell")
+      .filter(col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"),
+        (0 until m).map(s =>
+            element_at(element_at(col("lut"), s + 1),
+              element_at(col("codes"), s + 1) + 1))
+          .foldLeft(lit(0.0))(_ + _).as("adist"))
+    val aw = Window.partitionBy("q_id").orderBy(col("adist"), col("n_id"))
+    val cand = adc.withColumn("arn", row_number().over(aw))
+      .filter(col("arn") <= nCand).select("q_id", "n_id")
+    val rer = corpus.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+      .join(broadcast(cand), "n_id")
+      .join(q.select(col("q_id"), col("q_emb")), "q_id")
       .select(col("q_id"), col("n_id"), cosine(col("q_emb"), col("n_emb")).as("sim"))
     val rw = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
     rer.withColumn("rank", row_number().over(rw))

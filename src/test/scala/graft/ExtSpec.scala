@@ -209,6 +209,20 @@ class ExtSpec extends AnyFunSuite {
     assert(math.abs(top(0).getAs[Double]("sim") - 1.0) < 1e-12)
   }
 
+  test("IVF+PQ: cell pruning keeps the identical copy reachable and ranked first") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val rnd = new scala.util.Random(11)
+    val base = (0 until 16).map(j => (j.toLong, Array.fill(64)(rnd.nextFloat()), j % 4))
+    val vecs = (base :+ ((100L, base.head._2.clone(), 0)))
+      .toDF("vec_id", "embedding", "label")
+    val top = Similarity.ivfPqTopK(vecs, vecs.filter($"vec_id" === 0L), 3)
+      .orderBy("rank").collect()
+    // identical copy → same cell assignment, identical codes, adist 0,
+    // wins the exact re-rank
+    assert(top(0).getAs[Long]("n_id") == 100L, top.mkString(","))
+    assert(math.abs(top(0).getAs[Double]("sim") - 1.0) < 1e-12)
+  }
+
   test("multimodal stub: deterministic metadata through mapPartitions") {
     val metas = Multimodal.decode(Multimodal.asBlobs(
       Seq((7L, "abc")).toDF("doc_id", "text"))).collect()
