@@ -1,0 +1,56 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Incremental exact dedup — the CDC-style canonical-set maintenance a
+  * training-data ingest runs: as documents arrive, each content key
+  * (md5(text)) admits exactly ONE canonical document; later arrivals are
+  * emitted as rejections pointing at the canonical. The exact-dup sibling
+  * of [[NearDupStream]]'s bucket canonicals, and the streaming twin of the
+  * batch `Dedup.exact` groupBy.
+  *
+  * Spark's own `dropDuplicatesWithinWatermark` silently drops the
+  * duplicates; this operator instead emits a decision row per document
+  * (`kept` + canonical id), which is what a pipeline audit needs — the
+  * reject stream is the dedup ablation log.
+  *
+  * One stateful shuffle on the content key; state is one long per distinct
+  * content (bounded by distinct corpus size; production adds TTL eviction
+  * per retention contract).
+  */
+object ExactDedupStream {
+  final case class Keyed(ck: String, doc_id: Long)
+  final case class Decision(doc_id: Long, canonical: Long, kept: Boolean)
+
+  def keyed(docs: DataFrame): Dataset[Keyed] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(md5(col("text")).as("ck"), col("doc_id")).as[Keyed]
+  }
+
+  def decisions(docs: Dataset[Keyed]): Dataset[Decision] = {
+    implicit val keyEnc = Encoders.STRING
+    implicit val outEnc = Encoders.product[Decision]
+    implicit val stateEnc = Encoders.scalaLong
+    docs
+      .groupByKey(_.ck)
+      .flatMapGroupsWithState[Long, Decision](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: String, it: Iterator[Keyed], state: GroupState[Long]) =>
+          val ids = it.map(_.doc_id).toSeq.sorted.distinct
+          state.getOption match {
+            case Some(canonical) =>
+              state.update(canonical)
+              ids.map(d => Decision(d, canonical, kept = false)).iterator
+            case None =>
+              // min id of the first batch is the canonical — deterministic
+              // under any within-batch arrival order
+              val canonical = ids.head
+              state.update(canonical)
+              ids.map(d => Decision(d, canonical, kept = d == canonical)).iterator
+          }
+      }
+  }
+}
