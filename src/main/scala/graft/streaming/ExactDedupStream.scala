@@ -30,27 +30,44 @@ object ExactDedupStream {
     docs.select(md5(col("text")).as("ck"), col("doc_id")).as[Keyed]
   }
 
-  def decisions(docs: Dataset[Keyed]): Dataset[Decision] = {
+  /** `ttlMs > 0` evicts content keys idle longer than the TTL (dedup then
+    * spans only the retention window; state bounded by active content). */
+  def decisions(docs: Dataset[Keyed], ttlMs: Long = 0L): Dataset[Decision] = {
     implicit val keyEnc = Encoders.STRING
     implicit val outEnc = Encoders.product[Decision]
     implicit val stateEnc = Encoders.scalaLong
+    val timeout =
+      if (ttlMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     docs
       .groupByKey(_.ck)
-      .flatMapGroupsWithState[Long, Decision](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+      .flatMapGroupsWithState[Long, Decision](OutputMode.Append(), timeout) {
         (_: String, it: Iterator[Keyed], state: GroupState[Long]) =>
-          val ids = it.map(_.doc_id).toSeq.sorted.distinct
-          state.getOption match {
-            case Some(canonical) =>
-              state.update(canonical)
-              ids.map(d => Decision(d, canonical, kept = false)).iterator
-            case None =>
-              // min id of the first batch is the canonical — deterministic
-              // under any within-batch arrival order
-              val canonical = ids.head
-              state.update(canonical)
-              ids.map(d => Decision(d, canonical, kept = d == canonical)).iterator
-          }
+          transition(it, state, ttlMs)
       }
   }
+
+  /** Per-group transition, exposed for deterministic TestGroupState specs. */
+  private[graft] def transition(it: Iterator[Keyed], state: GroupState[Long],
+      ttlMs: Long): Iterator[Decision] =
+    if (state.hasTimedOut) {
+      // retention window passed with no arrivals: forget the canonical
+      state.remove()
+      Iterator.empty
+    } else {
+      val ids = it.map(_.doc_id).toSeq.sorted.distinct
+      val out = state.getOption match {
+        case Some(canonical) =>
+          state.update(canonical)
+          ids.map(d => Decision(d, canonical, kept = false))
+        case None =>
+          // min id of the first batch is the canonical — deterministic
+          // under any within-batch arrival order
+          val canonical = ids.head
+          state.update(canonical)
+          ids.map(d => Decision(d, canonical, kept = d == canonical))
+      }
+      if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
+      out.iterator
+    }
 }

@@ -61,27 +61,41 @@ object NearDupStream {
   }
 
   /** Stateful stage: per-bucket canonical doc_id in GroupState; every other
-    * document arriving at the bucket emits a candidate edge to it. */
-  def candidates(hits: Dataset[Hit]): Dataset[Cand] = {
+    * document arriving at the bucket emits a candidate edge to it.
+    *
+    * `ttlMs > 0` enables processing-time state eviction — the retention
+    * contract: a bucket idle longer than the TTL forgets its canonical, so
+    * state stays bounded by the ACTIVE vocabulary instead of growing with
+    * the all-time one (dedup then only spans the retention window, the
+    * usual production trade). */
+  def candidates(hits: Dataset[Hit], ttlMs: Long = 0L): Dataset[Cand] = {
     implicit val hitEnc = Encoders.product[Hit]
     implicit val outEnc = Encoders.product[Cand]
     implicit val stateEnc = Encoders.scalaLong
+    val timeout =
+      if (ttlMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     hits
       .groupByKey(h => (h.band, h.bucket))(
         Encoders.tuple(Encoders.scalaInt, Encoders.STRING))
-      .flatMapGroupsWithState[Long, Cand](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+      .flatMapGroupsWithState[Long, Cand](OutputMode.Append(), timeout) {
         (key: (Int, String), it: Iterator[Hit], state: GroupState[Long]) =>
-          val ids = it.map(_.doc_id).toSeq.sorted.distinct
-          val prev = state.getOption
-          val canonical = math.min(prev.getOrElse(Long.MaxValue), ids.head)
-          state.update(canonical)
-          // every arrival links to the canonical; if a smaller id just took
-          // over, the previous canonical links to it too (the star may relax
-          // to a path across takeovers — connectivity is what matters, the
-          // offline CC pass recovers the cluster)
-          (ids ++ prev).distinct.filterNot(_ == canonical)
-            .map(d => Cand(canonical, d, key._1, key._2)).iterator
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val ids = it.map(_.doc_id).toSeq.sorted.distinct
+            val prev = state.getOption
+            val canonical = math.min(prev.getOrElse(Long.MaxValue), ids.head)
+            state.update(canonical)
+            if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
+            // every arrival links to the canonical; if a smaller id just took
+            // over, the previous canonical links to it too (the star may relax
+            // to a path across takeovers — connectivity is what matters, the
+            // offline CC pass recovers the cluster)
+            (ids ++ prev).distinct.filterNot(_ == canonical)
+              .map(d => Cand(canonical, d, key._1, key._2)).iterator
+          }
       }
   }
 }

@@ -36,4 +36,23 @@ class ExactDedupStreamSpec extends AnyFunSuite {
       assert(d.size == 5)
     } finally q.stop()
   }
+
+  test("TTL eviction: timeout removes the canonical; a re-arrival is fresh") {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import org.apache.spark.api.java.Optional
+    // an established canonical whose retention window has passed
+    val timedOut = TestGroupState.create[Long](
+      Optional.of(3L), GroupStateTimeout.ProcessingTimeTimeout,
+      1000L, Optional.empty[Long](), hasTimedOut = true)
+    val none = ExactDedupStream.transition(Iterator.empty, timedOut, ttlMs = 60000L)
+    assert(none.isEmpty && timedOut.isRemoved)
+    // the next arrival of the same content is admitted as a NEW canonical
+    val fresh = TestGroupState.create[Long](
+      Optional.empty[Long](), GroupStateTimeout.ProcessingTimeTimeout,
+      2000L, Optional.empty[Long](), hasTimedOut = false)
+    val out = ExactDedupStream.transition(
+      Iterator(ExactDedupStream.Keyed("ck", 9L)), fresh, ttlMs = 60000L).toSeq
+    assert(out == Seq(ExactDedupStream.Decision(9L, 9L, kept = true)))
+    assert(fresh.get == 9L)
+  }
 }
