@@ -536,7 +536,11 @@ object CoreQueries {
          |parsed AS (
          |  SELECT event_id, regexp_extract(line, '$P5424Sql', 8) AS msg
          |  FROM corrupted WHERE regexp_matches(line, '$P5424Sql')
-         |    AND CAST(regexp_extract(line, '$P5424Sql', 1) AS INT) <= 191)
+         |    AND TRY_CAST(regexp_extract(line, '$P5424Sql', 1) AS INT) <= 191)
+         |    -- TRY_CAST: DuckDB splits AND conjuncts into separate filters
+         |    -- and orders them by stats, so the cast can run on rows the
+         |    -- match predicate would reject (empty group → cast error at
+         |    -- some scale factors; surfaced at sf0.1)
          |$RoutedCte
          |SELECT 'lines' AS metric, count(*) AS value FROM corrupted
          |UNION ALL

@@ -136,6 +136,20 @@ object ExtQueries {
   private val corpusQualityFilter: Q = (s, dir) =>
     TextAnalysis.qualityFilter(documents(s, dir)).orderBy("doc_id")
 
+  /** dupCorpus with the lang column carried through (copies inherit it) —
+    * the e2e pipeline's quality gate needs it. */
+  private def dupCorpusLang(s: SparkSession, dir: String): DataFrame = {
+    val d = documents(s, dir).select("doc_id", "text", "lang")
+    d.unionAll(d.filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat(col("text"), lit(Suffix)).as("text"), col("lang")))
+      .unionAll(d.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 2000000).as("doc_id"), col("text"), col("lang")))
+  }
+
+  private val corpusPipelineE2e: Q = (s, dir) =>
+    graft.ext.CorpusPipeline.run(dupCorpusLang(s, dir)).orderBy("doc_id")
+
   private val corpusSplit: Q = (s, dir) =>
     TextAnalysis.hashSplit(documents(s, dir)).orderBy("doc_id")
 
@@ -181,6 +195,7 @@ object ExtQueries {
     "dedup_keep_canonical" -> dedupKeepCanonical,
     "corpus_quality_filter" -> corpusQualityFilter,
     "corpus_split" -> corpusSplit,
+    "corpus_pipeline_e2e" -> corpusPipelineE2e,
     "text_vocab_topk" -> textVocabTopk,
     "emb_quantize_int8" -> embQuantizeInt8,
     "emb_normalize" -> embNormalize,
@@ -247,9 +262,12 @@ object ExtQueries {
 
   /** Shared minhash pipeline CTEs ending in `scored(ida, idb, jacc_x10000)`
     * — the DuckDB twin of Dedup.minhashLshPairs before thresholding. */
-  private val MinhashScoredCtes: String =
-    s"""$CorpusCte,
-       |$TokCte,
+  private val MinhashScoredCtes: String = s"$CorpusCte,\n$MinhashFromCorpus"
+
+  /** The minhash CTE chain over a PRE-EXISTING `corpus(doc_id, text)` CTE —
+    * reused by the e2e pipeline key, whose corpus is mid-pipeline. */
+  private lazy val MinhashFromCorpus: String =
+    s"""$TokCte,
        |$ShingleCte,
        |shx AS (SELECT doc_id, md5(s) AS hx
        |  FROM (SELECT doc_id, unnest(sg) AS s FROM sh)),
@@ -568,6 +586,72 @@ object ExtQueries {
         |SELECT doc_id, words, avg_wlen_x100, stop_x10000, punct_x10000,
         |  reason, reason IS NULL AS keep
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    // e2e pipeline twin: quality gate → exact dedup → minhash/CC near-dup
+    // dedup → hash split, each stage over the previous stage's survivors.
+    // `corpus` is the minhash chain's input CTE, here defined mid-pipeline.
+    "corpus_pipeline_e2e" ->
+      s"""WITH RECURSIVE base AS (
+         |  SELECT doc_id, text, lang FROM documents
+         |  UNION ALL SELECT doc_id + 1000000, text || '$Suffix', lang FROM documents WHERE doc_id % 20 = 0
+         |  UNION ALL SELECT doc_id + 2000000, text, lang FROM documents WHERE doc_id % 25 = 0),
+         |qm AS (SELECT doc_id, lang,
+         |  len(regexp_split_to_array(text, '\\s+')) AS words,
+         |  100 * length(regexp_replace(text, '\\s+', '', 'g'))
+         |    // len(regexp_split_to_array(text, '\\s+')) AS awl,
+         |  10000 * len(list_filter(regexp_split_to_array(text, '\\s+'),
+         |      t -> t IN ('the','a','of','and','to','in','is')))
+         |    // len(regexp_split_to_array(text, '\\s+')) AS stopr,
+         |  10000 * len(regexp_extract_all(text, '[^\\w\\s]')) // length(text) AS punctr
+         |  FROM base),
+         |q AS (SELECT doc_id,
+         |  CASE WHEN words < 25 THEN 'too_short'
+         |       WHEN words > 5000 THEN 'too_long'
+         |       WHEN awl < 380 OR awl > 1200 THEN 'word_length'
+         |       WHEN stopr < 400 THEN 'low_stopword'
+         |       WHEN punctr > 120 THEN 'high_punct'
+         |       WHEN lang <> 'en' THEN 'non_english'
+         |       ELSE NULL END AS reason
+         |  FROM qm),
+         |qdrops AS (SELECT doc_id, 'quality:' || reason AS status
+         |  FROM q WHERE reason IS NOT NULL),
+         |kept1 AS (SELECT b.doc_id, b.text FROM base b
+         |  JOIN q ON b.doc_id = q.doc_id WHERE q.reason IS NULL),
+         |ckd AS (SELECT doc_id, text, md5(text) AS k FROM kept1),
+         |canon AS (SELECT k, min(doc_id) AS keep_id FROM ckd GROUP BY 1),
+         |exdrops AS (SELECT c.doc_id, 'exact_dup' AS status
+         |  FROM ckd c JOIN canon USING (k) WHERE c.doc_id <> keep_id),
+         |corpus AS (SELECT c.doc_id, c.text FROM ckd c
+         |  JOIN canon ON c.k = canon.k AND c.doc_id = canon.keep_id),
+         |$MinhashFromCorpus,
+         |pairs AS (SELECT ida, idb FROM scored WHERE jacc_x10000 >= 5000),
+         |edges AS (SELECT ida AS a, idb AS b FROM pairs
+         |          UNION SELECT idb, ida FROM pairs),
+         |verts AS (SELECT DISTINCT a AS v FROM edges),
+         |reach(v, r) AS (
+         |  SELECT v, v FROM verts
+         |  UNION
+         |  SELECT reach.v, e.b FROM reach JOIN edges e ON reach.r = e.a),
+         |comp AS (SELECT v AS doc_id, CAST(min(r) AS BIGINT) AS comp
+         |         FROM reach GROUP BY 1),
+         |neardrops AS (SELECT c.doc_id, 'near_dup' AS status
+         |  FROM corpus c JOIN comp m USING (doc_id) WHERE m.comp <> c.doc_id),
+         |keptfinal AS (SELECT c.doc_id, c.text FROM corpus c
+         |  LEFT JOIN comp m USING (doc_id)
+         |  WHERE m.comp IS NULL OR m.comp = c.doc_id),
+         |buckets AS (SELECT doc_id, ${hexFoldSql(1, 8)} % 100 AS bucket
+         |  FROM (SELECT doc_id, md5(text) AS hx FROM keptfinal)),
+         |keptrows AS (SELECT doc_id, 'kept' AS status,
+         |  CASE WHEN bucket < 80 THEN 'train'
+         |       WHEN bucket < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         |  FROM buckets)
+         |SELECT doc_id, status, split FROM (
+         |  SELECT doc_id, status, CAST(NULL AS VARCHAR) AS split FROM qdrops
+         |  UNION ALL SELECT doc_id, status, CAST(NULL AS VARCHAR) FROM exdrops
+         |  UNION ALL SELECT doc_id, status, CAST(NULL AS VARCHAR) FROM neardrops
+         |  UNION ALL SELECT doc_id, status, split FROM keptrows)
+         |ORDER BY doc_id""".stripMargin,
 
     // content-hash split: same 8-hex-digit fold as the minhash twin
     "corpus_split" ->

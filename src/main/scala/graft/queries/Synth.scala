@@ -135,7 +135,7 @@ object Synth {
        |    nullif(regexp_extract(line, '$lineP', $appGroup), '-') AS appname
        |  FROM lines
        |  WHERE regexp_matches(line, '$lineP')
-       |    AND CAST(regexp_extract(line, '$lineP', 1) AS INT) <= 191)""".stripMargin
+       |    AND TRY_CAST(regexp_extract(line, '$lineP', 1) AS INT) <= 191)""".stripMargin
 
   // ---------------------------------------------------------------- cascade
 

@@ -308,6 +308,33 @@ class ExtSpec extends AnyFunSuite {
       md.digest(expected.getBytes).map("%02x".format(_)).mkString)
   }
 
+  test("corpus pipeline: stage order and one disposition per document") {
+    // doc 2 fails quality; 10=11 exact dups; 20~21 near-dups; 30 clean
+    val en = "the quantum computing architecture requires the careful " +
+      "analysis of the distributed systems and the persistent storage " +
+      "layers while a comprehensive monitoring framework observes the " +
+      "throughput metrics in the production cluster environment today"
+    val docs = Seq(
+      (2L, "tiny doc", "en"),
+      (10L, en, "en"), (11L, en, "en"),
+      (20L, en + " plus an extra distinguishing sentence near the end", "en"),
+      (30L, "completely different the of and to in is content about " +
+        "catalyst optimizer rules and physical planning strategies with " +
+        "broadcast exchanges shuffling partitions across the executors " +
+        "while the adaptive engine rewrites the running query plans", "en")
+    ).toDF("doc_id", "text", "lang")
+    val out = graft.ext.CorpusPipeline.run(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), Option(r.getString(2))))).toMap
+    assert(out.size == 5, s"one row per doc: $out")
+    assert(out(2L)._1 == "quality:too_short" && out(2L)._2.isEmpty)
+    assert(out(10L)._1 == "kept" && out(10L)._2.isDefined)
+    assert(out(11L)._1 == "exact_dup")
+    // 20 is a near-dup of 10 (suffix) → dropped in the LSH/CC stage OR kept
+    // if banding misses; with these texts it collides: canonical 10 wins
+    assert(out(20L)._1 == "near_dup", s"got ${out(20L)}")
+    assert(out(30L)._1 == "kept")
+  }
+
   test("hash split: content-addressed — identical text lands in one split") {
     val docs = Seq((1L, "same content here"), (2L, "same content here"),
       (3L, "different content")).toDF("doc_id", "text")
