@@ -222,6 +222,54 @@ object Similarity {
       .select("q_id", "rank", "n_id", "sim")
   }
 
+  /** Residual-encoding IVF+PQ — production FAISS semantics: PQ encodes
+    * x − centroid(cell(x)) instead of x, so codewords model the (much
+    * tighter) within-cell displacement distribution and ADC error drops.
+    * Same plan shape as [[ivfPqTopK]]: the residual is one elementwise
+    * zip_with subtraction feeding the same codegen'd `pq_encode`/`pq_lut`
+    * (at 100 TB the subtraction would be fused into those expressions —
+    * one extra operand read per element). Codebook = residuals of the
+    * first `ksub` corpus vectors w.r.t. their assigned cells. */
+  def ivfPqResidualTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      m: Int = 8, ksub: Int = 16, nCand: Int = 32): DataFrame = {
+    val d = 64 / m
+    val reps = cellReps(corpus)
+    val cellRep = reps.withColumnRenamed("cell", "ivf_cell")
+    def resid: Column =
+      zip_with(toDouble(col("embedding")), toDouble(col("rep")), (a, b) => a - b)
+    val assigned = cellAssign(reps, corpus, "embedding", "ivf_cell")
+      .join(cellRep, "ivf_cell")
+    val cwRows = assigned.filter(col("vec_id") < ksub)
+      .select(col("vec_id"), resid.as("r"))
+      .collect().map(r => r.getLong(0).toInt -> r.getSeq[Double](1).toArray).toMap
+    val cw = Array.tabulate(m, ksub, d)((s, j, i) => cwRows(j)(s * d + i))
+    val cwLit = typedLit(cw.map(_.map(_.toSeq).toSeq).toSeq)
+    val codes = assigned.select(col("vec_id").as("n_id"), col("ivf_cell"),
+      call_function("pq_encode", resid, cwLit).as("codes"))
+    val q = broadcast(cellAssign(reps, queries, "embedding", "ivf_cell")
+      .join(cellRep, "ivf_cell")
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("ivf_cell"),
+        call_function("pq_lut", resid, cwLit).as("lut")))
+    val adc = codes.join(q, "ivf_cell")
+      .filter(col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"),
+        (0 until m).map(s =>
+            element_at(element_at(col("lut"), s + 1),
+              element_at(col("codes"), s + 1) + 1))
+          .foldLeft(lit(0.0))(_ + _).as("adist"))
+    val aw = Window.partitionBy("q_id").orderBy(col("adist"), col("n_id"))
+    val cand = adc.withColumn("arn", row_number().over(aw))
+      .filter(col("arn") <= nCand).select("q_id", "n_id")
+    val rer = corpus.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+      .join(broadcast(cand), "n_id")
+      .join(q.select(col("q_id"), col("q_emb")), "q_id")
+      .select(col("q_id"), col("n_id"), cosine(col("q_emb"), col("n_emb")).as("sim"))
+    val rw = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
+    rer.withColumn("rank", row_number().over(rw))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "n_id", "sim")
+  }
+
   /** ANN via LSH buckets: exact re-rank restricted to the query's bucket. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       planes: Array[Array[Double]]): DataFrame = {

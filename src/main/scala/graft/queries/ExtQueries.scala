@@ -105,6 +105,13 @@ object ExtQueries {
       .orderBy("q_id", "rank")
   }
 
+  private val annIvfPqResidual: Q = (s, dir) => {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val e = embeddings(s, dir)
+    Similarity.ivfPqResidualTopK(e, e.filter(col("vec_id") < 10), 5)
+      .orderBy("q_id", "rank")
+  }
+
   // ------------------------------------------------------ text analysis
 
   private val textTokens: Q = (s, dir) =>
@@ -192,6 +199,7 @@ object ExtQueries {
     "ann_ivf" -> annIvf,
     "ann_pq" -> annPq,
     "ann_ivf_pq" -> annIvfPq,
+    "ann_ivf_pq_residual" -> annIvfPqResidual,
     "dedup_keep_canonical" -> dedupKeepCanonical,
     "corpus_quality_filter" -> corpusQualityFilter,
     "corpus_split" -> corpusSplit,
@@ -434,6 +442,64 @@ object ExtQueries {
          |  JOIN dq ON codes.m = dq.m AND codes.code = dq.j
          |  JOIN assigned ca ON ca.vec_id = codes.vec_id
          |  JOIN assigned qa ON qa.vec_id = dq.q_id AND qa.ivf_cell = ca.ivf_cell
+         |  WHERE codes.vec_id <> dq.q_id GROUP BY 1, 2),
+         |cand AS (SELECT q_id, n_id FROM (
+         |    SELECT q_id, n_id,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY adist, n_id) AS arn
+         |    FROM adc) WHERE arn <= 32),
+         |rr AS (SELECT c.q_id, c.n_id,
+         |    ${cosSql("qv.embedding", "nv.embedding")} AS sim
+         |  FROM cand c JOIN embeddings qv ON c.q_id = qv.vec_id
+         |              JOIN embeddings nv ON c.n_id = nv.vec_id),
+         |ranked AS (SELECT q_id, n_id, sim,
+         |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS INT) AS rank
+         |  FROM rr)
+         |SELECT q_id, rank, n_id, sim FROM ranked WHERE rank <= 5
+         |ORDER BY q_id, rank""".stripMargin,
+
+    // residual IVF+PQ twin: identical to ann_ivf_pq but every subvector is
+    // taken from rv = embedding − assigned-cell rep (elementwise doubles)
+    "ann_ivf_pq_residual" ->
+      s"""WITH reps AS (
+         |  SELECT label AS cell, embedding AS rep FROM (
+         |    SELECT label, embedding,
+         |      row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+         |    FROM embeddings) WHERE rn = 1),
+         |assigned AS (
+         |  SELECT vec_id, ivf_cell FROM (
+         |    SELECT e.vec_id, r.cell AS ivf_cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosSql("e.embedding", "r.rep")} DESC, r.cell) AS rn
+         |    FROM embeddings e, reps r) WHERE rn = 1),
+         |wr AS (SELECT a.vec_id, a.ivf_cell,
+         |    list_transform(range(1, 65),
+         |      i -> CAST(e.embedding[i] AS DOUBLE) - CAST(r.rep[i] AS DOUBLE)) AS rv
+         |  FROM assigned a JOIN embeddings e ON a.vec_id = e.vec_id
+         |                  JOIN reps r ON a.ivf_cell = r.cell),
+         |ms AS (SELECT unnest(range(0, 8)) AS m),
+         |cw AS (SELECT m, CAST(vec_id AS INT) AS j,
+         |    list_transform(range(1, 9), i -> rv[m*8 + i]) AS c
+         |  FROM wr, ms WHERE vec_id < 16),
+         |sub AS (SELECT vec_id, m,
+         |    list_transform(range(1, 9), i -> rv[m*8 + i]) AS s
+         |  FROM wr, ms),
+         |d2 AS (SELECT s.vec_id, s.m, cw.j,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(range(1, 9), i -> (s.s[i] - cw.c[i]) * (s.s[i] - cw.c[i]))),
+         |      (a, b) -> a + b) AS d
+         |  FROM sub s JOIN cw ON s.m = cw.m),
+         |codes AS (SELECT vec_id, m, j AS code FROM (
+         |    SELECT vec_id, m, j,
+         |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d, j) AS rn
+         |    FROM d2) WHERE rn = 1),
+         |dq AS (SELECT vec_id AS q_id, m, j, d FROM d2 WHERE vec_id < 10),
+         |adc AS (SELECT dq.q_id, codes.vec_id AS n_id,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list(dq.d ORDER BY dq.m)), (a, b) -> a + b) AS adist
+         |  FROM codes
+         |  JOIN dq ON codes.m = dq.m AND codes.code = dq.j
+         |  JOIN wr ca ON ca.vec_id = codes.vec_id
+         |  JOIN wr qa ON qa.vec_id = dq.q_id AND qa.ivf_cell = ca.ivf_cell
          |  WHERE codes.vec_id <> dq.q_id GROUP BY 1, 2),
          |cand AS (SELECT q_id, n_id FROM (
          |    SELECT q_id, n_id,

@@ -223,6 +223,18 @@ class ExtSpec extends AnyFunSuite {
     assert(math.abs(top(0).getAs[Double]("sim") - 1.0) < 1e-12)
   }
 
+  test("residual IVF+PQ: identical copy shares cell and residual codes, wins re-rank") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val rnd = new scala.util.Random(13)
+    val base = (0 until 16).map(j => (j.toLong, Array.fill(64)(rnd.nextFloat()), j % 4))
+    val vecs = (base :+ ((100L, base.head._2.clone(), 0)))
+      .toDF("vec_id", "embedding", "label")
+    val top = Similarity.ivfPqResidualTopK(vecs, vecs.filter($"vec_id" === 0L), 3)
+      .orderBy("rank").collect()
+    assert(top(0).getAs[Long]("n_id") == 100L, top.mkString(","))
+    assert(math.abs(top(0).getAs[Double]("sim") - 1.0) < 1e-12)
+  }
+
   test("multimodal stub: deterministic metadata through mapPartitions") {
     val metas = Multimodal.decode(Multimodal.asBlobs(
       Seq((7L, "abc")).toDF("doc_id", "text"))).collect()
