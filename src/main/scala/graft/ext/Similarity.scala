@@ -135,11 +135,14 @@ object Similarity {
     * sets and ranks are bit-deterministic across engines and partitionings.
     */
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int, m: Int = 8,
-      ksub: Int = 16, nCand: Int = 32): DataFrame = {
+      ksub: Int = 16, nCand: Int = 32,
+      trained: Option[Array[Array[Array[Double]]]] = None): DataFrame = {
     val dim = 64
     val d = dim / m
-    // cw(s)(j)(i): codeword j of sub-space s
-    val cw = codebook(corpus, m, ksub, d)
+    // cw(s)(j)(i): codeword j of sub-space s — the deterministic medoid
+    // codebook by default (what the DuckDB oracle pins); pass a
+    // PqTrainer.trainCodebook result for the production path
+    val cw = trained.getOrElse(codebook(corpus, m, ksub, d))
 
     // one narrow pass: vec_id + m small ints (the compressed index). The
     // argmin-over-codewords runs in the codegen'd pq_encode expression —

@@ -223,6 +223,35 @@ class ExtSpec extends AnyFunSuite {
     assert(math.abs(top(0).getAs[Double]("sim") - 1.0) < 1e-12)
   }
 
+  test("k-means PQ trainer: lower distortion than the medoid codebook, deterministic") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val rnd = new scala.util.Random(17)
+    val vecs = (0 until 64).map(j => (j.toLong, Array.fill(64)(rnd.nextFloat())))
+      .toDF("vec_id", "embedding")
+    val trained = graft.ext.PqTrainer.trainCodebook(vecs, sampleN = 64)
+    val trained2 = graft.ext.PqTrainer.trainCodebook(vecs, sampleN = 64)
+    // deterministic: identical codebooks across invocations
+    assert(trained.flatten.flatten.toSeq == trained2.flatten.flatten.toSeq)
+    // medoid codebook = first-16 subvectors (what Similarity.codebook picks)
+    val medoid = Array.tabulate(8, 16, 8)((s, j, i) => {
+      val row = vecs.filter($"vec_id" === j.toLong)
+        .select($"embedding").head().getSeq[Float](0)
+      row(s * 8 + i).toDouble
+    })
+    val dTrained = graft.ext.PqTrainer.distortion(vecs, trained, sampleN = 64)
+    val dMedoid = graft.ext.PqTrainer.distortion(vecs, medoid, sampleN = 64)
+    assert(dTrained <= dMedoid, s"trained $dTrained should beat medoid $dMedoid")
+    // a trained codebook drops into the same operator: identical copy wins
+    val withCopy = ((0 until 16).map(j =>
+      (j.toLong, (0 until 64).map(i => (j * 64 + i) % 97 / 97.0f).toArray))
+      :+ (100L, (0 until 64).map(i => i % 97 / 97.0f).toArray))
+      .toDF("vec_id", "embedding")
+    val top = Similarity.pqTopK(withCopy, withCopy.filter($"vec_id" === 0L), 3,
+      trained = Some(graft.ext.PqTrainer.trainCodebook(withCopy, sampleN = 17)))
+      .orderBy("rank").collect()
+    assert(top(0).getAs[Long]("n_id") == 100L)
+  }
+
   test("residual IVF+PQ: identical copy shares cell and residual codes, wins re-rank") {
     graft.functions.GraftFunctions.ensureRegistered(spark)
     val rnd = new scala.util.Random(13)
