@@ -34,8 +34,7 @@ object CorpusPipeline {
     val kept2 = joined.filter(col("doc_id") === col("keep_id"))
       .select("doc_id", "text")
 
-    val pairs = Dedup.minhashLshPairs(kept2)
-    val keptNear = Dedup.keepCanonical(kept2, pairs).select("doc_id")
+    val keptNear = Dedup.keepCanonicalLsh(kept2).select("doc_id")
     val nearDrops = kept2.join(keptNear, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), lit("near_dup").as("status"))
     val kept = kept2.join(keptNear, "doc_id")

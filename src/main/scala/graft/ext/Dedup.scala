@@ -54,6 +54,39 @@ object Dedup {
     */
   def minhashLshPairs(corpus: DataFrame, n: Int = 32, bands: Int = 4,
       thresholdX10000: Long = 5000L, maxBucket: Int = 0): DataFrame = {
+    val (groups, repPairs) = lshRepState(corpus, n, bands, thresholdX10000, maxBucket)
+    // expand representative pairs to every cross-group member pair (content
+    // keys partition docs, so each unordered pair is produced exactly once)
+    val repIds = groups.select(col("r.doc_id").as("rep"), col("ids"))
+    val expanded = repPairs
+      .join(repIds.select(col("rep").as("ida"), col("ids").as("idsa")), "ida")
+      .join(repIds.select(col("rep").as("idb"), col("ids").as("idsb")), "idb")
+      .select(explode(col("idsa")).as("ma"), col("idsb"), col("jacc_x10000"))
+      .select(col("ma"), explode(col("idsb")).as("mb"), col("jacc_x10000"))
+      .select(least(col("ma"), col("mb")).as("ida"),
+        greatest(col("ma"), col("mb")).as("idb"), col("jacc_x10000"))
+    // within-group pairs: byte-identical docs are Jaccard 10000 and always
+    // bucket-collide, so they are unconditionally in the exact output
+    // (ids is sorted, so the generated (x, y) honor ida < idb)
+    val identical = groups
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids) - i - 1), y ->
+          |    struct(x AS ida, y AS idb))))""".stripMargin)).as("p"))
+      .select(col("p.ida"), col("p.idb"), lit(10000L).as("jacc_x10000"))
+    if (thresholdX10000 <= 10000L) expanded.unionAll(identical) else expanded
+  }
+
+  /** The representative-level LSH state shared by [[minhashLshPairs]] and
+    * [[keepCanonicalLsh]]: `groups` = one row per distinct content
+    * (representative struct `r` + sorted member-id array `ids`, ONE content
+    * shuffle), and `repPairs` = Jaccard-verified near-dup pairs between
+    * representatives only. Everything member-level (pair expansion,
+    * cluster attachment) derives from `groups` afterwards — the clustering
+    * itself never sees the O(group²) member pairs. */
+  private def lshRepState(corpus: DataFrame, n: Int, bands: Int,
+      thresholdX10000: Long, maxBucket: Int): (DataFrame, DataFrame) = {
     val rows = n / bands
     // ONE content shuffle: per distinct text, the representative (min id +
     // text) and the sorted member-id list. Everything downstream — the
@@ -83,19 +116,28 @@ object Dedup {
     val buckets =
       if (maxBucket <= 0) allBuckets
       else {
-        val sized = allBuckets.withColumn("bsz",
-          count(lit(1)).over(org.apache.spark.sql.expressions.Window
-            .partitionBy("band", "bucket")))
-        val dropped = sized.filter(col("bsz") > maxBucket)
-          .select(countDistinct(struct(col("band"), col("bucket"))).as("nb"),
-            count(lit(1)).as("nd"))
-          .head()
-        if (dropped.getLong(1) > 0)
-          org.apache.log4j.Logger.getLogger(getClass).warn(
-            s"minhashLshPairs: dropping ${dropped.getLong(0)} buckets " +
-              s"(> $maxBucket members, ${dropped.getLong(1)} doc slots) — " +
-              "recall is bounded, not exact")
-        sized.filter(col("bsz") <= maxBucket).drop("bsz")
+        // LAZY cap: building the DataFrame must not run a Spark job. Sizes
+        // come from a groupBy + same-key join (the size agg reuses the
+        // (band,bucket) exchange the candidate join needs anyway, vs. the
+        // extra unpartitioned-ordered window shuffle), and drop counts are
+        // surfaced through an `observe` metric in the SAME job that does the
+        // filtering — readable in the UI / QueryExecutionListener — instead
+        // of an eager side-count action here.
+        org.apache.log4j.Logger.getLogger(getClass).warn(
+          s"minhashLshPairs: bucket cap ACTIVE (maxBucket=$maxBucket) — " +
+            "recall is bounded, not exact; dropped counts are in the " +
+            "'minhash_lsh_bucket_cap' observed metric " +
+            "(dropped_doc_slots, dropped_buckets)")
+        val sizes = allBuckets.groupBy("band", "bucket")
+          .agg(count(lit(1)).as("bsz"))
+        allBuckets.join(sizes, Seq("band", "bucket"))
+          .observe("minhash_lsh_bucket_cap",
+            sum(when(col("bsz") > maxBucket, 1L).otherwise(0L))
+              .as("dropped_doc_slots"),
+            // each dropped bucket contributes bsz · (1/bsz) = exactly 1
+            sum(when(col("bsz") > maxBucket, lit(1.0) / col("bsz")))
+              .as("dropped_buckets"))
+          .filter(col("bsz") <= maxBucket).drop("bsz")
       }
     val cand = buckets.as("a")
       .join(buckets.as("b"), Seq("band", "bucket"))
@@ -109,28 +151,7 @@ object Dedup {
       .join(toks.select(col("doc_id").as("idb"), col("t").as("tb")), "idb")
       .select(col("ida"), col("idb"), jaccardX10000(col("ta"), col("tb")).as("jacc_x10000"))
       .filter(col("jacc_x10000") >= thresholdX10000)
-    // expand representative pairs to every cross-group member pair (content
-    // keys partition docs, so each unordered pair is produced exactly once)
-    val repIds = groups.select(col("r.doc_id").as("rep"), col("ids"))
-    val expanded = repPairs
-      .join(repIds.select(col("rep").as("ida"), col("ids").as("idsa")), "ida")
-      .join(repIds.select(col("rep").as("idb"), col("ids").as("idsb")), "idb")
-      .select(explode(col("idsa")).as("ma"), col("idsb"), col("jacc_x10000"))
-      .select(col("ma"), explode(col("idsb")).as("mb"), col("jacc_x10000"))
-      .select(least(col("ma"), col("mb")).as("ida"),
-        greatest(col("ma"), col("mb")).as("idb"), col("jacc_x10000"))
-    // within-group pairs: byte-identical docs are Jaccard 10000 and always
-    // bucket-collide, so they are unconditionally in the exact output
-    // (ids is sorted, so the generated (x, y) honor ida < idb)
-    val identical = groups
-      .filter(size(col("ids")) > 1)
-      .select(explode(expr(
-        """flatten(transform(ids, (x, i) ->
-          |  transform(slice(ids, i + 2, size(ids) - i - 1), y ->
-          |    struct(x AS ida, y AS idb))))""".stripMargin)).as("p"))
-      .select(col("p.ida"), col("p.idb"), lit(10000L).as("jacc_x10000"))
-      .filter(lit(10000L >= thresholdX10000))
-    expanded.unionAll(identical)
+    (groups, repPairs)
   }
 
   /** SimHash signatures for the corpus (near-dups ⇒ small Hamming distance);
@@ -177,14 +198,25 @@ object Dedup {
     * (checked via a converged count, capped). Scales as O(E) per round —
     * no transitive-closure blowup.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 15): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 15,
+      reliableCheckpoint: Boolean = false): DataFrame = {
+    // localCheckpoint() materializes to executor memory/disk only — fastest,
+    // but on a real cluster an executor loss mid-iteration kills the job.
+    // For long cluster runs pass reliableCheckpoint=true (requires
+    // spark.sparkContext.setCheckpointDir to a fault-tolerant FS) so each
+    // iteration's labels survive executor churn.
+    if (reliableCheckpoint)
+      require(pairs.sparkSession.sparkContext.getCheckpointDir.isDefined,
+        "connectedComponents(reliableCheckpoint=true) needs " +
+          "spark.sparkContext.setCheckpointDir(<fault-tolerant path>) first")
+    def ckpt(df: DataFrame): DataFrame =
+      if (reliableCheckpoint) df.checkpoint() else df.localCheckpoint()
     // materialize the edge list once: every iteration (and its convergence
     // count) would otherwise re-derive the full upstream pipeline (e.g. the
     // whole MinHash candidate generation) through lineage
-    val edges = pairs.select(col("ida").as("a"), col("idb").as("b"))
+    val edges = ckpt(pairs.select(col("ida").as("a"), col("idb").as("b"))
       .unionAll(pairs.select(col("idb").as("a"), col("ida").as("b")))
-      .distinct()
-      .localCheckpoint()
+      .distinct())
     var labels = edges.select(col("a").as("doc_id")).distinct()
       .withColumn("comp", col("doc_id"))
     var converged = false
@@ -198,11 +230,11 @@ object Dedup {
       // convergence signal comes from the SAME propagation job; the agg
       // below only scans the materialized blocks — one heavy job per
       // iteration instead of two.
-      val next = labels.join(msgs, Seq("doc_id"), "left")
+      val next = ckpt(labels.join(msgs, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("comp"), coalesce(col("nbr_min"), col("comp"))).as("comp"),
           (col("nbr_min") < col("comp")).as("chg"))
-        .localCheckpoint() // truncate the iterative lineage + materialize
+      ) // truncate the iterative lineage + materialize
       converged = !next.agg(max(coalesce(col("chg"), lit(false))))
         .head().getBoolean(0)
       labels = next.drop("chg")
@@ -230,4 +262,37 @@ object Dedup {
       .join(connectedComponents(pairs), Seq("doc_id"), "left")
       .filter(col("comp").isNull || col("comp") === col("doc_id"))
       .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("cluster"))
+
+  /** [[keepCanonical]] fused with the MinHash/LSH pipeline — the form a
+    * training-data pipeline actually runs, and the SCALE-SAFE one: connected
+    * components runs on REPRESENTATIVE pairs only (one node per distinct
+    * content), never the member-expanded pair set, whose edge count is
+    * O(group²) per identical-content group (quadratic in the boilerplate
+    * rate — the dominant duplication mode at 100 TB). Members attach to
+    * their representative's component afterwards through the content-key
+    * group map: one equi-join against the (small) label set.
+    *
+    * Equivalent to `keepCanonical(corpus, minhashLshPairs(corpus, ...))`
+    * row-for-row: a member's component label is its representative's label
+    * (identical docs share every band bucket, so in the expanded graph they
+    * are directly connected to the rep), each rep is its group's min id,
+    * and a component label is the min over its reps — hence the global min
+    * member id, exactly what min-label propagation over the expanded graph
+    * yields. Kept = each component's label doc + all singletons. */
+  def keepCanonicalLsh(corpus: DataFrame, n: Int = 32, bands: Int = 4,
+      thresholdX10000: Long = 5000L, maxBucket: Int = 0): DataFrame = {
+    val (groups, repPairs) = lshRepState(corpus, n, bands, thresholdX10000, maxBucket)
+    val comps = connectedComponents(repPairs)
+    // identical members cluster with their rep iff identical content counts
+    // as a duplicate at this threshold (Jaccard 10000); above that, every
+    // doc stands alone
+    val members =
+      if (thresholdX10000 <= 10000L)
+        groups.select(col("r.doc_id").as("rep"), explode(col("ids")).as("doc_id"))
+      else corpus.select(col("doc_id").as("rep"), col("doc_id"))
+    members
+      .join(comps.withColumnRenamed("doc_id", "rep"), Seq("rep"), "left")
+      .select(col("doc_id"), coalesce(col("comp"), col("rep")).as("cluster"))
+      .filter(col("doc_id") === col("cluster"))
+  }
 }

@@ -18,6 +18,12 @@ import org.apache.spark.sql.functions._
 object Embeddings {
   private def asDouble(emb: Column): Column = transform(emb, x => x.cast("double"))
 
+  /** Comma-joined rendering of an integer vector. The quantized vector goes
+    * out as ONE sortable string column, not array<long>: downstream harnesses
+    * (and most tabular sinks) can sort/hash scalars but not arrays, and the
+    * CSV form is lossless for integers. */
+  private def csv(e: Column): Column = concat_ws(",", transform(e, _.cast("string")))
+
   /** max(|x_i|) — exact (comparisons only, no accumulation). */
   private def absMax(e: Column): Column = array_max(transform(e, x => abs(x)))
 
@@ -29,8 +35,8 @@ object Embeddings {
     val e = asDouble(col(vecCol))
     val scale = absMax(e)
     emb.select(col("vec_id"), scale.as("scale"),
-      when(scale === 0d, transform(e, _ => lit(0L)))
-        .otherwise(transform(e, x => floor(x / scale * lit(127d)).cast("long")))
+      csv(when(scale === 0d, transform(e, _ => lit(0L)))
+        .otherwise(transform(e, x => floor(x / scale * lit(127d)).cast("long"))))
         .as("q"))
   }
 
@@ -42,8 +48,8 @@ object Embeddings {
     val e = asDouble(col(vecCol))
     val norm = sqrt(call_function("dot_product", e, e))
     emb.select(col("vec_id"), norm.as("norm"),
-      when(norm === 0d, transform(e, _ => lit(0L)))
-        .otherwise(transform(e, x => floor(x / norm * lit(1000000d)).cast("long")))
+      csv(when(norm === 0d, transform(e, _ => lit(0L)))
+        .otherwise(transform(e, x => floor(x / norm * lit(1000000d)).cast("long"))))
         .as("unit_x1e6"))
   }
 }

@@ -26,6 +26,22 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Two-phase per-query top-k over `scored(q_id, n_id, scoreCol)` via the
+    * bounded [[graft.functions.TopKPairs]] aggregate: partial per-partition
+    * top-k map-side, final merge over |Q|·partitions·k pairs. Replaces the
+    * `Window.partitionBy("q_id")` + row_number idiom, whose parallelism is
+    * capped at |queries| and which shuffles EVERY scored row — this shape
+    * survives a 100× corpus scale-up. Ordering (score, then n_id asc on ties)
+    * is identical to the window it replaces. */
+  private def rankTopK(scored: DataFrame, k: Int, scoreCol: String,
+      asc: Boolean): DataFrame =
+    scored.groupBy("q_id")
+      .agg(call_function("topk_pairs", col("n_id"), col(scoreCol), lit(k), lit(asc))
+        .as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), (col("pos") + 1).as("rank"),
+        col("col.n_id").as("n_id"), col("col.score").as(scoreCol))
+
   /** Brute-force cosine top-k: the exact baseline. The (small) query set is
     * broadcast against the corpus — cost O(|queries|·N), one pass, no
     * shuffle beyond the per-query top-k aggregation.
@@ -37,9 +53,7 @@ object Similarity {
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),
         cosine(col("q_emb"), col("embedding")).as("sim"))
-    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    rankTopK(scored, k, "sim", asc = false)
       .select("q_id", "rank", "n_id", "sim")
   }
 
@@ -107,9 +121,7 @@ object Similarity {
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),
         cosine(col("q_emb"), col("embedding")).as("sim"))
-    val rw = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
-    scored.withColumn("rank", row_number().over(rw))
-      .filter(col("rank") <= k)
+    rankTopK(scored, k, "sim", asc = false)
       .select("q_id", "rank", "n_id", "sim")
   }
 
@@ -167,17 +179,13 @@ object Similarity {
             element_at(element_at(col("lut"), s + 1),
               element_at(col("codes"), s + 1) + 1))
           .foldLeft(lit(0.0))(_ + _).as("adist"))
-    val aw = Window.partitionBy("q_id").orderBy(col("adist"), col("n_id"))
-    val cand = adc.withColumn("arn", row_number().over(aw))
-      .filter(col("arn") <= nCand).select("q_id", "n_id")
+    val cand = rankTopK(adc, nCand, "adist", asc = true).select("q_id", "n_id")
     // exact re-rank over the tiny candidate set only
     val rer = corpus.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
       .join(broadcast(cand), "n_id")
       .join(qlut.select(col("q_id"), col("q_emb")), "q_id")
       .select(col("q_id"), col("n_id"), cosine(col("q_emb"), col("n_emb")).as("sim"))
-    val rw = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
-    rer.withColumn("rank", row_number().over(rw))
-      .filter(col("rank") <= k)
+    rankTopK(rer, k, "sim", asc = false)
       .select("q_id", "rank", "n_id", "sim")
   }
 
@@ -212,16 +220,12 @@ object Similarity {
             element_at(element_at(col("lut"), s + 1),
               element_at(col("codes"), s + 1) + 1))
           .foldLeft(lit(0.0))(_ + _).as("adist"))
-    val aw = Window.partitionBy("q_id").orderBy(col("adist"), col("n_id"))
-    val cand = adc.withColumn("arn", row_number().over(aw))
-      .filter(col("arn") <= nCand).select("q_id", "n_id")
+    val cand = rankTopK(adc, nCand, "adist", asc = true).select("q_id", "n_id")
     val rer = corpus.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
       .join(broadcast(cand), "n_id")
       .join(q.select(col("q_id"), col("q_emb")), "q_id")
       .select(col("q_id"), col("n_id"), cosine(col("q_emb"), col("n_emb")).as("sim"))
-    val rw = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
-    rer.withColumn("rank", row_number().over(rw))
-      .filter(col("rank") <= k)
+    rankTopK(rer, k, "sim", asc = false)
       .select("q_id", "rank", "n_id", "sim")
   }
 
@@ -260,16 +264,12 @@ object Similarity {
             element_at(element_at(col("lut"), s + 1),
               element_at(col("codes"), s + 1) + 1))
           .foldLeft(lit(0.0))(_ + _).as("adist"))
-    val aw = Window.partitionBy("q_id").orderBy(col("adist"), col("n_id"))
-    val cand = adc.withColumn("arn", row_number().over(aw))
-      .filter(col("arn") <= nCand).select("q_id", "n_id")
+    val cand = rankTopK(adc, nCand, "adist", asc = true).select("q_id", "n_id")
     val rer = corpus.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
       .join(broadcast(cand), "n_id")
       .join(q.select(col("q_id"), col("q_emb")), "q_id")
       .select(col("q_id"), col("n_id"), cosine(col("q_emb"), col("n_emb")).as("sim"))
-    val rw = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
-    rer.withColumn("rank", row_number().over(rw))
-      .filter(col("rank") <= k)
+    rankTopK(rer, k, "sim", asc = false)
       .select("q_id", "rank", "n_id", "sim")
   }
 
@@ -284,9 +284,7 @@ object Similarity {
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),
         cosine(col("q_emb"), col("embedding")).as("sim"))
-    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    rankTopK(scored, k, "sim", asc = false)
       .select("q_id", "rank", "n_id", "sim")
   }
 }

@@ -13,6 +13,7 @@ object GraftFunctions {
   private val descriptors = Seq(
     JsonDeepMerge.descriptor, Opaque.descriptor, DotProduct.descriptor,
     PolyHash16.descriptor, PqEncode.descriptor, PqLut.descriptor,
+    TopKPairs.descriptor,
     graft.syslog.ParseSyslog.descriptor,
     JmesPathEval.queryDescriptor, JmesPathEval.valueDescriptor)
 

@@ -135,10 +135,8 @@ object ExtQueries {
   private val textFingerprint: Q = (s, dir) =>
     TextAnalysis.fingerprintRows(documents(s, dir)).orderBy("doc_id")
 
-  private val dedupKeepCanonical: Q = (s, dir) => {
-    val corpus = dupCorpus(s, dir)
-    Dedup.keepCanonical(corpus, Dedup.minhashLshPairs(corpus)).orderBy("doc_id")
-  }
+  private val dedupKeepCanonical: Q = (s, dir) =>
+    Dedup.keepCanonicalLsh(dupCorpus(s, dir)).orderBy("doc_id")
 
   private val corpusQualityFilter: Q = (s, dir) =>
     TextAnalysis.qualityFilter(documents(s, dir)).orderBy("doc_id")
@@ -743,9 +741,10 @@ object ExtQueries {
         |s AS (SELECT vec_id, v,
         |  list_max(list_transform(v, x -> abs(x))) AS scale FROM e)
         |SELECT vec_id, scale,
-        |  CASE WHEN scale = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
-        |       ELSE list_transform(v, x -> CAST(floor(x / scale * 127) AS BIGINT))
-        |  END AS q
+        |  array_to_string(
+        |    CASE WHEN scale = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+        |         ELSE list_transform(v, x -> CAST(floor(x / scale * 127) AS BIGINT))
+        |    END, ',') AS q
         |FROM s ORDER BY vec_id""".stripMargin,
 
     "emb_normalize" ->
@@ -753,8 +752,9 @@ object ExtQueries {
          |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
          |s AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS norm FROM e)
          |SELECT vec_id, norm,
-         |  CASE WHEN norm = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
-         |       ELSE list_transform(v, x -> CAST(floor(x / norm * 1000000) AS BIGINT))
-         |  END AS unit_x1e6
+         |  array_to_string(
+         |    CASE WHEN norm = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+         |         ELSE list_transform(v, x -> CAST(floor(x / norm * 1000000) AS BIGINT))
+         |    END, ',') AS unit_x1e6
          |FROM s ORDER BY vec_id""".stripMargin)
 }

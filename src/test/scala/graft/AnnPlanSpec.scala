@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
+import org.apache.spark.sql.execution.window.WindowExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions for the ANN ranking path: the per-query top-k
+  * must run as a partial/final bounded aggregate (`topk_pairs`), never as a
+  * `Window.partitionBy(q_id)` — a window funnels the whole scored set for a
+  * query into ONE task (parallelism capped at |queries|), which does not
+  * survive a 100× corpus scale-up.
+  */
+class AnnPlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def withStaticPlan(body: => Unit): Unit = {
+    // AQE's AdaptiveSparkPlanExec hides the real operators from collect();
+    // disable it so the static physical plan is inspectable (JoinPlanSpec
+    // does the same)
+    val key = "spark.sql.adaptive.enabled"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try body finally old match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  private def assertNoPerQueryWindow(key: String): Unit = withStaticPlan {
+    val plan = SparkEntry.queries(key)(spark, sf).queryExecution.executedPlan
+    val windows = plan.collect { case w: WindowExec => w }
+    // cellAssign's per-VECTOR argmin window is fine (group key has N distinct
+    // values); what must not appear is a window partitioned by q_id
+    val perQuery = windows.filter(_.partitionSpec.exists(_.toString.contains("q_id")))
+    assert(perQuery.isEmpty,
+      s"$key must not rank via Window.partitionBy(q_id):\n${perQuery.mkString("\n")}")
+    val topks = plan.collect {
+      case a: ObjectHashAggregateExec
+          if a.aggregateExpressions.exists(
+            _.aggregateFunction.isInstanceOf[graft.functions.TopKPairs]) => a
+    }
+    assert(topks.nonEmpty, s"$key should rank via the bounded topk_pairs aggregate")
+    // the aggregate must run in two phases (Partial map-side, Final after the
+    // shuffle) so the exchange carries at most |Q|·partitions·k pairs
+    val modes = topks.flatMap(_.aggregateExpressions.map(_.mode.toString)).toSet
+    assert(modes.contains("Partial") && modes.contains("Final"),
+      s"$key topk_pairs must be partial+final, got $modes")
+  }
+
+  test("ann_brute_force ranks via bounded partial/final topk_pairs, no q_id window") {
+    assertNoPerQueryWindow("ann_brute_force")
+  }
+
+  test("ann_pq ADC cut and re-rank avoid q_id windows") {
+    assertNoPerQueryWindow("ann_pq")
+  }
+
+  test("ann_ivf_pq avoids q_id windows") {
+    assertNoPerQueryWindow("ann_ivf_pq")
+  }
+
+  test("topk_pairs: ordering, ties, null-skip, and cross-partition merge") {
+    import spark.implicits._
+    // 1000 scored rows per query across 4 partitions; planted best ids
+    val scored = spark.range(0, 1000, 1, 4)
+      .select(
+        (col("id") % 2).as("q_id"),
+        col("id").as("n_id"),
+        // score descends with id, so top-3 per query = lowest ids; one tie
+        // pair (ids 0 and 2 both score 1.0 for q 0) exercises id tie-break
+        when(col("id") <= 2, 1.0).otherwise(lit(1.0) - col("id") / lit(10000.0))
+          .as("sim"))
+    val top = scored.groupBy("q_id")
+      .agg(call_function("topk_pairs", col("n_id"), col("sim"), lit(3), lit(false))
+        .as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), col("pos"), col("col.n_id").as("n_id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // q 0: ids 0 and 2 tie at 1.0 -> lower id first, then id 4
+    // q 1: id 1 scores 1.0, then descending -> 3, 5
+    assert(top == Set((0L, 0, 0L), (0L, 1, 2L), (0L, 2, 4L),
+      (1L, 0, 1L), (1L, 1, 3L), (1L, 2, 5L)))
+    // null scores are skipped, never ranked
+    val withNulls = scored.withColumn("sim",
+      when(col("n_id") < 6, lit(null).cast("double")).otherwise(col("sim")))
+    val top2 = withNulls.groupBy("q_id")
+      .agg(call_function("topk_pairs", col("n_id"), col("sim"), lit(1), lit(false))
+        .as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("col.n_id").as("n_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(top2 == Set(6L, 7L))
+  }
+
+  test("topk_pairs ascending mode ranks smallest distances first") {
+    import spark.implicits._
+    val df = Seq((1L, 10L, 5.0), (1L, 11L, 1.0), (1L, 12L, 3.0))
+      .toDF("q_id", "n_id", "d")
+    val got = df.groupBy("q_id")
+      .agg(call_function("topk_pairs", col("n_id"), col("d"), lit(2), lit(true))
+        .as("top"))
+      .select(posexplode(col("top")))
+      .select(col("col.n_id")).collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(11L, 12L))
+  }
+}

@@ -299,6 +299,28 @@ class ExtSpec extends AnyFunSuite {
     assert(kept(0L) == 0L && kept(2L) == 2L) // cluster label = min member id
   }
 
+  test("keepCanonicalLsh matches keepCanonical-over-expanded-pairs row for row") {
+    // same corpus, but the fused path feeds connected components only the
+    // REPRESENTATIVE pairs (one node per distinct content) and attaches
+    // members through the group map — the member-expanded O(group²) edge
+    // set never exists
+    val viaPairs = Dedup.keepCanonical(corpus,
+      Dedup.minhashLshPairs(corpus, bands = 8, thresholdX10000 = 5000L))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fused = Dedup.keepCanonicalLsh(corpus, bands = 8, thresholdX10000 = 5000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fused == viaPairs, s"fused=$fused viaPairs=$viaPairs")
+  }
+
+  test("connectedComponents reliable-checkpoint path labels identically") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt")
+    spark.sparkContext.setCheckpointDir(dir.toString)
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("ida", "idb")
+    val comps = Dedup.connectedComponents(pairs, reliableCheckpoint = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("quality filter assigns the FIRST failing rule as the reason") {
     val docs = Seq(
       (1L, "en", "the quantum computing architecture requires the careful " +
@@ -327,10 +349,12 @@ class ExtSpec extends AnyFunSuite {
       (1L, Array(0.5f, -1.0f, 0.25f)),
       (2L, Array(0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
     val out = graft.ext.Embeddings.quantizeInt8(rows).collect()
-      .map(r => r.getLong(0) -> (r.getDouble(1), r.getSeq[Long](2))).toMap
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getString(2))).toMap
     assert(out(1L)._1 == 1.0)
-    assert(out(1L)._2 == Seq(63L, -127L, 31L)) // floor(0.5*127)=63, floor(0.25*127)=31
-    assert(out(2L)._1 == 0.0 && out(2L)._2 == Seq(0L, 0L, 0L))
+    // CSV-joined so the column is a sortable scalar (driver harnesses and
+    // tabular sinks can't sort arrays): floor(0.5*127)=63, floor(0.25*127)=31
+    assert(out(1L)._2 == "63,-127,31")
+    assert(out(2L)._1 == 0.0 && out(2L)._2 == "0,0,0")
   }
 
   test("resize stub: strided subsample, ≤64 bytes out, digest of the samples") {
