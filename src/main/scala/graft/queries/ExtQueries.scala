@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ext.{Dedup, Embeddings, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Dedup, Embeddings, Multimodal, PqTrainer, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -95,6 +95,19 @@ object ExtQueries {
     graft.functions.GraftFunctions.ensureRegistered(s)
     val e = embeddings(s, dir)
     Similarity.pqTopK(e, e.filter(col("vec_id") < 10), 5)
+      .orderBy("q_id", "rank")
+  }
+
+  /** The production PQ path: codebook from the deterministic sampled
+    * k-means trainer instead of the medoid stand-in. The oracle twin
+    * re-runs the SAME training as a recursive CTE (fixed sample, first-ksub
+    * init, 10 iterations, first-min ties, vec_id-ordered accumulation) —
+    * bit-equal centroids, so codes/ADC/re-rank all agree exactly. */
+  private val annPqTrained: Q = (s, dir) => {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val e = embeddings(s, dir)
+    Similarity.pqTopK(e, e.filter(col("vec_id") < 10), 5,
+        trained = Some(PqTrainer.trainCodebook(e)))
       .orderBy("q_id", "rank")
   }
 
@@ -196,6 +209,7 @@ object ExtQueries {
     "ann_lsh" -> annLsh,
     "ann_ivf" -> annIvf,
     "ann_pq" -> annPq,
+    "ann_pq_trained" -> annPqTrained,
     "ann_ivf_pq" -> annIvfPq,
     "ann_ivf_pq_residual" -> annIvfPqResidual,
     "dedup_keep_canonical" -> dedupKeepCanonical,
@@ -521,6 +535,91 @@ object ExtQueries {
          |cw AS (SELECT m, CAST(vec_id AS INT) AS j,
          |    list_transform(range(1, 9), i -> CAST(embedding[m*8 + i] AS DOUBLE)) AS c
          |  FROM embeddings, ms WHERE vec_id < 16),
+         |sub AS (SELECT vec_id, m,
+         |    list_transform(range(1, 9), i -> CAST(embedding[m*8 + i] AS DOUBLE)) AS s
+         |  FROM embeddings, ms),
+         |d2 AS (SELECT s.vec_id, s.m, cw.j,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(range(1, 9), i -> (s.s[i] - cw.c[i]) * (s.s[i] - cw.c[i]))),
+         |      (a, b) -> a + b) AS d
+         |  FROM sub s JOIN cw ON s.m = cw.m),
+         |codes AS (SELECT vec_id, m, j AS code FROM (
+         |    SELECT vec_id, m, j,
+         |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d, j) AS rn
+         |    FROM d2) WHERE rn = 1),
+         |dq AS (SELECT vec_id AS q_id, m, j, d FROM d2 WHERE vec_id < 10),
+         |adc AS (SELECT dq.q_id, codes.vec_id AS n_id,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list(dq.d ORDER BY dq.m)), (a, b) -> a + b) AS adist
+         |  FROM codes JOIN dq ON codes.m = dq.m AND codes.code = dq.j
+         |  WHERE codes.vec_id <> dq.q_id GROUP BY 1, 2),
+         |cand AS (SELECT q_id, n_id FROM (
+         |    SELECT q_id, n_id,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY adist, n_id) AS arn
+         |    FROM adc) WHERE arn <= 32),
+         |rr AS (SELECT c.q_id, c.n_id,
+         |    ${cosSql("qv.embedding", "nv.embedding")} AS sim
+         |  FROM cand c JOIN embeddings qv ON c.q_id = qv.vec_id
+         |              JOIN embeddings nv ON c.n_id = nv.vec_id),
+         |ranked AS (SELECT q_id, n_id, sim,
+         |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS INT) AS rank
+         |  FROM rr)
+         |SELECT q_id, rank, n_id, sim FROM ranked WHERE rank <= 5
+         |ORDER BY q_id, rank""".stripMargin,
+
+    // trained-PQ twin: the codebook is the deterministic sampled k-means of
+    // PqTrainer re-run as a recursive CTE — fixed sample (vec_id < 256),
+    // first-16 init, 10 iterations, first-min ties (min d then min j),
+    // per-cluster means as vec_id-ordered left folds / count (= the
+    // trainer's sample-order accumulation), empty clusters keep the old
+    // centroid via the LEFT JOIN + COALESCE. Downstream encode/LUT/ADC/
+    // re-rank is byte-identical to the ann_pq twin.
+    "ann_pq_trained" ->
+      s"""WITH RECURSIVE
+         |ms AS (SELECT unnest(range(0, 8)) AS m),
+         |samp AS (SELECT vec_id, m,
+         |    list_transform(range(1, 9), i -> CAST(embedding[m*8 + i] AS DOUBLE)) AS s
+         |  FROM embeddings, ms WHERE vec_id < 256),
+         |km AS (
+         |  SELECT 0 AS iter, m, CAST(vec_id AS INT) AS j, s AS c
+         |  FROM samp WHERE vec_id < 16
+         |  UNION ALL
+         |  SELECT o.iter + 1, o.m, o.j, COALESCE(a.mc, o.c)
+         |  FROM km o LEFT JOIN (
+         |    SELECT asg.m, asg.bj,
+         |      list_transform(range(1, 9), i ->
+         |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |          list_transform(asg.xs, v -> v[i])), (x, y) -> x + y)
+         |        / CAST(asg.cnt AS DOUBLE)) AS mc
+         |    FROM (
+         |      SELECT m, bj, list(s ORDER BY vec_id) AS xs, count(*) AS cnt
+         |      FROM (
+         |        SELECT d.m, d.vec_id, any_value(d.s) AS s, min(d.j) AS bj
+         |        FROM (
+         |          SELECT s.m, s.vec_id, s.s, k.j,
+         |            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |              list_transform(range(1, 9),
+         |                i -> (s.s[i] - k.c[i]) * (s.s[i] - k.c[i]))),
+         |              (x, y) -> x + y) AS d
+         |          FROM samp s JOIN km k ON s.m = k.m) d
+         |        JOIN (
+         |          SELECT d2.m, d2.vec_id, min(d2.d) AS dmin
+         |          FROM (
+         |            SELECT s.m, s.vec_id, k.j,
+         |              list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |                list_transform(range(1, 9),
+         |                  i -> (s.s[i] - k.c[i]) * (s.s[i] - k.c[i]))),
+         |                (x, y) -> x + y) AS d
+         |            FROM samp s JOIN km k ON s.m = k.m) d2
+         |          GROUP BY d2.m, d2.vec_id) b
+         |        ON d.m = b.m AND d.vec_id = b.vec_id AND d.d = b.dmin
+         |        GROUP BY d.m, d.vec_id) grp
+         |      GROUP BY m, bj) asg
+         |    ) a
+         |  ON a.m = o.m AND a.bj = o.j
+         |  WHERE o.iter < 10
+         |),
+         |cw AS (SELECT m, j, c FROM km WHERE iter = 10),
          |sub AS (SELECT vec_id, m,
          |    list_transform(range(1, 9), i -> CAST(embedding[m*8 + i] AS DOUBLE)) AS s
          |  FROM embeddings, ms),
