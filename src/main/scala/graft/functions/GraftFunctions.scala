@@ -15,7 +15,8 @@ object GraftFunctions {
     PolyHash16.descriptor, PqEncode.descriptor, PqLut.descriptor,
     TopKPairs.descriptor,
     graft.syslog.ParseSyslog.descriptor,
-    JmesPathEval.queryDescriptor, JmesPathEval.valueDescriptor)
+    JmesPathEval.queryDescriptor, JmesPathEval.valueDescriptor,
+    JmesPathQV.descriptor)
 
   def ensureRegistered(spark: SparkSession): Unit = {
     val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]

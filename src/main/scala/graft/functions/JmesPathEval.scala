@@ -98,3 +98,68 @@ object JmesPathEval {
   val valueDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
     descriptor("jmespath_value", stringOnly = true)
 }
+
+/** `jmespath_qv(json, path)` — ONE parse + search returning
+  * `struct<q string, v string>`: `q` = [[JmesPathEval]]'s `jmespath_query`
+  * result (non-null ⇔ rule matches), `v` = its `jmespath_value` string
+  * binding. The rule compiler reads both fields off this single expression,
+  * so the two GetStructField refs share one deterministic subtree and
+  * whole-stage codegen's subexpression elimination evaluates the document
+  * search ONCE per rule per row — the separate query/value expressions it
+  * replaces parsed and searched the document twice. */
+case class JmesPathQV(left: Expression, right: Expression) extends BinaryExpression {
+  import org.apache.spark.sql.types.{StructField, StructType}
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("q", StringType, nullable = true),
+    StructField("v", StringType, nullable = true)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "jmespath_qv"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): JmesPathQV =
+    copy(left = l, right = r)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    JmesPathEval(left, right, stringOnly = false).checkInputDataTypes()
+
+  @transient private lazy val compiled = JmesPath.compile(String.valueOf(right.eval()))
+
+  /** Shared by interpreted eval and generated code. */
+  def searchRow(json: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    if (json == null) return null
+    val r =
+      try compiled.searchText(json.toString)
+      catch { case _: JmesPath.JmesPathRuntimeException => None }
+    r match {
+      case Some(n) if !n.isNull && !n.isMissingNode =>
+        org.apache.spark.sql.catalyst.InternalRow(
+          UTF8String.fromString(JmesPath.serialize(n)),
+          if (n.isTextual) UTF8String.fromString(n.textValue()) else null)
+      case _ =>
+        org.apache.spark.sql.catalyst.InternalRow(null, null)
+    }
+  }
+
+  override protected def nullSafeEval(json: Any, path: Any): Any =
+    searchRow(json.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("jmesQv", this, classOf[JmesPathQV].getName)
+    nullSafeCodeGen(ctx, ev, (j, _) => {
+      val out = ctx.freshName("jmesQvOut")
+      s"""
+         |org.apache.spark.sql.catalyst.InternalRow $out = $ref.searchRow($j);
+         |if ($out == null) { ${ev.isNull} = true; } else { ${ev.value} = $out; }
+       """.stripMargin
+    })
+  }
+}
+
+object JmesPathQV {
+  val descriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("jmespath_qv"),
+    new ExpressionInfo(classOf[JmesPathQV].getName, "jmespath_qv"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "jmespath_qv(json, path) takes 2 arguments")
+      JmesPathQV(children.head, children(1))
+    })
+}

@@ -239,6 +239,19 @@ object ExtQueries {
   private def cosSql(a: String, b: String): String =
     s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
 
+  /** DuckDB twin of `Similarity.lshBucket(emb, Planes)`: the sign bit of
+    * each plane dot (same sequential fold, plane embedded as a literal —
+    * Scala's shortest-round-trip Double.toString parses back to the
+    * identical double) ORed into a bucket id. Mirroring the bucketing in
+    * the oracle keeps the candidate sets structurally identical on ANY
+    * corpus — near-identical-but-not-equal vectors straddling a hyperplane
+    * drop out of BOTH sides, not just Spark's. */
+  private def lshBucketSql(emb: String): String =
+    Planes.zipWithIndex.map { case (p, j) =>
+      val lit = p.map(d => s"CAST($d AS DOUBLE)").mkString("([", ", ", "])")
+      s"(CASE WHEN ${dotSql(emb, lit)} > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
   private val TokCte =
     """tok AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS t FROM corpus)"""
 
@@ -357,13 +370,20 @@ object ExtQueries {
          |    // (len(ta) + len(tb) - len(list_distinct(list_intersect(ta, tb)))) AS jacc_x10000
          |FROM pairs ORDER BY doc_id""".stripMargin,
 
+    // candidate generation mirrors Spark's sign-LSH bucket join exactly
+    // (same plane literals, same sequential dot fold) — the oracle and the
+    // operator agree on ANY corpus, not just one with bit-identical dups
     "dedup_embedding_cosine" ->
       s"""WITH copies AS (
-         |  SELECT vec_id + 1000000 AS ida, embedding AS ea
+         |  SELECT vec_id + 1000000 AS ida, embedding AS ea,
+         |    ${lshBucketSql("embedding")} AS bucket
          |  FROM embeddings WHERE vec_id % 50 = 0),
+         |corpus AS (
+         |  SELECT vec_id, embedding, ${lshBucketSql("embedding")} AS bucket
+         |  FROM embeddings),
          |scored AS (SELECT ida, e.vec_id AS idb,
          |  ${cosSql("ea", "e.embedding")} AS sim
-         |  FROM embeddings e, copies)
+         |  FROM corpus e JOIN copies c ON e.bucket = c.bucket)
          |SELECT ida, idb, sim FROM scored WHERE sim >= 0.999
          |ORDER BY ida, idb""".stripMargin,
 

@@ -230,11 +230,13 @@ object RuleCompiler {
         // Full JMESPath (functions, slices, filters, projections — parity
         // with src/rules.rs:74-94 via the jmespath crate): non-null search
         // result = match; ONLY a string result binds `value`
-        // (src/rules.rs:80-88) — jmespath_value is null otherwise, and
-        // Template renders a null variable as "".
-        val q = call_function("jmespath_query", fieldCol, lit(expr))
-        val v = call_function("jmespath_value", fieldCol, lit(expr))
-        (fieldCol.isNotNull && q.isNotNull, Map("value" -> v))
+        // (src/rules.rs:80-88) — the v field is null otherwise, and
+        // Template renders a null variable as "". Match and binding read
+        // two fields of ONE jmespath_qv struct, so codegen's subexpression
+        // elimination parses + searches the document once per rule per row.
+        val qv = call_function("jmespath_qv", fieldCol, lit(expr))
+        (fieldCol.isNotNull && qv.getField("q").isNotNull,
+          Map("value" -> qv.getField("v")))
       case _ => (lit(false), Map.empty[String, Column])
     }
 

@@ -46,16 +46,23 @@ import org.apache.spark.unsafe.types.UTF8String
   *   - `name` — registers the bound port in [[SyslogSocketSource.boundPort]]
   *     so harnesses can use an ephemeral port without racing.
   *   - `numPartitions` — read-side split of each micro-batch slice.
+  *   - `maxBufferedLines` (default 2²⁰) — driver buffer cap; past it the
+  *     connection reader threads block, so TCP flow control backpressures
+  *     the senders (the reference's bounded-channel behavior,
+  *     src/sink/kafka.rs:224-226) instead of the heap growing unboundedly.
   *
   * Delivery semantics: lines are buffered on the driver from the accept
   * threads; a micro-batch is the buffered slice between two counter offsets,
   * and `commit(end)` trims everything below `end`. Once a batch is planned
   * it is replayable (the slice ships inside the InputPartitions), so sink
   * checkpointing gives exactly-once downstream — strictly stronger than the
-  * reference's best-effort detached produces (SURVEY.md §7.5). What a TCP
-  * stream cannot give is replay of data the PROCESS never durably owned:
-  * lines still in the driver buffer when the driver dies are lost, the same
-  * loss window as the reference's in-memory channel. At 100 TB the ingest
+  * reference's best-effort detached produces (SURVEY.md §7.5) — WITHIN one
+  * source instance's lifetime. What a TCP stream cannot give is replay of
+  * data the PROCESS never durably owned: lines still in the driver buffer
+  * when the driver dies are lost, the same loss window as the reference's
+  * in-memory channel. Offsets carry the instance epoch, so a restart from
+  * checkpoint fails loudly at replan (see [[SyslogOffset]]) rather than
+  * silently aliasing a dead instance's counters onto the fresh buffer. At 100 TB the ingest
   * tier is many of these sources (or a durable bus like Kafka) in front of
   * the one logical pipeline; this source is the protocol-fidelity entry.
   */
@@ -164,7 +171,13 @@ private[graft] object Pem {
   * slices.
   */
 private[sources] final class LineServer(host: String, port: Int,
-    ssl: Option[SSLContext]) {
+    ssl: Option[SSLContext], maxBufferedLines: Int = LineServer.DefaultMaxBuffered) {
+  /** Instance identity, stamped into every offset this instance plans. A
+    * restarted driver gets a NEW epoch, so offsets checkpointed by a
+    * previous instance can never silently alias into this instance's
+    * (fresh, near-empty) buffer — replanning them fails loudly instead
+    * (a TCP stream cannot replay data a dead process never durably owned). */
+  val epoch: Long = System.nanoTime()
   private val server: ServerSocket = ssl match {
     case Some(ctx) => ctx.getServerSocketFactory.createServerSocket()
     case None => new ServerSocket()
@@ -181,14 +194,25 @@ private[sources] final class LineServer(host: String, port: Int,
   val activeConnections = new AtomicInteger(0)
   val totalLines = new AtomicInteger(0)
 
+  /** Bounded append with BLOCKING backpressure: past the cap the reader
+    * thread waits (so the client's socket send buffer fills and TCP flow
+    * control pushes back on the sender — the same effect as the reference's
+    * bounded channel, src/sink/kafka.rs:224-226) instead of growing the
+    * driver heap without limit. `trim` (micro-batch commit) wakes waiters.
+    * Returns false if the server closed while waiting. */
+  private def append(line: String): Boolean = lines.synchronized {
+    while (lines.size >= maxBufferedLines && !closed) lines.wait(100)
+    if (closed) false
+    else { lines += line; true }
+  }
+
   private def handle(sock: Socket): Unit = {
     activeConnections.incrementAndGet()
     try {
       val r = new BufferedReader(
         new InputStreamReader(sock.getInputStream, StandardCharsets.UTF_8))
       var line = r.readLine()
-      while (line != null && !closed) {
-        lines.synchronized { lines += line }
+      while (line != null && !closed && append(line)) {
         totalLines.incrementAndGet()
         line = r.readLine()
       }
@@ -221,6 +245,12 @@ private[sources] final class LineServer(host: String, port: Int,
     require(from >= base,
       s"offsets [$from, $until) no longer buffered (trimmed below $base); " +
         "a TCP stream cannot replay data from before this source instance started")
+    // an upper bound past the buffer would silently plan a short (wrong)
+    // batch — that can only mean offsets from a different instance/epoch
+    require(until <= base + lines.size,
+      s"offsets [$from, $until) exceed the buffered range " +
+        s"[$base, ${base + lines.size}); these offsets were not planned by " +
+        "this source instance — a TCP stream cannot replay them")
     lines.slice((from - base).toInt, (until - base).toInt).toArray
   }
 
@@ -228,13 +258,23 @@ private[sources] final class LineServer(host: String, port: Int,
     if (until > base) {
       lines.dropInPlace((until - base).toInt)
       base = until
+      lines.notifyAll() // wake readers blocked on the buffer cap
     }
   }
 
   def close(): Unit = {
     closed = true
+    lines.synchronized { lines.notifyAll() }
     try server.close() catch { case _: Exception => () }
   }
+}
+
+private[sources] object LineServer {
+  /** Default buffer cap (lines). The reference bounds its in-memory channel
+    * at 1024 messages (src/sink/kafka.rs:224-226); a micro-batch buffer
+    * amortizes over the trigger interval, so the default is larger but
+    * still a hard bound on driver heap. */
+  val DefaultMaxBuffered: Int = 1 << 20
 }
 
 // ------------------------------------------------------------------ DSv2
@@ -265,8 +305,21 @@ private[sources] class SyslogTable(options: CaseInsensitiveStringMap)
     }
 }
 
-private[sources] case class SyslogOffset(n: Long) extends Offset {
-  override def json(): String = n.toString
+/** Counter offset stamped with the owning instance's epoch. The json form
+  * `"<epoch>:<n>"` survives checkpointing; a legacy bare-counter form
+  * (pre-epoch checkpoints) deserializes with epoch 0, which can never match
+  * a live instance — both restart cases fail loudly at replan instead of
+  * silently aliasing a dead instance's counters onto this instance's
+  * buffer. */
+private[sources] case class SyslogOffset(epoch: Long, n: Long) extends Offset {
+  override def json(): String = s"$epoch:$n"
+}
+
+private[sources] object SyslogOffset {
+  def parse(json: String): SyslogOffset = json.split(":", 2) match {
+    case Array(e, n) => SyslogOffset(e.toLong, n.toLong)
+    case Array(n) => SyslogOffset(0L, n.toLong) // legacy pre-epoch checkpoint
+  }
 }
 
 private[sources] class SyslogMicroBatchStream(options: CaseInsensitiveStringMap)
@@ -290,18 +343,34 @@ private[sources] class SyslogMicroBatchStream(options: CaseInsensitiveStringMap)
     }
   }
 
-  private val server = new LineServer(host, port, ssl)
+  private val server = new LineServer(host, port, ssl,
+    options.getInt("maxBufferedLines", LineServer.DefaultMaxBuffered))
   Option(options.get("name")).foreach(SyslogSocketSource.register(_, server.boundPort))
 
-  override def initialOffset(): Offset = SyslogOffset(0L)
-  override def latestOffset(): Offset = SyslogOffset(server.latest)
-  override def deserializeOffset(json: String): Offset = SyslogOffset(json.toLong)
-  override def commit(end: Offset): Unit = server.trim(end.asInstanceOf[SyslogOffset].n)
+  /** Offsets from another instance (a restart from checkpoint) must never
+    * alias into this instance's buffer — fail with the restart story, not
+    * an index error. */
+  private def own(o: Offset): SyslogOffset = {
+    val so = o.asInstanceOf[SyslogOffset]
+    if (so.epoch != server.epoch)
+      throw new IllegalStateException(
+        s"graft-syslog offset epoch ${so.epoch} does not match this source " +
+          s"instance (${server.epoch}): offsets were checkpointed by a " +
+          "previous driver instance, and a TCP stream cannot replay data a " +
+          "dead process never durably owned. Clear the checkpoint (accepting " +
+          "the loss window) or front the pipeline with a durable bus.")
+    so
+  }
+
+  override def initialOffset(): Offset = SyslogOffset(server.epoch, 0L)
+  override def latestOffset(): Offset = SyslogOffset(server.epoch, server.latest)
+  override def deserializeOffset(json: String): Offset = SyslogOffset.parse(json)
+  override def commit(end: Offset): Unit = server.trim(own(end).n)
   override def stop(): Unit = server.close()
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[SyslogOffset].n
-    val e = end.asInstanceOf[SyslogOffset].n
+    val s = own(start).n
+    val e = own(end).n
     val slice = server.slice(s, e)
     if (slice.isEmpty) Array.empty
     else slice.grouped(math.max(1, (slice.length + numPartitions - 1) / numPartitions))

@@ -184,4 +184,27 @@ class JmesPathSpec extends AnyFunSuite {
       == "[\"web\",\"db\",\"backup\",\"web\",\"prod\"]")
     assert(q("reservations[].instances[] | [?length(tags) >= `2`] | length(@)", j) == "2")
   }
+
+  test("jmespath_qv: one search feeds both the match and the value binding") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val df = Seq("""{"a": {"b": "hit"}}""", """{"a": 1}""", "not json")
+      .toDF("doc")
+      .repartition(1) // keep the projection out of ConvertToLocalRelation
+      .select(org.apache.spark.sql.functions.call_function(
+        "jmespath_qv", org.apache.spark.sql.functions.col("doc"),
+        org.apache.spark.sql.functions.lit("a.b")).as("qv"))
+      .select($"qv.q", $"qv.v")
+    val rows = df.collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    // string result: q serialized, v raw; no-match and invalid json: both null
+    assert(rows.sortBy(_._1 == null) ==
+      Seq(("\"hit\"", "hit"), (null, null), (null, null)))
+    // the two field refs must share ONE evaluation: whole-stage codegen's
+    // subexpression elimination emits a single searchRow call
+    val code = org.apache.spark.sql.execution.debug.codegenString(
+      df.queryExecution.executedPlan)
+    val calls = "searchRow".r.findAllIn(code).length
+    assert(calls == 1, s"expected one searchRow call in generated code, got $calls")
+  }
 }

@@ -143,4 +143,5 @@ class SocketSourceSpec extends AnyFunSuite {
     assert(e.getMessage != null &&
       e.getMessage.contains("Certificate Authority is not currently supported"))
   }
+
 }
