@@ -87,17 +87,21 @@ object Similarity {
   }
 
   /** Nearest-cell assignment (cosine to each broadcast representative;
-    * ties → lower cell) — one narrow pass over `df`. */
+    * ties → lower cell) — one narrow pass over `df`, reduced by a
+    * partially-aggregating argmax instead of a per-vector window: the
+    * map-side combine collapses each vector's `cells` scored rows to one
+    * before the shuffle (volume N rows, not N·cells) and nothing sorts.
+    * `max_by` over the unique key struct (sim, -cell) is deterministic:
+    * higher cosine wins, ties to the LOWER cell — the exact window
+    * ordering (_sim desc, cell asc) it replaces. */
   private def cellAssign(reps: DataFrame, df: DataFrame,
       emb: String, out: String): DataFrame = {
-    val aw = Window.partitionBy("_aid").orderBy(col("_sim").desc, col("cell"))
-    df.withColumn("_aid", col("vec_id"))
-      .crossJoin(reps)
+    val payload = struct(df.columns.map(col) :+ col("cell").as(out): _*)
+    df.crossJoin(reps)
       .withColumn("_sim", cosine(col(emb), col("rep")))
-      .withColumn("_rn", row_number().over(aw))
-      .filter(col("_rn") === 1)
-      .withColumnRenamed("cell", out)
-      .drop("rep", "_sim", "_rn", "_aid")
+      .groupBy(col("vec_id").as("_aid"))
+      .agg(max_by(payload, struct(col("_sim"), -col("cell"))).as("_best"))
+      .select(col("_best.*"))
   }
 
   /** Deterministic PQ codebook: codeword j of sub-space s = the s-th
