@@ -1,0 +1,49 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination — the training-data operation that removes (or
+  * flags) corpus documents sharing verbatim n-grams with an evaluation set,
+  * so benchmark answers don't leak into training. The standard production
+  * recipe (GPT-3/PaLM-style) is exact n-gram collision at n≈8-13; this is
+  * the n=8 exact-collision form.
+  *
+  * Scale shape: both sides explode ONCE into hashed n-gram rows (narrow
+  * lead-window per doc, one md5 per gram); the probe side (the benchmark —
+  * always tiny next to a 100 TB corpus) is distinct-ed and broadcast, so
+  * the collision check is a broadcast semi-join on the corpus gram stream —
+  * no corpus shuffle at all until the per-doc hit count, which groups on
+  * doc_id (the same partitioning the gram window already produced: ONE
+  * shuffle total).
+  */
+object Contamination {
+  /** (doc_id, gram) rows of `n`-token windows — [[TextAnalysis.shingleRows]]
+    * generalized to any n. The tokenization split runs once per document
+    * (explode-once; an inline transform would re-evaluate it per element). */
+  def ngramRows(corpus: DataFrame, n: Int): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val leads = (1 until n).map(k => lead("tok", k).over(w).as(s"t$k"))
+    val gramCols = col("tok") +: (1 until n).map(k => col(s"t$k"))
+    TextAnalysis.tokenRows(corpus)
+      .select(col("doc_id") +: col("tok") +: leads: _*)
+      .filter(col(s"t${n - 1}").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", gramCols: _*).as("gram"))
+  }
+
+  /** Corpus documents colliding with the probe (benchmark) set on at least
+    * one `n`-gram: (doc_id, hits = distinct shared grams). Probe docs are
+    * excluded from the output (they trivially self-collide). */
+  def contaminatedDocs(corpus: DataFrame, probes: DataFrame, n: Int = 8): DataFrame = {
+    val grams = ngramRows(corpus, n).select(col("doc_id"), md5(col("gram")).as("gh"))
+    val probeGrams = broadcast(
+      ngramRows(probes, n).select(md5(col("gram")).as("gh")).distinct())
+    val probeIds = probes.select(col("doc_id"))
+    grams
+      .join(probeGrams, "gh")
+      .join(probeIds, Seq("doc_id"), "left_anti")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("gh")).as("hits"))
+  }
+}

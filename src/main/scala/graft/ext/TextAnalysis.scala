@@ -126,6 +126,22 @@ object TextAnalysis {
         .otherwise("test").as("split"))
   }
 
+  /** Deterministic stratified sampling: per-language keep rates over a
+    * content-hash bucket (same fold as [[hashSplit]]). Content addressing
+    * makes the sample stable under re-sharding and pins byte-identical
+    * documents to the same keep/drop decision; per-stratum rates are the
+    * standard data-mixture lever (e.g. downsample the dominant language).
+    * Narrow single pass, no shuffle, any corpus size. */
+  def stratifiedSample(docs: DataFrame, rates: Map[String, Int],
+      defaultRate: Int): DataFrame = {
+    val bucket = conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long") % 100
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (lang, r)) =>
+      when(col("lang") === lang, r).otherwise(acc)
+    }
+    docs.select(col("doc_id"), col("lang"), bucket.as("bucket"))
+      .filter(col("bucket") < rate)
+  }
+
   /** Vocabulary building: token → frequency, top `k` by count with a
     * deterministic token tie-break. Map-side partial agg + one token-key
     * shuffle; the top-k is TakeOrderedAndProject (no global sort) — the

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ext.{Dedup, Embeddings, Multimodal, PqTrainer, Similarity, TextAnalysis}
+import graft.ext.{Contamination, Dedup, Embeddings, Multimodal, PqTrainer, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -154,6 +154,18 @@ object ExtQueries {
   private val corpusQualityFilter: Q = (s, dir) =>
     TextAnalysis.qualityFilter(documents(s, dir)).orderBy("doc_id")
 
+  /** Benchmark decontamination: docs sharing an 8-gram with the probe set
+    * (every 100th doc stands in for the benchmark). */
+  private val corpusDecontaminate: Q = (s, dir) => {
+    val docs = documents(s, dir)
+    Contamination.contaminatedDocs(docs, docs.filter(col("doc_id") % 100 === 0))
+      .orderBy("doc_id")
+  }
+
+  private val corpusStratifiedSample: Q = (s, dir) =>
+    TextAnalysis.stratifiedSample(documents(s, dir), Map("en" -> 20), defaultRate = 50)
+      .orderBy("doc_id")
+
   /** dupCorpus with the lang column carried through (copies inherit it) —
     * the e2e pipeline's quality gate needs it. */
   private def dupCorpusLang(s: SparkSession, dir: String): DataFrame = {
@@ -215,6 +227,8 @@ object ExtQueries {
     "dedup_keep_canonical" -> dedupKeepCanonical,
     "corpus_quality_filter" -> corpusQualityFilter,
     "corpus_split" -> corpusSplit,
+    "corpus_decontaminate" -> corpusDecontaminate,
+    "corpus_stratified_sample" -> corpusStratifiedSample,
     "corpus_pipeline_e2e" -> corpusPipelineE2e,
     "text_vocab_topk" -> textVocabTopk,
     "emb_quantize_int8" -> embQuantizeInt8,
@@ -834,6 +848,31 @@ object ExtQueries {
          |  UNION ALL SELECT doc_id, status, CAST(NULL AS VARCHAR) FROM exdrops
          |  UNION ALL SELECT doc_id, status, CAST(NULL AS VARCHAR) FROM neardrops
          |  UNION ALL SELECT doc_id, status, split FROM keptrows)
+         |ORDER BY doc_id""".stripMargin,
+
+    // 8-gram exact-collision decontamination: grams built positionally
+    // (t[i]..t[i+7]), md5-hashed, probe = every 100th doc
+    "corpus_decontaminate" -> {
+      val gram = (0 until 8).map(k => s"t[i+$k]").mkString(" || ' ' || ")
+      s"""WITH tok AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t
+         |  FROM documents),
+         |g AS (SELECT doc_id,
+         |    unnest(list_transform(range(1, len(t) - 6), i -> md5($gram))) AS gh
+         |  FROM tok WHERE len(t) >= 8),
+         |p AS (SELECT DISTINCT gh FROM g WHERE doc_id % 100 = 0)
+         |SELECT g.doc_id, CAST(count(DISTINCT g.gh) AS BIGINT) AS hits
+         |FROM g JOIN p USING (gh)
+         |WHERE g.doc_id % 100 <> 0
+         |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
+    },
+
+    // per-language content-hash sampling: same 8-hex-digit fold as the
+    // split twin; en downsampled to 20%, everything else 50%
+    "corpus_stratified_sample" ->
+      s"""WITH h AS (SELECT doc_id, lang, md5(text) AS hx FROM documents),
+         |b AS (SELECT doc_id, lang, ${hexFoldSql(1, 8)} % 100 AS bucket FROM h)
+         |SELECT doc_id, lang, bucket FROM b
+         |WHERE bucket < CASE WHEN lang = 'en' THEN 20 ELSE 50 END
          |ORDER BY doc_id""".stripMargin,
 
     // content-hash split: same 8-hex-digit fold as the minhash twin

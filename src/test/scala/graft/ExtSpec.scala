@@ -312,6 +312,40 @@ class ExtSpec extends AnyFunSuite {
     assert(fused == viaPairs, s"fused=$fused viaPairs=$viaPairs")
   }
 
+  test("decontamination flags docs sharing an 8-gram with the probe set") {
+    val benchQ = "what is the capital city of france and when was it founded exactly"
+    val docs = Seq(
+      (100L, benchQ),                                     // probe (id % 100 == 0)
+      (1L, "some training text containing " + benchQ + " verbatim inside it"),
+      (2L, "completely clean document with no overlap at all in any window " +
+        "of eight tokens from the benchmark probes whatsoever here"),
+      (3L, "short doc")                                   // < 8 tokens → no grams
+    ).toDF("doc_id", "text")
+    val out = graft.ext.Contamination
+      .contaminatedDocs(docs, docs.filter($"doc_id" % 100 === 0))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.keySet == Set(1L), s"got $out")
+    // the 13-token probe has 6 8-grams; all 6 appear verbatim in doc 1
+    assert(out(1L) == 6L)
+    // probe docs never flag themselves
+    assert(!out.contains(100L))
+  }
+
+  test("stratified sample: per-language rates over the content-hash bucket") {
+    val docs = Seq(
+      (1L, "en", "alpha beta gamma delta"),
+      (2L, "de", "eins zwei drei vier"),
+      (3L, "en", "alpha beta gamma delta")) // same content as 1 → same decision
+      .toDF("doc_id", "lang", "text")
+    val out = TextAnalysis.stratifiedSample(docs, Map("en" -> 20), defaultRate = 50)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // byte-identical docs share the bucket, so 1 and 3 are kept or dropped
+    // together regardless of ids
+    assert(out.count(_._2 == "en") % 2 == 0)
+    // every surviving row honors its stratum's rate
+    assert(out.forall { case (_, lang, b) => b < (if (lang == "en") 20 else 50) })
+  }
+
   test("connectedComponents reliable-checkpoint path labels identically") {
     val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt")
     spark.sparkContext.setCheckpointDir(dir.toString)
