@@ -32,6 +32,31 @@ object Contamination {
       .select(col("doc_id"), concat_ws(" ", gramCols: _*).as("gram"))
   }
 
+  /** Row-local n-gram array (the [[TextAnalysis.shingles]] pattern
+    * generalized): for STREAMING/ingest use where the window-based
+    * [[ngramRows]] is unavailable. Docs under `n` tokens → empty. */
+  def ngramsInline(toks: org.apache.spark.sql.Column, n: Int): org.apache.spark.sql.Column =
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)), i =>
+        concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*)))
+
+  /** Distinct md5'd probe grams — bounded by the benchmark size (always
+    * tiny next to the corpus), collected once at pipeline build to become
+    * the broadcast literal for [[flagContaminated]]. */
+  def probeGramHashes(probes: DataFrame, n: Int = 8): Seq[String] =
+    ngramRows(probes, n).select(md5(col("gram")).as("gh")).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+
+  /** Ingest-time decontamination: a pure row-local projection adding a
+    * `contaminated` flag — streaming-append-safe (no window, no shuffle,
+    * no state), so the check runs in the same micro-batch that admits the
+    * document. Same collision semantics as [[contaminatedDocs]]. */
+  def flagContaminated(docs: DataFrame, probeHashes: Seq[String], n: Int = 8): DataFrame =
+    docs.withColumn("contaminated",
+      arrays_overlap(
+        transform(ngramsInline(TextAnalysis.tokens(col("text")), n), g => md5(g)),
+        typedLit(probeHashes)))
+
   /** Corpus documents colliding with the probe (benchmark) set on at least
     * one `n`-gram: (doc_id, hits = distinct shared grams). Probe docs are
     * excluded from the output (they trivially self-collide). */
