@@ -18,8 +18,10 @@ import org.apache.spark.sql.functions._
   * distinct content, and the split is a narrow pass over the final corpus.
   */
 object CorpusPipeline {
-  /** docs: (doc_id, text, lang) → (doc_id, status, split). */
-  def run(docs: DataFrame): DataFrame = {
+  /** docs: (doc_id, text, lang) → (doc_id, status, split).
+    * `reliableCheckpoint` hardens the CC iteration for long cluster runs
+    * (see [[Dedup.connectedComponents]]). */
+  def run(docs: DataFrame, reliableCheckpoint: Boolean = false): DataFrame = {
     val quality = TextAnalysis.qualityFilter(docs).select(col("doc_id"), col("reason"))
     val staged = docs.join(quality, "doc_id")
     val qualityDrops = staged.filter(col("reason").isNotNull)
@@ -34,7 +36,8 @@ object CorpusPipeline {
     val kept2 = joined.filter(col("doc_id") === col("keep_id"))
       .select("doc_id", "text")
 
-    val keptNear = Dedup.keepCanonicalLsh(kept2).select("doc_id")
+    val keptNear = Dedup.keepCanonicalLsh(kept2,
+      reliableCheckpoint = reliableCheckpoint).select("doc_id")
     val nearDrops = kept2.join(keptNear, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), lit("near_dup").as("status"))
     val kept = kept2.join(keptNear, "doc_id")

@@ -280,9 +280,10 @@ object Dedup {
     * member id, exactly what min-label propagation over the expanded graph
     * yields. Kept = each component's label doc + all singletons. */
   def keepCanonicalLsh(corpus: DataFrame, n: Int = 32, bands: Int = 4,
-      thresholdX10000: Long = 5000L, maxBucket: Int = 0): DataFrame = {
+      thresholdX10000: Long = 5000L, maxBucket: Int = 0,
+      reliableCheckpoint: Boolean = false): DataFrame = {
     val (groups, repPairs) = lshRepState(corpus, n, bands, thresholdX10000, maxBucket)
-    val comps = connectedComponents(repPairs)
+    val comps = connectedComponents(repPairs, reliableCheckpoint = reliableCheckpoint)
     // identical members cluster with their rep iff identical content counts
     // as a duplicate at this threshold (Jaccard 10000); above that, every
     // doc stands alone
