@@ -198,8 +198,17 @@ object Dedup {
     * (checked via a converged count, capped). Scales as O(E) per round —
     * no transitive-closure blowup.
     */
+  /** `pointerDoubling` adds a label-shortcut pass (comp ← comp(comp)) after
+    * each propagation round: the remaining distance to the component min
+    * halves per round, so convergence needs O(log diameter) rounds instead
+    * of O(diameter) — one extra self-join shuffle per round, the classic
+    * trade for corpora whose near-dup graphs form long template chains.
+    * Labels at convergence are identical (comp(x) only ever moves DOWN
+    * within x's component, and the convergence test — no neighbor with a
+    * smaller label anywhere — is exactly label-constancy per component). */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 15,
-      reliableCheckpoint: Boolean = false): DataFrame = {
+      reliableCheckpoint: Boolean = false,
+      pointerDoubling: Boolean = false): DataFrame = {
     // localCheckpoint() materializes to executor memory/disk only — fastest,
     // but on a real cluster an executor loss mid-iteration kills the job.
     // For long cluster runs pass reliableCheckpoint=true (requires
@@ -238,6 +247,14 @@ object Dedup {
       converged = !next.agg(max(coalesce(col("chg"), lit(false))))
         .head().getBoolean(0)
       labels = next.drop("chg")
+      if (pointerDoubling && !converged) {
+        // comp ← comp(comp): every comp value IS a node id present in
+        // labels, so the self-join always resolves (coalesce for safety)
+        labels = ckpt(labels
+          .join(labels.select(col("doc_id").as("comp"), col("comp").as("comp2")),
+            Seq("comp"), "left")
+          .select(col("doc_id"), coalesce(col("comp2"), col("comp")).as("comp")))
+      }
       i += 1
     }
     if (!converged)

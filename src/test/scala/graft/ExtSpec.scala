@@ -346,6 +346,18 @@ class ExtSpec extends AnyFunSuite {
     assert(out.forall { case (_, lang, b) => b < (if (lang == "en") 20 else 50) })
   }
 
+  test("pointer doubling converges on a chain far longer than maxIter") {
+    // a 40-hop path needs 40 plain propagation rounds — over maxIter=15 —
+    // but O(log 40) ≈ 6 with the shortcut pass
+    val chain = (1L to 40L).map(i => (i, i + 1)).toDF("ida", "idb")
+    assertThrows[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxIter = 15)
+    }
+    val comps = Dedup.connectedComponents(chain, maxIter = 15, pointerDoubling = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps.size == 41 && comps.values.forall(_ == 1L))
+  }
+
   test("connectedComponents reliable-checkpoint path labels identically") {
     val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt")
     spark.sparkContext.setCheckpointDir(dir.toString)
