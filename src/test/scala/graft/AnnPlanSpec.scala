@@ -61,6 +61,11 @@ class AnnPlanSpec extends AnyFunSuite {
     assertNoPerQueryWindow("ann_ivf_pq")
   }
 
+  test("the rest of the ANN family avoids q_id windows too") {
+    Seq("ann_lsh", "ann_ivf", "ann_ivf_pq_residual", "ann_pq_trained")
+      .foreach(assertNoPerQueryWindow)
+  }
+
   test("topk_pairs: ordering, ties, null-skip, and cross-partition merge") {
     import spark.implicits._
     // 1000 scored rows per query across 4 partitions; planted best ids
