@@ -40,6 +40,32 @@ object Embeddings {
         .as("q"))
   }
 
+  /** Johnson-Lindenstrauss random projection to `k` dimensions — the cheap
+    * dimensionality reduction a pipeline runs before ANN indexing or
+    * clustering when 64 dims is still too wide at corpus scale. The
+    * projection matrix is seeded-deterministic Gaussian (same generator as
+    * the LSH hyperplanes); each output component is ONE sequential-fold
+    * `dot_product` (bit-deterministic), scaled to integers
+    * (floor(dot · 10⁶)) and CSV-joined so the result is a sortable scalar.
+    * Narrow single pass, no shuffle; at 100 TB the matrix rides along as
+    * k·d plan constants. */
+  def randomProjection(emb: DataFrame, k: Int = 16, dim: Int = 64,
+      seed: Long = 7L, vecCol: String = "embedding"): DataFrame = {
+    val planes = projectionPlanes(k, dim, seed)
+    val comps = planes.map { p =>
+      floor(call_function("dot_product", col(vecCol), typedLit(p.toSeq))
+        * lit(1000000d)).cast("long").cast("string")
+    }
+    emb.select(col("vec_id"), concat_ws(",", comps: _*).as("proj_x1e6"))
+  }
+
+  /** The seeded projection matrix, exposed so oracles/tests can embed the
+    * same literals. */
+  def projectionPlanes(k: Int, dim: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(k, dim)(rnd.nextGaussian())
+  }
+
   /** Unit-normalization, reported as scaled integers (floor(x / ‖v‖ · 10⁶))
     * so the output is integer-exact across engines; the norm itself (one
     * scalar double per vector) rides along. Zero vectors pass through as

@@ -166,6 +166,11 @@ object ExtQueries {
     TextAnalysis.stratifiedSample(documents(s, dir), Map("en" -> 20), defaultRate = 50)
       .orderBy("doc_id")
 
+  private val embRandomProjection: Q = (s, dir) => {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    Embeddings.randomProjection(embeddings(s, dir)).orderBy("vec_id")
+  }
+
   /** dupCorpus with the lang column carried through (copies inherit it) —
     * the e2e pipeline's quality gate needs it. */
   private def dupCorpusLang(s: SparkSession, dir: String): DataFrame = {
@@ -233,6 +238,7 @@ object ExtQueries {
     "text_vocab_topk" -> textVocabTopk,
     "emb_quantize_int8" -> embQuantizeInt8,
     "emb_normalize" -> embNormalize,
+    "emb_random_projection" -> embRandomProjection,
     "text_tokens" -> textTokens,
     "text_quality" -> textQuality,
     "text_langid" -> textLangid,
@@ -904,6 +910,21 @@ object ExtQueries {
         |         ELSE list_transform(v, x -> CAST(floor(x / scale * 127) AS BIGINT))
         |    END, ',') AS q
         |FROM s ORDER BY vec_id""".stripMargin,
+
+    // JL random projection twin: the same seeded plane literals as the
+    // Spark side (Double.toString round-trips), each component one
+    // sequential dot fold, floor-scaled to ints, CSV-joined
+    "emb_random_projection" -> {
+      val comps = Embeddings.projectionPlanes(16, 64, 7L).map { p =>
+        val planeLit = p.map(d => s"CAST($d AS DOUBLE)").mkString("([", ", ", "])")
+        s"CAST(floor(${dotSql("v", planeLit)} * 1000000) AS BIGINT)"
+      }
+      s"""WITH e AS (SELECT vec_id,
+         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)
+         |SELECT vec_id,
+         |  array_to_string([${comps.mkString(",\n    ")}], ',') AS proj_x1e6
+         |FROM e ORDER BY vec_id""".stripMargin
+    },
 
     "emb_normalize" ->
       s"""WITH e AS (SELECT vec_id,

@@ -176,6 +176,21 @@ object RelQueries {
         col("n"))
       .orderBy("flag", "status")
 
+  // Explicit GROUPING SETS — a mixed set list no cube/rollup expresses
+  // ((flag, status) plus status-only): same single Expand + one agg
+  // shuffle as cube, but fan-out bounded to exactly the named sets.
+  private val qGroupingSets: Q = (s, dir) =>
+    lineitem(s, dir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("n"))
+      .orderBy("flag", "status")
+
   // Range join via time binning — the scalable form of an inequality join
   // (reference lacks range joins, SURVEY.md §2.2): for each purchase, count
   // the same user's clicks in the preceding hour. Naive form is an
@@ -350,6 +365,7 @@ object RelQueries {
     "q_distinct_agg" -> qDistinctAgg,
     "q_outer_join" -> qOuterJoin,
     "q_cube" -> qCube,
+    "q_grouping_sets" -> qGroupingSets,
     "q_range_join_binned" -> qRangeJoinBinned,
     "q_skew_join_salted" -> qSkewJoinSalted,
     "sessionize_events" -> qSessionize,
@@ -477,6 +493,13 @@ object RelQueries {
       """SELECT coalesce(l_returnflag, 'ALL') AS flag,
         |  coalesce(l_linestatus, 'ALL') AS status, count(*) AS n
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY flag, status""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+        |  coalesce(l_linestatus, 'ALL') AS status, count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus))
         |ORDER BY flag, status""".stripMargin,
 
     "q_range_join_binned" ->
