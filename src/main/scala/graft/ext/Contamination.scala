@@ -1,7 +1,6 @@
 package graft.ext
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Benchmark decontamination — the training-data operation that removes (or
@@ -19,18 +18,16 @@ import org.apache.spark.sql.functions._
   * shuffle total).
   */
 object Contamination {
-  /** (doc_id, gram) rows of `n`-token windows — [[TextAnalysis.shingleRows]]
-    * generalized to any n. The tokenization split runs once per document
-    * (explode-once; an inline transform would re-evaluate it per element). */
-  def ngramRows(corpus: DataFrame, n: Int): DataFrame = {
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-    val leads = (1 until n).map(k => lead("tok", k).over(w).as(s"t$k"))
-    val gramCols = col("tok") +: (1 until n).map(k => col(s"t$k"))
-    TextAnalysis.tokenRows(corpus)
-      .select(col("doc_id") +: col("tok") +: leads: _*)
-      .filter(col(s"t${n - 1}").isNotNull)
-      .select(col("doc_id"), concat_ws(" ", gramCols: _*).as("gram"))
-  }
+  /** (doc_id, gram) rows of `n`-token windows, built NARROWLY: the per-row
+    * [[ngramsInline]] array is exploded in place — no token-stream shuffle
+    * at all (a doc_id-window formulation would shuffle every (doc, pos,
+    * tok) row, the largest intermediate in the pipeline, just to rebuild
+    * per-row adjacency the row already has). A higher-order `transform`
+    * evaluates its array operand once per ROW, so the tokenization split
+    * is not re-run per element. */
+  def ngramRows(corpus: DataFrame, n: Int): DataFrame =
+    corpus.select(col("doc_id"),
+      explode(ngramsInline(TextAnalysis.tokens(col("text")), n)).as("gram"))
 
   /** Row-local n-gram array (the [[TextAnalysis.shingles]] pattern
     * generalized): for STREAMING/ingest use where the window-based
