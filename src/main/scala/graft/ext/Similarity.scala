@@ -1,7 +1,6 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Embedding similarity search. Cosine is computed as a LEFT-TO-RIGHT double
@@ -78,13 +77,17 @@ object Similarity {
     * narrow pass, and a probe touches ~N/cells vectors.
     */
   /** Coarse-quantizer representatives: the min-vec_id member of each label
-    * cell (a medoid stand-in for a trained centroid), broadcast. */
-  private def cellReps(corpus: DataFrame): DataFrame = {
-    val w = Window.partitionBy("label").orderBy("vec_id")
+    * cell (a medoid stand-in for a trained centroid), broadcast. A
+    * partial/final `min_by` aggregate, NOT a per-label window: labels are
+    * low-cardinality by design (they are the cells), so a window would
+    * funnel N/cells full-width embedding rows into one task per cell. The
+    * map-side combine collapses each partition to at most |cells| rows
+    * before the shuffle; vec_id is unique, so min_by is deterministic and
+    * picks the identical representative. */
+  private def cellReps(corpus: DataFrame): DataFrame =
     broadcast(
-      corpus.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("label").as("cell"), col("embedding").as("rep")))
-  }
+      corpus.groupBy(col("label").as("cell"))
+        .agg(min_by(col("embedding"), col("vec_id")).as("rep")))
 
   /** Nearest-cell assignment (cosine to each broadcast representative;
     * ties → lower cell) — one narrow pass over `df`, reduced by a
@@ -96,7 +99,7 @@ object Similarity {
     * ordering (_sim desc, cell asc) it replaces. */
   private def cellAssign(reps: DataFrame, df: DataFrame,
       emb: String, out: String): DataFrame = {
-    val payload = struct(df.columns.map(col) :+ col("cell").as(out): _*)
+    val payload = struct(df.columns.toIndexedSeq.map(col) :+ col("cell").as(out): _*)
     df.crossJoin(reps)
       .withColumn("_sim", cosine(col(emb), col("rep")))
       .groupBy(col("vec_id").as("_aid"))

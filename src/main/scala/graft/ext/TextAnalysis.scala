@@ -1,7 +1,6 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines — all
@@ -65,15 +64,16 @@ object TextAnalysis {
     corpus.select(col("doc_id"), posexplode(tokens(col("text"))))
       .toDF("doc_id", "pos", "tok")
 
-  /** (doc_id, shingle) k=3 shingle rows via window lead. */
-  def shingleRows(corpus: DataFrame): DataFrame = {
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-    tokenRows(corpus)
-      .select(col("doc_id"), col("tok"),
-        lead("tok", 1).over(w).as("t1"), lead("tok", 2).over(w).as("t2"))
-      .filter(col("t2").isNotNull)
-      .select(col("doc_id"), concat_ws(" ", col("tok"), col("t1"), col("t2")).as("shingle"))
-  }
+  /** (doc_id, shingle) k=3 shingle rows, built NARROWLY: the row-local
+    * [[shingles]] array is exploded in place — token adjacency never leaves
+    * the row, so the tokenized corpus (the largest intermediate in the dedup
+    * pipeline) never shuffles. The earlier window-lead formulation shuffled
+    * every (doc_id, pos, tok) row just to rebuild adjacency the row already
+    * had; with this shape the downstream signature groupBy's map-side
+    * partial min is the ONLY exchange, carrying |docs|·n rows. */
+  def shingleRows(corpus: DataFrame): DataFrame =
+    corpus.select(col("doc_id"),
+      explode(shingles(tokens(col("text")))).as("shingle"))
 
   /** Modulus for the Kirsch-Mitzenmacher hash family (fits i·h2m in a long). */
   val MinhashP = 1000000007L
@@ -106,12 +106,11 @@ object TextAnalysis {
           .reduce(_ + _).as("simhash"))
   }
 
-  /** (doc_id, fp) min-shingle-md5 fingerprints; docs under 3 tokens get a
-    * NULL fp (left join), matching [[fingerprint]]. */
+  /** (doc_id, fp) min-shingle-md5 fingerprints: a pure row-local projection
+    * of [[fingerprint]] — zero shuffles, zero joins. Docs under 3 tokens get
+    * a NULL fp (`array_min` of the empty shingle array). */
   def fingerprintRows(corpus: DataFrame): DataFrame =
-    corpus.select("doc_id")
-      .join(shingleRows(corpus).groupBy("doc_id").agg(min(md5(col("shingle"))).as("fp")),
-        Seq("doc_id"), "left")
+    corpus.select(col("doc_id"), fingerprint(tokens(col("text"))).as("fp"))
 
   /** Content-addressed train/val/test split: bucket = first 8 hex digits of
     * md5(text) mod 100. Hashing the CONTENT (not the id) pins byte-identical

@@ -30,12 +30,12 @@ class AnnPlanSpec extends AnyFunSuite {
 
   private def assertNoPerQueryWindow(key: String): Unit = withStaticPlan {
     val plan = SparkEntry.queries(key)(spark, sf).queryExecution.executedPlan
+    // NO WindowExec anywhere: ranking runs as the bounded topk_pairs
+    // aggregate, cell assignment as a max_by argmax, and rep selection as a
+    // min_by aggregate — every per-group funnel is a partial/final agg
     val windows = plan.collect { case w: WindowExec => w }
-    // cellAssign's per-VECTOR argmin window is fine (group key has N distinct
-    // values); what must not appear is a window partitioned by q_id
-    val perQuery = windows.filter(_.partitionSpec.exists(_.toString.contains("q_id")))
-    assert(perQuery.isEmpty,
-      s"$key must not rank via Window.partitionBy(q_id):\n${perQuery.mkString("\n")}")
+    assert(windows.isEmpty,
+      s"$key must not contain any WindowExec (per-group funnel):\n${windows.mkString("\n")}")
     val topks = plan.collect {
       case a: ObjectHashAggregateExec
           if a.aggregateExpressions.exists(
