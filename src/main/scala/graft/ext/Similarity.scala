@@ -119,8 +119,12 @@ object Similarity {
     Array.tabulate(m, ksub, d)((s, j, i) => cwRows(j)(s * d + i))
   }
 
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val reps = cellReps(corpus)
+  /** The IVF probe shared by the medoid and trained variants: assign corpus
+    * and queries to their nearest cell (one narrow pass each against the
+    * broadcast reps), then score a query only against its own inverted
+    * list and re-rank with the bounded top-k aggregate. */
+  private def ivfProbe(reps: DataFrame, corpus: DataFrame, queries: DataFrame,
+      k: Int): DataFrame = {
     val bucketed = cellAssign(reps, corpus, "embedding", "ivf_cell")
     val q = cellAssign(reps, queries, "embedding", "ivf_cell")
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("ivf_cell"))
@@ -130,6 +134,23 @@ object Similarity {
         cosine(col("q_emb"), col("embedding")).as("sim"))
     rankTopK(scored, k, "sim", asc = false)
       .select("q_id", "rank", "n_id", "sim")
+  }
+
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame =
+    ivfProbe(cellReps(corpus), corpus, queries, k)
+
+  /** Trained-quantizer IVF: cells are k-means centroids from
+    * [[PqTrainer.trainCodebook]] run with m=1 over the full dimension — the
+    * same bounded-sample deterministic trainer the PQ codebook uses — so
+    * index construction is sample-bounded end-to-end instead of scanning
+    * the full corpus for medoids. The kCells centroid vectors arrive as a
+    * plan literal (they ARE the broadcast index) and everything downstream
+    * is the shared [[ivfProbe]] plan. */
+  def ivfTrainedTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      centroids: Array[Array[Double]]): DataFrame = {
+    val reps = broadcast(corpus.sparkSession.range(1)
+      .select(posexplode(typedLit(centroids.map(_.toSeq).toSeq)).as(Seq("cell", "rep"))))
+    ivfProbe(reps, corpus, queries, k)
   }
 
   /** Product-quantization ANN (ADC flavor): the 100-TB-scale compression

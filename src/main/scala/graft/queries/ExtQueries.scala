@@ -111,6 +111,20 @@ object ExtQueries {
       .orderBy("q_id", "rank")
   }
 
+  /** The production IVF path: coarse-quantizer cells from the deterministic
+    * sampled k-means trainer ([[PqTrainer.trainCodebook]] with m=1 over the
+    * full dimension) instead of the per-label medoid. The oracle twin
+    * re-runs the SAME training as a recursive CTE (fixed sample, first-16
+    * init, 10 iterations, first-min ties, vec_id-ordered accumulation) —
+    * bit-equal centroids, so assignment/probe/re-rank agree exactly. */
+  private val annIvfTrained: Q = (s, dir) => {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val e = embeddings(s, dir)
+    Similarity.ivfTrainedTopK(e, e.filter(col("vec_id") < 10), 5,
+        PqTrainer.trainCodebook(e, m = 1, ksub = 16)(0))
+      .orderBy("q_id", "rank")
+  }
+
   private val annIvfPq: Q = (s, dir) => {
     graft.functions.GraftFunctions.ensureRegistered(s)
     val e = embeddings(s, dir)
@@ -225,6 +239,7 @@ object ExtQueries {
     "ann_brute_force" -> annBruteForce,
     "ann_lsh" -> annLsh,
     "ann_ivf" -> annIvf,
+    "ann_ivf_trained" -> annIvfTrained,
     "ann_pq" -> annPq,
     "ann_pq_trained" -> annPqTrained,
     "ann_ivf_pq" -> annIvfPq,
@@ -455,6 +470,68 @@ object ExtQueries {
          |  FROM scored)
          |SELECT q_id, rank, n_id, sim FROM ranked WHERE rank <= 5
          |ORDER BY q_id, rank""".stripMargin,
+
+    // trained-IVF twin: centroids from the deterministic sampled k-means
+    // re-run as a recursive CTE (the ann_pq_trained km pattern with the m
+    // dimension dropped and d=64), then the ann_ivf assignment/probe CTEs
+    // with reps = the trained centroids
+    "ann_ivf_trained" -> {
+      val sqd = "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        "list_transform(range(1, 65), i -> (s.s[i] - k.c[i]) * (s.s[i] - k.c[i]))), " +
+        "(x, y) -> x + y)"
+      s"""WITH RECURSIVE
+         |samp AS (SELECT vec_id,
+         |    list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE)) AS s
+         |  FROM embeddings WHERE vec_id < 256),
+         |km AS (
+         |  SELECT 0 AS iter, CAST(vec_id AS INT) AS j, s AS c
+         |  FROM samp WHERE vec_id < 16
+         |  UNION ALL
+         |  SELECT o.iter + 1, o.j, COALESCE(a.mc, o.c)
+         |  FROM km o LEFT JOIN (
+         |    SELECT asg.bj,
+         |      list_transform(range(1, 65), i ->
+         |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |          list_transform(asg.xs, v -> v[i])), (x, y) -> x + y)
+         |        / CAST(asg.cnt AS DOUBLE)) AS mc
+         |    FROM (
+         |      SELECT bj, list(s ORDER BY vec_id) AS xs, count(*) AS cnt
+         |      FROM (
+         |        SELECT d.vec_id, any_value(d.s) AS s, min(d.j) AS bj
+         |        FROM (
+         |          SELECT s.vec_id, s.s, k.j, $sqd AS d
+         |          FROM samp s CROSS JOIN km k) d
+         |        JOIN (
+         |          SELECT d2.vec_id, min(d2.d) AS dmin
+         |          FROM (
+         |            SELECT s.vec_id, k.j, $sqd AS d
+         |            FROM samp s CROSS JOIN km k) d2
+         |          GROUP BY d2.vec_id) b
+         |        ON d.vec_id = b.vec_id AND d.d = b.dmin
+         |        GROUP BY d.vec_id) grp
+         |      GROUP BY bj) asg
+         |    ) a
+         |  ON a.bj = o.j
+         |  WHERE o.iter < 10
+         |),
+         |reps AS (SELECT j AS cell, c AS rep FROM km WHERE iter = 10),
+         |assigned AS (
+         |  SELECT vec_id, embedding, ivf_cell FROM (
+         |    SELECT e.vec_id, e.embedding, r.cell AS ivf_cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosSql("e.embedding", "r.rep")} DESC, r.cell) AS rn
+         |    FROM embeddings e, reps r) WHERE rn = 1),
+         |q AS (SELECT vec_id AS q_id, embedding AS qe, ivf_cell
+         |      FROM assigned WHERE vec_id < 10),
+         |scored AS (SELECT q_id, e.vec_id AS n_id,
+         |  ${cosSql("qe", "e.embedding")} AS sim
+         |  FROM assigned e JOIN q USING (ivf_cell) WHERE e.vec_id <> q.q_id),
+         |ranked AS (SELECT q_id, n_id, sim,
+         |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS INT) AS rank
+         |  FROM scored)
+         |SELECT q_id, rank, n_id, sim FROM ranked WHERE rank <= 5
+         |ORDER BY q_id, rank""".stripMargin
+    },
 
     // IVF+PQ twin: the ann_ivf assignment CTEs + the ann_pq code CTEs, with
     // the ADC join additionally restricted to the query's cell

@@ -252,6 +252,21 @@ class ExtSpec extends AnyFunSuite {
     assert(top(0).getAs[Long]("n_id") == 100L)
   }
 
+  test("trained IVF: k-means cells keep the identical copy reachable and ranked first") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val rnd = new scala.util.Random(19)
+    val base = (0 until 32).map(j => (j.toLong, Array.fill(64)(rnd.nextFloat())))
+    val vecs = (base :+ ((100L, base.head._2.clone())))
+      .toDF("vec_id", "embedding")
+    val cents = graft.ext.PqTrainer.trainCodebook(vecs, m = 1, ksub = 4, sampleN = 32)(0)
+    assert(cents.length == 4 && cents.head.length == 64)
+    val top = Similarity.ivfTrainedTopK(vecs, vecs.filter($"vec_id" === 0L), 3, cents)
+      .orderBy("rank").collect()
+    // the identical copy lands in the same trained cell and wins the probe
+    assert(top(0).getAs[Long]("n_id") == 100L, top.mkString(","))
+    assert(math.abs(top(0).getAs[Double]("sim") - 1.0) < 1e-12)
+  }
+
   test("residual IVF+PQ: identical copy shares cell and residual codes, wins re-rank") {
     graft.functions.GraftFunctions.ensureRegistered(spark)
     val rnd = new scala.util.Random(13)
