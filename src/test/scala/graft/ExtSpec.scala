@@ -461,6 +461,33 @@ class ExtSpec extends AnyFunSuite {
     assert(out(30L)._1 == "kept")
   }
 
+  test("corpus pipeline plan: one derivation chain, no union of drop sets") {
+    // The dispositions must assemble via a left-join chain, not a union
+    // that re-derives the quality/exact subtrees per status branch. Over a
+    // parquet input the corpus scan count exposes re-derivation directly:
+    // the disposition join + the exact-dedup subtree + the LSH rep-state's
+    // two consumers (rep pairs, member attachment) = 4 scans; the r3 union
+    // formulation produced ~6.
+    val key = "spark.sql.adaptive.enabled"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try {
+      val docs = graft.queries.Synth.documents(spark, "/root/testdata/sf0.001")
+        .select("doc_id", "text", "lang")
+      val plan = graft.ext.CorpusPipeline.run(docs).queryExecution.executedPlan
+      val unions = plan.collect { case u: org.apache.spark.sql.execution.UnionExec => u }
+      assert(unions.isEmpty, s"disposition assembly must not union drop sets:\n$unions")
+      val scans = plan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+      assert(scans.size <= 4,
+        s"corpus must be derived at most 4× (join chain + exact + LSH×2), got ${scans.size}")
+    } finally old match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("hash split: content-addressed — identical text lands in one split") {
     val docs = Seq((1L, "same content here"), (2L, "same content here"),
       (3L, "different content")).toDF("doc_id", "text")
