@@ -11,7 +11,8 @@ import org.apache.spark.sql.functions.call_function
   */
 object GraftFunctions {
   private val descriptors = Seq(
-    JsonDeepMerge.descriptor, Opaque.descriptor, DotProduct.descriptor,
+    JsonDeepMerge.descriptor, JsonMergeIn.descriptor, Opaque.descriptor,
+    DotProduct.descriptor,
     PolyHash16.descriptor, PqEncode.descriptor, PqLut.descriptor,
     TopKPairs.descriptor,
     graft.syslog.ParseSyslog.descriptor,

@@ -79,6 +79,98 @@ object JsonMerge {
     out
   }
 
+  /** UTF8String entry point for the pointer-addressed variant. */
+  def mergeInUTF8(target: UTF8String, pointer: UTF8String,
+      fragment: UTF8String): UTF8String = {
+    val out = mergeInStrings(target.toString, pointer.toString, fragment.toString)
+    if (out == null) null else UTF8String.fromString(out)
+  }
+
+  /** Pointer-addressed merge (reference: src/merge.rs:88-133, `merge_in`):
+    * navigate `pointer` (RFC 6901-style, serde lookup semantics: object →
+    * key, array → index without leading zeros), creating missing path steps
+    * on the way — a numeric step scaffolds `[null]`, any other step
+    * `{step: null}`, merged in via the same lattice — then [[merge]] the
+    * fragment at the target node. Pointer "/" (empty first step) merges at
+    * the current level. Unlike [[mergeStrings]], the fragment may be ANY
+    * JSON value — that is merge_in's documented surface (its own tests
+    * merge arrays and scalars into pointed-at nodes).
+    *
+    * null result = LHS not valid JSON, or the pointer does not start with
+    * '/' (the reference would panic on the latter; we surface the abort
+    * marker instead). Unparseable fragment → LHS returned unmerged, the
+    * same edge contract as [[mergeStrings]]. */
+  def mergeInStrings(target: String, pointer: String, fragment: String): String = {
+    val t = try mapper.readTree(target) catch { case _: Exception => return null }
+    if (t == null) return null
+    val f = try mapper.readTree(fragment) catch { case _: Exception => return target }
+    if (f == null) return target
+    val out = mergeIn(t, pointer, f)
+    if (out == null) null else serialize(out)
+  }
+
+  def mergeIn(root: JsonNode, pointer: String, value: JsonNode): JsonNode = {
+    if (!pointer.startsWith("/")) return null
+    val fields = pointer.substring(1).split("/", -1).toList
+    mergeInFields(root, fields, value)
+  }
+
+  private def mergeInFields(node: JsonNode, fields: List[String],
+      value: JsonNode): JsonNode = {
+    val first = fields.head
+    // empty step = "merge here" (pointer "/" at the top, "//…" mid-path —
+    // the reference stops and merges at the current level, src/merge.rs:95)
+    if (first.isEmpty) return merge(node, value)
+    childAt(node, first) match {
+      case Some(sub) =>
+        val merged =
+          if (fields.tail.nonEmpty) mergeInFields(sub, fields.tail, value)
+          else merge(sub, value)
+        // merge returns a replacement node for scalar/array results —
+        // write it back into the parent slot
+        if (merged ne sub) setChild(node, first, merged)
+        node
+      case None =>
+        // create-missing-path (src/merge.rs:115-130): numeric step → [null],
+        // other step → {step: null}, merged via the SAME lattice, then
+        // retry. The reference retries unboundedly and can live-lock when
+        // array dedup swallows the null scaffold (e.g. pointer /5 onto
+        // [null]); we retry once and bail unchanged-beyond-the-scaffold if
+        // the step is still unresolvable.
+        val scaffold: JsonNode =
+          if (first.forall(_.isDigit)) {
+            val a = mapper.createArrayNode(); a.addNull(); a
+          } else {
+            val o = mapper.createObjectNode(); o.putNull(first); o
+          }
+        val grown = merge(node, scaffold)
+        childAt(grown, first) match {
+          case Some(_) => mergeInFields(grown, fields, value)
+          case None => grown
+        }
+    }
+  }
+
+  /** serde_json pointer-lookup semantics: objects match the literal key;
+    * arrays index only with a canonical integer (no leading zeros). */
+  private def childAt(node: JsonNode, field: String): Option[JsonNode] = node match {
+    case o: ObjectNode => Option(o.get(field))
+    case a: ArrayNode => serdeIndex(field).flatMap(i => Option(a.get(i)))
+    case _ => None
+  }
+
+  private def serdeIndex(s: String): Option[Int] =
+    if (s == "0") Some(0)
+    else if (s.nonEmpty && s.length <= 9 && !s.startsWith("0") && s.forall(_.isDigit))
+      Some(s.toInt)
+    else None
+
+  private def setChild(node: JsonNode, field: String, v: JsonNode): Unit = node match {
+    case o: ObjectNode => o.set[JsonNode](field, v); ()
+    case a: ArrayNode => serdeIndex(field).foreach(i => a.set(i, v))
+    case _ => ()
+  }
+
   /** Compact serialization, object keys recursively sorted. */
   def serialize(n: JsonNode): String = {
     val sb = new StringBuilder
@@ -161,5 +253,40 @@ object JsonDeepMerge {
     (children: Seq[Expression]) => {
       require(children.length == 2, "json_deep_merge(target, fragment) takes 2 arguments")
       JsonDeepMerge(children.head, children(1))
+    })
+}
+
+/** `json_merge_in(target, pointer, fragment)` — the reference merge trait's
+  * pointer-addressed variant (src/merge.rs:88-133), with the same codegen
+  * shape as [[JsonDeepMerge]]: one static call into [[JsonMerge]]. */
+case class JsonMergeIn(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "json_merge_in"
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression): JsonMergeIn = copy(first = f, second = s, third = t)
+  override protected def nullSafeEval(target: Any, pointer: Any, fragment: Any): Any =
+    JsonMerge.mergeInUTF8(target.asInstanceOf[UTF8String],
+      pointer.asInstanceOf[UTF8String], fragment.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, p, f) => {
+      val out = ctx.freshName("merged")
+      s"""
+         |org.apache.spark.unsafe.types.UTF8String $out =
+         |  graft.functions.JsonMerge.mergeInUTF8($t, $p, $f);
+         |if ($out == null) { ${ev.isNull} = true; } else { ${ev.value} = $out; }
+       """.stripMargin
+    })
+}
+
+object JsonMergeIn {
+  val descriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("json_merge_in"),
+    new ExpressionInfo(classOf[JsonMergeIn].getName, "json_merge_in"),
+    (children: Seq[Expression]) => {
+      require(children.length == 3,
+        "json_merge_in(target, pointer, fragment) takes 3 arguments")
+      JsonMergeIn(children.head, children(1), children(2))
     })
 }

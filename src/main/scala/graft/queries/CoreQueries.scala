@@ -167,6 +167,22 @@ object CoreQueries {
       .orderBy("event_id")
   }
 
+  /** merge_in, the reference merge trait's pointer-addressed variant
+    * (src/merge.rs:88-133): three pointer shapes over the event props —
+    * append-at-new-key, create-missing-path, and root merge. */
+  private val mergeJsonPointer: Q = (s, dir) => {
+    GraftFunctions.ensureRegistered(s)
+    val ptr = when(col("event_id") % 3 === 0, "/tags")
+      .when(col("event_id") % 3 === 1, "/meta/depth")
+      .otherwise("/")
+    val frag = when(col("event_id") % 3 === 0, """["a","b"]""")
+      .when(col("event_id") % 3 === 1, "7")
+      .otherwise("""{"z":1}""")
+    events(s, dir).select(col("event_id"),
+      call_function("json_merge_in", col("props"), ptr, frag).as("value"))
+      .orderBy("event_id")
+  }
+
   // O13 — dynamic topic routing: rows claimed by the jmespath rule.
   private val routeTopicDynamic: Q = (s, dir) =>
     routed(s, dir).filter(col("topic").startsWith("t-"))
@@ -342,6 +358,7 @@ object CoreQueries {
     "replace_template" -> replaceTemplate,
     "replace_template_full" -> replaceTemplateFull,
     "merge_json" -> mergeJson,
+    "merge_json_pointer" -> mergeJsonPointer,
     "route_topic_dynamic" -> routeTopicDynamic,
     "route_first_match" -> routeFirstMatch,
     "stop_drop" -> stopDrop,
@@ -462,6 +479,18 @@ object CoreQueries {
          |  '{"k":' || json_extract_string(props, '$$.k') ||
          |  ',"meta":{"hotdog":{"timestamp":"$IsoPin","version":"$Version"}}}' AS value
          |FROM events ORDER BY event_id""".stripMargin,
+
+    // pointer-merge twin: props is always {"k": N}, so the three pointer
+    // shapes produce literally constructable outputs (keys sorted, compact
+    // — the same canonical serialization the merge expressions emit)
+    "merge_json_pointer" ->
+      """SELECT event_id,
+        |  CASE CAST(event_id % 3 AS INT)
+        |    WHEN 0 THEN '{"k":' || json_extract_string(props, '$.k') || ',"tags":["a","b"]}'
+        |    WHEN 1 THEN '{"k":' || json_extract_string(props, '$.k') || ',"meta":{"depth":7}}'
+        |    ELSE '{"k":' || json_extract_string(props, '$.k') || ',"z":1}'
+        |  END AS value
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "route_topic_dynamic" ->
       s"""$RoutedSql

@@ -87,6 +87,65 @@ class JsonMergeSpec extends AnyFunSuite {
     } yield keys.distinct.zip(vals)
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
 
+  private def mi(a: String, p: String, b: String): String =
+    JsonMerge.mergeInStrings(a, p, b)
+
+  test("merge_in: array into a field path (src/merge.rs:181-187)") {
+    assert(mi("""{"my_array":[{"a":"t"}]}""", "/my_array", """["b","c"]""")
+      == """{"my_array":[{"a":"t"},"b","c"]}""")
+  }
+
+  test("merge_in: object into a field path (src/merge.rs:188-194)") {
+    assert(mi("""{"my_array":[{"a":"t"}]}""", "/my_array", """{"b":"c"}""")
+      == """{"my_array":[{"a":"t"},{"b":"c"}]}""")
+  }
+
+  test("merge_in: object at an existing array position (src/merge.rs:195-201)") {
+    assert(mi("""{"my_array":[{"a":"t"}]}""", "/my_array/0", """{"b":"c"}""")
+      == """{"my_array":[{"a":"t","b":"c"}]}""")
+  }
+
+  test("merge_in: object at a missing array position appends (src/merge.rs:202-208)") {
+    assert(mi("""{"my_array":[{"a":"t"}]}""", "/my_array/1", """{"b":"c"}""")
+      == """{"my_array":[{"a":"t"},{"b":"c"}]}""")
+  }
+
+  test("merge_in: scalar replace through a deep pointer (src/merge.rs:50-54 doc)") {
+    assert(mi("""{"my_array":[{"a":"t"}]}""", "/my_array/0/a", """{"b":"c"}""")
+      == """{"my_array":[{"a":{"b":"c"}}]}""")
+  }
+
+  test("merge_in: builds missing objects/arrays from null root (src/merge.rs:209-219)") {
+    var v = "null"
+    v = mi(v, "/field", "\"value\"")
+    v = mi(v, "/object", "{}")
+    v = mi(v, "/array", "[]")
+    assert(v == """{"array":[],"field":"value","object":{}}""")
+  }
+
+  test("merge_in: root pointer merges arrays and objects (src/merge.rs:220-234)") {
+    assert(mi("""["value"]""", "/", """["new_value"]""")
+      == """["value","new_value"]""")
+    assert(mi("""{"field":"value"}""", "/", """{"field2":"value2"}""")
+      == """{"field":"value","field2":"value2"}""")
+  }
+
+  test("merge_in: create-missing-path scaffolds {step:null} then merges") {
+    assert(mi("""{"k":1}""", "/meta/depth", "7")
+      == """{"k":1,"meta":{"depth":7}}""")
+  }
+
+  test("merge_in edges: bad pointer aborts, bad fragment is a no-op, no live-lock") {
+    // the reference would panic on a pointer without '/'; we surface the
+    // abort marker (null) like an unparseable LHS
+    assert(mi("""{"a":1}""", "a", "{}") == null)
+    assert(mi("not json", "/a", "{}") == null)
+    assert(mi("""{"a":1}""", "/a", "not json") == """{"a":1}""")
+    // reference live-locks here (array dedup swallows the null scaffold);
+    // we bail after one retry with the scaffold merge applied
+    assert(mi("""{"a":[null]}""", "/a/5", "7") != null)
+  }
+
   test("property: merge with {} is canonicalizing identity") {
     forAllSampled(objGen(2)) { o =>
       val c = m(o, "{}")
