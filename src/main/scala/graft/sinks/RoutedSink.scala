@@ -23,6 +23,22 @@ object RoutedSink {
   def kafkaShape(routed: DataFrame): DataFrame =
     routed.select(col("topic").cast("string"), col("value").cast("string"))
 
+  /** Deliver `(topic, value)` rows to a Kafka broker over the wire
+    * protocol, one [[KafkaProduceClient]] per partition: sends are detached
+    * within the partition (the reference's per-message spawn,
+    * src/sink/kafka.rs:137) and flushed at partition end (the sink's
+    * batch-delivery barrier). Per-error-code statsd accounting rides with
+    * each executor-side client — at 1000 executors this is exactly the
+    * reference's N-producer deployment, one per daemon. */
+  def produceKafka(routed: DataFrame, broker: String, timeoutMs: Int = 60000,
+      statsdHostPort: Option[(String, Int)] = None): Unit =
+    kafkaShape(routed).foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+      val client = new KafkaProduceClient(broker, timeoutMs,
+        statsdHostPort.map { case (h, p) => new graft.metrics.StatsdEmitter(h, p) })
+      try { rows.foreach(r => client.send(r.getString(0), r.getString(1))); client.flush() }
+      finally client.close()
+    }
+
   /** Write one parquet tree partitioned by destination:
     * `<url>/topic=<destination>/part-*.parquet` — the Spark-native analog of
     * the reference's `{destination}/{uuid}.parquet` objects

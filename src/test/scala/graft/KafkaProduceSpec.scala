@@ -1,0 +1,188 @@
+package graft
+
+import java.io.{ByteArrayInputStream, DataInputStream, DataOutputStream}
+import java.net.{DatagramPacket, DatagramSocket, ServerSocket}
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import graft.sinks.{KafkaProduceClient, RoutedSink}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Produce-path delivery semantics (src/sink/kafka.rs:137-191) against an
+  * in-process loopback broker speaking Produce v0: detached sends + flush
+  * barrier, per-topic submitted counters, per-error-code error counters,
+  * and local-timeout accounting. The bootstrap gate has its own spec
+  * (KafkaBootstrapSpec); together they cover the reference sink's
+  * observable behavior minus only a real cluster's config surface.
+  */
+class KafkaProduceSpec extends AnyFunSuite {
+
+  /** Loopback broker: one Produce v0 request per connection; records each
+    * (topic, payload) and answers with `errorFor(topic)`. `silent = true`
+    * reads the request and never answers (drives the client timeout). */
+  private final class LoopbackBroker(errorFor: String => Int = _ => 0,
+      silent: Boolean = false) extends AutoCloseable {
+    val received = new ConcurrentLinkedQueue[(String, String)]()
+    private val server = new ServerSocket(0)
+    def port: Int = server.getLocalPort
+    def broker: String = s"127.0.0.1:$port"
+
+    private val acceptor = new Thread(() => {
+      try while (true) {
+        val s = server.accept()
+        val t = new Thread(() => {
+          try {
+            val in = new DataInputStream(s.getInputStream)
+            val out = new DataOutputStream(s.getOutputStream)
+            val size = in.readInt()
+            val frame = new Array[Byte](size)
+            in.readFully(frame)
+            val f = new DataInputStream(new ByteArrayInputStream(frame))
+            val apiKey = f.readShort()
+            assert(apiKey == 0, s"expected Produce, got api_key=$apiKey")
+            f.readShort() // api_version
+            val corr = f.readInt()
+            f.skipBytes(f.readShort()) // client_id
+            f.readShort() // acks
+            f.readInt() // timeout
+            val nTopics = f.readInt()
+            var topic = ""
+            (0 until nTopics).foreach { _ =>
+              val tb = new Array[Byte](f.readShort()); f.readFully(tb)
+              topic = new String(tb, StandardCharsets.UTF_8)
+              val nParts = f.readInt()
+              (0 until nParts).foreach { _ =>
+                f.readInt() // partition
+                f.readInt() // message_set_size
+                f.readLong() // offset
+                f.readInt() // message_size
+                f.readInt() // crc
+                f.readByte(); f.readByte() // magic, attributes
+                val keyLen = f.readInt()
+                if (keyLen >= 0) f.skipBytes(keyLen)
+                val vb = new Array[Byte](f.readInt()); f.readFully(vb)
+                received.add(topic -> new String(vb, StandardCharsets.UTF_8))
+              }
+            }
+            if (!silent) {
+              val tb = topic.getBytes(StandardCharsets.UTF_8)
+              out.writeInt(4 + 4 + 2 + tb.length + 4 + 4 + 2 + 8)
+              out.writeInt(corr)
+              out.writeInt(1) // one topic
+              out.writeShort(tb.length); out.write(tb)
+              out.writeInt(1) // one partition
+              out.writeInt(0) // partition 0
+              out.writeShort(errorFor(topic))
+              out.writeLong(42L) // assigned offset
+              out.flush()
+              s.close()
+            } // silent: leave the socket open until the client times out
+          } catch { case _: Exception => () }
+        })
+        t.setDaemon(true); t.start()
+      } catch { case _: Exception => () }
+    })
+    acceptor.setDaemon(true); acceptor.start()
+    override def close(): Unit = server.close()
+  }
+
+  private def counts(c: KafkaProduceClient): Map[String, Long] = {
+    val b = Map.newBuilder[String, Long]
+    c.counters.forEach((k, v) => b += k -> v.sum())
+    b.result()
+  }
+
+  test("detached sends deliver payloads; per-topic submitted counters") {
+    val broker = new LoopbackBroker()
+    val client = new KafkaProduceClient(broker.broker, timeoutMs = 5000)
+    try {
+      client.send("logs-a", "m1")
+      client.send("logs-a", "m2")
+      client.send("logs-b", "m3")
+      client.flush()
+      val got = broker.received.toArray(Array.empty[(String, String)]).toSet
+      assert(got == Set("logs-a" -> "m1", "logs-a" -> "m2", "logs-b" -> "m3"))
+      val c = counts(client)
+      assert(c("hotdog.kafka.submitted.logs-a") == 2L)
+      assert(c("hotdog.kafka.submitted.logs-b") == 1L)
+      assert(!c.keys.exists(_.startsWith("hotdog.kafka.producer.error")))
+    } finally { client.close(); broker.close() }
+  }
+
+  test("broker error code maps to kafka.producer.error.<first-word>") {
+    // code 3 = "Unknown topic or partition" → errcode "unknown"
+    // (src/sink/kafka.rs:203-208 metric_name_for)
+    val broker = new LoopbackBroker(errorFor = t => if (t == "bad") 3 else 0)
+    val client = new KafkaProduceClient(broker.broker, timeoutMs = 5000)
+    try {
+      client.send("good", "x")
+      client.send("bad", "y")
+      client.flush()
+      val c = counts(client)
+      assert(c("hotdog.kafka.submitted.good") == 1L)
+      assert(c("hotdog.kafka.producer.error.unknown") == 1L)
+      assert(!c.contains("hotdog.kafka.submitted.bad"))
+    } finally { client.close(); broker.close() }
+  }
+
+  test("no response within the delivery timeout → timed-out error counter") {
+    val broker = new LoopbackBroker(silent = true)
+    val client = new KafkaProduceClient(broker.broker, timeoutMs = 300)
+    try {
+      val t0 = System.nanoTime()
+      client.send("t", "x")
+      client.flush()
+      val elapsedMs = (System.nanoTime() - t0) / 1000000
+      assert(elapsedMs < 5000, s"timeout must bound the send, took ${elapsedMs}ms")
+      // the reference maps the local timeout through the same first-word
+      // rule: "Message timed out" → "message"
+      assert(counts(client)("hotdog.kafka.producer.error.message") == 1L)
+    } finally { client.close(); broker.close() }
+  }
+
+  test("connection refused → transport error counter, flush still returns") {
+    val dead = new ServerSocket(0)
+    val port = dead.getLocalPort
+    dead.close()
+    val client = new KafkaProduceClient(s"127.0.0.1:$port", timeoutMs = 500)
+    try {
+      client.send("t", "x")
+      client.flush()
+      assert(counts(client)("hotdog.kafka.producer.error.transport") == 1L)
+    } finally client.close()
+  }
+
+  test("statsd datagrams ride along with the in-process counters") {
+    val udp = new DatagramSocket()
+    udp.setSoTimeout(5000)
+    val broker = new LoopbackBroker()
+    val client = new KafkaProduceClient(broker.broker, timeoutMs = 5000,
+      statsd = Some(new graft.metrics.StatsdEmitter("127.0.0.1", udp.getLocalPort)))
+    try {
+      client.send("t", "x")
+      client.flush()
+      val lines = scala.collection.mutable.Buffer.empty[String]
+      // one counter + one timer datagram
+      (1 to 2).foreach { _ =>
+        val p = new DatagramPacket(new Array[Byte](512), 512)
+        udp.receive(p)
+        lines += new String(p.getData, 0, p.getLength, StandardCharsets.UTF_8)
+      }
+      assert(lines.contains("hotdog.kafka.submitted.t:1|c"), lines)
+      assert(lines.exists(_.matches("hotdog\\.kafka\\.producer\\.sent:\\d+\\|ms")), lines)
+    } finally { client.close(); broker.close(); udp.close() }
+  }
+
+  test("RoutedSink.produceKafka: executor-side delivery of a routed frame") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val broker = new LoopbackBroker()
+    try {
+      val routed = Seq(("t-a", "v1"), ("t-a", "v2"), ("t-b", "v3"))
+        .toDF("topic", "value").repartition(2)
+      RoutedSink.produceKafka(routed, broker.broker, timeoutMs = 5000)
+      val got = broker.received.toArray(Array.empty[(String, String)]).toSet
+      assert(got == Set("t-a" -> "v1", "t-a" -> "v2", "t-b" -> "v3"))
+    } finally broker.close()
+  }
+}
