@@ -72,8 +72,14 @@ object TextAnalysis {
     * had; with this shape the downstream signature groupBy's map-side
     * partial min is the ONLY exchange, carrying |docs|·n rows. */
   def shingleRows(corpus: DataFrame): DataFrame =
-    corpus.select(col("doc_id"),
-      explode(shingles(tokens(col("text")))).as("shingle"))
+    // tokens materialize as an ATTRIBUTE before the shingle lambda: inlining
+    // the split into the higher-order function would re-run it per element
+    // access in interpreted HOF eval (the O(shingles × tokens) blowup this
+    // section's comment describes — measured 2.2× on the whole minhash key).
+    // CollapseProject keeps the two projections separate because split is
+    // not duplicable-cheap.
+    corpus.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(shingles(col("toks"))).as("shingle"))
 
   /** Modulus for the Kirsch-Mitzenmacher hash family (fits i·h2m in a long). */
   val MinhashP = 1000000007L
@@ -110,7 +116,12 @@ object TextAnalysis {
     * of [[fingerprint]] — zero shuffles, zero joins. Docs under 3 tokens get
     * a NULL fp (`array_min` of the empty shingle array). */
   def fingerprintRows(corpus: DataFrame): DataFrame =
-    corpus.select(col("doc_id"), fingerprint(tokens(col("text"))).as("fp"))
+    // same attribute-materialization as [[shingleRows]] — and the shingle
+    // array too, since the md5 map re-evaluates ITS input per element
+    corpus.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), shingles(col("toks")).as("sg"))
+      .select(col("doc_id"),
+        array_min(transform(col("sg"), sh => md5(sh))).as("fp"))
 
   /** Content-addressed train/val/test split: bucket = first 8 hex digits of
     * md5(text) mod 100. Hashing the CONTENT (not the id) pins byte-identical
