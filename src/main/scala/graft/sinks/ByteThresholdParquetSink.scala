@@ -1,0 +1,71 @@
+package graft.sinks
+
+import scala.collection.mutable
+
+import graft.config.GraftConfig
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The reference parquet sink's EXACT flush-trigger semantics
+  * (src/sink/parquet.rs:127-230), which the plain per-trigger
+  * [[GraftPipeline.startParquetSink]] only approximates:
+  *
+  *   - payloads accumulate in a per-destination buffer ACROSS arrivals,
+  *     counted as payload bytes + newline (parquet.rs:152-158)
+  *   - when ANY destination's buffered bytes reach `parquet.buffer`, ALL
+  *     destinations flush (parquet.rs:160-168 sends one Message::flush,
+  *     whose handler drains the whole buffer map)
+  *   - a flush-interval timer fires the same drain (parquet.rs:89-110)
+  *   - shutdown drains whatever remains (O21; call [[flush]] after the
+  *     query terminates, as [[GraftPipeline.startBufferedParquetSink]]'s
+  *     listener does)
+  *
+  * Spark twin: micro-batches accumulate as PERSISTED DataFrames (data stays
+  * distributed on the executors — only the per-destination byte tally, one
+  * tiny agg per batch, reaches the driver), and a flush writes their union
+  * through [[RoutedSink.writeRouted]] — one dynamic-partition parquet write
+  * for the whole buffer map, exactly the reference's drain. Buffered bytes
+  * are bounded by `buffer` + one batch, the reference's own bound.
+  *
+  * Durability contract is ALSO the reference's: buffered-but-unflushed rows
+  * live in memory only, so a crash loses at most one buffer's worth —
+  * hotdog's documented in-memory loss window (unbuffered
+  * `startParquetSink` keeps Spark's stronger per-trigger checkpoint
+  * guarantee; choose per deployment).
+  */
+final class ByteThresholdParquetSink(cfg: GraftConfig, url: String) {
+  private var batches: List[DataFrame] = Nil
+  private val sizes = mutable.Map.empty[String, Long]
+  private var lastFlushNs = System.nanoTime()
+
+  /** foreachBatch entry point. */
+  def addBatch(batch: DataFrame, epoch: Long): Unit = synchronized {
+    val b = batch.persist()
+    b.groupBy("topic").agg(sum(length(col("value")) + 1).as("bytes"))
+      .collect().foreach { r =>
+        if (!r.isNullAt(1))
+          sizes(r.getString(0)) = sizes.getOrElse(r.getString(0), 0L) + r.getLong(1)
+      }
+    batches ::= b
+    val thresholdHit =
+      cfg.parquetBufferBytes.exists(max => sizes.valuesIterator.exists(_ >= max))
+    val timerFired =
+      (System.nanoTime() - lastFlushNs) / 1000000L >= cfg.flushMs
+    if (thresholdHit || timerFired) flush()
+  }
+
+  /** Drain every destination's buffer into the routed parquet tree. */
+  def flush(): Unit = synchronized {
+    if (batches.nonEmpty) {
+      val all = batches.reverse.reduce(_ unionAll _)
+      RoutedSink.writeRouted(all, cfg, url)
+      batches.foreach(_.unpersist())
+    }
+    batches = Nil
+    sizes.clear()
+    lastFlushNs = System.nanoTime()
+  }
+
+  /** Buffered byte tally per destination (test/metrics introspection). */
+  def bufferedBytes: Map[String, Long] = synchronized { sizes.toMap }
+}

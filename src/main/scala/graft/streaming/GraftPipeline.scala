@@ -111,6 +111,40 @@ object GraftPipeline {
       }
       .start()
 
+  /** Routed parquet delivery with the reference's EXACT flush triggers
+    * (src/sink/parquet.rs:89-230): payload bytes accumulate across
+    * micro-batches per destination, any destination reaching
+    * `parquet.buffer` bytes flushes ALL of them, the `flush_ms` interval
+    * fires the same drain, and query termination drains the remainder
+    * (shutdown flush, O21 — wired via a StreamingQueryListener so the
+    * contract holds however the query ends). The trigger runs faster than
+    * `flush_ms` (quarter interval) so arrivals reach the buffer at a
+    * cadence the timer can observe, like the reference's channel recv
+    * loop. See [[graft.sinks.ByteThresholdParquetSink]] for the
+    * durability trade vs [[startParquetSink]]. */
+  def startBufferedParquetSink(routed: DataFrame, cfg: GraftConfig, url: String,
+      checkpoint: String, triggerMs: Long = 0L)
+      : (StreamingQuery, graft.sinks.ByteThresholdParquetSink) = {
+    val sink = new graft.sinks.ByteThresholdParquetSink(cfg, url)
+    val cadence = if (triggerMs > 0) triggerMs else math.max(1L, cfg.flushMs / 4)
+    val q = routed.writeStream
+      .trigger(Trigger.ProcessingTime(cadence))
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(sink.addBatch _)
+      .start()
+    val spark = routed.sparkSession
+    spark.streams.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit =
+        if (e.id == q.id) { sink.flush(); spark.streams.removeListener(this) }
+    })
+    (q, sink)
+  }
+
   /** Kafka delivery: native topic-column routing + `kafka.` conf passthrough
     * (reference: src/sink/kafka.rs:63-84,138-139). Like the reference, the
     * sink refuses to start until a broker answers the bootstrap probe
