@@ -20,7 +20,14 @@ object Explain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val df = graft.SparkEntry.queries(name)(spark, dir)
-    df.explain("formatted")
+    if (sys.env.get("SPARK_GRAFT_EXPLAIN_RUN").contains("1")) {
+      // execute THIS QueryExecution, then print the AQE-final physical plan
+      // (a .write would re-plan under a fresh execution and show the
+      // initial adaptive plan instead)
+      val n = df.collect().length
+      println(s"rows=$n")
+      println(df.queryExecution.executedPlan.toString)
+    } else df.explain("formatted")
     spark.stop()
   }
 }
