@@ -22,12 +22,14 @@ object Contamination {
     * [[ngramsInline]] array is exploded in place — no token-stream shuffle
     * at all (a doc_id-window formulation would shuffle every (doc, pos,
     * tok) row, the largest intermediate in the pipeline, just to rebuild
-    * per-row adjacency the row already has). A higher-order `transform`
-    * evaluates its array operand once per ROW, so the tokenization split
-    * is not re-run per element. */
+    * per-row adjacency the row already has). Tokens materialize as an
+    * ATTRIBUTE first: the gram lambda captures `toks`, and a captured
+    * non-attribute subtree re-evaluates per element in interpreted HOF
+    * eval — the split would otherwise re-run O(grams × n) times per row
+    * (see the PLANS.md r4 shingle note). */
   def ngramRows(corpus: DataFrame, n: Int): DataFrame =
-    corpus.select(col("doc_id"),
-      explode(ngramsInline(TextAnalysis.tokens(col("text")), n)).as("gram"))
+    corpus.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(ngramsInline(col("toks"), n)).as("gram"))
 
   /** Row-local n-gram array (the [[TextAnalysis.shingles]] pattern
     * generalized): for STREAMING/ingest use where the window-based
@@ -49,10 +51,12 @@ object Contamination {
     * no state), so the check runs in the same micro-batch that admits the
     * document. Same collision semantics as [[contaminatedDocs]]. */
   def flagContaminated(docs: DataFrame, probeHashes: Seq[String], n: Int = 8): DataFrame =
-    docs.withColumn("contaminated",
-      arrays_overlap(
-        transform(ngramsInline(TextAnalysis.tokens(col("text")), n), g => md5(g)),
-        typedLit(probeHashes)))
+    docs.withColumn("toks", TextAnalysis.tokens(col("text")))
+      .withColumn("contaminated",
+        arrays_overlap(
+          transform(ngramsInline(col("toks"), n), g => md5(g)),
+          typedLit(probeHashes)))
+      .drop("toks")
 
   /** Corpus documents colliding with the probe (benchmark) set on at least
     * one `n`-gram: (doc_id, hits = distinct shared grams). Probe docs are

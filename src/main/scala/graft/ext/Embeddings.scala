@@ -31,14 +31,18 @@ object Embeddings {
     * scale * 127) in [-127, 127] (floor, not round: round-half modes differ
     * across engines, floor is IEEE-pinned). All-zero vectors quantize to
     * zeros with scale 0 rather than dividing by it. */
-  def quantizeInt8(emb: DataFrame, vecCol: String = "embedding"): DataFrame = {
-    val e = asDouble(col(vecCol))
-    val scale = absMax(e)
-    emb.select(col("vec_id"), scale.as("scale"),
-      csv(when(scale === 0d, transform(e, _ => lit(0L)))
-        .otherwise(transform(e, x => floor(x / scale * lit(127d)).cast("long"))))
-        .as("q"))
-  }
+  def quantizeInt8(emb: DataFrame, vecCol: String = "embedding"): DataFrame =
+    // e and scale materialize as ATTRIBUTES before the quantize lambda: the
+    // lambda captures scale, and a captured non-attribute subtree
+    // re-evaluates per element in interpreted HOF eval — absMax would
+    // otherwise re-run O(d) per element, O(d²) per row (PLANS.md r4 note)
+    emb.select(col("vec_id"), asDouble(col(vecCol)).as("e"))
+      .select(col("vec_id"), col("e"), absMax(col("e")).as("scale"))
+      .select(col("vec_id"), col("scale"),
+        csv(when(col("scale") === 0d, transform(col("e"), _ => lit(0L)))
+          .otherwise(transform(col("e"),
+            x => floor(x / col("scale") * lit(127d)).cast("long"))))
+          .as("q"))
 
   /** Johnson-Lindenstrauss random projection to `k` dimensions — the cheap
     * dimensionality reduction a pipeline runs before ANN indexing or
@@ -70,12 +74,16 @@ object Embeddings {
     * so the output is integer-exact across engines; the norm itself (one
     * scalar double per vector) rides along. Zero vectors pass through as
     * zeros with norm 0. */
-  def normalizeScaled(emb: DataFrame, vecCol: String = "embedding"): DataFrame = {
-    val e = asDouble(col(vecCol))
-    val norm = sqrt(call_function("dot_product", e, e))
-    emb.select(col("vec_id"), norm.as("norm"),
-      csv(when(norm === 0d, transform(e, _ => lit(0L)))
-        .otherwise(transform(e, x => floor(x / norm * lit(1000000d)).cast("long"))))
-        .as("unit_x1e6"))
-  }
+  def normalizeScaled(emb: DataFrame, vecCol: String = "embedding"): DataFrame =
+    // same attribute discipline as [[quantizeInt8]]: the scaling lambda
+    // captures the norm — inlined, the dot_product fold would re-run per
+    // element (O(d²) per row)
+    emb.select(col("vec_id"), asDouble(col(vecCol)).as("e"))
+      .select(col("vec_id"), col("e"),
+        sqrt(call_function("dot_product", col("e"), col("e"))).as("norm"))
+      .select(col("vec_id"), col("norm"),
+        csv(when(col("norm") === 0d, transform(col("e"), _ => lit(0L)))
+          .otherwise(transform(col("e"),
+            x => floor(x / col("norm") * lit(1000000d)).cast("long"))))
+          .as("unit_x1e6"))
 }
