@@ -147,11 +147,15 @@ object Similarity {
     * plan literal (they ARE the broadcast index) and everything downstream
     * is the shared [[ivfProbe]] plan. */
   def ivfTrainedTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      centroids: Array[Array[Double]]): DataFrame = {
-    val reps = broadcast(corpus.sparkSession.range(1)
+      centroids: Array[Array[Double]]): DataFrame =
+    ivfProbe(centroidReps(corpus, centroids), corpus, queries, k)
+
+  /** Trained centroids as a broadcast (cell, rep) frame — the literal IS
+    * the index. */
+  private def centroidReps(corpus: DataFrame,
+      centroids: Array[Array[Double]]): DataFrame =
+    broadcast(corpus.sparkSession.range(1)
       .select(posexplode(typedLit(centroids.map(_.toSeq).toSeq)).as(Seq("cell", "rep"))))
-    ivfProbe(reps, corpus, queries, k)
-  }
 
   /** Product-quantization ANN (ADC flavor): the 100-TB-scale compression
     * path — each vector is encoded once into `m` sub-space codebook indices
@@ -228,11 +232,26 @@ object Similarity {
     * the same plan shape and exact oracle parity — the residual variant is
     * one extra subtraction in the same codegen'd expressions). */
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int, m: Int = 8,
-      ksub: Int = 16, nCand: Int = 32): DataFrame = {
-    val d = 64 / m
-    val cw = codebook(corpus, m, ksub, d)
+      ksub: Int = 16, nCand: Int = 32): DataFrame =
+    ivfPqProbe(cellReps(corpus), codebook(corpus, m, ksub, 64 / m),
+      corpus, queries, k, m, nCand)
+
+  /** The full production FAISS-style index: BOTH quantizers trained by the
+    * bounded-sample deterministic k-means — coarse cells from
+    * [[PqTrainer.trainCodebook]] with m=1 (full dimension), PQ codewords
+    * from the same trainer over subvectors — so index construction never
+    * scans the corpus (sample-bounded end-to-end), and the data path is
+    * the shared cell-pruned ADC probe. */
+  def ivfPqTrainedTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      coarse: Array[Array[Double]], cw: Array[Array[Array[Double]]],
+      nCand: Int = 32): DataFrame =
+    ivfPqProbe(centroidReps(corpus, coarse), cw, corpus, queries, k,
+      cw.length, nCand)
+
+  private def ivfPqProbe(reps: DataFrame, cw: Array[Array[Array[Double]]],
+      corpus: DataFrame, queries: DataFrame, k: Int, m: Int,
+      nCand: Int): DataFrame = {
     val cwLit = typedLit(cw.map(_.map(_.toSeq).toSeq).toSeq)
-    val reps = cellReps(corpus)
     // one narrow pass: cell id + m-int code per corpus vector
     val codes = cellAssign(reps, corpus, "embedding", "ivf_cell")
       .select(col("vec_id").as("n_id"), col("ivf_cell"),

@@ -125,6 +125,19 @@ object ExtQueries {
       .orderBy("q_id", "rank")
   }
 
+  /** The fully-trained production index: coarse k-means cells AND k-means
+    * PQ codewords, both from the bounded-sample deterministic trainer —
+    * index construction never scans the corpus. Oracle twin composes the
+    * two recursive-CTE trainings. */
+  private val annIvfPqTrained: Q = (s, dir) => {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val e = embeddings(s, dir)
+    Similarity.ivfPqTrainedTopK(e, e.filter(col("vec_id") < 10), 5,
+        PqTrainer.trainCodebook(e, m = 1, ksub = 16)(0),
+        PqTrainer.trainCodebook(e))
+      .orderBy("q_id", "rank")
+  }
+
   private val annIvfPq: Q = (s, dir) => {
     graft.functions.GraftFunctions.ensureRegistered(s)
     val e = embeddings(s, dir)
@@ -243,6 +256,7 @@ object ExtQueries {
     "ann_pq" -> annPq,
     "ann_pq_trained" -> annPqTrained,
     "ann_ivf_pq" -> annIvfPq,
+    "ann_ivf_pq_trained" -> annIvfPqTrained,
     "ann_ivf_pq_residual" -> annIvfPqResidual,
     "dedup_keep_canonical" -> dedupKeepCanonical,
     "corpus_quality_filter" -> corpusQualityFilter,
@@ -331,6 +345,152 @@ object ExtQueries {
   /** Shared minhash pipeline CTEs ending in `scored(ida, idb, jacc_x10000)`
     * — the DuckDB twin of Dedup.minhashLshPairs before thresholding. */
   private val MinhashScoredCtes: String = s"$CorpusCte,\n$MinhashFromCorpus"
+
+  /** Recursive k-means over per-sub-space subvectors (the
+    * PqTrainer.trainCodebook twin): fixed sample (vec_id < 256), first-16
+    * init, 10 iterations, first-min ties, vec_id-ordered accumulation —
+    * bit-equal centroids. Ends in `cw(m, j, c)`. */
+  private val PqKmCtes: String =
+    s"""ms AS (SELECT unnest(range(0, 8)) AS m),
+       |samp AS (SELECT vec_id, m,
+       |    list_transform(range(1, 9), i -> CAST(embedding[m*8 + i] AS DOUBLE)) AS s
+       |  FROM embeddings, ms WHERE vec_id < 256),
+       |km AS (
+       |  SELECT 0 AS iter, m, CAST(vec_id AS INT) AS j, s AS c
+       |  FROM samp WHERE vec_id < 16
+       |  UNION ALL
+       |  SELECT o.iter + 1, o.m, o.j, COALESCE(a.mc, o.c)
+       |  FROM km o LEFT JOIN (
+       |    SELECT asg.m, asg.bj,
+       |      list_transform(range(1, 9), i ->
+       |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |          list_transform(asg.xs, v -> v[i])), (x, y) -> x + y)
+       |        / CAST(asg.cnt AS DOUBLE)) AS mc
+       |    FROM (
+       |      SELECT m, bj, list(s ORDER BY vec_id) AS xs, count(*) AS cnt
+       |      FROM (
+       |        SELECT d.m, d.vec_id, any_value(d.s) AS s, min(d.j) AS bj
+       |        FROM (
+       |          SELECT s.m, s.vec_id, s.s, k.j,
+       |            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |              list_transform(range(1, 9),
+       |                i -> (s.s[i] - k.c[i]) * (s.s[i] - k.c[i]))),
+       |              (x, y) -> x + y) AS d
+       |          FROM samp s JOIN km k ON s.m = k.m) d
+       |        JOIN (
+       |          SELECT d2.m, d2.vec_id, min(d2.d) AS dmin
+       |          FROM (
+       |            SELECT s.m, s.vec_id, k.j,
+       |              list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |                list_transform(range(1, 9),
+       |                  i -> (s.s[i] - k.c[i]) * (s.s[i] - k.c[i]))),
+       |                (x, y) -> x + y) AS d
+       |            FROM samp s JOIN km k ON s.m = k.m) d2
+       |          GROUP BY d2.m, d2.vec_id) b
+       |        ON d.m = b.m AND d.vec_id = b.vec_id AND d.d = b.dmin
+       |        GROUP BY d.m, d.vec_id) grp
+       |      GROUP BY m, bj) asg
+       |    ) a
+       |  ON a.m = o.m AND a.bj = o.j
+       |  WHERE o.iter < 10
+       |),
+       |cw AS (SELECT m, j, c FROM km WHERE iter = 10)""".stripMargin
+
+  /** Recursive k-means over FULL 64-dim vectors (trainCodebook with m=1):
+    * the coarse-quantizer twin. Ends in `reps(cell, rep)`. */
+  private val CoarseKmCtes: String = {
+    val sqd = "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      "list_transform(range(1, 65), i -> (s.s[i] - k.c[i]) * (s.s[i] - k.c[i]))), " +
+      "(x, y) -> x + y)"
+    s"""csamp AS (SELECT vec_id,
+       |    list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE)) AS s
+       |  FROM embeddings WHERE vec_id < 256),
+       |ckm AS (
+       |  SELECT 0 AS iter, CAST(vec_id AS INT) AS j, s AS c
+       |  FROM csamp WHERE vec_id < 16
+       |  UNION ALL
+       |  SELECT o.iter + 1, o.j, COALESCE(a.mc, o.c)
+       |  FROM ckm o LEFT JOIN (
+       |    SELECT asg.bj,
+       |      list_transform(range(1, 65), i ->
+       |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |          list_transform(asg.xs, v -> v[i])), (x, y) -> x + y)
+       |        / CAST(asg.cnt AS DOUBLE)) AS mc
+       |    FROM (
+       |      SELECT bj, list(s ORDER BY vec_id) AS xs, count(*) AS cnt
+       |      FROM (
+       |        SELECT d.vec_id, any_value(d.s) AS s, min(d.j) AS bj
+       |        FROM (
+       |          SELECT s.vec_id, s.s, k.j, $sqd AS d
+       |          FROM csamp s CROSS JOIN ckm k) d
+       |        JOIN (
+       |          SELECT d2.vec_id, min(d2.d) AS dmin
+       |          FROM (
+       |            SELECT s.vec_id, k.j, $sqd AS d
+       |            FROM csamp s CROSS JOIN ckm k) d2
+       |          GROUP BY d2.vec_id) b
+       |        ON d.vec_id = b.vec_id AND d.d = b.dmin
+       |        GROUP BY d.vec_id) grp
+       |      GROUP BY bj) asg
+       |    ) a
+       |  ON a.bj = o.j
+       |  WHERE o.iter < 10
+       |),
+       |reps AS (SELECT j AS cell, c AS rep FROM ckm WHERE iter = 10)""".stripMargin
+  }
+
+  /** Nearest-trained-cell assignment (cosine, ties → lower cell) over a
+    * `reps(cell, rep)` CTE. Ends in `assigned(vec_id, ivf_cell)`. */
+  private val TrainedAssignIdCte: String =
+    s"""assigned AS (
+       |  SELECT vec_id, ivf_cell FROM (
+       |    SELECT e.vec_id, r.cell AS ivf_cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosSql("e.embedding", "r.rep")} DESC, r.cell) AS rn
+       |    FROM embeddings e, reps r) WHERE rn = 1)""".stripMargin
+
+  /** Encode/LUT/ADC/re-rank chain downstream of a `cw(m, j, c)` codebook
+    * CTE — the ann_pq twin; with `cellPruned` the ADC join is additionally
+    * restricted to the query's `assigned` cell (the ann_ivf_pq twin). */
+  private def pqDownstreamSql(cellPruned: Boolean): String = {
+    val cellJoin =
+      if (cellPruned)
+        """
+          |  JOIN assigned ca ON ca.vec_id = codes.vec_id
+          |  JOIN assigned qa ON qa.vec_id = dq.q_id AND qa.ivf_cell = ca.ivf_cell""".stripMargin
+      else ""
+    s"""sub AS (SELECT vec_id, m,
+       |    list_transform(range(1, 9), i -> CAST(embedding[m*8 + i] AS DOUBLE)) AS s
+       |  FROM embeddings, ms),
+       |d2 AS (SELECT s.vec_id, s.m, cw.j,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(range(1, 9), i -> (s.s[i] - cw.c[i]) * (s.s[i] - cw.c[i]))),
+       |      (a, b) -> a + b) AS d
+       |  FROM sub s JOIN cw ON s.m = cw.m),
+       |codes AS (SELECT vec_id, m, j AS code FROM (
+       |    SELECT vec_id, m, j,
+       |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d, j) AS rn
+       |    FROM d2) WHERE rn = 1),
+       |dq AS (SELECT vec_id AS q_id, m, j, d FROM d2 WHERE vec_id < 10),
+       |adc AS (SELECT dq.q_id, codes.vec_id AS n_id,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list(dq.d ORDER BY dq.m)), (a, b) -> a + b) AS adist
+       |  FROM codes JOIN dq ON codes.m = dq.m AND codes.code = dq.j$cellJoin
+       |  WHERE codes.vec_id <> dq.q_id GROUP BY 1, 2),
+       |cand AS (SELECT q_id, n_id FROM (
+       |    SELECT q_id, n_id,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY adist, n_id) AS arn
+       |    FROM adc) WHERE arn <= 32),
+       |rr AS (SELECT c.q_id, c.n_id,
+       |    ${cosSql("qv.embedding", "nv.embedding")} AS sim
+       |  FROM cand c JOIN embeddings qv ON c.q_id = qv.vec_id
+       |              JOIN embeddings nv ON c.n_id = nv.vec_id),
+       |ranked AS (SELECT q_id, n_id, sim,
+       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS INT) AS rank
+       |  FROM rr)
+       |SELECT q_id, rank, n_id, sim FROM ranked WHERE rank <= 5
+       |ORDER BY q_id, rank""".stripMargin
+  }
 
   /** The minhash CTE chain over a PRE-EXISTING `corpus(doc_id, text)` CTE —
     * reused by the e2e pipeline key, whose corpus is mid-pipeline. */
@@ -471,50 +631,11 @@ object ExtQueries {
          |SELECT q_id, rank, n_id, sim FROM ranked WHERE rank <= 5
          |ORDER BY q_id, rank""".stripMargin,
 
-    // trained-IVF twin: centroids from the deterministic sampled k-means
-    // re-run as a recursive CTE (the ann_pq_trained km pattern with the m
-    // dimension dropped and d=64), then the ann_ivf assignment/probe CTEs
-    // with reps = the trained centroids
-    "ann_ivf_trained" -> {
-      val sqd = "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
-        "list_transform(range(1, 65), i -> (s.s[i] - k.c[i]) * (s.s[i] - k.c[i]))), " +
-        "(x, y) -> x + y)"
+    // trained-IVF twin: coarse k-means (CoarseKmCtes) + the ann_ivf
+    // assignment/probe CTEs with reps = the trained centroids
+    "ann_ivf_trained" ->
       s"""WITH RECURSIVE
-         |samp AS (SELECT vec_id,
-         |    list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE)) AS s
-         |  FROM embeddings WHERE vec_id < 256),
-         |km AS (
-         |  SELECT 0 AS iter, CAST(vec_id AS INT) AS j, s AS c
-         |  FROM samp WHERE vec_id < 16
-         |  UNION ALL
-         |  SELECT o.iter + 1, o.j, COALESCE(a.mc, o.c)
-         |  FROM km o LEFT JOIN (
-         |    SELECT asg.bj,
-         |      list_transform(range(1, 65), i ->
-         |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-         |          list_transform(asg.xs, v -> v[i])), (x, y) -> x + y)
-         |        / CAST(asg.cnt AS DOUBLE)) AS mc
-         |    FROM (
-         |      SELECT bj, list(s ORDER BY vec_id) AS xs, count(*) AS cnt
-         |      FROM (
-         |        SELECT d.vec_id, any_value(d.s) AS s, min(d.j) AS bj
-         |        FROM (
-         |          SELECT s.vec_id, s.s, k.j, $sqd AS d
-         |          FROM samp s CROSS JOIN km k) d
-         |        JOIN (
-         |          SELECT d2.vec_id, min(d2.d) AS dmin
-         |          FROM (
-         |            SELECT s.vec_id, k.j, $sqd AS d
-         |            FROM samp s CROSS JOIN km k) d2
-         |          GROUP BY d2.vec_id) b
-         |        ON d.vec_id = b.vec_id AND d.d = b.dmin
-         |        GROUP BY d.vec_id) grp
-         |      GROUP BY bj) asg
-         |    ) a
-         |  ON a.bj = o.j
-         |  WHERE o.iter < 10
-         |),
-         |reps AS (SELECT j AS cell, c AS rep FROM km WHERE iter = 10),
+         |$CoarseKmCtes,
          |assigned AS (
          |  SELECT vec_id, embedding, ivf_cell FROM (
          |    SELECT e.vec_id, e.embedding, r.cell AS ivf_cell,
@@ -530,8 +651,17 @@ object ExtQueries {
          |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS INT) AS rank
          |  FROM scored)
          |SELECT q_id, rank, n_id, sim FROM ranked WHERE rank <= 5
-         |ORDER BY q_id, rank""".stripMargin
-    },
+         |ORDER BY q_id, rank""".stripMargin,
+
+    // fully-trained IVF+PQ twin: BOTH k-means CTEs (coarse cells + PQ
+    // codewords), trained-cell assignment, then the cell-pruned
+    // encode/LUT/ADC/re-rank chain
+    "ann_ivf_pq_trained" ->
+      s"""WITH RECURSIVE
+         |$CoarseKmCtes,
+         |$TrainedAssignIdCte,
+         |$PqKmCtes,
+         |${pqDownstreamSql(cellPruned = true)}""".stripMargin,
 
     // IVF+PQ twin: the ann_ivf assignment CTEs + the ann_pq code CTEs, with
     // the ADC join additionally restricted to the query's cell
@@ -684,90 +814,14 @@ object ExtQueries {
          |SELECT q_id, rank, n_id, sim FROM ranked WHERE rank <= 5
          |ORDER BY q_id, rank""".stripMargin,
 
-    // trained-PQ twin: the codebook is the deterministic sampled k-means of
-    // PqTrainer re-run as a recursive CTE — fixed sample (vec_id < 256),
-    // first-16 init, 10 iterations, first-min ties (min d then min j),
-    // per-cluster means as vec_id-ordered left folds / count (= the
-    // trainer's sample-order accumulation), empty clusters keep the old
-    // centroid via the LEFT JOIN + COALESCE. Downstream encode/LUT/ADC/
-    // re-rank is byte-identical to the ann_pq twin.
+    // trained-PQ twin: the PqKmCtes k-means codebook (fixed sample,
+    // first-16 init, 10 iterations, first-min ties, vec_id-ordered
+    // accumulation, empty clusters keep the old centroid) + the ann_pq
+    // downstream chain
     "ann_pq_trained" ->
       s"""WITH RECURSIVE
-         |ms AS (SELECT unnest(range(0, 8)) AS m),
-         |samp AS (SELECT vec_id, m,
-         |    list_transform(range(1, 9), i -> CAST(embedding[m*8 + i] AS DOUBLE)) AS s
-         |  FROM embeddings, ms WHERE vec_id < 256),
-         |km AS (
-         |  SELECT 0 AS iter, m, CAST(vec_id AS INT) AS j, s AS c
-         |  FROM samp WHERE vec_id < 16
-         |  UNION ALL
-         |  SELECT o.iter + 1, o.m, o.j, COALESCE(a.mc, o.c)
-         |  FROM km o LEFT JOIN (
-         |    SELECT asg.m, asg.bj,
-         |      list_transform(range(1, 9), i ->
-         |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-         |          list_transform(asg.xs, v -> v[i])), (x, y) -> x + y)
-         |        / CAST(asg.cnt AS DOUBLE)) AS mc
-         |    FROM (
-         |      SELECT m, bj, list(s ORDER BY vec_id) AS xs, count(*) AS cnt
-         |      FROM (
-         |        SELECT d.m, d.vec_id, any_value(d.s) AS s, min(d.j) AS bj
-         |        FROM (
-         |          SELECT s.m, s.vec_id, s.s, k.j,
-         |            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-         |              list_transform(range(1, 9),
-         |                i -> (s.s[i] - k.c[i]) * (s.s[i] - k.c[i]))),
-         |              (x, y) -> x + y) AS d
-         |          FROM samp s JOIN km k ON s.m = k.m) d
-         |        JOIN (
-         |          SELECT d2.m, d2.vec_id, min(d2.d) AS dmin
-         |          FROM (
-         |            SELECT s.m, s.vec_id, k.j,
-         |              list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-         |                list_transform(range(1, 9),
-         |                  i -> (s.s[i] - k.c[i]) * (s.s[i] - k.c[i]))),
-         |                (x, y) -> x + y) AS d
-         |            FROM samp s JOIN km k ON s.m = k.m) d2
-         |          GROUP BY d2.m, d2.vec_id) b
-         |        ON d.m = b.m AND d.vec_id = b.vec_id AND d.d = b.dmin
-         |        GROUP BY d.m, d.vec_id) grp
-         |      GROUP BY m, bj) asg
-         |    ) a
-         |  ON a.m = o.m AND a.bj = o.j
-         |  WHERE o.iter < 10
-         |),
-         |cw AS (SELECT m, j, c FROM km WHERE iter = 10),
-         |sub AS (SELECT vec_id, m,
-         |    list_transform(range(1, 9), i -> CAST(embedding[m*8 + i] AS DOUBLE)) AS s
-         |  FROM embeddings, ms),
-         |d2 AS (SELECT s.vec_id, s.m, cw.j,
-         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-         |      list_transform(range(1, 9), i -> (s.s[i] - cw.c[i]) * (s.s[i] - cw.c[i]))),
-         |      (a, b) -> a + b) AS d
-         |  FROM sub s JOIN cw ON s.m = cw.m),
-         |codes AS (SELECT vec_id, m, j AS code FROM (
-         |    SELECT vec_id, m, j,
-         |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d, j) AS rn
-         |    FROM d2) WHERE rn = 1),
-         |dq AS (SELECT vec_id AS q_id, m, j, d FROM d2 WHERE vec_id < 10),
-         |adc AS (SELECT dq.q_id, codes.vec_id AS n_id,
-         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-         |      list(dq.d ORDER BY dq.m)), (a, b) -> a + b) AS adist
-         |  FROM codes JOIN dq ON codes.m = dq.m AND codes.code = dq.j
-         |  WHERE codes.vec_id <> dq.q_id GROUP BY 1, 2),
-         |cand AS (SELECT q_id, n_id FROM (
-         |    SELECT q_id, n_id,
-         |      row_number() OVER (PARTITION BY q_id ORDER BY adist, n_id) AS arn
-         |    FROM adc) WHERE arn <= 32),
-         |rr AS (SELECT c.q_id, c.n_id,
-         |    ${cosSql("qv.embedding", "nv.embedding")} AS sim
-         |  FROM cand c JOIN embeddings qv ON c.q_id = qv.vec_id
-         |              JOIN embeddings nv ON c.n_id = nv.vec_id),
-         |ranked AS (SELECT q_id, n_id, sim,
-         |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS INT) AS rank
-         |  FROM rr)
-         |SELECT q_id, rank, n_id, sim FROM ranked WHERE rank <= 5
-         |ORDER BY q_id, rank""".stripMargin,
+         |$PqKmCtes,
+         |${pqDownstreamSql(cellPruned = false)}""".stripMargin,
 
     "text_tokens" ->
       """SELECT doc_id,

@@ -267,6 +267,21 @@ class ExtSpec extends AnyFunSuite {
     assert(math.abs(top(0).getAs[Double]("sim") - 1.0) < 1e-12)
   }
 
+  test("fully-trained IVF+PQ: trained cells + codewords keep the copy on top") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val rnd = new scala.util.Random(23)
+    val base = (0 until 32).map(j => (j.toLong, Array.fill(64)(rnd.nextFloat())))
+    val vecs = (base :+ ((100L, base.head._2.clone())))
+      .toDF("vec_id", "embedding")
+    val coarse = graft.ext.PqTrainer.trainCodebook(vecs, m = 1, ksub = 4, sampleN = 32)(0)
+    val cw = graft.ext.PqTrainer.trainCodebook(vecs, sampleN = 32)
+    val top = Similarity.ivfPqTrainedTopK(vecs, vecs.filter($"vec_id" === 0L), 3,
+      coarse, cw).orderBy("rank").collect()
+    // identical copy: same trained cell, identical codes, adist 0, wins
+    assert(top(0).getAs[Long]("n_id") == 100L, top.mkString(","))
+    assert(math.abs(top(0).getAs[Double]("sim") - 1.0) < 1e-12)
+  }
+
   test("residual IVF+PQ: identical copy shares cell and residual codes, wins re-rank") {
     graft.functions.GraftFunctions.ensureRegistered(spark)
     val rnd = new scala.util.Random(13)
