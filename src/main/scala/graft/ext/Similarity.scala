@@ -334,4 +334,27 @@ object Similarity {
     rankTopK(scored, k, "sim", asc = false)
       .select("q_id", "rank", "n_id", "sim")
   }
+
+  /** Multi-probe LSH: each query also probes the buckets at Hamming
+    * distance 1 (one sign bit flipped) — the standard recall repair for
+    * near neighbors straddling a hyperplane, at probe cost ×(nPlanes+1)
+    * instead of a second table. The corpus stays bucketed ONCE (same
+    * narrow pass as [[lshTopK]]); only the tiny broadcast query side
+    * explodes over its probe list, and since probe buckets are distinct a
+    * corpus vector matches at most one probe — no candidate dedup needed. */
+  def lshMultiProbeTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      planes: Array[Array[Double]]): DataFrame = {
+    val bucketed = corpus.withColumn("bucket", lshBucket(col("embedding"), planes))
+    val probeList = (b: Column) =>
+      array(b +: planes.indices.map(j => b.bitwiseXOR(lit(1L << j))): _*)
+    val q = broadcast(queries
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .withColumn("bucket", explode(probeList(lshBucket(col("q_emb"), planes)))))
+    val scored = bucketed.join(q, "bucket")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        cosine(col("q_emb"), col("embedding")).as("sim"))
+    rankTopK(scored, k, "sim", asc = false)
+      .select("q_id", "rank", "n_id", "sim")
+  }
 }

@@ -84,6 +84,13 @@ object ExtQueries {
       .orderBy("q_id", "rank")
   }
 
+  private val annLshMultiprobe: Q = (s, dir) => {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val e = embeddings(s, dir)
+    Similarity.lshMultiProbeTopK(e, e.filter(col("vec_id") < 10), 5, Planes)
+      .orderBy("q_id", "rank")
+  }
+
   private val annIvf: Q = (s, dir) => {
     graft.functions.GraftFunctions.ensureRegistered(s)
     val e = embeddings(s, dir)
@@ -251,6 +258,7 @@ object ExtQueries {
     "dedup_embedding_cosine" -> dedupEmbeddingCosine,
     "ann_brute_force" -> annBruteForce,
     "ann_lsh" -> annLsh,
+    "ann_lsh_multiprobe" -> annLshMultiprobe,
     "ann_ivf" -> annIvf,
     "ann_ivf_trained" -> annIvfTrained,
     "ann_pq" -> annPq,
@@ -599,6 +607,27 @@ object ExtQueries {
          |    ${bucketExpr("embedding")} AS bucket
          |  FROM embeddings),
          |q AS (SELECT vec_id AS q_id, embedding AS qe, bucket FROM bucketed WHERE vec_id < 10),
+         |scored AS (SELECT q_id, e.vec_id AS n_id,
+         |  ${cosSql("qe", "e.embedding")} AS sim
+         |  FROM bucketed e JOIN q USING (bucket) WHERE e.vec_id <> q.q_id),
+         |ranked AS (SELECT q_id, n_id, sim,
+         |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS INT) AS rank
+         |  FROM scored)
+         |SELECT q_id, rank, n_id, sim FROM ranked WHERE rank <= 5
+         |ORDER BY q_id, rank""".stripMargin,
+
+    // multi-probe twin: the ann_lsh CTEs with the query side unnested over
+    // its probe list (own bucket + each single-bit flip; DuckDB xor())
+    "ann_lsh_multiprobe" ->
+      s"""WITH bucketed AS (
+         |  SELECT vec_id, embedding,
+         |    ${bucketExpr("embedding")} AS bucket
+         |  FROM embeddings),
+         |q0 AS (SELECT vec_id AS q_id, embedding AS qe, bucket AS qb
+         |       FROM bucketed WHERE vec_id < 10),
+         |q AS (SELECT q_id, qe,
+         |  unnest([qb, ${Planes.indices.map(j => s"xor(qb, ${1L << j})").mkString(", ")}]) AS bucket
+         |  FROM q0),
          |scored AS (SELECT q_id, e.vec_id AS n_id,
          |  ${cosSql("qe", "e.embedding")} AS sim
          |  FROM bucketed e JOIN q USING (bucket) WHERE e.vec_id <> q.q_id),

@@ -195,6 +195,41 @@ class ExtSpec extends AnyFunSuite {
     assert(out.contains(1L))
   }
 
+  test("multi-probe LSH recalls a neighbor one sign bit away") {
+    // plant a near neighbor that flips exactly one hyperplane sign so the
+    // single-probe bucket join misses it and the Hamming-1 probe finds it
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val planes = Similarity.hyperplanes(nPlanes = 4, dim = 4)
+    def bucketOf(v: Array[Float]): Long =
+      planes.zipWithIndex.map { case (p, j) =>
+        val d = v.zip(p).map { case (x, y) => x * y }.sum
+        if (d > 0) 1L << j else 0L
+      }.sum
+    val qv = Array(1f, 0.2f, 0f, 0f)
+    // push qv just across ONE hyperplane (projection along that plane's
+    // normal) and keep the candidate only if exactly one bucket bit flips
+    val near = (0 until 4).view.flatMap { j =>
+      Seq(1e-3, 1e-2).map { eps =>
+        val p = planes(j)
+        val d = qv.zip(p).map { case (x, y) => x * y }.sum
+        val coef = (d + math.signum(d) * eps) / p.map(x => x * x).sum
+        qv.zipWithIndex.map { case (x, i) => (x - coef * p(i)).toFloat }
+      }
+    }.find { c =>
+      java.lang.Long.bitCount(bucketOf(c) ^ bucketOf(qv)) == 1
+    }
+    assert(near.isDefined, "plane reflection must yield a 1-bit neighbor")
+    val vecs = Seq((0L, qv), (1L, near.get), (2L, Array(-1f, 0.5f, 3f, 0f)))
+      .toDF("vec_id", "embedding")
+    val q = vecs.filter($"vec_id" === 0L)
+    val single = Similarity.lshTopK(vecs, q, 3, planes)
+      .collect().map(_.getAs[Long]("n_id")).toSet
+    val multi = Similarity.lshMultiProbeTopK(vecs, q, 3, planes)
+      .collect().map(_.getAs[Long]("n_id")).toSet
+    assert(!single.contains(1L), "planted neighbor must be OUT of the base bucket")
+    assert(multi.contains(1L), "Hamming-1 probe must recall it")
+  }
+
   test("PQ ANN: identical vector encodes to the same codes and wins re-rank") {
     graft.functions.GraftFunctions.ensureRegistered(spark)
     // 16 deterministic codebook/corpus vectors + an exact copy of vec 0
