@@ -123,6 +123,30 @@ object TextAnalysis {
       .select(col("doc_id"),
         array_min(transform(col("sg"), sh => md5(sh))).as("fp"))
 
+  /** Sequence packing: assign documents to fixed token-budget bins — the
+    * step that turns a cleaned corpus into context-window-sized training
+    * rows. Greedy in doc_id order WITHIN a shard: a document is assigned
+    * to the bin its START offset (running token total before it) falls
+    * in — documents straddle bin boundaries, as in packed pretraining
+    * where the token stream is cut into fixed windows.
+    *
+    * Scale note: packing is inherently order-dependent, so a window is the
+    * RIGHT tool here — but partitioned by `shard` (doc_id mod `shards`),
+    * never global: each shard packs independently and parallelism equals
+    * `shards`, a knob that scales with the cluster (a global
+    * orderBy-cumsum would funnel the corpus into one task). Bin ids are
+    * (shard, bin) pairs; exact within-shard determinism by doc_id order. */
+  def packBins(docs: DataFrame, budgetTokens: Long, shards: Int = 32): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("doc_id")
+    docs
+      .select(col("doc_id"), (col("doc_id") % shards).as("shard"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("bin",
+        ((sum(col("n_tokens")).over(w) - col("n_tokens")) / budgetTokens)
+          .cast("long"))
+  }
+
   /** Content-addressed train/val/test split: bucket = first 8 hex digits of
     * md5(text) mod 100. Hashing the CONTENT (not the id) pins byte-identical
     * documents to the same split — the standard defense against train/test

@@ -219,6 +219,10 @@ object ExtQueries {
   private val corpusPipelineE2e: Q = (s, dir) =>
     graft.ext.CorpusPipeline.run(dupCorpusLang(s, dir)).orderBy("doc_id")
 
+  private val corpusPackBins: Q = (s, dir) =>
+    TextAnalysis.packBins(documents(s, dir), budgetTokens = 2048, shards = 8)
+      .orderBy("doc_id")
+
   private val corpusSplit: Q = (s, dir) =>
     TextAnalysis.hashSplit(documents(s, dir)).orderBy("doc_id")
 
@@ -269,6 +273,7 @@ object ExtQueries {
     "dedup_keep_canonical" -> dedupKeepCanonical,
     "corpus_quality_filter" -> corpusQualityFilter,
     "corpus_split" -> corpusSplit,
+    "corpus_pack_bins" -> corpusPackBins,
     "corpus_decontaminate" -> corpusDecontaminate,
     "corpus_stratified_sample" -> corpusStratifiedSample,
     "corpus_pipeline_e2e" -> corpusPipelineE2e,
@@ -1040,6 +1045,15 @@ object ExtQueries {
          |SELECT doc_id, lang, bucket FROM b
          |WHERE bucket < CASE WHEN lang = 'en' THEN 20 ELSE 50 END
          |ORDER BY doc_id""".stripMargin,
+
+    // shard-local greedy packing twin: same start-offset window cumsum
+    "corpus_pack_bins" ->
+      """SELECT doc_id, doc_id % 8 AS shard,
+        |  len(regexp_split_to_array(text, '\s+')) AS n_tokens,
+        |  CAST((sum(len(regexp_split_to_array(text, '\s+')))
+        |          OVER (PARTITION BY doc_id % 8 ORDER BY doc_id)
+        |        - len(regexp_split_to_array(text, '\s+'))) // 2048 AS BIGINT) AS bin
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // content-hash split: same 8-hex-digit fold as the minhash twin
     "corpus_split" ->

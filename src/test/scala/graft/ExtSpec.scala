@@ -538,6 +538,21 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("sequence packing: shard-local start-offset bins, straddle stays put") {
+    val docs = Seq(
+      (0L, "a b c"),         // shard 0, start 0 → bin 0
+      (2L, "d e f g"),       // shard 0, start 3, straddles the 5-boundary → bin 0
+      (4L, "h i"),           // shard 0, start 7 → bin 1
+      (1L, "x x x x x x")    // shard 1 packs independently: start 0 → bin 0
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.packBins(docs, budgetTokens = 5, shards = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3)))).toMap
+    assert(out(0L) == ((0L, 0L)))
+    assert(out(2L) == ((0L, 0L)))
+    assert(out(4L) == ((0L, 1L)))
+    assert(out(1L) == ((1L, 0L)))
+  }
+
   test("hash split: content-addressed — identical text lands in one split") {
     val docs = Seq((1L, "same content here"), (2L, "same content here"),
       (3L, "different content")).toDF("doc_id", "text")
