@@ -50,13 +50,17 @@ object Contamination {
     * `contaminated` flag — streaming-append-safe (no window, no shuffle,
     * no state), so the check runs in the same micro-batch that admits the
     * document. Same collision semantics as [[contaminatedDocs]]. */
-  def flagContaminated(docs: DataFrame, probeHashes: Seq[String], n: Int = 8): DataFrame =
-    docs.withColumn("toks", TextAnalysis.tokens(col("text")))
+  def flagContaminated(docs: DataFrame, probeHashes: Seq[String], n: Int = 8): DataFrame = {
+    // reserved temp name so a caller's own columns survive untouched; the
+    // attribute hop keeps the split out of the gram lambda (see ngramRows)
+    val tmp = "__graft_decontam_toks"
+    docs.withColumn(tmp, TextAnalysis.tokens(col("text")))
       .withColumn("contaminated",
         arrays_overlap(
-          transform(ngramsInline(col("toks"), n), g => md5(g)),
+          transform(ngramsInline(col(tmp), n), g => md5(g)),
           typedLit(probeHashes)))
-      .drop("toks")
+      .drop(tmp)
+  }
 
   /** Corpus documents colliding with the probe (benchmark) set on at least
     * one `n`-gram: (doc_id, hits = distinct shared grams). Probe docs are

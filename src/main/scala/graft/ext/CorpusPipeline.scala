@@ -46,7 +46,7 @@ object CorpusPipeline {
     // one disposition row per input doc: survivors-only maps attach via
     // LEFT joins; null keep_id = quality-dropped, null near_keep = dropped
     // before or at the near-dup stage
-    val bucket = conv(substring(col("ck"), 1, 8), 16, 10).cast("long") % 100
+    val bucket = TextAnalysis.contentBucket(col("ck"))
     val dropped = col("reason").isNotNull ||
       col("doc_id") =!= col("keep_id") || col("near_keep").isNull
     staged.select("doc_id", "reason")
@@ -58,8 +58,6 @@ object CorpusPipeline {
           .when(col("near_keep").isNull, lit("near_dup"))
           .otherwise(lit("kept")).as("status"),
         when(dropped, lit(null).cast("string"))
-          .when(bucket < 80, "train")
-          .when(bucket < 90, "val")
-          .otherwise("test").as("split"))
+          .otherwise(TextAnalysis.splitFor(bucket)).as("split"))
   }
 }

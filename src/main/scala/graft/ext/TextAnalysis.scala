@@ -152,12 +152,23 @@ object TextAnalysis {
     * documents to the same split — the standard defense against train/test
     * leakage through duplicates — and the assignment is stable under
     * re-sharding, re-ingestion, and id reassignment. Narrow, no shuffle. */
+  /** 0–99 bucket from a hex content hash: first 8 hex digits mod 100 —
+    * THE content-addressing fold shared by [[hashSplit]],
+    * [[stratifiedSample]], and the pipeline's split stage (one definition
+    * so the paths can never diverge on identical bytes). */
+  def contentBucket(hexHash: Column): Column =
+    conv(substring(hexHash, 1, 8), 16, 10).cast("long") % 100
+
+  /** train/val/test label for a [[contentBucket]] value. */
+  def splitFor(bucket: Column, trainPct: Int = 80, valPct: Int = 10): Column =
+    when(bucket < trainPct, "train")
+      .when(bucket < trainPct + valPct, "val")
+      .otherwise("test")
+
   def hashSplit(docs: DataFrame, trainPct: Int = 80, valPct: Int = 10): DataFrame = {
-    val bucket = conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long") % 100
+    val bucket = contentBucket(md5(col("text")))
     docs.select(col("doc_id"), bucket.as("bucket"),
-      when(bucket < trainPct, "train")
-        .when(bucket < trainPct + valPct, "val")
-        .otherwise("test").as("split"))
+      splitFor(bucket, trainPct, valPct).as("split"))
   }
 
   /** Deterministic stratified sampling: per-language keep rates over a
@@ -168,7 +179,7 @@ object TextAnalysis {
     * Narrow single pass, no shuffle, any corpus size. */
   def stratifiedSample(docs: DataFrame, rates: Map[String, Int],
       defaultRate: Int): DataFrame = {
-    val bucket = conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long") % 100
+    val bucket = contentBucket(md5(col("text")))
     val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (lang, r)) =>
       when(col("lang") === lang, r).otherwise(acc)
     }

@@ -115,9 +115,17 @@ object JsonMerge {
     mergeInFields(root, fields, value)
   }
 
+  /** RFC 6901 token unescape, applied by serde's pointer lookup in the
+    * same step as the index rule: ~1 → '/', then ~0 → '~'. The reference's
+    * CREATE branch inserts the RAW token as a key — which its own lookup
+    * then never finds, a live-lock; we unescape consistently on both
+    * sides (divergence documented). */
+  private def unescape(tok: String): String =
+    tok.replace("~1", "/").replace("~0", "~")
+
   private def mergeInFields(node: JsonNode, fields: List[String],
       value: JsonNode): JsonNode = {
-    val first = fields.head
+    val first = unescape(fields.head)
     // empty step = "merge here" (pointer "/" at the top, "//…" mid-path —
     // the reference stops and merges at the current level, src/merge.rs:95)
     if (first.isEmpty) return merge(node, value)
@@ -138,7 +146,7 @@ object JsonMerge {
         // [null]); we retry once and bail unchanged-beyond-the-scaffold if
         // the step is still unresolvable.
         val scaffold: JsonNode =
-          if (first.forall(_.isDigit)) {
+          if (first.nonEmpty && first.forall(_.isDigit)) {
             val a = mapper.createArrayNode(); a.addNull(); a
           } else {
             val o = mapper.createObjectNode(); o.putNull(first); o

@@ -31,12 +31,37 @@ import org.apache.spark.sql.functions._
   * live in memory only, so a crash loses at most one buffer's worth —
   * hotdog's documented in-memory loss window (unbuffered
   * `startParquetSink` keeps Spark's stronger per-trigger checkpoint
-  * guarantee; choose per deployment).
+  * guarantee; choose per deployment). Persisted batches are additionally
+  * subject to Spark's cache contract: an evicted/lost block recomputes
+  * from the micro-batch source, so pair this sink with a REPLAYABLE
+  * source (file, Kafka within retention) — over a fire-and-forget TCP
+  * stream the recompute window is the same data the reference would have
+  * lost from its own RAM buffer.
+  *
+  * The flush interval runs on a real timer (the reference's flush task,
+  * parquet.rs:89-110) — Spark does not invoke foreachBatch for empty
+  * micro-batches, so an idle stream must still drain on schedule.
   */
-final class ByteThresholdParquetSink(cfg: GraftConfig, url: String) {
+final class ByteThresholdParquetSink(cfg: GraftConfig, url: String)
+    extends AutoCloseable {
   private var batches: List[DataFrame] = Nil
   private val sizes = mutable.Map.empty[String, Long]
   private var lastFlushNs = System.nanoTime()
+
+  private val timer =
+    java.util.concurrent.Executors.newSingleThreadScheduledExecutor(r => {
+      val t = new Thread(r, "graft-flush-timer"); t.setDaemon(true); t
+    })
+  locally {
+    val cadence = math.max(1L, cfg.flushMs / 4)
+    timer.scheduleWithFixedDelay(() => maybeTimerFlush(),
+      cadence, cadence, java.util.concurrent.TimeUnit.MILLISECONDS)
+  }
+
+  private def maybeTimerFlush(): Unit = synchronized {
+    if (batches.nonEmpty &&
+      (System.nanoTime() - lastFlushNs) / 1000000L >= cfg.flushMs) flush()
+  }
 
   /** foreachBatch entry point. */
   def addBatch(batch: DataFrame, epoch: Long): Unit = synchronized {
@@ -68,4 +93,10 @@ final class ByteThresholdParquetSink(cfg: GraftConfig, url: String) {
 
   /** Buffered byte tally per destination (test/metrics introspection). */
   def bufferedBytes: Map[String, Long] = synchronized { sizes.toMap }
+
+  /** Final drain + timer shutdown (the termination listener calls this). */
+  override def close(): Unit = {
+    timer.shutdown()
+    flush()
+  }
 }

@@ -29,7 +29,8 @@ import graft.metrics.{Stats, StatsdEmitter}
   * identical.
   */
 final class KafkaProduceClient(broker: String, timeoutMs: Int = 60000,
-    statsd: Option[StatsdEmitter] = None) extends AutoCloseable {
+    statsd: Option[StatsdEmitter] = None, maxInFlight: Int = 1024)
+    extends AutoCloseable {
 
   private val (host, port) = broker.lastIndexOf(':') match {
     case -1 => (broker, 9092)
@@ -40,6 +41,10 @@ final class KafkaProduceClient(broker: String, timeoutMs: Int = 60000,
     val t = new Thread(r, "graft-kafka-produce"); t.setDaemon(true); t
   })
   private val inFlight = new ConcurrentLinkedQueue[Future[_]]()
+  // the reference's bounded channel (kafka.buffer, default 1024,
+  // src/sink/kafka.rs:224-226): senders BLOCK when the sink lags, so a
+  // fast partition cannot balloon the heap with queued payloads
+  private val slots = new java.util.concurrent.Semaphore(maxInFlight)
 
   /** In-process metric counts, keyed by full statsd name. */
   val counters = new ConcurrentHashMap[String, LongAdder]()
@@ -49,11 +54,16 @@ final class KafkaProduceClient(broker: String, timeoutMs: Int = 60000,
     statsd.foreach(_.counter(name, 1))
   }
 
-  /** Detached send — returns immediately; [[flush]] awaits delivery. */
-  def send(topic: String, payload: String): Unit =
+  /** Detached send — returns immediately while under `maxInFlight`
+    * queued payloads, blocks past it (the reference's bounded-channel
+    * backpressure); [[flush]] awaits delivery. */
+  def send(topic: String, payload: String): Unit = {
+    slots.acquire()
     inFlight.add(pool.submit(new Runnable {
-      override def run(): Unit = sendSync(topic, payload)
+      override def run(): Unit =
+        try sendSync(topic, payload) finally slots.release()
     }))
+  }
 
   /** One blocking produce round-trip with the reference's accounting. */
   def sendSync(topic: String, payload: String): Unit = {
@@ -103,7 +113,14 @@ final class KafkaProduceClient(broker: String, timeoutMs: Int = 60000,
   private def produceRoundTrip(topic: String, payload: String): Int = {
     val socket = new Socket()
     try {
-      socket.connect(new InetSocketAddress(host, port), timeoutMs)
+      // a connect-phase timeout is a TRANSPORT failure (broker unreachable),
+      // not the delivery timeout — resurface it as such so the error
+      // taxonomy matches the reference's (send-timeout vs connection error)
+      try socket.connect(new InetSocketAddress(host, port), timeoutMs)
+      catch {
+        case e: SocketTimeoutException =>
+          throw new java.net.ConnectException(s"connect timed out: ${e.getMessage}")
+      }
       socket.setSoTimeout(timeoutMs)
       val out = new DataOutputStream(socket.getOutputStream)
       val in = new DataInputStream(socket.getInputStream)

@@ -127,21 +127,35 @@ object GraftPipeline {
       : (StreamingQuery, graft.sinks.ByteThresholdParquetSink) = {
     val sink = new graft.sinks.ByteThresholdParquetSink(cfg, url)
     val cadence = if (triggerMs > 0) triggerMs else math.max(1L, cfg.flushMs / 4)
-    val q = routed.writeStream
-      .trigger(Trigger.ProcessingTime(cadence))
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch(sink.addBatch _)
-      .start()
     val spark = routed.sparkSession
-    spark.streams.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
+    // listener registered BEFORE start so a query that dies on its very
+    // first trigger still gets its shutdown drain; the id to match arrives
+    // via the holder right after start() returns (the listener bus
+    // delivers asynchronously, after the assignment). sink.close() is
+    // idempotent — callers may also invoke it after awaitTermination.
+    val qid = new java.util.concurrent.atomic.AtomicReference[java.util.UUID]()
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
       override def onQueryStarted(
           e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
       override def onQueryProgress(
           e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = ()
       override def onQueryTerminated(
           e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit =
-        if (e.id == q.id) { sink.flush(); spark.streams.removeListener(this) }
-    })
+        if (e.id == qid.get()) { sink.close(); spark.streams.removeListener(this) }
+    }
+    spark.streams.addListener(listener)
+    val q =
+      try routed.writeStream
+        .trigger(Trigger.ProcessingTime(cadence))
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(sink.addBatch _)
+        .start()
+      catch { case e: Throwable =>
+        spark.streams.removeListener(listener)
+        sink.close()
+        throw e
+      }
+    qid.set(q.id)
     (q, sink)
   }
 

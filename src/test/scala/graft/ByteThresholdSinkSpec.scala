@@ -66,6 +66,22 @@ class ByteThresholdSinkSpec extends AnyFunSuite {
     assert(topicsWritten(out) == Set("topic=a"))
   }
 
+  test("idle stream still drains on the flush interval (real timer)") {
+    // Spark never invokes foreachBatch for empty micro-batches, so the
+    // interval drain must come from the sink's own timer thread
+    val out = Files.createTempDirectory("graft-bts-idle").toString
+    val sink = new ByteThresholdParquetSink(
+      cfg(bufferBytes = 1 << 30, flushMs = 300L), out)
+    try {
+      sink.addBatch(routedDf("a" -> "x"), 0L)
+      val deadline = System.nanoTime() + 15L * 1000000000L
+      while (topicsWritten(out).isEmpty && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      assert(topicsWritten(out) == Set("topic=a"),
+        "timer must drain the idle buffer without further arrivals")
+    } finally sink.close()
+  }
+
   test("streaming end-to-end: buffered sink + shutdown flush on termination") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -30,6 +30,16 @@ class ContaminationStreamSpec extends AnyFunSuite {
     assert(flags == Map(1L -> true, 2L -> false, 3L -> false))
   }
 
+  test("flagContaminated preserves caller columns, including a 'toks' column") {
+    val probes = Seq((100L, benchQ)).toDF("doc_id", "text")
+    val hashes = Contamination.probeGramHashes(probes)
+    val docs = Seq((1L, "some text", Seq("pre", "tokenized")))
+      .toDF("doc_id", "text", "toks")
+    val out = Contamination.flagContaminated(docs, hashes)
+    assert(out.columns.toSeq == Seq("doc_id", "text", "toks", "contaminated"))
+    assert(out.collect().head.getSeq[String](2) == Seq("pre", "tokenized"))
+  }
+
   test("the flag runs on a stream — admission-time decontamination") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val probes = Seq((100L, benchQ)).toDF("doc_id", "text")

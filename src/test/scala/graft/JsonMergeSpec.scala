@@ -135,6 +135,15 @@ class JsonMergeSpec extends AnyFunSuite {
       == """{"k":1,"meta":{"depth":7}}""")
   }
 
+  test("merge_in: RFC 6901 escaped tokens address keys with '/' and '~'") {
+    // serde's pointer unescapes ~1 then ~0 in the lookup; the reference's
+    // CREATE branch inserts the raw token (then can never find it — a
+    // live-lock); we unescape on both sides
+    assert(mi("""{"a/b":1}""", "/a~1b", "2") == """{"a/b":2}""")
+    assert(mi("""{"a~b":{"c":1}}""", "/a~0b/c", "5") == """{"a~b":{"c":5}}""")
+    assert(mi("{}", "/x~1y", "3") == """{"x/y":3}""")
+  }
+
   test("merge_in edges: bad pointer aborts, bad fragment is a no-op, no live-lock") {
     // the reference would panic on a pointer without '/'; we surface the
     // abort marker (null) like an unparseable LHS
