@@ -91,6 +91,24 @@ object ExtQueries {
       .orderBy("q_id", "rank")
   }
 
+  /** Measured recall@5 of the approximate ANN methods against the exact
+    * brute-force baseline — the accuracy side of the ANN speed/recall
+    * trade, as a first-class query ("measure, don't guess"). */
+  private val annRecall: Q = (s, dir) => {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val e = embeddings(s, dir)
+    val q = e.filter(col("vec_id") < 10)
+    val bf = Similarity.bruteForceTopK(e, q, 5).select("q_id", "n_id")
+    def hits(name: String, m: DataFrame) =
+      bf.join(m.select("q_id", "n_id"), Seq("q_id", "n_id"))
+        .agg(count(lit(1)).as("hits"))
+        .select(lit(name).as("method"), col("hits"))
+    hits("ivf", Similarity.ivfTopK(e, q, 5))
+      .unionAll(hits("lsh", Similarity.lshTopK(e, q, 5, Planes)))
+      .unionAll(hits("lsh_multiprobe", Similarity.lshMultiProbeTopK(e, q, 5, Planes)))
+      .orderBy("method")
+  }
+
   private val annIvf: Q = (s, dir) => {
     graft.functions.GraftFunctions.ensureRegistered(s)
     val e = embeddings(s, dir)
@@ -263,6 +281,7 @@ object ExtQueries {
     "ann_brute_force" -> annBruteForce,
     "ann_lsh" -> annLsh,
     "ann_lsh_multiprobe" -> annLshMultiprobe,
+    "ann_recall" -> annRecall,
     "ann_ivf" -> annIvf,
     "ann_ivf_trained" -> annIvfTrained,
     "ann_pq" -> annPq,
@@ -641,6 +660,66 @@ object ExtQueries {
          |  FROM scored)
          |SELECT q_id, rank, n_id, sim FROM ranked WHERE rank <= 5
          |ORDER BY q_id, rank""".stripMargin,
+
+    // recall twin: brute-force top-5 + each approximate method's top-5 as
+    // CTEs, counted through the same (q_id, n_id) intersection joins
+    "ann_recall" ->
+      s"""WITH bfq AS (SELECT vec_id AS q_id, embedding AS qe
+         |       FROM embeddings WHERE vec_id < 10),
+         |bf AS (SELECT q_id, n_id FROM (
+         |    SELECT q_id, n_id,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank
+         |    FROM (SELECT q_id, e.vec_id AS n_id, ${cosSql("qe", "e.embedding")} AS sim
+         |          FROM embeddings e, bfq WHERE e.vec_id <> bfq.q_id))
+         |  WHERE rank <= 5),
+         |bucketed AS (SELECT vec_id, embedding,
+         |    ${bucketExpr("embedding")} AS bucket FROM embeddings),
+         |q0 AS (SELECT vec_id AS q_id, embedding AS qe, bucket AS qb
+         |       FROM bucketed WHERE vec_id < 10),
+         |lsh AS (SELECT q_id, n_id FROM (
+         |    SELECT q_id, n_id,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank
+         |    FROM (SELECT q_id, e.vec_id AS n_id, ${cosSql("qe", "e.embedding")} AS sim
+         |          FROM bucketed e JOIN q0 q ON e.bucket = q.qb
+         |          WHERE e.vec_id <> q.q_id))
+         |  WHERE rank <= 5),
+         |probes AS (SELECT q_id, qe,
+         |  unnest([qb, ${Planes.indices.map(j => s"xor(qb, ${1L << j})").mkString(", ")}]) AS bucket
+         |  FROM q0),
+         |mp AS (SELECT q_id, n_id FROM (
+         |    SELECT q_id, n_id,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank
+         |    FROM (SELECT q_id, e.vec_id AS n_id, ${cosSql("qe", "e.embedding")} AS sim
+         |          FROM bucketed e JOIN probes q USING (bucket)
+         |          WHERE e.vec_id <> q.q_id))
+         |  WHERE rank <= 5),
+         |reps AS (
+         |  SELECT label AS cell, embedding AS rep FROM (
+         |    SELECT label, embedding,
+         |      row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+         |    FROM embeddings) WHERE rn = 1),
+         |assigned AS (
+         |  SELECT vec_id, embedding, ivf_cell FROM (
+         |    SELECT e.vec_id, e.embedding, r.cell AS ivf_cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosSql("e.embedding", "r.rep")} DESC, r.cell) AS rn
+         |    FROM embeddings e, reps r) WHERE rn = 1),
+         |ivfq AS (SELECT vec_id AS q_id, embedding AS qe, ivf_cell
+         |        FROM assigned WHERE vec_id < 10),
+         |ivf AS (SELECT q_id, n_id FROM (
+         |    SELECT q_id, n_id,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank
+         |    FROM (SELECT q_id, e.vec_id AS n_id, ${cosSql("qe", "e.embedding")} AS sim
+         |          FROM assigned e JOIN ivfq q USING (ivf_cell)
+         |          WHERE e.vec_id <> q.q_id))
+         |  WHERE rank <= 5)
+         |SELECT method, hits FROM (
+         |  SELECT 'ivf' AS method, count(*) AS hits FROM bf JOIN ivf USING (q_id, n_id)
+         |  UNION ALL
+         |  SELECT 'lsh', count(*) FROM bf JOIN lsh USING (q_id, n_id)
+         |  UNION ALL
+         |  SELECT 'lsh_multiprobe', count(*) FROM bf JOIN mp USING (q_id, n_id))
+         |ORDER BY method""".stripMargin,
 
     "ann_ivf" ->
       s"""WITH reps AS (

@@ -553,6 +553,28 @@ class ExtSpec extends AnyFunSuite {
     assert(out(1L) == ((1L, 0L)))
   }
 
+  test("sequence packing plan: window partitions by shard, never global") {
+    val key = "spark.sql.adaptive.enabled"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try {
+      val docs = graft.queries.Synth.documents(spark, "/root/testdata/sf0.001")
+      val plan = TextAnalysis.packBins(docs, 2048, shards = 8)
+        .queryExecution.executedPlan
+      val windows = plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(windows.nonEmpty, "packing is order-dependent: a window is expected")
+      // a GLOBAL cumsum (empty partition spec) would funnel the corpus
+      // into one task — the spec must carry the shard key
+      assert(windows.forall(_.partitionSpec.nonEmpty),
+        s"pack window must partition by shard:\n${windows.mkString("\n")}")
+    } finally old match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("hash split: content-addressed — identical text lands in one split") {
     val docs = Seq((1L, "same content here"), (2L, "same content here"),
       (3L, "different content")).toDF("doc_id", "text")
