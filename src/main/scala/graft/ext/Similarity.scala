@@ -284,26 +284,53 @@ object Similarity {
     * (at 100 TB the subtraction would be fused into those expressions —
     * one extra operand read per element). Codebook = residuals of the
     * first `ksub` corpus vectors w.r.t. their assigned cells. */
+  private def residCol: Column =
+    zip_with(toDouble(col("embedding")), toDouble(col("rep")), (a, b) => a - b)
+
   def ivfPqResidualTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       m: Int = 8, ksub: Int = 16, nCand: Int = 32): DataFrame = {
     val d = 64 / m
     val reps = cellReps(corpus)
-    val cellRep = reps.withColumnRenamed("cell", "ivf_cell")
-    def resid: Column =
-      zip_with(toDouble(col("embedding")), toDouble(col("rep")), (a, b) => a - b)
     val assigned = cellAssign(reps, corpus, "embedding", "ivf_cell")
-      .join(cellRep, "ivf_cell")
+      .join(reps.withColumnRenamed("cell", "ivf_cell"), "ivf_cell")
+    // medoid residual codebook: residuals of the first ksub assigned vectors
     val cwRows = assigned.filter(col("vec_id") < ksub)
-      .select(col("vec_id"), resid.as("r"))
+      .select(col("vec_id"), residCol.as("r"))
       .collect().map(r => r.getLong(0).toInt -> r.getSeq[Double](1).toArray).toMap
     val cw = Array.tabulate(m, ksub, d)((s, j, i) => cwRows(j)(s * d + i))
+    ivfPqResidualProbe(reps, cw, corpus, queries, k, nCand)
+  }
+
+  /** Residual IVF+PQ with BOTH quantizers trained — the FAISS production
+    * default: coarse cells from the full-dimension k-means, PQ codewords
+    * from k-means over the RESIDUALS of the (bounded) training sample
+    * w.r.t. those cells. Training never scans the corpus: only the sample
+    * is assigned for residual computation. */
+  def ivfPqResidualTrainedTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      coarse: Array[Array[Double]], sampleN: Int = 256,
+      nCand: Int = 32): DataFrame = {
+    val reps = centroidReps(corpus, coarse)
+    val sampleResid = cellAssign(reps, corpus.filter(col("vec_id") < sampleN),
+        "embedding", "ivf_cell")
+      .join(reps.withColumnRenamed("cell", "ivf_cell"), "ivf_cell")
+      .select(col("vec_id"), residCol.as("embedding"))
+    val cw = PqTrainer.trainCodebook(sampleResid, sampleN = sampleN)
+    ivfPqResidualProbe(reps, cw, corpus, queries, k, nCand)
+  }
+
+  private def ivfPqResidualProbe(reps: DataFrame, cw: Array[Array[Array[Double]]],
+      corpus: DataFrame, queries: DataFrame, k: Int, nCand: Int): DataFrame = {
+    val m = cw.length
+    val cellRep = reps.withColumnRenamed("cell", "ivf_cell")
+    val assigned = cellAssign(reps, corpus, "embedding", "ivf_cell")
+      .join(cellRep, "ivf_cell")
     val cwLit = typedLit(cw.map(_.map(_.toSeq).toSeq).toSeq)
     val codes = assigned.select(col("vec_id").as("n_id"), col("ivf_cell"),
-      call_function("pq_encode", resid, cwLit).as("codes"))
+      call_function("pq_encode", residCol, cwLit).as("codes"))
     val q = broadcast(cellAssign(reps, queries, "embedding", "ivf_cell")
       .join(cellRep, "ivf_cell")
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("ivf_cell"),
-        call_function("pq_lut", resid, cwLit).as("lut")))
+        call_function("pq_lut", residCol, cwLit).as("lut")))
     val adc = codes.join(q, "ivf_cell")
       .filter(col("n_id") =!= col("q_id"))
       .select(col("q_id"), col("n_id"),

@@ -170,6 +170,16 @@ object ExtQueries {
       .orderBy("q_id", "rank")
   }
 
+  /** Residual IVF+PQ with both quantizers trained — the FAISS production
+    * default, sample-bounded training end-to-end. */
+  private val annIvfPqResidualTrained: Q = (s, dir) => {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val e = embeddings(s, dir)
+    Similarity.ivfPqResidualTrainedTopK(e, e.filter(col("vec_id") < 10), 5,
+        PqTrainer.trainCodebook(e, m = 1, ksub = 16)(0))
+      .orderBy("q_id", "rank")
+  }
+
   private val annIvfPqResidual: Q = (s, dir) => {
     graft.functions.GraftFunctions.ensureRegistered(s)
     val e = embeddings(s, dir)
@@ -289,6 +299,7 @@ object ExtQueries {
     "ann_ivf_pq" -> annIvfPq,
     "ann_ivf_pq_trained" -> annIvfPqTrained,
     "ann_ivf_pq_residual" -> annIvfPqResidual,
+    "ann_ivf_pq_residual_trained" -> annIvfPqResidualTrained,
     "dedup_keep_canonical" -> dedupKeepCanonical,
     "corpus_quality_filter" -> corpusQualityFilter,
     "corpus_split" -> corpusSplit,
@@ -378,21 +389,17 @@ object ExtQueries {
     * — the DuckDB twin of Dedup.minhashLshPairs before thresholding. */
   private val MinhashScoredCtes: String = s"$CorpusCte,\n$MinhashFromCorpus"
 
-  /** Recursive k-means over per-sub-space subvectors (the
-    * PqTrainer.trainCodebook twin): fixed sample (vec_id < 256), first-16
-    * init, 10 iterations, first-min ties, vec_id-ordered accumulation —
-    * bit-equal centroids. Ends in `cw(m, j, c)`. */
-  private val PqKmCtes: String =
-    s"""ms AS (SELECT unnest(range(0, 8)) AS m),
-       |samp AS (SELECT vec_id, m,
-       |    list_transform(range(1, 9), i -> CAST(embedding[m*8 + i] AS DOUBLE)) AS s
-       |  FROM embeddings, ms WHERE vec_id < 256),
-       |km AS (
+  /** The per-sub-space k-means recursion (PqTrainer.trainCodebook twin):
+    * first-16 init, 10 iterations, first-min ties, vec_id-ordered
+    * accumulation — over a `samp(vec_id, m, s)` CTE named `samp`,
+    * producing the recursive CTE named `km`. */
+  private def pqKmRecursion(samp: String, km: String): String =
+    s"""$km AS (
        |  SELECT 0 AS iter, m, CAST(vec_id AS INT) AS j, s AS c
-       |  FROM samp WHERE vec_id < 16
+       |  FROM $samp WHERE vec_id < 16
        |  UNION ALL
        |  SELECT o.iter + 1, o.m, o.j, COALESCE(a.mc, o.c)
-       |  FROM km o LEFT JOIN (
+       |  FROM $km o LEFT JOIN (
        |    SELECT asg.m, asg.bj,
        |      list_transform(range(1, 9), i ->
        |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
@@ -408,7 +415,7 @@ object ExtQueries {
        |              list_transform(range(1, 9),
        |                i -> (s.s[i] - k.c[i]) * (s.s[i] - k.c[i]))),
        |              (x, y) -> x + y) AS d
-       |          FROM samp s JOIN km k ON s.m = k.m) d
+       |          FROM $samp s JOIN $km k ON s.m = k.m) d
        |        JOIN (
        |          SELECT d2.m, d2.vec_id, min(d2.d) AS dmin
        |          FROM (
@@ -417,7 +424,7 @@ object ExtQueries {
        |                list_transform(range(1, 9),
        |                  i -> (s.s[i] - k.c[i]) * (s.s[i] - k.c[i]))),
        |                (x, y) -> x + y) AS d
-       |            FROM samp s JOIN km k ON s.m = k.m) d2
+       |            FROM $samp s JOIN $km k ON s.m = k.m) d2
        |          GROUP BY d2.m, d2.vec_id) b
        |        ON d.m = b.m AND d.vec_id = b.vec_id AND d.d = b.dmin
        |        GROUP BY d.m, d.vec_id) grp
@@ -425,7 +432,16 @@ object ExtQueries {
        |    ) a
        |  ON a.m = o.m AND a.bj = o.j
        |  WHERE o.iter < 10
-       |),
+       |)""".stripMargin
+
+  /** Recursive k-means over per-sub-space subvectors of the raw
+    * embeddings: fixed sample (vec_id < 256). Ends in `cw(m, j, c)`. */
+  private val PqKmCtes: String =
+    s"""ms AS (SELECT unnest(range(0, 8)) AS m),
+       |samp AS (SELECT vec_id, m,
+       |    list_transform(range(1, 9), i -> CAST(embedding[m*8 + i] AS DOUBLE)) AS s
+       |  FROM embeddings, ms WHERE vec_id < 256),
+       |${pqKmRecursion("samp", "km")},
        |cw AS (SELECT m, j, c FROM km WHERE iter = 10)""".stripMargin
 
   /** Recursive k-means over FULL 64-dim vectors (trainCodebook with m=1):
@@ -483,17 +499,23 @@ object ExtQueries {
 
   /** Encode/LUT/ADC/re-rank chain downstream of a `cw(m, j, c)` codebook
     * CTE — the ann_pq twin; with `cellPruned` the ADC join is additionally
-    * restricted to the query's `assigned` cell (the ann_ivf_pq twin). */
-  private def pqDownstreamSql(cellPruned: Boolean): String = {
+    * restricted to the query's cell (the ann_ivf_pq twin). `subExpr` /
+    * `subFrom` choose the encoded-vector source (raw embeddings, or a
+    * residual CTE); `cellTable` is the (vec_id, ivf_cell) map used by the
+    * pruning joins. */
+  private def pqDownstreamSql(cellPruned: Boolean,
+      subExpr: String = "CAST(embedding[m*8 + i] AS DOUBLE)",
+      subFrom: String = "embeddings",
+      cellTable: String = "assigned"): String = {
     val cellJoin =
       if (cellPruned)
-        """
-          |  JOIN assigned ca ON ca.vec_id = codes.vec_id
-          |  JOIN assigned qa ON qa.vec_id = dq.q_id AND qa.ivf_cell = ca.ivf_cell""".stripMargin
+        s"""
+           |  JOIN $cellTable ca ON ca.vec_id = codes.vec_id
+           |  JOIN $cellTable qa ON qa.vec_id = dq.q_id AND qa.ivf_cell = ca.ivf_cell""".stripMargin
       else ""
     s"""sub AS (SELECT vec_id, m,
-       |    list_transform(range(1, 9), i -> CAST(embedding[m*8 + i] AS DOUBLE)) AS s
-       |  FROM embeddings, ms),
+       |    list_transform(range(1, 9), i -> $subExpr) AS s
+       |  FROM $subFrom, ms),
        |d2 AS (SELECT s.vec_id, s.m, cw.j,
        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
        |      list_transform(range(1, 9), i -> (s.s[i] - cw.c[i]) * (s.s[i] - cw.c[i]))),
@@ -775,6 +797,27 @@ object ExtQueries {
          |$TrainedAssignIdCte,
          |$PqKmCtes,
          |${pqDownstreamSql(cellPruned = true)}""".stripMargin,
+
+    // fully-trained RESIDUAL IVF+PQ twin: coarse k-means cells, residuals
+    // of the whole corpus w.r.t. them (wr), a k-means over the SAMPLE's
+    // residual subvectors, then the cell-pruned chain over rv
+    "ann_ivf_pq_residual_trained" ->
+      s"""WITH RECURSIVE
+         |$CoarseKmCtes,
+         |$TrainedAssignIdCte,
+         |wr AS (SELECT a.vec_id, a.ivf_cell,
+         |    list_transform(range(1, 65),
+         |      i -> CAST(e.embedding[i] AS DOUBLE) - r.rep[i]) AS rv
+         |  FROM assigned a JOIN embeddings e ON a.vec_id = e.vec_id
+         |                  JOIN reps r ON a.ivf_cell = r.cell),
+         |ms AS (SELECT unnest(range(0, 8)) AS m),
+         |rsamp AS (SELECT vec_id, m,
+         |    list_transform(range(1, 9), i -> rv[m*8 + i]) AS s
+         |  FROM wr, ms WHERE vec_id < 256),
+         |${pqKmRecursion("rsamp", "rkm")},
+         |cw AS (SELECT m, j, c FROM rkm WHERE iter = 10),
+         |${pqDownstreamSql(cellPruned = true,
+             subExpr = "rv[m*8 + i]", subFrom = "wr", cellTable = "wr")}""".stripMargin,
 
     // IVF+PQ twin: the ann_ivf assignment CTEs + the ann_pq code CTEs, with
     // the ADC join additionally restricted to the query's cell
