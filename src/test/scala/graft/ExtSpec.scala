@@ -317,6 +317,19 @@ class ExtSpec extends AnyFunSuite {
     assert(math.abs(top(0).getAs[Double]("sim") - 1.0) < 1e-12)
   }
 
+  test("residual-trained IVF+PQ: trained cells + residual codewords keep the copy on top") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val rnd = new scala.util.Random(29)
+    val base = (0 until 32).map(j => (j.toLong, Array.fill(64)(rnd.nextFloat())))
+    val vecs = (base :+ ((100L, base.head._2.clone())))
+      .toDF("vec_id", "embedding")
+    val coarse = graft.ext.PqTrainer.trainCodebook(vecs, m = 1, ksub = 4, sampleN = 32)(0)
+    val top = Similarity.ivfPqResidualTrainedTopK(vecs, vecs.filter($"vec_id" === 0L),
+      3, coarse, sampleN = 32).orderBy("rank").collect()
+    assert(top(0).getAs[Long]("n_id") == 100L, top.mkString(","))
+    assert(math.abs(top(0).getAs[Double]("sim") - 1.0) < 1e-12)
+  }
+
   test("residual IVF+PQ: identical copy shares cell and residual codes, wins re-rank") {
     graft.functions.GraftFunctions.ensureRegistered(spark)
     val rnd = new scala.util.Random(13)

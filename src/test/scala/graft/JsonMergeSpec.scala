@@ -155,6 +155,23 @@ class JsonMergeSpec extends AnyFunSuite {
     assert(mi("""{"a":[null]}""", "/a/5", "7") != null)
   }
 
+  test("property: merge_in output is always valid canonical JSON (or null abort)") {
+    val ptrGen = for {
+      depth <- Gen.choose(1, 3)
+      toks <- Gen.listOfN(depth,
+        Gen.oneOf(Gen.alphaLowerStr.map(_.take(3)), Gen.choose(0, 3).map(_.toString)))
+    } yield "/" + toks.mkString("/")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    forAllSampled(Gen.zip(objGen(2), ptrGen, objGen(1))) { case (a, p, b) =>
+      val out = JsonMerge.mergeInStrings(a, p, b)
+      // never throws; result parses back and is already in canonical form
+      // (re-serializing the parse tree is a fixpoint). NOT checked via
+      // ⊕{}: a numeric first step can lawfully replace an object root
+      // with an array (the reference lattice), where ⊕{} appends.
+      out == null || JsonMerge.serialize(mapper.readTree(out)) == out
+    }
+  }
+
   test("property: merge with {} is canonicalizing identity") {
     forAllSampled(objGen(2)) { o =>
       val c = m(o, "{}")
