@@ -64,7 +64,8 @@ class AnnPlanSpec extends AnyFunSuite {
   test("the rest of the ANN family avoids q_id windows too") {
     Seq("ann_lsh", "ann_lsh_multiprobe", "ann_ivf", "ann_ivf_trained",
       "ann_ivf_pq_residual", "ann_pq_trained", "ann_ivf_pq_trained",
-      "ann_ivf_pq_residual_trained").foreach(assertNoPerQueryWindow)
+      "ann_ivf_pq_residual_trained", "ann_recall")
+      .foreach(assertNoPerQueryWindow)
   }
 
   test("topk_pairs: ordering, ties, null-skip, and cross-partition merge") {
