@@ -143,18 +143,20 @@ object JsonMerge {
         // other step → {step: null}, merged via the SAME lattice, then
         // retry. The reference retries unboundedly and can live-lock when
         // array dedup swallows the null scaffold (e.g. pointer /5 onto
-        // [null]); we retry once and bail unchanged-beyond-the-scaffold if
-        // the step is still unresolvable.
+        // [null]); we retry once, and the scaffold is trialled on a DEEP
+        // COPY so a failed retry returns the node untouched — the edge
+        // contract stays two-state (merged, or returned unmerged), never a
+        // scaffold-only mutation with no fragment applied.
         val scaffold: JsonNode =
           if (first.nonEmpty && first.forall(_.isDigit)) {
             val a = mapper.createArrayNode(); a.addNull(); a
           } else {
             val o = mapper.createObjectNode(); o.putNull(first); o
           }
-        val grown = merge(node, scaffold)
+        val grown = merge(node.deepCopy[JsonNode](), scaffold)
         childAt(grown, first) match {
           case Some(_) => mergeInFields(grown, fields, value)
-          case None => grown
+          case None => node
         }
     }
   }

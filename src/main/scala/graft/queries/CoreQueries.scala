@@ -207,17 +207,21 @@ object CoreQueries {
   private val sinkKafkaShape: Q = (s, dir) =>
     routed(s, dir).select(col("topic"), col("value")).orderBy("topic", "value")
 
-  // O18 — per-destination grouping (the system's one shuffle).
+  // O18 — per-destination grouping (the system's one shuffle). Bytes =
+  // stored buffer size: payload UTF-8 bytes + the appended newline
+  // (parquet.rs:157-158 queue.extend(payload); queue.extend("\n")).
   private val sinkGroupByDestination: Q = (s, dir) =>
     routed(s, dir).groupBy("topic")
-      .agg(count(lit(1)).as("n"), sum(length(col("value")) + 1).as("bytes"))
+      .agg(count(lit(1)).as("n"), sum(octet_length(col("value")) + 1).as("bytes"))
       .orderBy("topic")
 
-  // O19 — size-threshold flush accounting (4 KiB threshold).
+  // O19 — size-threshold flush accounting (4 KiB threshold). The tally
+  // counts payload UTF-8 bytes ONLY (parquet.rs:152 bufsize += payload.len()
+  // — the stored newline is not counted against the threshold).
   private val flushSizeThreshold: Q = (s, dir) => {
     val threshold = 4096L
     routed(s, dir).groupBy("topic")
-      .agg(sum(length(col("value")) + 1).as("bytes"))
+      .agg(sum(octet_length(col("value"))).as("bytes"))
       .select(col("topic"), col("bytes"),
         (col("bytes") / threshold).cast("long").as("full_flushes"),
         when(col("bytes") % threshold > 0, lit(1L)).otherwise(lit(0L)).as("partial_flush"))
@@ -514,14 +518,14 @@ object CoreQueries {
 
     "sink_group_by_destination" ->
       s"""$RoutedSql
-         |SELECT topic, count(*) AS n, CAST(sum(length(value) + 1) AS BIGINT) AS bytes
+         |SELECT topic, count(*) AS n, CAST(sum(strlen(value) + 1) AS BIGINT) AS bytes
          |FROM routed GROUP BY topic ORDER BY topic""".stripMargin,
 
     "flush_size_threshold" ->
       s"""$RoutedSql
-         |SELECT topic, CAST(sum(length(value) + 1) AS BIGINT) AS bytes,
-         |  CAST(sum(length(value) + 1) // 4096 AS BIGINT) AS full_flushes,
-         |  CAST(CASE WHEN sum(length(value) + 1) % 4096 > 0 THEN 1 ELSE 0 END AS BIGINT) AS partial_flush
+         |SELECT topic, CAST(sum(strlen(value)) AS BIGINT) AS bytes,
+         |  CAST(sum(strlen(value)) // 4096 AS BIGINT) AS full_flushes,
+         |  CAST(CASE WHEN sum(strlen(value)) % 4096 > 0 THEN 1 ELSE 0 END AS BIGINT) AS partial_flush
          |FROM routed GROUP BY topic ORDER BY topic""".stripMargin,
 
     "flush_time_interval" ->

@@ -10,8 +10,10 @@ import org.apache.spark.sql.functions._
   * (src/sink/parquet.rs:127-230), which the plain per-trigger
   * [[GraftPipeline.startParquetSink]] only approximates:
   *
-  *   - payloads accumulate in a per-destination buffer ACROSS arrivals,
-  *     counted as payload bytes + newline (parquet.rs:152-158)
+  *   - payloads accumulate in a per-destination buffer ACROSS arrivals;
+  *     the flush tally counts payload UTF-8 bytes ONLY (parquet.rs:152
+  *     `bufsize += payload.len()` — the newline appended to the stored
+  *     buffer at parquet.rs:158 is NOT counted against the threshold)
   *   - when ANY destination's buffered bytes reach `parquet.buffer`, ALL
   *     destinations flush (parquet.rs:160-168 sends one Message::flush,
   *     whose handler drains the whole buffer map)
@@ -66,7 +68,7 @@ final class ByteThresholdParquetSink(cfg: GraftConfig, url: String)
   /** foreachBatch entry point. */
   def addBatch(batch: DataFrame, epoch: Long): Unit = synchronized {
     val b = batch.persist()
-    b.groupBy("topic").agg(sum(length(col("value")) + 1).as("bytes"))
+    b.groupBy("topic").agg(sum(octet_length(col("value"))).as("bytes"))
       .collect().foreach { r =>
         if (!r.isNullAt(1))
           sizes(r.getString(0)) = sizes.getOrElse(r.getString(0), 0L) + r.getLong(1)

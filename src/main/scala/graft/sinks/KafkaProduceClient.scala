@@ -56,9 +56,15 @@ final class KafkaProduceClient(broker: String, timeoutMs: Int = 60000,
 
   /** Detached send — returns immediately while under `maxInFlight`
     * queued payloads, blocks past it (the reference's bounded-channel
-    * backpressure); [[flush]] awaits delivery. */
+    * backpressure); [[flush]] awaits delivery. Completed futures are
+    * discarded from the queue head here so a large partition (millions of
+    * rows) does not retain millions of done FutureTasks until the
+    * partition-end flush — the semaphore bounds concurrency, this bounds
+    * queue length to ~maxInFlight plus out-of-order stragglers. */
   def send(topic: String, payload: String): Unit = {
     slots.acquire()
+    var h = inFlight.peek()
+    while (h != null && h.isDone && inFlight.remove(h)) h = inFlight.peek()
     inFlight.add(pool.submit(new Runnable {
       override def run(): Unit =
         try sendSync(topic, payload) finally slots.release()

@@ -131,17 +131,26 @@ object GraftPipeline {
     // listener registered BEFORE start so a query that dies on its very
     // first trigger still gets its shutdown drain; the id to match arrives
     // via the holder right after start() returns (the listener bus
-    // delivers asynchronously, after the assignment). sink.close() is
-    // idempotent — callers may also invoke it after awaitTermination.
+    // delivers asynchronously). A query can terminate — and its event be
+    // DELIVERED — before the assignment below, so the listener parks each
+    // termination event on a latch until the id is published; otherwise the
+    // drain (and listener removal) would be skipped, leaking buffered rows.
+    // sink.close() is idempotent — callers may also invoke it after
+    // awaitTermination.
     val qid = new java.util.concurrent.atomic.AtomicReference[java.util.UUID]()
+    val qidPublished = new java.util.concurrent.CountDownLatch(1)
     val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
       override def onQueryStarted(
           e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
       override def onQueryProgress(
           e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = ()
       override def onQueryTerminated(
-          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit =
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = {
+        // bounded wait: start() publishes the id (or fails and counts down)
+        // within this window unless the driver is wedged
+        qidPublished.await(60, java.util.concurrent.TimeUnit.SECONDS)
         if (e.id == qid.get()) { sink.close(); spark.streams.removeListener(this) }
+      }
     }
     spark.streams.addListener(listener)
     val q =
@@ -151,11 +160,13 @@ object GraftPipeline {
         .foreachBatch(sink.addBatch _)
         .start()
       catch { case e: Throwable =>
+        qidPublished.countDown() // unblock any parked (unrelated) event
         spark.streams.removeListener(listener)
         sink.close()
         throw e
       }
     qid.set(q.id)
+    qidPublished.countDown()
     (q, sink)
   }
 

@@ -42,9 +42,20 @@ class ByteThresholdSinkSpec extends AnyFunSuite {
     sink.addBatch(routedDf("a" -> ("x" * 120)), 1L)
     assert(topicsWritten(out) == Set("topic=a", "topic=b"))
     assert(sink.bufferedBytes.isEmpty, "flush clears the byte tally")
-    // accounting = payload bytes + newline, like the reference's queue
     val rows = spark.read.parquet(out).count()
     assert(rows == 3L)
+  }
+
+  test("tally counts payload UTF-8 bytes only — no newline, bytes not chars") {
+    // parquet.rs:152: bufsize += payload.len() — Rust String::len() is
+    // UTF-8 bytes; the newline stored at :158 is NOT counted
+    val out = Files.createTempDirectory("graft-bts-b").toString
+    val sink = new ByteThresholdParquetSink(cfg(bufferBytes = 1 << 30), out)
+    try {
+      sink.addBatch(routedDf("a" -> "abc", "a" -> "éé"), 0L) // 3 + 4 bytes
+      assert(sink.bufferedBytes == Map("a" -> 7L),
+        "3 ASCII bytes + 2 two-byte chars, zero newline bytes")
+    } finally sink.close()
   }
 
   test("flush interval drains independently of the byte threshold") {

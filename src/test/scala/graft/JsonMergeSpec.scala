@@ -151,8 +151,9 @@ class JsonMergeSpec extends AnyFunSuite {
     assert(mi("not json", "/a", "{}") == null)
     assert(mi("""{"a":1}""", "/a", "not json") == """{"a":1}""")
     // reference live-locks here (array dedup swallows the null scaffold);
-    // we bail after one retry with the scaffold merge applied
-    assert(mi("""{"a":[null]}""", "/a/5", "7") != null)
+    // we bail after one retry with the target returned UNCHANGED — the
+    // scaffold is trialled on a copy, so no scaffold-only mutation leaks
+    assert(mi("""{"a":[null]}""", "/a/5", "7") == """{"a":[null]}""")
   }
 
   test("property: merge_in output is always valid canonical JSON (or null abort)") {
