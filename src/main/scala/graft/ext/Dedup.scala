@@ -18,6 +18,59 @@ object Dedup {
       .agg(min(col(id)).as("keep_id"), count(lit(1)).as("n"))
       .select("keep_id", "n")
 
+  /** Cross-document duplicated-SPAN statistics — the window-hash
+    * approximation of exact substring dedup (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better": remove
+    * verbatim ≥50-token substrings shared across documents; suffix arrays
+    * don't distribute, overlapping fixed windows do). Each document emits
+    * hashed `window`-token spans at `stride`; a span whose hash occurs in
+    * MORE THAN ONE document is a cross-doc duplicate. Output per doc:
+    * total spans, duplicated spans, and the scaled duplicated fraction —
+    * the per-document signal a pipeline uses to clip or drop boilerplate
+    * regions that whole-document and near-dup dedup both miss. (Docs under
+    * `window` tokens emit no spans and therefore no row.)
+    *
+    * Scale shape: spans build row-locally (strided slice of the token
+    * array — no token shuffle), explode once into a PERSISTED
+    * (sh, doc_id, occ) table — compact: ~tokens/stride rows, an eighth
+    * of the token stream at the defaults, MEMORY_AND_DISK so it spills
+    * rather than OOMs. The three consumers (duplicate-span set, per-doc
+    * duplicated occurrences, per-doc totals) prune different columns, so
+    * exchange reuse cannot unify them — without the persist each one
+    * re-scans, re-tokenizes and re-hashes the full corpus. Every shuffle
+    * key is high-cardinality with map-side partial aggregation; no
+    * per-group funnel, no broadcast of anything corpus-sized. */
+  def spanDupStats(corpus: DataFrame, window: Int = 8, stride: Int = 4): DataFrame = {
+    val spansCol = {
+      val toks = col("toks")
+      when(size(toks) < window, array().cast("array<string>"))
+        .otherwise(transform(
+          // start positions 1, 1+stride, … while start+window−1 ≤ size
+          sequence(lit(0), ((size(toks) - window) / stride).cast("int")),
+          s => concat_ws(" ",
+            (0 until window).map(k => element_at(toks, s * stride + k + 1)): _*)))
+    }
+    // ONE (sh, doc_id) pre-aggregation feeds all three consumers below;
+    // grouping on the pair also replaces a two-phase countDistinct with a
+    // plain count of pre-distinct rows
+    val spanDocs = corpus
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(spansCol).as("span"))
+      .select(col("doc_id"), md5(col("span")).as("sh"))
+      .groupBy("sh", "doc_id").agg(count(lit(1)).as("occ"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dupSh = spanDocs.groupBy("sh").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") > 1).select("sh")
+    val dupPerDoc = spanDocs.join(dupSh, Seq("sh"), "left_semi")
+      .groupBy("doc_id").agg(sum("occ").as("dup_spans"))
+    spanDocs.groupBy("doc_id").agg(sum("occ").as("spans"))
+      .join(dupPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("spans"),
+        coalesce(col("dup_spans"), lit(0L)).as("dup_spans"),
+        coalesce((lit(10000L) * col("dup_spans") / col("spans")).cast("long"),
+          lit(0L)).as("dup_x10000"))
+  }
+
   /** Distinct-token set (order-preserving ops not needed for Jaccard). */
   private def tokSet(text: Column): Column = array_distinct(TextAnalysis.tokens(text))
 

@@ -240,4 +240,103 @@ object TextAnalysis {
       (lit(10000L) * stops / words).cast("long").as("stop_x10000"),
       (lit(10000L) * punct / length(text).cast("long")).cast("long").as("punct_x10000"))
   }
+
+  /** Gopher-style intra-document repetition statistics (the MassiveText
+    * repetition filters): per document,
+    *   - `dup3_x10000` — fraction of word-3-gram OCCURRENCES whose gram
+    *     appears more than once in the SAME document,
+    *   - `top2_x10000` — share of all word-2-gram occurrences taken by the
+    *     single most frequent 2-gram.
+    * High values flag boilerplate/spam/self-repeating text that
+    * whole-document dedup cannot catch. All-integer (scaled ×10000).
+    *
+    * Scale shape: n-gram arrays build ROW-LOCALLY ([[Contamination.ngramsInline]]
+    * — token adjacency never leaves the row, no token-stream shuffle),
+    * explode once, then reduce (doc_id, gram) → doc_id: both shuffle keys
+    * are high-cardinality with map-side partial aggregation, so no
+    * per-group funnel exists at any corpus size. Documents too short for
+    * an n-gram are restored by the left joins with zeroed stats. */
+  def repetitionStats(docs: DataFrame): DataFrame = {
+    def gramCounts(n: Int) = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        explode(Contamination.ngramsInline(col("toks"), n)).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+    val s3 = gramCounts(3).groupBy("doc_id").agg(
+      sum("c").as("grams3"),
+      sum(when(col("c") > 1, col("c")).otherwise(lit(0L))).as("dup3"))
+    val s2 = gramCounts(2).groupBy("doc_id").agg(
+      sum("c").as("grams2"), max("c").as("top2"))
+    docs.select("doc_id")
+      .join(s3, Seq("doc_id"), "left")
+      .join(s2, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("grams3"), lit(0L)).as("grams3"),
+        coalesce((lit(10000L) * col("dup3") / col("grams3")).cast("long"),
+          lit(0L)).as("dup3_x10000"),
+        coalesce((lit(10000L) * col("top2") / col("grams2")).cast("long"),
+          lit(0L)).as("top2_x10000"))
+  }
+
+  /** Unigram-LM quality scoring (the CCNet-style perplexity proxy): train a
+    * unigram model ON the corpus (token → count, one map-side-combined
+    * token shuffle), then score each document by its mean per-token
+    * surprisal. Surprisal is INTEGER bits — ilog2(total) − ilog2(count)
+    * where ilog2(x) = length(bin(x)) − 1 — so the score is exact in any
+    * engine (no float log, no order-sensitive accumulation). Low scores =
+    * high-probability (common-token) text; high scores = rare-token text.
+    * Output: (doc_id, n_tokens, surprisal_x100 = mean bits ×100).
+    *
+    * Scale shape: the vocab is NOT collected — scoring joins token rows to
+    * the count table on `tok` (both sides hash-partitioned on the same
+    * high-cardinality key; Catalyst reuses the agg exchange), then one
+    * doc_id reduction. Three shuffles total, all map-side combined, no
+    * driver state — the vocab can be billions of rows. */
+  def unigramLmScore(corpus: DataFrame): DataFrame = {
+    val toks = tokenRows(corpus).select("doc_id", "tok")
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+    val total = vocab.agg(sum("c").as("t"))
+    def ilog2(x: Column): Column = (length(bin(x)) - 1).cast("long")
+    toks.join(vocab, "tok")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), (ilog2(col("t")) - ilog2(col("c"))).as("bits"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        (lit(100L) * sum("bits") / count(lit(1))).cast("long").as("surprisal_x100"))
+  }
+
+  /** Data-mixture rebalancing to TARGET proportions (the static-mixture
+    * lever of DoReMi/palm-style pipelines): given per-stratum target
+    * weights (percent) and a total token budget, compute each stratum's
+    * keep-rate = min(100%, budget·weight / stratum_tokens) and sample by
+    * the content-hash bucket (same fold as [[hashSplit]] — byte-identical
+    * docs share one decision; stable under re-sharding). Strata with fewer
+    * tokens than their allocation keep everything (rate capped at 100%) —
+    * the standard behavior when a minority language can't fill its quota.
+    * Output keeps the audit columns (stratum totals and applied rate).
+    *
+    * Scale shape: stratum totals are ONE partial-aggregated groupBy on the
+    * (low-cardinality, but map-side combined) stratum key; the tiny rate
+    * table broadcast-joins back; the keep decision is a narrow filter. No
+    * per-group window, no driver collect. */
+  def mixToTargets(docs: DataFrame, targetsPct: Map[String, Int],
+      budgetTokens: Long): DataFrame = {
+    val withTok = docs.select(col("doc_id"), col("lang"), col("text"),
+      size(tokens(col("text"))).cast("long").as("n_tokens"))
+    val targets = targetsPct.foldLeft(lit(0L)) { case (acc, (lang, w)) =>
+      when(col("lang") === lang, w.toLong).otherwise(acc)
+    }
+    val rates = withTok.groupBy("lang")
+      .agg(sum("n_tokens").as("stratum_tokens"))
+      .select(col("lang"), col("stratum_tokens"),
+        // budget·weightPct/100 tokens wanted, ×10000 scale → ×100 combined
+        least(lit(10000L),
+          (lit(budgetTokens) * targets * 100L / col("stratum_tokens"))
+            .cast("long")).as("rate_x10000"))
+    withTok
+      .join(broadcast(rates), "lang")
+      .filter(contentBucket(md5(col("text"))) * 100L < col("rate_x10000"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        col("stratum_tokens"), col("rate_x10000"))
+  }
 }

@@ -210,6 +210,33 @@ object ExtQueries {
   private val textFingerprint: Q = (s, dir) =>
     TextAnalysis.fingerprintRows(documents(s, dir)).orderBy("doc_id")
 
+  /** Gopher repetition filters; every 10th doc self-concatenated so the
+    * intra-doc duplicate-gram signal is non-trivial. */
+  private val textRepetition: Q = (s, dir) => {
+    val docs = documents(s, dir).select(col("doc_id"),
+      when(col("doc_id") % 10 === 0, concat_ws(" ", col("text"), col("text")))
+        .otherwise(col("text")).as("text"))
+    TextAnalysis.repetitionStats(docs).orderBy("doc_id")
+  }
+
+  /** Unigram-LM (CCNet-style) corpus-trained quality scoring — integer
+    * surprisal bits, vocab never collected. */
+  private val textUnigramLm: Q = (s, dir) =>
+    TextAnalysis.unigramLmScore(documents(s, dir)).orderBy("doc_id")
+
+  /** Cross-doc duplicated 8-token spans at stride 4 over the planted-dup
+    * corpus — the distributed stand-in for exact substring dedup. */
+  private val dedupSpanExact: Q = (s, dir) =>
+    Dedup.spanDupStats(dupCorpus(s, dir)).orderBy("doc_id")
+
+  /** Mixture rebalancing to target proportions: zh deliberately over-target
+    * (its rate caps at 100%), en downsampled. */
+  private val corpusMixDomains: Q = (s, dir) =>
+    TextAnalysis.mixToTargets(documents(s, dir),
+      Map("en" -> 30, "zh" -> 50, "de" -> 10, "es" -> 5, "fr" -> 5),
+      budgetTokens = 20000L)
+      .orderBy("doc_id")
+
   private val dedupKeepCanonical: Q = (s, dir) =>
     Dedup.keepCanonicalLsh(dupCorpus(s, dir)).orderBy("doc_id")
 
@@ -315,6 +342,10 @@ object ExtQueries {
     "text_quality" -> textQuality,
     "text_langid" -> textLangid,
     "text_fingerprint" -> textFingerprint,
+    "text_repetition" -> textRepetition,
+    "text_unigram_lm" -> textUnigramLm,
+    "dedup_span_exact" -> dedupSpanExact,
+    "corpus_mix_domains" -> corpusMixDomains,
     "multimodal_meta" -> multimodalMeta,
     "multimodal_resize" -> multimodalResize,
     "multimodal_frames" -> multimodalFrames)
@@ -1009,6 +1040,81 @@ object ExtQueries {
          |$ShingleCte
          |SELECT doc_id, list_min(list_transform(sg, s -> md5(s))) AS fp
          |FROM sh ORDER BY doc_id""".stripMargin,
+
+    // intra-doc repetition: 3-gram duplicate-occurrence fraction + top
+    // 2-gram occupancy, every 10th doc self-concatenated
+    "text_repetition" ->
+      """WITH docs AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 10 = 0 THEN text || ' ' || text ELSE text END AS text
+        |  FROM documents),
+        |tok AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS t FROM docs),
+        |g3 AS (SELECT doc_id, unnest(CASE WHEN len(t) < 3 THEN []::VARCHAR[]
+        |    ELSE list_transform(range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS g
+        |  FROM tok),
+        |g2 AS (SELECT doc_id, unnest(CASE WHEN len(t) < 2 THEN []::VARCHAR[]
+        |    ELSE list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) END) AS g
+        |  FROM tok),
+        |c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2),
+        |c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+        |s3 AS (SELECT doc_id, sum(c) AS grams3,
+        |    sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup3 FROM c3 GROUP BY 1),
+        |s2 AS (SELECT doc_id, sum(c) AS grams2, max(c) AS top2 FROM c2 GROUP BY 1)
+        |SELECT d.doc_id, CAST(coalesce(s3.grams3, 0) AS BIGINT) AS grams3,
+        |  CAST(coalesce(10000 * s3.dup3 // s3.grams3, 0) AS BIGINT) AS dup3_x10000,
+        |  CAST(coalesce(10000 * s2.top2 // s2.grams2, 0) AS BIGINT) AS top2_x10000
+        |FROM docs d
+        |LEFT JOIN s3 ON d.doc_id = s3.doc_id
+        |LEFT JOIN s2 ON d.doc_id = s2.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // unigram-LM surprisal in integer bits: ilog2(x) = strlen(bin(x)) - 1
+    "text_unigram_lm" ->
+      """WITH tokr AS (SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS tok
+        |  FROM documents),
+        |v AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM tokr GROUP BY 1),
+        |tt AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM v),
+        |b AS (SELECT doc_id,
+        |    (strlen(bin(t)) - 1) - (strlen(bin(c)) - 1) AS bits
+        |  FROM tokr JOIN v USING (tok) CROSS JOIN tt)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(100 * sum(bits) // count(*) AS BIGINT) AS surprisal_x100
+        |FROM b GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // cross-doc duplicated 8-token spans at stride 4 (list slice is
+    // 1-based inclusive: t[s*4+1 : s*4+8] is the 8-token window)
+    "dedup_span_exact" ->
+      s"""$CorpusCte,
+         |tok AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t FROM corpus),
+         |sp AS (SELECT doc_id, md5(g) AS sh FROM (
+         |  SELECT doc_id, unnest(CASE WHEN len(t) < 8 THEN []::VARCHAR[]
+         |      ELSE list_transform(range(0, (len(t)-8)//4 + 1),
+         |        s -> array_to_string(t[s*4+1 : s*4+8], ' ')) END) AS g
+         |  FROM tok)),
+         |dup AS (SELECT sh FROM sp GROUP BY sh HAVING count(DISTINCT doc_id) > 1),
+         |per AS (SELECT doc_id, count(*) AS spans FROM sp GROUP BY 1),
+         |dupc AS (SELECT doc_id, count(*) AS dup_spans FROM sp
+         |  WHERE sh IN (SELECT sh FROM dup) GROUP BY 1)
+         |SELECT p.doc_id, CAST(p.spans AS BIGINT) AS spans,
+         |  CAST(coalesce(d.dup_spans, 0) AS BIGINT) AS dup_spans,
+         |  CAST(coalesce(10000 * d.dup_spans // p.spans, 0) AS BIGINT) AS dup_x10000
+         |FROM per p LEFT JOIN dupc d ON p.doc_id = d.doc_id
+         |ORDER BY p.doc_id""".stripMargin,
+
+    // mixture rebalancing: rate = min(100%, budget·weight / stratum_tokens),
+    // sampled on the same 8-hex-digit content bucket as the split twin
+    "corpus_mix_domains" ->
+      s"""WITH wt AS (SELECT doc_id, lang, md5(text) AS hx,
+         |    CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |r AS (SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS stratum_tokens,
+         |    least(10000, CAST(20000 * (CASE lang WHEN 'en' THEN 30 WHEN 'zh' THEN 50
+         |        WHEN 'de' THEN 10 WHEN 'es' THEN 5 WHEN 'fr' THEN 5 ELSE 0 END) * 100
+         |      // sum(n_tokens) AS BIGINT)) AS rate_x10000
+         |  FROM wt GROUP BY 1)
+         |SELECT w.doc_id, w.lang, w.n_tokens, r.stratum_tokens, r.rate_x10000
+         |FROM wt w JOIN r ON w.lang = r.lang
+         |WHERE (${hexFoldSql(1, 8)} % 100) * 100 < r.rate_x10000
+         |ORDER BY w.doc_id""".stripMargin,
 
     "multimodal_meta" ->
       """SELECT doc_id,

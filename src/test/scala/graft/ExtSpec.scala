@@ -606,6 +606,63 @@ class ExtSpec extends AnyFunSuite {
     assert(out == Seq(("a", 3L), ("b", 3L), ("c", 2L)))
   }
 
+  test("repetition stats: self-repeating doc maxes dup3, unique doc zeroes") {
+    val docs = Seq(
+      (1L, "a b c a b c a b c"),
+      (2L, "all tokens here are completely unique words"),
+      (3L, "xy")).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionStats(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // doc 1: 7 3-grams (abc×3 bca×2 cab×2), every occurrence duplicated;
+    // top 2-gram "a b" takes 3 of 8 occurrences
+    assert(out(1L) == ((7L, 10000L, 3750L)))
+    // doc 2: 7 tokens, all grams unique; top 2-gram 1 of 6
+    assert(out(2L) == ((5L, 0L, 1666L)))
+    // doc 3: one token — no grams, but the row survives zeroed
+    assert(out(3L) == ((0L, 0L, 0L)))
+  }
+
+  test("span dedup: shared 8-token window found across docs, clean doc zero") {
+    val shared = "one two three four five six seven eight"
+    val docs = Seq(
+      (1L, shared + " tail1 a b c"),
+      (2L, shared + " other tail here now"),
+      (3L, "totally different words with no overlap at all present here")
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanDupStats(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // docs 1,2: 12 tokens → spans at starts 0 and 4; start-0 span is the
+    // shared window, start-4 spans diverge
+    assert(out(1L) == ((2L, 1L)))
+    assert(out(2L) == ((2L, 1L)))
+    assert(out(3L)._2 == 0L)
+  }
+
+  test("mixture rebalance: over-target stratum caps at 100%, rest downsamples") {
+    val docs = (0 until 40).map(i => (i.toLong, if (i < 30) "en" else "zh",
+      (0 until 10).map(j => s"w${i}_$j").mkString(" "))).toDF("doc_id", "lang", "text")
+    // en: 300 tokens, zh: 100; budget 300 at 50/50 → en quota 150 (rate
+    // 50%), zh quota 150 > 100 (rate caps at 100%)
+    val out = TextAnalysis.mixToTargets(docs, Map("en" -> 50, "zh" -> 50), 300L)
+      .collect()
+    val zh = out.filter(_.getString(1) == "zh")
+    val en = out.filter(_.getString(1) == "en")
+    assert(zh.length == 10, "capped stratum keeps everything")
+    assert(zh.forall(_.getLong(4) == 10000L))
+    assert(en.forall(_.getLong(4) == 5000L))
+    assert(en.length < 30, "under-target stratum must downsample")
+  }
+
+  test("unigram LM score: common-token docs score low, rare-token docs high") {
+    val docs = Seq((1L, "a a a a"), (2L, "a a b")).toDF("doc_id", "text")
+    // vocab: a×6 b×1, total 7 → ilog2(7)=2, ilog2(6)=2, ilog2(1)=0 →
+    // bits(a)=0, bits(b)=2
+    val out = TextAnalysis.unigramLmScore(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L) == ((4L, 0L)))
+    assert(out(2L) == ((3L, 66L)))
+  }
+
   test("frame sample: full frames only, every 4th, stable digests") {
     val text = "ab" * 160                  // 320 bytes → 5 full frames → idx 0, 4
     val frames = Multimodal.frameSample(Multimodal.asBlobs(
