@@ -70,6 +70,42 @@ object Embeddings {
     Array.fill(k, dim)(rnd.nextGaussian())
   }
 
+  /** Quantized per-element copy of the embedding: q_i = floor(x_i · scaleQ)
+    * as longs — the integer domain in which corpus-wide moments accumulate
+    * EXACTLY (long addition is associative-commutative; float sums would be
+    * partitioning-dependent). */
+  private[ext] def quantized(vecCol: Column, scaleQ: Long): Column =
+    transform(asDouble(vecCol), x => floor(x * lit(scaleQ.toDouble)).cast("long"))
+
+  /** Full-corpus second-moment (Gram) matrix over quantized embeddings:
+    * G[j][l] = Σ_rows q_j · q_l, emitted as (j, l, g) rows — the
+    * distributed statistic under PCA/whitening/covariance estimation.
+    *
+    * Scale shape: ONE global [[graft.functions.VectorSumLong]] aggregation —
+    * each input partition reduces map-side to a single d² long vector, so
+    * the shuffle carries `partitions` rows TOTAL at any corpus size, and
+    * integer addition makes the result bit-identical under any partitioning
+    * or re-execution (the property that lets a 1000-executor run be checked
+    * against a single-node oracle). d=64 → 4096 multiply-adds per row, all
+    * inside one codegen'd projection + imperative aggregate.
+    *
+    * Overflow: |q| ≤ scaleQ, so each product ≤ scaleQ²; headroom is
+    * 2^63/scaleQ² ≈ 9.2e18/1e8 ≈ 9e10 rows at the default scale — size
+    * scaleQ down for corpora beyond that. */
+  def gramMatrix(emb: DataFrame, dim: Int = 64, scaleQ: Long = 10000L,
+      vecCol: String = "embedding"): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(emb.sparkSession)
+    emb
+      // attribute discipline: q materializes before the product lambda
+      .select(quantized(col(vecCol), scaleQ).as("q"))
+      .select(flatten(transform(col("q"),
+        xj => transform(col("q"), xl => xj * xl))).as("p"))
+      .agg(call_function("vector_sum_long", col("p")).as("g"))
+      .select(posexplode(col("g")))
+      .select((col("pos") / dim).cast("long").as("j"),
+        (col("pos") % dim).cast("long").as("l"), col("col").as("g"))
+  }
+
   /** Unit-normalization, reported as scaled integers (floor(x / ‖v‖ · 10⁶))
     * so the output is integer-exact across engines; the norm itself (one
     * scalar double per vector) rides along. Zero vectors pass through as

@@ -294,6 +294,20 @@ object ExtQueries {
     Embeddings.normalizeScaled(embeddings(s, dir)).orderBy("vec_id")
   }
 
+  /** Distributed exact second-moment matrix: one vector_sum_long partial/
+    * final aggregation, shuffle = one d² vector per partition. */
+  private val embGram: Q = (s, dir) => {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    Embeddings.gramMatrix(embeddings(s, dir)).orderBy("j", "l")
+  }
+
+  /** Full-corpus-trained PCA projection: exact integer moments → driver
+    * power iteration → narrow projection with plan-constant components. */
+  private val embPca: Q = (s, dir) => {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    graft.ext.PcaTrainer.pcaProjection(embeddings(s, dir)).orderBy("vec_id")
+  }
+
   // -------------------------------------------------------- multimodal
 
   private val multimodalMeta: Q = (s, dir) =>
@@ -337,6 +351,8 @@ object ExtQueries {
     "text_vocab_topk" -> textVocabTopk,
     "emb_quantize_int8" -> embQuantizeInt8,
     "emb_normalize" -> embNormalize,
+    "emb_gram" -> embGram,
+    "emb_pca" -> embPca,
     "emb_random_projection" -> embRandomProjection,
     "text_tokens" -> textTokens,
     "text_quality" -> textQuality,
@@ -1337,5 +1353,76 @@ object ExtQueries {
          |    CASE WHEN norm = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
          |         ELSE list_transform(v, x -> CAST(floor(x / norm * 1000000) AS BIGINT))
          |    END, ',') AS unit_x1e6
-         |FROM s ORDER BY vec_id""".stripMargin)
+         |FROM s ORDER BY vec_id""".stripMargin,
+
+    // PCA twin: the ENTIRE training rederives in SQL — integer moments
+    // (order-free sums), covariance, then the power-iteration/deflation
+    // recursion with the same pinned fold orders as PcaTrainer.trainPca
+    "emb_pca" -> {
+      val fold0 = "list_prepend(CAST(0.0 AS DOUBLE), "
+      // w_j: row j of the deflated matrix `a` dotted with v, l-ascending
+      def rowDot(j: String) =
+        s"list_reduce(${fold0}list_transform(range(1, 65), " +
+          s"l -> a[CAST(($j - 1) * 64 + l AS INT)] * v[CAST(l AS INT)])), (x, y) -> x + y)"
+      val wList = s"list_transform(range(1, 65), j -> ${rowDot("j")})"
+      val nrm = s"sqrt(list_reduce(${fold0}list_transform($wList, x -> x * x)), (x, y) -> x + y))"
+      val vNext = s"list_transform($wList, x -> x / $nrm)"
+      val lam = s"list_reduce(${fold0}list_transform(range(1, 65), " +
+        s"j -> v[CAST(j AS INT)] * ${rowDot("j")})), (x, y) -> x + y)"
+      val deflated = s"list_transform(range(0, 4096), i -> a[CAST(i + 1 AS INT)] " +
+        s"- ($lam) * v[CAST(i // 64 + 1 AS INT)] * v[CAST(i % 64 + 1 AS INT)])"
+      val eNext = "list_transform(range(0, 64), i -> CASE WHEN i = comp + 1 " +
+        "THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)"
+      s"""WITH RECURSIVE qe AS (SELECT vec_id,
+         |    list_transform(embedding,
+         |      x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |mom AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM qe),
+         |m AS (SELECT list(CAST(sj AS DOUBLE) / n ORDER BY j) AS mean
+         |  FROM (SELECT j, sum(q[CAST(j AS INT)]) AS sj
+         |        FROM qe, (SELECT unnest(range(1, 65)) AS j) GROUP BY j), mom),
+         |gm AS (SELECT list(CAST(gv AS DOUBLE) ORDER BY j, l) AS g
+         |  FROM (SELECT j, l, sum(q[CAST(j AS INT)] * q[CAST(l AS INT)]) AS gv
+         |        FROM qe, (SELECT unnest(range(1, 65)) AS j),
+         |                 (SELECT unnest(range(1, 65)) AS l) GROUP BY j, l)),
+         |cov AS (SELECT list_transform(range(0, 4096), i ->
+         |    g[CAST(i + 1 AS INT)] / n
+         |    - mean[CAST(i // 64 + 1 AS INT)] * mean[CAST(i % 64 + 1 AS INT)]) AS a
+         |  FROM gm, m, mom),
+         |pca AS (
+         |  SELECT 0 AS comp, 0 AS iter,
+         |    list_transform(range(0, 64), i -> CASE WHEN i = 0
+         |      THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) AS v,
+         |    a
+         |  FROM cov
+         |  UNION ALL
+         |  SELECT CASE WHEN iter < 20 THEN comp ELSE comp + 1 END,
+         |    CASE WHEN iter < 20 THEN iter + 1 ELSE 0 END,
+         |    CASE WHEN iter < 20 THEN $vNext ELSE $eNext END,
+         |    CASE WHEN iter < 20 THEN a ELSE $deflated END
+         |  FROM pca WHERE NOT (comp = 3 AND iter = 20)),
+         |comps AS (SELECT comp, v FROM pca WHERE iter = 20),
+         |ctr AS (SELECT vec_id, list_transform(range(1, 65),
+         |    j -> CAST(q[CAST(j AS INT)] AS DOUBLE) - mean[CAST(j AS INT)]) AS c
+         |  FROM qe, m),
+         |p AS (SELECT vec_id, comp,
+         |    CAST(floor(${dotSql("c", "v")}) AS BIGINT) AS pv
+         |  FROM ctr, comps)
+         |SELECT vec_id, array_to_string(list(CAST(pv AS VARCHAR) ORDER BY comp), ',') AS pca
+         |FROM p GROUP BY vec_id ORDER BY vec_id""".stripMargin
+    },
+
+    // integer-quantized second-moment matrix: long sums are order-free, so
+    // a plain SQL group-by reproduces the distributed aggregate bit for bit
+    "emb_gram" ->
+      """WITH q AS (SELECT
+        |    list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |idx AS (SELECT j.j, l.l
+        |  FROM (SELECT unnest(range(0, 64)) AS j) j,
+        |       (SELECT unnest(range(0, 64)) AS l) l)
+        |SELECT idx.j, idx.l,
+        |  CAST(sum(q.q[CAST(idx.j + 1 AS INT)] * q.q[CAST(idx.l + 1 AS INT)]) AS BIGINT) AS g
+        |FROM q, idx GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
 }

@@ -663,6 +663,40 @@ class ExtSpec extends AnyFunSuite {
     assert(out(2L) == ((3L, 66L)))
   }
 
+  test("gram matrix: exact integer second moments") {
+    val vecs = Seq((0L, Array(1.0f, 2.0f)), (1L, Array(3.0f, 4.0f)))
+      .toDF("vec_id", "embedding")
+    val g = graft.ext.Embeddings.gramMatrix(vecs, dim = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // q = (10000,20000), (30000,40000)
+    assert(g((0L, 0L)) == 1000000000L)
+    assert(g((0L, 1L)) == 1400000000L)
+    assert(g((1L, 0L)) == 1400000000L)
+    assert(g((1L, 1L)) == 2000000000L)
+  }
+
+  test("PCA: dominant axis recovered, training deterministic, opposite projections") {
+    val vecs = Seq(
+      (0L, Array(0.5f, 0.01f, 0.0f, 0.0f)),
+      (1L, Array(-0.5f, 0.0f, 0.01f, 0.0f)),
+      (2L, Array(0.45f, 0.0f, 0.0f, 0.01f)),
+      (3L, Array(-0.45f, 0.01f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val (n, s, g) = graft.ext.PcaTrainer.moments(vecs, dim = 4)
+    assert(n == 4L)
+    val comps = graft.ext.PcaTrainer.trainPca(n, s, g, k = 2)
+    val again = graft.ext.PcaTrainer.trainPca(n, s, g, k = 2)
+    assert(comps.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq,
+      "training must be bit-deterministic")
+    assert(math.abs(comps(0)(0)) > 0.99, "axis 0 carries the variance")
+    val proj = graft.ext.PcaTrainer
+      .project(vecs, comps, graft.ext.PcaTrainer.meanOf(n, s))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val p0 = proj(0L).split(",")(0).toLong
+    val p1 = proj(1L).split(",")(0).toLong
+    assert(p0.sign == -p1.sign && math.abs(p0) > 3000,
+      s"opposite points must project to opposite signs, got $p0 / $p1")
+  }
+
   test("frame sample: full frames only, every 4th, stable digests") {
     val text = "ab" * 160                  // 320 bytes → 5 full frames → idx 0, 4
     val frames = Multimodal.frameSample(Multimodal.asBlobs(
