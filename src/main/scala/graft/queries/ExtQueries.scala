@@ -229,6 +229,33 @@ object ExtQueries {
   private val dedupSpanExact: Q = (s, dir) =>
     Dedup.spanDupStats(dupCorpus(s, dir)).orderBy("doc_id")
 
+  /** The per-document curation report: every quality signal the round-5
+    * surface computes, assembled into ONE wide disposition table — the
+    * ablation log a data team keeps alongside the cleaned corpus. Each
+    * signal is an independent aggregation joined back on doc_id (all
+    * high-cardinality, all map-side combined); signals that omit rows
+    * (contamination) coalesce to zero. */
+  private val corpusCurationReport: Q = (s, dir) => {
+    val docs = documents(s, dir)
+    val quality = TextAnalysis.qualityFilter(docs)
+      .select(col("doc_id"), col("reason"), col("keep"))
+    val rep = TextAnalysis.repetitionStats(docs)
+      .select(col("doc_id"), col("dup3_x10000"), col("top2_x10000"))
+    val lm = TextAnalysis.unigramLmScore(docs)
+      .select(col("doc_id"), col("surprisal_x100"))
+    val contam = Contamination
+      .contaminatedDocs(docs, docs.filter(col("doc_id") % 100 === 0))
+    docs.select("doc_id", "lang")
+      .join(quality, "doc_id")
+      .join(rep, Seq("doc_id"), "left")
+      .join(lm, Seq("doc_id"), "left")
+      .join(contam, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"), col("reason"), col("keep"),
+        col("dup3_x10000"), col("top2_x10000"), col("surprisal_x100"),
+        coalesce(col("hits"), lit(0L)).as("contam_hits"))
+      .orderBy("doc_id")
+  }
+
   /** Mixture rebalancing to target proportions: zh deliberately over-target
     * (its rate caps at 100%), en downsampled. */
   private val corpusMixDomains: Q = (s, dir) =>
@@ -362,6 +389,7 @@ object ExtQueries {
     "text_unigram_lm" -> textUnigramLm,
     "dedup_span_exact" -> dedupSpanExact,
     "corpus_mix_domains" -> corpusMixDomains,
+    "corpus_curation_report" -> corpusCurationReport,
     "multimodal_meta" -> multimodalMeta,
     "multimodal_resize" -> multimodalResize,
     "multimodal_frames" -> multimodalFrames)
@@ -1115,6 +1143,68 @@ object ExtQueries {
          |  CAST(coalesce(10000 * d.dup_spans // p.spans, 0) AS BIGINT) AS dup_x10000
          |FROM per p LEFT JOIN dupc d ON p.doc_id = d.doc_id
          |ORDER BY p.doc_id""".stripMargin,
+
+    // the composed per-doc curation report: quality reason + repetition +
+    // unigram surprisal + contamination hits, one row per document
+    "corpus_curation_report" -> {
+      val gram8 = (0 until 8).map(k => s"t[i+$k]").mkString(" || ' ' || ")
+      s"""WITH q AS (SELECT doc_id, lang,
+         |  len(regexp_split_to_array(text, '\\s+')) AS words,
+         |  100 * length(regexp_replace(text, '\\s+', '', 'g'))
+         |    // len(regexp_split_to_array(text, '\\s+')) AS avg_wlen_x100,
+         |  10000 * len(list_filter(regexp_split_to_array(text, '\\s+'),
+         |      t -> t IN ('the','a','of','and','to','in','is')))
+         |    // len(regexp_split_to_array(text, '\\s+')) AS stop_x10000,
+         |  10000 * len(regexp_extract_all(text, '[^\\w\\s]')) // length(text) AS punct_x10000
+         |  FROM documents),
+         |r AS (SELECT doc_id, lang,
+         |  CASE WHEN words < 25 THEN 'too_short'
+         |       WHEN words > 5000 THEN 'too_long'
+         |       WHEN avg_wlen_x100 < 380 OR avg_wlen_x100 > 1200 THEN 'word_length'
+         |       WHEN stop_x10000 < 400 THEN 'low_stopword'
+         |       WHEN punct_x10000 > 120 THEN 'high_punct'
+         |       WHEN lang <> 'en' THEN 'non_english'
+         |       ELSE NULL END AS reason
+         |  FROM q),
+         |rtok AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t FROM documents),
+         |g3 AS (SELECT doc_id, unnest(CASE WHEN len(t) < 3 THEN []::VARCHAR[]
+         |    ELSE list_transform(range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS g
+         |  FROM rtok),
+         |g2 AS (SELECT doc_id, unnest(CASE WHEN len(t) < 2 THEN []::VARCHAR[]
+         |    ELSE list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) END) AS g
+         |  FROM rtok),
+         |c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2),
+         |c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+         |s3 AS (SELECT doc_id, sum(c) AS grams3,
+         |    sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup3 FROM c3 GROUP BY 1),
+         |s2 AS (SELECT doc_id, sum(c) AS grams2, max(c) AS top2 FROM c2 GROUP BY 1),
+         |ltok AS (SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS tok FROM documents),
+         |v AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM ltok GROUP BY 1),
+         |tt AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM v),
+         |lb AS (SELECT doc_id,
+         |    (strlen(bin(t)) - 1) - (strlen(bin(c)) - 1) AS bits
+         |  FROM ltok JOIN v USING (tok) CROSS JOIN tt),
+         |lm AS (SELECT doc_id, CAST(100 * sum(bits) // count(*) AS BIGINT) AS surprisal_x100
+         |  FROM lb GROUP BY 1),
+         |dg AS (SELECT doc_id,
+         |    unnest(list_transform(range(1, len(t) - 6), i -> md5($gram8))) AS gh
+         |  FROM rtok WHERE len(t) >= 8),
+         |dp AS (SELECT DISTINCT gh FROM dg WHERE doc_id % 100 = 0),
+         |ct AS (SELECT dg.doc_id, CAST(count(DISTINCT dg.gh) AS BIGINT) AS hits
+         |  FROM dg JOIN dp USING (gh) WHERE dg.doc_id % 100 <> 0 GROUP BY 1)
+         |SELECT d.doc_id, d.lang, r.reason, r.reason IS NULL AS keep,
+         |  CAST(coalesce(10000 * s3.dup3 // s3.grams3, 0) AS BIGINT) AS dup3_x10000,
+         |  CAST(coalesce(10000 * s2.top2 // s2.grams2, 0) AS BIGINT) AS top2_x10000,
+         |  lm.surprisal_x100,
+         |  coalesce(ct.hits, 0) AS contam_hits
+         |FROM documents d
+         |JOIN r ON d.doc_id = r.doc_id
+         |LEFT JOIN s3 ON d.doc_id = s3.doc_id
+         |LEFT JOIN s2 ON d.doc_id = s2.doc_id
+         |LEFT JOIN lm ON d.doc_id = lm.doc_id
+         |LEFT JOIN ct ON d.doc_id = ct.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+    },
 
     // mixture rebalancing: rate = min(100%, budget·weight / stratum_tokens),
     // sampled on the same 8-hex-digit content bucket as the split twin
