@@ -278,6 +278,53 @@ object TextAnalysis {
           lit(0L)).as("top2_x10000"))
   }
 
+  /** Ingest-time repetition stats: the ROW-LOCAL twin of
+    * [[repetitionStats]] — identical values, zero shuffle and zero state,
+    * so the gate runs inside the admitting micro-batch (the same
+    * streaming-admission contract as
+    * [[Contamination.flagContaminated]]). Duplicate counting works on the
+    * SORTED gram array: every occurrence of a gram with count > 1 has an
+    * equal neighbor there, and the top-2-gram occupancy is the longest
+    * run. Input columns pass through untouched. */
+  def repetitionInline(docs: DataFrame): DataFrame = {
+    val tc = "__graft_rep_toks"
+    val a3 = "__graft_rep_g3"
+    val a2 = "__graft_rep_g2"
+    def dupCount(g: Column): Column = {
+      val n = size(g)
+      // sequence(1, 0) would generate a DESCENDING range — guard empties
+      when(n === 0, lit(0L)).otherwise(
+        size(filter(transform(sequence(lit(1), n), i =>
+          (i > lit(1) && element_at(g, i) === element_at(g, i - 1)) ||
+            (i < n && element_at(g, i) === element_at(g, i + 1))),
+          b => b)).cast("long"))
+    }
+    def maxRun(g: Column): Column =
+      aggregate(g,
+        struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),
+          lit(0L).as("best")),
+        (acc, x) => {
+          val run = when(x === acc.getField("prev"), acc.getField("run") + 1)
+            .otherwise(lit(1L))
+          struct(x.as("prev"), run.as("run"),
+            greatest(acc.getField("best"), run).as("best"))
+        },
+        acc => acc.getField("best"))
+    val passThrough = docs.columns.map(col).toSeq
+    docs
+      .withColumn(tc, tokens(col("text")))
+      .withColumn(a3, array_sort(Contamination.ngramsInline(col(tc), 3)))
+      .withColumn(a2, array_sort(Contamination.ngramsInline(col(tc), 2)))
+      .select(passThrough ++ Seq(
+        size(col(a3)).cast("long").as("grams3"),
+        when(size(col(a3)) === 0, lit(0L))
+          .otherwise((lit(10000L) * dupCount(col(a3)) / size(col(a3)))
+            .cast("long")).as("dup3_x10000"),
+        when(size(col(a2)) === 0, lit(0L))
+          .otherwise((lit(10000L) * maxRun(col(a2)) / size(col(a2)))
+            .cast("long")).as("top2_x10000")): _*)
+  }
+
   /** Unigram-LM quality scoring (the CCNet-style perplexity proxy): train a
     * unigram model ON the corpus (token → count, one map-side-combined
     * token shuffle), then score each document by its mean per-token

@@ -697,6 +697,53 @@ class ExtSpec extends AnyFunSuite {
       s"opposite points must project to opposite signs, got $p0 / $p1")
   }
 
+  test("repetitionInline: row-local twin matches relational stats, zero shuffle") {
+    val docs = Seq(
+      (1L, "a b c a b c a b c"),
+      (2L, "all tokens here are completely unique words"),
+      (3L, "xy"),
+      (4L, "x y x y x y x y z")).toDF("doc_id", "text")
+    val rel = TextAnalysis.repetitionStats(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val inl = TextAnalysis.repetitionInline(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(rel == inl, s"inline twin diverged: $rel vs $inl")
+    // streaming-admission contract: a pure row-local projection
+    val plan = TextAnalysis.repetitionInline(docs).queryExecution.executedPlan
+    assert(!plan.toString.contains("Exchange"),
+      "repetitionInline must not shuffle (ingest-time row-local gate)")
+  }
+
+  test("r5 signal plans: no window funnels, no cartesian products") {
+    // every round-5 signal reduces via high-cardinality aggregations —
+    // a WindowExec or cartesian anywhere in these plans would be a
+    // per-group funnel / all-pairs regression
+    val sf = "/root/testdata/sf0.001"
+    val key = "spark.sql.adaptive.enabled"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try Seq("text_repetition", "text_unigram_lm", "dedup_span_exact",
+      "corpus_mix_domains", "corpus_curation_report", "emb_gram", "emb_pca")
+      .foreach { k =>
+        val plan = SparkEntry.queries(k)(spark, sf).queryExecution.executedPlan
+        val windows = plan.collect {
+          case w: org.apache.spark.sql.execution.window.WindowExec => w }
+        assert(windows.isEmpty, s"$k must not contain WindowExec")
+        val cart = plan.collect {
+          case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+          case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+              // the one legitimate NLJ: broadcasting a single-row total
+              // (unigram-LM corpus size) is a constant, not a corpus
+              if b.left.schema.length > 2 && b.right.schema.length > 2 => b
+        }
+        assert(cart.isEmpty, s"$k must not contain cartesian/NLJ over data:\n$cart")
+      }
+    finally old match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("frame sample: full frames only, every 4th, stable digests") {
     val text = "ab" * 160                  // 320 bytes → 5 full frames → idx 0, 4
     val frames = Multimodal.frameSample(Multimodal.asBlobs(
