@@ -229,6 +229,24 @@ object ExtQueries {
   private val dedupSpanExact: Q = (s, dir) =>
     Dedup.spanDupStats(dupCorpus(s, dir)).orderBy("doc_id")
 
+  /** BPE merge-table training on the full corpus: 8 rounds of distributed
+    * pair counting, one single-row collect per round. */
+  private val textBpeTrain: Q = (s, dir) => {
+    import s.implicits._
+    graft.ext.BpeTrainer.train(documents(s, dir), merges = 8).zipWithIndex
+      .map { case ((p1, p2, n), i) => (i + 1L, p1, p2, n) }
+      .toDF("rank", "p1", "p2", "n").orderBy("rank")
+  }
+
+  /** Token counting under the trained BPE: merge folds run over the
+    * distinct-word vocabulary, the token stream only joins on the word. */
+  private val textBpeTokens: Q = (s, dir) => {
+    val docs = documents(s, dir)
+    graft.ext.BpeTrainer
+      .tokenCounts(docs, graft.ext.BpeTrainer.train(docs, merges = 8))
+      .orderBy("doc_id")
+  }
+
   /** The per-document curation report: every quality signal the round-5
     * surface computes, assembled into ONE wide disposition table — the
     * ablation log a data team keeps alongside the cleaned corpus. Each
@@ -387,6 +405,8 @@ object ExtQueries {
     "text_fingerprint" -> textFingerprint,
     "text_repetition" -> textRepetition,
     "text_unigram_lm" -> textUnigramLm,
+    "text_bpe_train" -> textBpeTrain,
+    "text_bpe_tokens" -> textBpeTokens,
     "dedup_span_exact" -> dedupSpanExact,
     "corpus_mix_domains" -> corpusMixDomains,
     "corpus_curation_report" -> corpusCurationReport,
@@ -463,6 +483,47 @@ object ExtQueries {
   /** Shared minhash pipeline CTEs ending in `scored(ida, idb, jacc_x10000)`
     * — the DuckDB twin of Dedup.minhashLshPairs before thresholding. */
   private val MinhashScoredCtes: String = s"$CorpusCte,\n$MinhashFromCorpus"
+
+  /** BpeTrainer twin: the recursive merge-training CTE, ending in `bpe`
+    * whose iter=8 rows hold the fully-merged vocabulary and whose
+    * iter=i≥1 rows carry the rule learned at round i (mp1, mp2, mn). */
+  private val BpeCtes: String = {
+    val symPat = s"chr(1) || '([^' || chr(2) || ']*)' || chr(2)"
+    s"""WITH RECURSIVE w0 AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM (SELECT unnest(regexp_split_to_array(text, '\\s+')) AS w FROM documents)
+       |  GROUP BY w),
+       |v0 AS (SELECT w, cnt,
+       |  array_to_string(list_transform(range(1, length(w) + 1),
+       |    i -> chr(1) || substr(w, CAST(i AS INT), 1) || chr(2)), '') AS s
+       |  FROM w0),
+       |bpe AS (
+       |  SELECT 0 AS iter, w, cnt, s,
+       |    CAST(NULL AS VARCHAR) AS mp1, CAST(NULL AS VARCHAR) AS mp2,
+       |    CAST(NULL AS BIGINT) AS mn
+       |  FROM v0
+       |  UNION ALL
+       |  SELECT b.iter + 1, b.w, b.cnt,
+       |    replace(b.s, chr(1) || t.p1 || chr(2) || chr(1) || t.p2 || chr(2),
+       |            chr(1) || t.p1 || t.p2 || chr(2)),
+       |    t.p1, t.p2, t.n
+       |  FROM bpe b, (
+       |    SELECT split_part(pr, chr(3), 1) AS p1,
+       |           split_part(pr, chr(3), 2) AS p2, n
+       |    FROM (
+       |      SELECT pr, CAST(sum(cnt) AS BIGINT) AS n FROM (
+       |        SELECT b2.cnt, unnest(list_transform(range(1, len(sy)),
+       |          i -> sy[CAST(i AS INT)] || chr(3) || sy[CAST(i + 1 AS INT)])) AS pr
+       |        FROM (SELECT cnt, regexp_extract_all(s, $symPat, 1) AS sy
+       |              FROM bpe) b2) px
+       |      GROUP BY pr)
+       |    ORDER BY n DESC, pr LIMIT 1) t
+       |  WHERE b.iter < 8)""".stripMargin
+  }
+
+  private val BpeTrainSelect: String =
+    """SELECT DISTINCT CAST(iter AS BIGINT) AS rank, mp1 AS p1, mp2 AS p2, mn AS n
+      |FROM bpe WHERE iter >= 1 ORDER BY rank""".stripMargin
 
   /** The per-sub-space k-means recursion (PqTrainer.trainCodebook twin):
     * first-16 init, 10 iterations, first-min ties, vec_id-ordered
@@ -1123,6 +1184,27 @@ object ExtQueries {
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
         |  CAST(100 * sum(bits) // count(*) AS BIGINT) AS surprisal_x100
         |FROM b GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // BPE twin: the whole 8-round merge training rederives as a recursive
+    // CTE. Symbol sequences travel as chr(1)<sym>chr(2)-bracketed strings
+    // so one replace() IS the greedy-leftmost merge fold (matches can
+    // never share delimiter characters); pairs count via the same
+    // bracket-parse; ties break on the chr(3)-joined pair string, which
+    // orders identically to (p1, p2) because chr(3) sorts below any
+    // symbol byte.
+    "text_bpe_train" -> s"$BpeCtes\n$BpeTrainSelect",
+
+    "text_bpe_tokens" ->
+      s"""$BpeCtes,
+         |v8 AS (SELECT w, len(regexp_extract_all(s,
+         |    chr(1) || '([^' || chr(2) || ']*)' || chr(2), 1)) AS n_bpe
+         |  FROM bpe WHERE iter = 8),
+         |tokr2 AS (SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS w
+         |  FROM documents)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS ws_tokens,
+         |  CAST(sum(n_bpe) AS BIGINT) AS bpe_tokens
+         |FROM tokr2 JOIN v8 USING (w)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // cross-doc duplicated 8-token spans at stride 4 (list slice is
     // 1-based inclusive: t[s*4+1 : s*4+8] is the 8-token window)

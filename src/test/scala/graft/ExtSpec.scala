@@ -697,6 +697,26 @@ class ExtSpec extends AnyFunSuite {
       s"opposite points must project to opposite signs, got $p0 / $p1")
   }
 
+  test("BPE training: greedy merges, overlap counting, lexicographic ties") {
+    val docs = Seq((1L, "aaa aaa ab"), (2L, "aaa ab ab")).toDF("doc_id", "text")
+    // vocab: aaa×3, ab×3. Round 1: (a,a) counts 2 per 'aaa' (overlap) = 6
+    // beats (a,b) = 3; merge → aaa = [aa, a] (greedy leftmost).
+    // Round 2: (aa,a) = 3 ties (a,b) = 3 → lexicographic min (a,b) wins.
+    // Round 3: (aa,a) = 3.
+    val m = graft.ext.BpeTrainer.train(docs, merges = 3)
+    assert(m == Seq(("a", "a", 6L), ("a", "b", 3L), ("aa", "a", 3L)))
+  }
+
+  test("BPE token counts: vocabulary fold + token-stream join") {
+    val docs = Seq((1L, "aaa aaa ab"), (2L, "aaa ab ab")).toDF("doc_id", "text")
+    val m = graft.ext.BpeTrainer.train(docs, merges = 2)
+    // after (a,a) and (a,b): aaa = [aa, a] (2 tokens), ab = [ab] (1)
+    val out = graft.ext.BpeTrainer.tokenCounts(docs, m).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L) == ((3L, 5L)))
+    assert(out(2L) == ((3L, 4L)))
+  }
+
   test("repetitionInline: row-local twin matches relational stats, zero shuffle") {
     val docs = Seq(
       (1L, "a b c a b c a b c"),
