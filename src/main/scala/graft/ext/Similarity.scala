@@ -139,6 +139,31 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame =
     ivfProbe(cellReps(corpus), corpus, queries, k)
 
+  /** Persisted-index IVF — the build-once / probe-many layout a 100 TB
+    * deployment actually runs: cell assignments are written ONCE as a
+    * parquet table PARTITIONED BY cell, so every later query batch scans
+    * only the inverted lists it probes (partition pruning at the file
+    * level — the directory layout IS the inverted index), instead of
+    * re-deriving assignments per query batch. Results are identical to
+    * [[ivfTopK]] (same reps, same assignment, same probe); the oracle twin
+    * is ann_ivf's. Returns the probe result; the index persists at
+    * `indexPath` for reuse. */
+  def ivfPersistedTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      indexPath: String): DataFrame = {
+    val reps = cellReps(corpus)
+    cellAssign(reps, corpus, "embedding", "ivf_cell")
+      .write.mode("overwrite").partitionBy("ivf_cell").parquet(indexPath)
+    val index = corpus.sparkSession.read.parquet(indexPath)
+    val q = cellAssign(reps, queries, "embedding", "ivf_cell")
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("ivf_cell"))
+    val scored = index.join(broadcast(q), "ivf_cell")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        cosine(col("q_emb"), col("embedding")).as("sim"))
+    rankTopK(scored, k, "sim", asc = false)
+      .select("q_id", "rank", "n_id", "sim")
+  }
+
   /** Trained-quantizer IVF: cells are k-means centroids from
     * [[PqTrainer.trainCodebook]] run with m=1 over the full dimension — the
     * same bounded-sample deterministic trainer the PQ codebook uses — so

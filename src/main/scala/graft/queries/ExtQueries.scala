@@ -163,6 +163,16 @@ object ExtQueries {
       .orderBy("q_id", "rank")
   }
 
+  /** Build-once/probe-many IVF: the index persists as a parquet table
+    * partitioned by cell; the probe scans only its inverted lists. */
+  private val annIvfPersisted: Q = (s, dir) => {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val e = embeddings(s, dir)
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf-index").toString
+    Similarity.ivfPersistedTopK(e, e.filter(col("vec_id") < 10), 5, path)
+      .orderBy("q_id", "rank")
+  }
+
   private val annIvfPq: Q = (s, dir) => {
     graft.functions.GraftFunctions.ensureRegistered(s)
     val e = embeddings(s, dir)
@@ -379,6 +389,7 @@ object ExtQueries {
     "ann_lsh_multiprobe" -> annLshMultiprobe,
     "ann_recall" -> annRecall,
     "ann_ivf" -> annIvf,
+    "ann_ivf_persisted" -> annIvfPersisted,
     "ann_ivf_trained" -> annIvfTrained,
     "ann_pq" -> annPq,
     "ann_pq_trained" -> annPqTrained,
@@ -713,6 +724,31 @@ object ExtQueries {
        |    // (len(x.t) + len(y.t) - len(list_distinct(list_intersect(x.t, y.t)))) AS jacc_x10000
        |  FROM cand JOIN ts x ON ida = x.doc_id JOIN ts y ON idb = y.doc_id)""".stripMargin
 
+  /** The shared IVF oracle (medoid reps, nearest-cell assignment,
+    * in-cell probe + re-rank) — twin of ivfTopK AND ivfPersistedTopK. */
+  private val AnnIvfOracle: String =
+      s"""WITH reps AS (
+         |  SELECT label AS cell, embedding AS rep FROM (
+         |    SELECT label, embedding,
+         |      row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+         |    FROM embeddings) WHERE rn = 1),
+         |assigned AS (
+         |  SELECT vec_id, embedding, ivf_cell FROM (
+         |    SELECT e.vec_id, e.embedding, r.cell AS ivf_cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosSql("e.embedding", "r.rep")} DESC, r.cell) AS rn
+         |    FROM embeddings e, reps r) WHERE rn = 1),
+         |q AS (SELECT vec_id AS q_id, embedding AS qe, ivf_cell
+         |      FROM assigned WHERE vec_id < 10),
+         |scored AS (SELECT q_id, e.vec_id AS n_id,
+         |  ${cosSql("qe", "e.embedding")} AS sim
+         |  FROM assigned e JOIN q USING (ivf_cell) WHERE e.vec_id <> q.q_id),
+         |ranked AS (SELECT q_id, n_id, sim,
+         |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS INT) AS rank
+         |  FROM scored)
+         |SELECT q_id, rank, n_id, sim FROM ranked WHERE rank <= 5
+         |ORDER BY q_id, rank""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "dedup_exact" ->
       s"""$CorpusCte
@@ -879,28 +915,12 @@ object ExtQueries {
          |  SELECT 'lsh_multiprobe', count(*) FROM bf JOIN mp USING (q_id, n_id))
          |ORDER BY method""".stripMargin,
 
-    "ann_ivf" ->
-      s"""WITH reps AS (
-         |  SELECT label AS cell, embedding AS rep FROM (
-         |    SELECT label, embedding,
-         |      row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn
-         |    FROM embeddings) WHERE rn = 1),
-         |assigned AS (
-         |  SELECT vec_id, embedding, ivf_cell FROM (
-         |    SELECT e.vec_id, e.embedding, r.cell AS ivf_cell,
-         |      row_number() OVER (PARTITION BY e.vec_id
-         |        ORDER BY ${cosSql("e.embedding", "r.rep")} DESC, r.cell) AS rn
-         |    FROM embeddings e, reps r) WHERE rn = 1),
-         |q AS (SELECT vec_id AS q_id, embedding AS qe, ivf_cell
-         |      FROM assigned WHERE vec_id < 10),
-         |scored AS (SELECT q_id, e.vec_id AS n_id,
-         |  ${cosSql("qe", "e.embedding")} AS sim
-         |  FROM assigned e JOIN q USING (ivf_cell) WHERE e.vec_id <> q.q_id),
-         |ranked AS (SELECT q_id, n_id, sim,
-         |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS INT) AS rank
-         |  FROM scored)
-         |SELECT q_id, rank, n_id, sim FROM ranked WHERE rank <= 5
-         |ORDER BY q_id, rank""".stripMargin,
+    "ann_ivf" -> AnnIvfOracle,
+
+    // identical semantics through the persisted partitioned index —
+    // ann_ivf's oracle IS the twin
+    "ann_ivf_persisted" -> AnnIvfOracle,
+
 
     // trained-IVF twin: coarse k-means (CoarseKmCtes) + the ann_ivf
     // assignment/probe CTEs with reps = the trained centroids

@@ -697,6 +697,20 @@ class ExtSpec extends AnyFunSuite {
       s"opposite points must project to opposite signs, got $p0 / $p1")
   }
 
+  test("persisted IVF: on-disk cell partitions, probe equals the in-memory plan") {
+    val sf = "/root/testdata/sf0.001"
+    val e = graft.queries.Synth.embeddings(spark, sf)
+    val q = e.filter(col("vec_id") < 10)
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf-spec").toString
+    val out = Similarity.ivfPersistedTopK(e, q, 5, path)
+      .orderBy("q_id", "rank").collect().toSeq
+    val base = Similarity.ivfTopK(e, q, 5).orderBy("q_id", "rank").collect().toSeq
+    assert(out == base, "persisted probe must reproduce the in-memory result")
+    val parts = new java.io.File(path).listFiles()
+      .map(_.getName).filter(_.startsWith("ivf_cell="))
+    assert(parts.nonEmpty, "the directory layout IS the inverted index")
+  }
+
   test("BPE training: greedy merges, overlap counting, lexicographic ties") {
     val docs = Seq((1L, "aaa aaa ab"), (2L, "aaa ab ab")).toDF("doc_id", "text")
     // vocab: aaa×3, ab×3. Round 1: (a,a) counts 2 per 'aaa' (overlap) = 6
