@@ -731,6 +731,58 @@ class ExtSpec extends AnyFunSuite {
     assert(out(2L) == ((3L, 4L)))
   }
 
+  test("property: BPE greedy-leftmost fold matches the reference implementation") {
+    import org.scalacheck.Gen
+    def ref(syms: Seq[String], p1: String, p2: String): List[String] =
+      syms.foldLeft(Vector.empty[String]) { (acc, x) =>
+        if (acc.nonEmpty && acc.last == p1 && x == p2) acc.init :+ (p1 + p2)
+        else acc :+ x
+      }.toList
+    val symGen = Gen.oneOf("a", "b", "ab", "c")
+    val caseGen = for {
+      n <- Gen.choose(0, 8)
+      syms <- Gen.listOfN(n, symGen)
+      p1 <- symGen
+      p2 <- symGen
+    } yield (syms, p1, p2)
+    var seed = org.scalacheck.rng.Seed(7L)
+    val samples = (1 to 200).map { i =>
+      val c = caseGen.pureApply(Gen.Parameters.default, seed)
+      seed = seed.next
+      (i.toLong, c._1, c._2, c._3)
+    }
+    // one Spark job per distinct pair (the pair is a plan literal)
+    samples.groupBy(c => (c._3, c._4)).foreach { case ((p1, p2), group) =>
+      val df = group.map(g => (g._1, g._2)).toDF("id", "syms")
+      val out = df.select(col("id"),
+          graft.ext.BpeTrainer.foldMerge(col("syms"), p1, p2).as("m"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+      group.foreach { g =>
+        assert(out(g._1) == ref(g._2, p1, p2),
+          s"fold mismatch for ${g._2} with ($p1,$p2)")
+      }
+    }
+  }
+
+  test("property: inline repetition equals relational repetition on random docs") {
+    import org.scalacheck.Gen
+    val docGen = for {
+      n <- Gen.choose(0, 12)
+      ts <- Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d"))
+    } yield ts.mkString(" ")
+    var seed = org.scalacheck.rng.Seed(11L)
+    val docs = (1 to 60).map { i =>
+      val t = docGen.pureApply(Gen.Parameters.default, seed)
+      seed = seed.next
+      (i.toLong, t)
+    }.toDF("doc_id", "text")
+    val rel = TextAnalysis.repetitionStats(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val inl = TextAnalysis.repetitionInline(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(rel == inl)
+  }
+
   test("repetitionInline: row-local twin matches relational stats, zero shuffle") {
     val docs = Seq(
       (1L, "a b c a b c a b c"),
