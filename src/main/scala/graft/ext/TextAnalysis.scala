@@ -352,6 +352,39 @@ object TextAnalysis {
         (lit(100L) * sum("bits") / count(lit(1))).cast("long").as("surprisal_x100"))
   }
 
+  /** TF-IDF keyword extraction: top-k terms per document by
+    * tf · idf_bits, where idf_bits = ilog2(N) − ilog2(df) — the integer
+    * surprisal trick of [[unigramLmScore]] applied to document frequency,
+    * so scores are exact in any engine. Ranking runs through the BOUNDED
+    * `topk_pairs` partial/final aggregate (terms keyed by a 60-bit md5
+    * prefix, ties to the lower key both sides), never a per-doc window;
+    * the term dictionary joins back on the same key. Shuffles: (doc, tok)
+    * tf, tok df, doc top-k, tok_id dictionary join — all high-cardinality,
+    * map-side combined. */
+  def tfidfTopK(corpus: DataFrame, k: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
+    def ilog2(x: Column): Column = (length(bin(x)) - 1).cast("long")
+    def tokId(tok: Column): Column =
+      conv(substring(md5(tok), 1, 15), 16, 10).cast("long")
+    val tf = tokenRows(corpus).groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val n = corpus.select(countDistinct(col("doc_id")).as("n"))
+    val scored = tf.join(dfreq, "tok").crossJoin(broadcast(n))
+      .select(col("doc_id"), col("tok"),
+        (col("tf") * (ilog2(col("n")) - ilog2(col("df")))).as("score"),
+        tokId(col("tok")).as("tok_id"))
+    val top = scored.groupBy("doc_id")
+      .agg(call_function("topk_pairs",
+        col("tok_id"), col("score").cast("double"), lit(k), lit(false)).as("top"))
+      .select(col("doc_id"), posexplode(col("top")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.n_id").as("tok_id"), col("col.score").cast("long").as("score"))
+    val dict = dfreq.select(col("tok"), tokId(col("tok")).as("tok_id"))
+    top.join(dict, "tok_id")
+      .select(col("doc_id"), col("rank"), col("tok"), col("score"))
+  }
+
   /** Data-mixture rebalancing to TARGET proportions (the static-mixture
     * lever of DoReMi/palm-style pipelines): given per-stratum target
     * weights (percent) and a total token budget, compute each stratum's

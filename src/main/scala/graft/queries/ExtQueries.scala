@@ -234,6 +234,11 @@ object ExtQueries {
   private val textUnigramLm: Q = (s, dir) =>
     TextAnalysis.unigramLmScore(documents(s, dir)).orderBy("doc_id")
 
+  /** TF-IDF top-3 keywords per doc, ranked via the bounded topk_pairs
+    * aggregate (integer idf bits, md5-prefix term keys). */
+  private val textTfidfTopk: Q = (s, dir) =>
+    TextAnalysis.tfidfTopK(documents(s, dir), 3).orderBy("doc_id", "rank")
+
   /** Cross-doc duplicated 8-token spans at stride 4 over the planted-dup
     * corpus — the distributed stand-in for exact substring dedup. */
   private val dedupSpanExact: Q = (s, dir) =>
@@ -418,6 +423,7 @@ object ExtQueries {
     "text_unigram_lm" -> textUnigramLm,
     "text_bpe_train" -> textBpeTrain,
     "text_bpe_tokens" -> textBpeTokens,
+    "text_tfidf_topk" -> textTfidfTopk,
     "dedup_span_exact" -> dedupSpanExact,
     "corpus_mix_domains" -> corpusMixDomains,
     "corpus_curation_report" -> corpusCurationReport,
@@ -1204,6 +1210,26 @@ object ExtQueries {
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
         |  CAST(100 * sum(bits) // count(*) AS BIGINT) AS surprisal_x100
         |FROM b GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // TF-IDF twin: integer idf bits (ilog2 = bin-string length), ranked by
+    // (score desc, md5-prefix term key asc) — the exact topk_pairs order
+    "text_tfidf_topk" ->
+      s"""WITH tr AS (SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS tok
+         |  FROM documents),
+         |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+         |  FROM tr GROUP BY 1, 2),
+         |dfq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |nn AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM documents),
+         |sc AS (SELECT doc_id, tok, hx,
+         |    tf * ((strlen(bin(n)) - 1) - (strlen(bin(df)) - 1)) AS score
+         |  FROM (SELECT tf.doc_id, tf.tok, tf.tf, dfq.df, md5(tf.tok) AS hx
+         |        FROM tf JOIN dfq USING (tok)) x CROSS JOIN nn),
+         |rk AS (SELECT doc_id, tok, score,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY score DESC, ${hexFoldSql(1, 15)}) AS rank
+         |  FROM sc)
+         |SELECT doc_id, CAST(rank AS BIGINT) AS rank, tok, CAST(score AS BIGINT) AS score
+         |FROM rk WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
 
     // BPE twin: the whole 8-round merge training rederives as a recursive
     // CTE. Symbol sequences travel as chr(1)<sym>chr(2)-bracketed strings

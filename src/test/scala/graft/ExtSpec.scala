@@ -697,6 +697,22 @@ class ExtSpec extends AnyFunSuite {
       s"opposite points must project to opposite signs, got $p0 / $p1")
   }
 
+  test("TF-IDF top-k: integer idf bits, rare terms outrank ubiquitous ones") {
+    val docs = Seq(
+      (1L, "apple apple banana shared"),
+      (2L, "cherry shared shared"),
+      (3L, "shared")).toDF("doc_id", "text")
+    // N=3 → ilog2(3)=1; unique terms idf_bits=1, 'shared' (df=3) = 0
+    val out = TextAnalysis.tfidfTopK(docs, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getString(2), r.getLong(3))))
+      .toMap
+    assert(out((1L, 1L)) == (("apple", 2L)))   // tf 2 × idf 1
+    assert(out((1L, 2L)) == (("banana", 1L)))
+    assert(out((1L, 3L)) == (("shared", 0L)))
+    assert(out((2L, 1L)) == (("cherry", 1L)))
+    assert(out((3L, 1L)) == (("shared", 0L)))
+  }
+
   test("persisted IVF: on-disk cell partitions, probe equals the in-memory plan") {
     val sf = "/root/testdata/sf0.001"
     val e = graft.queries.Synth.embeddings(spark, sf)
