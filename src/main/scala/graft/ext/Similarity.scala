@@ -394,6 +394,31 @@ object Similarity {
     * narrow pass as [[lshTopK]]); only the tiny broadcast query side
     * explodes over its probe list, and since probe buckets are distinct a
     * corpus vector matches at most one probe — no candidate dedup needed. */
+  /** Cosine RANGE search (threshold retrieval, the other half of the ANN
+    * API next to top-k): all corpus vectors within `threshold` cosine of
+    * each query, candidate-pruned by the same Hamming-1 multi-probe
+    * buckets as [[lshMultiProbeTopK]] — corpus bucketed once narrowly,
+    * only the broadcast query side explodes over its probe list, exact
+    * verify on candidates only. Like every bucketed retrieval, recall is
+    * bounded by the probe list (neighbors ≥2 sign bits away are not
+    * candidates); the oracle mirrors the bucketing so the candidate sets
+    * agree structurally on any corpus. No ranking state at all — the
+    * output is the filtered candidate set. */
+  def rangeSearch(corpus: DataFrame, queries: DataFrame, threshold: Double,
+      planes: Array[Array[Double]]): DataFrame = {
+    val bucketed = corpus.withColumn("bucket", lshBucket(col("embedding"), planes))
+    val probeList = (b: Column) =>
+      array(b +: planes.indices.map(j => b.bitwiseXOR(lit(1L << j))): _*)
+    val q = broadcast(queries
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .withColumn("bucket", explode(probeList(lshBucket(col("q_emb"), planes)))))
+    bucketed.join(q, "bucket")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        cosine(col("q_emb"), col("embedding")).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
   def lshMultiProbeTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       planes: Array[Array[Double]]): DataFrame = {
     val bucketed = corpus.withColumn("bucket", lshBucket(col("embedding"), planes))

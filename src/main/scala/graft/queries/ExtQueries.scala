@@ -163,6 +163,14 @@ object ExtQueries {
       .orderBy("q_id", "rank")
   }
 
+  /** Threshold retrieval at cosine ≥ 0.25, multiprobe-bucket-pruned. */
+  private val annRangeSearch: Q = (s, dir) => {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val e = embeddings(s, dir)
+    Similarity.rangeSearch(e, e.filter(col("vec_id") < 10), 0.25, Planes)
+      .orderBy("q_id", "n_id")
+  }
+
   /** Build-once/probe-many IVF: the index persists as a parquet table
     * partitioned by cell; the probe scans only its inverted lists. */
   private val annIvfPersisted: Q = (s, dir) => {
@@ -392,6 +400,7 @@ object ExtQueries {
     "ann_brute_force" -> annBruteForce,
     "ann_lsh" -> annLsh,
     "ann_lsh_multiprobe" -> annLshMultiprobe,
+    "ann_range_search" -> annRangeSearch,
     "ann_recall" -> annRecall,
     "ann_ivf" -> annIvf,
     "ann_ivf_persisted" -> annIvfPersisted,
@@ -842,6 +851,24 @@ object ExtQueries {
 
     // multi-probe twin: the ann_lsh CTEs with the query side unnested over
     // its probe list (own bucket + each single-bit flip; DuckDB xor())
+    // range-search twin: same multiprobe candidate structure, threshold
+    // filter instead of ranking
+    "ann_range_search" ->
+      s"""WITH bucketed AS (
+         |  SELECT vec_id, embedding,
+         |    ${bucketExpr("embedding")} AS bucket
+         |  FROM embeddings),
+         |q0 AS (SELECT vec_id AS q_id, embedding AS qe, bucket AS qb
+         |       FROM bucketed WHERE vec_id < 10),
+         |q AS (SELECT q_id, qe,
+         |  unnest([qb, ${Planes.indices.map(j => s"xor(qb, ${1L << j})").mkString(", ")}]) AS bucket
+         |  FROM q0)
+         |SELECT q_id, e.vec_id AS n_id,
+         |  ${cosSql("qe", "e.embedding")} AS sim
+         |FROM bucketed e JOIN q USING (bucket)
+         |WHERE e.vec_id <> q.q_id AND ${cosSql("qe", "e.embedding")} >= 0.25
+         |ORDER BY q_id, n_id""".stripMargin,
+
     "ann_lsh_multiprobe" ->
       s"""WITH bucketed AS (
          |  SELECT vec_id, embedding,
