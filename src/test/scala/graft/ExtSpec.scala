@@ -825,7 +825,8 @@ class ExtSpec extends AnyFunSuite {
     val old = spark.conf.getOption(key)
     spark.conf.set(key, "false")
     try Seq("text_repetition", "text_unigram_lm", "dedup_span_exact",
-      "corpus_mix_domains", "corpus_curation_report", "emb_gram", "emb_pca")
+      "corpus_mix_domains", "corpus_curation_report", "emb_gram", "emb_pca",
+      "text_tfidf_topk", "ann_range_search")
       .foreach { k =>
         val plan = SparkEntry.queries(k)(spark, sf).queryExecution.executedPlan
         val windows = plan.collect {
