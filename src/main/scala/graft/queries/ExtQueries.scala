@@ -297,6 +297,36 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  /** Gate-composed corpus filter: a document survives only if it passes
+    * EVERY round-5 signal (quality gate, repetition ≤ 50%, surprisal
+    * sanity bound, zero benchmark contamination); survivors get the
+    * leakage-safe content-hash split. The executable form of the
+    * curation report — same per-signal aggregations, one AND. */
+  private val corpusFilterPipeline: Q = (s, dir) => {
+    val docs = documents(s, dir)
+    val q = TextAnalysis.qualityFilter(docs).select(col("doc_id"), col("keep"))
+    val rep = TextAnalysis.repetitionStats(docs)
+      .select(col("doc_id"), col("dup3_x10000"))
+    val lm = TextAnalysis.unigramLmScore(docs)
+      .select(col("doc_id"), col("surprisal_x100"))
+    val contam = Contamination
+      .contaminatedDocs(docs, docs.filter(col("doc_id") % 100 === 0))
+      .select(col("doc_id"), col("hits"))
+    val bucket = TextAnalysis.contentBucket(md5(col("text")))
+    docs.select(col("doc_id"), col("text"))
+      .join(q, "doc_id")
+      .join(rep, Seq("doc_id"), "left")
+      .join(lm, Seq("doc_id"), "left")
+      .join(contam, Seq("doc_id"), "left")
+      .filter(col("keep") &&
+        coalesce(col("dup3_x10000"), lit(0L)) <= 5000 &&
+        coalesce(col("surprisal_x100"), lit(0L)) <= 2000 &&
+        col("hits").isNull)
+      .select(col("doc_id"), bucket.as("bucket"),
+        TextAnalysis.splitFor(bucket).as("split"))
+      .orderBy("doc_id")
+  }
+
   /** Mixture rebalancing to target proportions: zh deliberately over-target
     * (its rate caps at 100%), en downsampled. */
   private val corpusMixDomains: Q = (s, dir) =>
@@ -436,6 +466,7 @@ object ExtQueries {
     "dedup_span_exact" -> dedupSpanExact,
     "corpus_mix_domains" -> corpusMixDomains,
     "corpus_curation_report" -> corpusCurationReport,
+    "corpus_filter_pipeline" -> corpusFilterPipeline,
     "multimodal_meta" -> multimodalMeta,
     "multimodal_resize" -> multimodalResize,
     "multimodal_frames" -> multimodalFrames)
@@ -1358,6 +1389,67 @@ object ExtQueries {
          |LEFT JOIN s2 ON d.doc_id = s2.doc_id
          |LEFT JOIN lm ON d.doc_id = lm.doc_id
          |LEFT JOIN ct ON d.doc_id = ct.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+    },
+
+    // the executable AND of the curation signals + content-hash split
+    "corpus_filter_pipeline" -> {
+      val gram8 = (0 until 8).map(k => s"t[i+$k]").mkString(" || ' ' || ")
+      s"""WITH q AS (SELECT doc_id, lang,
+         |  len(regexp_split_to_array(text, '\\s+')) AS words,
+         |  100 * length(regexp_replace(text, '\\s+', '', 'g'))
+         |    // len(regexp_split_to_array(text, '\\s+')) AS avg_wlen_x100,
+         |  10000 * len(list_filter(regexp_split_to_array(text, '\\s+'),
+         |      t -> t IN ('the','a','of','and','to','in','is')))
+         |    // len(regexp_split_to_array(text, '\\s+')) AS stop_x10000,
+         |  10000 * len(regexp_extract_all(text, '[^\\w\\s]')) // length(text) AS punct_x10000
+         |  FROM documents),
+         |r AS (SELECT doc_id,
+         |  CASE WHEN words < 25 THEN 'too_short'
+         |       WHEN words > 5000 THEN 'too_long'
+         |       WHEN avg_wlen_x100 < 380 OR avg_wlen_x100 > 1200 THEN 'word_length'
+         |       WHEN stop_x10000 < 400 THEN 'low_stopword'
+         |       WHEN punct_x10000 > 120 THEN 'high_punct'
+         |       WHEN lang <> 'en' THEN 'non_english'
+         |       ELSE NULL END AS reason
+         |  FROM q),
+         |rtok AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t FROM documents),
+         |g3 AS (SELECT doc_id, unnest(CASE WHEN len(t) < 3 THEN []::VARCHAR[]
+         |    ELSE list_transform(range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS g
+         |  FROM rtok),
+         |c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2),
+         |s3 AS (SELECT doc_id, sum(c) AS grams3,
+         |    sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup3 FROM c3 GROUP BY 1),
+         |ltok AS (SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS tok FROM documents),
+         |v AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM ltok GROUP BY 1),
+         |tt AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM v),
+         |lb AS (SELECT doc_id,
+         |    (strlen(bin(t)) - 1) - (strlen(bin(c)) - 1) AS bits
+         |  FROM ltok JOIN v USING (tok) CROSS JOIN tt),
+         |lm AS (SELECT doc_id, CAST(100 * sum(bits) // count(*) AS BIGINT) AS surprisal_x100
+         |  FROM lb GROUP BY 1),
+         |dg AS (SELECT doc_id,
+         |    unnest(list_transform(range(1, len(t) - 6), i -> md5($gram8))) AS gh
+         |  FROM rtok WHERE len(t) >= 8),
+         |dp AS (SELECT DISTINCT gh FROM dg WHERE doc_id % 100 = 0),
+         |ct AS (SELECT dg.doc_id, count(DISTINCT dg.gh) AS hits
+         |  FROM dg JOIN dp USING (gh) WHERE dg.doc_id % 100 <> 0 GROUP BY 1),
+         |hb AS (SELECT doc_id, ${hexFoldSql(1, 8)} % 100 AS bucket
+         |  FROM (SELECT doc_id, md5(text) AS hx FROM documents))
+         |SELECT d.doc_id, hb.bucket,
+         |  CASE WHEN hb.bucket < 80 THEN 'train'
+         |       WHEN hb.bucket < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM documents d
+         |JOIN r ON d.doc_id = r.doc_id
+         |LEFT JOIN s3 ON d.doc_id = s3.doc_id
+         |LEFT JOIN lm ON d.doc_id = lm.doc_id
+         |LEFT JOIN ct ON d.doc_id = ct.doc_id
+         |JOIN hb ON d.doc_id = hb.doc_id
+         |WHERE r.reason IS NULL
+         |  AND coalesce(10000 * s3.dup3 // s3.grams3, 0) <= 5000
+         |  AND coalesce(lm.surprisal_x100, 0) <= 2000
+         |  AND ct.hits IS NULL
          |ORDER BY d.doc_id""".stripMargin
     },
 
