@@ -92,6 +92,30 @@ object BpeTrainer {
       .groupBy(col("p.p1").as("p1"), col("p.p2").as("p2"))
       .agg(sum("cnt").as("n"))
 
+  /** Ingest-time (streaming-safe) BPE token counting: the ROW-LOCAL twin
+    * of [[tokenCounts]] — the merge folds nest inside a per-word lambda,
+    * so the count runs in the admitting micro-batch with zero shuffle and
+    * zero state (the [[Contamination.flagContaminated]] contract). Counts
+    * are identical to [[tokenCounts]]; prefer that vocab-join form for
+    * batch, where the folds run |vocab| times instead of |tokens|. Each
+    * nested fold's input is the enclosing lambda's variable or an
+    * aggregate argument (evaluated once), never a captured attribute
+    * subtree — the PLANS.md r4 HOF rule. */
+  def tokensInline(docs: DataFrame,
+      merges: Seq[(String, String, Long)]): DataFrame = {
+    val tc = "__graft_bpe_toks"
+    def wordSyms(w: Column): Column = {
+      val chars = when(length(w) === 0, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), length(w)), i => w.substr(i, lit(1))))
+      merges.foldLeft(chars) { case (c, (p1, p2, _)) => foldMerge(c, p1, p2) }
+    }
+    docs.withColumn(tc, TextAnalysis.tokens(col("text")))
+      .withColumn("ws_tokens", size(col(tc)).cast("long"))
+      .withColumn("bpe_tokens",
+        aggregate(col(tc), lit(0L), (acc, w) => acc + size(wordSyms(w))))
+      .drop(tc)
+  }
+
   /** Per-document BPE token counts under a learned merge table: the fold
     * chain runs over the DISTINCT-WORD vocabulary, then the token stream
     * joins it on the word key — |vocab| fold evaluations + one
