@@ -352,6 +352,45 @@ object TextAnalysis {
         (lit(100L) * sum("bits") / count(lit(1))).cast("long").as("surprisal_x100"))
   }
 
+  /** Count-Min-sketch heavy hitters: estimate token frequencies from a
+    * d×w integer sketch (d Kirsch-Mitzenmacher hash rows over the same
+    * md5-split family as MinHash) and report the top-N exact tokens with
+    * their sketch estimates — the one-pass bounded-memory frequency
+    * structure a 100 TB pipeline keeps when the exact vocab is too large,
+    * shown here against exact counts so over-estimation is observable.
+    * All integer arithmetic: the sketch itself is oracle-exact.
+    *
+    * Scale shape: the sketch build is d rows per token reduced by a
+    * map-side-combined groupBy onto ≤ d·w cells — each partition emits at
+    * most d·w rows no matter how many tokens it holds; the estimate join
+    * broadcasts the tiny sketch. (The exact top-N here exists only as the
+    * comparison baseline; a production use keeps just the sketch.) */
+  def cmsHeavyHitters(corpus: DataFrame, d: Int = 4, w: Int = 64,
+      topN: Int = 20): DataFrame = {
+    def h1(tok: Column): Column =
+      conv(substring(md5(tok), 1, 15), 16, 10).cast("long") % MinhashP
+    def h2(tok: Column): Column =
+      conv(substring(md5(tok), 17, 15), 16, 10).cast("long") % MinhashP
+    def cells(tok: Column): Column =
+      transform(sequence(lit(0), lit(d - 1)), i =>
+        struct(i.cast("long").as("r"),
+          ((h1(tok) + i * h2(tok)) % MinhashP % w).as("b")))
+    val toks = tokenRows(corpus).select("tok")
+    val sketch = toks
+      .select(col("tok"))
+      .select(explode(cells(col("tok"))).as("rb"))
+      .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
+      .agg(count(lit(1)).as("c"))
+    val top = toks.groupBy("tok").agg(count(lit(1)).as("exact"))
+      .orderBy(desc("exact"), asc("tok")).limit(topN)
+    top
+      .select(col("tok"), col("exact"), explode(cells(col("tok"))).as("rb"))
+      .select(col("tok"), col("exact"), col("rb.r").as("r"), col("rb.b").as("b"))
+      .join(broadcast(sketch), Seq("r", "b"))
+      .groupBy("tok", "exact")
+      .agg(min("c").as("cms_estimate"))
+  }
+
   /** TF-IDF keyword extraction: top-k terms per document by
     * tf · idf_bits, where idf_bits = ilog2(N) − ilog2(df) — the integer
     * surprisal trick of [[unigramLmScore]] applied to document frequency,

@@ -247,6 +247,12 @@ object ExtQueries {
   private val textTfidfTopk: Q = (s, dir) =>
     TextAnalysis.tfidfTopK(documents(s, dir), 3).orderBy("doc_id", "rank")
 
+  /** Count-Min heavy hitters: exact top-20 tokens vs their 4×64 integer
+    * sketch estimates. */
+  private val textCmsHeavyHitters: Q = (s, dir) =>
+    TextAnalysis.cmsHeavyHitters(documents(s, dir))
+      .orderBy(desc("exact"), asc("tok"))
+
   /** Cross-doc duplicated 8-token spans at stride 4 over the planted-dup
     * corpus — the distributed stand-in for exact substring dedup. */
   private val dedupSpanExact: Q = (s, dir) =>
@@ -463,6 +469,7 @@ object ExtQueries {
     "text_bpe_train" -> textBpeTrain,
     "text_bpe_tokens" -> textBpeTokens,
     "text_tfidf_topk" -> textTfidfTopk,
+    "text_cms_heavy_hitters" -> textCmsHeavyHitters,
     "dedup_span_exact" -> dedupSpanExact,
     "corpus_mix_domains" -> corpusMixDomains,
     "corpus_curation_report" -> corpusCurationReport,
@@ -1268,6 +1275,30 @@ object ExtQueries {
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
         |  CAST(100 * sum(bits) // count(*) AS BIGINT) AS surprisal_x100
         |FROM b GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // Count-Min twin: the KM hash family over md5 halves (same fold as the
+    // minhash twin), d=4 rows x w=64 buckets, estimate = min over rows
+    "text_cms_heavy_hitters" ->
+      s"""WITH tr AS (SELECT unnest(regexp_split_to_array(text, '\\s+')) AS tok
+         |  FROM documents),
+         |hh AS (SELECT tok,
+         |    ${hexFoldSql(1, 15)} % 1000000007 AS h1,
+         |    ${hexFoldSql(17, 15)} % 1000000007 AS h2
+         |  FROM (SELECT tok, md5(tok) AS hx FROM tr)),
+         |cells AS (SELECT r.r, (h1 + r.r * h2) % 1000000007 % 64 AS b
+         |  FROM hh, (SELECT unnest(range(0, 4)) AS r) r),
+         |sk AS (SELECT r, b, CAST(count(*) AS BIGINT) AS c
+         |  FROM cells GROUP BY 1, 2),
+         |ex AS (SELECT tok, CAST(count(*) AS BIGINT) AS exact FROM tr
+         |  GROUP BY 1 ORDER BY exact DESC, tok LIMIT 20),
+         |eh AS (SELECT e.tok, e.exact, r.r,
+         |    (${hexFoldSql(1, 15)} % 1000000007
+         |      + r.r * (${hexFoldSql(17, 15)} % 1000000007)) % 1000000007 % 64 AS b
+         |  FROM (SELECT tok, exact, md5(tok) AS hx FROM ex) e,
+         |       (SELECT unnest(range(0, 4)) AS r) r)
+         |SELECT eh.tok, eh.exact, CAST(min(sk.c) AS BIGINT) AS cms_estimate
+         |FROM eh JOIN sk ON eh.r = sk.r AND eh.b = sk.b
+         |GROUP BY 1, 2 ORDER BY exact DESC, tok""".stripMargin,
 
     // TF-IDF twin: integer idf bits (ilog2 = bin-string length), ranked by
     // (score desc, md5-prefix term key asc) — the exact topk_pairs order

@@ -697,6 +697,16 @@ class ExtSpec extends AnyFunSuite {
       s"opposite points must project to opposite signs, got $p0 / $p1")
   }
 
+  test("CM sketch: estimates dominate exact counts, hot token surfaces") {
+    val docs = Seq((1L, ("hot " * 50) + "cold rare"), (2L, "hot cold"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.cmsHeavyHitters(docs, topN = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.forall { case (_, exact, est) => est >= exact },
+      "a Count-Min estimate can only over-count")
+    assert(out.find(_._1 == "hot").exists(_._2 == 51L))
+  }
+
   test("TF-IDF top-k: integer idf bits, rare terms outrank ubiquitous ones") {
     val docs = Seq(
       (1L, "apple apple banana shared"),
