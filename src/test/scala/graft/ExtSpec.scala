@@ -809,6 +809,60 @@ class ExtSpec extends AnyFunSuite {
     assert(rel == inl)
   }
 
+  test("property: span-dup stats match a naive reference on random corpora") {
+    import org.scalacheck.Gen
+    val docGen = for {
+      n <- Gen.choose(0, 20)
+      ts <- Gen.listOfN(n, Gen.oneOf("a", "b", "c"))
+    } yield ts
+    var seed = org.scalacheck.rng.Seed(13L)
+    val docs = (1 to 30).map { i =>
+      val t = docGen.pureApply(Gen.Parameters.default, seed)
+      seed = seed.next
+      (i.toLong, t)
+    }
+    // naive reference: window-8/stride-4 spans, dup = span text shared by
+    // more than one distinct doc
+    def spansOf(ts: Seq[String]): Seq[String] =
+      if (ts.length < 8) Nil
+      else (0 to (ts.length - 8) / 4).map(s => ts.slice(s * 4, s * 4 + 8).mkString(" "))
+    val all = docs.flatMap { case (id, ts) => spansOf(ts).map(sp => (id, sp)) }
+    val dupSet = all.groupBy(_._2).filter(_._2.map(_._1).distinct.size > 1).keySet
+    val expected = docs.flatMap { case (id, ts) =>
+      val sp = spansOf(ts)
+      if (sp.isEmpty) None
+      else {
+        val dup = sp.count(dupSet)
+        Some(id -> ((sp.size.toLong, dup.toLong,
+          (10000L * dup / sp.size).toLong)))
+      }
+    }.toMap
+    val out = Dedup.spanDupStats(
+      docs.map { case (id, ts) => (id, ts.mkString(" ")) }.toDF("doc_id", "text"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out == expected, s"span stats diverged from the naive reference")
+  }
+
+  test("property: CM estimates dominate exact counts on random corpora") {
+    import org.scalacheck.Gen
+    val docGen = for {
+      n <- Gen.choose(1, 15)
+      ts <- Gen.listOfN(n, Gen.oneOf("w1", "w2", "w3", "w4", "w5", "w6", "w7"))
+    } yield ts.mkString(" ")
+    var seed = org.scalacheck.rng.Seed(17L)
+    val docs = (1 to 40).map { i =>
+      val t = docGen.pureApply(Gen.Parameters.default, seed)
+      seed = seed.next
+      (i.toLong, t)
+    }.toDF("doc_id", "text")
+    val out = TextAnalysis.cmsHeavyHitters(docs, topN = 7).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    assert(out.forall { case (_, exact, est) => est >= exact },
+      s"Count-Min must never under-count: $out")
+  }
+
   test("repetitionInline: row-local twin matches relational stats, zero shuffle") {
     val docs = Seq(
       (1L, "a b c a b c a b c"),
