@@ -1,5 +1,6 @@
 package graft.ext
 
+import scala.collection.mutable
 import scala.collection.mutable.ArrayBuffer
 
 import org.apache.spark.sql.{Column, DataFrame}
@@ -8,21 +9,28 @@ import org.apache.spark.sql.functions._
 /** Byte-pair-encoding tokenizer training on the FULL corpus — the tokenizer
   * construction step of an LLM data pipeline, built scale-first:
   *
-  *   - the working set is the distinct-WORD vocabulary (word → count, one
-  *     map-side-combined token shuffle), never the token stream — merges
-  *     apply to |vocab| rows regardless of corpus size;
-  *   - each merge round is one distributed pair-count aggregation
-  *     (explode adjacent symbol pairs weighted by word count → groupBy —
-  *     high-cardinality, map-side combined) and collects exactly ONE row
-  *     (the winning pair): driver state is O(merges), like
-  *     [[PqTrainer]]/[[PcaTrainer]];
-  *   - token counting joins the token stream against the merged vocabulary
-  *     on the word key — the merge fold runs |vocab| times, not |tokens|.
+  *   - ONE distributed job builds the weighted distinct-word histogram
+  *     (word → count, one map-side-combined token shuffle) — the working
+  *     set is |distinct words|, never the token stream;
+  *   - the histogram is collected ONCE (bounded by vocabulary size — the
+  *     same driver-side bound sentencepiece / HuggingFace trainers accept)
+  *     and the merge loop runs on the driver: learning a 32k-merge vocab
+  *     is 32k in-memory passes, NOT 32k sequential Spark jobs;
+  *   - the learned merges return to the cluster as plan constants: token
+  *     counting applies them via the codegen'd
+  *     [[graft.functions.BpeApply bpe_apply]] expression over the distinct
+  *     vocabulary, then the token stream joins on the word key — the merge
+  *     loop runs |vocab| times, not |tokens| times.
+  *
+  * [[trainDistributed]] keeps the previous one-Spark-job-per-merge round
+  * loop as a cross-checking oracle for the driver loop (spec-asserted
+  * equal); it is correct but its job count is linear in merges, so it is
+  * not the production path.
   *
   * Everything is integer counts and string comparison, so the DuckDB
   * oracle rederives the identical merge table with a recursive CTE.
   *
-  * Determinism contract (mirrored by the oracle):
+  * Determinism contract (mirrored by the oracle and the driver loop):
   *   - pair count = Σ word_count over adjacent symbol positions (overlaps
   *     counted: [a,a,a] contributes (a,a) twice);
   *   - winner = max count, ties by (p1, p2) lexicographic min;
@@ -31,7 +39,9 @@ import org.apache.spark.sql.functions._
   *     becomes [aa, a].
   */
 object BpeTrainer {
-  /** Greedy-leftmost application of ONE merge to a symbol array. */
+  /** Greedy-leftmost application of ONE merge to a symbol array — the
+    * built-in-functions twin of one [[graft.functions.BpeApply]] pass,
+    * kept for cross-checking in tests. */
   def foldMerge(syms: Column, p1: String, p2: String): Column =
     aggregate(syms, array().cast("array<string>"), (acc, x) =>
       when(size(acc) > 0 && element_at(acc, -1) === lit(p1) && x === lit(p2),
@@ -51,11 +61,63 @@ object BpeTrainer {
       .select(col("w"), col("cnt"), chars.as("syms"))
   }
 
-  /** Learn `merges` merge rules. Returns (p1, p2, pairCount) in merge
-    * order. Each round: one pair-count aggregation over the vocabulary +
-    * a single-row collect; the vocabulary advances through a persisted
-    * projection so round j does not recompute rounds 0..j-1. */
+  /** Learn `merges` merge rules: one distributed histogram job + a
+    * driver-side merge loop (the sentencepiece/HF trainer split). Returns
+    * (p1, p2, pairCount) in merge order. Wall-time is one Spark job plus
+    * O(merges · Σ|word symbols|) driver work — sublinear in merge count
+    * where the round-per-job loop was linear in Spark-job latency. */
   def train(corpus: DataFrame, merges: Int = 8): Seq[(String, String, Long)] = {
+    val hist = charVocab(corpus).select(col("cnt"), col("syms")).collect()
+    val cnts = hist.map(_.getLong(0))
+    val words = hist.map(_.getSeq[String](1).toArray)
+    trainLocal(words, cnts, merges)
+  }
+
+  /** The driver merge loop over a collected (symbols, count) histogram.
+    * Exactly the distributed contract: global recount each round, max-count
+    * winner with (p1, p2)-lexicographic tie-break, greedy-leftmost apply. */
+  private[ext] def trainLocal(words0: Array[Array[String]], cnts: Array[Long],
+      merges: Int): Seq[(String, String, Long)] = {
+    val learned = ArrayBuffer.empty[(String, String, Long)]
+    var words = words0
+    var round = 0
+    var exhausted = false
+    while (round < merges && !exhausted) {
+      val pc = mutable.HashMap.empty[(String, String), Long]
+      var wi = 0
+      while (wi < words.length) {
+        val s = words(wi)
+        val c = cnts(wi)
+        var j = 0
+        while (j + 1 < s.length) {
+          val k = (s(j), s(j + 1))
+          pc.update(k, pc.getOrElse(k, 0L) + c)
+          j += 1
+        }
+        wi += 1
+      }
+      if (pc.isEmpty) exhausted = true
+      else {
+        var bestK: (String, String) = null
+        var bestN = Long.MinValue
+        pc.foreach { case (k, n) =>
+          val better = n > bestN || (n == bestN && (k._1 < bestK._1 ||
+            (k._1 == bestK._1 && k._2 < bestK._2)))
+          if (bestK == null || better) { bestK = k; bestN = n }
+        }
+        learned += ((bestK._1, bestK._2, bestN))
+        words = words.map(graft.functions.BpeApply.mergePass(_, bestK._1, bestK._2))
+      }
+      round += 1
+    }
+    learned.toSeq
+  }
+
+  /** The previous round-per-Spark-job trainer, kept as the distributed
+    * cross-check for [[train]] (one full pair-count aggregation + a
+    * single-row collect per merge — job count linear in merges, so it
+    * cannot run at a production merge count). */
+  def trainDistributed(corpus: DataFrame, merges: Int = 8): Seq[(String, String, Long)] = {
     val learned = ArrayBuffer.empty[(String, String, Long)]
     var cur = charVocab(corpus)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -92,39 +154,44 @@ object BpeTrainer {
       .groupBy(col("p.p1").as("p1"), col("p.p2").as("p2"))
       .agg(sum("cnt").as("n"))
 
+  /** The merge table as the foldable literal [[graft.functions.BpeApply]]
+    * consumes — merges ride into the plan as a constant, the broadcast-side
+    * shape of a trained tokenizer. */
+  private def mergesLit(merges: Seq[(String, String, Long)]): Column =
+    typedLit(merges.map { case (p1, p2, _) => Seq(p1, p2) })
+
   /** Ingest-time (streaming-safe) BPE token counting: the ROW-LOCAL twin
-    * of [[tokenCounts]] — the merge folds nest inside a per-word lambda,
-    * so the count runs in the admitting micro-batch with zero shuffle and
-    * zero state (the [[Contamination.flagContaminated]] contract). Counts
-    * are identical to [[tokenCounts]]; prefer that vocab-join form for
-    * batch, where the folds run |vocab| times instead of |tokens|. Each
-    * nested fold's input is the enclosing lambda's variable or an
-    * aggregate argument (evaluated once), never a captured attribute
-    * subtree — the PLANS.md r4 HOF rule. */
+    * of [[tokenCounts]] — the codegen'd `bpe_apply` runs inside a per-word
+    * lambda, so the count runs in the admitting micro-batch with zero
+    * shuffle and zero state (the [[Contamination.flagContaminated]]
+    * contract). Counts are identical to [[tokenCounts]]; prefer that
+    * vocab-join form for batch, where the merge loop runs |vocab| times
+    * instead of |tokens|. */
   def tokensInline(docs: DataFrame,
       merges: Seq[(String, String, Long)]): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
     val tc = "__graft_bpe_toks"
-    def wordSyms(w: Column): Column = {
-      val chars = when(length(w) === 0, array().cast("array<string>"))
-        .otherwise(transform(sequence(lit(1), length(w)), i => w.substr(i, lit(1))))
-      merges.foldLeft(chars) { case (c, (p1, p2, _)) => foldMerge(c, p1, p2) }
-    }
+    val mLit = mergesLit(merges)
     docs.withColumn(tc, TextAnalysis.tokens(col("text")))
       .withColumn("ws_tokens", size(col(tc)).cast("long"))
       .withColumn("bpe_tokens",
-        aggregate(col(tc), lit(0L), (acc, w) => acc + size(wordSyms(w))))
+        aggregate(col(tc), lit(0L),
+          (acc, w) => acc + size(call_function("bpe_apply", w, mLit))))
       .drop(tc)
   }
 
-  /** Per-document BPE token counts under a learned merge table: the fold
-    * chain runs over the DISTINCT-WORD vocabulary, then the token stream
-    * joins it on the word key — |vocab| fold evaluations + one
-    * high-cardinality join + one doc reduction, no per-token merging. */
+  /** Per-document BPE token counts under a learned merge table: the
+    * codegen'd merge loop runs over the DISTINCT-WORD vocabulary, then the
+    * token stream joins it on the word key — |vocab| `bpe_apply`
+    * evaluations + one high-cardinality join + one doc reduction, no
+    * per-token merging. */
   def tokenCounts(corpus: DataFrame, merges: Seq[(String, String, Long)]): DataFrame = {
-    val vocabSyms = merges.foldLeft(charVocab(corpus).select("w", "syms")) {
-      case (df, (p1, p2, _)) =>
-        df.select(col("w"), foldMerge(col("syms"), p1, p2).as("syms"))
-    }.select(col("w"), size(col("syms")).cast("long").as("n_bpe"))
+    graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
+    val vocabSyms = TextAnalysis.tokenRows(corpus)
+      .groupBy(col("tok").as("w")).agg(count(lit(1)).as("_f")).drop("_f")
+      .select(col("w"),
+        size(call_function("bpe_apply", col("w"), mergesLit(merges)))
+          .cast("long").as("n_bpe"))
     TextAnalysis.tokenRows(corpus).select(col("doc_id"), col("tok").as("w"))
       .join(vocabSyms, "w")
       .groupBy("doc_id")

@@ -258,21 +258,24 @@ object ExtQueries {
   private val dedupSpanExact: Q = (s, dir) =>
     Dedup.spanDupStats(dupCorpus(s, dir)).orderBy("doc_id")
 
-  /** BPE merge-table training on the full corpus: 8 rounds of distributed
-    * pair counting, one single-row collect per round. */
+  /** BPE merge-table training on the full corpus at a 64-merge vocabulary:
+    * ONE distributed histogram job + the driver merge loop — wall-time
+    * sublinear in merge count (the round-per-job loop survives only as the
+    * spec cross-check). */
   private val textBpeTrain: Q = (s, dir) => {
     import s.implicits._
-    graft.ext.BpeTrainer.train(documents(s, dir), merges = 8).zipWithIndex
+    graft.ext.BpeTrainer.train(documents(s, dir), merges = 64).zipWithIndex
       .map { case ((p1, p2, n), i) => (i + 1L, p1, p2, n) }
       .toDF("rank", "p1", "p2", "n").orderBy("rank")
   }
 
-  /** Token counting under the trained BPE: merge folds run over the
-    * distinct-word vocabulary, the token stream only joins on the word. */
+  /** Token counting under the trained 64-merge BPE: the codegen'd
+    * `bpe_apply` loop runs over the distinct-word vocabulary, the token
+    * stream only joins on the word. */
   private val textBpeTokens: Q = (s, dir) => {
     val docs = documents(s, dir)
     graft.ext.BpeTrainer
-      .tokenCounts(docs, graft.ext.BpeTrainer.train(docs, merges = 8))
+      .tokenCounts(docs, graft.ext.BpeTrainer.train(docs, merges = 64))
       .orderBy("doc_id")
   }
 
@@ -549,9 +552,9 @@ object ExtQueries {
   private val MinhashScoredCtes: String = s"$CorpusCte,\n$MinhashFromCorpus"
 
   /** BpeTrainer twin: the recursive merge-training CTE, ending in `bpe`
-    * whose iter=8 rows hold the fully-merged vocabulary and whose
+    * whose iter=`merges` rows hold the fully-merged vocabulary and whose
     * iter=i≥1 rows carry the rule learned at round i (mp1, mp2, mn). */
-  private val BpeCtes: String = {
+  private def BpeCtes(merges: Int): String = {
     val symPat = s"chr(1) || '([^' || chr(2) || ']*)' || chr(2)"
     s"""WITH RECURSIVE w0 AS (
        |  SELECT w, CAST(count(*) AS BIGINT) AS cnt
@@ -582,7 +585,7 @@ object ExtQueries {
        |              FROM bpe) b2) px
        |      GROUP BY pr)
        |    ORDER BY n DESC, pr LIMIT 1) t
-       |  WHERE b.iter < 8)""".stripMargin
+       |  WHERE b.iter < $merges)""".stripMargin
   }
 
   private val BpeTrainSelect: String =
@@ -1327,13 +1330,13 @@ object ExtQueries {
     // bracket-parse; ties break on the chr(3)-joined pair string, which
     // orders identically to (p1, p2) because chr(3) sorts below any
     // symbol byte.
-    "text_bpe_train" -> s"$BpeCtes\n$BpeTrainSelect",
+    "text_bpe_train" -> s"${BpeCtes(64)}\n$BpeTrainSelect",
 
     "text_bpe_tokens" ->
-      s"""$BpeCtes,
+      s"""${BpeCtes(64)},
          |v8 AS (SELECT w, len(regexp_extract_all(s,
          |    chr(1) || '([^' || chr(2) || ']*)' || chr(2), 1)) AS n_bpe
-         |  FROM bpe WHERE iter = 8),
+         |  FROM bpe WHERE iter = 64),
          |tokr2 AS (SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS w
          |  FROM documents)
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS ws_tokens,

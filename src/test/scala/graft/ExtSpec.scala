@@ -757,6 +757,33 @@ class ExtSpec extends AnyFunSuite {
     assert(out(2L) == ((3L, 4L)))
   }
 
+  test("BPE driver-local training equals the distributed round loop") {
+    val docs = graft.queries.Synth.documents(spark, "/root/testdata/sf0.001")
+      .limit(40)
+    val local = graft.ext.BpeTrainer.train(docs, merges = 6)
+    val dist = graft.ext.BpeTrainer.trainDistributed(docs, merges = 6)
+    assert(local == dist,
+      "one-histogram-job driver loop must learn the identical merge table")
+  }
+
+  test("bpe_apply expression equals the foldMerge HOF chain") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val docs = Seq((1L, "aaa aaa ab"), (2L, "aaa ab ab"), (3L, "baéab b"))
+      .toDF("doc_id", "text")
+    val m = graft.ext.BpeTrainer.train(docs, merges = 3)
+    val mLit = typedLit(m.map { case (p1, p2, _) => Seq(p1, p2) })
+    val vocab = graft.ext.BpeTrainer.charVocab(docs)
+    val viaExpr = vocab
+      .select(col("w"), call_function("bpe_apply", col("w"), mLit).as("s"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    val viaFold = m.foldLeft(vocab.select(col("w"), col("syms"))) {
+        case (df, (p1, p2, _)) =>
+          df.select(col("w"), graft.ext.BpeTrainer.foldMerge(col("syms"), p1, p2).as("syms"))
+      }.collect().map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    assert(viaExpr == viaFold,
+      "codegen'd merge loop must match the per-merge HOF fold chain")
+  }
+
   test("property: BPE greedy-leftmost fold matches the reference implementation") {
     import org.scalacheck.Gen
     def ref(syms: Seq[String], p1: String, p2: String): List[String] =
