@@ -73,38 +73,68 @@ object Similarity {
     * vector per `label` cell — the min-id member, a medoid stand-in for a
     * trained centroid) partitions the corpus into inverted lists; a query
     * probes only its nearest cell and re-ranks exactly inside it. At scale:
-    * representatives broadcast everywhere, the corpus is assigned in ONE
-    * narrow pass, and a probe touches ~N/cells vectors.
+    * the (bounded — it is the cell count) centroid set rides into the plan
+    * as a literal, the corpus is assigned in ONE narrow projection with no
+    * join and no exchange, and a probe touches ~N/cells vectors.
     */
-  /** Coarse-quantizer representatives: the min-vec_id member of each label
-    * cell (a medoid stand-in for a trained centroid), broadcast. A
-    * partial/final `min_by` aggregate, NOT a per-label window: labels are
-    * low-cardinality by design (they are the cells), so a window would
-    * funnel N/cells full-width embedding rows into one task per cell. The
-    * map-side combine collapses each partition to at most |cells| rows
-    * before the shuffle; vec_id is unique, so min_by is deterministic and
-    * picks the identical representative. */
-  private def cellReps(corpus: DataFrame): DataFrame =
-    broadcast(
-      corpus.groupBy(col("label").as("cell"))
-        .agg(min_by(col("embedding"), col("vec_id")).as("rep")))
+  /** The collected coarse-quantizer index: (cell ids ascending, one centroid
+    * per cell, same order). Bounded by the cell count — this is index
+    * CONSTRUCTION (the same contract as the PQ codebook collect), never a
+    * data-path collect. Cells sorted ascending so the expression's
+    * first-max tie-break lands on the LOWER cell. */
+  private type CoarseIndex = (Array[Long], Array[Array[Double]])
 
-  /** Nearest-cell assignment (cosine to each broadcast representative;
-    * ties → lower cell) — one narrow pass over `df`, reduced by a
-    * partially-aggregating argmax instead of a per-vector window: the
-    * map-side combine collapses each vector's `cells` scored rows to one
-    * before the shuffle (volume N rows, not N·cells) and nothing sorts.
-    * `max_by` over the unique key struct (sim, -cell) is deterministic:
-    * higher cosine wins, ties to the LOWER cell — the exact window
-    * ordering (_sim desc, cell asc) it replaces. */
-  private def cellAssign(reps: DataFrame, df: DataFrame,
-      emb: String, out: String): DataFrame = {
-    val payload = struct(df.columns.toIndexedSeq.map(col) :+ col("cell").as(out): _*)
-    df.crossJoin(reps)
-      .withColumn("_sim", cosine(col(emb), col("rep")))
-      .groupBy(col("vec_id").as("_aid"))
-      .agg(max_by(payload, struct(col("_sim"), -col("cell"))).as("_best"))
-      .select(col("_best.*"))
+  private def collectIndex(reps: DataFrame): CoarseIndex = {
+    val rows = reps.collect().map { r =>
+      val cell = r.get(0) match {
+        case i: java.lang.Integer => i.longValue
+        case l: java.lang.Long => l.longValue
+        case s: java.lang.Short => s.longValue
+        case x => sys.error(s"unsupported cell id type: $x")
+      }
+      val cent: Array[Double] = r.getSeq[Any](1).iterator.map {
+        case f: Float => f.toDouble // exact widening — bit-equal cosine
+        case d: Double => d
+      }.toArray
+      (cell, cent)
+    }.sortBy(_._1)
+    (rows.map(_._1), rows.map(_._2))
+  }
+
+  /** Medoid coarse quantizer: the min-vec_id member of each label cell. A
+    * partial/final `min_by` aggregate, NOT a per-label window: the map-side
+    * combine collapses each partition to at most |cells| rows before the
+    * shuffle; vec_id is unique, so min_by is deterministic. One bounded
+    * collect at index-build time. */
+  private def medoidIndex(corpus: DataFrame): CoarseIndex =
+    collectIndex(corpus.groupBy(col("label").as("cell"))
+      .agg(min_by(col("embedding"), col("vec_id")).as("rep")))
+
+  /** Trained centroids as the index: cells are the centroid positions. */
+  private def centroidIndex(centroids: Array[Array[Double]]): CoarseIndex =
+    (Array.tabulate(centroids.length)(_.toLong), centroids)
+
+  private def centLit(ix: CoarseIndex): Column =
+    typedLit(ix._2.map(_.toSeq).toSeq)
+
+  /** Nearest-cell assignment (cosine to each centroid; ties → lower cell) —
+    * a PURE NARROW PROJECTION: the codegen'd `ivf_assign` argmax runs over
+    * the centroid literal row-locally, so assignment adds zero joins and
+    * zero exchanges at any corpus size (it previously crossJoined broadcast
+    * reps and hash-exchanged N full-width rows through a groupBy(vec_id)
+    * argmax). Ordering is unchanged: higher cosine wins, ties to the lower
+    * cell, NaN ranks largest. `withRep` also attaches the assigned cell's
+    * centroid (for residual encoding) from the same literal — replacing a
+    * reps join. */
+  private def cellAssign(ix: CoarseIndex, df: DataFrame, emb: String,
+      out: String, withRep: Boolean = false): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
+    val base = df
+      .withColumn("_cidx", call_function("ivf_assign", col(emb), centLit(ix)))
+      .withColumn(out, element_at(typedLit(ix._1.toSeq), col("_cidx") + 1))
+    (if (withRep)
+       base.withColumn("rep", element_at(centLit(ix), col("_cidx") + 1))
+     else base).drop("_cidx")
   }
 
   /** Deterministic PQ codebook: codeword j of sub-space s = the s-th
@@ -120,13 +150,13 @@ object Similarity {
   }
 
   /** The IVF probe shared by the medoid and trained variants: assign corpus
-    * and queries to their nearest cell (one narrow pass each against the
-    * broadcast reps), then score a query only against its own inverted
+    * and queries to their nearest cell (one narrow projection each over the
+    * centroid literal), then score a query only against its own inverted
     * list and re-rank with the bounded top-k aggregate. */
-  private def ivfProbe(reps: DataFrame, corpus: DataFrame, queries: DataFrame,
+  private def ivfProbe(ix: CoarseIndex, corpus: DataFrame, queries: DataFrame,
       k: Int): DataFrame = {
-    val bucketed = cellAssign(reps, corpus, "embedding", "ivf_cell")
-    val q = cellAssign(reps, queries, "embedding", "ivf_cell")
+    val bucketed = cellAssign(ix, corpus, "embedding", "ivf_cell")
+    val q = cellAssign(ix, queries, "embedding", "ivf_cell")
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("ivf_cell"))
     val scored = bucketed.join(broadcast(q), "ivf_cell")
       .filter(col("vec_id") =!= col("q_id"))
@@ -137,7 +167,13 @@ object Similarity {
   }
 
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame =
-    ivfProbe(cellReps(corpus), corpus, queries, k)
+    ivfProbe(medoidIndex(corpus), corpus, queries, k)
+
+  /** Public assignment surface (and the plan-spec hook): corpus +
+    * `ivf_cell` under the given trained centroids, as one narrow
+    * projection — zero joins, zero exchanges at any corpus size. */
+  def assignCells(corpus: DataFrame, centroids: Array[Array[Double]]): DataFrame =
+    cellAssign(centroidIndex(centroids), corpus, "embedding", "ivf_cell")
 
   /** Persisted-index IVF — the build-once / probe-many layout a 100 TB
     * deployment actually runs: cell assignments are written ONCE as a
@@ -150,11 +186,11 @@ object Similarity {
     * `indexPath` for reuse. */
   def ivfPersistedTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       indexPath: String): DataFrame = {
-    val reps = cellReps(corpus)
-    cellAssign(reps, corpus, "embedding", "ivf_cell")
+    val ix = medoidIndex(corpus)
+    cellAssign(ix, corpus, "embedding", "ivf_cell")
       .write.mode("overwrite").partitionBy("ivf_cell").parquet(indexPath)
     val index = corpus.sparkSession.read.parquet(indexPath)
-    val q = cellAssign(reps, queries, "embedding", "ivf_cell")
+    val q = cellAssign(ix, queries, "embedding", "ivf_cell")
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("ivf_cell"))
     val scored = index.join(broadcast(q), "ivf_cell")
       .filter(col("vec_id") =!= col("q_id"))
@@ -173,14 +209,7 @@ object Similarity {
     * is the shared [[ivfProbe]] plan. */
   def ivfTrainedTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       centroids: Array[Array[Double]]): DataFrame =
-    ivfProbe(centroidReps(corpus, centroids), corpus, queries, k)
-
-  /** Trained centroids as a broadcast (cell, rep) frame — the literal IS
-    * the index. */
-  private def centroidReps(corpus: DataFrame,
-      centroids: Array[Array[Double]]): DataFrame =
-    broadcast(corpus.sparkSession.range(1)
-      .select(posexplode(typedLit(centroids.map(_.toSeq).toSeq)).as(Seq("cell", "rep"))))
+    ivfProbe(centroidIndex(centroids), corpus, queries, k)
 
   /** Product-quantization ANN (ADC flavor): the 100-TB-scale compression
     * path — each vector is encoded once into `m` sub-space codebook indices
@@ -258,7 +287,7 @@ object Similarity {
     * one extra subtraction in the same codegen'd expressions). */
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int, m: Int = 8,
       ksub: Int = 16, nCand: Int = 32): DataFrame =
-    ivfPqProbe(cellReps(corpus), codebook(corpus, m, ksub, 64 / m),
+    ivfPqProbe(medoidIndex(corpus), codebook(corpus, m, ksub, 64 / m),
       corpus, queries, k, m, nCand)
 
   /** The full production FAISS-style index: BOTH quantizers trained by the
@@ -270,18 +299,18 @@ object Similarity {
   def ivfPqTrainedTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       coarse: Array[Array[Double]], cw: Array[Array[Array[Double]]],
       nCand: Int = 32): DataFrame =
-    ivfPqProbe(centroidReps(corpus, coarse), cw, corpus, queries, k,
+    ivfPqProbe(centroidIndex(coarse), cw, corpus, queries, k,
       cw.length, nCand)
 
-  private def ivfPqProbe(reps: DataFrame, cw: Array[Array[Array[Double]]],
+  private def ivfPqProbe(ix: CoarseIndex, cw: Array[Array[Array[Double]]],
       corpus: DataFrame, queries: DataFrame, k: Int, m: Int,
       nCand: Int): DataFrame = {
     val cwLit = typedLit(cw.map(_.map(_.toSeq).toSeq).toSeq)
     // one narrow pass: cell id + m-int code per corpus vector
-    val codes = cellAssign(reps, corpus, "embedding", "ivf_cell")
+    val codes = cellAssign(ix, corpus, "embedding", "ivf_cell")
       .select(col("vec_id").as("n_id"), col("ivf_cell"),
         call_function("pq_encode", col("embedding"), cwLit).as("codes"))
-    val q = broadcast(cellAssign(reps, queries, "embedding", "ivf_cell")
+    val q = broadcast(cellAssign(ix, queries, "embedding", "ivf_cell")
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("ivf_cell"),
         call_function("pq_lut", col("embedding"), cwLit).as("lut")))
     // cell-pruned ADC: the join key IS the inverted list
@@ -315,15 +344,14 @@ object Similarity {
   def ivfPqResidualTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       m: Int = 8, ksub: Int = 16, nCand: Int = 32): DataFrame = {
     val d = 64 / m
-    val reps = cellReps(corpus)
-    val assigned = cellAssign(reps, corpus, "embedding", "ivf_cell")
-      .join(reps.withColumnRenamed("cell", "ivf_cell"), "ivf_cell")
+    val ix = medoidIndex(corpus)
+    val assigned = cellAssign(ix, corpus, "embedding", "ivf_cell", withRep = true)
     // medoid residual codebook: residuals of the first ksub assigned vectors
     val cwRows = assigned.filter(col("vec_id") < ksub)
       .select(col("vec_id"), residCol.as("r"))
       .collect().map(r => r.getLong(0).toInt -> r.getSeq[Double](1).toArray).toMap
     val cw = Array.tabulate(m, ksub, d)((s, j, i) => cwRows(j)(s * d + i))
-    ivfPqResidualProbe(reps, cw, corpus, queries, k, nCand)
+    ivfPqResidualProbe(ix, cw, corpus, queries, k, nCand)
   }
 
   /** Residual IVF+PQ with BOTH quantizers trained — the FAISS production
@@ -334,26 +362,22 @@ object Similarity {
   def ivfPqResidualTrainedTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       coarse: Array[Array[Double]], sampleN: Int = 256,
       nCand: Int = 32): DataFrame = {
-    val reps = centroidReps(corpus, coarse)
-    val sampleResid = cellAssign(reps, corpus.filter(col("vec_id") < sampleN),
-        "embedding", "ivf_cell")
-      .join(reps.withColumnRenamed("cell", "ivf_cell"), "ivf_cell")
+    val ix = centroidIndex(coarse)
+    val sampleResid = cellAssign(ix, corpus.filter(col("vec_id") < sampleN),
+        "embedding", "ivf_cell", withRep = true)
       .select(col("vec_id"), residCol.as("embedding"))
     val cw = PqTrainer.trainCodebook(sampleResid, sampleN = sampleN)
-    ivfPqResidualProbe(reps, cw, corpus, queries, k, nCand)
+    ivfPqResidualProbe(ix, cw, corpus, queries, k, nCand)
   }
 
-  private def ivfPqResidualProbe(reps: DataFrame, cw: Array[Array[Array[Double]]],
+  private def ivfPqResidualProbe(ix: CoarseIndex, cw: Array[Array[Array[Double]]],
       corpus: DataFrame, queries: DataFrame, k: Int, nCand: Int): DataFrame = {
     val m = cw.length
-    val cellRep = reps.withColumnRenamed("cell", "ivf_cell")
-    val assigned = cellAssign(reps, corpus, "embedding", "ivf_cell")
-      .join(cellRep, "ivf_cell")
+    val assigned = cellAssign(ix, corpus, "embedding", "ivf_cell", withRep = true)
     val cwLit = typedLit(cw.map(_.map(_.toSeq).toSeq).toSeq)
     val codes = assigned.select(col("vec_id").as("n_id"), col("ivf_cell"),
       call_function("pq_encode", residCol, cwLit).as("codes"))
-    val q = broadcast(cellAssign(reps, queries, "embedding", "ivf_cell")
-      .join(cellRep, "ivf_cell")
+    val q = broadcast(cellAssign(ix, queries, "embedding", "ivf_cell", withRep = true)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("ivf_cell"),
         call_function("pq_lut", residCol, cwLit).as("lut")))
     val adc = codes.join(q, "ivf_cell")

@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions.call_function
 object GraftFunctions {
   private val descriptors = Seq(
     JsonDeepMerge.descriptor, JsonMergeIn.descriptor, Opaque.descriptor,
-    DotProduct.descriptor, BpeApply.descriptor,
+    DotProduct.descriptor, BpeApply.descriptor, IvfAssign.descriptor,
     PolyHash16.descriptor, PqEncode.descriptor, PqLut.descriptor,
     TopKPairs.descriptor, VectorSumLong.descriptor,
     graft.syslog.ParseSyslog.descriptor,

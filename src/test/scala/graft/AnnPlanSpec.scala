@@ -68,6 +68,49 @@ class AnnPlanSpec extends AnyFunSuite {
       .foreach(assertNoPerQueryWindow)
   }
 
+  test("IVF cell assignment is a narrow projection: zero exchanges, zero joins") {
+    withStaticPlan {
+      // read the table directly: Synth's loader repartitions small files
+      // (a source artifact, not part of the assignment plan under test)
+      val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      val cents = Array.tabulate(4, 64)((j, i) => (j * 64 + i + 1) / 100.0)
+      val plan = graft.ext.Similarity.assignCells(e, cents)
+        .queryExecution.executedPlan
+      val ex = plan.collect {
+        case x: org.apache.spark.sql.execution.exchange.Exchange => x
+      }
+      assert(ex.isEmpty,
+        s"assignment must not exchange (it is a row-local argmax):\n$plan")
+      val joins = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+      }
+      assert(joins.isEmpty, s"assignment must not join:\n$plan")
+    }
+  }
+
+  test("ann_ivf end-to-end: only the topk shuffle + output sort exchange remain") {
+    withStaticPlan {
+      Seq("ann_ivf", "ann_ivf_trained").foreach { key =>
+        val plan = SparkEntry.queries(key)(spark, sf).queryExecution.executedPlan
+        // ignore Synth's small-file RoundRobin repartitions (loader artifact)
+        val shuffles = plan.collect {
+          case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+              if !s.outputPartitioning.isInstanceOf[
+                org.apache.spark.sql.catalyst.plans.physical.RoundRobinPartitioning] => s
+        }
+        assert(shuffles.length == 2,
+          s"$key: expected exactly the topk partial/final shuffle + the orderBy " +
+            s"range exchange, got ${shuffles.length}:\n$plan")
+        val bcasts = plan.collect {
+          case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b
+        }
+        assert(bcasts.length == 1,
+          s"$key: only the tiny assigned query side should broadcast, " +
+            s"got ${bcasts.length}:\n$plan")
+      }
+    }
+  }
+
   test("topk_pairs: ordering, ties, null-skip, and cross-partition merge") {
     import spark.implicits._
     // 1000 scored rows per query across 4 partitions; planted best ids
