@@ -1,30 +1,80 @@
 package graft.ext
 
+import java.nio.charset.StandardCharsets
 import java.security.MessageDigest
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing: opaque `binary` payloads with typed metadata,
-  * processed per-partition in batch (the Spark-side shape a real image/audio
-  * decoder plugs into — schema, partitioning, batch iteration are real; the
-  * DECODE itself is a deterministic stub because no media libraries ship in
-  * this environment, as the build brief directs).
+  * processed per-partition in batch. The metadata DECODE is a real
+  * structural parse of the container header — PNG IHDR and JPEG SOF frame
+  * dimensions, the same fields `identify`/`ffprobe` report — in pure JVM
+  * byte reading (no media libraries ship in this environment; pixel-level
+  * decode would slot into the same mapPartitions seam). Spec-verified
+  * against files produced by the JDK's own ImageIO PNG/JPEG encoders.
   */
 object Multimodal {
   final case class Blob(doc_id: Long, data: Array[Byte])
   final case class Meta(
-      doc_id: Long, bytes: Long, digest: String, width: Long, height: Long, format: String)
+      doc_id: Long, bytes: Long, payload_md5: String, width: Long, height: Long,
+      format: String)
 
-  /** STUB decoder: stands in for e.g. an image header parse. Deterministic
-    * pure function of the payload bytes so results are oracle-checkable. */
-  def decodeStub(b: Blob): Meta = {
-    val md = MessageDigest.getInstance("MD5")
-    val digest = md.digest(b.data).map("%02x".format(_)).mkString
-    val first = if (b.data.nonEmpty) (b.data(0) & 0xff).toLong else 0L
-    Meta(b.doc_id, b.data.length.toLong, digest,
-      width = b.data.length.toLong % 640 + 1,
-      height = first % 480 + 1,
-      format = if (b.data.length % 2 == 0) "even" else "odd")
+  private def md5hex(d: Array[Byte]): String =
+    MessageDigest.getInstance("MD5").digest(d).map("%02x".format(_)).mkString
+
+  private def be32(d: Array[Byte], i: Int): Long =
+    ((d(i) & 0xffL) << 24) | ((d(i + 1) & 0xffL) << 16) |
+      ((d(i + 2) & 0xffL) << 8) | (d(i + 3) & 0xffL)
+
+  private def be16(d: Array[Byte], i: Int): Int =
+    ((d(i) & 0xff) << 8) | (d(i + 1) & 0xff)
+
+  private val PngSig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+    .map(_.toByte)
+
+  private def isPng(d: Array[Byte]): Boolean =
+    d.length >= 24 && PngSig.indices.forall(i => d(i) == PngSig(i)) &&
+      d(12) == 'I' && d(13) == 'H' && d(14) == 'D' && d(15) == 'R'
+
+  /** (width, height, format): PNG via the IHDR chunk (always first, bytes
+    * 16/20 big-endian — PNG spec §11.2.2), JPEG by walking marker segments
+    * to the first SOF frame header (ITU T.81 §B.2.2: height then width,
+    * both 16-bit BE, at offsets 3/5 of the segment payload). Anything
+    * else → ("raw", 0×0). */
+  def parseImageHeader(d: Array[Byte]): (Long, Long, String) = {
+    if (isPng(d)) (be32(d, 16), be32(d, 20), "png")
+    else if (d.length >= 4 && (d(0) & 0xff) == 0xff && (d(1) & 0xff) == 0xd8) {
+      // JPEG: SOI then marker segments; SOF0..SOF15 minus DHT/JPG/DAC
+      var i = 2
+      while (i + 3 < d.length && (d(i) & 0xff) == 0xff) {
+        val m = d(i + 1) & 0xff
+        val isSof = m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc
+        if (isSof) {
+          if (i + 8 < d.length)
+            return (be16(d, i + 7).toLong, be16(d, i + 5).toLong, "jpeg")
+          return (0L, 0L, "raw")
+        }
+        if (m == 0xd8 || m == 0x01 || (m >= 0xd0 && m <= 0xd7)) i += 2 // bare
+        else if (m == 0xda) return (0L, 0L, "raw") // SOS before any SOF
+        else i += 2 + be16(d, i + 2)
+      }
+      (0L, 0L, "raw")
+    } else (0L, 0L, "raw")
+  }
+
+  /** Header length for [[parseImageHeader]]-recognized containers — the
+    * payload (media content) starts here in [[synthBlobs]] output. */
+  def headerLength(d: Array[Byte]): Int =
+    if (isPng(d)) 33
+    else if (d.length >= 4 && (d(0) & 0xff) == 0xff && (d(1) & 0xff) == 0xd8)
+      SoiApp0.length + Sof0Fixed.length + 4 + Sof0Comps.length
+    else 0
+
+  def decodeMeta(b: Blob): Meta = {
+    val (w, h, fmt) = parseImageHeader(b.data)
+    val payload = b.data.drop(headerLength(b.data))
+    Meta(b.doc_id, b.data.length.toLong, md5hex(payload), w, h, fmt)
   }
 
   /** Batched per-partition decode — the mapPartitions seam where a vectorized
@@ -33,7 +83,7 @@ object Multimodal {
   def decode(blobs: Dataset[Blob]): Dataset[Meta] = {
     val spark = blobs.sparkSession
     import spark.implicits._
-    blobs.mapPartitions(_.map(decodeStub))
+    blobs.mapPartitions(_.map(decodeMeta))
   }
 
   /** Text column → opaque binary payload corpus (utf-8 bytes), the shape a
@@ -42,6 +92,73 @@ object Multimodal {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col("doc_id"), col("text").cast("binary").as("data")).as[Blob]
+  }
+
+  // --- deterministic container synthesis (the test corpus has no media
+  // --- column, so headers are synthesized around the text payload; every
+  // --- byte below follows the PNG / JFIF specs and round-trips through
+  // --- parseImageHeader AND external decoders)
+
+  /** JPEG SOI + a fixed JFIF APP0 segment (version 1.1, no thumbnail). */
+  private val SoiApp0: Array[Byte] = Array(
+    0xff, 0xd8, // SOI
+    0xff, 0xe0, 0x00, 0x10, 'J', 'F', 'I', 'F', 0x00, 0x01, 0x01,
+    0x00, 0x00, 0x01, 0x00, 0x01, 0x00, 0x00 // units 0, density 1×1, no thumb
+  ).map(_.toByte)
+
+  /** SOF0 marker + length(17) + precision(8) — height/width follow. */
+  private val Sof0Fixed: Array[Byte] =
+    Array(0xff, 0xc0, 0x00, 0x11, 0x08).map(_.toByte)
+
+  /** 3-component tail of SOF0 (YCbCr 4:2:0, quant tables 0/1/1). */
+  private val Sof0Comps: Array[Byte] = Array(
+    0x03, 0x01, 0x22, 0x00, 0x02, 0x11, 0x01, 0x03, 0x11, 0x01).map(_.toByte)
+
+  private def pngHeader(w: Long, h: Long): Array[Byte] = {
+    val ihdr = new Array[Byte](17) // "IHDR" + 13 data bytes
+    "IHDR".getBytes(StandardCharsets.US_ASCII).copyToArray(ihdr)
+    def putBe32(a: Array[Byte], i: Int, v: Long): Unit = {
+      a(i) = (v >>> 24).toByte; a(i + 1) = (v >>> 16).toByte
+      a(i + 2) = (v >>> 8).toByte; a(i + 3) = v.toByte
+    }
+    putBe32(ihdr, 4, w); putBe32(ihdr, 8, h)
+    ihdr(12) = 8; ihdr(13) = 2 // bit depth 8, truecolor; comp/filter/interlace 0
+    val crc = new java.util.zip.CRC32
+    crc.update(ihdr)
+    val out = new java.io.ByteArrayOutputStream(33)
+    out.write(PngSig); out.write(Array[Byte](0, 0, 0, 13))
+    out.write(ihdr)
+    val c = new Array[Byte](4); putBe32(c, 0, crc.getValue); out.write(c)
+    out.toByteArray
+  }
+
+  private def jpegHeader(w: Long, h: Long): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(39)
+    out.write(SoiApp0); out.write(Sof0Fixed)
+    out.write(Array[Byte]((h >>> 8).toByte, h.toByte, (w >>> 8).toByte, w.toByte))
+    out.write(Sof0Comps)
+    out.toByteArray
+  }
+
+  /** Deterministic multimodal corpus: every third doc a PNG, every third a
+    * JPEG (dimensions a closed form of doc_id so the DuckDB oracle can
+    * re-derive them), the rest raw — headers valid per spec, text as the
+    * opaque payload. One narrow pass. */
+  def synthBlobs(docs: DataFrame): Dataset[Blob] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)].map {
+      case (id, text) =>
+        val payload = text.getBytes(StandardCharsets.UTF_8)
+        val w = id % 1920 + 1
+        val h = (id * 7) % 1080 + 1
+        val header = (id % 3) match {
+          case 0 => pngHeader(w, h)
+          case 1 => jpegHeader(w, h)
+          case _ => Array.emptyByteArray
+        }
+        Blob(id, header ++ payload)
+    }
   }
 
   final case class Resized(

@@ -417,8 +417,12 @@ object ExtQueries {
 
   // -------------------------------------------------------- multimodal
 
+  /** Real container-header decode over the synthesized multimodal corpus:
+    * PNG IHDR / JPEG SOF0 dimensions parsed structurally from the bytes
+    * (spec-verified against ImageIO-encoded files); the oracle re-derives
+    * the synthesis closed-form. */
   private val multimodalMeta: Q = (s, dir) =>
-    Multimodal.decode(Multimodal.asBlobs(documents(s, dir)))
+    Multimodal.decode(Multimodal.synthBlobs(documents(s, dir)))
       .toDF().orderBy("doc_id")
 
   private val multimodalResize: Q = (s, dir) =>
@@ -1503,13 +1507,21 @@ object ExtQueries {
          |WHERE (${hexFoldSql(1, 8)} % 100) * 100 < r.rate_x10000
          |ORDER BY w.doc_id""".stripMargin,
 
+    // synthesis twin: the corpus plants PNG (33-byte sig+IHDR+CRC) or JFIF
+    // JPEG (39-byte SOI+APP0+SOF0) headers with dimensions a closed form of
+    // doc_id; Spark must recover them by PARSING the bytes (the structural
+    // parse itself is spec-verified against ImageIO-encoded real files)
     "multimodal_meta" ->
       """SELECT doc_id,
-        |  CAST(strlen(text) AS BIGINT) AS bytes,
-        |  md5(text) AS digest,
-        |  CAST(strlen(text) % 640 + 1 AS BIGINT) AS width,
-        |  CAST(ascii(substr(text, 1, 1)) % 480 + 1 AS BIGINT) AS height,
-        |  CASE WHEN strlen(text) % 2 = 0 THEN 'even' ELSE 'odd' END AS format
+        |  CAST(strlen(text) + CASE doc_id % 3 WHEN 0 THEN 33 WHEN 1 THEN 39
+        |    ELSE 0 END AS BIGINT) AS bytes,
+        |  md5(text) AS payload_md5,
+        |  CAST(CASE WHEN doc_id % 3 = 2 THEN 0
+        |    ELSE doc_id % 1920 + 1 END AS BIGINT) AS width,
+        |  CAST(CASE WHEN doc_id % 3 = 2 THEN 0
+        |    ELSE (doc_id * 7) % 1080 + 1 END AS BIGINT) AS height,
+        |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'raw'
+        |    END AS format
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // strided byte subsample — documents are all-ASCII so SQL char positions

@@ -342,14 +342,56 @@ class ExtSpec extends AnyFunSuite {
     assert(math.abs(top(0).getAs[Double]("sim") - 1.0) < 1e-12)
   }
 
-  test("multimodal stub: deterministic metadata through mapPartitions") {
-    val metas = Multimodal.decode(Multimodal.asBlobs(
-      Seq((7L, "abc")).toDF("doc_id", "text"))).collect()
-    val m = metas.head
-    assert(m.bytes == 3L)
-    assert(m.digest == "900150983cd24fb0d6963f7d28e17f72") // md5("abc")
-    assert(m.width == 4L && m.height == ('a'.toInt % 480 + 1).toLong)
-    assert(m.format == "odd")
+  test("multimodal decode parses REAL ImageIO-encoded PNG and JPEG headers") {
+    // the capability proof: files produced by the JDK's own encoders (not
+    // our synthesizer) must yield their true dimensions
+    def encode(fmt: String, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      img.setRGB(0, 0, 0x336699)
+      val out = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, out), s"no $fmt encoder")
+      out.toByteArray
+    }
+    assert(Multimodal.parseImageHeader(encode("png", 123, 45)) ==
+      ((123L, 45L, "png")))
+    assert(Multimodal.parseImageHeader(encode("jpg", 320, 200)) ==
+      ((320L, 200L, "jpeg")))
+    assert(Multimodal.parseImageHeader("plain text".getBytes) ==
+      ((0L, 0L, "raw")))
+    assert(Multimodal.parseImageHeader(Array.emptyByteArray) ==
+      ((0L, 0L, "raw")))
+  }
+
+  test("synthesized multimodal corpus: valid headers, true dims, payload intact") {
+    val docs = Seq((0L, "png doc"), (1L, "jpeg doc"), (2L, "raw doc"))
+      .toDF("doc_id", "text")
+    val metas = Multimodal.decode(Multimodal.synthBlobs(docs))
+      .collect().map(m => m.doc_id -> m).toMap
+    assert(metas(0L).format == "png" && metas(0L).width == 1L &&
+      metas(0L).height == 1L && metas(0L).bytes == 33L + 7L)
+    assert(metas(1L).format == "jpeg" && metas(1L).width == 2L &&
+      metas(1L).height == 8L && metas(1L).bytes == 39L + 8L)
+    assert(metas(2L).format == "raw" && metas(2L).width == 0L &&
+      metas(2L).bytes == 7L)
+    // payload digest = md5 of the original text for every container
+    def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes).map("%02x".format(_)).mkString
+    assert(metas(0L).payload_md5 == md5("png doc"))
+    assert(metas(1L).payload_md5 == md5("jpeg doc"))
+    assert(metas(2L).payload_md5 == md5("raw doc"))
+    // and the synthesized PNG is decodable by an EXTERNAL decoder: ImageIO
+    // reads our header far enough to expose dimensions via ImageReader
+    val png = Multimodal.synthBlobs(Seq((30L, "x")).toDF("doc_id", "text"))
+      .collect().head.data
+    val it = javax.imageio.ImageIO.getImageReaders(
+      javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(png)))
+    assert(it.hasNext, "ImageIO must recognize the synthesized PNG signature")
+    val rd = it.next()
+    rd.setInput(javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(png)))
+    assert(rd.getWidth(0) == 31 && rd.getHeight(0) == (30 * 7 % 1080) + 1)
   }
 
   test("text quality: integer-scaled stats") {
