@@ -27,15 +27,26 @@ import graft.metrics.{Stats, StatsdEmitter}
   * framing trivially correct; a production path would pool connections —
   * the delivery/accounting semantics, which is what this class pins, are
   * identical.
+  *
+  * `tlsCaCert` reaches a TLS-listening cluster (the reference passes the
+  * full librdkafka config — including `security.protocol=ssl` +
+  * `ssl.ca.location` — through to its producer, src/sink/kafka.rs:63-84):
+  * the produce socket is wrapped in an SSLSocket trusting the named PEM
+  * bundle (`Some("")` = the JVM default trust store). A handshake failure
+  * surfaces as the transport-failure counter, like any broken broker.
   */
 final class KafkaProduceClient(broker: String, timeoutMs: Int = 60000,
-    statsd: Option[StatsdEmitter] = None, maxInFlight: Int = 1024)
+    statsd: Option[StatsdEmitter] = None, maxInFlight: Int = 1024,
+    tlsCaCert: Option[String] = None)
     extends AutoCloseable {
 
   private val (host, port) = broker.lastIndexOf(':') match {
     case -1 => (broker, 9092)
     case i  => (broker.substring(0, i), broker.substring(i + 1).toInt)
   }
+
+  private val sslCtx: Option[javax.net.ssl.SSLContext] =
+    tlsCaCert.map(graft.sources.Pem.clientContext)
 
   private val pool = Executors.newFixedThreadPool(8, r => {
     val t = new Thread(r, "graft-kafka-produce"); t.setDaemon(true); t
@@ -117,17 +128,26 @@ final class KafkaProduceClient(broker: String, timeoutMs: Int = 60000,
   /** Produce v0 (api_key 0): one message, acks=1. Returns the partition
     * error code from the response. */
   private def produceRoundTrip(topic: String, payload: String): Int = {
-    val socket = new Socket()
+    val plain = new Socket()
+    var socket: Socket = plain
     try {
       // a connect-phase timeout is a TRANSPORT failure (broker unreachable),
       // not the delivery timeout — resurface it as such so the error
       // taxonomy matches the reference's (send-timeout vs connection error)
-      try socket.connect(new InetSocketAddress(host, port), timeoutMs)
+      try plain.connect(new InetSocketAddress(host, port), timeoutMs)
       catch {
         case e: SocketTimeoutException =>
           throw new java.net.ConnectException(s"connect timed out: ${e.getMessage}")
       }
-      socket.setSoTimeout(timeoutMs)
+      plain.setSoTimeout(timeoutMs)
+      sslCtx.foreach { ctx =>
+        val s = ctx.getSocketFactory.createSocket(plain, host, port, true)
+          .asInstanceOf[javax.net.ssl.SSLSocket]
+        s.setSoTimeout(timeoutMs)
+        s.setUseClientMode(true)
+        s.startHandshake() // chain-verified against the configured anchors
+        socket = s
+      }
       val out = new DataOutputStream(socket.getOutputStream)
       val in = new DataInputStream(socket.getInputStream)
 
@@ -191,6 +211,18 @@ final class KafkaProduceClient(broker: String, timeoutMs: Int = 60000,
         t += 1
       }
       err
-    } finally socket.close()
+    } finally socket.close() // closing the SSL wrapper closes the transport
   }
+}
+
+object KafkaProduceClient {
+  /** librdkafka-style conf → the client's TLS setting (the reference feeds
+    * its whole `[kafka]` table to librdkafka, src/sink/kafka.rs:63-84):
+    * `security.protocol` of ssl/sasl_ssl enables TLS with
+    * `ssl.ca.location` as the trust anchor ("" → JVM default store). */
+  def tlsFromConf(conf: Map[String, String]): Option[String] =
+    conf.getOrElse("security.protocol", "plaintext").toLowerCase match {
+      case "ssl" | "sasl_ssl" => Some(conf.getOrElse("ssl.ca.location", ""))
+      case _ => None
+    }
 }

@@ -31,10 +31,13 @@ object RoutedSink {
     * each executor-side client — at 1000 executors this is exactly the
     * reference's N-producer deployment, one per daemon. */
   def produceKafka(routed: DataFrame, broker: String, timeoutMs: Int = 60000,
-      statsdHostPort: Option[(String, Int)] = None): Unit =
+      statsdHostPort: Option[(String, Int)] = None,
+      tlsCaCert: Option[String] = None): Unit =
     kafkaShape(routed).foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+      // TLS context built HERE, per executor — only the PEM path ships
       val client = new KafkaProduceClient(broker, timeoutMs,
-        statsdHostPort.map { case (h, p) => new graft.metrics.StatsdEmitter(h, p) })
+        statsdHostPort.map { case (h, p) => new graft.metrics.StatsdEmitter(h, p) },
+        tlsCaCert = tlsCaCert)
       try { rows.foreach(r => client.send(r.getString(0), r.getString(1))); client.flush() }
       finally client.close()
     }
@@ -52,8 +55,11 @@ object RoutedSink {
     * raw payload string is written instead — lossless, and readers can
     * infer at scan time (divergence documented in SURVEY.md §7.5).
     */
-  def writeRouted(routed: DataFrame, cfg: GraftConfig, url: String,
+  def writeRouted(routed: DataFrame, cfg: GraftConfig, rawUrl: String,
       inferUndeclared: Boolean = false): Unit = {
+    // Object-store targeting: scheme + env select/configure the store (the
+    // reference's parse_url_opts contract, src/sink/parquet.rs:58-61)
+    val url = ObjectStoreConfig(routed.sparkSession, rawUrl)
     // Standard foreachBatch multi-sink pattern: this method runs 1+|schemas|
     // write actions (more in infer mode) — without a persist each one would
     // re-execute the whole upstream parse/cascade pipeline per micro-batch.

@@ -147,6 +147,27 @@ private[graft] object Pem {
         s"TLS key could not be properly loaded! This is fatal!: $path"))
   }
 
+  /** Client SSLContext trusting a PEM CA/cert bundle — the librdkafka
+    * `ssl.ca.location` contract the reference passes through to its Kafka
+    * producer (src/sink/kafka.rs:63-84): the named certs are the trust
+    * anchors for broker verification. Empty path → the JVM default trust
+    * store (public-CA brokers). */
+  def clientContext(caCertPath: String): SSLContext =
+    if (caCertPath.isEmpty) SSLContext.getDefault
+    else {
+      val ks = KeyStore.getInstance("PKCS12")
+      ks.load(null, null)
+      readCerts(caCertPath).zipWithIndex.foreach { case (c, i) =>
+        ks.setCertificateEntry(s"ca-$i", c)
+      }
+      val tmf = javax.net.ssl.TrustManagerFactory
+        .getInstance(javax.net.ssl.TrustManagerFactory.getDefaultAlgorithm)
+      tmf.init(ks)
+      val ctx = SSLContext.getInstance("TLS")
+      ctx.init(null, tmf.getTrustManagers, new SecureRandom())
+      ctx
+    }
+
   /** Server SSLContext from a PEM cert chain + key (no client auth,
     * src/serve/tls.rs:93-97). */
   def serverContext(certPath: String, keyPath: String): SSLContext = {
