@@ -175,6 +175,41 @@ object Similarity {
   def assignCells(corpus: DataFrame, centroids: Array[Array[Double]]): DataFrame =
     cellAssign(centroidIndex(centroids), corpus, "embedding", "ivf_cell")
 
+  /** Multi-cell IVF probing — the standard FAISS recall lever: each query
+    * probes its `nprobe` nearest cells (cosine desc, ties → lower cell)
+    * instead of only the top one, so neighbors straddling a cell boundary
+    * become reachable at probe cost ×nprobe. The corpus side is UNCHANGED
+    * (assigned once, narrowly — each vector lives in exactly one inverted
+    * list, so probe lists never produce duplicate candidates); only the
+    * tiny broadcast query side fans out, ranking its cells through the
+    * same bounded topk_pairs aggregate as the result ranking. */
+  def ivfNprobeTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nprobe: Int): DataFrame = {
+    val ix = medoidIndex(corpus)
+    val bucketed = cellAssign(ix, corpus, "embedding", "ivf_cell")
+    val qScored = queries
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .select(col("q_id"), col("q_emb"),
+        posexplode(centLit(ix)).as(Seq("cpos", "cvec")))
+      .select(col("q_id"),
+        element_at(typedLit(ix._1.toSeq), col("cpos") + 1).as("cell"),
+        cosine(col("q_emb"), col("cvec")).as("csim"))
+    val probes = qScored.groupBy("q_id")
+      .agg(call_function("topk_pairs", col("cell"), col("csim"),
+        lit(nprobe), lit(false)).as("top"))
+      .select(col("q_id"), explode(col("top")).as("p"))
+      .select(col("q_id"), col("p.n_id").as("ivf_cell"))
+    val q = broadcast(probes.join(
+      queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
+      "q_id"))
+    val scored = bucketed.join(q, "ivf_cell")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        cosine(col("q_emb"), col("embedding")).as("sim"))
+    rankTopK(scored, k, "sim", asc = false)
+      .select("q_id", "rank", "n_id", "sim")
+  }
+
   /** Persisted-index IVF — the build-once / probe-many layout a 100 TB
     * deployment actually runs: cell assignments are written ONCE as a
     * parquet table PARTITIONED BY cell, so every later query batch scans

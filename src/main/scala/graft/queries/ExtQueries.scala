@@ -104,6 +104,7 @@ object ExtQueries {
         .agg(count(lit(1)).as("hits"))
         .select(lit(name).as("method"), col("hits"))
     hits("ivf", Similarity.ivfTopK(e, q, 5))
+      .unionAll(hits("ivf_nprobe", Similarity.ivfNprobeTopK(e, q, 5, 2)))
       .unionAll(hits("lsh", Similarity.lshTopK(e, q, 5, Planes)))
       .unionAll(hits("lsh_multiprobe", Similarity.lshMultiProbeTopK(e, q, 5, Planes)))
       .orderBy("method")
@@ -113,6 +114,16 @@ object ExtQueries {
     graft.functions.GraftFunctions.ensureRegistered(s)
     val e = embeddings(s, dir)
     Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), 5)
+      .orderBy("q_id", "rank")
+  }
+
+  /** Multi-cell probing at nprobe=2 over the same medoid index — the
+    * standard FAISS recall lever (probe the 2 nearest cells, exact
+    * re-rank inside them). */
+  private val annIvfNprobe: Q = (s, dir) => {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val e = embeddings(s, dir)
+    Similarity.ivfNprobeTopK(e, e.filter(col("vec_id") < 10), 5, 2)
       .orderBy("q_id", "rank")
   }
 
@@ -172,11 +183,16 @@ object ExtQueries {
   }
 
   /** Build-once/probe-many IVF: the index persists as a parquet table
-    * partitioned by cell; the probe scans only its inverted lists. */
+    * partitioned by cell; the probe scans only its inverted lists. One
+    * STABLE path per sf dir (overwrite-rewritten per build) so repeated
+    * bench/verify invocations reuse the slot instead of accumulating a
+    * fresh temp directory per call. */
   private val annIvfPersisted: Q = (s, dir) => {
     graft.functions.GraftFunctions.ensureRegistered(s)
     val e = embeddings(s, dir)
-    val path = java.nio.file.Files.createTempDirectory("graft-ivf-index").toString
+    val slot = java.lang.Integer.toHexString(dir.hashCode)
+    val path = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft-ivf-index", slot).toString
     Similarity.ivfPersistedTopK(e, e.filter(col("vec_id") < 10), 5, path)
       .orderBy("q_id", "rank")
   }
@@ -446,6 +462,7 @@ object ExtQueries {
     "ann_range_search" -> annRangeSearch,
     "ann_recall" -> annRecall,
     "ann_ivf" -> annIvf,
+    "ann_ivf_nprobe" -> annIvfNprobe,
     "ann_ivf_persisted" -> annIvfPersisted,
     "ann_ivf_trained" -> annIvfTrained,
     "ann_pq" -> annPq,
@@ -809,7 +826,38 @@ object ExtQueries {
          |SELECT q_id, rank, n_id, sim FROM ranked WHERE rank <= 5
          |ORDER BY q_id, rank""".stripMargin
 
+  /** ann_ivf's CTEs with the query probing its top-2 cells (cos desc,
+    * ties → lower cell) — the nprobe=2 twin. */
+  private val AnnIvfNprobeOracle: String =
+      s"""WITH reps AS (
+         |  SELECT label AS cell, embedding AS rep FROM (
+         |    SELECT label, embedding,
+         |      row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+         |    FROM embeddings) WHERE rn = 1),
+         |assigned AS (
+         |  SELECT vec_id, embedding, ivf_cell FROM (
+         |    SELECT e.vec_id, e.embedding, r.cell AS ivf_cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosSql("e.embedding", "r.rep")} DESC, r.cell) AS rn
+         |    FROM embeddings e, reps r) WHERE rn = 1),
+         |qprobe AS (
+         |  SELECT q_id, qe, ivf_cell FROM (
+         |    SELECT e.vec_id AS q_id, e.embedding AS qe, r.cell AS ivf_cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosSql("e.embedding", "r.rep")} DESC, r.cell) AS rn
+         |    FROM embeddings e, reps r WHERE e.vec_id < 10) WHERE rn <= 2),
+         |scored AS (SELECT q_id, e.vec_id AS n_id,
+         |  ${cosSql("qe", "e.embedding")} AS sim
+         |  FROM assigned e JOIN qprobe q USING (ivf_cell) WHERE e.vec_id <> q.q_id),
+         |ranked AS (SELECT q_id, n_id, sim,
+         |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS INT) AS rank
+         |  FROM scored)
+         |SELECT q_id, rank, n_id, sim FROM ranked WHERE rank <= 5
+         |ORDER BY q_id, rank""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "ann_ivf_nprobe" -> AnnIvfNprobeOracle,
+
     "dedup_exact" ->
       s"""$CorpusCte
          |SELECT min(doc_id) AS keep_id, count(*) AS n FROM corpus
@@ -984,9 +1032,23 @@ object ExtQueries {
          |    FROM (SELECT q_id, e.vec_id AS n_id, ${cosSql("qe", "e.embedding")} AS sim
          |          FROM assigned e JOIN ivfq q USING (ivf_cell)
          |          WHERE e.vec_id <> q.q_id))
+         |  WHERE rank <= 5),
+         |ivfqp AS (SELECT q_id, qe, ivf_cell FROM (
+         |    SELECT e.vec_id AS q_id, e.embedding AS qe, r.cell AS ivf_cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosSql("e.embedding", "r.rep")} DESC, r.cell) AS rn
+         |    FROM embeddings e, reps r WHERE e.vec_id < 10) WHERE rn <= 2),
+         |ivfp AS (SELECT q_id, n_id FROM (
+         |    SELECT q_id, n_id,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank
+         |    FROM (SELECT q_id, e.vec_id AS n_id, ${cosSql("qe", "e.embedding")} AS sim
+         |          FROM assigned e JOIN ivfqp q USING (ivf_cell)
+         |          WHERE e.vec_id <> q.q_id))
          |  WHERE rank <= 5)
          |SELECT method, hits FROM (
          |  SELECT 'ivf' AS method, count(*) AS hits FROM bf JOIN ivf USING (q_id, n_id)
+         |  UNION ALL
+         |  SELECT 'ivf_nprobe', count(*) FROM bf JOIN ivfp USING (q_id, n_id)
          |  UNION ALL
          |  SELECT 'lsh', count(*) FROM bf JOIN lsh USING (q_id, n_id)
          |  UNION ALL

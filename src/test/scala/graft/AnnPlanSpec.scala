@@ -62,7 +62,8 @@ class AnnPlanSpec extends AnyFunSuite {
   }
 
   test("the rest of the ANN family avoids q_id windows too") {
-    Seq("ann_lsh", "ann_lsh_multiprobe", "ann_ivf", "ann_ivf_trained",
+    Seq("ann_lsh", "ann_lsh_multiprobe", "ann_ivf", "ann_ivf_nprobe",
+      "ann_ivf_trained",
       "ann_ivf_pq_residual", "ann_pq_trained", "ann_ivf_pq_trained",
       "ann_ivf_pq_residual_trained", "ann_recall", "ann_ivf_persisted")
       .foreach(assertNoPerQueryWindow)

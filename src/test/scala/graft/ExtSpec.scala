@@ -799,6 +799,22 @@ class ExtSpec extends AnyFunSuite {
     assert(out(2L) == ((3L, 4L)))
   }
 
+  test("nprobe=2 IVF recall dominates single-cell probing") {
+    val e = graft.queries.Synth.embeddings(spark, "/root/testdata/sf0.001")
+    val q = e.filter(col("vec_id") < 10)
+    val bf = Similarity.bruteForceTopK(e, q, 5).select("q_id", "n_id")
+    def hits(m: org.apache.spark.sql.DataFrame): Long =
+      bf.join(m.select("q_id", "n_id"), Seq("q_id", "n_id")).count()
+    val single = hits(Similarity.ivfTopK(e, q, 5))
+    val multi = hits(Similarity.ivfNprobeTopK(e, q, 5, 2))
+    assert(multi >= single,
+      s"probing 2 cells must never lose recall: nprobe=$multi single=$single")
+    // every single-cell candidate set is a subset of the 2-cell one, so on
+    // this corpus the planted near-boundary neighbors should ADD recall
+    assert(multi > single || single == 50L,
+      s"expected strict recall gain (or already-perfect recall): $multi vs $single")
+  }
+
   test("BPE driver-local training equals the distributed round loop") {
     val docs = graft.queries.Synth.documents(spark, "/root/testdata/sf0.001")
       .limit(40)
