@@ -8,11 +8,15 @@ import org.apache.spark.sql.SparkSession
   * JSON line — the driver's BENCH_r{N}.json contract.
   *
   * Per-query times on this shared host jitter ±2-4× (cold codegen, GC), so
-  * each query is run `SPARK_GRAFT_BENCH_RUNS` times (default 3) and the
-  * MEDIAN is reported; the cache is cleared between runs so a query that
-  * persists intermediate state pays its real cost every time. A query that
-  * throws is reported as -1 with its name in the `errors` list — a failure
-  * must never improve the total.
+  * each query is run `SPARK_GRAFT_BENCH_RUNS` times (default 3) and COLD is
+  * separated from WARM: `queries` / the `total` carry the median of the
+  * WARM runs (2..N — steady-state plan cost, comparable across rounds),
+  * `queries_cold` / `total_cold` the first run (codegen + JIT included), so
+  * a cold-JVM tail can never masquerade as a plan regression again. The
+  * cache is cleared between runs so a query that persists intermediate
+  * state pays its real cost every time. A query that throws is reported as
+  * -1 with its name in the `errors` list — a failure must never improve
+  * the total.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -45,19 +49,26 @@ object Bench {
             None
         }
       }
-      val median =
-        if (times.size < runs) { errors ::= name; -1.0 }
-        else times.sorted.apply(times.size / 2)
+      val (cold, warmMedian) =
+        if (times.size < runs) { errors ::= name; (-1.0, -1.0) }
+        else {
+          val warm = if (times.size > 1) times.tail else times
+          (times.head, warm.sorted.apply(warm.size / 2))
+        }
       System.err.println(
-        f"[bench] $name%-28s $median%8.2f s  (runs: ${
+        f"[bench] $name%-28s cold $cold%8.2f s  warm $warmMedian%8.2f s  (runs: ${
           times.map(t => f"$t%.2f").mkString(", ")})")
-      name -> median
+      (name, cold, warmMedian)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    def obj(sel: ((String, Double, Double)) => Double) = results
+      .map { case t @ (k, _, _) => "\"" + k + "\":" + sel(t) }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val total = results.collect { case (_, _, w) if w >= 0 => w }.sum
+    val totalCold = results.collect { case (_, c, _) if c >= 0 => c }.sum
     val errJson = errors.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""total_cold":$totalCold,"queries":${obj(_._3)},""" +
+      s""""queries_cold":${obj(_._2)},"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
