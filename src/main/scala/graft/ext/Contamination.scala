@@ -46,11 +46,24 @@ object Contamination {
     ngramRows(probes, n).select(md5(col("gram")).as("gh")).distinct()
       .collect().map(_.getString(0)).toSeq.sorted
 
+  /** The probe set rides into the plan as a LITERAL (serialized with every
+    * task binary), which is the right shape only while the benchmark stays
+    * benchmark-sized; past this bound callers must pre-hash to a broadcast
+    * join ([[contaminatedDocs]]) instead of the inline flag. */
+  val MaxProbeLiteral: Int = 100000
+
   /** Ingest-time decontamination: a pure row-local projection adding a
     * `contaminated` flag — streaming-append-safe (no window, no shuffle,
     * no state), so the check runs in the same micro-batch that admits the
-    * document. Same collision semantics as [[contaminatedDocs]]. */
-  def flagContaminated(docs: DataFrame, probeHashes: Seq[String], n: Int = 8): DataFrame = {
+    * document. Same collision semantics as [[contaminatedDocs]]. Fails
+    * loudly past [[MaxProbeLiteral]] grams rather than silently bloating
+    * every serialized task. */
+  def flagContaminated(docs: DataFrame, probeHashes: Seq[String], n: Int = 8,
+      maxProbeLiteral: Int = MaxProbeLiteral): DataFrame = {
+    require(probeHashes.size <= maxProbeLiteral,
+      s"probe set of ${probeHashes.size} grams exceeds the plan-literal bound " +
+        s"($maxProbeLiteral): use Contamination.contaminatedDocs (broadcast " +
+        "join) for benchmark sets this large")
     // reserved temp name so a caller's own columns survive untouched; the
     // attribute hop keeps the split out of the gram lambda (see ngramRows)
     val tmp = "__graft_decontam_toks"

@@ -59,16 +59,24 @@ object Dedup {
       .select(col("doc_id"), md5(col("span")).as("sh"))
       .groupBy("sh", "doc_id").agg(count(lit(1)).as("occ"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dupSh = spanDocs.groupBy("sh").agg(count(lit(1)).as("nd"))
-      .filter(col("nd") > 1).select("sh")
-    val dupPerDoc = spanDocs.join(dupSh, Seq("sh"), "left_semi")
-      .groupBy("doc_id").agg(sum("occ").as("dup_spans"))
-    spanDocs.groupBy("doc_id").agg(sum("occ").as("spans"))
-      .join(dupPerDoc, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("spans"),
-        coalesce(col("dup_spans"), lit(0L)).as("dup_spans"),
-        coalesce((lit(10000L) * col("dup_spans") / col("spans")).cast("long"),
-          lit(0L)).as("dup_x10000"))
+    try {
+      val dupSh = spanDocs.groupBy("sh").agg(count(lit(1)).as("nd"))
+        .filter(col("nd") > 1).select("sh")
+      val dupPerDoc = spanDocs.join(dupSh, Seq("sh"), "left_semi")
+        .groupBy("doc_id").agg(sum("occ").as("dup_spans"))
+      spanDocs.groupBy("doc_id").agg(sum("occ").as("spans"))
+        .join(dupPerDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("spans"),
+          coalesce(col("dup_spans"), lit(0L)).as("dup_spans"),
+          coalesce((lit(10000L) * col("dup_spans") / col("spans")).cast("long"),
+            lit(0L)).as("dup_x10000"))
+        // eagerly materialize the (|docs|-row) RESULT and cut its lineage,
+        // so the big span-table cache can be dropped HERE instead of
+        // accumulating across calls in a long-lived session (the returned
+        // frame would otherwise keep depending on it). Output blocks are
+        // ContextCleaner-managed: freed when the frame is GC'd.
+        .localCheckpoint(true)
+    } finally spanDocs.unpersist()
   }
 
   /** Distinct-token set (order-preserving ops not needed for Jaccard). */

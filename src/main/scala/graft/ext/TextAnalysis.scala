@@ -403,6 +403,10 @@ object TextAnalysis {
   def tfidfTopK(corpus: DataFrame, k: Int = 3): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
     def ilog2(x: Column): Column = (length(bin(x)) - 1).cast("long")
+    // COLLISION ASSUMPTION: two distinct tokens sharing a 60-bit md5 prefix
+    // (P ≈ |vocab|²·2⁻⁶¹) would merge in topk_pairs and duplicate dict
+    // join-back rows; accepted at ~2⁻⁶⁰ per pair — full-digest keying would
+    // cost a string (not long) ranking key in the bounded aggregate.
     def tokId(tok: Column): Column =
       conv(substring(md5(tok), 1, 15), 16, 10).cast("long")
     val tf = tokenRows(corpus).groupBy("doc_id", "tok")

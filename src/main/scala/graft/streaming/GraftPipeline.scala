@@ -132,13 +132,15 @@ object GraftPipeline {
     // first trigger still gets its shutdown drain; the id to match arrives
     // via the holder right after start() returns (the listener bus
     // delivers asynchronously). A query can terminate — and its event be
-    // DELIVERED — before the assignment below, so the listener parks each
-    // termination event on a latch until the id is published; otherwise the
-    // drain (and listener removal) would be skipped, leaking buffered rows.
-    // sink.close() is idempotent — callers may also invoke it after
-    // awaitTermination.
+    // DELIVERED — before the assignment below; such early events are
+    // RECORDED (never parked — blocking here would stall the shared
+    // listener-bus dispatch thread for every other streaming query on the
+    // session) and reconciled right after the id is published. The
+    // `early.remove` claim ticket makes the drain exactly-once whichever
+    // side wins the race. sink.close() is idempotent — callers may also
+    // invoke it after awaitTermination.
     val qid = new java.util.concurrent.atomic.AtomicReference[java.util.UUID]()
-    val qidPublished = new java.util.concurrent.CountDownLatch(1)
+    val early = java.util.concurrent.ConcurrentHashMap.newKeySet[java.util.UUID]()
     val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
       override def onQueryStarted(
           e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
@@ -146,10 +148,17 @@ object GraftPipeline {
           e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = ()
       override def onQueryTerminated(
           e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = {
-        // bounded wait: start() publishes the id (or fails and counts down)
-        // within this window unless the driver is wedged
-        qidPublished.await(60, java.util.concurrent.TimeUnit.SECONDS)
-        if (e.id == qid.get()) { sink.close(); spark.streams.removeListener(this) }
+        val id = qid.get()
+        if (id != null) {
+          if (e.id == id) { sink.close(); spark.streams.removeListener(this) }
+        } else {
+          early.add(e.id)
+          // publish may have landed between the null read and the add —
+          // re-check, claiming the event so only one side drains
+          if (e.id == qid.get() && early.remove(e.id)) {
+            sink.close(); spark.streams.removeListener(this)
+          }
+        }
       }
     }
     spark.streams.addListener(listener)
@@ -160,13 +169,13 @@ object GraftPipeline {
         .foreachBatch(sink.addBatch _)
         .start()
       catch { case e: Throwable =>
-        qidPublished.countDown() // unblock any parked (unrelated) event
         spark.streams.removeListener(listener)
         sink.close()
         throw e
       }
     qid.set(q.id)
-    qidPublished.countDown()
+    // reconcile a termination delivered before the id was published
+    if (early.remove(q.id)) { sink.close(); spark.streams.removeListener(listener) }
     (q, sink)
   }
 

@@ -40,6 +40,19 @@ class ContaminationStreamSpec extends AnyFunSuite {
     assert(out.collect().head.getSeq[String](2) == Seq("pre", "tokenized"))
   }
 
+  test("probe sets past the plan-literal bound are rejected loudly") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val big = (1 to 10).map(i => f"$i%032x")
+    val e = intercept[IllegalArgumentException] {
+      Contamination.flagContaminated(docs, big, maxProbeLiteral = 5)
+    }
+    assert(e.getMessage.contains("broadcast"),
+      s"the error must point at the broadcast-join alternative: ${e.getMessage}")
+    // at the bound it still plans
+    Contamination.flagContaminated(docs, big, maxProbeLiteral = 10).collect()
+  }
+
   test("the flag runs on a stream — admission-time decontamination") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val probes = Seq((100L, benchQ)).toDF("doc_id", "text")
