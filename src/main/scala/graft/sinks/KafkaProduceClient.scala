@@ -34,10 +34,16 @@ import graft.metrics.{Stats, StatsdEmitter}
   * the produce socket is wrapped in an SSLSocket trusting the named PEM
   * bundle (`Some("")` = the JVM default trust store). A handshake failure
   * surfaces as the transport-failure counter, like any broken broker.
+  *
+  * `sasl` = (username, password) runs SCRAM-SHA-256 ([[ScramAuth]]) on
+  * every connection before the produce frame — the mechanism behind the
+  * reference's `SASL_SCRAM_*` env overrides. Composes with TLS
+  * (`security.protocol=sasl_ssl`): auth runs inside the SSL session.
   */
 final class KafkaProduceClient(broker: String, timeoutMs: Int = 60000,
     statsd: Option[StatsdEmitter] = None, maxInFlight: Int = 1024,
-    tlsCaCert: Option[String] = None)
+    tlsCaCert: Option[String] = None,
+    sasl: Option[(String, String)] = None)
     extends AutoCloseable {
 
   private val (host, port) = broker.lastIndexOf(':') match {
@@ -151,6 +157,11 @@ final class KafkaProduceClient(broker: String, timeoutMs: Int = 60000,
       val out = new DataOutputStream(socket.getOutputStream)
       val in = new DataInputStream(socket.getInputStream)
 
+      // authenticate before the first produce frame (one connection per
+      // send → one SCRAM exchange per delivery; a pooled client would
+      // authenticate once per pooled connection)
+      sasl.foreach { case (u, p) => ScramAuth.authenticate(in, out, u, p) }
+
       val clientId = "graft".getBytes(StandardCharsets.UTF_8)
       val topicB = topic.getBytes(StandardCharsets.UTF_8)
       val valueB = payload.getBytes(StandardCharsets.UTF_8)
@@ -225,4 +236,11 @@ object KafkaProduceClient {
       case "ssl" | "sasl_ssl" => Some(conf.getOrElse("ssl.ca.location", ""))
       case _ => None
     }
+
+  /** librdkafka-style conf → SCRAM credentials: the `sasl.username`/
+    * `sasl.password` keys the reference's `SASL_SCRAM_*` env overrides
+    * populate ([[KafkaBootstrap.withEnvOverrides]]). */
+  def saslFromConf(conf: Map[String, String]): Option[(String, String)] =
+    for (u <- conf.get("sasl.username"); p <- conf.get("sasl.password"))
+      yield (u, p)
 }

@@ -20,9 +20,71 @@ class KafkaProduceSpec extends AnyFunSuite {
   /** Loopback broker: one Produce v0 request per connection; records each
     * (topic, payload) and answers with `errorFor(topic)`. `silent = true`
     * reads the request and never answers (drives the client timeout). */
+  /** Server side of SCRAM-SHA-256 over SaslHandshake v0 + raw tokens:
+    * verifies the client proof against `password`, signs server-final with
+    * `signPassword` (defaults to the real one — pass a different value to
+    * simulate a server that doesn't hold the credential). Returns false
+    * (after an e= token) when the client proof doesn't verify. */
+  private def scramServer(in: DataInputStream, out: DataOutputStream,
+      user: String, password: String, signPassword: String): Boolean = {
+    def b64(b: Array[Byte]) = java.util.Base64.getEncoder.encodeToString(b)
+    def sendTok(s: String): Unit = {
+      val b = s.getBytes(StandardCharsets.UTF_8)
+      out.writeInt(b.length); out.write(b); out.flush()
+    }
+    def readTok(): String = {
+      val b = new Array[Byte](in.readInt()); in.readFully(b)
+      new String(b, StandardCharsets.UTF_8)
+    }
+    // SaslHandshake v0
+    val frame = new Array[Byte](in.readInt()); in.readFully(frame)
+    val f = new DataInputStream(new ByteArrayInputStream(frame))
+    assert(f.readShort() == 17, "expected SaslHandshake")
+    f.readShort()
+    val corr = f.readInt()
+    f.skipBytes(f.readShort()) // client_id
+    val mb = new Array[Byte](f.readShort()); f.readFully(mb)
+    assert(new String(mb, StandardCharsets.UTF_8) == "SCRAM-SHA-256")
+    val mecb = "SCRAM-SHA-256".getBytes(StandardCharsets.UTF_8)
+    out.writeInt(4 + 2 + 4 + 2 + mecb.length)
+    out.writeInt(corr); out.writeShort(0)
+    out.writeInt(1); out.writeShort(mecb.length); out.write(mecb)
+    out.flush()
+    // SCRAM exchange
+    val clientFirst = readTok()
+    assert(clientFirst.startsWith("n,,"), s"gs2 header: $clientFirst")
+    val bare = clientFirst.drop(3)
+    val fields = bare.split(',').map(a => a.charAt(0) -> a.drop(2)).toMap
+    assert(fields('n') == user, s"unexpected user ${fields('n')}")
+    val salt = "loopback-salt".getBytes(StandardCharsets.UTF_8)
+    val serverNonce = fields('r') + "-srv-ext"
+    val serverFirst = s"r=$serverNonce,s=${b64(salt)},i=4096"
+    sendTok(serverFirst)
+    val clientFinal = readTok()
+    val pIdx = clientFinal.lastIndexOf(",p=")
+    val withoutProof = clientFinal.substring(0, pIdx)
+    val proof = java.util.Base64.getDecoder.decode(clientFinal.drop(pIdx + 3))
+    val authMsg = s"$bare,$serverFirst,$withoutProof"
+    val sp = graft.sinks.ScramAuth.saltedPassword(password, salt, 4096)
+    val ck = graft.sinks.ScramAuth.hmac(sp, "Client Key".getBytes)
+    val sig = graft.sinks.ScramAuth.hmac(
+      graft.sinks.ScramAuth.sha256(ck), authMsg.getBytes)
+    val expProof = ck.zip(sig).map { case (a, b) => (a ^ b).toByte }
+    if (!java.util.Arrays.equals(proof, expProof)) {
+      sendTok("e=invalid-proof")
+      return false
+    }
+    val spSign = graft.sinks.ScramAuth.saltedPassword(signPassword, salt, 4096)
+    val sk = graft.sinks.ScramAuth.hmac(spSign, "Server Key".getBytes)
+    sendTok(s"v=${b64(graft.sinks.ScramAuth.hmac(sk, authMsg.getBytes))}")
+    true
+  }
+
   private final class LoopbackBroker(errorFor: String => Int = _ => 0,
       silent: Boolean = false,
-      ssl: Option[javax.net.ssl.SSLContext] = None) extends AutoCloseable {
+      ssl: Option[javax.net.ssl.SSLContext] = None,
+      scram: Option[(String, String)] = None,
+      scramSignPassword: Option[String] = None) extends AutoCloseable {
     val received = new ConcurrentLinkedQueue[(String, String)]()
     private val server: ServerSocket = ssl match {
       case Some(ctx) =>
@@ -40,6 +102,10 @@ class KafkaProduceSpec extends AnyFunSuite {
           try {
             val in = new DataInputStream(s.getInputStream)
             val out = new DataOutputStream(s.getOutputStream)
+            val authed = scram.forall { case (u, p) =>
+              scramServer(in, out, u, p, scramSignPassword.getOrElse(p))
+            }
+            if (!authed) { s.close(); throw new java.io.IOException("auth failed") }
             val size = in.readInt()
             val frame = new Array[Byte](size)
             in.readFully(frame)
@@ -203,6 +269,90 @@ class KafkaProduceSpec extends AnyFunSuite {
     assert(tlsFromConf(Map("security.protocol" -> "ssl",
       "ssl.ca.location" -> "/ca.pem")) == Some("/ca.pem"))
     assert(tlsFromConf(Map("security.protocol" -> "SASL_SSL")) == Some(""))
+  }
+
+  test("SCRAM-SHA-256 matches the RFC 7677 test vector") {
+    // user=user pass=pencil, the published SCRAM-SHA-256 example exchange
+    import graft.sinks.ScramAuth
+    val salt = java.util.Base64.getDecoder.decode("W22ZaJ0SNY7soEsUEjb6gQ==")
+    val sp = ScramAuth.saltedPassword("pencil", salt, 4096)
+    val clientKey = ScramAuth.hmac(sp, "Client Key".getBytes)
+    val storedKey = ScramAuth.sha256(clientKey)
+    val authMsg = "n=user,r=rOprNGfwEbeRWgbNEkqO," +
+      "r=rOprNGfwEbeRWgbNEkqO%hvYDpWUa2RaTCAfuxFIlj)hNlF$k0," +
+      "s=W22ZaJ0SNY7soEsUEjb6gQ==,i=4096," +
+      "c=biws,r=rOprNGfwEbeRWgbNEkqO%hvYDpWUa2RaTCAfuxFIlj)hNlF$k0"
+    val proof = clientKey.zip(ScramAuth.hmac(storedKey, authMsg.getBytes))
+      .map { case (a, b) => (a ^ b).toByte }
+    assert(java.util.Base64.getEncoder.encodeToString(proof)
+      == "dHzbZapWIk4jUhN+Ute9ytag9zjfMHgsqmmiz7AndVQ=")
+    val serverKey = ScramAuth.hmac(sp, "Server Key".getBytes)
+    assert(java.util.Base64.getEncoder.encodeToString(
+      ScramAuth.hmac(serverKey, authMsg.getBytes))
+      == "6rriTRBi23WpRR/wtup+mMhUZUn/dB5nLTJRsjl95G4=")
+  }
+
+  test("SCRAM-authenticated produce: delivery through a credentialed broker") {
+    val broker = new LoopbackBroker(scram = Some(("alice", "wonder")))
+    val client = new KafkaProduceClient(broker.broker, timeoutMs = 5000,
+      sasl = Some(("alice", "wonder")))
+    try {
+      client.send("auth-topic", "hello")
+      client.flush()
+      val got = broker.received.toArray(Array.empty[(String, String)]).toSet
+      assert(got == Set("auth-topic" -> "hello"))
+      assert(counts(client)("hotdog.kafka.submitted.auth-topic") == 1L)
+    } finally { client.close(); broker.close() }
+  }
+
+  test("SCRAM composes with TLS (sasl_ssl): auth runs inside the SSL session") {
+    val ctx = graft.sources.Pem.serverContext(
+      tlsRes("cert.pem"), tlsRes("pkcs8-key.pem"))
+    val broker = new LoopbackBroker(ssl = Some(ctx), scram = Some(("u", "p")))
+    val client = new KafkaProduceClient(broker.broker, timeoutMs = 5000,
+      tlsCaCert = Some(tlsRes("cert.pem")), sasl = Some(("u", "p")))
+    try {
+      client.send("sasl-ssl", "payload")
+      client.flush()
+      val got = broker.received.toArray(Array.empty[(String, String)]).toSet
+      assert(got == Set("sasl-ssl" -> "payload"))
+    } finally { client.close(); broker.close() }
+  }
+
+  test("wrong password fails closed: nothing delivered, transport counter") {
+    val broker = new LoopbackBroker(scram = Some(("alice", "right")))
+    val client = new KafkaProduceClient(broker.broker, timeoutMs = 5000,
+      sasl = Some(("alice", "wrong")))
+    try {
+      client.send("t", "x")
+      client.flush()
+      assert(broker.received.isEmpty)
+      assert(counts(client)("hotdog.kafka.producer.error.transport") == 1L)
+    } finally { client.close(); broker.close() }
+  }
+
+  test("mutual auth: a server not holding the credential is rejected") {
+    // server verifies our proof but signs server-final with a different
+    // password — the client must refuse to talk produce to it
+    val broker = new LoopbackBroker(scram = Some(("alice", "secret")),
+      scramSignPassword = Some("imposter"))
+    val client = new KafkaProduceClient(broker.broker, timeoutMs = 5000,
+      sasl = Some(("alice", "secret")))
+    try {
+      client.send("t", "x")
+      client.flush()
+      assert(broker.received.isEmpty,
+        "no payload may follow an unverified server signature")
+      assert(counts(client)("hotdog.kafka.producer.error.transport") == 1L)
+    } finally { client.close(); broker.close() }
+  }
+
+  test("saslFromConf picks up the reference's env-overlaid credentials") {
+    import graft.sinks.{KafkaBootstrap, KafkaProduceClient}
+    val (_, conf) = KafkaBootstrap.withEnvOverrides("b:9092", Map.empty,
+      env = Map("SASL_SCRAM_USERNAME" -> "svc", "SASL_SCRAM_PASSWORD" -> "pw"))
+    assert(KafkaProduceClient.saslFromConf(conf) == Some(("svc", "pw")))
+    assert(KafkaProduceClient.saslFromConf(Map("sasl.username" -> "only-u")).isEmpty)
   }
 
   test("statsd datagrams ride along with the in-process counters") {
