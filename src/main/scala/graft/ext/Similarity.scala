@@ -345,9 +345,27 @@ object Similarity {
     val codes = cellAssign(ix, corpus, "embedding", "ivf_cell")
       .select(col("vec_id").as("n_id"), col("ivf_cell"),
         call_function("pq_encode", col("embedding"), cwLit).as("codes"))
+    ivfPqAdcProbe(codes, ix, cwLit, corpus, queries, k, m, nCand)
+  }
+
+  /** The shared cell-pruned ADC scan + exact re-rank over an encoded
+    * `codes(n_id, ivf_cell, codes)` index frame — in-memory or read back
+    * from a persisted parquet index. */
+  private def ivfPqAdcProbe(codes: DataFrame, ix: CoarseIndex, cwLit: Column,
+      corpus: DataFrame, queries: DataFrame, k: Int, m: Int,
+      nCand: Int): DataFrame = {
     val q = broadcast(cellAssign(ix, queries, "embedding", "ivf_cell")
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("ivf_cell"),
         call_function("pq_lut", col("embedding"), cwLit).as("lut")))
+    ivfPqAdcScan(codes, q, corpus, k, m, nCand)
+  }
+
+  /** ADC + exact re-rank given a prepared broadcast query frame
+    * `q(q_id, q_emb, ivf_cell, lut)` — one row per probed cell (a corpus
+    * vector lives in exactly one cell, so multi-probe rows cannot
+    * duplicate candidates). */
+  private def ivfPqAdcScan(codes: DataFrame, q: DataFrame,
+      corpus: DataFrame, k: Int, m: Int, nCand: Int): DataFrame = {
     // cell-pruned ADC: the join key IS the inverted list
     val adc = codes.join(q, "ivf_cell")
       .filter(col("n_id") =!= col("q_id"))
@@ -357,12 +375,74 @@ object Similarity {
               element_at(col("codes"), s + 1) + 1))
           .foldLeft(lit(0.0))(_ + _).as("adist"))
     val cand = rankTopK(adc, nCand, "adist", asc = true).select("q_id", "n_id")
+    // q carries one row per PROBED CELL — collapse to one per query for
+    // the re-rank join (q_emb is identical across a query's probe rows)
     val rer = corpus.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
       .join(broadcast(cand), "n_id")
-      .join(q.select(col("q_id"), col("q_emb")), "q_id")
+      .join(q.select(col("q_id"), col("q_emb")).dropDuplicates("q_id"), "q_id")
       .select(col("q_id"), col("n_id"), cosine(col("q_emb"), col("n_emb")).as("sim"))
     rankTopK(rer, k, "sim", asc = false)
       .select("q_id", "rank", "n_id", "sim")
+  }
+
+  /** Persisted IVF+PQ — the build-once / probe-many layout of the FULL
+    * production index: (n_id, codes) written ONCE as parquet PARTITIONED
+    * BY cell (8-byte codes per vector — the directory layout is the
+    * inverted index AND the storage is the compressed representation, ~3%
+    * of raw float width), so a later query batch scans only the code
+    * lists it probes with file-level partition pruning, paying neither
+    * re-assignment nor re-encoding. The (bounded) centroids + codebook
+    * travel as plan constants, exactly how a FAISS index file carries its
+    * quantizers next to the codes. Result-identical to [[ivfPqTopK]]
+    * (ann_ivf_pq's oracle is the twin); the exact re-rank still reads the
+    * corpus — at scale that is the standard refine-from-source step, and
+    * it touches only nCand rows per query. */
+  def ivfPqPersistedTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      indexPath: String, m: Int = 8, ksub: Int = 16,
+      nCand: Int = 32): DataFrame = {
+    val ix = medoidIndex(corpus)
+    val cw = codebook(corpus, m, ksub, 64 / m)
+    val cwLit = typedLit(cw.map(_.map(_.toSeq).toSeq).toSeq)
+    cellAssign(ix, corpus, "embedding", "ivf_cell")
+      .select(col("vec_id").as("n_id"), col("ivf_cell"),
+        call_function("pq_encode", col("embedding"), cwLit).as("codes"))
+      .write.mode("overwrite").partitionBy("ivf_cell").parquet(indexPath)
+    val codes = corpus.sparkSession.read.parquet(indexPath)
+    ivfPqAdcProbe(codes, ix, cwLit, corpus, queries, k, m, nCand)
+  }
+
+  /** Multi-probe IVF+PQ: nprobe nearest cells per query over the
+    * compressed code lists — the two recall/cost levers of the production
+    * index composed (cell pruning × nprobe, ADC over 8-byte codes, exact
+    * re-rank of nCand). Corpus side identical to [[ivfPqTopK]]; only the
+    * tiny broadcast query side fans out, its (cell-independent) LUT
+    * computed once per query. */
+  def ivfPqNprobeTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nprobe: Int, m: Int = 8, ksub: Int = 16, nCand: Int = 32): DataFrame = {
+    val ix = medoidIndex(corpus)
+    val cw = codebook(corpus, m, ksub, 64 / m)
+    val cwLit = typedLit(cw.map(_.map(_.toSeq).toSeq).toSeq)
+    val codes = cellAssign(ix, corpus, "embedding", "ivf_cell")
+      .select(col("vec_id").as("n_id"), col("ivf_cell"),
+        call_function("pq_encode", col("embedding"), cwLit).as("codes"))
+    val qScored = queries
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .select(col("q_id"), col("q_emb"),
+        posexplode(centLit(ix)).as(Seq("cpos", "cvec")))
+      .select(col("q_id"),
+        element_at(typedLit(ix._1.toSeq), col("cpos") + 1).as("cell"),
+        cosine(col("q_emb"), col("cvec")).as("csim"))
+    val probes = qScored.groupBy("q_id")
+      .agg(call_function("topk_pairs", col("cell"), col("csim"),
+        lit(nprobe), lit(false)).as("top"))
+      .select(col("q_id"), explode(col("top")).as("p"))
+      .select(col("q_id"), col("p.n_id").as("ivf_cell"))
+    val q = broadcast(probes
+      .join(queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
+        "q_id")
+      .select(col("q_id"), col("q_emb"), col("ivf_cell"),
+        call_function("pq_lut", col("q_emb"), cwLit).as("lut")))
+    ivfPqAdcScan(codes, q, corpus, k, m, nCand)
   }
 
   /** Residual-encoding IVF+PQ — production FAISS semantics: PQ encodes

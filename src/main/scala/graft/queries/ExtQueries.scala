@@ -1,5 +1,7 @@
 package graft.queries
 
+import scala.util.chaining._
+
 import graft.ext.{Contamination, Dedup, Embeddings, Multimodal, PqTrainer, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -182,18 +184,40 @@ object ExtQueries {
       .orderBy("q_id", "n_id")
   }
 
+  /** One STABLE index slot per (kind, sf dir) — overwrite-rewritten per
+    * build, so repeated bench/verify invocations reuse the slot instead
+    * of accumulating a fresh temp directory per call. */
+  private def indexSlot(kind: String, dir: String): String =
+    java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft-ivf-index",
+      s"$kind-${java.lang.Integer.toHexString(dir.hashCode)}").toString
+
   /** Build-once/probe-many IVF: the index persists as a parquet table
-    * partitioned by cell; the probe scans only its inverted lists. One
-    * STABLE path per sf dir (overwrite-rewritten per build) so repeated
-    * bench/verify invocations reuse the slot instead of accumulating a
-    * fresh temp directory per call. */
+    * partitioned by cell; the probe scans only its inverted lists. */
   private val annIvfPersisted: Q = (s, dir) => {
     graft.functions.GraftFunctions.ensureRegistered(s)
     val e = embeddings(s, dir)
-    val slot = java.lang.Integer.toHexString(dir.hashCode)
-    val path = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), "graft-ivf-index", slot).toString
-    Similarity.ivfPersistedTopK(e, e.filter(col("vec_id") < 10), 5, path)
+    Similarity.ivfPersistedTopK(e, e.filter(col("vec_id") < 10), 5,
+        indexSlot("ivf", dir))
+      .orderBy("q_id", "rank")
+  }
+
+  /** Build-once/probe-many for the FULL compressed index: 8-byte PQ codes
+    * persisted partitioned by cell; probes pay partition-pruned code
+    * scans + an nCand-bounded exact re-rank. */
+  private val annIvfPqPersisted: Q = (s, dir) => {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val e = embeddings(s, dir)
+    Similarity.ivfPqPersistedTopK(e, e.filter(col("vec_id") < 10), 5,
+        indexSlot("ivfpq", dir))
+      .orderBy("q_id", "rank")
+  }
+
+  /** nprobe=2 over the compressed code lists — both recall/cost levers of
+    * the production index composed. */
+  private val annIvfPqNprobe: Q = (s, dir) => {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val e = embeddings(s, dir)
+    Similarity.ivfPqNprobeTopK(e, e.filter(col("vec_id") < 10), 5, 2)
       .orderBy("q_id", "rank")
   }
 
@@ -468,6 +492,8 @@ object ExtQueries {
     "ann_pq" -> annPq,
     "ann_pq_trained" -> annPqTrained,
     "ann_ivf_pq" -> annIvfPq,
+    "ann_ivf_pq_persisted" -> annIvfPqPersisted,
+    "ann_ivf_pq_nprobe" -> annIvfPqNprobe,
     "ann_ivf_pq_trained" -> annIvfPqTrained,
     "ann_ivf_pq_residual" -> annIvfPqResidual,
     "ann_ivf_pq_residual_trained" -> annIvfPqResidualTrained,
@@ -1153,6 +1179,66 @@ object ExtQueries {
          |  JOIN dq ON codes.m = dq.m AND codes.code = dq.j
          |  JOIN assigned ca ON ca.vec_id = codes.vec_id
          |  JOIN assigned qa ON qa.vec_id = dq.q_id AND qa.ivf_cell = ca.ivf_cell
+         |  WHERE codes.vec_id <> dq.q_id GROUP BY 1, 2),
+         |cand AS (SELECT q_id, n_id FROM (
+         |    SELECT q_id, n_id,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY adist, n_id) AS arn
+         |    FROM adc) WHERE arn <= 32),
+         |rr AS (SELECT c.q_id, c.n_id,
+         |    ${cosSql("qv.embedding", "nv.embedding")} AS sim
+         |  FROM cand c JOIN embeddings qv ON c.q_id = qv.vec_id
+         |              JOIN embeddings nv ON c.n_id = nv.vec_id),
+         |ranked AS (SELECT q_id, n_id, sim,
+         |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS INT) AS rank
+         |  FROM rr)
+         |SELECT q_id, rank, n_id, sim FROM ranked WHERE rank <= 5
+         |ORDER BY q_id, rank""".stripMargin,
+
+    // nprobe=2 IVF+PQ twin: ann_ivf_pq with the QUERY side joined through
+    // its top-2 probe cells (qprobe, rank <= 2) instead of the single
+    // assignment — corpus codes/cells identical
+    "ann_ivf_pq_nprobe" ->
+      s"""WITH reps AS (
+         |  SELECT label AS cell, embedding AS rep FROM (
+         |    SELECT label, embedding,
+         |      row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+         |    FROM embeddings) WHERE rn = 1),
+         |assigned AS (
+         |  SELECT vec_id, ivf_cell FROM (
+         |    SELECT e.vec_id, r.cell AS ivf_cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosSql("e.embedding", "r.rep")} DESC, r.cell) AS rn
+         |    FROM embeddings e, reps r) WHERE rn = 1),
+         |qprobe AS (
+         |  SELECT vec_id, ivf_cell FROM (
+         |    SELECT e.vec_id, r.cell AS ivf_cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosSql("e.embedding", "r.rep")} DESC, r.cell) AS rn
+         |    FROM embeddings e, reps r WHERE e.vec_id < 10) WHERE rn <= 2),
+         |ms AS (SELECT unnest(range(0, 8)) AS m),
+         |cw AS (SELECT m, CAST(vec_id AS INT) AS j,
+         |    list_transform(range(1, 9), i -> CAST(embedding[m*8 + i] AS DOUBLE)) AS c
+         |  FROM embeddings, ms WHERE vec_id < 16),
+         |sub AS (SELECT vec_id, m,
+         |    list_transform(range(1, 9), i -> CAST(embedding[m*8 + i] AS DOUBLE)) AS s
+         |  FROM embeddings, ms),
+         |d2 AS (SELECT s.vec_id, s.m, cw.j,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(range(1, 9), i -> (s.s[i] - cw.c[i]) * (s.s[i] - cw.c[i]))),
+         |      (a, b) -> a + b) AS d
+         |  FROM sub s JOIN cw ON s.m = cw.m),
+         |codes AS (SELECT vec_id, m, j AS code FROM (
+         |    SELECT vec_id, m, j,
+         |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d, j) AS rn
+         |    FROM d2) WHERE rn = 1),
+         |dq AS (SELECT vec_id AS q_id, m, j, d FROM d2 WHERE vec_id < 10),
+         |adc AS (SELECT dq.q_id, codes.vec_id AS n_id,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list(dq.d ORDER BY dq.m)), (a, b) -> a + b) AS adist
+         |  FROM codes
+         |  JOIN dq ON codes.m = dq.m AND codes.code = dq.j
+         |  JOIN assigned ca ON ca.vec_id = codes.vec_id
+         |  JOIN qprobe qa ON qa.vec_id = dq.q_id AND qa.ivf_cell = ca.ivf_cell
          |  WHERE codes.vec_id <> dq.q_id GROUP BY 1, 2),
          |cand AS (SELECT q_id, n_id FROM (
          |    SELECT q_id, n_id,
@@ -1870,4 +1956,7 @@ object ExtQueries {
         |SELECT idx.j, idx.l,
         |  CAST(sum(q.q[CAST(idx.j + 1 AS INT)] * q.q[CAST(idx.l + 1 AS INT)]) AS BIGINT) AS g
         |FROM q, idx GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+    // persisted IVF+PQ is result-identical to the in-memory plan — the
+    // ann_ivf_pq oracle IS the twin (the ann_ivf_persisted contract)
+    .pipe(m => m + ("ann_ivf_pq_persisted" -> m("ann_ivf_pq")))
 }

@@ -65,7 +65,8 @@ class AnnPlanSpec extends AnyFunSuite {
     Seq("ann_lsh", "ann_lsh_multiprobe", "ann_ivf", "ann_ivf_nprobe",
       "ann_ivf_trained",
       "ann_ivf_pq_residual", "ann_pq_trained", "ann_ivf_pq_trained",
-      "ann_ivf_pq_residual_trained", "ann_recall", "ann_ivf_persisted")
+      "ann_ivf_pq_residual_trained", "ann_recall", "ann_ivf_persisted",
+      "ann_ivf_pq_persisted", "ann_ivf_pq_nprobe")
       .foreach(assertNoPerQueryWindow)
   }
 

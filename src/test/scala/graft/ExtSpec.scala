@@ -779,6 +779,23 @@ class ExtSpec extends AnyFunSuite {
     assert(parts.nonEmpty, "the directory layout IS the inverted index")
   }
 
+  test("persisted IVF+PQ: on-disk code partitions, probe equals in-memory") {
+    val sf = "/root/testdata/sf0.001"
+    val e = graft.queries.Synth.embeddings(spark, sf)
+    val q = e.filter(col("vec_id") < 10)
+    val path = java.nio.file.Files.createTempDirectory("graft-ivfpq-spec").toString
+    val out = Similarity.ivfPqPersistedTopK(e, q, 5, path)
+      .orderBy("q_id", "rank").collect().toSeq
+    val base = Similarity.ivfPqTopK(e, q, 5).orderBy("q_id", "rank").collect().toSeq
+    assert(out == base, "persisted code probe must reproduce the in-memory result")
+    val parts = new java.io.File(path).listFiles()
+      .map(_.getName).filter(_.startsWith("ivf_cell="))
+    assert(parts.nonEmpty, "the directory layout IS the inverted code index")
+    // the stored representation is the COMPRESSED one: codes, no embeddings
+    val stored = spark.read.parquet(path)
+    assert(stored.columns.sorted.toSeq == Seq("codes", "ivf_cell", "n_id"))
+  }
+
   test("BPE training: greedy merges, overlap counting, lexicographic ties") {
     val docs = Seq((1L, "aaa aaa ab"), (2L, "aaa ab ab")).toDF("doc_id", "text")
     // vocab: aaa×3, ab×3. Round 1: (a,a) counts 2 per 'aaa' (overlap) = 6
@@ -797,6 +814,23 @@ class ExtSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(out(1L) == ((3L, 5L)))
     assert(out(2L) == ((3L, 4L)))
+  }
+
+  test("nprobe=2 IVF+PQ candidates dominate single-cell, results stay exact-ranked") {
+    val e = graft.queries.Synth.embeddings(spark, "/root/testdata/sf0.001")
+    val q = e.filter(col("vec_id") < 10)
+    val bf = Similarity.bruteForceTopK(e, q, 5).select("q_id", "n_id")
+    def hits(m: org.apache.spark.sql.DataFrame): Long =
+      bf.join(m.select("q_id", "n_id"), Seq("q_id", "n_id")).count()
+    val single = hits(Similarity.ivfPqTopK(e, q, 5))
+    val multi = hits(Similarity.ivfPqNprobeTopK(e, q, 5, 2))
+    assert(multi >= single,
+      s"2-cell code probing must never lose recall: nprobe=$multi single=$single")
+    // exactly k unique rows per query — the multi-cell query fan-out must
+    // not duplicate result rows
+    val rows = Similarity.ivfPqNprobeTopK(e, q, 5, 2)
+      .groupBy("q_id").count().collect()
+    assert(rows.forall(_.getLong(1) == 5L), "5 unique ranked rows per query")
   }
 
   test("nprobe=2 IVF recall dominates single-cell probing") {
