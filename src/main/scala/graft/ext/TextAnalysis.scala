@@ -462,4 +462,51 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang"), col("n_tokens"),
         col("stratum_tokens"), col("rate_x10000"))
   }
+
+  /** PII categories as (name, pattern, replacement) — the regex subset
+    * every curation pipeline scrubs before training (emails, US-style
+    * SSNs/phones, IPv4). Patterns stay inside the Java-regex ∩ RE2 common
+    * dialect so the DuckDB oracle replays them verbatim; categories are
+    * constructed non-overlapping (an SSN's 3-2-4 digit grouping cannot
+    * match the 3-3-4 phone pattern and vice versa), so counting on the
+    * original text and replacing sequentially agree. */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("emails", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssns", "\\b\\d{3}-\\d{2}-\\d{4}\\b", "<SSN>"),
+    ("phones", "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b", "<PHONE>"),
+    ("ips", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"))
+
+  /** PII redaction report: per-category match counts on the ORIGINAL text
+    * plus the digest of the sequentially-redacted text. A pure row-local
+    * projection — streaming-append-safe by construction (the
+    * [[Contamination.flagContaminated]] contract), zero shuffle at any
+    * corpus size. */
+  def redactPii(docs: DataFrame): DataFrame = {
+    val counts = PiiPatterns.map { case (n, p, _) =>
+      regexp_count(col("text"), lit(p)).cast("long").as(n)
+    }
+    val redacted = PiiPatterns.foldLeft(col("text")) {
+      case (c, (_, p, r)) => regexp_replace(c, p, r)
+    }
+    docs.select(col("doc_id") +: counts :+ md5(redacted).as("redacted_md5"): _*)
+  }
+
+  /** Overlapping fixed-size token windows — the chunking step feeding an
+    * embedding/retrieval pipeline (context windows of `window` tokens at
+    * `stride`; trailing partial chunks kept). ROW-LOCAL: the chunk array
+    * builds inside the row ([[Dedup.spanDupStats]]'s span machinery) and
+    * explodes in place — token adjacency never shuffles, fan-out is
+    * ⌈tokens/stride⌉ rows per doc. */
+  def chunkDocs(docs: DataFrame, window: Int = 64, stride: Int = 48): DataFrame = {
+    val toks = col("toks")
+    val chunks = when(size(toks) === 0, array().cast("array<array<string>>"))
+      .otherwise(transform(
+        sequence(lit(0), ((size(toks) - 1) / stride).cast("int")),
+        s => slice(toks, s * stride + 1, lit(window))))
+    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), posexplode(chunks))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_id"),
+        size(col("col")).cast("long").as("n_tokens"),
+        md5(concat_ws(" ", col("col"))).as("chunk_md5"))
+  }
 }

@@ -402,6 +402,23 @@ object ExtQueries {
     TextAnalysis.stratifiedSample(documents(s, dir), Map("en" -> 20), defaultRate = 50)
       .orderBy("doc_id")
 
+  /** PII scrubbing over a corpus with planted identifiers (every 7th doc
+    * gains an email + phone + SSN + IPv4): per-category counts + redacted
+    * digest, all row-local. */
+  private val corpusRedactPii: Q = (s, dir) => {
+    val planted = documents(s, dir).select(col("doc_id"),
+      when(col("doc_id") % 7 === 0,
+        concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com or 555-123-4567 ssn 123-45-6789 ip 10.0.42.7")))
+        .otherwise(col("text")).as("text"))
+    TextAnalysis.redactPii(planted).orderBy("doc_id")
+  }
+
+  /** Overlapping 64-token context windows at stride 48 — the chunking
+    * step of an embedding/retrieval pipeline. */
+  private val corpusChunk: Q = (s, dir) =>
+    TextAnalysis.chunkDocs(documents(s, dir)).orderBy("doc_id", "chunk_id")
+
   private val embRandomProjection: Q = (s, dir) => {
     graft.functions.GraftFunctions.ensureRegistered(s)
     Embeddings.randomProjection(embeddings(s, dir)).orderBy("vec_id")
@@ -503,6 +520,8 @@ object ExtQueries {
     "corpus_pack_bins" -> corpusPackBins,
     "corpus_decontaminate" -> corpusDecontaminate,
     "corpus_stratified_sample" -> corpusStratifiedSample,
+    "corpus_redact_pii" -> corpusRedactPii,
+    "corpus_chunk" -> corpusChunk,
     "corpus_pipeline_e2e" -> corpusPipelineE2e,
     "text_vocab_topk" -> textVocabTopk,
     "emb_quantize_int8" -> embQuantizeInt8,
@@ -881,8 +900,45 @@ object ExtQueries {
          |SELECT q_id, rank, n_id, sim FROM ranked WHERE rank <= 5
          |ORDER BY q_id, rank""".stripMargin
 
+  /** redactPii twin generated from the SAME pattern table — counts on the
+    * planted text, sequential 'g'-replace for the digest. Patterns live in
+    * the Java-regex ∩ RE2 common dialect, so the strings paste verbatim. */
+  private val RedactPiiOracle: String = {
+    val counts = TextAnalysis.PiiPatterns.map { case (n, p, _) =>
+      s"CAST(len(regexp_extract_all(text, '$p')) AS BIGINT) AS $n"
+    }.mkString(",\n  ")
+    val repl = TextAnalysis.PiiPatterns.foldLeft("text") {
+      case (e, (_, p, r)) => s"regexp_replace($e, '$p', '$r', 'g')"
+    }
+    s"""WITH pii AS (SELECT doc_id,
+       |  CASE WHEN doc_id % 7 = 0 THEN text || ' contact user' ||
+       |    CAST(doc_id AS VARCHAR) ||
+       |    '@example.com or 555-123-4567 ssn 123-45-6789 ip 10.0.42.7'
+       |  ELSE text END AS text
+       |  FROM documents)
+       |SELECT doc_id,
+       |  $counts,
+       |  md5($repl) AS redacted_md5
+       |FROM pii ORDER BY doc_id""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "ann_ivf_nprobe" -> AnnIvfNprobeOracle,
+
+    "corpus_redact_pii" -> RedactPiiOracle,
+
+    // 64-token windows at stride 48, trailing partials kept — 1-based
+    // inclusive list slice mirrors Spark's slice(toks, s*48+1, 64)
+    "corpus_chunk" ->
+      """WITH tok AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS t
+        |  FROM documents),
+        |st AS (SELECT doc_id, t, unnest(range(0, (len(t)-1)//48 + 1)) AS s
+        |  FROM tok WHERE len(t) > 0),
+        |ch AS (SELECT doc_id, s, t[s*48+1 : s*48+64] AS c FROM st)
+        |SELECT doc_id, CAST(s AS BIGINT) AS chunk_id,
+        |  CAST(len(c) AS BIGINT) AS n_tokens,
+        |  md5(array_to_string(c, ' ')) AS chunk_md5
+        |FROM ch ORDER BY doc_id, chunk_id""".stripMargin,
 
     "dedup_exact" ->
       s"""$CorpusCte

@@ -394,6 +394,53 @@ class ExtSpec extends AnyFunSuite {
     assert(rd.getWidth(0) == 31 && rd.getHeight(0) == (30 * 7 % 1080) + 1)
   }
 
+  test("PII redaction: per-category counts + redacted digest, row-local") {
+    val docs = Seq(
+      (1L, "mail a@b.io and c.d+x@e-f.org call 555-123-4567 ssn 123-45-6789 ip 10.0.0.1"),
+      (2L, "nothing sensitive here")).toDF("doc_id", "text")
+    val out = TextAnalysis.redactPii(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getAs[Long]("emails") == 2L)
+    assert(r1.getAs[Long]("phones") == 1L)
+    assert(r1.getAs[Long]("ssns") == 1L)
+    assert(r1.getAs[Long]("ips") == 1L)
+    val expected = "mail <EMAIL> and <EMAIL> call <PHONE> ssn <SSN> ip <IP>"
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(expected.getBytes).map("%02x".format(_)).mkString
+    assert(r1.getAs[String]("redacted_md5") == md5)
+    val r2 = out(2L)
+    assert(Seq("emails", "phones", "ssns", "ips").forall(r2.getAs[Long](_) == 0L))
+  }
+
+  test("chunking: 64-token windows at stride 48, trailing partial kept") {
+    val text = (1 to 100).map(i => s"t$i").mkString(" ")
+    val docs = Seq((1L, text), (2L, "just three tokens")).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkDocs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // starts 0, 48, 96 → lengths 64, 52, 4
+    assert(out == Map((1L, 0L) -> 64L, (1L, 1L) -> 52L, (1L, 2L) -> 4L,
+      (2L, 0L) -> 3L))
+    // a chunk digest equals the md5 of the joined token window
+    val first = TextAnalysis.chunkDocs(docs)
+      .filter(col("doc_id") === 1 && col("chunk_id") === 2)
+      .head().getAs[String]("chunk_md5")
+    val tail = (97 to 100).map(i => s"t$i").mkString(" ")
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(tail.getBytes).map("%02x".format(_)).mkString
+    assert(first == md5)
+  }
+
+  test("redaction and chunking plans are exchange-free (narrow, ingest-safe)") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    Seq(TextAnalysis.redactPii(docs), TextAnalysis.chunkDocs(docs)).foreach { df =>
+      val ex = df.queryExecution.executedPlan.collect {
+        case x: org.apache.spark.sql.execution.exchange.Exchange => x
+      }
+      assert(ex.isEmpty, s"row-local operator must not exchange:\n${df.queryExecution}")
+    }
+  }
+
   test("text quality: integer-scaled stats") {
     val r = Seq((1L, "the cat sat")).toDF("doc_id", "text")
       .select(TextAnalysis.qualityCols($"text"): _*).head()
