@@ -73,6 +73,19 @@ object BpeTrainer {
     trainLocal(words, cnts, merges)
   }
 
+  /** Vocabulary-size-targeted training — the sentencepiece/HF stopping
+    * contract: every merge mints exactly one new token id, so the final
+    * vocabulary is |base alphabet| + |merges|; learn until it reaches
+    * `vocabSize` (or pairs exhaust first). Same determinism contract and
+    * one-histogram-job cost as [[train]]. */
+  def trainToVocab(corpus: DataFrame, vocabSize: Int): Seq[(String, String, Long)] = {
+    val hist = charVocab(corpus).select(col("cnt"), col("syms")).collect()
+    val cnts = hist.map(_.getLong(0))
+    val words = hist.map(_.getSeq[String](1).toArray)
+    val alphabet = words.iterator.flatten.toSet.size
+    trainLocal(words, cnts, math.max(0, vocabSize - alphabet))
+  }
+
   /** The driver merge loop over a collected (symbols, count) histogram.
     * Exactly the distributed contract: global recount each round, max-count
     * winner with (p1, p2)-lexicographic tie-break, greedy-leftmost apply. */

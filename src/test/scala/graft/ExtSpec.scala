@@ -896,6 +896,22 @@ class ExtSpec extends AnyFunSuite {
       s"expected strict recall gain (or already-perfect recall): $multi vs $single")
   }
 
+  test("BPE vocab-size stopping: alphabet + merges, exhaustion-safe") {
+    val docs = Seq((1L, "aaa aaa ab"), (2L, "aaa ab ab")).toDF("doc_id", "text")
+    // alphabet {a, b} = 2 → vocab 5 means exactly 3 merges
+    assert(graft.ext.BpeTrainer.trainToVocab(docs, 5).size == 3)
+    // already at/below the alphabet → nothing to learn
+    assert(graft.ext.BpeTrainer.trainToVocab(docs, 2).isEmpty)
+    // unreachable target → stops at pair exhaustion, not the budget
+    val all = graft.ext.BpeTrainer.trainToVocab(docs, 1000)
+    assert(all.size < 998, s"must exhaust, got ${all.size}")
+    // exhausted state: every word is one symbol
+    val m = all
+    val out = graft.ext.BpeTrainer.tokenCounts(docs, m).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out == Map(1L -> 3L, 2L -> 3L), "fully merged: 1 bpe token per word")
+  }
+
   test("BPE driver-local training equals the distributed round loop") {
     val docs = graft.queries.Synth.documents(spark, "/root/testdata/sf0.001")
       .limit(40)
