@@ -921,6 +921,31 @@ class ExtSpec extends AnyFunSuite {
       "one-histogram-job driver loop must learn the identical merge table")
   }
 
+  test("ivf_assign / bpe_apply edge contracts: NULLs, dims, empty input") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val cents = typedLit(Seq(Seq(1.0, 0.0), Seq(0.0, 1.0)))
+    val rows = Seq(
+      (1L, Some(Seq(0.9f, 0.1f))), // nearest cell 0
+      (2L, Some(Seq(0.1f, 0.9f))), // nearest cell 1
+      (3L, None),                  // NULL embedding -> NULL
+      (4L, Some(Seq(1.0f, 2.0f, 3.0f)))) // dim mismatch -> NULL
+      .toDF("id", "emb")
+    val got = rows.select(col("id"),
+        call_function("ivf_assign", col("emb"), cents).as("c"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getInt(1))))
+      .toMap
+    assert(got == Map(1L -> Some(0), 2L -> Some(1), 3L -> None, 4L -> None))
+    val mLit = typedLit(Seq(Seq("a", "b")))
+    val wgot = Seq((1L, Some("aab")), (2L, Some("")), (3L, Option.empty[String]))
+      .toDF("id", "w")
+      .select(col("id"), call_function("bpe_apply", col("w"), mLit).as("s"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getSeq[String](1).toList)).toMap
+    assert(wgot(1L) == List("a", "ab"))
+    assert(wgot(2L) == Nil)
+    assert(wgot(3L) == null)
+  }
+
   test("bpe_apply expression equals the foldMerge HOF chain") {
     graft.functions.GraftFunctions.ensureRegistered(spark)
     val docs = Seq((1L, "aaa aaa ab"), (2L, "aaa ab ab"), (3L, "baéab b"))
