@@ -107,8 +107,10 @@ object ExtQueries {
         .select(lit(name).as("method"), col("hits"))
     hits("ivf", Similarity.ivfTopK(e, q, 5))
       .unionAll(hits("ivf_nprobe", Similarity.ivfNprobeTopK(e, q, 5, 2)))
+      .unionAll(hits("ivf_pq", Similarity.ivfPqTopK(e, q, 5)))
       .unionAll(hits("lsh", Similarity.lshTopK(e, q, 5, Planes)))
       .unionAll(hits("lsh_multiprobe", Similarity.lshMultiProbeTopK(e, q, 5, Planes)))
+      .unionAll(hits("pq", Similarity.pqTopK(e, q, 5)))
       .orderBy("method")
   }
 
@@ -1126,15 +1128,68 @@ object ExtQueries {
          |    FROM (SELECT q_id, e.vec_id AS n_id, ${cosSql("qe", "e.embedding")} AS sim
          |          FROM assigned e JOIN ivfqp q USING (ivf_cell)
          |          WHERE e.vec_id <> q.q_id))
+         |  WHERE rank <= 5),
+         |ms AS (SELECT unnest(range(0, 8)) AS m),
+         |cw AS (SELECT m, CAST(vec_id AS INT) AS j,
+         |    list_transform(range(1, 9), i -> CAST(embedding[m*8 + i] AS DOUBLE)) AS c
+         |  FROM embeddings, ms WHERE vec_id < 16),
+         |psub AS (SELECT vec_id, m,
+         |    list_transform(range(1, 9), i -> CAST(embedding[m*8 + i] AS DOUBLE)) AS s
+         |  FROM embeddings, ms),
+         |pd2 AS (SELECT s.vec_id, s.m, cw.j,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(range(1, 9), i -> (s.s[i] - cw.c[i]) * (s.s[i] - cw.c[i]))),
+         |      (a, b) -> a + b) AS d
+         |  FROM psub s JOIN cw ON s.m = cw.m),
+         |pcodes AS (SELECT vec_id, m, j AS code FROM (
+         |    SELECT vec_id, m, j,
+         |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d, j) AS rn
+         |    FROM pd2) WHERE rn = 1),
+         |pdq AS (SELECT vec_id AS q_id, m, j, d FROM pd2 WHERE vec_id < 10),
+         |padc AS (SELECT pdq.q_id, pcodes.vec_id AS n_id,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list(pdq.d ORDER BY pdq.m)), (a, b) -> a + b) AS adist
+         |  FROM pcodes JOIN pdq ON pcodes.m = pdq.m AND pcodes.code = pdq.j
+         |  WHERE pcodes.vec_id <> pdq.q_id GROUP BY 1, 2),
+         |pq5 AS (SELECT q_id, n_id FROM (
+         |    SELECT c.q_id, c.n_id, row_number() OVER (PARTITION BY c.q_id
+         |      ORDER BY ${cosSql("qv.embedding", "nv.embedding")} DESC, c.n_id) AS rank
+         |    FROM (SELECT q_id, n_id FROM (
+         |        SELECT q_id, n_id,
+         |          row_number() OVER (PARTITION BY q_id ORDER BY adist, n_id) AS arn
+         |        FROM padc) WHERE arn <= 32) c
+         |    JOIN embeddings qv ON c.q_id = qv.vec_id
+         |    JOIN embeddings nv ON c.n_id = nv.vec_id)
+         |  WHERE rank <= 5),
+         |iadc AS (SELECT pdq.q_id, pcodes.vec_id AS n_id,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list(pdq.d ORDER BY pdq.m)), (a, b) -> a + b) AS adist
+         |  FROM pcodes JOIN pdq ON pcodes.m = pdq.m AND pcodes.code = pdq.j
+         |  JOIN assigned ca ON ca.vec_id = pcodes.vec_id
+         |  JOIN assigned qa ON qa.vec_id = pdq.q_id AND qa.ivf_cell = ca.ivf_cell
+         |  WHERE pcodes.vec_id <> pdq.q_id GROUP BY 1, 2),
+         |ivfpq5 AS (SELECT q_id, n_id FROM (
+         |    SELECT c.q_id, c.n_id, row_number() OVER (PARTITION BY c.q_id
+         |      ORDER BY ${cosSql("qv.embedding", "nv.embedding")} DESC, c.n_id) AS rank
+         |    FROM (SELECT q_id, n_id FROM (
+         |        SELECT q_id, n_id,
+         |          row_number() OVER (PARTITION BY q_id ORDER BY adist, n_id) AS arn
+         |        FROM iadc) WHERE arn <= 32) c
+         |    JOIN embeddings qv ON c.q_id = qv.vec_id
+         |    JOIN embeddings nv ON c.n_id = nv.vec_id)
          |  WHERE rank <= 5)
          |SELECT method, hits FROM (
          |  SELECT 'ivf' AS method, count(*) AS hits FROM bf JOIN ivf USING (q_id, n_id)
          |  UNION ALL
          |  SELECT 'ivf_nprobe', count(*) FROM bf JOIN ivfp USING (q_id, n_id)
          |  UNION ALL
+         |  SELECT 'ivf_pq', count(*) FROM bf JOIN ivfpq5 USING (q_id, n_id)
+         |  UNION ALL
          |  SELECT 'lsh', count(*) FROM bf JOIN lsh USING (q_id, n_id)
          |  UNION ALL
-         |  SELECT 'lsh_multiprobe', count(*) FROM bf JOIN mp USING (q_id, n_id))
+         |  SELECT 'lsh_multiprobe', count(*) FROM bf JOIN mp USING (q_id, n_id)
+         |  UNION ALL
+         |  SELECT 'pq', count(*) FROM bf JOIN pq5 USING (q_id, n_id))
          |ORDER BY method""".stripMargin,
 
     "ann_ivf" -> AnnIvfOracle,
