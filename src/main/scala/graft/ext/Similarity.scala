@@ -183,10 +183,13 @@ object Similarity {
     * list, so probe lists never produce duplicate candidates); only the
     * tiny broadcast query side fans out, ranking its cells through the
     * same bounded topk_pairs aggregate as the result ranking. */
-  def ivfNprobeTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+  /** Top-`nprobe` probe cells per query (cosine desc, ties → lower cell) —
+    * the query-side fan-out shared by every multi-probe variant: |Q|×cells
+    * scored rows (both sides tiny — queries and the bounded centroid
+    * literal), cells ranked through the same bounded topk_pairs aggregate
+    * as result ranking. Returns (q_id, ivf_cell), one row per probe. */
+  private def probeCells(ix: CoarseIndex, queries: DataFrame,
       nprobe: Int): DataFrame = {
-    val ix = medoidIndex(corpus)
-    val bucketed = cellAssign(ix, corpus, "embedding", "ivf_cell")
     val qScored = queries
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       .select(col("q_id"), col("q_emb"),
@@ -194,12 +197,18 @@ object Similarity {
       .select(col("q_id"),
         element_at(typedLit(ix._1.toSeq), col("cpos") + 1).as("cell"),
         cosine(col("q_emb"), col("cvec")).as("csim"))
-    val probes = qScored.groupBy("q_id")
+    qScored.groupBy("q_id")
       .agg(call_function("topk_pairs", col("cell"), col("csim"),
         lit(nprobe), lit(false)).as("top"))
       .select(col("q_id"), explode(col("top")).as("p"))
       .select(col("q_id"), col("p.n_id").as("ivf_cell"))
-    val q = broadcast(probes.join(
+  }
+
+  def ivfNprobeTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nprobe: Int): DataFrame = {
+    val ix = medoidIndex(corpus)
+    val bucketed = cellAssign(ix, corpus, "embedding", "ivf_cell")
+    val q = broadcast(probeCells(ix, queries, nprobe).join(
       queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
       "q_id"))
     val scored = bucketed.join(q, "ivf_cell")
@@ -425,19 +434,37 @@ object Similarity {
     val codes = cellAssign(ix, corpus, "embedding", "ivf_cell")
       .select(col("vec_id").as("n_id"), col("ivf_cell"),
         call_function("pq_encode", col("embedding"), cwLit).as("codes"))
-    val qScored = queries
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      .select(col("q_id"), col("q_emb"),
-        posexplode(centLit(ix)).as(Seq("cpos", "cvec")))
-      .select(col("q_id"),
-        element_at(typedLit(ix._1.toSeq), col("cpos") + 1).as("cell"),
-        cosine(col("q_emb"), col("cvec")).as("csim"))
-    val probes = qScored.groupBy("q_id")
-      .agg(call_function("topk_pairs", col("cell"), col("csim"),
-        lit(nprobe), lit(false)).as("top"))
-      .select(col("q_id"), explode(col("top")).as("p"))
-      .select(col("q_id"), col("p.n_id").as("ivf_cell"))
-    val q = broadcast(probes
+    val q = broadcast(probeCells(ix, queries, nprobe)
+      .join(queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
+        "q_id")
+      .select(col("q_id"), col("q_emb"), col("ivf_cell"),
+        call_function("pq_lut", col("q_emb"), cwLit).as("lut")))
+    ivfPqAdcScan(codes, q, corpus, k, m, nCand)
+  }
+
+  /** The COMPLETE production index in one plan — every lever composed:
+    * TRAINED coarse quantizer (k-means cells), TRAINED PQ codebook, codes
+    * PERSISTED once as parquet PARTITIONED BY cell (build-once /
+    * probe-many: the directory layout is the inverted index, the storage
+    * is ~3% of raw float width), and nprobe>1 multi-cell probing for
+    * recall. A query batch pays: partition-pruned scans of its probe
+    * cells' code lists, LUT-sum ADC over 8-byte codes, and an
+    * nCand-bounded exact re-rank — never a full-corpus scan, never
+    * full-dimensional math outside the re-rank. This is the FAISS
+    * IVF-PQ deployment shape (index file = quantizers + coded lists)
+    * expressed as Spark-native parquet + plan constants. */
+  def ivfPqFullTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      coarse: Array[Array[Double]], cw: Array[Array[Array[Double]]],
+      indexPath: String, nprobe: Int, nCand: Int = 32): DataFrame = {
+    val ix = centroidIndex(coarse)
+    val m = cw.length
+    val cwLit = typedLit(cw.map(_.map(_.toSeq).toSeq).toSeq)
+    cellAssign(ix, corpus, "embedding", "ivf_cell")
+      .select(col("vec_id").as("n_id"), col("ivf_cell"),
+        call_function("pq_encode", col("embedding"), cwLit).as("codes"))
+      .write.mode("overwrite").partitionBy("ivf_cell").parquet(indexPath)
+    val codes = corpus.sparkSession.read.parquet(indexPath)
+    val q = broadcast(probeCells(ix, queries, nprobe)
       .join(queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
         "q_id")
       .select(col("q_id"), col("q_emb"), col("ivf_cell"),
@@ -456,17 +483,56 @@ object Similarity {
   private def residCol: Column =
     zip_with(toDouble(col("embedding")), toDouble(col("rep")), (a, b) => a - b)
 
-  def ivfPqResidualTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      m: Int = 8, ksub: Int = 16, nCand: Int = 32): DataFrame = {
+  /** Medoid residual codebook: residuals of the first `ksub` assigned
+    * vectors w.r.t. their cells — bounded index-construction collect. */
+  private def residualCodebook(assigned: DataFrame, m: Int, ksub: Int)
+      : Array[Array[Array[Double]]] = {
     val d = 64 / m
-    val ix = medoidIndex(corpus)
-    val assigned = cellAssign(ix, corpus, "embedding", "ivf_cell", withRep = true)
-    // medoid residual codebook: residuals of the first ksub assigned vectors
     val cwRows = assigned.filter(col("vec_id") < ksub)
       .select(col("vec_id"), residCol.as("r"))
       .collect().map(r => r.getLong(0).toInt -> r.getSeq[Double](1).toArray).toMap
-    val cw = Array.tabulate(m, ksub, d)((s, j, i) => cwRows(j)(s * d + i))
-    ivfPqResidualProbe(ix, cw, corpus, queries, k, nCand)
+    Array.tabulate(m, ksub, d)((s, j, i) => cwRows(j)(s * d + i))
+  }
+
+  def ivfPqResidualTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      m: Int = 8, ksub: Int = 16, nCand: Int = 32): DataFrame = {
+    val ix = medoidIndex(corpus)
+    val assigned = cellAssign(ix, corpus, "embedding", "ivf_cell", withRep = true)
+    ivfPqResidualProbe(ix, residualCodebook(assigned, m, ksub),
+      corpus, queries, k, nCand)
+  }
+
+  /** Multi-probe RESIDUAL IVF+PQ — the full FAISS production default's
+    * recall lever. Residual semantics make multi-probe genuinely
+    * different from the raw-vector case: the ADC distance for a
+    * candidate in cell c compares q − centroid(c) against the
+    * candidate's residual code, so the query needs ONE LUT PER PROBED
+    * CELL (FAISS computes exactly these per-list LUTs). Each probe row
+    * carries its own cell-specific LUT — built row-locally from the
+    * centroid map literal on the tiny broadcast query side; the corpus
+    * stays one narrow assign+encode pass, and since a vector lives in
+    * exactly one cell the ADC join scores each candidate under exactly
+    * the LUT of its own cell. */
+  def ivfPqResidualNprobeTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nprobe: Int, m: Int = 8, ksub: Int = 16, nCand: Int = 32): DataFrame = {
+    val ix = medoidIndex(corpus)
+    val assigned = cellAssign(ix, corpus, "embedding", "ivf_cell", withRep = true)
+    val cw = residualCodebook(assigned, m, ksub)
+    val cwLit = typedLit(cw.map(_.map(_.toSeq).toSeq).toSeq)
+    val codes = assigned.select(col("vec_id").as("n_id"), col("ivf_cell"),
+      call_function("pq_encode", residCol, cwLit).as("codes"))
+    // per-probe LUT: residual of q w.r.t. the PROBED cell's centroid,
+    // looked up row-locally in the (bounded) cell → centroid map literal
+    val repMap = map_from_arrays(typedLit(ix._1.toSeq), centLit(ix))
+    val q = broadcast(probeCells(ix, queries, nprobe)
+      .join(queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
+        "q_id")
+      .select(col("q_id"), col("q_emb"), col("ivf_cell"),
+        call_function("pq_lut",
+          zip_with(toDouble(col("q_emb")),
+            element_at(repMap, col("ivf_cell")), (a, b) => a - b),
+          cwLit).as("lut")))
+    ivfPqAdcScan(codes, q, corpus, k, m, nCand)
   }
 
   /** Residual IVF+PQ with BOTH quantizers trained — the FAISS production

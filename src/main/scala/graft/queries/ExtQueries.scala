@@ -223,6 +223,27 @@ object ExtQueries {
       .orderBy("q_id", "rank")
   }
 
+  /** Multi-probe residual IVF+PQ: per-probed-cell LUTs (the residual ADC
+    * distance depends on the probed cell's centroid — FAISS's per-list
+    * LUT semantics). */
+  private val annIvfPqResidualNprobe: Q = (s, dir) => {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val e = embeddings(s, dir)
+    Similarity.ivfPqResidualNprobeTopK(e, e.filter(col("vec_id") < 10), 5, 2)
+      .orderBy("q_id", "rank")
+  }
+
+  /** The COMPLETE production index: trained coarse + trained PQ codebook,
+    * codes persisted partitioned by cell, nprobe=2 probing. */
+  private val annIvfPqFull: Q = (s, dir) => {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val e = embeddings(s, dir)
+    Similarity.ivfPqFullTopK(e, e.filter(col("vec_id") < 10), 5,
+        PqTrainer.trainCodebook(e, m = 1, ksub = 16)(0),
+        PqTrainer.trainCodebook(e), indexSlot("ivfpqfull", dir), nprobe = 2)
+      .orderBy("q_id", "rank")
+  }
+
   private val annIvfPq: Q = (s, dir) => {
     graft.functions.GraftFunctions.ensureRegistered(s)
     val e = embeddings(s, dir)
@@ -513,6 +534,8 @@ object ExtQueries {
     "ann_ivf_pq" -> annIvfPq,
     "ann_ivf_pq_persisted" -> annIvfPqPersisted,
     "ann_ivf_pq_nprobe" -> annIvfPqNprobe,
+    "ann_ivf_pq_residual_nprobe" -> annIvfPqResidualNprobe,
+    "ann_ivf_pq_full" -> annIvfPqFull,
     "ann_ivf_pq_trained" -> annIvfPqTrained,
     "ann_ivf_pq_residual" -> annIvfPqResidual,
     "ann_ivf_pq_residual_trained" -> annIvfPqResidualTrained,
@@ -777,12 +800,14 @@ object ExtQueries {
   private def pqDownstreamSql(cellPruned: Boolean,
       subExpr: String = "CAST(embedding[m*8 + i] AS DOUBLE)",
       subFrom: String = "embeddings",
-      cellTable: String = "assigned"): String = {
+      cellTable: String = "assigned",
+      qaTable: String = ""): String = {
+    val qaT = if (qaTable.isEmpty) cellTable else qaTable
     val cellJoin =
       if (cellPruned)
         s"""
            |  JOIN $cellTable ca ON ca.vec_id = codes.vec_id
-           |  JOIN $cellTable qa ON qa.vec_id = dq.q_id AND qa.ivf_cell = ca.ivf_cell""".stripMargin
+           |  JOIN $qaT qa ON qa.vec_id = dq.q_id AND qa.ivf_cell = ca.ivf_cell""".stripMargin
       else ""
     s"""sub AS (SELECT vec_id, m,
        |    list_transform(range(1, 9), i -> $subExpr) AS s
@@ -1231,6 +1256,22 @@ object ExtQueries {
          |$PqKmCtes,
          |${pqDownstreamSql(cellPruned = true)}""".stripMargin,
 
+    // the complete production index twin: ann_ivf_pq_trained with the
+    // query side joined through its top-2 probe cells (persistence does
+    // not change results — same contract as ann_ivf_pq_persisted)
+    "ann_ivf_pq_full" ->
+      s"""WITH RECURSIVE
+         |$CoarseKmCtes,
+         |$TrainedAssignIdCte,
+         |qprobe AS (
+         |  SELECT vec_id, ivf_cell FROM (
+         |    SELECT e.vec_id, r.cell AS ivf_cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosSql("e.embedding", "r.rep")} DESC, r.cell) AS rn
+         |    FROM embeddings e, reps r WHERE e.vec_id < 10) WHERE rn <= 2),
+         |$PqKmCtes,
+         |${pqDownstreamSql(cellPruned = true, qaTable = "qprobe")}""".stripMargin,
+
     // fully-trained RESIDUAL IVF+PQ twin: coarse k-means cells, residuals
     // of the whole corpus w.r.t. them (wr), a k-means over the SAMPLE's
     // residual subvectors, then the cell-pruned chain over rv
@@ -1409,6 +1450,84 @@ object ExtQueries {
          |  JOIN wr ca ON ca.vec_id = codes.vec_id
          |  JOIN wr qa ON qa.vec_id = dq.q_id AND qa.ivf_cell = ca.ivf_cell
          |  WHERE codes.vec_id <> dq.q_id GROUP BY 1, 2),
+         |cand AS (SELECT q_id, n_id FROM (
+         |    SELECT q_id, n_id,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY adist, n_id) AS arn
+         |    FROM adc) WHERE arn <= 32),
+         |rr AS (SELECT c.q_id, c.n_id,
+         |    ${cosSql("qv.embedding", "nv.embedding")} AS sim
+         |  FROM cand c JOIN embeddings qv ON c.q_id = qv.vec_id
+         |              JOIN embeddings nv ON c.n_id = nv.vec_id),
+         |ranked AS (SELECT q_id, n_id, sim,
+         |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS INT) AS rank
+         |  FROM rr)
+         |SELECT q_id, rank, n_id, sim FROM ranked WHERE rank <= 5
+         |ORDER BY q_id, rank""".stripMargin,
+
+    // multi-probe residual twin: ann_ivf_pq_residual with the query side
+    // fanned out over its top-2 cells (qprobe) and ONE RESIDUAL PER
+    // PROBED CELL (wrq) — the candidate is scored under the LUT of its
+    // own cell (d2q.ivf_cell = corpus cell), FAISS's per-list semantics
+    "ann_ivf_pq_residual_nprobe" ->
+      s"""WITH reps AS (
+         |  SELECT label AS cell, embedding AS rep FROM (
+         |    SELECT label, embedding,
+         |      row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+         |    FROM embeddings) WHERE rn = 1),
+         |assigned AS (
+         |  SELECT vec_id, ivf_cell FROM (
+         |    SELECT e.vec_id, r.cell AS ivf_cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosSql("e.embedding", "r.rep")} DESC, r.cell) AS rn
+         |    FROM embeddings e, reps r) WHERE rn = 1),
+         |wr AS (SELECT a.vec_id, a.ivf_cell,
+         |    list_transform(range(1, 65),
+         |      i -> CAST(e.embedding[i] AS DOUBLE) - CAST(r.rep[i] AS DOUBLE)) AS rv
+         |  FROM assigned a JOIN embeddings e ON a.vec_id = e.vec_id
+         |                  JOIN reps r ON a.ivf_cell = r.cell),
+         |qprobe AS (
+         |  SELECT vec_id, ivf_cell FROM (
+         |    SELECT e.vec_id, r.cell AS ivf_cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosSql("e.embedding", "r.rep")} DESC, r.cell) AS rn
+         |    FROM embeddings e, reps r WHERE e.vec_id < 10) WHERE rn <= 2),
+         |wrq AS (SELECT qp.vec_id, qp.ivf_cell,
+         |    list_transform(range(1, 65),
+         |      i -> CAST(e.embedding[i] AS DOUBLE) - CAST(r.rep[i] AS DOUBLE)) AS rv
+         |  FROM qprobe qp JOIN embeddings e ON qp.vec_id = e.vec_id
+         |                 JOIN reps r ON qp.ivf_cell = r.cell),
+         |ms AS (SELECT unnest(range(0, 8)) AS m),
+         |cw AS (SELECT m, CAST(vec_id AS INT) AS j,
+         |    list_transform(range(1, 9), i -> rv[m*8 + i]) AS c
+         |  FROM wr, ms WHERE vec_id < 16),
+         |sub AS (SELECT vec_id, m,
+         |    list_transform(range(1, 9), i -> rv[m*8 + i]) AS s
+         |  FROM wr, ms),
+         |d2 AS (SELECT s.vec_id, s.m, cw.j,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(range(1, 9), i -> (s.s[i] - cw.c[i]) * (s.s[i] - cw.c[i]))),
+         |      (a, b) -> a + b) AS d
+         |  FROM sub s JOIN cw ON s.m = cw.m),
+         |codes AS (SELECT vec_id, m, j AS code FROM (
+         |    SELECT vec_id, m, j,
+         |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d, j) AS rn
+         |    FROM d2) WHERE rn = 1),
+         |subq AS (SELECT vec_id, ivf_cell, m,
+         |    list_transform(range(1, 9), i -> rv[m*8 + i]) AS s
+         |  FROM wrq, ms),
+         |d2q AS (SELECT s.vec_id, s.ivf_cell, s.m, cw.j,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(range(1, 9), i -> (s.s[i] - cw.c[i]) * (s.s[i] - cw.c[i]))),
+         |      (a, b) -> a + b) AS d
+         |  FROM subq s JOIN cw ON s.m = cw.m),
+         |adc AS (SELECT d2q.vec_id AS q_id, codes.vec_id AS n_id,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list(d2q.d ORDER BY d2q.m)), (a, b) -> a + b) AS adist
+         |  FROM codes
+         |  JOIN wr ca ON ca.vec_id = codes.vec_id
+         |  JOIN d2q ON codes.m = d2q.m AND codes.code = d2q.j
+         |          AND d2q.ivf_cell = ca.ivf_cell
+         |  WHERE codes.vec_id <> d2q.vec_id GROUP BY 1, 2),
          |cand AS (SELECT q_id, n_id FROM (
          |    SELECT q_id, n_id,
          |      row_number() OVER (PARTITION BY q_id ORDER BY adist, n_id) AS arn

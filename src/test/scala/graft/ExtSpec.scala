@@ -880,6 +880,55 @@ class ExtSpec extends AnyFunSuite {
     assert(rows.forall(_.getLong(1) == 5L), "5 unique ranked rows per query")
   }
 
+  test("residual nprobe=2: per-cell LUTs, recall dominance, no dup rows") {
+    val e = graft.queries.Synth.embeddings(spark, "/root/testdata/sf0.001")
+    val q = e.filter(col("vec_id") < 10)
+    val bf = Similarity.bruteForceTopK(e, q, 5).select("q_id", "n_id")
+    def hits(m: org.apache.spark.sql.DataFrame): Long =
+      bf.join(m.select("q_id", "n_id"), Seq("q_id", "n_id")).count()
+    val single = hits(Similarity.ivfPqResidualTopK(e, q, 5))
+    val multi = hits(Similarity.ivfPqResidualNprobeTopK(e, q, 5, 2))
+    assert(multi >= single,
+      s"2-cell residual probing must never lose recall: nprobe=$multi single=$single")
+    val rows = Similarity.ivfPqResidualNprobeTopK(e, q, 5, 2)
+      .groupBy("q_id").count().collect()
+    assert(rows.forall(_.getLong(1) == 5L), "5 unique ranked rows per query")
+    // nprobe=1 must degenerate EXACTLY to the single-cell plan: the
+    // per-probed-cell LUT of the top-1 cell is the own-cell LUT
+    val a = Similarity.ivfPqResidualNprobeTopK(e, q, 5, 1)
+      .collect().map(_.toSeq).toSet
+    val b = Similarity.ivfPqResidualTopK(e, q, 5).collect().map(_.toSeq).toSet
+    assert(a == b, "nprobe=1 residual must equal the single-cell residual path")
+  }
+
+  test("full production index: persistence + probe fan-out are result-neutral") {
+    val e = graft.queries.Synth.embeddings(spark, "/root/testdata/sf0.001")
+    val q = e.filter(col("vec_id") < 10)
+    val coarse = graft.ext.PqTrainer.trainCodebook(e, m = 1, ksub = 16)(0)
+    val cw = graft.ext.PqTrainer.trainCodebook(e)
+    val path = java.nio.file.Files.createTempDirectory("graft-full-ix").toString
+    // nprobe=1 through the persisted index == the in-memory trained plan
+    val a = Similarity.ivfPqFullTopK(e, q, 5, coarse, cw, path, nprobe = 1)
+      .collect().map(_.toSeq).toSet
+    val b = Similarity.ivfPqTrainedTopK(e, q, 5, coarse, cw)
+      .collect().map(_.toSeq).toSet
+    assert(a == b, "persisted nprobe=1 must equal the in-memory trained index")
+    // the persisted layout is the compressed inverted index: partitioned
+    // by cell, codes only (no embeddings)
+    val parts = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("ivf_cell="))
+    assert(parts.nonEmpty, "index must persist partitioned by cell")
+    val stored = spark.read.parquet(path)
+    assert(stored.columns.sorted.toSeq == Seq("codes", "ivf_cell", "n_id"))
+    // nprobe=2 recall dominates
+    val bf = Similarity.bruteForceTopK(e, q, 5).select("q_id", "n_id")
+    def hits(m: org.apache.spark.sql.DataFrame): Long =
+      bf.join(m.select("q_id", "n_id"), Seq("q_id", "n_id")).count()
+    val multi = hits(Similarity.ivfPqFullTopK(e, q, 5, coarse, cw, path, nprobe = 2))
+    assert(multi >= hits(Similarity.ivfPqTrainedTopK(e, q, 5, coarse, cw)),
+      "nprobe=2 through the full index must never lose recall")
+  }
+
   test("nprobe=2 IVF recall dominates single-cell probing") {
     val e = graft.queries.Synth.embeddings(spark, "/root/testdata/sf0.001")
     val q = e.filter(col("vec_id") < 10)
