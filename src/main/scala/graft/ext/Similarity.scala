@@ -639,4 +639,71 @@ object Similarity {
     rankTopK(scored, k, "sim", asc = false)
       .select("q_id", "rank", "n_id", "sim")
   }
+
+  // ------------------------------------------------------ scalar quantizer
+
+  /** Per-dimension symmetric SQ8 scales: s_i = max(|x_i|) over the corpus.
+    * ONE aggregate job — posexplode then a map-side-combined per-dim max,
+    * so the shuffle carries at most |partitions|·d rows at any corpus
+    * size — collected as d doubles (index construction, bounded by the
+    * dimension like the PQ codebook / coarse-centroid collects). */
+  def sq8Train(corpus: DataFrame, dim: Int = 64): Array[Double] = {
+    val rows = corpus
+      .select(posexplode(toDouble(col("embedding"))).as(Seq("i", "x")))
+      .groupBy("i").agg(max(abs(col("x"))).as("s"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    Array.tabulate(dim)(rows(_))
+  }
+
+  /** code_i = floor(x_i / s_i · 127) ∈ [−127, 127] (floor, not round —
+    * round-half modes differ across engines; all-zero dims code to 0). */
+  private def sq8EncodeCol(emb: Column, sLit: Column): Column =
+    zip_with(toDouble(emb), sLit, (x, s) =>
+      when(s === 0d, lit(0L)).otherwise(floor(x / s * lit(127d))))
+
+  /** Reconstruction x̂_i = code_i / 127 · s_i — exact double arithmetic on
+    * integer codes, so Spark and the oracle decode bit-identically. */
+  private def sq8DecodeCol(codes: Column, sLit: Column): Column =
+    zip_with(codes, sLit, (c, s) => c.cast("double") / lit(127d) * s)
+
+  /** Scalar-quantized ANN — the FAISS SQ8 rung of the capacity ladder
+    * (flat > SQ8 > PQ): each vector stored as d int8 codes against ONE
+    * shared per-dimension scale vector, 4× narrower than raw float32, with
+    * per-dim fidelity kept (no subvector codebook), so recall sits between
+    * brute force and PQ at intermediate compression. At 100 TB the scan
+    * reads only the compressed code table; raw embeddings are touched
+    * for the nCand exact re-rank alone. Scoring is asymmetric (raw query
+    * against the decoded reconstruction); the decode is a narrow zip_with
+    * against the d-element scale literal, materialized as an attribute
+    * INSIDE the scan projection — the reconstruction never hits storage
+    * and feeds the three cosine folds once per row. Candidate selection
+    * and re-rank run through the same bounded topk_pairs two-phase
+    * aggregate as every ANN family here — no window, no data-sized
+    * collect. Composes with IVF via [[assignCells]] the same way PQ does. */
+  def sq8TopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nCand: Int = 32, scales0: Option[Array[Double]] = None): DataFrame = {
+    val sLit = typedLit(scales0.getOrElse(sq8Train(corpus)).toSeq)
+    val codes = corpus.select(col("vec_id").as("n_id"),
+      sq8EncodeCol(col("embedding"), sLit).as("codes"))
+    val q = broadcast(queries.select(col("vec_id").as("q_id"),
+      col("embedding").as("q_emb")))
+    val scored = codes.crossJoin(q)
+      .filter(col("n_id") =!= col("q_id"))
+      // decode materializes as an ATTRIBUTE before the cosine (same
+      // discipline as quantizeInt8): a captured non-attribute subtree
+      // would re-evaluate the zip_with per fold in interpreted HOF eval
+      .select(col("q_id"), col("n_id"), col("q_emb"),
+        sq8DecodeCol(col("codes"), sLit).as("dec"))
+      .select(col("q_id"), col("n_id"),
+        cosine(col("q_emb"), col("dec")).as("asim"))
+    val cand = rankTopK(scored, nCand, "asim", asc = false)
+      .select("q_id", "n_id")
+    val rer = corpus.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+      .join(broadcast(cand), "n_id")
+      .join(q, "q_id")
+      .select(col("q_id"), col("n_id"),
+        cosine(col("q_emb"), col("n_emb")).as("sim"))
+    rankTopK(rer, k, "sim", asc = false)
+      .select("q_id", "rank", "n_id", "sim")
+  }
 }

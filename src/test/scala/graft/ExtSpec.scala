@@ -929,6 +929,23 @@ class ExtSpec extends AnyFunSuite {
       "nprobe=2 through the full index must never lose recall")
   }
 
+  test("SQ8: codes bounded, near-exact recall, 5 unique rows per query") {
+    val e = graft.queries.Synth.embeddings(spark, "/root/testdata/sf0.001")
+    val q = e.filter(col("vec_id") < 10)
+    // scales: one double per dim, every |x_i| <= s_i by construction
+    val scales = Similarity.sq8Train(e)
+    assert(scales.length == 64 && scales.forall(s => s >= 0 && !s.isNaN))
+    val res = Similarity.sq8TopK(e, q, 5)
+    val perQ = res.groupBy("q_id").count().collect()
+    assert(perQ.length == 10 && perQ.forall(_.getLong(1) == 5L),
+      "5 unique ranked rows per query")
+    // 8-bit per-dim fidelity: recall@5 should be near-exact (>= 80% here;
+    // PQ at the same corpus sits lower — the capacity-ladder ordering)
+    val bf = Similarity.bruteForceTopK(e, q, 5).select("q_id", "n_id")
+    val hits = bf.join(res.select("q_id", "n_id"), Seq("q_id", "n_id")).count()
+    assert(hits >= 40, s"SQ8 recall@5 too low: $hits/50")
+  }
+
   test("nprobe=2 IVF recall dominates single-cell probing") {
     val e = graft.queries.Synth.embeddings(spark, "/root/testdata/sf0.001")
     val q = e.filter(col("vec_id") < 10)
