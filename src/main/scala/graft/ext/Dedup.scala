@@ -252,6 +252,48 @@ object Dedup {
       .filter(col("sim") >= threshold)
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023,
+    * arXiv:2303.09540): k-means clusters as the dedup buckets, pairwise
+    * cosine only WITHIN a cluster, and in each duplicate neighborhood the
+    * paper's keeper rule — keep the item with the LOWEST cosine to its
+    * cluster centroid (the most "edge" example preserves diversity), ties
+    * to the lower id. A vector is dropped iff some same-cluster neighbor
+    * with cosine ≥ `threshold` ranks before it under (centroid-cosine asc,
+    * id asc) — a pairwise-local rule, so no connected-components pass is
+    * needed and each decision is one equi-join lookup.
+    *
+    * Scale shape: assignment is the narrow `ivf_assign` projection
+    * (centroids ride as a plan literal, zero joins/exchanges); the pair
+    * join shuffles both sides once on the cluster id; within-cluster work
+    * is quadratic in cluster SIZE, which is the SemDeDup contract — K is
+    * chosen ∝ corpus size so clusters stay ~10³-10⁴ rows (the paper uses
+    * 50k clusters for LAION-440M). The trainer's sample bound caps K here;
+    * at production scale the same literal-centroid plan takes any K the
+    * trainer yields. Cluster-id shuffle cardinality = K, so K also keeps
+    * the shuffle balanced — for skewed corpora compose with the hot-bucket
+    * cap of [[minhashLshPairs]].
+    *
+    * Input: `corpus(vec_id, embedding)`. Output: one row per vector —
+    * `(vec_id, cluster, kept)`. */
+  def semanticDedup(corpus: DataFrame, centroids: Array[Array[Double]],
+      threshold: Double): DataFrame = {
+    val a = Similarity.assignCells(corpus, centroids, withRep = true)
+      .select(col("vec_id"), col("embedding"), col("ivf_cell"),
+        Similarity.cosine(col("embedding"), col("rep")).as("csim"))
+    val dropped = a
+      .join(a.select(col("ivf_cell"), col("vec_id").as("o_id"),
+        col("embedding").as("o_emb"), col("csim").as("o_csim")), "ivf_cell")
+      .filter(col("vec_id") =!= col("o_id"))
+      .filter(Similarity.cosine(col("embedding"), col("o_emb")) >= threshold)
+      .filter(col("o_csim") < col("csim") ||
+        (col("o_csim") === col("csim") && col("o_id") < col("vec_id")))
+      .select("vec_id").distinct()
+      .withColumn("is_dropped", lit(true))
+    a.join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("ivf_cell").as("cluster"),
+        col("is_dropped").isNull.as("kept"))
+  }
+
   /** Connected components over near-dup pairs — the clustering step that
     * turns pairwise matches into dedup groups (keep min-id per component).
     * Pregel-style min-label propagation: each iteration is one

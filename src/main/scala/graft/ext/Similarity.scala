@@ -172,8 +172,9 @@ object Similarity {
   /** Public assignment surface (and the plan-spec hook): corpus +
     * `ivf_cell` under the given trained centroids, as one narrow
     * projection — zero joins, zero exchanges at any corpus size. */
-  def assignCells(corpus: DataFrame, centroids: Array[Array[Double]]): DataFrame =
-    cellAssign(centroidIndex(centroids), corpus, "embedding", "ivf_cell")
+  def assignCells(corpus: DataFrame, centroids: Array[Array[Double]],
+      withRep: Boolean = false): DataFrame =
+    cellAssign(centroidIndex(centroids), corpus, "embedding", "ivf_cell", withRep)
 
   /** Multi-cell IVF probing — the standard FAISS recall lever: each query
     * probes its `nprobe` nearest cells (cosine desc, ties → lower cell)

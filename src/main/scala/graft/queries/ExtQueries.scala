@@ -68,6 +68,19 @@ object ExtQueries {
       .orderBy("ida", "idb")
   }
 
+  /** SemDeDup: trained k-means clusters as dedup buckets, within-cluster
+    * cosine ≥ 0.99, keeper = lowest centroid-cosine (ties → lower id).
+    * Copies of every 50th vector planted as the semantic duplicates. */
+  private val dedupSemantic: Q = (s, dir) => {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val e = embeddings(s, dir)
+    val copies = e.filter(col("vec_id") % 50 === 0)
+      .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
+    Dedup.semanticDedup(e.select("vec_id", "embedding").unionByName(copies),
+        PqTrainer.trainCodebook(e, m = 1, ksub = 16)(0), threshold = 0.99)
+      .orderBy("vec_id")
+  }
+
   // -------------------------------------------------------- similarity
 
   private val annBruteForce: Q = (s, dir) => {
@@ -529,6 +542,7 @@ object ExtQueries {
     "dedup_simhash" -> dedupSimhash,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_embedding_cosine" -> dedupEmbeddingCosine,
+    "dedup_semantic" -> dedupSemantic,
     "ann_brute_force" -> annBruteForce,
     "ann_lsh" -> annLsh,
     "ann_lsh_multiprobe" -> annLshMultiprobe,
@@ -1034,6 +1048,36 @@ object ExtQueries {
          |  FROM corpus e JOIN copies c ON e.bucket = c.bucket)
          |SELECT ida, idb, sim FROM scored WHERE sim >= 0.999
          |ORDER BY ida, idb""".stripMargin,
+
+    // SemDeDup twin: the CoarseKmCtes k-means centroids, nearest-cell
+    // assignment + centroid cosine over the planted-copy corpus, then the
+    // pairwise-local keeper rule (drop v iff a same-cluster neighbor at
+    // cosine >= tau ranks before it under (centroid-cosine asc, id asc))
+    "dedup_semantic" ->
+      s"""WITH RECURSIVE
+         |$CoarseKmCtes,
+         |corp AS (SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 1000000, embedding FROM embeddings
+         |  WHERE vec_id % 50 = 0),
+         |asg AS (
+         |  SELECT vec_id, ivf_cell, csim FROM (
+         |    SELECT e.vec_id, r.cell AS ivf_cell,
+         |      ${cosSql("e.embedding", "r.rep")} AS csim,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosSql("e.embedding", "r.rep")} DESC, r.cell) AS rn
+         |    FROM corp e, reps r) WHERE rn = 1),
+         |dropped AS (
+         |  SELECT DISTINCT a.vec_id
+         |  FROM asg a JOIN asg b ON a.ivf_cell = b.ivf_cell AND a.vec_id <> b.vec_id
+         |  JOIN corp ea ON ea.vec_id = a.vec_id
+         |  JOIN corp eb ON eb.vec_id = b.vec_id
+         |  WHERE ${cosSql("ea.embedding", "eb.embedding")} >= 0.99
+         |    AND (b.csim < a.csim OR (b.csim = a.csim AND b.vec_id < a.vec_id)))
+         |SELECT a.vec_id, CAST(a.ivf_cell AS BIGINT) AS cluster,
+         |  (d.vec_id IS NULL) AS kept
+         |FROM asg a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+         |ORDER BY a.vec_id""".stripMargin,
 
     "ann_brute_force" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 10),

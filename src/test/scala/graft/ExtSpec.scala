@@ -929,6 +929,28 @@ class ExtSpec extends AnyFunSuite {
       "nprobe=2 through the full index must never lose recall")
   }
 
+  test("SemDeDup: planted copies dropped, keeper rule, no cartesian") {
+    val e = graft.queries.Synth.embeddings(spark, "/root/testdata/sf0.001")
+      .select("vec_id", "embedding")
+    val copies = e.filter(col("vec_id") % 50 === 0)
+      .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
+    val cents = graft.ext.PqTrainer.trainCodebook(e, m = 1, ksub = 16)(0)
+    val res = Dedup.semanticDedup(e.unionByName(copies), cents, 0.99)
+    val out = res.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    (0L until 500L by 50L).foreach { id =>
+      assert(out(id)._2, s"original $id must be kept (tie -> lower id)")
+      assert(!out(id + 1000000)._2, s"copy of $id must be dropped")
+      assert(out(id)._1 == out(id + 1000000)._1,
+        "an identical copy must land in its original's cluster")
+    }
+    // nothing else dropped at tau=0.99: max natural pairwise cosine ~0.48
+    assert(out.count(!_._2._2) == 10, "exactly the 10 planted copies drop")
+    // bucketed, never all-pairs: the executed plan has no cartesian
+    val plan = res.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "no cartesian in SemDeDup plan")
+  }
+
   test("SQ8: codes bounded, near-exact recall, 5 unique rows per query") {
     val e = graft.queries.Synth.embeddings(spark, "/root/testdata/sf0.001")
     val q = e.filter(col("vec_id") < 10)
