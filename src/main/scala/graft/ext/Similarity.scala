@@ -454,23 +454,57 @@ object Similarity {
     * full-dimensional math outside the re-rank. This is the FAISS
     * IVF-PQ deployment shape (index file = quantizers + coded lists)
     * expressed as Spark-native parquet + plan constants. */
-  def ivfPqFullTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+  /** One narrow assign+encode pass of `batch` under the index's frozen
+    * quantizers: (n_id, ivf_cell, codes). */
+  private def ivfPqEncodeRows(batch: DataFrame, ix: CoarseIndex,
+      cwLit: Column): DataFrame =
+    cellAssign(ix, batch, "embedding", "ivf_cell")
+      .select(col("vec_id").as("n_id"), col("ivf_cell"),
+        call_function("pq_encode", col("embedding"), cwLit).as("codes"))
+
+  /** Build the persisted IVF-PQ index from scratch (overwrite). */
+  def ivfPqBuildIndex(corpus: DataFrame, coarse: Array[Array[Double]],
+      cw: Array[Array[Array[Double]]], indexPath: String): Unit =
+    ivfPqEncodeRows(corpus, centroidIndex(coarse),
+        typedLit(cw.map(_.map(_.toSeq).toSeq).toSeq))
+      .write.mode("overwrite").partitionBy("ivf_cell").parquet(indexPath)
+
+  /** Incremental index maintenance — the epoch-over-epoch shape
+    * (yesterday's index + today's crawl): assign+encode ONLY the new
+    * batch under the index's FROZEN quantizers and append its code rows;
+    * a dynamic-partition append touches only the cell directories the
+    * batch lands in, and the standing corpus is never re-read or
+    * re-encoded. (Re-TRAINING the quantizers is a rebuild by definition —
+    * codes are meaningless across codebooks — which is why FAISS indexes
+    * freeze them at train time too.) */
+  def ivfPqAppendToIndex(batch: DataFrame, coarse: Array[Array[Double]],
+      cw: Array[Array[Array[Double]]], indexPath: String): Unit =
+    ivfPqEncodeRows(batch, centroidIndex(coarse),
+        typedLit(cw.map(_.map(_.toSeq).toSeq).toSeq))
+      .write.mode("append").partitionBy("ivf_cell").parquet(indexPath)
+
+  /** Probe an already-persisted index: partition-pruned scans of the probe
+    * cells' code lists, LUT-sum ADC, nCand exact re-rank against `corpus`
+    * (the raw-embedding store — touched only for the bounded re-rank). */
+  def ivfPqProbeIndex(corpus: DataFrame, queries: DataFrame, k: Int,
       coarse: Array[Array[Double]], cw: Array[Array[Array[Double]]],
       indexPath: String, nprobe: Int, nCand: Int = 32): DataFrame = {
     val ix = centroidIndex(coarse)
-    val m = cw.length
     val cwLit = typedLit(cw.map(_.map(_.toSeq).toSeq).toSeq)
-    cellAssign(ix, corpus, "embedding", "ivf_cell")
-      .select(col("vec_id").as("n_id"), col("ivf_cell"),
-        call_function("pq_encode", col("embedding"), cwLit).as("codes"))
-      .write.mode("overwrite").partitionBy("ivf_cell").parquet(indexPath)
     val codes = corpus.sparkSession.read.parquet(indexPath)
     val q = broadcast(probeCells(ix, queries, nprobe)
       .join(queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
         "q_id")
       .select(col("q_id"), col("q_emb"), col("ivf_cell"),
         call_function("pq_lut", col("q_emb"), cwLit).as("lut")))
-    ivfPqAdcScan(codes, q, corpus, k, m, nCand)
+    ivfPqAdcScan(codes, q, corpus, k, cw.length, nCand)
+  }
+
+  def ivfPqFullTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      coarse: Array[Array[Double]], cw: Array[Array[Array[Double]]],
+      indexPath: String, nprobe: Int, nCand: Int = 32): DataFrame = {
+    ivfPqBuildIndex(corpus, coarse, cw, indexPath)
+    ivfPqProbeIndex(corpus, queries, k, coarse, cw, indexPath, nprobe, nCand)
   }
 
   /** Residual-encoding IVF+PQ — production FAISS semantics: PQ encodes

@@ -133,6 +133,7 @@ object ExtQueries {
       .unionAll(hits("lsh", Similarity.lshTopK(e, q, 5, Planes)))
       .unionAll(hits("lsh_multiprobe", Similarity.lshMultiProbeTopK(e, q, 5, Planes)))
       .unionAll(hits("pq", Similarity.pqTopK(e, q, 5)))
+      .unionAll(hits("sq8", Similarity.sq8TopK(e, q, 5)))
       .orderBy("method")
   }
 
@@ -1295,6 +1296,32 @@ object ExtQueries {
          |        FROM iadc) WHERE arn <= 32) c
          |    JOIN embeddings qv ON c.q_id = qv.vec_id
          |    JOIN embeddings nv ON c.n_id = nv.vec_id)
+         |  WHERE rank <= 5),
+         |sqsc AS (SELECT list(s ORDER BY i) AS sc FROM (
+         |    SELECT i, max(abs(CAST(embedding[i] AS DOUBLE))) AS s
+         |    FROM embeddings, (SELECT unnest(range(1, 65)) AS i) d GROUP BY i)),
+         |sqdec AS (SELECT vec_id, list_transform(
+         |    list_transform(range(1, 65), i ->
+         |      CASE WHEN sc[i] = 0 THEN 0
+         |           ELSE CAST(floor(CAST(embedding[i] AS DOUBLE) / sc[i] * 127)
+         |                AS BIGINT) END),
+         |    c -> CAST(c AS DOUBLE) / 127) AS cn
+         |  FROM embeddings, sqsc),
+         |sqdv AS (SELECT vec_id,
+         |    list_transform(range(1, 65), i -> cn[i] * sc[i]) AS dv
+         |  FROM sqdec, sqsc),
+         |sqscored AS (SELECT q.q_id, d.vec_id AS n_id,
+         |    ${cosSql("q.qe", "d.dv")} AS asim
+         |  FROM bfq q, sqdv d WHERE d.vec_id <> q.q_id),
+         |sq85 AS (SELECT q_id, n_id FROM (
+         |    SELECT c.q_id, c.n_id, row_number() OVER (PARTITION BY c.q_id
+         |      ORDER BY ${cosSql("qv.embedding", "nv.embedding")} DESC, c.n_id) AS rank
+         |    FROM (SELECT q_id, n_id FROM (
+         |        SELECT q_id, n_id,
+         |          row_number() OVER (PARTITION BY q_id ORDER BY asim DESC, n_id) AS arn
+         |        FROM sqscored) WHERE arn <= 32) c
+         |    JOIN embeddings qv ON c.q_id = qv.vec_id
+         |    JOIN embeddings nv ON c.n_id = nv.vec_id)
          |  WHERE rank <= 5)
          |SELECT method, hits FROM (
          |  SELECT 'ivf' AS method, count(*) AS hits FROM bf JOIN ivf USING (q_id, n_id)
@@ -1307,7 +1334,9 @@ object ExtQueries {
          |  UNION ALL
          |  SELECT 'lsh_multiprobe', count(*) FROM bf JOIN mp USING (q_id, n_id)
          |  UNION ALL
-         |  SELECT 'pq', count(*) FROM bf JOIN pq5 USING (q_id, n_id))
+         |  SELECT 'pq', count(*) FROM bf JOIN pq5 USING (q_id, n_id)
+         |  UNION ALL
+         |  SELECT 'sq8', count(*) FROM bf JOIN sq85 USING (q_id, n_id))
          |ORDER BY method""".stripMargin,
 
     "ann_ivf" -> AnnIvfOracle,

@@ -968,6 +968,24 @@ class ExtSpec extends AnyFunSuite {
     assert(hits >= 40, s"SQ8 recall@5 too low: $hits/50")
   }
 
+  test("incremental index append == full rebuild (frozen quantizers)") {
+    val e = graft.queries.Synth.embeddings(spark, "/root/testdata/sf0.001")
+    val q = e.filter(col("vec_id") < 10)
+    val coarse = graft.ext.PqTrainer.trainCodebook(e, m = 1, ksub = 16)(0)
+    val cw = graft.ext.PqTrainer.trainCodebook(e)
+    val full = java.nio.file.Files.createTempDirectory("graft-ix-full").toString
+    val incr = java.nio.file.Files.createTempDirectory("graft-ix-incr").toString
+    Similarity.ivfPqBuildIndex(e, coarse, cw, full)
+    // epoch 1: first half; epoch 2: append the rest — never re-encoding
+    Similarity.ivfPqBuildIndex(e.filter(col("vec_id") < 250), coarse, cw, incr)
+    Similarity.ivfPqAppendToIndex(e.filter(col("vec_id") >= 250), coarse, cw, incr)
+    val a = Similarity.ivfPqProbeIndex(e, q, 5, coarse, cw, incr, nprobe = 2)
+      .collect().map(_.toSeq).toSet
+    val b = Similarity.ivfPqProbeIndex(e, q, 5, coarse, cw, full, nprobe = 2)
+      .collect().map(_.toSeq).toSet
+    assert(a == b, "append-built index must answer identically to a rebuild")
+  }
+
   test("nprobe=2 IVF recall dominates single-cell probing") {
     val e = graft.queries.Synth.embeddings(spark, "/root/testdata/sf0.001")
     val q = e.filter(col("vec_id") < 10)
