@@ -731,14 +731,47 @@ object Similarity {
         sq8DecodeCol(col("codes"), sLit).as("dec"))
       .select(col("q_id"), col("n_id"),
         cosine(col("q_emb"), col("dec")).as("asim"))
-    val cand = rankTopK(scored, nCand, "asim", asc = false)
-      .select("q_id", "n_id")
+    exactRerank(corpus, q, rankTopK(scored, nCand, "asim", asc = false), k)
+  }
+
+  /** Exact cosine re-rank of a bounded candidate set against the raw
+    * embedding store — the shared tail of every approximate family:
+    * `cand(q_id, n_id)` is ≤ |Q|·nCand rows (broadcast), `q(q_id, q_emb)`
+    * is the broadcast query side; the corpus is touched only to fetch the
+    * candidates' embeddings. */
+  private def exactRerank(corpus: DataFrame, q: DataFrame, cand: DataFrame,
+      k: Int): DataFrame = {
     val rer = corpus.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
-      .join(broadcast(cand), "n_id")
-      .join(q, "q_id")
+      .join(broadcast(cand.select("q_id", "n_id")), "n_id")
+      .join(q.select("q_id", "q_emb"), "q_id")
       .select(col("q_id"), col("n_id"),
         cosine(col("q_emb"), col("n_emb")).as("sim"))
     rankTopK(rer, k, "sim", asc = false)
       .select("q_id", "rank", "n_id", "sim")
+  }
+
+  /** IVF × SQ8 — the FAISS IndexIVFScalarQuantizer: coarse cells prune the
+    * scan to the query's inverted list; within it candidates score over
+    * int8 codes (asymmetric in-projection decode), then the nCand exact
+    * re-rank. The persisted layout composes the same way as IVF-PQ's
+    * (codes partitioned by cell); at 100 TB a probe reads one cell's worth
+    * of 64-byte codes instead of raw vectors. */
+  def ivfSq8TopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nCand: Int = 32): DataFrame = {
+    val ix = medoidIndex(corpus)
+    val sLit = typedLit(sq8Train(corpus).toSeq)
+    val codes = cellAssign(ix, corpus, "embedding", "ivf_cell")
+      .select(col("vec_id").as("n_id"), col("ivf_cell"),
+        sq8EncodeCol(col("embedding"), sLit).as("codes"))
+    val q = broadcast(cellAssign(ix, queries, "embedding", "ivf_cell")
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("ivf_cell")))
+    val scored = codes.join(q, "ivf_cell")
+      .filter(col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"), col("q_emb"),
+        sq8DecodeCol(col("codes"), sLit).as("dec"))
+      .select(col("q_id"), col("n_id"),
+        cosine(col("q_emb"), col("dec")).as("asim"))
+    exactRerank(corpus, q, rankTopK(scored, nCand, "asim", asc = false), k)
   }
 }

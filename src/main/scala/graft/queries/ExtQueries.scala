@@ -99,6 +99,14 @@ object ExtQueries {
       .orderBy("q_id", "rank")
   }
 
+  /** IVF × SQ8 (FAISS IndexIVFScalarQuantizer): cell-pruned int8 scan. */
+  private val annIvfSq8: Q = (s, dir) => {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val e = embeddings(s, dir)
+    Similarity.ivfSq8TopK(e, e.filter(col("vec_id") < 10), 5)
+      .orderBy("q_id", "rank")
+  }
+
   private val Planes: Array[Array[Double]] = Similarity.hyperplanes(nPlanes = 6)
 
   private val annLsh: Q = (s, dir) => {
@@ -556,6 +564,7 @@ object ExtQueries {
     "ann_pq" -> annPq,
     "ann_pq_trained" -> annPqTrained,
     "ann_sq8" -> annSq8,
+    "ann_ivf_sq8" -> annIvfSq8,
     "ann_ivf_pq" -> annIvfPq,
     "ann_ivf_pq_persisted" -> annIvfPqPersisted,
     "ann_ivf_pq_nprobe" -> annIvfPqNprobe,
@@ -1115,6 +1124,57 @@ object ExtQueries {
          |scored AS (SELECT e.vec_id AS q_id, d.vec_id AS n_id,
          |    ${cosSql("e.embedding", "d.dv")} AS asim
          |  FROM embeddings e, decv d
+         |  WHERE e.vec_id < 10 AND d.vec_id <> e.vec_id),
+         |cand AS (SELECT q_id, n_id FROM (
+         |    SELECT q_id, n_id,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY asim DESC, n_id) AS arn
+         |    FROM scored) WHERE arn <= 32),
+         |rr AS (SELECT c.q_id, c.n_id,
+         |    ${cosSql("qv.embedding", "nv.embedding")} AS sim
+         |  FROM cand c JOIN embeddings qv ON c.q_id = qv.vec_id
+         |              JOIN embeddings nv ON c.n_id = nv.vec_id),
+         |ranked AS (SELECT q_id, n_id, sim,
+         |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS INT) AS rank
+         |  FROM rr)
+         |SELECT q_id, rank, n_id, sim FROM ranked WHERE rank <= 5
+         |ORDER BY q_id, rank""".stripMargin,
+
+    // IVF x SQ8 twin: medoid reps + nearest-cell assignment restrict the
+    // SQ8 asymmetric scan to the query's inverted list
+    "ann_ivf_sq8" ->
+      s"""WITH reps AS (
+         |  SELECT label AS cell, embedding AS rep FROM (
+         |    SELECT label, embedding,
+         |      row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+         |    FROM embeddings) WHERE rn = 1),
+         |assigned AS (
+         |  SELECT vec_id, ivf_cell FROM (
+         |    SELECT e.vec_id, r.cell AS ivf_cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosSql("e.embedding", "r.rep")} DESC, r.cell) AS rn
+         |    FROM embeddings e, reps r) WHERE rn = 1),
+         |scales AS (
+         |  SELECT list(s ORDER BY i) AS sc FROM (
+         |    SELECT i, max(abs(CAST(embedding[i] AS DOUBLE))) AS s
+         |    FROM embeddings, (SELECT unnest(range(1, 65)) AS i) d
+         |    GROUP BY i)),
+         |dec AS (
+         |  SELECT vec_id, list_transform(
+         |    list_transform(range(1, 65), i ->
+         |      CASE WHEN sc[i] = 0 THEN 0
+         |           ELSE CAST(floor(CAST(embedding[i] AS DOUBLE) / sc[i] * 127)
+         |                AS BIGINT) END),
+         |    c -> CAST(c AS DOUBLE) / 127) AS cn
+         |  FROM embeddings, scales),
+         |decv AS (
+         |  SELECT vec_id, list_transform(range(1, 65), i -> cn[i] * sc[i]) AS dv
+         |  FROM dec, scales),
+         |scored AS (SELECT e.vec_id AS q_id, d.vec_id AS n_id,
+         |    ${cosSql("e.embedding", "d.dv")} AS asim
+         |  FROM embeddings e
+         |  JOIN assigned qa ON qa.vec_id = e.vec_id
+         |  JOIN assigned ca ON ca.ivf_cell = qa.ivf_cell
+         |  JOIN decv d ON d.vec_id = ca.vec_id
          |  WHERE e.vec_id < 10 AND d.vec_id <> e.vec_id),
          |cand AS (SELECT q_id, n_id FROM (
          |    SELECT q_id, n_id,
