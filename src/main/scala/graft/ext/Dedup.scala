@@ -252,6 +252,31 @@ object Dedup {
       .filter(col("sim") >= threshold)
   }
 
+  /** Chunk-level exact dedup — the RAG/embedding-pipeline composition of
+    * [[TextAnalysis.chunkDocs]] × content-hash dedup: identical context
+    * windows across (or within) documents collapse to one canonical
+    * chunk, so repeated boilerplate is embedded/indexed ONCE. One row per
+    * chunk with its disposition (the ablation-log shape): kept iff it is
+    * the (min doc_id, min chunk_id) member of its chunk_md5 group.
+    *
+    * Scale shape: chunking is row-local fan-out; the canonical map is one
+    * map-side-combined min(struct) agg on the high-cardinality chunk_md5
+    * key; the disposition join shuffles on the same key. Nothing is
+    * collected, nothing is windowed. */
+  def chunkDedup(docs: DataFrame, window: Int = 64, stride: Int = 48): DataFrame = {
+    val ch = TextAnalysis.chunkDocs(docs, window, stride)
+    val canon = ch.groupBy("chunk_md5")
+      .agg(min(struct(col("doc_id"), col("chunk_id"))).as("c"),
+        count(lit(1)).as("n_copies"))
+      .select(col("chunk_md5"), col("c.doc_id").as("canon_doc"),
+        col("c.chunk_id").as("canon_chunk"), col("n_copies"))
+    ch.join(canon, "chunk_md5")
+      .select(col("doc_id"), col("chunk_id"), col("chunk_md5"),
+        (col("doc_id") === col("canon_doc") &&
+          col("chunk_id") === col("canon_chunk")).as("kept"),
+        col("canon_doc"), col("canon_chunk"), col("n_copies"))
+  }
+
   /** SemDeDup-style semantic dedup (Abbas et al. 2023,
     * arXiv:2303.09540): k-means clusters as the dedup buckets, pairwise
     * cosine only WITHIN a cluster, and in each duplicate neighborhood the

@@ -473,6 +473,11 @@ object ExtQueries {
   private val corpusChunk: Q = (s, dir) =>
     TextAnalysis.chunkDocs(documents(s, dir)).orderBy("doc_id", "chunk_id")
 
+  /** Chunk-level dedup: identical 64-token context windows collapse to
+    * one canonical chunk (RAG corpora embed boilerplate once). */
+  private val corpusChunkDedup: Q = (s, dir) =>
+    Dedup.chunkDedup(documents(s, dir)).orderBy("doc_id", "chunk_id")
+
   private val embRandomProjection: Q = (s, dir) => {
     graft.functions.GraftFunctions.ensureRegistered(s)
     Embeddings.randomProjection(embeddings(s, dir)).orderBy("vec_id")
@@ -581,6 +586,7 @@ object ExtQueries {
     "corpus_stratified_sample" -> corpusStratifiedSample,
     "corpus_redact_pii" -> corpusRedactPii,
     "corpus_chunk" -> corpusChunk,
+    "corpus_chunk_dedup" -> corpusChunkDedup,
     "corpus_pipeline_e2e" -> corpusPipelineE2e,
     "text_vocab_topk" -> textVocabTopk,
     "emb_quantize_int8" -> embQuantizeInt8,
@@ -1000,6 +1006,29 @@ object ExtQueries {
         |  CAST(len(c) AS BIGINT) AS n_tokens,
         |  md5(array_to_string(c, ' ')) AS chunk_md5
         |FROM ch ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // chunk dedup twin: the corpus_chunk chunking + canonical-member
+    // disposition per chunk_md5 group (min doc_id, then min chunk_id)
+    "corpus_chunk_dedup" ->
+      """WITH tok AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS t
+        |  FROM documents),
+        |st AS (SELECT doc_id, t, unnest(range(0, (len(t)-1)//48 + 1)) AS s
+        |  FROM tok WHERE len(t) > 0),
+        |chm AS (SELECT doc_id, CAST(s AS BIGINT) AS chunk_id,
+        |  md5(array_to_string(t[s*48+1 : s*48+64], ' ')) AS chunk_md5
+        |  FROM st),
+        |canon AS (SELECT chunk_md5, doc_id AS canon_doc,
+        |    chunk_id AS canon_chunk FROM (
+        |    SELECT chunk_md5, doc_id, chunk_id,
+        |      row_number() OVER (PARTITION BY chunk_md5
+        |        ORDER BY doc_id, chunk_id) AS rn
+        |    FROM chm) WHERE rn = 1),
+        |cnt AS (SELECT chunk_md5, count(*) AS n_copies FROM chm GROUP BY 1)
+        |SELECT m.doc_id, m.chunk_id, m.chunk_md5,
+        |  (m.doc_id = c.canon_doc AND m.chunk_id = c.canon_chunk) AS kept,
+        |  c.canon_doc, c.canon_chunk, n.n_copies
+        |FROM chm m JOIN canon c USING (chunk_md5) JOIN cnt n USING (chunk_md5)
+        |ORDER BY m.doc_id, m.chunk_id""".stripMargin,
 
     "dedup_exact" ->
       s"""$CorpusCte

@@ -929,6 +929,26 @@ class ExtSpec extends AnyFunSuite {
       "nprobe=2 through the full index must never lose recall")
   }
 
+  test("chunk dedup: identical docs' chunks collapse to one canonical") {
+    val docs = corpus.toDF("doc_id", "text")
+    val res = Dedup.chunkDedup(docs, window = 4, stride = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getBoolean(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    // doc 101 is byte-identical to doc 1 → every chunk of 101 is a dup
+    // whose canonical is the same chunk_id in doc 1
+    res.keys.filter(_._1 == 101L).foreach { case (d, c) =>
+      val (kept, cd, cc, n) = res((d, c))
+      assert(!kept && cd == 1L && cc == c && n >= 2,
+        s"chunk ($d,$c) must defer to doc 1's chunk $c")
+    }
+    // canonicals are kept and count themselves
+    res.keys.filter(_._1 == 1L).foreach { case (d, c) =>
+      assert(res((d, c))._1, s"doc 1 chunk $c is the canonical — kept")
+    }
+    // disposition covers every chunk exactly once
+    assert(res.keys.count(_._1 == 101L) == res.keys.count(_._1 == 1L))
+  }
+
   test("SemDeDup: planted copies dropped, keeper rule, no cartesian") {
     val e = graft.queries.Synth.embeddings(spark, "/root/testdata/sf0.001")
       .select("vec_id", "embedding")
