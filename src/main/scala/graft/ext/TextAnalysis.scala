@@ -352,6 +352,41 @@ object TextAnalysis {
         (lit(100L) * sum("bits") / count(lit(1))).cast("long").as("surprisal_x100"))
   }
 
+  /** Exact global "keep the best `pct`%" selection by quality score
+    * WITHOUT a global sort — the CCNet-style head-of-corpus cut done
+    * scale-correctly: the score is a BOUNDED INTEGER
+    * ([[unigramLmScore]]'s surprisal_x100, domain ≤ 100·log₂(corpus
+    * tokens) ≈ a few thousand distinct values), so its histogram is a
+    * map-side-combined aggregate of |distinct scores| rows — bounded by
+    * the score DOMAIN, not the corpus — collected once and scanned
+    * cumulatively on the driver; the resulting threshold returns to the
+    * plan as a literal for a narrow filter. (An orderBy + limit(p·N)
+    * would be a full global sort of N rows; a per-partition window would
+    * be wrong.)
+    *
+    * Threshold-inclusive contract (deterministic, both engines): keep
+    * score ≤ thr where thr is the smallest score whose cumulative count
+    * reaches ceil(p·N/100) — the whole boundary bucket keeps, so output
+    * may exceed p·N by at most that bucket (the documented trade vs a
+    * doc-id tiebreak, which would force the global sort back). Lower
+    * surprisal = more fluent under the corpus LM = kept first. */
+  def selectTopQuality(corpus: DataFrame, pct: Int): DataFrame = {
+    val scored = unigramLmScore(corpus)
+    val hist = scored.groupBy("surprisal_x100").agg(count(lit(1)).as("c"))
+      .orderBy("surprisal_x100")
+      .collect() // bounded by the score domain (index-construction collect)
+    val n = hist.iterator.map(_.getLong(1)).sum
+    val target = (n * pct + 99) / 100
+    var cum = 0L
+    var thr = Long.MaxValue
+    val it = hist.iterator
+    while (cum < target && it.hasNext) {
+      val r = it.next(); cum += r.getLong(1); thr = r.getLong(0)
+    }
+    scored.filter(col("surprisal_x100") <= thr)
+      .select("doc_id", "n_tokens", "surprisal_x100")
+  }
+
   /** Count-Min-sketch heavy hitters: estimate token frequencies from a
     * d×w integer sketch (d Kirsch-Mitzenmacher hash rows over the same
     * md5-split family as MinHash) and report the top-N exact tokens with

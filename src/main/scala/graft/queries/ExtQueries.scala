@@ -336,6 +336,14 @@ object ExtQueries {
   private val textUnigramLm: Q = (s, dir) =>
     TextAnalysis.unigramLmScore(documents(s, dir)).orderBy("doc_id")
 
+  /** Exact top-30%-by-quality selection via the bounded-integer score
+    * histogram — no global sort. (The synthetic corpus is score-degenerate
+    * — most docs share one surprisal value — so the boundary bucket
+    * dominates here, which EXERCISES the threshold-inclusive contract;
+    * the spec shows exact-fraction selection on a score-diverse corpus.) */
+  private val corpusSelectTopQuality: Q = (s, dir) =>
+    TextAnalysis.selectTopQuality(documents(s, dir), pct = 30).orderBy("doc_id")
+
   /** TF-IDF top-3 keywords per doc, ranked via the bounded topk_pairs
     * aggregate (integer idf bits, md5-prefix term keys). */
   private val textTfidfTopk: Q = (s, dir) =>
@@ -600,6 +608,7 @@ object ExtQueries {
     "text_fingerprint" -> textFingerprint,
     "text_repetition" -> textRepetition,
     "text_unigram_lm" -> textUnigramLm,
+    "corpus_select_top_quality" -> corpusSelectTopQuality,
     "text_bpe_train" -> textBpeTrain,
     "text_bpe_tokens" -> textBpeTokens,
     "text_tfidf_topk" -> textTfidfTopk,
@@ -1871,6 +1880,27 @@ object ExtQueries {
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
         |  CAST(100 * sum(bits) // count(*) AS BIGINT) AS surprisal_x100
         |FROM b GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // top-quality selection twin: the unigram-LM scored CTE + a cumulative
+    // histogram threshold (smallest score reaching ceil(30%*N)), boundary
+    // bucket inclusive — same contract as the Spark driver scan
+    "corpus_select_top_quality" ->
+      """WITH tokr AS (SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS tok
+        |  FROM documents),
+        |v AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM tokr GROUP BY 1),
+        |tt AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM v),
+        |b AS (SELECT doc_id,
+        |    (strlen(bin(t)) - 1) - (strlen(bin(c)) - 1) AS bits
+        |  FROM tokr JOIN v USING (tok) CROSS JOIN tt),
+        |scored AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |    CAST(100 * sum(bits) // count(*) AS BIGINT) AS surprisal_x100
+        |  FROM b GROUP BY 1),
+        |hist AS (SELECT surprisal_x100 AS sc, count(*) AS c FROM scored GROUP BY 1),
+        |cum AS (SELECT sc, sum(c) OVER (ORDER BY sc) AS cm FROM hist),
+        |nn AS (SELECT count(*) AS n FROM scored),
+        |thr AS (SELECT min(sc) AS thr FROM cum, nn WHERE cm >= (n * 30 + 99) // 100)
+        |SELECT doc_id, n_tokens, surprisal_x100 FROM scored, thr
+        |WHERE surprisal_x100 <= thr ORDER BY doc_id""".stripMargin,
 
     // Count-Min twin: the KM hash family over md5 halves (same fold as the
     // minhash twin), d=4 rows x w=64 buckets, estimate = min over rows

@@ -929,6 +929,31 @@ class ExtSpec extends AnyFunSuite {
       "nprobe=2 through the full index must never lose recall")
   }
 
+  test("top-quality selection: exact histogram quantile, boundary-inclusive") {
+    // 6 docs with strictly distinct surprisal: doc k repeats its own token
+    // 2^k times next to one shared token — rarer vocab => higher surprisal
+    val docs = (0 until 6).map { k =>
+      (k.toLong, (Seq.fill(1 << (5 - k))(s"tok$k") :+ "shared").mkString(" "))
+    }.toDF("doc_id", "text")
+    val scores = TextAnalysis.unigramLmScore(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(scores.values.toSeq.distinct.size == 6, s"need distinct scores: $scores")
+    // pct=34 of 6 docs → ceil = 3 kept (no ties ⇒ exactly 3)
+    val kept = TextAnalysis.selectTopQuality(docs, pct = 34)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept.size == 3, s"expected exactly 3 kept: $kept")
+    val bestThree = scores.toSeq.sortBy(_._2).take(3).map(_._1).toSet
+    assert(kept == bestThree, s"kept $kept != lowest-surprisal $bestThree")
+    // boundary bucket keeps WHOLE: two score-identical docs straddling the
+    // cut both stay (threshold-inclusive contract)
+    val tied = Seq((10L, "x x y"), (11L, "x x y"), (12L, "z z z z z z q"))
+      .toDF("doc_id", "text")
+    val keptTied = TextAnalysis.selectTopQuality(tied, pct = 34)
+      .collect().map(_.getLong(0)).toSet
+    assert(keptTied.intersect(Set(10L, 11L)).size % 2 == 0,
+      s"score ties must keep or drop together: $keptTied")
+  }
+
   test("chunk dedup: identical docs' chunks collapse to one canonical") {
     val docs = corpus.toDF("doc_id", "text")
     val res = Dedup.chunkDedup(docs, window = 4, stride = 3).collect()
