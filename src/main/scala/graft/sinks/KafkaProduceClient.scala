@@ -43,7 +43,8 @@ import graft.metrics.{Stats, StatsdEmitter}
 final class KafkaProduceClient(broker: String, timeoutMs: Int = 60000,
     statsd: Option[StatsdEmitter] = None, maxInFlight: Int = 1024,
     tlsCaCert: Option[String] = None,
-    sasl: Option[(String, String)] = None)
+    sasl: Option[(String, String)] = None,
+    saslAlgo: ScramAuth.Algo = ScramAuth.Sha256)
     extends AutoCloseable {
 
   private val (host, port) = broker.lastIndexOf(':') match {
@@ -160,7 +161,9 @@ final class KafkaProduceClient(broker: String, timeoutMs: Int = 60000,
       // authenticate before the first produce frame (one connection per
       // send → one SCRAM exchange per delivery; a pooled client would
       // authenticate once per pooled connection)
-      sasl.foreach { case (u, p) => ScramAuth.authenticate(in, out, u, p) }
+      sasl.foreach { case (u, p) =>
+        ScramAuth.authenticate(in, out, u, p, algo = saslAlgo)
+      }
 
       val clientId = "graft".getBytes(StandardCharsets.UTF_8)
       val topicB = topic.getBytes(StandardCharsets.UTF_8)
@@ -243,4 +246,9 @@ object KafkaProduceClient {
   def saslFromConf(conf: Map[String, String]): Option[(String, String)] =
     for (u <- conf.get("sasl.username"); p <- conf.get("sasl.password"))
       yield (u, p)
+
+  /** librdkafka-style conf → SCRAM mechanism: the `sasl.mechanisms` key
+    * (librdkafka's name — singular value), SCRAM-SHA-256 by default. */
+  def saslAlgoFromConf(conf: Map[String, String]): ScramAuth.Algo =
+    ScramAuth.algoFor(conf.getOrElse("sasl.mechanisms", "SCRAM-SHA-256"))
 }

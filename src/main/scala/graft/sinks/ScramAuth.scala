@@ -7,10 +7,14 @@ import java.util.Base64
 import javax.crypto.Mac
 import javax.crypto.spec.{PBEKeySpec, SecretKeySpec}
 
-/** SASL SCRAM-SHA-256 (RFC 5802/7677) for the Produce-v0 wire client — the
-  * auth mechanism behind the reference's `SASL_SCRAM_USERNAME`/
+/** SASL SCRAM (RFC 5802/7677) for the Produce-v0 wire client — the auth
+  * mechanism behind the reference's `SASL_SCRAM_USERNAME`/
   * `SASL_SCRAM_PASSWORD` env overrides (src/sink/kafka.rs:69-84, passed to
-  * librdkafka). Pure JDK crypto: PBKDF2WithHmacSHA256 + HmacSHA256.
+  * librdkafka). Pure JDK crypto: PBKDF2WithHmacSHA-N + HmacSHA-N, with the
+  * hash parameterized over the two mechanisms Kafka brokers ship —
+  * SCRAM-SHA-256 (the default) and SCRAM-SHA-512 (same RFC 5802
+  * construction over SHA-512; selected by the librdkafka `sasl.mechanisms`
+  * conf key).
   *
   * Wire framing: one Kafka SaslHandshake v0 round-trip announcing the
   * mechanism, then the SCRAM tokens as RAW length-prefixed frames — the
@@ -20,22 +24,42 @@ import javax.crypto.spec.{PBEKeySpec, SecretKeySpec}
   * server that doesn't hold the password is rejected — auth is mutual.
   */
 object ScramAuth {
-  val Mechanism = "SCRAM-SHA-256"
+  /** One SCRAM hash family: every RFC 5802 primitive keyed off the same
+    * digest. `keyBits` = digest size (the PBKDF2 output length, §3). */
+  final case class Algo(mechanism: String, macName: String, mdName: String,
+      pbkdf2Name: String, keyBits: Int)
+  val Sha256: Algo =
+    Algo("SCRAM-SHA-256", "HmacSHA256", "SHA-256", "PBKDF2WithHmacSHA256", 256)
+  val Sha512: Algo =
+    Algo("SCRAM-SHA-512", "HmacSHA512", "SHA-512", "PBKDF2WithHmacSHA512", 512)
 
-  def hmac(key: Array[Byte], msg: Array[Byte]): Array[Byte] = {
-    val m = Mac.getInstance("HmacSHA256")
-    m.init(new SecretKeySpec(key, "HmacSHA256"))
+  val Mechanism = Sha256.mechanism
+
+  /** librdkafka `sasl.mechanisms` value → algo (SCRAM names only; the
+    * client has no GSSAPI/PLAIN path). */
+  def algoFor(mechanism: String): Algo = mechanism.trim.toUpperCase match {
+    case "SCRAM-SHA-256" | "" => Sha256
+    case "SCRAM-SHA-512"      => Sha512
+    case m => throw new IllegalArgumentException(s"unsupported SASL mechanism: $m")
+  }
+
+  def hmac(key: Array[Byte], msg: Array[Byte], algo: Algo = Sha256): Array[Byte] = {
+    val m = Mac.getInstance(algo.macName)
+    m.init(new SecretKeySpec(key, algo.macName))
     m.doFinal(msg)
   }
 
-  def sha256(b: Array[Byte]): Array[Byte] =
-    java.security.MessageDigest.getInstance("SHA-256").digest(b)
+  def hash(b: Array[Byte], algo: Algo = Sha256): Array[Byte] =
+    java.security.MessageDigest.getInstance(algo.mdName).digest(b)
+
+  def sha256(b: Array[Byte]): Array[Byte] = hash(b, Sha256)
 
   def saltedPassword(password: String, salt: Array[Byte],
-      iterations: Int): Array[Byte] = {
-    val skf = javax.crypto.SecretKeyFactory.getInstance("PBKDF2WithHmacSHA256")
+      iterations: Int, algo: Algo = Sha256): Array[Byte] = {
+    val skf = javax.crypto.SecretKeyFactory.getInstance(algo.pbkdf2Name)
     skf.generateSecret(
-      new PBEKeySpec(password.toCharArray, salt, iterations, 256)).getEncoded
+      new PBEKeySpec(password.toCharArray, salt, iterations, algo.keyBits))
+      .getEncoded
   }
 
   private def xor(a: Array[Byte], b: Array[Byte]): Array[Byte] =
@@ -68,10 +92,11 @@ object ScramAuth {
     * TLS wrap, for sasl_ssl), before the first Produce frame. */
   def authenticate(in: DataInputStream, out: DataOutputStream,
       username: String, password: String,
-      nonce: String = java.util.UUID.randomUUID.toString.replace("-", "")): Unit = {
+      nonce: String = java.util.UUID.randomUUID.toString.replace("-", ""),
+      algo: Algo = Sha256): Unit = {
     // ---- SaslHandshake v0 (api_key 17): announce the mechanism
     val clientId = "graft".getBytes(UTF_8)
-    val mech = Mechanism.getBytes(UTF_8)
+    val mech = algo.mechanism.getBytes(UTF_8)
     val corr = 0x73617363 // "sasc"
     out.writeInt(2 + 2 + 4 + (2 + clientId.length) + (2 + mech.length))
     out.writeShort(17); out.writeShort(0); out.writeInt(corr)
@@ -88,7 +113,7 @@ object ScramAuth {
       throw new IllegalStateException(s"SASL mechanism rejected: error $err")
     in.skipBytes(size - 6) // enabled_mechanisms array — not needed
 
-    // ---- SCRAM-SHA-256 exchange over raw length-prefixed tokens
+    // ---- SCRAM exchange over raw length-prefixed tokens
     val gs2 = "n,," // no channel binding, no authzid
     val clientFirstBare = s"n=${escapeUser(username)},r=$nonce"
     sendToken(out, gs2 + clientFirstBare)
@@ -100,21 +125,21 @@ object ScramAuth {
       throw new IllegalStateException("server nonce must extend the client nonce")
     val salt = Base64.getDecoder.decode(sf('s'))
     val iterations = sf('i').toInt
-    val sp = saltedPassword(password, salt, iterations)
-    val clientKey = hmac(sp, "Client Key".getBytes(UTF_8))
-    val storedKey = sha256(clientKey)
+    val sp = saltedPassword(password, salt, iterations, algo)
+    val clientKey = hmac(sp, "Client Key".getBytes(UTF_8), algo)
+    val storedKey = hash(clientKey, algo)
     val withoutProof =
       s"c=${Base64.getEncoder.encodeToString(gs2.getBytes(UTF_8))},r=$serverNonce"
     val authMessage = s"$clientFirstBare,$serverFirst,$withoutProof"
-    val proof = xor(clientKey, hmac(storedKey, authMessage.getBytes(UTF_8)))
+    val proof = xor(clientKey, hmac(storedKey, authMessage.getBytes(UTF_8), algo))
     sendToken(out, s"$withoutProof,p=${Base64.getEncoder.encodeToString(proof)}")
     val serverFinal = readToken(in)
     if (serverFinal.startsWith("e="))
       throw new IllegalStateException(s"SASL authentication failed: $serverFinal")
     // mutual auth: the server proves it holds the credential
-    val serverKey = hmac(sp, "Server Key".getBytes(UTF_8))
-    val expected =
-      Base64.getEncoder.encodeToString(hmac(serverKey, authMessage.getBytes(UTF_8)))
+    val serverKey = hmac(sp, "Server Key".getBytes(UTF_8), algo)
+    val expected = Base64.getEncoder.encodeToString(
+      hmac(serverKey, authMessage.getBytes(UTF_8), algo))
     if (!attrs(serverFinal).get('v').contains(expected))
       throw new IllegalStateException("server signature mismatch — not trusted")
   }

@@ -26,7 +26,8 @@ class KafkaProduceSpec extends AnyFunSuite {
     * simulate a server that doesn't hold the credential). Returns false
     * (after an e= token) when the client proof doesn't verify. */
   private def scramServer(in: DataInputStream, out: DataOutputStream,
-      user: String, password: String, signPassword: String): Boolean = {
+      user: String, password: String, signPassword: String,
+      algo: graft.sinks.ScramAuth.Algo = graft.sinks.ScramAuth.Sha256): Boolean = {
     def b64(b: Array[Byte]) = java.util.Base64.getEncoder.encodeToString(b)
     def sendTok(s: String): Unit = {
       val b = s.getBytes(StandardCharsets.UTF_8)
@@ -44,8 +45,8 @@ class KafkaProduceSpec extends AnyFunSuite {
     val corr = f.readInt()
     f.skipBytes(f.readShort()) // client_id
     val mb = new Array[Byte](f.readShort()); f.readFully(mb)
-    assert(new String(mb, StandardCharsets.UTF_8) == "SCRAM-SHA-256")
-    val mecb = "SCRAM-SHA-256".getBytes(StandardCharsets.UTF_8)
+    assert(new String(mb, StandardCharsets.UTF_8) == algo.mechanism)
+    val mecb = algo.mechanism.getBytes(StandardCharsets.UTF_8)
     out.writeInt(4 + 2 + 4 + 2 + mecb.length)
     out.writeInt(corr); out.writeShort(0)
     out.writeInt(1); out.writeShort(mecb.length); out.write(mecb)
@@ -65,18 +66,18 @@ class KafkaProduceSpec extends AnyFunSuite {
     val withoutProof = clientFinal.substring(0, pIdx)
     val proof = java.util.Base64.getDecoder.decode(clientFinal.drop(pIdx + 3))
     val authMsg = s"$bare,$serverFirst,$withoutProof"
-    val sp = graft.sinks.ScramAuth.saltedPassword(password, salt, 4096)
-    val ck = graft.sinks.ScramAuth.hmac(sp, "Client Key".getBytes)
+    val sp = graft.sinks.ScramAuth.saltedPassword(password, salt, 4096, algo)
+    val ck = graft.sinks.ScramAuth.hmac(sp, "Client Key".getBytes, algo)
     val sig = graft.sinks.ScramAuth.hmac(
-      graft.sinks.ScramAuth.sha256(ck), authMsg.getBytes)
+      graft.sinks.ScramAuth.hash(ck, algo), authMsg.getBytes, algo)
     val expProof = ck.zip(sig).map { case (a, b) => (a ^ b).toByte }
     if (!java.util.Arrays.equals(proof, expProof)) {
       sendTok("e=invalid-proof")
       return false
     }
-    val spSign = graft.sinks.ScramAuth.saltedPassword(signPassword, salt, 4096)
-    val sk = graft.sinks.ScramAuth.hmac(spSign, "Server Key".getBytes)
-    sendTok(s"v=${b64(graft.sinks.ScramAuth.hmac(sk, authMsg.getBytes))}")
+    val spSign = graft.sinks.ScramAuth.saltedPassword(signPassword, salt, 4096, algo)
+    val sk = graft.sinks.ScramAuth.hmac(spSign, "Server Key".getBytes, algo)
+    sendTok(s"v=${b64(graft.sinks.ScramAuth.hmac(sk, authMsg.getBytes, algo))}")
     true
   }
 
@@ -84,7 +85,9 @@ class KafkaProduceSpec extends AnyFunSuite {
       silent: Boolean = false,
       ssl: Option[javax.net.ssl.SSLContext] = None,
       scram: Option[(String, String)] = None,
-      scramSignPassword: Option[String] = None) extends AutoCloseable {
+      scramSignPassword: Option[String] = None,
+      scramAlgo: graft.sinks.ScramAuth.Algo = graft.sinks.ScramAuth.Sha256)
+      extends AutoCloseable {
     val received = new ConcurrentLinkedQueue[(String, String)]()
     private val server: ServerSocket = ssl match {
       case Some(ctx) =>
@@ -103,7 +106,7 @@ class KafkaProduceSpec extends AnyFunSuite {
             val in = new DataInputStream(s.getInputStream)
             val out = new DataOutputStream(s.getOutputStream)
             val authed = scram.forall { case (u, p) =>
-              scramServer(in, out, u, p, scramSignPassword.getOrElse(p))
+              scramServer(in, out, u, p, scramSignPassword.getOrElse(p), scramAlgo)
             }
             if (!authed) { s.close(); throw new java.io.IOException("auth failed") }
             val size = in.readInt()
@@ -303,6 +306,27 @@ class KafkaProduceSpec extends AnyFunSuite {
       assert(got == Set("auth-topic" -> "hello"))
       assert(counts(client)("hotdog.kafka.submitted.auth-topic") == 1L)
     } finally { client.close(); broker.close() }
+  }
+
+  test("SCRAM-SHA-512: same RFC 5802 exchange over the other broker mechanism") {
+    import graft.sinks.ScramAuth
+    val broker = new LoopbackBroker(scram = Some(("alice", "wonder")),
+      scramAlgo = ScramAuth.Sha512)
+    val client = new KafkaProduceClient(broker.broker, timeoutMs = 5000,
+      sasl = Some(("alice", "wonder")), saslAlgo = ScramAuth.Sha512)
+    try {
+      client.send("auth-512", "hello")
+      client.flush()
+      val got = broker.received.toArray(Array.empty[(String, String)]).toSet
+      assert(got == Set("auth-512" -> "hello"))
+    } finally { client.close(); broker.close() }
+    // conf dispatch: librdkafka's sasl.mechanisms key selects the algo
+    assert(KafkaProduceClient.saslAlgoFromConf(
+      Map("sasl.mechanisms" -> "SCRAM-SHA-512")) == ScramAuth.Sha512)
+    assert(KafkaProduceClient.saslAlgoFromConf(Map.empty) == ScramAuth.Sha256)
+    intercept[IllegalArgumentException] {
+      KafkaProduceClient.saslAlgoFromConf(Map("sasl.mechanisms" -> "GSSAPI"))
+    }
   }
 
   test("SCRAM composes with TLS (sasl_ssl): auth runs inside the SSL session") {
