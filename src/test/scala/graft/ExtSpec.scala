@@ -1031,6 +1031,23 @@ class ExtSpec extends AnyFunSuite {
     assert(a == b, "append-built index must answer identically to a rebuild")
   }
 
+  test("SQ8 edge: all-zero dimension codes to 0, identical vectors tie exactly") {
+    val vs = Seq(
+      (0L, Seq.tabulate(64)(i => if (i == 7) 0.0f else (i + 1).toFloat)),
+      (1L, Seq.tabulate(64)(i => if (i == 7) 0.0f else (i + 1).toFloat)),
+      (2L, Seq.tabulate(64)(i => if (i == 7) 0.0f else (64 - i).toFloat)))
+      .toDF("vec_id", "embedding")
+    // dim 7 is zero across the corpus → scale 0 → code 0 → decode 0 (no NaN)
+    val scales = Similarity.sq8Train(vs)
+    assert(scales(7) == 0.0)
+    val res = Similarity.sq8TopK(vs, vs.filter(col("vec_id") === 0L), 2)
+      .orderBy("rank").collect()
+    // identical vector 1 must rank first at cosine ~1 (FP round-off only)
+    assert(res.head.getLong(2) == 1L && res.head.getDouble(3) > 0.9999999,
+      s"identical vector must be the top hit: ${res.toSeq}")
+    assert(res.forall(r => !r.getDouble(3).isNaN), "zero-scale dim must not NaN")
+  }
+
   test("nprobe=2 IVF recall dominates single-cell probing") {
     val e = graft.queries.Synth.embeddings(spark, "/root/testdata/sf0.001")
     val q = e.filter(col("vec_id") < 10)
