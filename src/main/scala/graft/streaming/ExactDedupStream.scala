@@ -30,6 +30,24 @@ object ExactDedupStream {
     docs.select(md5(col("text")).as("ck"), col("doc_id")).as[Keyed]
   }
 
+  /** Chunk-granular keying — streaming CHUNK dedup by composition:
+    * [[graft.ext.TextAnalysis.chunkDocs]] is row-local (streaming-append-
+    * safe), so feeding its chunk_md5 rows through the same canonical-set
+    * state dedups context windows as they arrive (the ingest twin of the
+    * batch `Dedup.chunkDedup`). The composite id (doc_id · 2²⁰ + chunk_id)
+    * preserves the batch keeper order — min doc_id, then min chunk_id —
+    * under the single-long state; chunk_id is bounded by ⌈tokens/stride⌉,
+    * far below 2²⁰ for any context-window corpus. */
+  def keyedChunks(docs: DataFrame, window: Int = 64,
+      stride: Int = 48): Dataset[Keyed] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.ext.TextAnalysis.chunkDocs(docs, window, stride)
+      .select(col("chunk_md5").as("ck"),
+        (col("doc_id") * (1L << 20) + col("chunk_id")).as("doc_id"))
+      .as[Keyed]
+  }
+
   /** `ttlMs > 0` evicts content keys idle longer than the TTL (dedup then
     * spans only the retention window; state bounded by active content). */
   def decisions(docs: Dataset[Keyed], ttlMs: Long = 0L): Dataset[Decision] = {

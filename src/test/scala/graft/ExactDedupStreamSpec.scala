@@ -55,4 +55,33 @@ class ExactDedupStreamSpec extends AnyFunSuite {
     assert(out == Seq(ExactDedupStream.Decision(9L, 9L, kept = true)))
     assert(fresh.get == 9L)
   }
+
+  test("streaming chunk dedup: a later identical doc's chunks all reject") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val text = (1 to 10).map(i => s"tok$i").mkString(" ")
+    val input = MemoryStream[(Long, String)]
+    val chunks = ExactDedupStream.keyedChunks(
+      input.toDF().toDF("doc_id", "text"), window = 4, stride = 3)
+    val q = ExactDedupStream.decisions(chunks)
+      .writeStream.format("memory").queryName("chunkdedup")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, text))
+      q.processAllAvailable()
+      val seed = spark.table("chunkdedup").as[ExactDedupStream.Decision].collect()
+      assert(seed.nonEmpty && seed.forall(_.kept), "doc 1 seeds every chunk")
+      // identical doc later: every chunk rejects to doc 1's SAME chunk_id
+      // (composite id = doc·2^20 + chunk preserves the batch keeper order)
+      input.addData((2L, text))
+      q.processAllAvailable()
+      val later = spark.table("chunkdedup").as[ExactDedupStream.Decision]
+        .collect().filter(_.doc_id >= (2L << 20))
+      assert(later.length == seed.length, "same fan-out for the identical doc")
+      later.foreach { d =>
+        assert(!d.kept, s"chunk ${d.doc_id} must reject")
+        assert(d.canonical == (1L << 20) + (d.doc_id - (2L << 20)),
+          s"must point at doc 1's same-position chunk: $d")
+      }
+    } finally q.stop()
+  }
 }
