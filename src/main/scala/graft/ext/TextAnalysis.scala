@@ -352,6 +352,38 @@ object TextAnalysis {
         (lit(100L) * sum("bits") / count(lit(1))).cast("long").as("surprisal_x100"))
   }
 
+  /** Corpus-trained BIGRAM-LM quality scoring — the contextual upgrade of
+    * [[unigramLmScore]] (CCNet ships a 5-gram KenLM; a corpus-trained
+    * bigram MLE is the Spark-first stand-in): per-bigram surprisal of
+    * w₂ given w₁ in EXACT integer bits, ilog2(c₁(w₁)) − ilog2(c₂(w₁,w₂)),
+    * where c₁ counts w₁'s occurrences as a bigram LEFT (so the MLE is
+    * self-consistent: Σ_w₂ c₂/c₁ = 1), averaged per doc ×100. Docs with
+    * fewer than 2 tokens have no bigrams and no row.
+    *
+    * Scale shape: bigram adjacency is built ROW-LOCALLY (element_at pairs
+    * over the token array, exploded in place — the token stream never
+    * shuffles to rebuild adjacency); then (w₁,w₂) counts, w₁ counts, the
+    * count joins, and one doc_id reduction — every shuffle key
+    * high-cardinality and map-side combined, the [[tfidfTopK]] discipline.
+    * The bigram table is never collected. */
+  def bigramLmScore(corpus: DataFrame): DataFrame = {
+    def ilog2(x: Column): Column = (length(bin(x)) - 1).cast("long")
+    val t = col("t")
+    val prs = when(size(t) < 2, array().cast("array<struct<w1:string,w2:string>>"))
+      .otherwise(transform(sequence(lit(1), size(t) - 1), i =>
+        struct(element_at(t, i).as("w1"), element_at(t, i + 1).as("w2"))))
+    val pairs = corpus.select(col("doc_id"), tokens(col("text")).as("t"))
+      .select(col("doc_id"), explode(prs).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val c2 = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val c1 = pairs.groupBy("w1").agg(count(lit(1)).as("c1"))
+    pairs.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .select(col("doc_id"), (ilog2(col("c1")) - ilog2(col("c2"))).as("bits"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        (lit(100L) * sum("bits") / count(lit(1))).cast("long").as("surprisal_x100"))
+  }
+
   /** Exact global "keep the best `pct`%" selection by quality score
     * WITHOUT a global sort — the CCNet-style head-of-corpus cut done
     * scale-correctly: the score is a BOUNDED INTEGER

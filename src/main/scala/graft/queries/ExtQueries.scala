@@ -336,6 +336,11 @@ object ExtQueries {
   private val textUnigramLm: Q = (s, dir) =>
     TextAnalysis.unigramLmScore(documents(s, dir)).orderBy("doc_id")
 
+  /** Bigram-LM (contextual) quality scoring — integer conditional
+    * surprisal bits, bigram table never collected. */
+  private val textBigramLm: Q = (s, dir) =>
+    TextAnalysis.bigramLmScore(documents(s, dir)).orderBy("doc_id")
+
   /** Exact top-30%-by-quality selection via the bounded-integer score
     * histogram — no global sort. (The synthetic corpus is score-degenerate
     * — most docs share one surprisal value — so the boundary bucket
@@ -608,6 +613,7 @@ object ExtQueries {
     "text_fingerprint" -> textFingerprint,
     "text_repetition" -> textRepetition,
     "text_unigram_lm" -> textUnigramLm,
+    "text_bigram_lm" -> textBigramLm,
     "corpus_select_top_quality" -> corpusSelectTopQuality,
     "text_bpe_train" -> textBpeTrain,
     "text_bpe_tokens" -> textBpeTokens,
@@ -1878,6 +1884,23 @@ object ExtQueries {
         |    (strlen(bin(t)) - 1) - (strlen(bin(c)) - 1) AS bits
         |  FROM tokr JOIN v USING (tok) CROSS JOIN tt)
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(100 * sum(bits) // count(*) AS BIGINT) AS surprisal_x100
+        |FROM b GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // bigram twin: adjacency from per-row index ranges (t[i], t[i+1]),
+    // conditional bits = ilog2(left count) - ilog2(bigram count)
+    "text_bigram_lm" ->
+      """WITH tok AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS t
+        |  FROM documents),
+        |pr AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+        |        FROM tok WHERE len(t) >= 2)),
+        |c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM pr GROUP BY 1, 2),
+        |c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM pr GROUP BY 1),
+        |b AS (SELECT doc_id,
+        |    (strlen(bin(c1)) - 1) - (strlen(bin(c2)) - 1) AS bits
+        |  FROM pr JOIN c2 USING (w1, w2) JOIN c1 USING (w1))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
         |  CAST(100 * sum(bits) // count(*) AS BIGINT) AS surprisal_x100
         |FROM b GROUP BY 1 ORDER BY doc_id""".stripMargin,
 

@@ -929,6 +929,28 @@ class ExtSpec extends AnyFunSuite {
       "nprobe=2 through the full index must never lose recall")
   }
 
+  test("bigram LM: repeated context scores less surprising; short docs drop") {
+    // 'a' precedes b 5× in doc 1 but c/d/e/f/g once each in doc 2:
+    // p(b|a)=5/10 (1 bit) vs p(c|a)=1/10 (3 bits) — doc 2 is the
+    // surprising one UNDER THE SHARED corpus LM
+    val docs = Seq(
+      (1L, "a b a b a b a b a b"),
+      (2L, "a c a d a e a f a g"),
+      (3L, "solo"))              // <2 tokens → no bigrams → no row
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLmScore(docs)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(!out.contains(3L), "a 1-token doc has no bigram row")
+    assert(out(1L)._1 == 9L && out(2L)._1 == 9L, "9 adjacent pairs each")
+    assert(out(1L)._2 < out(2L)._2,
+      s"the diverse-successor doc must be more surprising: $out")
+    // self-consistency: a bigram that always follows its left token has
+    // c1 == c2 → 0 bits (perfectly predicted)
+    val pure = Seq((9L, "x y x y x y")).toDF("doc_id", "text")
+    assert(TextAnalysis.bigramLmScore(pure).collect().head.getLong(2) <= 100L,
+      "near-deterministic transitions ≈ 0-1 bits")
+  }
+
   test("top-quality selection: exact histogram quantile, boundary-inclusive") {
     // 6 docs with strictly distinct surprisal: doc k repeats its own token
     // 2^k times next to one shared token — rarer vocab => higher surprisal
