@@ -89,6 +89,24 @@ object RelQueries {
       .orderBy("o_custkey")
   }
 
+  // lead/lag window surface: per-customer order chronology with the
+  // previous order key and the inter-order gap in epoch seconds — the same
+  // one-hash-shuffle + in-partition-sort shape as q_window (lag adds no
+  // extra exchange; both functions share one window frame).
+  private val qLeadLag: Q = (s, dir) => {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+      .withColumn("prev_orderkey", lag(col("o_orderkey"), 1).over(w))
+      .withColumn("gap_seconds",
+        // NTZ → timestamp is exact under the session's pinned UTC zone
+        (col("o_orderdate").cast("timestamp").cast("long") -
+          lag(col("o_orderdate"), 1).over(w).cast("timestamp").cast("long")))
+      .select("o_custkey", "o_orderkey", "prev_orderkey", "gap_seconds")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   // Global top-k: TakeOrderedAndProject (no full sort materialization).
   private val qTopk: Q = (s, dir) =>
     orders(s, dir)
@@ -377,6 +395,7 @@ object RelQueries {
     "q5_multi_join" -> q5MultiJoin,
     "q_semi_anti" -> qSemiAnti,
     "q_window" -> qWindow,
+    "q_lead_lag" -> qLeadLag,
     "q_topk" -> qTopk,
     "q_setops" -> qSetops,
     "q_rollup" -> qRollup,
@@ -445,6 +464,15 @@ object RelQueries {
         |    row_number() OVER (PARTITION BY o_custkey
         |                       ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
         |  FROM orders) WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+
+    "q_lead_lag" ->
+      """SELECT o_custkey, o_orderkey,
+        |  lag(o_orderkey) OVER w AS prev_orderkey,
+        |  CAST(date_diff('second', lag(o_orderdate) OVER w, o_orderdate)
+        |       AS BIGINT) AS gap_seconds
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "q_topk" ->
       """SELECT o_orderkey, o_totalprice FROM orders
