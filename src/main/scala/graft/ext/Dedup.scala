@@ -18,6 +18,27 @@ object Dedup {
       .agg(min(col(id)).as("keep_id"), count(lit(1)).as("n"))
       .select("keep_id", "n")
 
+  /** CROSS-SOURCE exact-duplicate groups — the mirror/syndication signal:
+    * identical content appearing under MORE THAN ONE source is how
+    * train/test leakage and over-represented boilerplate usually enter a
+    * crawl (the same article syndicated across domains). One
+    * map-side-combined agg on md5(text): per duplicated content, the
+    * canonical doc (min id), copy count, distinct-source count, and the
+    * sorted source list (bounded by the source vocabulary) — only groups
+    * spanning ≥2 sources survive.
+    *
+    * Output: `(keep_id, n_docs, n_sources, sources)` — `sources` is a
+    * comma-joined sorted distinct list (a sortable scalar, per the
+    * harness-compare contract). */
+  def crossSourceDups(corpus: DataFrame): DataFrame =
+    corpus.groupBy(md5(col("text")).as("content_key"))
+      .agg(min(col("doc_id")).as("keep_id"),
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        concat_ws(",", array_sort(collect_set(col("source")))).as("sources"))
+      .filter(col("n_sources") >= 2)
+      .select("keep_id", "n_docs", "n_sources", "sources")
+
   /** Cross-document duplicated-SPAN statistics — the window-hash
     * approximation of exact substring dedup (Lee et al. 2022,
     * "Deduplicating Training Data Makes Language Models Better": remove

@@ -68,6 +68,17 @@ object ExtQueries {
       .orderBy("ida", "idb")
   }
 
+  /** Cross-source exact dups: identical content under ≥2 sources — the
+    * mirror/syndication leakage signal. A mirrored copy of every 25th doc
+    * is planted under a synthetic 'mirror' source. */
+  private val dedupCrossSource: Q = (s, dir) => {
+    val d = documents(s, dir).select("doc_id", "text", "source")
+    val mirrored = d.filter(col("doc_id") % 25 === 0)
+      .select((col("doc_id") + 2000000).as("doc_id"), col("text"),
+        lit("mirror").as("source"))
+    Dedup.crossSourceDups(d.unionByName(mirrored)).orderBy("keep_id")
+  }
+
   /** SemDeDup: trained k-means clusters as dedup buckets, within-cluster
     * cosine ≥ 0.99, keeper = lowest centroid-cosine (ties → lower id).
     * Copies of every 50th vector planted as the semantic duplicates. */
@@ -570,6 +581,7 @@ object ExtQueries {
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_embedding_cosine" -> dedupEmbeddingCosine,
     "dedup_semantic" -> dedupSemantic,
+    "dedup_cross_source" -> dedupCrossSource,
     "ann_brute_force" -> annBruteForce,
     "ann_lsh" -> annLsh,
     "ann_lsh_multiprobe" -> annLshMultiprobe,
@@ -1102,6 +1114,22 @@ object ExtQueries {
          |  FROM corpus e JOIN copies c ON e.bucket = c.bucket)
          |SELECT ida, idb, sim FROM scored WHERE sim >= 0.999
          |ORDER BY ida, idb""".stripMargin,
+
+    // cross-source twin: same planted mirror corpus, one content-hash
+    // group, sorted-distinct source list as a comma scalar
+    "dedup_cross_source" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text, source FROM documents
+        |  UNION ALL SELECT doc_id + 2000000, text, 'mirror'
+        |  FROM documents WHERE doc_id % 25 = 0),
+        |g AS (SELECT md5(text) AS ck,
+        |    CAST(min(doc_id) AS BIGINT) AS keep_id,
+        |    CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        |    array_to_string(list_sort(list_distinct(list(source))), ',') AS sources
+        |  FROM corpus GROUP BY 1)
+        |SELECT keep_id, n_docs, n_sources, sources FROM g
+        |WHERE n_sources >= 2 ORDER BY keep_id""".stripMargin,
 
     // SemDeDup twin: the CoarseKmCtes k-means centroids, nearest-cell
     // assignment + centroid cosine over the planted-copy corpus, then the
