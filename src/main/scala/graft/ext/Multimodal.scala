@@ -161,6 +161,103 @@ object Multimodal {
     }
   }
 
+  // ------------------------------------------------------------- audio
+
+  final case class AudioMeta(
+      doc_id: Long, bytes: Long, sample_rate: Long, channels: Long,
+      bits_per_sample: Long, n_samples: Long, format: String)
+
+  private def le16(d: Array[Byte], i: Int): Int =
+    (d(i) & 0xff) | ((d(i + 1) & 0xff) << 8)
+
+  private def le32(d: Array[Byte], i: Int): Long =
+    (d(i) & 0xffL) | ((d(i + 1) & 0xffL) << 8) |
+      ((d(i + 2) & 0xffL) << 16) | ((d(i + 3) & 0xffL) << 24)
+
+  /** WAV/RIFF structural parse (the audio sibling of [[parseImageHeader]]):
+    * walk the RIFF chunk list to the PCM `fmt ` chunk (channels LE16@+2,
+    * sample rate LE32@+4, bits LE16@+14 of the chunk payload — RIFF spec /
+    * MS WAVEFORMAT) and the `data` chunk size. Returns (sampleRate,
+    * channels, bitsPerSample, dataBytes); all-zero for non-WAV payloads. */
+  def parseWavHeader(d: Array[Byte]): (Long, Long, Long, Long) = {
+    val none = (0L, 0L, 0L, 0L)
+    if (d.length < 44 || d(0) != 'R' || d(1) != 'I' || d(2) != 'F' ||
+      d(3) != 'F' || d(8) != 'W' || d(9) != 'A' || d(10) != 'V' || d(11) != 'E')
+      return none
+    var i = 12
+    var rate = 0L; var ch = 0L; var bits = 0L; var dataLen = -1L
+    while (i + 8 <= d.length) {
+      val id = new String(d, i, 4, StandardCharsets.US_ASCII)
+      val sz = le32(d, i + 4)
+      if (sz < 0 || sz > Int.MaxValue - 16) return none // hostile chunk size
+      if (id == "fmt " && i + 8 + 16 <= d.length) {
+        ch = le16(d, i + 8 + 2).toLong
+        rate = le32(d, i + 8 + 4)
+        bits = le16(d, i + 8 + 14).toLong
+      } else if (id == "data") {
+        // the data chunk payload may be truncated in a header-only blob;
+        // the declared size is the authoritative sample count source
+        dataLen = sz
+        return if (rate > 0) (rate, ch, bits, dataLen) else none
+      }
+      i += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+    }
+    none
+  }
+
+  /** Canonical 44-byte PCM WAV header for `dataLen` payload bytes. */
+  private def wavHeader(sampleRate: Long, channels: Int, bits: Int,
+      dataLen: Int): Array[Byte] = {
+    val out = java.nio.ByteBuffer.allocate(44)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val blockAlign = channels * bits / 8
+    out.put("RIFF".getBytes(StandardCharsets.US_ASCII))
+    out.putInt(36 + dataLen)
+    out.put("WAVE".getBytes(StandardCharsets.US_ASCII))
+    out.put("fmt ".getBytes(StandardCharsets.US_ASCII))
+    out.putInt(16) // PCM fmt chunk size
+    out.putShort(1) // audio format 1 = PCM
+    out.putShort(channels.toShort)
+    out.putInt(sampleRate.toInt)
+    out.putInt((sampleRate * blockAlign).toInt) // byte rate
+    out.putShort(blockAlign.toShort)
+    out.putShort(bits.toShort)
+    out.put("data".getBytes(StandardCharsets.US_ASCII))
+    out.putInt(dataLen)
+    out.array()
+  }
+
+  /** Deterministic audio corpus: every doc wrapped as 16-bit PCM WAV with
+    * closed-form params (rate by doc_id mod 3, mono/stereo by parity) so
+    * the DuckDB oracle re-derives them; text bytes as the sample payload. */
+  def synthAudioBlobs(docs: DataFrame): Dataset[Blob] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)].map {
+      case (id, text) =>
+        val payload = text.getBytes(StandardCharsets.UTF_8)
+        val rate = Seq(8000L, 16000L, 44100L)((id % 3).toInt)
+        val channels = (id % 2).toInt + 1
+        Blob(id, wavHeader(rate, channels, 16, payload.length) ++ payload)
+    }
+  }
+
+  def decodeAudioMeta(b: Blob): AudioMeta = {
+    val (rate, ch, bits, dataLen) = parseWavHeader(b.data)
+    val fmt = if (rate > 0) "wav" else "raw"
+    val block = ch * bits / 8
+    val n = if (rate > 0 && block > 0) dataLen / block else 0L
+    AudioMeta(b.doc_id, b.data.length.toLong, rate, ch, bits, n, fmt)
+  }
+
+  /** Batched per-partition audio decode — same mapPartitions seam as
+    * [[decode]]; one narrow pass, no shuffle. */
+  def decodeAudio(blobs: Dataset[Blob]): Dataset[AudioMeta] = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.mapPartitions(_.map(decodeAudioMeta))
+  }
+
   final case class Resized(
       doc_id: Long, src_bytes: Long, stride: Long, out_bytes: Long, digest: String)
 

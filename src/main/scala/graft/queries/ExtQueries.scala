@@ -565,6 +565,11 @@ object ExtQueries {
     Multimodal.decode(Multimodal.synthBlobs(documents(s, dir)))
       .toDF().orderBy("doc_id")
 
+  /** WAV/RIFF structural audio decode over synthesized PCM containers. */
+  private val multimodalAudioMeta: Q = (s, dir) =>
+    Multimodal.decodeAudio(Multimodal.synthAudioBlobs(documents(s, dir)))
+      .toDF().orderBy("doc_id")
+
   private val multimodalResize: Q = (s, dir) =>
     Multimodal.resize(Multimodal.asBlobs(documents(s, dir)))
       .toDF().orderBy("doc_id")
@@ -636,6 +641,7 @@ object ExtQueries {
     "corpus_curation_report" -> corpusCurationReport,
     "corpus_filter_pipeline" -> corpusFilterPipeline,
     "multimodal_meta" -> multimodalMeta,
+    "multimodal_audio_meta" -> multimodalAudioMeta,
     "multimodal_resize" -> multimodalResize,
     "multimodal_frames" -> multimodalFrames)
 
@@ -2192,6 +2198,20 @@ object ExtQueries {
         |    ELSE (doc_id * 7) % 1080 + 1 END AS BIGINT) AS height,
         |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'raw'
         |    END AS format
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // audio twin: the synthesized 44-byte PCM WAV params are a closed form
+    // of doc_id (the header bytes themselves are spec-valid and verified
+    // against javax.sound in ExtSpec); n_samples = data bytes / block align
+    "multimodal_audio_meta" ->
+      """SELECT doc_id,
+        |  CAST(strlen(text) + 44 AS BIGINT) AS bytes,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+        |    ELSE 44100 END AS BIGINT) AS sample_rate,
+        |  CAST(doc_id % 2 + 1 AS BIGINT) AS channels,
+        |  CAST(16 AS BIGINT) AS bits_per_sample,
+        |  CAST(strlen(text) // ((doc_id % 2 + 1) * 2) AS BIGINT) AS n_samples,
+        |  'wav' AS format
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // strided byte subsample — documents are all-ASCII so SQL char positions

@@ -342,6 +342,33 @@ class ExtSpec extends AnyFunSuite {
     assert(math.abs(top(0).getAs[Double]("sim") - 1.0) < 1e-12)
   }
 
+  test("WAV decode parses REAL javax.sound-encoded audio; synth round-trips") {
+    // capability proof: a WAV produced by the JDK's own audio writer (not
+    // our synthesizer) must yield its true format parameters
+    val fmt = new javax.sound.sampled.AudioFormat(22050f, 16, 2, true, false)
+    val pcm = new Array[Byte](22050 * 4 / 10) // 0.1 s of stereo 16-bit
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, pcm.length / 4)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    val (rate, ch, bits, dataLen) = Multimodal.parseWavHeader(out.toByteArray)
+    assert((rate, ch, bits, dataLen) == ((22050L, 2L, 16L, pcm.length.toLong)),
+      s"real JDK WAV must parse: ($rate, $ch, $bits, $dataLen)")
+    // and OUR synthesized container is readable by the EXTERNAL decoder
+    val blob = Multimodal.synthAudioBlobs(
+      Seq((2L, "abcdefgh")).toDF("doc_id", "text")).collect().head.data
+    val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+      new java.io.ByteArrayInputStream(blob))
+    assert(aff.getFormat.getSampleRate == 44100f &&
+      aff.getFormat.getChannels == 1 &&
+      aff.getFormat.getSampleSizeInBits == 16,
+      s"javax.sound must read the synthesized header: ${aff.getFormat}")
+    // non-audio payloads are 'raw', no NaZ/garbage
+    assert(Multimodal.parseWavHeader("not audio at all".getBytes) ==
+      ((0L, 0L, 0L, 0L)))
+  }
+
   test("multimodal decode parses REAL ImageIO-encoded PNG and JPEG headers") {
     // the capability proof: files produced by the JDK's own encoders (not
     // our synthesizer) must yield their true dimensions
