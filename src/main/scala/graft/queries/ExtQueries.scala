@@ -153,6 +153,7 @@ object ExtQueries {
       .unionAll(hits("lsh_multiprobe", Similarity.lshMultiProbeTopK(e, q, 5, Planes)))
       .unionAll(hits("pq", Similarity.pqTopK(e, q, 5)))
       .unionAll(hits("sq8", Similarity.sq8TopK(e, q, 5)))
+      .unionAll(hits("ivf_sq8", Similarity.ivfSq8TopK(e, q, 5)))
       .orderBy("method")
   }
 
@@ -1460,6 +1461,20 @@ object ExtQueries {
          |        FROM sqscored) WHERE arn <= 32) c
          |    JOIN embeddings qv ON c.q_id = qv.vec_id
          |    JOIN embeddings nv ON c.n_id = nv.vec_id)
+         |  WHERE rank <= 5),
+         |isqscored AS (SELECT s.q_id, s.n_id, s.asim FROM sqscored s
+         |  JOIN assigned qa ON qa.vec_id = s.q_id
+         |  JOIN assigned ca ON ca.vec_id = s.n_id
+         |                  AND ca.ivf_cell = qa.ivf_cell),
+         |isq85 AS (SELECT q_id, n_id FROM (
+         |    SELECT c.q_id, c.n_id, row_number() OVER (PARTITION BY c.q_id
+         |      ORDER BY ${cosSql("qv.embedding", "nv.embedding")} DESC, c.n_id) AS rank
+         |    FROM (SELECT q_id, n_id FROM (
+         |        SELECT q_id, n_id,
+         |          row_number() OVER (PARTITION BY q_id ORDER BY asim DESC, n_id) AS arn
+         |        FROM isqscored) WHERE arn <= 32) c
+         |    JOIN embeddings qv ON c.q_id = qv.vec_id
+         |    JOIN embeddings nv ON c.n_id = nv.vec_id)
          |  WHERE rank <= 5)
          |SELECT method, hits FROM (
          |  SELECT 'ivf' AS method, count(*) AS hits FROM bf JOIN ivf USING (q_id, n_id)
@@ -1474,7 +1489,9 @@ object ExtQueries {
          |  UNION ALL
          |  SELECT 'pq', count(*) FROM bf JOIN pq5 USING (q_id, n_id)
          |  UNION ALL
-         |  SELECT 'sq8', count(*) FROM bf JOIN sq85 USING (q_id, n_id))
+         |  SELECT 'sq8', count(*) FROM bf JOIN sq85 USING (q_id, n_id)
+         |  UNION ALL
+         |  SELECT 'ivf_sq8', count(*) FROM bf JOIN isq85 USING (q_id, n_id))
          |ORDER BY method""".stripMargin,
 
     "ann_ivf" -> AnnIvfOracle,
