@@ -44,6 +44,10 @@ object Multimodal {
     * else → ("raw", 0×0). */
   def parseImageHeader(d: Array[Byte]): (Long, Long, String) = {
     if (isPng(d)) (be32(d, 16), be32(d, 20), "png")
+    else if (d.length >= 10 && d(0) == 'G' && d(1) == 'I' && d(2) == 'F' &&
+      d(3) == '8' && (d(4) == '7' || d(4) == '9') && d(5) == 'a')
+      // GIF87a/89a: logical screen width/height, little-endian 16-bit at 6/8
+      (le16(d, 6).toLong, le16(d, 8).toLong, "gif")
     else if (d.length >= 4 && (d(0) & 0xff) == 0xff && (d(1) & 0xff) == 0xd8) {
       // JPEG: SOI then marker segments; SOF0..SOF15 minus DHT/JPG/DAC
       var i = 2

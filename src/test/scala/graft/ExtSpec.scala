@@ -384,6 +384,8 @@ class ExtSpec extends AnyFunSuite {
       ((123L, 45L, "png")))
     assert(Multimodal.parseImageHeader(encode("jpg", 320, 200)) ==
       ((320L, 200L, "jpeg")))
+    assert(Multimodal.parseImageHeader(encode("gif", 77, 31)) ==
+      ((77L, 31L, "gif")))
     assert(Multimodal.parseImageHeader("plain text".getBytes) ==
       ((0L, 0L, "raw")))
     assert(Multimodal.parseImageHeader(Array.emptyByteArray) ==
