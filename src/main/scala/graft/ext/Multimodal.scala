@@ -262,6 +262,95 @@ object Multimodal {
     blobs.mapPartitions(_.map(decodeAudioMeta))
   }
 
+  // ------------------------------------------------------------- video
+
+  final case class VideoMeta(
+      doc_id: Long, bytes: Long, timescale: Long, duration: Long,
+      duration_ms: Long, format: String)
+
+  /** ISO BMFF (MP4) structural parse — the video sibling: walk the
+    * top-level box list to `moov`, then its children to `mvhd` (version 0:
+    * timescale BE32 at payload +12, duration BE32 at +16 — ISO/IEC
+    * 14496-12 §8.2.2). Returns (timescale, duration); zeros for non-MP4. */
+  def parseMp4Header(d: Array[Byte]): (Long, Long) = {
+    val none = (0L, 0L)
+    def boxes(lo: Int, hi: Int): Iterator[(String, Int, Int)] =
+      new Iterator[(String, Int, Int)] {
+        private var i = lo
+        def hasNext: Boolean = i + 8 <= hi
+        def next(): (String, Int, Int) = {
+          val sz = be32(d, i)
+          val id = new String(d, i + 4, 4, StandardCharsets.US_ASCII)
+          // size 0 = "to end of file"; hostile/truncated sizes end the walk
+          val end =
+            if (sz == 0) hi
+            else if (sz < 8 || i + sz > hi) { i = hi; return (id, hi, hi) }
+            else i + sz.toInt
+          val start = i + 8
+          i = end
+          (id, start, end)
+        }
+      }
+    if (d.length < 12) return none
+    val (ftyp, _, _) = boxes(0, d.length).next()
+    if (ftyp != "ftyp") return none
+    boxes(0, d.length).collectFirst { case ("moov", s, e) =>
+      boxes(s, e).collectFirst { case ("mvhd", ms, me)
+          if me - ms >= 20 && d(ms) == 0 => // version-0 mvhd only
+        (be32(d, ms + 12), be32(d, ms + 16))
+      }.getOrElse(none)
+    }.getOrElse(none)
+  }
+
+  private def be32bytes(v: Long): Array[Byte] =
+    Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+
+  private def box(id: String, payload: Array[Byte]): Array[Byte] =
+    be32bytes(payload.length + 8L) ++
+      id.getBytes(StandardCharsets.US_ASCII) ++ payload
+
+  /** Minimal spec-valid MP4 skeleton: ftyp(isom) + moov(mvhd v0) with the
+    * given timescale/duration; `tail` appended as an opaque mdat. */
+  private def mp4Header(timescale: Long, duration: Long,
+      tail: Array[Byte]): Array[Byte] = {
+    val mvhd = new Array[Byte](100) // version 0 mvhd payload is 100 bytes
+    be32bytes(timescale).copyToArray(mvhd, 12)
+    be32bytes(duration).copyToArray(mvhd, 16)
+    be32bytes(0x00010000L).copyToArray(mvhd, 20) // rate 1.0
+    mvhd(24) = 0x01; mvhd(25) = 0x00 // volume 1.0
+    box("ftyp", "isom".getBytes(StandardCharsets.US_ASCII) ++
+        be32bytes(0) ++ "isom".getBytes(StandardCharsets.US_ASCII)) ++
+      box("moov", box("mvhd", mvhd)) ++ box("mdat", tail)
+  }
+
+  /** Deterministic video corpus: every doc wrapped as an MP4 skeleton with
+    * closed-form timescale/duration (the oracle re-derives them); text
+    * bytes ride as the opaque mdat payload. */
+  def synthVideoBlobs(docs: DataFrame): Dataset[Blob] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)].map {
+      case (id, text) =>
+        val ts = Seq(600L, 1000L, 90000L)((id % 3).toInt)
+        val dur = (id % 120 + 1) * ts // 1..120 whole seconds
+        Blob(id, mp4Header(ts, dur, text.getBytes(StandardCharsets.UTF_8)))
+    }
+  }
+
+  def decodeVideoMeta(b: Blob): VideoMeta = {
+    val (ts, dur) = parseMp4Header(b.data)
+    val fmt = if (ts > 0) "mp4" else "raw"
+    val ms = if (ts > 0) dur * 1000L / ts else 0L
+    VideoMeta(b.doc_id, b.data.length.toLong, ts, dur, ms, fmt)
+  }
+
+  /** Batched per-partition video decode — same mapPartitions seam. */
+  def decodeVideo(blobs: Dataset[Blob]): Dataset[VideoMeta] = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.mapPartitions(_.map(decodeVideoMeta))
+  }
+
   final case class Resized(
       doc_id: Long, src_bytes: Long, stride: Long, out_bytes: Long, digest: String)
 

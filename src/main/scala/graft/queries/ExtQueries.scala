@@ -571,6 +571,11 @@ object ExtQueries {
     Multimodal.decodeAudio(Multimodal.synthAudioBlobs(documents(s, dir)))
       .toDF().orderBy("doc_id")
 
+  /** MP4/ISO-BMFF structural video decode (mvhd timescale/duration). */
+  private val multimodalVideoMeta: Q = (s, dir) =>
+    Multimodal.decodeVideo(Multimodal.synthVideoBlobs(documents(s, dir)))
+      .toDF().orderBy("doc_id")
+
   private val multimodalResize: Q = (s, dir) =>
     Multimodal.resize(Multimodal.asBlobs(documents(s, dir)))
       .toDF().orderBy("doc_id")
@@ -643,6 +648,7 @@ object ExtQueries {
     "corpus_filter_pipeline" -> corpusFilterPipeline,
     "multimodal_meta" -> multimodalMeta,
     "multimodal_audio_meta" -> multimodalAudioMeta,
+    "multimodal_video_meta" -> multimodalVideoMeta,
     "multimodal_resize" -> multimodalResize,
     "multimodal_frames" -> multimodalFrames)
 
@@ -2229,6 +2235,20 @@ object ExtQueries {
         |  CAST(16 AS BIGINT) AS bits_per_sample,
         |  CAST(strlen(text) // ((doc_id % 2 + 1) * 2) AS BIGINT) AS n_samples,
         |  'wav' AS format
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // video twin: the synthesized MP4 skeleton (ftyp 20 + moov 116 + mdat
+    // header 8 = 144 bytes) carries closed-form mvhd params of doc_id;
+    // duration_ms = whole seconds * 1000 exactly
+    "multimodal_video_meta" ->
+      """SELECT doc_id,
+        |  CAST(strlen(text) + 144 AS BIGINT) AS bytes,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 600 WHEN 1 THEN 1000
+        |    ELSE 90000 END AS BIGINT) AS timescale,
+        |  CAST((doc_id % 120 + 1) * CASE doc_id % 3 WHEN 0 THEN 600
+        |    WHEN 1 THEN 1000 ELSE 90000 END AS BIGINT) AS duration,
+        |  CAST((doc_id % 120 + 1) * 1000 AS BIGINT) AS duration_ms,
+        |  'mp4' AS format
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // strided byte subsample — documents are all-ASCII so SQL char positions

@@ -342,6 +342,24 @@ class ExtSpec extends AnyFunSuite {
     assert(math.abs(top(0).getAs[Double]("sim") - 1.0) < 1e-12)
   }
 
+  test("MP4 decode: mvhd walk, synth round-trip, hostile inputs safe") {
+    val metas = Multimodal.decodeVideo(Multimodal.synthVideoBlobs(
+        Seq((0L, "short clip"), (1L, "another"), (2L, "third one"))
+          .toDF("doc_id", "text")))
+      .collect().map(m => m.doc_id -> m).toMap
+    // closed-form params round-trip through the structural parse
+    assert(metas(0L).timescale == 600L && metas(0L).duration == 600L &&
+      metas(0L).duration_ms == 1000L && metas(0L).format == "mp4")
+    assert(metas(1L).timescale == 1000L && metas(1L).duration_ms == 2000L)
+    assert(metas(2L).timescale == 90000L && metas(2L).duration_ms == 3000L)
+    assert(metas(0L).bytes == 144L + 10L, "ftyp+moov+mdat header = 144 bytes")
+    // non-video and hostile payloads degrade to raw, never crash/loop
+    assert(Multimodal.parseMp4Header("just text".getBytes) == ((0L, 0L)))
+    assert(Multimodal.parseMp4Header(Array.emptyByteArray) == ((0L, 0L)))
+    val hostile = "....ftyp".getBytes ++ Array.fill[Byte](20)(0x7f)
+    assert(Multimodal.parseMp4Header(hostile) == ((0L, 0L)))
+  }
+
   test("WAV decode parses REAL javax.sound-encoded audio; synth round-trips") {
     // capability proof: a WAV produced by the JDK's own audio writer (not
     // our synthesizer) must yield its true format parameters
