@@ -68,6 +68,35 @@ object ExtQueries {
       .orderBy("ida", "idb")
   }
 
+  /** Measured dedup detection — the dedup twin of `ann_recall`: how many
+    * of the PLANTED duplicates (1M+ = suffixed near-dups, 2M+ = exact
+    * copies) does each method flag? exact = content-hash group ≥2;
+    * minhash_lsh = an endpoint of a verified pair; simhash = a shared
+    * 16-bit signature. The accuracy axis of the dedup family as an
+    * oracle-checked query. */
+  private val dedupRecall: Q = (s, dir) => {
+    val c = dupCorpus(s, dir)
+    val planted = c.filter(col("doc_id") >= 1000000).select("doc_id")
+    def row(name: String, det: DataFrame) =
+      planted.join(det.select("doc_id").distinct(), "doc_id")
+        .agg(count(lit(1)).as("detected"))
+        .select(lit(name).as("method"), col("detected"))
+    val ck = c.select(col("doc_id"), md5(col("text")).as("ck"))
+    val exactDet = ck.join(
+      ck.groupBy("ck").agg(count(lit(1)).as("n")).filter(col("n") >= 2), "ck")
+    val mh = Dedup.minhashLshPairs(c)
+    val mhDet = mh.select(col("ida").as("doc_id"))
+      .unionAll(mh.select(col("idb").as("doc_id")))
+    val sh = Dedup.simhashSignatures(c)
+    val shDet = sh.join(
+      sh.groupBy("simhash").agg(count(lit(1)).as("n")).filter(col("n") >= 2),
+      "simhash")
+    row("exact", exactDet)
+      .unionAll(row("minhash_lsh", mhDet))
+      .unionAll(row("simhash", shDet))
+      .orderBy("method")
+  }
+
   /** Cross-source exact dups: identical content under ≥2 sources — the
     * mirror/syndication leakage signal. A mirrored copy of every 25th doc
     * is planted under a synthetic 'mirror' source. */
@@ -593,6 +622,7 @@ object ExtQueries {
     "dedup_embedding_cosine" -> dedupEmbeddingCosine,
     "dedup_semantic" -> dedupSemantic,
     "dedup_cross_source" -> dedupCrossSource,
+    "dedup_recall" -> dedupRecall,
     "ann_brute_force" -> annBruteForce,
     "ann_lsh" -> annLsh,
     "ann_lsh_multiprobe" -> annLshMultiprobe,
@@ -1127,6 +1157,31 @@ object ExtQueries {
          |  FROM corpus e JOIN copies c ON e.bucket = c.bucket)
          |SELECT ida, idb, sim FROM scored WHERE sim >= 0.999
          |ORDER BY ida, idb""".stripMargin,
+
+    // dedup-recall twin: the minhash scored chain + simhash signature CTEs
+    // over the same planted corpus; detection = group/pair membership
+    "dedup_recall" ->
+      s"""$MinhashScoredCtes,
+         |$HashesCte,
+         |planted AS (SELECT doc_id FROM corpus WHERE doc_id >= 1000000),
+         |ckd AS (SELECT DISTINCT c.doc_id FROM corpus c JOIN (
+         |    SELECT md5(text) AS k FROM corpus GROUP BY 1 HAVING count(*) >= 2) g
+         |  ON md5(c.text) = g.k),
+         |mhd AS (SELECT ida AS doc_id FROM scored WHERE jacc_x10000 >= 5000
+         |        UNION SELECT idb FROM scored WHERE jacc_x10000 >= 5000),
+         |shs AS (SELECT doc_id, $SimhashExpr AS sig FROM hs),
+         |shd AS (SELECT DISTINCT s.doc_id FROM shs s JOIN (
+         |    SELECT sig FROM shs GROUP BY 1 HAVING count(*) >= 2) g USING (sig))
+         |SELECT method, detected FROM (
+         |  SELECT 'exact' AS method, CAST(count(*) AS BIGINT) AS detected
+         |    FROM planted JOIN ckd USING (doc_id)
+         |  UNION ALL
+         |  SELECT 'minhash_lsh', CAST(count(*) AS BIGINT)
+         |    FROM planted JOIN (SELECT DISTINCT doc_id FROM mhd) m USING (doc_id)
+         |  UNION ALL
+         |  SELECT 'simhash', CAST(count(*) AS BIGINT)
+         |    FROM planted JOIN shd USING (doc_id))
+         |ORDER BY method""".stripMargin,
 
     // cross-source twin: same planted mirror corpus, one content-hash
     // group, sorted-distinct source list as a comma scalar
