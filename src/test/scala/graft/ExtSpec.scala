@@ -1023,6 +1023,22 @@ class ExtSpec extends AnyFunSuite {
       s"score ties must keep or drop together: $keptTied")
   }
 
+  test("dedup detection dominance: minhash unconditionally finds exact copies") {
+    // byte-identical docs are Jaccard 10000 and always bucket-collide, so
+    // every exact-planted id (2M+) MUST appear in the minhash pair output —
+    // the guarantee behind dedup_recall's exact ⊆ minhash relationship
+    val c = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "totally different words entirely here now today folks"),
+      (2000001L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshPairs(c).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2000001L)),
+      s"exact copy must be unconditionally paired: $pairs")
+    assert(!pairs.exists { case (a, b) => a == 2L || b == 2L },
+      "unrelated doc must not pair")
+  }
+
   test("chunk dedup: identical docs' chunks collapse to one canonical") {
     val docs = corpus.toDF("doc_id", "text")
     val res = Dedup.chunkDedup(docs, window = 4, stride = 3).collect()
