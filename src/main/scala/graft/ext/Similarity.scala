@@ -774,4 +774,35 @@ object Similarity {
         cosine(col("q_emb"), col("dec")).as("asim"))
     exactRerank(corpus, q, rankTopK(scored, nCand, "asim", asc = false), k)
   }
+
+  /** Multi-probe IVF × SQ8 — the nprobe recall lever composed with the
+    * scalar-quantized scan (the SQ8 sibling of [[ivfPqNprobeTopK]]): each
+    * query probes its `nprobe` nearest cells and scores their int8 code
+    * lists asymmetrically (shared per-dim scale vector — unlike residual
+    * PQ, the SQ8 decode is cell-independent, so one decode expression
+    * serves every probed cell). Corpus side unchanged from [[ivfSq8TopK]]
+    * (one narrow assign+encode pass; a vector lives in exactly one
+    * inverted list, so probe fan-out never duplicates candidates); only
+    * the tiny broadcast query side fans out ×nprobe. At 100 TB a probe
+    * reads nprobe cells' worth of 64-byte codes, then the nCand exact
+    * re-rank touches raw embeddings. */
+  def ivfSq8NprobeTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nprobe: Int, nCand: Int = 32): DataFrame = {
+    val ix = medoidIndex(corpus)
+    val sLit = typedLit(sq8Train(corpus).toSeq)
+    val codes = cellAssign(ix, corpus, "embedding", "ivf_cell")
+      .select(col("vec_id").as("n_id"), col("ivf_cell"),
+        sq8EncodeCol(col("embedding"), sLit).as("codes"))
+    val q = broadcast(probeCells(ix, queries, nprobe).join(
+      queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
+      "q_id"))
+    val scored = codes.join(q, "ivf_cell")
+      .filter(col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"), col("q_emb"),
+        sq8DecodeCol(col("codes"), sLit).as("dec"))
+      .select(col("q_id"), col("n_id"),
+        cosine(col("q_emb"), col("dec")).as("asim"))
+    exactRerank(corpus, q.select("q_id", "q_emb").dropDuplicates("q_id"),
+      rankTopK(scored, nCand, "asim", asc = false), k)
+  }
 }

@@ -147,6 +147,15 @@ object ExtQueries {
       .orderBy("q_id", "rank")
   }
 
+  /** Multi-probe IVF × SQ8 at nprobe=2 — the nprobe recall lever over the
+    * int8 code lists (completes the nprobe × {flat, SQ8, PQ} matrix). */
+  private val annIvfSq8Nprobe: Q = (s, dir) => {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val e = embeddings(s, dir)
+    Similarity.ivfSq8NprobeTopK(e, e.filter(col("vec_id") < 10), 5, 2)
+      .orderBy("q_id", "rank")
+  }
+
   private val Planes: Array[Array[Double]] = Similarity.hyperplanes(nPlanes = 6)
 
   private val annLsh: Q = (s, dir) => {
@@ -183,6 +192,7 @@ object ExtQueries {
       .unionAll(hits("pq", Similarity.pqTopK(e, q, 5)))
       .unionAll(hits("sq8", Similarity.sq8TopK(e, q, 5)))
       .unionAll(hits("ivf_sq8", Similarity.ivfSq8TopK(e, q, 5)))
+      .unionAll(hits("ivf_sq8_nprobe", Similarity.ivfSq8NprobeTopK(e, q, 5, 2)))
       .orderBy("method")
   }
 
@@ -636,6 +646,7 @@ object ExtQueries {
     "ann_pq_trained" -> annPqTrained,
     "ann_sq8" -> annSq8,
     "ann_ivf_sq8" -> annIvfSq8,
+    "ann_ivf_sq8_nprobe" -> annIvfSq8Nprobe,
     "ann_ivf_pq" -> annIvfPq,
     "ann_ivf_pq_persisted" -> annIvfPqPersisted,
     "ann_ivf_pq_nprobe" -> annIvfPqNprobe,
@@ -1330,6 +1341,63 @@ object ExtQueries {
          |SELECT q_id, rank, n_id, sim FROM ranked WHERE rank <= 5
          |ORDER BY q_id, rank""".stripMargin,
 
+    // multi-probe IVF x SQ8 twin: the ann_ivf_sq8 CTEs with the query side
+    // probing its 2 nearest cells (rn <= 2) instead of only the top one
+    "ann_ivf_sq8_nprobe" ->
+      s"""WITH reps AS (
+         |  SELECT label AS cell, embedding AS rep FROM (
+         |    SELECT label, embedding,
+         |      row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+         |    FROM embeddings) WHERE rn = 1),
+         |assigned AS (
+         |  SELECT vec_id, ivf_cell FROM (
+         |    SELECT e.vec_id, r.cell AS ivf_cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosSql("e.embedding", "r.rep")} DESC, r.cell) AS rn
+         |    FROM embeddings e, reps r) WHERE rn = 1),
+         |qprobe AS (
+         |  SELECT q_id, ivf_cell FROM (
+         |    SELECT e.vec_id AS q_id, r.cell AS ivf_cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosSql("e.embedding", "r.rep")} DESC, r.cell) AS rn
+         |    FROM embeddings e, reps r WHERE e.vec_id < 10) WHERE rn <= 2),
+         |scales AS (
+         |  SELECT list(s ORDER BY i) AS sc FROM (
+         |    SELECT i, max(abs(CAST(embedding[i] AS DOUBLE))) AS s
+         |    FROM embeddings, (SELECT unnest(range(1, 65)) AS i) d
+         |    GROUP BY i)),
+         |dec AS (
+         |  SELECT vec_id, list_transform(
+         |    list_transform(range(1, 65), i ->
+         |      CASE WHEN sc[i] = 0 THEN 0
+         |           ELSE CAST(floor(CAST(embedding[i] AS DOUBLE) / sc[i] * 127)
+         |                AS BIGINT) END),
+         |    c -> CAST(c AS DOUBLE) / 127) AS cn
+         |  FROM embeddings, scales),
+         |decv AS (
+         |  SELECT vec_id, list_transform(range(1, 65), i -> cn[i] * sc[i]) AS dv
+         |  FROM dec, scales),
+         |scored AS (SELECT e.vec_id AS q_id, d.vec_id AS n_id,
+         |    ${cosSql("e.embedding", "d.dv")} AS asim
+         |  FROM embeddings e
+         |  JOIN qprobe qp ON qp.q_id = e.vec_id
+         |  JOIN assigned ca ON ca.ivf_cell = qp.ivf_cell
+         |  JOIN decv d ON d.vec_id = ca.vec_id
+         |  WHERE d.vec_id <> e.vec_id),
+         |cand AS (SELECT q_id, n_id FROM (
+         |    SELECT q_id, n_id,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY asim DESC, n_id) AS arn
+         |    FROM scored) WHERE arn <= 32),
+         |rr AS (SELECT c.q_id, c.n_id,
+         |    ${cosSql("qv.embedding", "nv.embedding")} AS sim
+         |  FROM cand c JOIN embeddings qv ON c.q_id = qv.vec_id
+         |              JOIN embeddings nv ON c.n_id = nv.vec_id),
+         |ranked AS (SELECT q_id, n_id, sim,
+         |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS INT) AS rank
+         |  FROM rr)
+         |SELECT q_id, rank, n_id, sim FROM ranked WHERE rank <= 5
+         |ORDER BY q_id, rank""".stripMargin,
+
     "ann_lsh" ->
       s"""WITH bucketed AS (
          |  SELECT vec_id, embedding,
@@ -1536,6 +1604,20 @@ object ExtQueries {
          |        FROM isqscored) WHERE arn <= 32) c
          |    JOIN embeddings qv ON c.q_id = qv.vec_id
          |    JOIN embeddings nv ON c.n_id = nv.vec_id)
+         |  WHERE rank <= 5),
+         |isqpscored AS (SELECT s.q_id, s.n_id, s.asim FROM sqscored s
+         |  JOIN ivfqp q ON q.q_id = s.q_id
+         |  JOIN assigned ca ON ca.vec_id = s.n_id
+         |                  AND ca.ivf_cell = q.ivf_cell),
+         |isqp5 AS (SELECT q_id, n_id FROM (
+         |    SELECT c.q_id, c.n_id, row_number() OVER (PARTITION BY c.q_id
+         |      ORDER BY ${cosSql("qv.embedding", "nv.embedding")} DESC, c.n_id) AS rank
+         |    FROM (SELECT q_id, n_id FROM (
+         |        SELECT q_id, n_id,
+         |          row_number() OVER (PARTITION BY q_id ORDER BY asim DESC, n_id) AS arn
+         |        FROM isqpscored) WHERE arn <= 32) c
+         |    JOIN embeddings qv ON c.q_id = qv.vec_id
+         |    JOIN embeddings nv ON c.n_id = nv.vec_id)
          |  WHERE rank <= 5)
          |SELECT method, hits FROM (
          |  SELECT 'ivf' AS method, count(*) AS hits FROM bf JOIN ivf USING (q_id, n_id)
@@ -1552,7 +1634,9 @@ object ExtQueries {
          |  UNION ALL
          |  SELECT 'sq8', count(*) FROM bf JOIN sq85 USING (q_id, n_id)
          |  UNION ALL
-         |  SELECT 'ivf_sq8', count(*) FROM bf JOIN isq85 USING (q_id, n_id))
+         |  SELECT 'ivf_sq8', count(*) FROM bf JOIN isq85 USING (q_id, n_id)
+         |  UNION ALL
+         |  SELECT 'ivf_sq8_nprobe', count(*) FROM bf JOIN isqp5 USING (q_id, n_id))
          |ORDER BY method""".stripMargin,
 
     "ann_ivf" -> AnnIvfOracle,

@@ -927,6 +927,21 @@ class ExtSpec extends AnyFunSuite {
     assert(rows.forall(_.getLong(1) == 5L), "5 unique ranked rows per query")
   }
 
+  test("nprobe=2 IVF x SQ8 dominates single-cell, no dup rows") {
+    val e = graft.queries.Synth.embeddings(spark, "/root/testdata/sf0.001")
+    val q = e.filter(col("vec_id") < 10)
+    val bf = Similarity.bruteForceTopK(e, q, 5).select("q_id", "n_id")
+    def hits(m: org.apache.spark.sql.DataFrame): Long =
+      bf.join(m.select("q_id", "n_id"), Seq("q_id", "n_id")).count()
+    val single = hits(Similarity.ivfSq8TopK(e, q, 5))
+    val multi = hits(Similarity.ivfSq8NprobeTopK(e, q, 5, 2))
+    assert(multi >= single,
+      s"2-cell SQ8 probing must never lose recall: nprobe=$multi single=$single")
+    val rows = Similarity.ivfSq8NprobeTopK(e, q, 5, 2)
+      .groupBy("q_id").count().collect()
+    assert(rows.forall(_.getLong(1) == 5L), "5 unique ranked rows per query")
+  }
+
   test("residual nprobe=2: per-cell LUTs, recall dominance, no dup rows") {
     val e = graft.queries.Synth.embeddings(spark, "/root/testdata/sf0.001")
     val q = e.filter(col("vec_id") < 10)
