@@ -1,0 +1,195 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Model-based data selection — the two standard "pick the best training
+  * data" levers of an LLM corpus pipeline, both expressed scale-first:
+  *
+  *   - a closed-form least-squares QUALITY CLASSIFIER over the curation
+  *     signals (the GPT-3/LLaMA-style "does this look like the reference
+  *     domain" filter, with linear-probability least squares standing in
+  *     for logistic regression so training is a CLOSED FORM: one
+  *     normal-equations aggregate + a 4×4 solve on the driver);
+  *   - DSIR importance weighting (Xie et al. 2023, arXiv:2302.03169) over
+  *     hashed token buckets, in the repo's exact-integer surprisal-bits
+  *     convention.
+  *
+  * Scale shape (both): training/statistics = ONE full-corpus aggregate
+  * whose output is bounded by the MODEL size (14 scalars for the
+  * classifier, `buckets` rows for DSIR), never by the corpus; the learned
+  * model returns to the plan as literals and scoring is a pure narrow
+  * row-local projection — the [[PcaTrainer]] "trained on everything,
+  * still oracle-checkable" template. At 100 TB the scoring pass fuses
+  * into whatever scan already reads the text column; nothing shuffles.
+  *
+  * Oracle-exactness: the normal-equation entries are EXACT integer sums
+  * of the (all-integer, [[TextAnalysis.qualityCols]]-derived) features,
+  * so both engines see bit-identical matrices; the 4×4 solve is Cramer's
+  * rule with a PINNED cofactor-expansion order (see [[det3]]/[[det4]] and
+  * their SQL emitters [[det3Sql]]/[[det4Sql]] — the same expression tree,
+  * so IEEE doubles agree bit-for-bit); scoring is the same
+  * left-associated fused multiply-add chain in both engines. DSIR avoids
+  * floating logs entirely via the ilog2 integer-bits trick. */
+object Selection {
+  import TextAnalysis.tokens
+
+  // ---------------------------------------------------------- classifier
+
+  /** All-integer per-doc features over a WEAKLY LABELED corpus
+    * (doc_id, text, y): x1 = word count, x2 = stopword ratio ×10000,
+    * x3 = punctuation ratio ×10000 (exactly [[TextAnalysis.qualityCols]]'s
+    * definitions); y ∈ {0,1} is the caller's weak domain label (a curated
+    * seed set, a source tag, a language id — whatever plays the
+    * "reference domain" in the GPT-3-style quality-classifier setup). */
+  def classifierFeatures(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val words = size(toks).cast("long")
+    val stops = size(filter(toks, t =>
+      t.isin("the", "a", "of", "and", "to", "in", "is"))).cast("long")
+    val punct = regexp_count(col("text"), lit("[^\\w\\s]")).cast("long")
+    docs.select(col("doc_id"),
+      words.as("x1"),
+      (lit(10000L) * stops / words).cast("long").as("x2"),
+      (lit(10000L) * punct / length(col("text")).cast("long")).cast("long").as("x3"),
+      col("y").cast("long").as("y"))
+  }
+
+  /** 3×3 determinant, cofactor expansion along the first row with pinned
+    * association — [[det3Sql]] emits the SAME tree for the oracle. */
+  private def det3(a: Double, b: Double, c: Double, d: Double, e: Double,
+      f: Double, g: Double, h: Double, i: Double): Double =
+    a * (e * i - f * h) - b * (d * i - f * g) + c * (d * h - e * g)
+
+  /** 4×4 determinant (row-major), first-row cofactor expansion. */
+  private def det4(m: Array[Double]): Double =
+    m(0) * det3(m(5), m(6), m(7), m(9), m(10), m(11), m(13), m(14), m(15)) -
+      m(1) * det3(m(4), m(6), m(7), m(8), m(10), m(11), m(12), m(14), m(15)) +
+      m(2) * det3(m(4), m(5), m(7), m(8), m(9), m(11), m(12), m(13), m(15)) -
+      m(3) * det3(m(4), m(5), m(6), m(8), m(9), m(10), m(12), m(13), m(14))
+
+  /** SQL twin of [[det3]] — identical parenthesization, so DuckDB builds
+    * the same IEEE expression tree. */
+  def det3Sql(a: String, b: String, c: String, d: String, e: String,
+      f: String, g: String, h: String, i: String): String =
+    s"$a * ($e * $i - $f * $h) - $b * ($d * $i - $f * $g) + $c * ($d * $h - $e * $g)"
+
+  /** SQL twin of [[det4]] over 16 row-major operand strings. */
+  def det4Sql(m: IndexedSeq[String]): String =
+    s"${m(0)} * (${det3Sql(m(5), m(6), m(7), m(9), m(10), m(11), m(13), m(14), m(15))}) - " +
+      s"${m(1)} * (${det3Sql(m(4), m(6), m(7), m(8), m(10), m(11), m(12), m(14), m(15))}) + " +
+      s"${m(2)} * (${det3Sql(m(4), m(5), m(7), m(8), m(9), m(11), m(12), m(13), m(15))}) - " +
+      s"${m(3)} * (${det3Sql(m(4), m(5), m(6), m(8), m(9), m(10), m(12), m(13), m(14))})"
+
+  /** Closed-form ridge least squares over [[classifierFeatures]]:
+    * solve (XᵀX + λ·diag(0,1,1,1)) w = Xᵀy by Cramer's rule. ONE
+    * distributed aggregate produces the 14 exact integer sums (the whole
+    * driver working set — model-sized, corpus-independent); the solve is
+    * O(1) driver arithmetic. λ is integer so every matrix entry stays an
+    * exact Long before its (exact, < 2⁵³) double conversion.
+    *
+    * Returns (w0, w1, w2, w3) — intercept first. Integer-sum overflow is
+    * bounded by Σ x_i·x_j ≤ n·10⁸ (ratios are ×10000-scaled, word counts
+    * ≤ 10⁴ here): fine to ~10¹⁰ docs; past that, switch the sums to
+    * DOUBLE and give up bit-exactness (documented trade). */
+  def trainQualityLsq(docs: DataFrame, lambda: Long = 1L): Array[Double] = {
+    val f = classifierFeatures(docs)
+    val r = f.agg(
+      count(lit(1)).cast("long").as("n"),
+      sum("x1").as("s1"), sum("x2").as("s2"), sum("x3").as("s3"),
+      sum(col("x1") * col("x1")).as("s11"),
+      sum(col("x1") * col("x2")).as("s12"),
+      sum(col("x1") * col("x3")).as("s13"),
+      sum(col("x2") * col("x2")).as("s22"),
+      sum(col("x2") * col("x3")).as("s23"),
+      sum(col("x3") * col("x3")).as("s33"),
+      sum("y").as("sy"),
+      sum(col("x1") * col("y")).as("s1y"),
+      sum(col("x2") * col("y")).as("s2y"),
+      sum(col("x3") * col("y")).as("s3y")).head()
+    def L(i: Int): Long = r.getLong(i)
+    val (n, s1, s2, s3) = (L(0), L(1), L(2), L(3))
+    val (s11, s12, s13, s22, s23, s33) = (L(4), L(5), L(6), L(7), L(8), L(9))
+    val (sy, s1y, s2y, s3y) = (L(10), L(11), L(12), L(13))
+    // row-major A with the ridge on the non-intercept diagonal
+    val a = Array[Double](
+      n, s1, s2, s3,
+      s1, s11 + lambda, s12, s13,
+      s2, s12, s22 + lambda, s23,
+      s3, s13, s23, s33 + lambda)
+    val b = Array[Double](sy, s1y, s2y, s3y)
+    val den = det4(a)
+    require(den != 0.0, "singular normal equations — raise lambda")
+    Array.tabulate(4) { j =>
+      val aj = a.clone()
+      for (i <- 0 until 4) aj(i * 4 + j) = b(i)
+      det4(aj) / den
+    }
+  }
+
+  /** Score every document under the trained weights: one narrow
+    * projection, score = ((w0 + w1·x1) + w2·x2) + w3·x3 (pinned
+    * left-association — the oracle writes the same chain), pred = score
+    * ≥ 0.5 (the linear-probability decision rule). Carries the weak
+    * label through so the output doubles as a training-accuracy audit. */
+  def scoreQuality(docs: DataFrame, w: Array[Double]): DataFrame =
+    classifierFeatures(docs).select(
+      col("doc_id"),
+      (lit(w(0)) + lit(w(1)) * col("x1").cast("double")
+        + lit(w(2)) * col("x2").cast("double")
+        + lit(w(3)) * col("x3").cast("double")).as("score"),
+      col("y").as("label"))
+      .withColumn("pred", (col("score") >= 0.5).cast("boolean"))
+      .select("doc_id", "score", "pred", "label")
+
+  // ---------------------------------------------------------------- DSIR
+
+  /** Token → hash bucket in [0, buckets): 60-bit md5 prefix mod buckets —
+    * the [[TextAnalysis.cmsHeavyHitters]] hashing convention, replayable
+    * verbatim in DuckDB. */
+  private def bucketOf(tok: Column, buckets: Int): Column =
+    conv(substring(md5(tok), 1, 15), 16, 10).cast("long") % buckets
+
+  /** DSIR importance weights in exact integer bits over a weakly labeled
+    * corpus (doc_id, text, y): per hashed token bucket b, the
+    * target-vs-raw log-likelihood ratio
+    *   λ_b = ilog2((t_b+1)·(R+B)) − ilog2((r_b+1)·(T+B))
+    * (add-one smoothing; ilog2 = floor(log₂) via bit length — the
+    * [[TextAnalysis.unigramLmScore]] integer-surprisal convention, so no
+    * engine-dependent floating log anywhere), and per document
+    *   dsir_bits = Σ_b c_b(doc)·λ_b,
+    * positive ⇒ the doc's hashed unigram profile looks more like the
+    * target (docs with y = 1) than the raw corpus — the paper's
+    * importance weight, resolved to whole bits.
+    *
+    * Scale shape: bucket statistics = ONE token-explode aggregate with
+    * map-side combine, output bounded by `buckets` (the model, not the
+    * corpus), collected ONCE as two plan literals (t_b, r_b arrays); the
+    * per-doc score re-explodes tokens and reduces on doc_id —
+    * high-cardinality keys, map-side combined, no joins at all (bucket
+    * stats are literals, the DSIR deployment shape: the hashed-ngram
+    * model is tiny and ships with the job). */
+  def dsirBits(docs: DataFrame, buckets: Int = 64): DataFrame = {
+    def ilog2(x: Column): Column = (length(bin(x)) - 1).cast("long")
+    val tokRows = docs.select(col("doc_id"), col("y").cast("long").as("y"),
+        explode(tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), col("y"), bucketOf(col("tok"), buckets).as("b"))
+    val stats = tokRows.groupBy("b").agg(
+        sum("y").as("t"), count(lit(1)).as("r"))
+      .collect().map(r => r.getLong(0).toInt -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    val bigT = stats.valuesIterator.map(_._1).sum
+    val bigR = stats.valuesIterator.map(_._2).sum
+    val tArr = Array.tabulate(buckets)(i => stats.get(i).map(_._1).getOrElse(0L))
+    val rArr = Array.tabulate(buckets)(i => stats.get(i).map(_._2).getOrElse(0L))
+    val tLit = typedLit(tArr.toSeq)
+    val rLit = typedLit(rArr.toSeq)
+    val lam = (ilog2((element_at(tLit, col("b").cast("int") + 1) + 1L) *
+        lit(bigR + buckets)) -
+      ilog2((element_at(rLit, col("b").cast("int") + 1) + 1L) *
+        lit(bigT + buckets))).as("lam")
+    tokRows.select(col("doc_id"), lam)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("lam").as("dsir_bits"))
+  }
+}

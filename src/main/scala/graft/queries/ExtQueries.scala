@@ -2,7 +2,7 @@ package graft.queries
 
 import scala.util.chaining._
 
-import graft.ext.{Contamination, Dedup, Embeddings, Multimodal, PqTrainer, Similarity, TextAnalysis}
+import graft.ext.{Contamination, Dedup, Embeddings, Multimodal, PqTrainer, Selection, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -400,6 +400,49 @@ object ExtQueries {
   private val corpusSelectTopQuality: Q = (s, dir) =>
     TextAnalysis.selectTopQuality(documents(s, dir), pct = 30).orderBy("doc_id")
 
+  /** Planted "reference domain" for the quality classifier: every 5th doc
+    * is the weak-positive class, suffixed with stopword-rich text so the
+    * stop-ratio feature carries real signal (the synthetic corpus's lang
+    * tags all draw from one shared vocabulary, so — like the dedup keys'
+    * planted duplicates — the domain label must be planted to be
+    * learnable). */
+  private val StopSuffix =
+    " the of and to in is the of and to in is the of"
+
+  private def classifierCorpus(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir).select(col("doc_id"),
+      when(col("doc_id") % 5 === 0, concat(col("text"), lit(StopSuffix)))
+        .otherwise(col("text")).as("text"),
+      when(col("doc_id") % 5 === 0, 1L).otherwise(0L).as("y"))
+
+  /** Closed-form least-squares quality classifier (train + score in one
+    * key): ONE normal-equations aggregate (14 exact integer sums) → 4×4
+    * Cramer solve on the driver → weights as plan literals → narrow
+    * scoring projection. The oracle re-derives the weights from the SAME
+    * integer sums through the SAME pinned cofactor expansion. */
+  private val corpusQualityClassifier: Q = (s, dir) => {
+    val d = classifierCorpus(s, dir)
+    Selection.scoreQuality(d, Selection.trainQualityLsq(d)).orderBy("doc_id")
+  }
+
+  /** Planted target domain for DSIR: every 5th doc carries distinctive
+    * reference-corpus tokens absent from the base vocabulary, so the
+    * hashed-unigram likelihood ratio separates. */
+  private val DsirSuffix =
+    " wikipedia encyclopedia citation reference verifiable notable"
+
+  private def dsirCorpus(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir).select(col("doc_id"),
+      when(col("doc_id") % 5 === 0, concat(col("text"), lit(DsirSuffix)))
+        .otherwise(col("text")).as("text"),
+      when(col("doc_id") % 5 === 0, 1L).otherwise(0L).as("y"))
+
+  /** DSIR importance weights in exact integer bits: hashed-unigram
+    * target-vs-raw likelihood ratio per bucket (bounded model, collected
+    * once as plan literals), summed per doc. */
+  private val corpusDsirImportance: Q = (s, dir) =>
+    Selection.dsirBits(dsirCorpus(s, dir)).orderBy("doc_id")
+
   /** TF-IDF top-3 keywords per doc, ranked via the bounded topk_pairs
     * aggregate (integer idf bits, md5-prefix term keys). */
   private val textTfidfTopk: Q = (s, dir) =>
@@ -679,6 +722,8 @@ object ExtQueries {
     "text_unigram_lm" -> textUnigramLm,
     "text_bigram_lm" -> textBigramLm,
     "corpus_select_top_quality" -> corpusSelectTopQuality,
+    "corpus_quality_classifier" -> corpusQualityClassifier,
+    "corpus_dsir_importance" -> corpusDsirImportance,
     "text_bpe_train" -> textBpeTrain,
     "text_bpe_tokens" -> textBpeTokens,
     "text_tfidf_topk" -> textTfidfTopk,
@@ -1021,6 +1066,66 @@ object ExtQueries {
 
   /** ann_ivf's CTEs with the query probing its top-2 cells (cos desc,
     * ties → lower cell) — the nprobe=2 twin. */
+  /** Quality-classifier twin: exact integer normal-equation sums, Cramer
+    * weights via [[Selection.det4Sql]] (the same cofactor expansion the
+    * Scala driver solve uses — one source of truth for the IEEE
+    * expression tree), then the same left-associated scoring chain. */
+  private val QualityClassifierOracle: String = {
+    val A = IndexedSeq(
+      "dn", "d1", "d2", "d3",
+      "d1", "d11r", "d12", "d13",
+      "d2", "d12", "d22r", "d23",
+      "d3", "d13", "d23", "d33r")
+    val bvec = IndexedSeq("dy", "d1y", "d2y", "d3y")
+    def withB(j: Int): IndexedSeq[String] =
+      A.zipWithIndex.map { case (v, idx) => if (idx % 4 == j) bvec(idx / 4) else v }
+    val den = Selection.det4Sql(A)
+    val ws = (0 until 4).map(j => s"(${Selection.det4Sql(withB(j))}) / ($den) AS w$j")
+    s"""WITH base AS (SELECT doc_id,
+       |    CASE WHEN doc_id % 5 = 0 THEN text || '$StopSuffix'
+       |         ELSE text END AS text,
+       |    CAST(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS BIGINT) AS y
+       |  FROM documents),
+       |feats AS (SELECT doc_id,
+       |    CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS x1,
+       |    CAST(10000 * len(list_filter(regexp_split_to_array(text, '\\s+'),
+       |        t -> t IN ('the','a','of','and','to','in','is')))
+       |      // len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS x2,
+       |    CAST(10000 * len(regexp_extract_all(text, '[^\\w\\s]'))
+       |      // length(text) AS BIGINT) AS x3,
+       |    y
+       |  FROM base),
+       |m AS (SELECT
+       |    CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(x1) AS BIGINT) AS s1, CAST(sum(x2) AS BIGINT) AS s2,
+       |    CAST(sum(x3) AS BIGINT) AS s3,
+       |    CAST(sum(x1*x1) AS BIGINT) AS s11, CAST(sum(x1*x2) AS BIGINT) AS s12,
+       |    CAST(sum(x1*x3) AS BIGINT) AS s13, CAST(sum(x2*x2) AS BIGINT) AS s22,
+       |    CAST(sum(x2*x3) AS BIGINT) AS s23, CAST(sum(x3*x3) AS BIGINT) AS s33,
+       |    CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x1*y) AS BIGINT) AS s1y,
+       |    CAST(sum(x2*y) AS BIGINT) AS s2y, CAST(sum(x3*y) AS BIGINT) AS s3y
+       |  FROM feats),
+       |md AS (SELECT
+       |    CAST(n AS DOUBLE) AS dn, CAST(s1 AS DOUBLE) AS d1,
+       |    CAST(s2 AS DOUBLE) AS d2, CAST(s3 AS DOUBLE) AS d3,
+       |    CAST(s11 + 1 AS DOUBLE) AS d11r, CAST(s12 AS DOUBLE) AS d12,
+       |    CAST(s13 AS DOUBLE) AS d13, CAST(s22 + 1 AS DOUBLE) AS d22r,
+       |    CAST(s23 AS DOUBLE) AS d23, CAST(s33 + 1 AS DOUBLE) AS d33r,
+       |    CAST(sy AS DOUBLE) AS dy, CAST(s1y AS DOUBLE) AS d1y,
+       |    CAST(s2y AS DOUBLE) AS d2y, CAST(s3y AS DOUBLE) AS d3y
+       |  FROM m),
+       |w AS (SELECT
+       |    ${ws.mkString(",\n       |    ")}
+       |  FROM md),
+       |sc AS (SELECT doc_id,
+       |    w0 + w1 * CAST(x1 AS DOUBLE) + w2 * CAST(x2 AS DOUBLE)
+       |       + w3 * CAST(x3 AS DOUBLE) AS score,
+       |    y AS label
+       |  FROM feats, w)
+       |SELECT doc_id, score, score >= 0.5 AS pred, label
+       |FROM sc ORDER BY doc_id""".stripMargin
+  }
+
   private val AnnIvfNprobeOracle: String =
       s"""WITH reps AS (
          |  SELECT label AS cell, embedding AS rep FROM (
@@ -2120,6 +2225,38 @@ object ExtQueries {
         |thr AS (SELECT min(sc) AS thr FROM cum, nn WHERE cm >= (n * 30 + 99) // 100)
         |SELECT doc_id, n_tokens, surprisal_x100 FROM scored, thr
         |WHERE surprisal_x100 <= thr ORDER BY doc_id""".stripMargin,
+
+    // least-squares classifier twin: SAME exact integer sums, SAME pinned
+    // Cramer cofactor expansion (emitted by Selection.det4Sql — one
+    // source of truth for the expression tree), SAME left-associated
+    // scoring chain, so weights and scores agree bit-for-bit
+    "corpus_quality_classifier" -> QualityClassifierOracle,
+
+    // DSIR twin: md5-fold bucket hash (minhash/CMS convention), add-one
+    // smoothed target/raw ratio in integer ilog2 bits, summed per doc
+    "corpus_dsir_importance" ->
+      s"""WITH base AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 5 = 0 THEN text || '$DsirSuffix'
+         |         ELSE text END AS text,
+         |    CAST(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS BIGINT) AS y
+         |  FROM documents),
+         |tokr AS (SELECT doc_id, y,
+         |    unnest(regexp_split_to_array(text, '\\s+')) AS tok
+         |  FROM base),
+         |tb AS (SELECT doc_id, y, ${hexFoldSql(1, 15)} % 64 AS b
+         |  FROM (SELECT doc_id, y, md5(tok) AS hx FROM tokr)),
+         |st AS (SELECT b, CAST(sum(y) AS BIGINT) AS t,
+         |    CAST(count(*) AS BIGINT) AS r
+         |  FROM tb GROUP BY 1),
+         |tot AS (SELECT CAST(sum(t) AS BIGINT) AS bigt,
+         |    CAST(sum(r) AS BIGINT) AS bigr FROM st),
+         |lam AS (SELECT b,
+         |    (strlen(bin((t + 1) * (bigr + 64))) - 1)
+         |  - (strlen(bin((r + 1) * (bigt + 64))) - 1) AS lam
+         |  FROM st, tot)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  CAST(sum(lam) AS BIGINT) AS dsir_bits
+         |FROM tb JOIN lam USING (b) GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
     // Count-Min twin: the KM hash family over md5 halves (same fold as the
     // minhash twin), d=4 rows x w=64 buckets, estimate = min over rows

@@ -37,4 +37,37 @@ class CurationPlanSpec extends AnyFunSuite {
       "corpus_select_top_quality", "text_bigram_lm", "corpus_chunk")
       .foreach(assertScaleShape)
   }
+
+  test("r7 selection keys: no window funnel, no cartesian") {
+    Seq("corpus_quality_classifier", "corpus_dsir_importance")
+      .foreach(assertScaleShape)
+  }
+
+  test("classifier scoring is a pure narrow projection: zero exchanges, zero joins") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("doc_id", "text", "CAST(doc_id % 5 = 0 AS BIGINT) AS y")
+    val plan = graft.ext.Selection
+      .scoreQuality(docs, Array(0.1, 0.2, 0.3, 0.4))
+      .queryExecution.executedPlan
+    val ex = plan.collect {
+      case x: org.apache.spark.sql.execution.exchange.Exchange => x
+    }
+    assert(ex.isEmpty, s"scoring must not exchange:\n$plan")
+    val joins = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.isEmpty, s"scoring must not join:\n$plan")
+  }
+
+  test("DSIR scoring pass has no joins (bucket stats are plan literals)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("doc_id", "text", "CAST(doc_id % 5 = 0 AS BIGINT) AS y")
+    val plan = graft.ext.Selection.dsirBits(docs)
+      .queryExecution.executedPlan
+    val joins = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.isEmpty,
+      s"DSIR per-doc scoring must not join (stats are literals):\n$plan")
+  }
 }

@@ -1386,6 +1386,53 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("LSQ quality classifier: weights solve the normal equations, planted domain learned") {
+    import graft.ext.Selection
+    val docs = graft.queries.Synth.documents(spark, "/root/testdata/sf0.001")
+      .selectExpr("doc_id",
+        "CASE WHEN doc_id % 5 = 0 THEN text || ' the of and to in is the of and to in is' ELSE text END AS text",
+        "CAST(doc_id % 5 = 0 AS BIGINT) AS y")
+    val w = Selection.trainQualityLsq(docs)
+    // residual check: recompute A, b from the features and assert A·w = b
+    // (the ridge system is square nonsingular — the solve must be exact
+    // up to fp rounding)
+    val f = Selection.classifierFeatures(docs)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val xs = f.map { case (x1, x2, x3, _) => Array(1.0, x1, x2, x3) }
+    val ys = f.map(_._4.toDouble)
+    val a = Array.ofDim[Double](4, 4)
+    val b = Array.ofDim[Double](4)
+    for ((x, y) <- xs.zip(ys); i <- 0 until 4) {
+      b(i) += x(i) * y
+      for (j <- 0 until 4) a(i)(j) += x(i) * x(j)
+    }
+    for (i <- 1 until 4) a(i)(i) += 1.0 // ridge
+    for (i <- 0 until 4) {
+      val lhs = (0 until 4).map(j => a(i)(j) * w(j)).sum
+      assert(math.abs(lhs - b(i)) <= 1e-6 * math.max(1.0, math.abs(b(i))),
+        s"normal-equation residual row $i: $lhs vs ${b(i)} (w=${w.toSeq})")
+    }
+    // and the planted domain is actually learned
+    val scored = Selection.scoreQuality(docs, w)
+    val acc = scored.filter(col("pred") === (col("label") === 1L)).count().toDouble /
+      scored.count()
+    assert(acc >= 0.95, s"classifier accuracy $acc on the planted domain")
+  }
+
+  test("DSIR bits separate the planted target domain") {
+    import graft.ext.Selection
+    val docs = graft.queries.Synth.documents(spark, "/root/testdata/sf0.001")
+      .selectExpr("doc_id",
+        "CASE WHEN doc_id % 5 = 0 THEN text || ' wikipedia encyclopedia citation reference verifiable notable' ELSE text END AS text",
+        "CAST(doc_id % 5 = 0 AS BIGINT) AS y")
+    val m = Selection.dsirBits(docs)
+      .withColumn("target", col("doc_id") % 5 === 0)
+      .groupBy("target").agg(avg("dsir_bits").as("m"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(m(true) > m(false),
+      s"target docs must score higher: target=${m(true)} raw=${m(false)}")
+  }
+
   test("frame sample: full frames only, every 4th, stable digests") {
     val text = "ab" * 160                  // 320 bytes → 5 full frames → idx 0, 4
     val frames = Multimodal.frameSample(Multimodal.asBlobs(
