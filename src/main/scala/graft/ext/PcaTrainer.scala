@@ -50,7 +50,15 @@ object PcaTrainer {
   /** Top-k eigenvectors of the covariance by deterministic power iteration
     * with deflation. Returns k rows of `dim` doubles. */
   def trainPca(n: Long, s: Array[Long], g: Array[Array[Long]], k: Int = 4,
-      iters: Int = 20): Array[Array[Double]] = {
+      iters: Int = 20): Array[Array[Double]] =
+    trainPcaWithValues(n, s, g, k, iters)._1
+
+  /** [[trainPca]] plus the eigenvalues captured at each deflation step —
+    * λ_c = vᵀAv under the SAME pinned fold the deflation uses, so the
+    * recursive-CTE oracle reproduces them bit for bit. Needed by
+    * [[whiten]] (variance-normalized projection). */
+  def trainPcaWithValues(n: Long, s: Array[Long], g: Array[Array[Long]],
+      k: Int = 4, iters: Int = 20): (Array[Array[Double]], Array[Double]) = {
     val dim = s.length
     val mean = meanOf(n, s)
     val a = Array.tabulate(dim, dim)((j, l) =>
@@ -63,6 +71,7 @@ object PcaTrainer {
         acc
       }
     val comps = Array.ofDim[Double](k, dim)
+    val lams = Array.ofDim[Double](k)
     var c = 0
     while (c < k) {
       var v = Array.tabulate(dim)(j => if (j == c) 1.0 else 0.0)
@@ -82,6 +91,7 @@ object PcaTrainer {
       var lam = 0.0
       var j = 0
       while (j < dim) { lam += v(j) * w(j); j += 1 }
+      lams(c) = lam
       j = 0
       while (j < dim) {
         var l = 0
@@ -90,7 +100,7 @@ object PcaTrainer {
       }
       c += 1
     }
-    comps
+    (comps, lams)
   }
 
   /** Project the corpus onto the trained components: center the quantized
@@ -117,5 +127,39 @@ object PcaTrainer {
     val (n, s, g) = moments(emb, dim, scaleQ)
     val comps = trainPca(n, s, g, k, iters)
     project(emb, comps, meanOf(n, s), scaleQ)
+  }
+
+  /** PCA WHITENING — the projection with each component variance-
+    * normalized: wh_c = floor(vᶜ·(x−μ) / √λ_c · 1000), the standard
+    * preprocessing before cosine-based semantic dedup / ANN (whitened
+    * Euclidean ≈ Mahalanobis). √ is IEEE-exact in both engines, the
+    * divide-then-scale chain is pinned left-to-right, and the floor
+    * lands the output in exact integers — so the whitened values remain
+    * bit-checkable against the recursive-CTE oracle. Same narrow
+    * single-pass scale shape as [[project]]: components, mean, and the
+    * k eigenvalue scalars all ride along as plan constants. */
+  def whiten(emb: DataFrame, comps: Array[Array[Double]],
+      lams: Array[Double], mean: Array[Double], scaleQ: Long = 10000L,
+      vecCol: String = "embedding"): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(emb.sparkSession)
+    val centered = zip_with(
+      Embeddings.quantized(col(vecCol), scaleQ), typedLit(mean.toSeq),
+      (x, m) => x.cast("double") - m)
+    val proj = comps.zip(lams).map { case (v, lam) =>
+      floor(call_function("dot_product", col("c"), typedLit(v.toSeq))
+          / lit(math.sqrt(lam)) * lit(1000.0))
+        .cast("long").cast("string")
+    }
+    emb.select(col("vec_id"), centered.as("c"))
+      .select(col("vec_id"), concat_ws(",", proj: _*).as("whitened"))
+  }
+
+  /** Composed whitening operator: moments → eigenpairs → whitened
+    * projection. */
+  def whitenProjection(emb: DataFrame, k: Int = 4, dim: Int = 64,
+      scaleQ: Long = 10000L, iters: Int = 20): DataFrame = {
+    val (n, s, g) = moments(emb, dim, scaleQ)
+    val (comps, lams) = trainPcaWithValues(n, s, g, k, iters)
+    whiten(emb, comps, lams, meanOf(n, s), scaleQ)
   }
 }

@@ -638,6 +638,14 @@ object ExtQueries {
     graft.ext.PcaTrainer.pcaProjection(embeddings(s, dir)).orderBy("vec_id")
   }
 
+  /** PCA whitening: the projection variance-normalized by the captured
+    * eigenvalues (Mahalanobis-ish preprocessing for cosine dedup/ANN) —
+    * same trained-on-everything / narrow-scoring shape as emb_pca. */
+  private val embWhiten: Q = (s, dir) => {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    graft.ext.PcaTrainer.whitenProjection(embeddings(s, dir)).orderBy("vec_id")
+  }
+
   // -------------------------------------------------------- multimodal
 
   /** Real container-header decode over the synthesized multimodal corpus:
@@ -713,6 +721,7 @@ object ExtQueries {
     "emb_normalize" -> embNormalize,
     "emb_gram" -> embGram,
     "emb_pca" -> embPca,
+    "emb_whiten" -> embWhiten,
     "emb_random_projection" -> embRandomProjection,
     "text_tokens" -> textTokens,
     "text_quality" -> textQuality,
@@ -1066,6 +1075,66 @@ object ExtQueries {
 
   /** ann_ivf's CTEs with the query probing its top-2 cells (cos desc,
     * ties → lower cell) — the nprobe=2 twin. */
+  /** Shared recursive-CTE PCA trainer twin (power iteration + deflation,
+    * [[graft.ext.PcaTrainer]]'s pinned fold orders): `comps` carries each
+    * component's eigenvector AND its deflation-step eigenvalue `lam`, so
+    * both the raw projection (emb_pca) and the whitened one (emb_whiten)
+    * derive from one builder. `pExpr` is the per-(vec, comp) value over
+    * columns `c` (centered vector), `v` (component), `lam`. */
+  private def pcaRecursiveOracle(pExpr: String, outCol: String): String = {
+    val fold0 = "list_prepend(CAST(0.0 AS DOUBLE), "
+    // w_j: row j of the deflated matrix `a` dotted with v, l-ascending
+    def rowDot(j: String) =
+      s"list_reduce(${fold0}list_transform(range(1, 65), " +
+        s"l -> a[CAST(($j - 1) * 64 + l AS INT)] * v[CAST(l AS INT)])), (x, y) -> x + y)"
+    val wList = s"list_transform(range(1, 65), j -> ${rowDot("j")})"
+    val nrm = s"sqrt(list_reduce(${fold0}list_transform($wList, x -> x * x)), (x, y) -> x + y))"
+    val vNext = s"list_transform($wList, x -> x / $nrm)"
+    val lam = s"list_reduce(${fold0}list_transform(range(1, 65), " +
+      s"j -> v[CAST(j AS INT)] * ${rowDot("j")})), (x, y) -> x + y)"
+    val deflated = s"list_transform(range(0, 4096), i -> a[CAST(i + 1 AS INT)] " +
+      s"- ($lam) * v[CAST(i // 64 + 1 AS INT)] * v[CAST(i % 64 + 1 AS INT)])"
+    val eNext = "list_transform(range(0, 64), i -> CASE WHEN i = comp + 1 " +
+      "THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)"
+    s"""WITH RECURSIVE qe AS (SELECT vec_id,
+       |    list_transform(embedding,
+       |      x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |mom AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM qe),
+       |m AS (SELECT list(CAST(sj AS DOUBLE) / n ORDER BY j) AS mean
+       |  FROM (SELECT j, sum(q[CAST(j AS INT)]) AS sj
+       |        FROM qe, (SELECT unnest(range(1, 65)) AS j) GROUP BY j), mom),
+       |gm AS (SELECT list(CAST(gv AS DOUBLE) ORDER BY j, l) AS g
+       |  FROM (SELECT j, l, sum(q[CAST(j AS INT)] * q[CAST(l AS INT)]) AS gv
+       |        FROM qe, (SELECT unnest(range(1, 65)) AS j),
+       |                 (SELECT unnest(range(1, 65)) AS l) GROUP BY j, l)),
+       |cov AS (SELECT list_transform(range(0, 4096), i ->
+       |    g[CAST(i + 1 AS INT)] / n
+       |    - mean[CAST(i // 64 + 1 AS INT)] * mean[CAST(i % 64 + 1 AS INT)]) AS a
+       |  FROM gm, m, mom),
+       |pca AS (
+       |  SELECT 0 AS comp, 0 AS iter,
+       |    list_transform(range(0, 64), i -> CASE WHEN i = 0
+       |      THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) AS v,
+       |    a
+       |  FROM cov
+       |  UNION ALL
+       |  SELECT CASE WHEN iter < 20 THEN comp ELSE comp + 1 END,
+       |    CASE WHEN iter < 20 THEN iter + 1 ELSE 0 END,
+       |    CASE WHEN iter < 20 THEN $vNext ELSE $eNext END,
+       |    CASE WHEN iter < 20 THEN a ELSE $deflated END
+       |  FROM pca WHERE NOT (comp = 3 AND iter = 20)),
+       |comps AS (SELECT comp, v, ($lam) AS lam FROM pca WHERE iter = 20),
+       |ctr AS (SELECT vec_id, list_transform(range(1, 65),
+       |    j -> CAST(q[CAST(j AS INT)] AS DOUBLE) - mean[CAST(j AS INT)]) AS c
+       |  FROM qe, m),
+       |p AS (SELECT vec_id, comp,
+       |    $pExpr AS pv
+       |  FROM ctr, comps)
+       |SELECT vec_id, array_to_string(list(CAST(pv AS VARCHAR) ORDER BY comp), ',') AS $outCol
+       |FROM p GROUP BY vec_id ORDER BY vec_id""".stripMargin
+  }
+
   /** Quality-classifier twin: exact integer normal-equation sums, Cramer
     * weights via [[Selection.det4Sql]] (the same cofactor expansion the
     * Scala driver solve uses — one source of truth for the IEEE
@@ -2744,59 +2813,16 @@ object ExtQueries {
     // PCA twin: the ENTIRE training rederives in SQL — integer moments
     // (order-free sums), covariance, then the power-iteration/deflation
     // recursion with the same pinned fold orders as PcaTrainer.trainPca
-    "emb_pca" -> {
-      val fold0 = "list_prepend(CAST(0.0 AS DOUBLE), "
-      // w_j: row j of the deflated matrix `a` dotted with v, l-ascending
-      def rowDot(j: String) =
-        s"list_reduce(${fold0}list_transform(range(1, 65), " +
-          s"l -> a[CAST(($j - 1) * 64 + l AS INT)] * v[CAST(l AS INT)])), (x, y) -> x + y)"
-      val wList = s"list_transform(range(1, 65), j -> ${rowDot("j")})"
-      val nrm = s"sqrt(list_reduce(${fold0}list_transform($wList, x -> x * x)), (x, y) -> x + y))"
-      val vNext = s"list_transform($wList, x -> x / $nrm)"
-      val lam = s"list_reduce(${fold0}list_transform(range(1, 65), " +
-        s"j -> v[CAST(j AS INT)] * ${rowDot("j")})), (x, y) -> x + y)"
-      val deflated = s"list_transform(range(0, 4096), i -> a[CAST(i + 1 AS INT)] " +
-        s"- ($lam) * v[CAST(i // 64 + 1 AS INT)] * v[CAST(i % 64 + 1 AS INT)])"
-      val eNext = "list_transform(range(0, 64), i -> CASE WHEN i = comp + 1 " +
-        "THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)"
-      s"""WITH RECURSIVE qe AS (SELECT vec_id,
-         |    list_transform(embedding,
-         |      x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS q
-         |  FROM embeddings),
-         |mom AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM qe),
-         |m AS (SELECT list(CAST(sj AS DOUBLE) / n ORDER BY j) AS mean
-         |  FROM (SELECT j, sum(q[CAST(j AS INT)]) AS sj
-         |        FROM qe, (SELECT unnest(range(1, 65)) AS j) GROUP BY j), mom),
-         |gm AS (SELECT list(CAST(gv AS DOUBLE) ORDER BY j, l) AS g
-         |  FROM (SELECT j, l, sum(q[CAST(j AS INT)] * q[CAST(l AS INT)]) AS gv
-         |        FROM qe, (SELECT unnest(range(1, 65)) AS j),
-         |                 (SELECT unnest(range(1, 65)) AS l) GROUP BY j, l)),
-         |cov AS (SELECT list_transform(range(0, 4096), i ->
-         |    g[CAST(i + 1 AS INT)] / n
-         |    - mean[CAST(i // 64 + 1 AS INT)] * mean[CAST(i % 64 + 1 AS INT)]) AS a
-         |  FROM gm, m, mom),
-         |pca AS (
-         |  SELECT 0 AS comp, 0 AS iter,
-         |    list_transform(range(0, 64), i -> CASE WHEN i = 0
-         |      THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) AS v,
-         |    a
-         |  FROM cov
-         |  UNION ALL
-         |  SELECT CASE WHEN iter < 20 THEN comp ELSE comp + 1 END,
-         |    CASE WHEN iter < 20 THEN iter + 1 ELSE 0 END,
-         |    CASE WHEN iter < 20 THEN $vNext ELSE $eNext END,
-         |    CASE WHEN iter < 20 THEN a ELSE $deflated END
-         |  FROM pca WHERE NOT (comp = 3 AND iter = 20)),
-         |comps AS (SELECT comp, v FROM pca WHERE iter = 20),
-         |ctr AS (SELECT vec_id, list_transform(range(1, 65),
-         |    j -> CAST(q[CAST(j AS INT)] AS DOUBLE) - mean[CAST(j AS INT)]) AS c
-         |  FROM qe, m),
-         |p AS (SELECT vec_id, comp,
-         |    CAST(floor(${dotSql("c", "v")}) AS BIGINT) AS pv
-         |  FROM ctr, comps)
-         |SELECT vec_id, array_to_string(list(CAST(pv AS VARCHAR) ORDER BY comp), ',') AS pca
-         |FROM p GROUP BY vec_id ORDER BY vec_id""".stripMargin
-    },
+    "emb_pca" -> pcaRecursiveOracle(
+      pExpr = s"CAST(floor(${dotSql("c", "v")}) AS BIGINT)",
+      outCol = "pca"),
+
+    // whitening twin: the SAME recursive power-iteration CTE, with the
+    // deflation-step eigenvalue surfaced per component and the projection
+    // divided by sqrt(lam) then x1000-floored (pinned left-to-right)
+    "emb_whiten" -> pcaRecursiveOracle(
+      pExpr = s"CAST(floor(${dotSql("c", "v")} / sqrt(lam) * 1000.0) AS BIGINT)",
+      outCol = "whitened"),
 
     // integer-quantized second-moment matrix: long sums are order-free, so
     // a plain SQL group-by reproduces the distributed aggregate bit for bit

@@ -1419,6 +1419,24 @@ class ExtSpec extends AnyFunSuite {
     assert(acc >= 0.95, s"classifier accuracy $acc on the planted domain")
   }
 
+  test("PCA whitening: each component lands at ~unit variance (x1000)") {
+    val e = graft.queries.Synth.embeddings(spark, "/root/testdata/sf0.001")
+    val wh = graft.ext.PcaTrainer.whitenProjection(e)
+      .select(col("vec_id"), split(col("whitened"), ",").as("w"))
+      .select((0 until 4).map(i =>
+        element_at(col("w"), i + 1).cast("double").as(s"w$i")): _*)
+    val stats = wh.agg(
+      variance(col("w0")), variance(col("w1")),
+      variance(col("w2")), variance(col("w3"))).head()
+    (0 until 4).foreach { i =>
+      val v = stats.getDouble(i)
+      // whitened variance = 1.0 in the scaled domain → 1e6 after x1000
+      // (floor rounding + power-iteration convergence give a few % slack)
+      assert(v > 0.8e6 && v < 1.2e6,
+        s"component $i whitened variance $v not ~1e6")
+    }
+  }
+
   test("DSIR bits separate the planted target domain") {
     import graft.ext.Selection
     val docs = graft.queries.Synth.documents(spark, "/root/testdata/sf0.001")
