@@ -775,6 +775,36 @@ object Similarity {
     exactRerank(corpus, q, rankTopK(scored, nCand, "asim", asc = false), k)
   }
 
+  /** Persisted IVF × SQ8 — the build-once / probe-many layout of the
+    * scalar-quantized index (the SQ8 sibling of [[ivfPqPersistedTopK]]):
+    * (n_id, codes) written ONCE as parquet PARTITIONED BY cell — the
+    * directory layout is the inverted index and the storage is the 4×-
+    * compressed int8 representation — so a later query batch pays a
+    * partition-pruned scan of its probed cell's code list, the
+    * in-projection asymmetric decode, and the nCand exact re-rank.
+    * Result-identical to [[ivfSq8TopK]] (same reps, scales, assignment),
+    * so ann_ivf_sq8's oracle is the twin. */
+  def ivfSq8PersistedTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      indexPath: String, nCand: Int = 32): DataFrame = {
+    val ix = medoidIndex(corpus)
+    val sLit = typedLit(sq8Train(corpus).toSeq)
+    cellAssign(ix, corpus, "embedding", "ivf_cell")
+      .select(col("vec_id").as("n_id"), col("ivf_cell"),
+        sq8EncodeCol(col("embedding"), sLit).as("codes"))
+      .write.mode("overwrite").partitionBy("ivf_cell").parquet(indexPath)
+    val codes = corpus.sparkSession.read.parquet(indexPath)
+    val q = broadcast(cellAssign(ix, queries, "embedding", "ivf_cell")
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("ivf_cell")))
+    val scored = codes.join(q, "ivf_cell")
+      .filter(col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"), col("q_emb"),
+        sq8DecodeCol(col("codes"), sLit).as("dec"))
+      .select(col("q_id"), col("n_id"),
+        cosine(col("q_emb"), col("dec")).as("asim"))
+    exactRerank(corpus, q, rankTopK(scored, nCand, "asim", asc = false), k)
+  }
+
   /** Multi-probe IVF × SQ8 — the nprobe recall lever composed with the
     * scalar-quantized scan (the SQ8 sibling of [[ivfPqNprobeTopK]]): each
     * query probes its `nprobe` nearest cells and scores their int8 code

@@ -147,6 +147,16 @@ object ExtQueries {
       .orderBy("q_id", "rank")
   }
 
+  /** Build-once/probe-many SQ8 index: int8 codes persisted partitioned by
+    * cell (completes the persisted × {flat, SQ8, PQ} matrix). */
+  private val annIvfSq8Persisted: Q = (s, dir) => {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val e = embeddings(s, dir)
+    Similarity.ivfSq8PersistedTopK(e, e.filter(col("vec_id") < 10), 5,
+        indexSlot("ivfsq8", dir))
+      .orderBy("q_id", "rank")
+  }
+
   /** Multi-probe IVF × SQ8 at nprobe=2 — the nprobe recall lever over the
     * int8 code lists (completes the nprobe × {flat, SQ8, PQ} matrix). */
   private val annIvfSq8Nprobe: Q = (s, dir) => {
@@ -698,6 +708,7 @@ object ExtQueries {
     "ann_sq8" -> annSq8,
     "ann_ivf_sq8" -> annIvfSq8,
     "ann_ivf_sq8_nprobe" -> annIvfSq8Nprobe,
+    "ann_ivf_sq8_persisted" -> annIvfSq8Persisted,
     "ann_ivf_pq" -> annIvfPq,
     "ann_ivf_pq_persisted" -> annIvfPqPersisted,
     "ann_ivf_pq_nprobe" -> annIvfPqNprobe,
@@ -2837,7 +2848,9 @@ object ExtQueries {
         |SELECT idx.j, idx.l,
         |  CAST(sum(q.q[CAST(idx.j + 1 AS INT)] * q.q[CAST(idx.l + 1 AS INT)]) AS BIGINT) AS g
         |FROM q, idx GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
-    // persisted IVF+PQ is result-identical to the in-memory plan — the
-    // ann_ivf_pq oracle IS the twin (the ann_ivf_persisted contract)
-    .pipe(m => m + ("ann_ivf_pq_persisted" -> m("ann_ivf_pq")))
+    // persisted IVF+PQ / IVF+SQ8 are result-identical to the in-memory
+    // plans — the in-memory oracles ARE the twins (the ann_ivf_persisted
+    // contract)
+    .pipe(m => m + ("ann_ivf_pq_persisted" -> m("ann_ivf_pq"))
+      + ("ann_ivf_sq8_persisted" -> m("ann_ivf_sq8")))
 }

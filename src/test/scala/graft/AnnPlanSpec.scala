@@ -68,7 +68,7 @@ class AnnPlanSpec extends AnyFunSuite {
       "ann_ivf_pq_residual_trained", "ann_recall", "ann_ivf_persisted",
       "ann_ivf_pq_persisted", "ann_ivf_pq_nprobe",
       "ann_ivf_pq_residual_nprobe", "ann_ivf_pq_full", "ann_sq8",
-      "ann_ivf_sq8", "ann_ivf_sq8_nprobe")
+      "ann_ivf_sq8", "ann_ivf_sq8_nprobe", "ann_ivf_sq8_persisted")
       .foreach(assertNoPerQueryWindow)
   }
 

@@ -873,6 +873,23 @@ class ExtSpec extends AnyFunSuite {
     assert(parts.nonEmpty, "the directory layout IS the inverted index")
   }
 
+  test("persisted IVF x SQ8: on-disk int8 code partitions, probe equals in-memory") {
+    val sf = "/root/testdata/sf0.001"
+    val e = graft.queries.Synth.embeddings(spark, sf)
+    val q = e.filter(col("vec_id") < 10)
+    val path = java.nio.file.Files.createTempDirectory("graft-ivfsq8-spec").toString
+    val out = Similarity.ivfSq8PersistedTopK(e, q, 5, path)
+      .orderBy("q_id", "rank").collect().toSeq
+    val base = Similarity.ivfSq8TopK(e, q, 5).orderBy("q_id", "rank").collect().toSeq
+    assert(out == base, "persisted SQ8 probe must reproduce the in-memory result")
+    val parts = new java.io.File(path).listFiles()
+      .map(_.getName).filter(_.startsWith("ivf_cell="))
+    assert(parts.nonEmpty, "the directory layout IS the inverted code index")
+    // stored representation is codes only — no raw embeddings on disk
+    val stored = spark.read.parquet(path)
+    assert(stored.columns.sorted.toSeq == Seq("codes", "ivf_cell", "n_id"))
+  }
+
   test("persisted IVF+PQ: on-disk code partitions, probe equals in-memory") {
     val sf = "/root/testdata/sf0.001"
     val e = graft.queries.Synth.embeddings(spark, sf)
