@@ -169,27 +169,65 @@ object Selection {
     * high-cardinality keys, map-side combined, no joins at all (bucket
     * stats are literals, the DSIR deployment shape: the hashed-ngram
     * model is tiny and ships with the job). */
-  def dsirBits(docs: DataFrame, buckets: Int = 64): DataFrame = {
-    def ilog2(x: Column): Column = (length(bin(x)) - 1).cast("long")
-    val tokRows = docs.select(col("doc_id"), col("y").cast("long").as("y"),
-        explode(tokens(col("text"))).as("tok"))
-      .select(col("doc_id"), col("y"), bucketOf(col("tok"), buckets).as("b"))
-    val stats = tokRows.groupBy("b").agg(
-        sum("y").as("t"), count(lit(1)).as("r"))
+  /** The trained DSIR model: per-bucket target counts `t`, raw counts
+    * `r`, and their totals — everything the scoring pass needs, bounded
+    * by `buckets` (collected from ONE distributed aggregate). */
+  final case class DsirModel(t: Array[Long], r: Array[Long],
+      bigT: Long, bigR: Long, buckets: Int)
+
+  /** Train the hashed-unigram bucket statistics: one token-explode
+    * aggregate, map-side combined, output and collect bounded by
+    * `buckets`. */
+  def dsirTrain(docs: DataFrame, buckets: Int = 64): DsirModel = {
+    val stats = docs
+      .select(col("y").cast("long").as("y"), explode(tokens(col("text"))).as("tok"))
+      .select(col("y"), bucketOf(col("tok"), buckets).as("b"))
+      .groupBy("b").agg(sum("y").as("t"), count(lit(1)).as("r"))
       .collect().map(r => r.getLong(0).toInt -> ((r.getLong(1), r.getLong(2))))
       .toMap
-    val bigT = stats.valuesIterator.map(_._1).sum
-    val bigR = stats.valuesIterator.map(_._2).sum
-    val tArr = Array.tabulate(buckets)(i => stats.get(i).map(_._1).getOrElse(0L))
-    val rArr = Array.tabulate(buckets)(i => stats.get(i).map(_._2).getOrElse(0L))
-    val tLit = typedLit(tArr.toSeq)
-    val rLit = typedLit(rArr.toSeq)
-    val lam = (ilog2((element_at(tLit, col("b").cast("int") + 1) + 1L) *
-        lit(bigR + buckets)) -
-      ilog2((element_at(rLit, col("b").cast("int") + 1) + 1L) *
-        lit(bigT + buckets))).as("lam")
-    tokRows.select(col("doc_id"), lam)
+    DsirModel(
+      Array.tabulate(buckets)(i => stats.get(i).map(_._1).getOrElse(0L)),
+      Array.tabulate(buckets)(i => stats.get(i).map(_._2).getOrElse(0L)),
+      stats.valuesIterator.map(_._1).sum,
+      stats.valuesIterator.map(_._2).sum,
+      buckets)
+  }
+
+  private def ilog2(x: Column): Column = (length(bin(x)) - 1).cast("long")
+
+  /** λ for a bucket column under the model literals. */
+  private def lamCol(b: Column, m: DsirModel): Column =
+    ilog2((element_at(typedLit(m.t.toSeq), b.cast("int") + 1) + 1L) *
+      lit(m.bigR + m.buckets)) -
+      ilog2((element_at(typedLit(m.r.toSeq), b.cast("int") + 1) + 1L) *
+        lit(m.bigT + m.buckets))
+
+  /** Score per doc under a trained model: explode + one doc_id reduction
+    * (high-cardinality key, map-side combined — the batch/relational
+    * form). */
+  def dsirScore(docs: DataFrame, m: DsirModel): DataFrame =
+    docs.select(col("doc_id"),
+        explode(tokens(col("text"))).as("tok"))
+      .select(col("doc_id"),
+        lamCol(bucketOf(col("tok"), m.buckets), m).as("lam"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"), sum("lam").as("dsir_bits"))
+
+  /** Train + score in one call (the registry key's form). */
+  def dsirBits(docs: DataFrame, buckets: Int = 64): DataFrame =
+    dsirScore(docs, dsirTrain(docs, buckets))
+
+  /** INGEST-TIME twin of [[dsirScore]]: the per-doc sum folds over the
+    * token array ROW-LOCALLY (aggregate HOF over the bucket-stat
+    * literals) — zero explode, zero shuffle, so the importance weight is
+    * available in the micro-batch that admits the document (the
+    * [[TextAnalysis.repetitionInline]] discipline). Spec-pinned equal to
+    * the batch form. */
+  def dsirBitsInline(docs: DataFrame, m: DsirModel): DataFrame = {
+    val toks = tokens(col("text"))
+    docs.withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("dsir_bits",
+        aggregate(toks, lit(0L),
+          (acc, tok) => acc + lamCol(bucketOf(tok, m.buckets), m)))
   }
 }

@@ -31,6 +31,67 @@ class IngestSignalsStreamSpec extends AnyFunSuite {
       "tokensInline must not shuffle (ingest-time row-local count)")
   }
 
+  test("DSIR inline twin equals the batch explode+reduce form, zero shuffle") {
+    import graft.ext.Selection
+    // read directly: Synth's loader repartitions small files (a source
+    // artifact, not part of the scoring plan under test)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .selectExpr("doc_id",
+        "CASE WHEN doc_id % 5 = 0 THEN text || ' wikipedia citation' ELSE text END AS text",
+        "CAST(doc_id % 5 = 0 AS BIGINT) AS y")
+    val m = Selection.dsirTrain(docs)
+    val batch = Selection.dsirScore(docs, m).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val inline = Selection.dsirBitsInline(docs.select("doc_id", "text"), m)
+      .select("doc_id", "n_tokens", "dsir_bits").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(inline == batch, "inline DSIR twin diverged from batch")
+    val plan = Selection.dsirBitsInline(
+      docs.select("doc_id", "text"), m).queryExecution.executedPlan
+    assert(!plan.toString.contains("Exchange"),
+      "dsirBitsInline must not shuffle (ingest-time row-local fold)")
+  }
+
+  test("classifier + DSIR scoring run on a stream, values match batch") {
+    import graft.ext.Selection
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val train = Seq(
+      (1L, "the of and to in is the of and to in is", 1L),
+      (2L, "big data column batch vector merge quack", 0L),
+      (3L, "the of and to in is the of and scan row", 1L),
+      (4L, "scan join filter order group window sort", 0L))
+      .toDF("doc_id", "text", "y")
+    val w = Selection.trainQualityLsq(train)
+    val m = Selection.dsirTrain(train)
+    val batchScores = Selection.scoreQuality(train, w).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val input = MemoryStream[(Long, String, Long)]
+    val inDf = input.toDF().toDF("doc_id", "text", "y")
+    // dsirBitsInline preserves its input columns, so the classifier score
+    // chains after it — both signals ride one row-local projection
+    val q = Selection.scoreQuality(Selection.dsirBitsInline(inDf, m)
+        .withColumnRenamed("dsir_bits", "db"), w)
+      .writeStream.format("memory").queryName("sel_scores")
+      .outputMode("append").start()
+    val q2 = Selection.dsirBitsInline(inDf, m)
+      .select("doc_id", "dsir_bits")
+      .writeStream.format("memory").queryName("sel_dsir")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, "the of and to in is the of and to in is", 1L),
+        (2L, "big data column batch vector merge quack", 0L))
+      q.processAllAvailable(); q2.processAllAvailable()
+      val scores = spark.table("sel_scores").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+      val bits = spark.table("sel_dsir").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("dsir_bits")).toMap
+      assert(scores(1L) == batchScores(1L), "stream score != batch score")
+      assert(scores(2L) == batchScores(2L))
+      assert(bits(1L) > bits(2L),
+        "target-domain doc must carry higher importance at ingest")
+    } finally { q.stop(); q2.stop() }
+  }
+
   test("repetition + BPE counting run on a stream, values match batch") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val merges = BpeTrainer.train(trainDocs, merges = 2)
