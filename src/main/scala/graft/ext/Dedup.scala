@@ -462,4 +462,70 @@ object Dedup {
       .select(col("doc_id"), coalesce(col("comp"), col("rep")).as("cluster"))
       .filter(col("doc_id") === col("cluster"))
   }
+
+  // -------------------------------------------------- cross-epoch Bloom
+
+  /** k Bloom bit positions for a content hash — the double-hashing family
+    * of [[TextAnalysis.cmsHeavyHitters]] (h1 + i·h2 over md5 halves), so
+    * the oracle replays it verbatim. */
+  private def bloomBits(text: Column, mBits: Int, k: Int): Column = {
+    val P = 1000000007L
+    val h1 = conv(substring(md5(text), 1, 15), 16, 10).cast("long") % P
+    val h2 = conv(substring(md5(text), 17, 15), 16, 10).cast("long") % P
+    transform(sequence(lit(0), lit(k - 1)), i => (h1 + i * h2) % P % mBits)
+  }
+
+  /** Build the standing corpus's Bloom filter: mBits bits as mBits/32
+    * 32-bit words (32, not 64, so the oracle's overflow-checked `<<`
+    * never shifts into a sign bit). ONE aggregate — per doc the k bit
+    * positions explode, group by word index with a bitwise-OR combine
+    * (map-side combined, ≤ mBits/32 rows out), collected as the
+    * (bounded, model-sized) word array. At
+    * 100 TB this is the canonical "yesterday's corpus as a membership
+    * sketch" build: the filter is KBs–GBs regardless of corpus size. */
+  def bloomBuild(corpus: DataFrame, mBits: Int = 16384, k: Int = 4,
+      text: String = "text"): Array[Long] = {
+    val words = corpus
+      .select(explode(bloomBits(col(text), mBits, k)).as("bit"))
+      .groupBy((col("bit") / 32).cast("long").as("w"))
+      .agg(bit_or(call_function("shiftleft", lit(1L),
+        (col("bit") % 32).cast("int"))).as("m"))
+      .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    Array.tabulate(mBits / 32)(i => words.getOrElse(i, 0L))
+  }
+
+  /** Cross-epoch Bloom pre-filter — the epoch-over-epoch dedup shape:
+    * yesterday's corpus is summarized ONCE as a Bloom filter
+    * ([[bloomBuild]]); today's arriving epoch tests membership ROW-LOCALLY
+    * against the word-array literal (no join against the standing corpus
+    * at all), and only the bloom-hits proceed to the exact content join.
+    * Bloom guarantees no false negatives, so the pre-filter never loses a
+    * true duplicate; the output carries both `bloom_hit` and the exact
+    * `is_dup` so it doubles as a false-positive audit.
+    *
+    * Scale: the standing corpus is touched once at build time; the epoch
+    * pass is a narrow projection + a semi-join ONLY for the hit subset —
+    * at a few-% FP rate, the exact join's input shrinks by the epoch's
+    * non-dup fraction (the whole point at 100 TB). */
+  def bloomPrefilter(epoch: DataFrame, standing: DataFrame,
+      mBits: Int = 16384, k: Int = 4): DataFrame = {
+    val bloom = bloomBuild(standing, mBits, k)
+    val wLit = typedLit(bloom.toSeq)
+    val hit = aggregate(
+      bloomBits(col("text"), mBits, k), lit(true),
+      (acc, bit) => acc &&
+        (element_at(wLit, (bit / 32).cast("int") + 1)
+          .bitwiseAND(call_function("shiftleft", lit(1L),
+            (bit % 32).cast("int"))) =!= 0L))
+    val tested = epoch.select(col("doc_id"), col("text"), hit.as("bloom_hit"))
+    val standingKeys = standing.select(md5(col("text")).as("ck")).distinct()
+    // only the HIT subset reaches the exact content join — non-hits are
+    // is_dup=false by Bloom's no-false-negative guarantee
+    val hitDups = tested.filter(col("bloom_hit"))
+      .join(standingKeys, md5(col("text")) === col("ck"), "left_semi")
+      .select(col("doc_id"), lit(true).as("is_dup"))
+    tested.join(hitDups, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("bloom_hit"),
+        coalesce(col("is_dup"), lit(false)).as("is_dup"))
+  }
 }

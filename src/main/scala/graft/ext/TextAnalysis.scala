@@ -187,6 +187,40 @@ object TextAnalysis {
       .filter(col("bucket") < rate)
   }
 
+  /** Temperature-based mixture sampling (the mT5 / multilingual-T5 α=0.5
+    * rate flattening, arXiv:2010.11934 §3.1): per-domain keep rate chosen
+    * so the SAMPLED counts go as √(domain count) — large domains
+    * down-sampled toward the small ones:
+    *   rate_x10000(d) = ⌊10000·⌊√(c_min·c_d)⌋ / c_d⌋
+    * (so kept_d ≈ √c_min·√c_d; the smallest domain keeps everything).
+    * The per-doc decision is the same content-hash bucket as
+    * [[stratifiedSample]] — stable under re-sharding, byte-identical docs
+    * decide identically (leakage-safe).
+    *
+    * Scale shape: domain counts = ONE bounded aggregate (|domains| rows,
+    * collected); rates return as a literal CASE chain; the keep decision
+    * is a narrow row-local filter — no join, no shuffle, any corpus size.
+    *
+    * Engine parity: the inner isqrt is floor(IEEE sqrt) in BOTH engines
+    * (Math.sqrt and DuckDB sqrt are correctly rounded, identical bits);
+    * exact for products < 2⁴⁴ — far beyond any real domain-count product
+    * divided at this scale factor, and at 100 TB the counts would move to
+    * exact BigInt isqrt on the driver with the same contract. */
+  def temperatureSample(docs: DataFrame, domainCol: String = "lang"): DataFrame = {
+    val counts = docs.groupBy(domainCol).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val cmin = counts.values.min
+    val rates = counts.map { case (d, c) =>
+      d -> 10000L * math.floor(math.sqrt((cmin * c).toDouble)).toLong / c }
+    val rate = rates.foldLeft(lit(0L)) { case (acc, (d, r)) =>
+      when(col(domainCol) === d, r).otherwise(acc) }
+    val bucket =
+      conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long") % 10000
+    docs.select(col("doc_id"), col(domainCol), bucket.as("bucket"),
+        rate.as("rate_x10000"))
+      .filter(col("bucket") < col("rate_x10000"))
+  }
+
   /** Vocabulary building: token → frequency, top `k` by count with a
     * deterministic token tie-break. Map-side partial agg + one token-key
     * shuffle; the top-k is TakeOrderedAndProject (no global sort) — the

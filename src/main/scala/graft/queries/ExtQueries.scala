@@ -410,6 +410,25 @@ object ExtQueries {
   private val corpusSelectTopQuality: Q = (s, dir) =>
     TextAnalysis.selectTopQuality(documents(s, dir), pct = 30).orderBy("doc_id")
 
+  /** mT5-style temperature sampling (α=0.5): per-domain keep rates flatten
+    * the mixture toward √count; content-hash bucket decision. */
+  private val corpusTemperatureSample: Q = (s, dir) =>
+    TextAnalysis.temperatureSample(documents(s, dir)).orderBy("doc_id")
+
+  /** Cross-epoch Bloom pre-filter: standing corpus summarized once as a
+    * 16384-bit Bloom (one bounded aggregate); the arriving epoch (planted:
+    * exact copies of every 25th doc + fresh suffixed docs) tests
+    * membership row-locally; only hits reach the exact join. */
+  private val dedupBloomPrefilter: Q = (s, dir) => {
+    val d = documents(s, dir).select("doc_id", "text")
+    val epoch = d.filter(col("doc_id") % 20 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"),
+        concat(col("text"), lit(Suffix)).as("text"))
+      .unionAll(d.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 2000000).as("doc_id"), col("text")))
+    Dedup.bloomPrefilter(epoch, d).orderBy("doc_id")
+  }
+
   /** Planted "reference domain" for the quality classifier: every 5th doc
     * is the weak-positive class, suffixed with stopword-rich text so the
     * stop-ratio feature carries real signal (the synthetic corpus's lang
@@ -744,6 +763,8 @@ object ExtQueries {
     "corpus_select_top_quality" -> corpusSelectTopQuality,
     "corpus_quality_classifier" -> corpusQualityClassifier,
     "corpus_dsir_importance" -> corpusDsirImportance,
+    "corpus_temperature_sample" -> corpusTemperatureSample,
+    "dedup_bloom_prefilter" -> dedupBloomPrefilter,
     "text_bpe_train" -> textBpeTrain,
     "text_bpe_tokens" -> textBpeTokens,
     "text_tfidf_topk" -> textTfidfTopk,
@@ -2305,6 +2326,52 @@ object ExtQueries {
         |thr AS (SELECT min(sc) AS thr FROM cum, nn WHERE cm >= (n * 30 + 99) // 100)
         |SELECT doc_id, n_tokens, surprisal_x100 FROM scored, thr
         |WHERE surprisal_x100 <= thr ORDER BY doc_id""".stripMargin,
+
+    // temperature-sampling twin: same bounded domain counts, same
+    // floor(sqrt) isqrt (IEEE-identical in both engines), same integer
+    // rate division and content-hash bucket decision
+    "corpus_temperature_sample" ->
+      s"""WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS c
+         |  FROM documents GROUP BY 1),
+         |mn AS (SELECT min(c) AS cmin FROM c),
+         |r AS (SELECT lang,
+         |    10000 * CAST(floor(sqrt(CAST(cmin * c AS DOUBLE))) AS BIGINT) // c AS rate
+         |  FROM c, mn),
+         |h AS (SELECT doc_id, lang, md5(text) AS hx FROM documents),
+         |b AS (SELECT doc_id, lang, ${hexFoldSql(1, 8)} % 10000 AS bucket FROM h)
+         |SELECT doc_id, b.lang, bucket, CAST(rate AS BIGINT) AS rate_x10000
+         |FROM b JOIN r USING (lang) WHERE bucket < rate
+         |ORDER BY doc_id""".stripMargin,
+
+    // Bloom prefilter twin: same double-hash bit family (md5 halves, the
+    // CMS convention), bit_or word build, row-wise AND membership test,
+    // exact-dup audit via content-hash EXISTS
+    "dedup_bloom_prefilter" -> {
+      def bitsOf = s"(((${hexFoldSql(1, 15)} % 1000000007) " +
+        s"+ i.i * (${hexFoldSql(17, 15)} % 1000000007)) % 1000000007) % 16384"
+      s"""WITH ep AS (
+         |  SELECT doc_id + 1000000 AS doc_id, text || '$Suffix' AS text
+         |    FROM documents WHERE doc_id % 20 = 0
+         |  UNION ALL SELECT doc_id + 2000000, text
+         |    FROM documents WHERE doc_id % 25 = 0),
+         |sh AS (SELECT md5(text) AS hx FROM documents),
+         |bits AS (SELECT $bitsOf AS bit
+         |  FROM sh, (SELECT unnest(range(0, 4)) AS i) i),
+         |words AS (SELECT bit // 32 AS w,
+         |    bit_or(CAST(1 AS BIGINT) << CAST(bit % 32 AS INT)) AS m
+         |  FROM bits GROUP BY 1),
+         |eh AS (SELECT doc_id, md5(text) AS hx FROM ep),
+         |ebits AS (SELECT doc_id, hx, $bitsOf AS bit
+         |  FROM eh, (SELECT unnest(range(0, 4)) AS i) i),
+         |hits AS (SELECT doc_id,
+         |    bool_and((COALESCE(m, 0) &
+         |      (CAST(1 AS BIGINT) << CAST(bit % 32 AS INT))) <> 0) AS bloom_hit
+         |  FROM ebits LEFT JOIN words ON bit // 32 = w GROUP BY 1),
+         |dup AS (SELECT e.doc_id, TRUE AS is_dup FROM eh e
+         |  WHERE EXISTS (SELECT 1 FROM documents d WHERE md5(d.text) = e.hx))
+         |SELECT h.doc_id, h.bloom_hit, COALESCE(dup.is_dup, FALSE) AS is_dup
+         |FROM hits h LEFT JOIN dup USING (doc_id) ORDER BY doc_id""".stripMargin
+    },
 
     // least-squares classifier twin: SAME exact integer sums, SAME pinned
     // Cramer cofactor expansion (emitted by Selection.det4Sql — one

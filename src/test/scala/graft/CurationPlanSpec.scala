@@ -39,7 +39,8 @@ class CurationPlanSpec extends AnyFunSuite {
   }
 
   test("r7 selection keys: no window funnel, no cartesian") {
-    Seq("corpus_quality_classifier", "corpus_dsir_importance")
+    Seq("corpus_quality_classifier", "corpus_dsir_importance",
+      "corpus_temperature_sample", "dedup_bloom_prefilter")
       .foreach(assertScaleShape)
   }
 

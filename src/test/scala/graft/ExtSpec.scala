@@ -1436,6 +1436,50 @@ class ExtSpec extends AnyFunSuite {
     assert(acc >= 0.95, s"classifier accuracy $acc on the planted domain")
   }
 
+  test("temperature sampling: smallest domain keeps all, rates flatten toward sqrt") {
+    val docs = graft.queries.Synth.documents(spark, "/root/testdata/sf0.001")
+    val counts = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rates = graft.ext.TextAnalysis.temperatureSample(docs)
+      .select("lang", "rate_x10000").distinct().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val minDomain = counts.minBy(_._2)._1
+    assert(rates(minDomain) == 10000L, "smallest domain must keep everything")
+    // rates anti-monotone in domain size: bigger domain → lower keep rate
+    val sorted = counts.toSeq.sortBy(_._2).map(_._1)
+    sorted.sliding(2).foreach { case Seq(small, big) =>
+      assert(rates(small) >= rates(big),
+        s"rate($small)=${rates(small)} must be >= rate($big)=${rates(big)}")
+    }
+    // kept counts land near sqrt-flattening: kept_d ~ sqrt(c_min * c_d)
+    val kept = graft.ext.TextAnalysis.temperatureSample(docs)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val cmin = counts.values.min
+    counts.foreach { case (d, c) =>
+      val expect = math.sqrt((cmin * c).toDouble)
+      assert(math.abs(kept(d) - expect) <= 0.35 * expect + 10,
+        s"$d kept ${kept(d)} vs sqrt-flattened target $expect")
+    }
+  }
+
+  test("Bloom prefilter: no false negatives, only hits reach the exact join") {
+    val d = graft.queries.Synth.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+    val epoch = d.filter(col("doc_id") % 20 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"),
+        concat(col("text"), lit(" almost identical suffix tokens")).as("text"))
+      .unionAll(d.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 2000000).as("doc_id"), col("text")))
+    val out = Dedup.bloomPrefilter(epoch, d).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2)))
+    // Bloom's contract: every true duplicate hits
+    assert(out.filter(_._3).forall(_._2), "a true duplicate missed the Bloom")
+    // every planted exact copy (2M ids) is a dup; suffixed docs are not
+    assert(out.filter(_._1 >= 2000000).forall(_._3))
+    assert(out.filter(t => t._1 >= 1000000 && t._1 < 2000000).forall(!_._3))
+  }
+
   test("PCA whitening: each component lands at ~unit variance (x1000)") {
     val e = graft.queries.Synth.embeddings(spark, "/root/testdata/sf0.001")
     val wh = graft.ext.PcaTrainer.whitenProjection(e)
