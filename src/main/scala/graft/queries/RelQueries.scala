@@ -107,6 +107,31 @@ object RelQueries {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  // Multi-stage conversion funnel (view → click → purchase, strictly
+  // time-ordered) — the product-analytics staple, in the scale-safe
+  // shape: NO per-user window/sort over the event stream; each stage is a
+  // filtered min-aggregation chained by a user_id equi-join (all keys
+  // high-cardinality, map-side combined), so the funnel costs three
+  // filtered aggs + three joins at any event volume. Nullable stage
+  // timestamps; stage = how far the user got.
+  private val qFunnel: Q = (s, dir) => {
+    val ev = eventsTs(s, dir)
+      .select(col("user_id"), col("event_type"), expr("ts_ns div 1000").as("ts_us"))
+    val s1 = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts_us").as("t_view"))
+    val s2 = ev.filter(col("event_type") === "click").join(s1, "user_id")
+      .filter(col("ts_us") > col("t_view"))
+      .groupBy("user_id").agg(min("ts_us").as("t_click"))
+    val s3 = ev.filter(col("event_type") === "purchase").join(s2, "user_id")
+      .filter(col("ts_us") > col("t_click"))
+      .groupBy("user_id").agg(min("ts_us").as("t_purchase"))
+    s1.join(s2, Seq("user_id"), "left").join(s3, Seq("user_id"), "left")
+      .select(col("user_id"), col("t_view"), col("t_click"), col("t_purchase"),
+        (lit(1L) + when(col("t_click").isNotNull, 1L).otherwise(0L)
+          + when(col("t_purchase").isNotNull, 1L).otherwise(0L)).as("stage"))
+      .orderBy("user_id")
+  }
+
   // Global top-k: TakeOrderedAndProject (no full sort materialization).
   private val qTopk: Q = (s, dir) =>
     orders(s, dir)
@@ -396,6 +421,7 @@ object RelQueries {
     "q_semi_anti" -> qSemiAnti,
     "q_window" -> qWindow,
     "q_lead_lag" -> qLeadLag,
+    "q_funnel" -> qFunnel,
     "q_topk" -> qTopk,
     "q_setops" -> qSetops,
     "q_rollup" -> qRollup,
@@ -473,6 +499,20 @@ object RelQueries {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |s1 AS (SELECT user_id, min(ts_us) AS t_view FROM e
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(ts_us) AS t_click FROM e JOIN s1 USING (user_id)
+        |       WHERE event_type = 'click' AND ts_us > t_view GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(ts_us) AS t_purchase FROM e JOIN s2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND ts_us > t_click GROUP BY 1)
+        |SELECT s1.user_id, t_view, t_click, t_purchase,
+        |  CAST(1 + CAST(t_click IS NOT NULL AS INT)
+        |         + CAST(t_purchase IS NOT NULL AS INT) AS BIGINT) AS stage
+        |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+        |ORDER BY user_id""".stripMargin,
 
     "q_topk" ->
       """SELECT o_orderkey, o_totalprice FROM orders
