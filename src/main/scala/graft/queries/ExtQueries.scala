@@ -454,6 +454,32 @@ object ExtQueries {
     Selection.scoreQuality(d, Selection.trainQualityLsq(d)).orderBy("doc_id")
   }
 
+  /** Measured holdout accuracy of the quality classifier — the accuracy
+    * axis as a first-class oracle-checked key (the classifier twin of
+    * `ann_recall`/`dedup_recall`): 2-fold content-hash cross-validation
+    * (train one half, score the other — leakage-safe by the same bucket
+    * discipline as corpus_split), confusion counts per fold. */
+  private val classifierHoldoutAccuracy: Q = (s, dir) => {
+    val d = classifierCorpus(s, dir)
+      .withColumn("bucket", TextAnalysis.contentBucket(md5(col("text"))))
+    def fold(f: Int): DataFrame = {
+      val isTrain = if (f == 0) col("bucket") < 50 else col("bucket") >= 50
+      val w = Selection.trainQualityLsq(d.filter(isTrain))
+      Selection.scoreQuality(d.filter(!isTrain), w)
+        .agg(
+          count(lit(1)).as("n_scored"),
+          sum(when(col("pred") === (col("label") === 1L), 1L).otherwise(0L))
+            .as("n_correct"),
+          sum(when(col("pred") && col("label") === 1L, 1L).otherwise(0L))
+            .as("true_pos"),
+          sum(when(col("pred") && col("label") === 0L, 1L).otherwise(0L))
+            .as("false_pos"))
+        .select(lit(f.toLong).as("fold"), col("n_scored"), col("n_correct"),
+          col("true_pos"), col("false_pos"))
+    }
+    fold(0).unionAll(fold(1)).orderBy("fold")
+  }
+
   /** Planted target domain for DSIR: every 5th doc carries distinctive
     * reference-corpus tokens absent from the base vocabulary, so the
     * hashed-unigram likelihood ratio separates. */
@@ -762,6 +788,7 @@ object ExtQueries {
     "text_bigram_lm" -> textBigramLm,
     "corpus_select_top_quality" -> corpusSelectTopQuality,
     "corpus_quality_classifier" -> corpusQualityClassifier,
+    "classifier_holdout_accuracy" -> classifierHoldoutAccuracy,
     "corpus_dsir_importance" -> corpusDsirImportance,
     "corpus_temperature_sample" -> corpusTemperatureSample,
     "dedup_bloom_prefilter" -> dedupBloomPrefilter,
@@ -1171,7 +1198,9 @@ object ExtQueries {
     * weights via [[Selection.det4Sql]] (the same cofactor expansion the
     * Scala driver solve uses — one source of truth for the IEEE
     * expression tree), then the same left-associated scoring chain. */
-  private val QualityClassifierOracle: String = {
+  /** Cramer-weight SELECT list shared by every classifier oracle (the
+    * [[Selection.det4Sql]] expression tree — one source of truth). */
+  private val ClassifierWeightSql: String = {
     val A = IndexedSeq(
       "dn", "d1", "d2", "d3",
       "d1", "d11r", "d12", "d13",
@@ -1181,8 +1210,14 @@ object ExtQueries {
     def withB(j: Int): IndexedSeq[String] =
       A.zipWithIndex.map { case (v, idx) => if (idx % 4 == j) bvec(idx / 4) else v }
     val den = Selection.det4Sql(A)
-    val ws = (0 until 4).map(j => s"(${Selection.det4Sql(withB(j))}) / ($den) AS w$j")
-    s"""WITH base AS (SELECT doc_id,
+    (0 until 4).map(j => s"(${Selection.det4Sql(withB(j))}) / ($den) AS w$j")
+      .mkString(",\n    ")
+  }
+
+  /** base + feats CTE bodies: planted stopword-suffix domain, the exact
+    * integer features, and the content-hash fold bucket. */
+  private val ClassifierFeatsCtes: String =
+    s"""base AS (SELECT doc_id,
        |    CASE WHEN doc_id % 5 = 0 THEN text || '$StopSuffix'
        |         ELSE text END AS text,
        |    CAST(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS BIGINT) AS y
@@ -1194,9 +1229,13 @@ object ExtQueries {
        |      // len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS x2,
        |    CAST(10000 * len(regexp_extract_all(text, '[^\\w\\s]'))
        |      // length(text) AS BIGINT) AS x3,
-       |    y
-       |  FROM base),
-       |m AS (SELECT
+       |    y,
+       |    ${hexFoldSql(1, 8)} % 100 AS bucket
+       |  FROM (SELECT *, md5(text) AS hx FROM base))""".stripMargin
+
+  /** m/md/w CTE bodies solving the ridge normal equations over `src`. */
+  private def classifierSolveCtes(src: String): String =
+    s"""m AS (SELECT
        |    CAST(count(*) AS BIGINT) AS n,
        |    CAST(sum(x1) AS BIGINT) AS s1, CAST(sum(x2) AS BIGINT) AS s2,
        |    CAST(sum(x3) AS BIGINT) AS s3,
@@ -1205,7 +1244,7 @@ object ExtQueries {
        |    CAST(sum(x2*x3) AS BIGINT) AS s23, CAST(sum(x3*x3) AS BIGINT) AS s33,
        |    CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x1*y) AS BIGINT) AS s1y,
        |    CAST(sum(x2*y) AS BIGINT) AS s2y, CAST(sum(x3*y) AS BIGINT) AS s3y
-       |  FROM feats),
+       |  FROM $src),
        |md AS (SELECT
        |    CAST(n AS DOUBLE) AS dn, CAST(s1 AS DOUBLE) AS d1,
        |    CAST(s2 AS DOUBLE) AS d2, CAST(s3 AS DOUBLE) AS d3,
@@ -1216,8 +1255,12 @@ object ExtQueries {
        |    CAST(s2y AS DOUBLE) AS d2y, CAST(s3y AS DOUBLE) AS d3y
        |  FROM m),
        |w AS (SELECT
-       |    ${ws.mkString(",\n       |    ")}
-       |  FROM md),
+       |    $ClassifierWeightSql
+       |  FROM md)""".stripMargin
+
+  private val QualityClassifierOracle: String =
+    s"""WITH $ClassifierFeatsCtes,
+       |${classifierSolveCtes("feats")},
        |sc AS (SELECT doc_id,
        |    w0 + w1 * CAST(x1 AS DOUBLE) + w2 * CAST(x2 AS DOUBLE)
        |       + w3 * CAST(x3 AS DOUBLE) AS score,
@@ -1225,6 +1268,26 @@ object ExtQueries {
        |  FROM feats, w)
        |SELECT doc_id, score, score >= 0.5 AS pred, label
        |FROM sc ORDER BY doc_id""".stripMargin
+
+  /** One holdout fold as a complete parenthesized sub-query: train on one
+    * content-hash half, score the other, report confusion counts. */
+  private def classifierFoldSql(f: Int): String = {
+    val trainCond = if (f == 0) "bucket < 50" else "bucket >= 50"
+    val scoreCond = if (f == 0) "bucket >= 50" else "bucket < 50"
+    s"""(WITH $ClassifierFeatsCtes,
+       |tr AS (SELECT * FROM feats WHERE $trainCond),
+       |${classifierSolveCtes("tr")},
+       |sc AS (SELECT
+       |    w0 + w1 * CAST(x1 AS DOUBLE) + w2 * CAST(x2 AS DOUBLE)
+       |       + w3 * CAST(x3 AS DOUBLE) >= 0.5 AS pred,
+       |    y AS label
+       |  FROM feats, w WHERE $scoreCond)
+       |SELECT CAST($f AS BIGINT) AS fold,
+       |  CAST(count(*) AS BIGINT) AS n_scored,
+       |  CAST(sum(CASE WHEN pred = (label = 1) THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       |  CAST(sum(CASE WHEN pred AND label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS true_pos,
+       |  CAST(sum(CASE WHEN pred AND label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS false_pos
+       |FROM sc)""".stripMargin
   }
 
   private val AnnIvfNprobeOracle: String =
@@ -2378,6 +2441,14 @@ object ExtQueries {
     // source of truth for the expression tree), SAME left-associated
     // scoring chain, so weights and scores agree bit-for-bit
     "corpus_quality_classifier" -> QualityClassifierOracle,
+
+    // holdout twin: each fold is a complete parenthesized sub-query over
+    // the shared feats/solve fragments; folds split on the content-hash
+    // bucket (the corpus_split discipline — leakage-safe)
+    "classifier_holdout_accuracy" ->
+      s"""SELECT * FROM (${classifierFoldSql(0)}
+         |UNION ALL
+         |${classifierFoldSql(1)}) ORDER BY fold""".stripMargin,
 
     // DSIR twin: md5-fold bucket hash (minhash/CMS convention), add-one
     // smoothed target/raw ratio in integer ilog2 bits, summed per doc
