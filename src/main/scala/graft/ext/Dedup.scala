@@ -112,6 +112,18 @@ object Dedup {
     (lit(10000L) * inter / uni).cast("long")
   }
 
+  /** Scaled-integer CONTAINMENT (Broder 1997's asymmetric resemblance):
+    * floor(10000·|A∩B|/|A|) — "how much of A is inside B". The signal
+    * Jaccard under-reports when one document wholly contains another
+    * (quote expansion, article + appended boilerplate): a short doc fully
+    * embedded in a long one has low Jaccard but containment 10000. */
+  def containmentX10000(ta: Column, tb: Column): Column = {
+    val da = array_distinct(ta)
+    val db = array_distinct(tb)
+    val inter = size(array_intersect(da, db)).cast("long")
+    (lit(10000L) * inter / size(da).cast("long")).cast("long")
+  }
+
   /** MinHash + LSH near-dup pairs: exact-dup pre-collapse → shingle →
     * n-hash signature → band buckets → bucket-join for candidates → exact
     * Jaccard verify at `thresholdX10000`. The candidate join shuffles on

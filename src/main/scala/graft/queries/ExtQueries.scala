@@ -59,6 +59,25 @@ object ExtQueries {
           TextAnalysis.tokens(concat(col("text"), lit(Suffix)))).as("jacc_x10000"))
       .orderBy("doc_id")
 
+  /** Directional containment on the planted (base, base+suffix) pairs —
+    * next to their Jaccard: base→twin containment is exactly 10000 (the
+    * base is wholly inside its suffixed twin) while Jaccard < 10000,
+    * demonstrating the asymmetric signal whole-doc dedup needs for
+    * quote-expansion / appended-boilerplate cases. */
+  private val dedupContainment: Q = (s, dir) =>
+    documents(s, dir).filter(col("doc_id") % 20 === 0)
+      .select(col("doc_id"),
+        Dedup.containmentX10000(
+          TextAnalysis.tokens(col("text")),
+          TextAnalysis.tokens(concat(col("text"), lit(Suffix)))).as("cont_ab_x10000"),
+        Dedup.containmentX10000(
+          TextAnalysis.tokens(concat(col("text"), lit(Suffix))),
+          TextAnalysis.tokens(col("text"))).as("cont_ba_x10000"),
+        Dedup.jaccardX10000(
+          TextAnalysis.tokens(col("text")),
+          TextAnalysis.tokens(concat(col("text"), lit(Suffix)))).as("jacc_x10000"))
+      .orderBy("doc_id")
+
   private val dedupEmbeddingCosine: Q = (s, dir) => {
     graft.functions.GraftFunctions.ensureRegistered(s)
     val e = embeddings(s, dir)
@@ -735,6 +754,7 @@ object ExtQueries {
     "dedup_cluster_components" -> dedupClusters,
     "dedup_simhash" -> dedupSimhash,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
+    "dedup_containment" -> dedupContainment,
     "dedup_embedding_cosine" -> dedupEmbeddingCosine,
     "dedup_semantic" -> dedupSemantic,
     "dedup_cross_source" -> dedupCrossSource,
@@ -1417,6 +1437,21 @@ object ExtQueries {
          |    list_distinct(regexp_split_to_array(text || '$Suffix', '\\s+')) AS tb
          |  FROM documents WHERE doc_id % 20 = 0)
          |SELECT doc_id,
+         |  10000 * len(list_distinct(list_intersect(ta, tb)))
+         |    // (len(ta) + len(tb) - len(list_distinct(list_intersect(ta, tb)))) AS jacc_x10000
+         |FROM pairs ORDER BY doc_id""".stripMargin,
+
+    // containment twin: |A∩B|/|A| both directions next to the Jaccard —
+    // base→twin exactly 10000 (wholly contained), twin→base < 10000
+    "dedup_containment" ->
+      s"""WITH pairs AS (
+         |  SELECT doc_id,
+         |    list_distinct(regexp_split_to_array(text, '\\s+')) AS ta,
+         |    list_distinct(regexp_split_to_array(text || '$Suffix', '\\s+')) AS tb
+         |  FROM documents WHERE doc_id % 20 = 0)
+         |SELECT doc_id,
+         |  10000 * len(list_distinct(list_intersect(ta, tb))) // len(ta) AS cont_ab_x10000,
+         |  10000 * len(list_distinct(list_intersect(tb, ta))) // len(tb) AS cont_ba_x10000,
          |  10000 * len(list_distinct(list_intersect(ta, tb)))
          |    // (len(ta) + len(tb) - len(list_distinct(list_intersect(ta, tb)))) AS jacc_x10000
          |FROM pairs ORDER BY doc_id""".stripMargin,
