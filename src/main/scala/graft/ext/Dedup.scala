@@ -519,16 +519,26 @@ object Dedup {
     * pass is a narrow projection + a semi-join ONLY for the hit subset —
     * at a few-% FP rate, the exact join's input shrinks by the epoch's
     * non-dup fraction (the whole point at 100 TB). */
-  def bloomPrefilter(epoch: DataFrame, standing: DataFrame,
-      mBits: Int = 16384, k: Int = 4): DataFrame = {
-    val bloom = bloomBuild(standing, mBits, k)
+  /** Row-local Bloom membership test against a built filter's word-array
+    * literal — the INGEST-TIME seam: a stream maps this column in the
+    * admitting micro-batch (the filter is a frozen plan constant; no
+    * state, no shuffle), routing probable-dups to the expensive exact
+    * path and everything else straight through. */
+  def bloomHitCol(text: Column, bloom: Array[Long], mBits: Int = 16384,
+      k: Int = 4): Column = {
     val wLit = typedLit(bloom.toSeq)
-    val hit = aggregate(
-      bloomBits(col("text"), mBits, k), lit(true),
+    aggregate(
+      bloomBits(text, mBits, k), lit(true),
       (acc, bit) => acc &&
         (element_at(wLit, (bit / 32).cast("int") + 1)
           .bitwiseAND(call_function("shiftleft", lit(1L),
             (bit % 32).cast("int"))) =!= 0L))
+  }
+
+  def bloomPrefilter(epoch: DataFrame, standing: DataFrame,
+      mBits: Int = 16384, k: Int = 4): DataFrame = {
+    val bloom = bloomBuild(standing, mBits, k)
+    val hit = bloomHitCol(col("text"), bloom, mBits, k)
     val tested = epoch.select(col("doc_id"), col("text"), hit.as("bloom_hit"))
     val standingKeys = standing.select(md5(col("text")).as("ck")).distinct()
     // only the HIT subset reaches the exact content join — non-hits are

@@ -2,6 +2,7 @@ package graft
 
 import graft.ext.{BpeTrainer, TextAnalysis}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Ingest-time curation signals: the row-local twins (repetition stats,
@@ -90,6 +91,37 @@ class IngestSignalsStreamSpec extends AnyFunSuite {
       assert(bits(1L) > bits(2L),
         "target-domain doc must carry higher importance at ingest")
     } finally { q.stop(); q2.stop() }
+  }
+
+  test("Bloom membership tests at ingest: stream == batch, zero shuffle, no FN") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val standing = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val bloom = graft.ext.Dedup.bloomBuild(standing)
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text")
+      .withColumn("bloom_hit", graft.ext.Dedup.bloomHitCol(col("text"), bloom))
+      .writeStream.format("memory").queryName("bloom_ingest")
+      .outputMode("append").start()
+    try {
+      input.addData((10L, "alpha beta gamma"), (11L, "totally fresh content"))
+      q.processAllAvailable()
+      val out = spark.table("bloom_ingest").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("bloom_hit")).toMap
+      assert(out(10L), "a standing-corpus duplicate must hit at ingest (no FN)")
+      // batch twin agrees row-for-row
+      val batch = Seq((10L, "alpha beta gamma"), (11L, "totally fresh content"))
+        .toDF("doc_id", "text")
+        .withColumn("bloom_hit", graft.ext.Dedup.bloomHitCol(col("text"), bloom))
+        .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+      assert(out == batch, "stream Bloom decisions diverged from batch")
+      val plan = standing
+        .withColumn("bloom_hit", graft.ext.Dedup.bloomHitCol(col("text"), bloom))
+        .queryExecution.executedPlan
+      assert(!plan.toString.contains("Exchange"),
+        "Bloom membership must not shuffle (frozen filter literal)")
+    } finally q.stop()
   }
 
   test("repetition + BPE counting run on a stream, values match batch") {
