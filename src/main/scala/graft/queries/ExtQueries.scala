@@ -48,6 +48,41 @@ object ExtQueries {
     Dedup.connectedComponents(Dedup.minhashLshPairs(dupCorpus(s, dir)))
       .orderBy("doc_id")
 
+  /** MinHash signature fidelity — est vs exact Jaccard on the planted
+    * pairs (the signature-quality audit: how well do 32 hashes estimate
+    * the true resemblance the LSH thresholds act on): est = matching
+    * components / 32, next to the exact token Jaccard. */
+  private val dedupMinhashJaccardEst: Q = (s, dir) => {
+    val base = documents(s, dir).filter(col("doc_id") % 20 === 0)
+      .select("doc_id", "text")
+    val twin = base.select(col("doc_id"),
+      concat(col("text"), lit(Suffix)).as("text"))
+    val sa = TextAnalysis.minhashSignatureRows(base, 32)
+    val sb = TextAnalysis.minhashSignatureRows(twin, 32)
+      .select(col("doc_id") +: (0 until 32).map(i => col(s"h$i").as(s"g$i")): _*)
+    val eq = (0 until 32)
+      .map(i => when(col(s"h$i") === col(s"g$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val exact = base.select(col("doc_id"),
+      Dedup.jaccardX10000(
+        TextAnalysis.tokens(col("text")),
+        TextAnalysis.tokens(concat(col("text"), lit(Suffix)))).as("jacc_x10000"))
+    sa.join(sb, "doc_id")
+      .select(col("doc_id"), (lit(10000L) * eq / lit(32L)).cast("long").as("est_x10000"))
+      .join(exact, "doc_id")
+      .orderBy("doc_id")
+  }
+
+  /** Duplicate-cluster size histogram — the dedup report a pipeline ships
+    * (how much mass sits in how-big clusters): two bounded aggregations
+    * over the CC labels (cluster sizes, then the size histogram — output
+    * bounded by the size DOMAIN, not the corpus). */
+  private val dedupClusterStats: Q = (s, dir) =>
+    Dedup.connectedComponents(Dedup.minhashLshPairs(dupCorpus(s, dir)))
+      .groupBy("comp").agg(count(lit(1)).as("n_members"))
+      .groupBy("n_members").agg(count(lit(1)).as("n_clusters"))
+      .orderBy("n_members")
+
   private val dedupSimhash: Q = (s, dir) =>
     Dedup.simhashSignatures(dupCorpus(s, dir)).orderBy("doc_id")
 
@@ -752,6 +787,8 @@ object ExtQueries {
     "dedup_exact" -> dedupExact,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_cluster_components" -> dedupClusters,
+    "dedup_cluster_stats" -> dedupClusterStats,
+    "dedup_minhash_jaccard_est" -> dedupMinhashJaccardEst,
     "dedup_simhash" -> dedupSimhash,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_containment" -> dedupContainment,
@@ -1440,6 +1477,28 @@ object ExtQueries {
          |  10000 * len(list_distinct(list_intersect(ta, tb)))
          |    // (len(ta) + len(tb) - len(list_distinct(list_intersect(ta, tb)))) AS jacc_x10000
          |FROM pairs ORDER BY doc_id""".stripMargin,
+
+    // signature-fidelity twin: the shared minhash CTE chain over the
+    // planted (base, base+1000000=suffixed) corpus; est = equal signature
+    // components // 32 vs the exact token Jaccard from the same `ts` CTE
+    "dedup_minhash_jaccard_est" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0
+         |  UNION ALL SELECT doc_id + 1000000, text || '$Suffix'
+         |    FROM documents WHERE doc_id % 20 = 0),
+         |$MinhashFromCorpus,
+         |est AS (SELECT a.doc_id,
+         |    CAST(10000 * (${(0 until 32)
+              .map(i => s"CAST(a.h$i = b.h$i AS INT)").mkString(" + ")})
+         |      // 32 AS BIGINT) AS est_x10000
+         |  FROM sigs a JOIN sigs b ON b.doc_id = a.doc_id + 1000000),
+         |ex AS (SELECT x.doc_id,
+         |    10000 * len(list_distinct(list_intersect(x.t, y.t)))
+         |      // (len(x.t) + len(y.t)
+         |         - len(list_distinct(list_intersect(x.t, y.t)))) AS jacc_x10000
+         |  FROM ts x JOIN ts y ON y.doc_id = x.doc_id + 1000000)
+         |SELECT doc_id, est_x10000, jacc_x10000
+         |FROM est JOIN ex USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     // containment twin: |A∩B|/|A| both directions next to the Jaccard —
     // base→twin exactly 10000 (wholly contained), twin→base < 10000
@@ -3025,5 +3084,11 @@ object ExtQueries {
     // plans — the in-memory oracles ARE the twins (the ann_ivf_persisted
     // contract)
     .pipe(m => m + ("ann_ivf_pq_persisted" -> m("ann_ivf_pq"))
-      + ("ann_ivf_sq8_persisted" -> m("ann_ivf_sq8")))
+      + ("ann_ivf_sq8_persisted" -> m("ann_ivf_sq8"))
+      // cluster-size histogram wraps the CC oracle as a subquery
+      + ("dedup_cluster_stats" ->
+        s"""SELECT n_members, CAST(count(*) AS BIGINT) AS n_clusters
+           |FROM (SELECT comp, CAST(count(*) AS BIGINT) AS n_members
+           |      FROM (${m("dedup_cluster_components")}) GROUP BY comp)
+           |GROUP BY n_members ORDER BY n_members""".stripMargin))
 }
