@@ -534,6 +534,33 @@ object ExtQueries {
     fold(0).unionAll(fold(1)).orderBy("fold")
   }
 
+  /** Selection-centric pipeline composition — the GPT-3-style "keep what
+    * looks like the reference domain, then flatten the mixture" chain:
+    * classifier gate (trained on the full corpus, one normal-equations
+    * agg) → temperature sampling over the surviving domain mix. One
+    * disposition row per input doc (classifier_drop / sampled_out /
+    * kept + the classifier score) — the ablation-log shape of
+    * corpus_pipeline_e2e applied to the model-based selection stages.
+    * Stage costs shrink monotonically: scoring is narrow over everything,
+    * domain counts aggregate only survivors, the sample decision is a
+    * narrow filter. */
+  private val corpusSelectPipeline: Q = (s, dir) => {
+    val d = classifierCorpus(s, dir)
+    val w = Selection.trainQualityLsq(d)
+    val scored = Selection.scoreQuality(d, w)
+      .join(documents(s, dir).select("doc_id", "lang"), "doc_id")
+      .join(d.select("doc_id", "text"), "doc_id")
+    val kept = scored.filter(col("pred"))
+    val sampled = TextAnalysis.temperatureSample(kept)
+      .select(col("doc_id"), lit(true).as("t_keep"))
+    scored.join(sampled, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("score"),
+        when(!col("pred"), "classifier_drop")
+          .when(col("t_keep").isNull, "sampled_out")
+          .otherwise("kept").as("status"))
+      .orderBy("doc_id")
+  }
+
   /** Planted target domain for DSIR: every 5th doc carries distinctive
     * reference-corpus tokens absent from the base vocabulary, so the
     * hashed-unigram likelihood ratio separates. */
@@ -848,6 +875,7 @@ object ExtQueries {
     "classifier_holdout_accuracy" -> classifierHoldoutAccuracy,
     "corpus_dsir_importance" -> corpusDsirImportance,
     "corpus_temperature_sample" -> corpusTemperatureSample,
+    "corpus_select_pipeline" -> corpusSelectPipeline,
     "dedup_bloom_prefilter" -> dedupBloomPrefilter,
     "text_bpe_train" -> textBpeTrain,
     "text_bpe_tokens" -> textBpeTokens,
@@ -2499,6 +2527,34 @@ object ExtQueries {
          |SELECT doc_id, b.lang, bucket, CAST(rate AS BIGINT) AS rate_x10000
          |FROM b JOIN r USING (lang) WHERE bucket < rate
          |ORDER BY doc_id""".stripMargin,
+
+    // selection-pipeline twin: classifier fragments -> pred gate ->
+    // temperature CTEs over survivors -> disposition left-join
+    "corpus_select_pipeline" ->
+      s"""WITH $ClassifierFeatsCtes,
+         |${classifierSolveCtes("feats")},
+         |scd AS (SELECT doc_id,
+         |    w0 + w1 * CAST(x1 AS DOUBLE) + w2 * CAST(x2 AS DOUBLE)
+         |       + w3 * CAST(x3 AS DOUBLE) AS score,
+         |    w0 + w1 * CAST(x1 AS DOUBLE) + w2 * CAST(x2 AS DOUBLE)
+         |       + w3 * CAST(x3 AS DOUBLE) >= 0.5 AS pred
+         |  FROM feats, w),
+         |kl AS (SELECT s.doc_id, d.lang, b.text
+         |  FROM scd s JOIN documents d USING (doc_id) JOIN base b USING (doc_id)
+         |  WHERE s.pred),
+         |c AS (SELECT lang, CAST(count(*) AS BIGINT) AS c FROM kl GROUP BY 1),
+         |mn AS (SELECT min(c) AS cmin FROM c),
+         |r AS (SELECT lang,
+         |    10000 * CAST(floor(sqrt(CAST(cmin * c AS DOUBLE))) AS BIGINT) // c AS rate
+         |  FROM c, mn),
+         |tb AS (SELECT k2.doc_id, ${hexFoldSql(1, 8)} % 10000 AS tbucket, r.rate
+         |  FROM (SELECT doc_id, lang, md5(text) AS hx FROM kl) k2
+         |  JOIN r USING (lang))
+         |SELECT s.doc_id, s.score,
+         |  CASE WHEN NOT s.pred THEN 'classifier_drop'
+         |       WHEN tb.tbucket >= tb.rate THEN 'sampled_out'
+         |       ELSE 'kept' END AS status
+         |FROM scd s LEFT JOIN tb USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     // Bloom prefilter twin: same double-hash bit family (md5 halves, the
     // CMS convention), bit_or word build, row-wise AND membership test,
