@@ -610,4 +610,48 @@ object TextAnalysis {
         size(col("col")).cast("long").as("n_tokens"),
         md5(concat_ws(" ", col("col"))).as("chunk_md5"))
   }
+
+  /** Corpus-wide line-level exact dedup — the C4 discipline (Raffel et al.
+    * 2020 §2.2: "we discarded all but one of any three-sentence span
+    * occurring more than once", applied at the line granularity RefinedWeb
+    * and Dolma ship): every duplicated LINE keeps only its first occurrence
+    * (min doc_id, then min line_no) across the whole corpus, and each
+    * document is re-assembled from its surviving lines. Catches the
+    * boilerplate whole-document dedup cannot — navigation footers, cookie
+    * banners, license headers repeated across otherwise-distinct pages.
+    *
+    * Output: one row per document — `(doc_id, lines_total, lines_kept,
+    * clean_text)`; `clean_text` is the kept lines re-joined in original
+    * order ('' when every line was a later duplicate).
+    *
+    * Scale shape: the line fan-out is row-local (posexplode of a split —
+    * no shuffle); the canonical map is ONE map-side-combined min(struct)
+    * aggregation on the high-cardinality line-hash key; the disposition
+    * join shuffles on the same key; re-assembly is one doc_id shuffle
+    * whose groups are doc-bounded (a document's own line count), so no
+    * per-group funnel exists at any corpus size. Nothing is collected,
+    * nothing is windowed. */
+  def lineDedup(docs: DataFrame): DataFrame = {
+    val lines = docs
+      .select(col("doc_id"), posexplode(split(col("text"), "\n")))
+      .select(col("doc_id"), col("pos").cast("long").as("line_no"),
+        col("col").as("line"), md5(col("col")).as("lk"))
+    val canon = lines.groupBy("lk")
+      .agg(min(struct(col("doc_id"), col("line_no"))).as("c"))
+      .select(col("lk"), col("c.doc_id").as("canon_doc"),
+        col("c.line_no").as("canon_line"))
+    lines.join(canon, "lk")
+      .select(col("doc_id"), col("line_no"), col("line"),
+        (col("doc_id") === col("canon_doc") &&
+          col("line_no") === col("canon_line")).as("kept"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("lines_total"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("lines_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("kept"), struct(col("line_no"), col("line"))))),
+            x => x.getField("line")),
+          "\n").as("clean_text"))
+  }
 }

@@ -721,6 +721,26 @@ object ExtQueries {
   private val corpusChunkDedup: Q = (s, dir) =>
     Dedup.chunkDedup(documents(s, dir)).orderBy("doc_id", "chunk_id")
 
+  /** Multi-line corpus for line dedup: each doc reshaped into 8-token
+    * lines, plus a planted boilerplate footer on every 3rd doc (the
+    * cookie-banner case line dedup exists for). The tiny synthetic vocab
+    * also yields natural cross-doc duplicate lines. */
+  private def lineCorpus(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), "\\s+")
+    val lines = transform(sequence(lit(0), ((size(toks) - 1) / 8).cast("int")),
+      i => concat_ws(" ", slice(toks, i * 8 + 1, lit(8))))
+    documents(s, dir).select(col("doc_id"),
+      concat(array_join(lines, "\n"),
+        when(col("doc_id") % 3 === 0,
+          lit("\nsubscribe to the newsletter today")).otherwise(lit("")))
+        .as("text"))
+  }
+
+  /** C4-style corpus-wide line dedup: every duplicated line keeps only
+    * its first occurrence; docs re-assembled from surviving lines. */
+  private val corpusLineDedup: Q = (s, dir) =>
+    TextAnalysis.lineDedup(lineCorpus(s, dir)).orderBy("doc_id")
+
   private val embRandomProjection: Q = (s, dir) => {
     graft.functions.GraftFunctions.ensureRegistered(s)
     Embeddings.randomProjection(embeddings(s, dir)).orderBy("vec_id")
@@ -855,6 +875,7 @@ object ExtQueries {
     "corpus_redact_pii" -> corpusRedactPii,
     "corpus_chunk" -> corpusChunk,
     "corpus_chunk_dedup" -> corpusChunkDedup,
+    "corpus_line_dedup" -> corpusLineDedup,
     "corpus_pipeline_e2e" -> corpusPipelineE2e,
     "text_vocab_topk" -> textVocabTopk,
     "emb_quantize_int8" -> embQuantizeInt8,
@@ -1464,6 +1485,35 @@ object ExtQueries {
         |  c.canon_doc, c.canon_chunk, n.n_copies
         |FROM chm m JOIN canon c USING (chunk_md5) JOIN cnt n USING (chunk_md5)
         |ORDER BY m.doc_id, m.chunk_id""".stripMargin,
+
+    // line-dedup twin: same 8-token-line reshape + boilerplate plant,
+    // first-occurrence canonical per line hash, kept-lines re-assembly
+    "corpus_line_dedup" ->
+      """WITH tok AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS t
+        |  FROM documents),
+        |lc AS (SELECT doc_id, array_to_string(
+        |    list_transform(range(0, (len(t)-1)//8 + 1),
+        |      i -> array_to_string(t[i*8+1 : i*8+8], ' ')), chr(10))
+        |  || CASE WHEN doc_id % 3 = 0
+        |       THEN chr(10) || 'subscribe to the newsletter today'
+        |       ELSE '' END AS text FROM tok),
+        |ls AS (SELECT doc_id, string_split(text, chr(10)) AS sp FROM lc),
+        |l0 AS (SELECT doc_id, sp, unnest(range(0, len(sp))) AS i FROM ls),
+        |lines AS (SELECT doc_id, CAST(i AS BIGINT) AS line_no,
+        |  sp[CAST(i AS INT)+1] AS line FROM l0),
+        |canon AS (SELECT lk, doc_id AS cd, line_no AS cl FROM (
+        |    SELECT md5(line) AS lk, doc_id, line_no,
+        |      row_number() OVER (PARTITION BY md5(line)
+        |        ORDER BY doc_id, line_no) AS rn
+        |    FROM lines) WHERE rn = 1),
+        |k AS (SELECT l.doc_id, l.line_no, l.line,
+        |    (l.doc_id = c.cd AND l.line_no = c.cl) AS kept
+        |  FROM lines l JOIN canon c ON md5(l.line) = c.lk)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS lines_total,
+        |  CAST(count(*) FILTER (WHERE kept) AS BIGINT) AS lines_kept,
+        |  coalesce(string_agg(line, chr(10) ORDER BY line_no)
+        |    FILTER (WHERE kept), '') AS clean_text
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "dedup_exact" ->
       s"""$CorpusCte

@@ -41,7 +41,7 @@ class CurationPlanSpec extends AnyFunSuite {
   test("r7 selection keys: no window funnel, no cartesian") {
     Seq("corpus_quality_classifier", "corpus_dsir_importance",
       "corpus_temperature_sample", "dedup_bloom_prefilter",
-      "corpus_select_pipeline", "dedup_cluster_stats",
+      "corpus_select_pipeline", "corpus_line_dedup", "dedup_cluster_stats",
       "dedup_minhash_jaccard_est", "dedup_containment", "q_funnel",
       "classifier_holdout_accuracy")
       .foreach(assertScaleShape)
