@@ -232,7 +232,7 @@ object CoreQueries {
   // (batch analog over event timestamps).
   private val flushTimeInterval: Q = (s, dir) => {
     val ev = eventsTs(s, dir)
-      .select(col("event_id"), expr("timestamp_micros(ts_ns div 1000)").as("ts"))
+      .select(col("event_id"), timestamp_micros(col("ts_us")).as("ts"))
     val r = routed(s, dir)
     r.join(ev, "event_id")
       .groupBy(window(col("ts"), "60 seconds").as("w"), col("topic"))
@@ -284,7 +284,7 @@ object CoreQueries {
       concat(lit("e"), col("event_id").cast("string")).as("tag"),
       regexp_extract(col("event_type"), "^(\\w)", 1).as("initial"),
       get_json_object(col("props"), "$.k").as("k"),
-      date_format(expr("timestamp_micros(ts_ns div 1000)"), "yyyy-MM-dd HH:mm:ss").as("tstr"),
+      date_format(timestamp_micros(col("ts_us")), "yyyy-MM-dd HH:mm:ss").as("tstr"),
       length(col("props")).cast("long").as("len"))
       .orderBy("event_id")
 

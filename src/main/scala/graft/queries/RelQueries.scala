@@ -116,7 +116,7 @@ object RelQueries {
   // timestamps; stage = how far the user got.
   private val qFunnel: Q = (s, dir) => {
     val ev = eventsTs(s, dir)
-      .select(col("user_id"), col("event_type"), expr("ts_ns div 1000").as("ts_us"))
+      .select(col("user_id"), col("event_type"), col("ts_us"))
     val s1 = ev.filter(col("event_type") === "view")
       .groupBy("user_id").agg(min("ts_us").as("t_view"))
     val s2 = ev.filter(col("event_type") === "click").join(s1, "user_id")
@@ -171,12 +171,11 @@ object RelQueries {
   // explosion, no per-key range scan; skew-safe because each user's stream
   // is one partition of a window, not a join side.
   private val qAsofJoin: Q = (s, dir) => {
-    // µs-truncated time: DuckDB timestamps are µs, the parquet carries ns —
-    // ordering must agree at µs granularity with event_id as tie-break.
+    // µs time via the shared audited conversion (Synth.eventsTs); event_id
+    // tie-breaks equal-µs orderings identically in both engines.
     val ev = eventsTs(s, dir)
       .filter(col("event_type").isin("click", "purchase"))
-      .select(col("event_id"), col("user_id"), col("event_type"),
-        expr("ts_ns div 1000").as("ts_us"))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts_us"))
     val w = Window.partitionBy("user_id")
       .orderBy(col("ts_us"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -244,8 +243,7 @@ object RelQueries {
   private val qRangeJoinBinned: Q = (s, dir) => {
     val BucketUs = 3600L * 1000000L
     val ev = eventsTs(s, dir)
-      .select(col("event_id"), col("user_id"), col("event_type"),
-        expr("ts_ns div 1000").as("ts_us"))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts_us"))
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("user_id"), col("ts_us").as("c_ts"),
         expr(s"ts_us div $BucketUs").as("bucket"))
@@ -271,7 +269,7 @@ object RelQueries {
   private val qSessionize: Q = (s, dir) => {
     val gapUs = 30L * 60 * 1000000L
     val ev = eventsTs(s, dir)
-      .select(col("event_id"), col("user_id"), expr("ts_ns div 1000").as("ts_us"))
+      .select(col("event_id"), col("user_id"), col("ts_us"))
     val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     val flagged = ev.withColumn("new_s",
       when(lag("ts_us", 1).over(w).isNull ||
@@ -303,7 +301,7 @@ object RelQueries {
   // the DuckDB twin is integer µs bucketing.
   private val qTumblingWindow: Q = (s, dir) =>
     eventsTs(s, dir)
-      .select(expr("ts_ns div 1000").as("ts_us"), col("user_id"), col("value"))
+      .select(col("ts_us"), col("user_id"), col("value"))
       .groupBy(window(timestamp_micros(col("ts_us")), "15 minutes").as("w"))
       .agg(count(lit(1)).as("n"), countDistinct("user_id").as("users"),
         dsum(col("value")).as("sum_value"))
@@ -316,7 +314,7 @@ object RelQueries {
   // operator's semantics (an event is IN two windows), not a plan artifact.
   private val qSlidingWindow: Q = (s, dir) =>
     eventsTs(s, dir)
-      .select(expr("ts_ns div 1000").as("ts_us"), col("user_id"))
+      .select(col("ts_us"), col("user_id"))
       .groupBy(window(timestamp_micros(col("ts_us")), "30 minutes", "15 minutes").as("w"))
       .agg(count(lit(1)).as("n"), countDistinct("user_id").as("users"))
       .select(unix_micros(col("w.start")).as("w_start_us"), col("n"), col("users"))

@@ -42,14 +42,35 @@ object Synth {
       .schema("event_id long, user_id long, event_type string, value double, props string")
       .parquet(s"$dir/events.parquet"))
 
-  /** events with `ts_ns: long` (raw nanos) for the time-bucketing queries;
-    * requires spark.sql.legacy.parquet.nanosAsLong=true (set by graft's own
-    * sessions — Verify/Bench). */
-  def eventsTs(s: SparkSession, dir: String): DataFrame =
-    spread(s.read
-      .schema("event_id long, ts long, user_id long, event_type string, value double, props string")
-      .parquet(s"$dir/events.parquet")
-      .withColumnRenamed("ts", "ts_ns"))
+  /** events with a normalized `ts_us: long` (µs since epoch) — the ONE
+    * audited time conversion every time-axis consumer goes through. The
+    * driver's testdata has shipped `ts` both as TIMESTAMP(NANOS) (readable
+    * only as a raw long under spark.sql.legacy.parquet.nanosAsLong) and as
+    * timestamp[us] across regenerations, so the unit is NOT assumed: the
+    * parquet footer's logical type is sniffed via schema inference and the
+    * conversion branches on it. A future unit flip fails loudly here instead
+    * of silently compressing the time axis (round-6 regression). */
+  def eventsTs(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val path = s"$dir/events.parquet"
+    val tsType = s.read.parquet(path).schema("ts").dataType
+    val base = s.read
+      .schema(StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", tsType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType), StructField("props", StringType))))
+      .parquet(path)
+    val tsUs = tsType match {
+      case TimestampType    => unix_micros(col("ts"))
+      // NTZ wall-clock == instant under the session's pinned UTC zone
+      case TimestampNTZType => unix_micros(col("ts").cast(TimestampType))
+      // legacy nanosAsLong surfaces TIMESTAMP(NANOS) as a raw nanos long
+      case LongType         => expr("ts div 1000")
+      case other => throw new IllegalStateException(
+        s"events.ts has unsupported type $other — audit the unit before use")
+    }
+    spread(base.withColumn("ts_us", tsUs).drop("ts"))
+  }
   def documents(s: SparkSession, dir: String): DataFrame =
     spread(s.read.parquet(s"$dir/documents.parquet"))
   def embeddings(s: SparkSession, dir: String): DataFrame =
