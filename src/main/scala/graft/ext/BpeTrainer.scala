@@ -61,27 +61,51 @@ object BpeTrainer {
       .select(col("w"), col("cnt"), chars.as("syms"))
   }
 
+  /** The driver-side histogram bound. A 100-TB web corpus has 10⁸–10⁹
+    * distinct whitespace "words" — model-sized only after pruning, so the
+    * collect is NEVER unbounded: rows below `minCount` are dropped and the
+    * rest capped to the top `maxVocabRows` by (count desc, word asc) — a
+    * TakeOrdered-shaped job (bounded heap per partition, no global sort),
+    * the same frequency-floor/top-N discipline sentencepiece and the HF
+    * trainers apply before their in-memory loop. The defaults pass every
+    * test-scale corpus through unchanged while keeping the worst-case
+    * driver footprint at ~hundreds of MB. */
+  val DefaultMinCount = 1L
+  val DefaultMaxVocabRows: Int = 4 << 20 // ~4.2M distinct words
+
+  private def collectVocab(corpus: DataFrame, minCount: Long,
+      maxVocabRows: Int): (Array[Array[String]], Array[Long]) = {
+    val v = charVocab(corpus).filter(col("cnt") >= minCount)
+    val capped =
+      if (maxVocabRows == Int.MaxValue) v
+      else v.orderBy(desc("cnt"), asc("w")).limit(maxVocabRows)
+    val hist = capped.select(col("cnt"), col("syms")).collect()
+    (hist.map(_.getSeq[String](1).toArray), hist.map(_.getLong(0)))
+  }
+
   /** Learn `merges` merge rules: one distributed histogram job + a
     * driver-side merge loop (the sentencepiece/HF trainer split). Returns
     * (p1, p2, pairCount) in merge order. Wall-time is one Spark job plus
     * O(merges · Σ|word symbols|) driver work — sublinear in merge count
-    * where the round-per-job loop was linear in Spark-job latency. */
-  def train(corpus: DataFrame, merges: Int = 8): Seq[(String, String, Long)] = {
-    val hist = charVocab(corpus).select(col("cnt"), col("syms")).collect()
-    val cnts = hist.map(_.getLong(0))
-    val words = hist.map(_.getSeq[String](1).toArray)
+    * where the round-per-job loop was linear in Spark-job latency. The
+    * histogram collect is bounded by `minCount`/`maxVocabRows` (see
+    * [[DefaultMaxVocabRows]]) — never by raw corpus vocabulary. */
+  def train(corpus: DataFrame, merges: Int = 8,
+      minCount: Long = DefaultMinCount,
+      maxVocabRows: Int = DefaultMaxVocabRows): Seq[(String, String, Long)] = {
+    val (words, cnts) = collectVocab(corpus, minCount, maxVocabRows)
     trainLocal(words, cnts, merges)
   }
 
   /** Vocabulary-size-targeted training — the sentencepiece/HF stopping
     * contract: every merge mints exactly one new token id, so the final
     * vocabulary is |base alphabet| + |merges|; learn until it reaches
-    * `vocabSize` (or pairs exhaust first). Same determinism contract and
-    * one-histogram-job cost as [[train]]. */
-  def trainToVocab(corpus: DataFrame, vocabSize: Int): Seq[(String, String, Long)] = {
-    val hist = charVocab(corpus).select(col("cnt"), col("syms")).collect()
-    val cnts = hist.map(_.getLong(0))
-    val words = hist.map(_.getSeq[String](1).toArray)
+    * `vocabSize` (or pairs exhaust first). Same determinism contract,
+    * one-histogram-job cost, and collect bound as [[train]]. */
+  def trainToVocab(corpus: DataFrame, vocabSize: Int,
+      minCount: Long = DefaultMinCount,
+      maxVocabRows: Int = DefaultMaxVocabRows): Seq[(String, String, Long)] = {
+    val (words, cnts) = collectVocab(corpus, minCount, maxVocabRows)
     val alphabet = words.iterator.flatten.toSet.size
     trainLocal(words, cnts, math.max(0, vocabSize - alphabet))
   }

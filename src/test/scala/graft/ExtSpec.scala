@@ -1197,6 +1197,27 @@ class ExtSpec extends AnyFunSuite {
     assert(out == Map(1L -> 3L, 2L -> 3L), "fully merged: 1 bpe token per word")
   }
 
+  test("BPE pruned histogram agrees with unpruned on the planted corpus") {
+    // "ba" is a count-1 straggler whose single pair (b,a) can never win a
+    // round against the frequent a/b pairs — exactly the long-tail mass the
+    // production frequency floor/top-N cap exists to shed. (It reuses the
+    // {a,b} alphabet so pruning doesn't change trainToVocab's merge budget.)
+    val docs = Seq((1L, "aaa aaa aab"), (2L, "aaa aab ab"), (3L, "ba"))
+      .toDF("doc_id", "text")
+    val full = graft.ext.BpeTrainer.train(docs, merges = 3)
+    assert(full.nonEmpty)
+    // frequency floor drops zq; merge table unchanged
+    assert(graft.ext.BpeTrainer.train(docs, merges = 3, minCount = 2L) == full)
+    // top-N cap (3 distinct surviving words: aaa, aab, ab) likewise
+    assert(graft.ext.BpeTrainer.train(docs, merges = 3, maxVocabRows = 3) == full)
+    // and the vocab-targeted entry point honors the same bound
+    assert(graft.ext.BpeTrainer.trainToVocab(docs, 5, minCount = 2L) ==
+      graft.ext.BpeTrainer.trainToVocab(docs, 5))
+    // the cap is a real bound: capping to ONE word trains only on "aaa"
+    val capped = graft.ext.BpeTrainer.train(docs, merges = 2, maxVocabRows = 1)
+    assert(capped.map(m => (m._1, m._2)) == Seq(("a", "a"), ("aa", "a")))
+  }
+
   test("BPE driver-local training equals the distributed round loop") {
     val docs = graft.queries.Synth.documents(spark, "/root/testdata/sf0.001")
       .limit(40)
