@@ -44,8 +44,21 @@ final class KafkaProduceClient(broker: String, timeoutMs: Int = 60000,
     statsd: Option[StatsdEmitter] = None, maxInFlight: Int = 1024,
     tlsCaCert: Option[String] = None,
     sasl: Option[(String, String)] = None,
-    saslAlgo: ScramAuth.Algo = ScramAuth.Sha256)
+    saslAlgo: ScramAuth.Algo = ScramAuth.Sha256,
+    acks: Short = 1,
+    compression: String = "none",
+    apiVersion: Short = 0)
     extends AutoCloseable {
+
+  require(acks == -1 || acks == 0 || acks == 1, s"unsupported acks $acks")
+  require(compression == "none" || compression == "gzip",
+    s"unsupported compression codec '$compression' (none|gzip)")
+  require(apiVersion == 0 || apiVersion == 2,
+    s"unsupported Produce version $apiVersion (0|2)")
+  // compressed message sets use the magic-1 wrapper-message framing, which
+  // rides the v2 request; plain payloads honor the requested version
+  private val effectiveVersion: Short =
+    if (compression == "gzip") 2 else apiVersion
 
   private val (host, port) = broker.lastIndexOf(':') match {
     case -1 => (broker, 9092)
@@ -132,8 +145,47 @@ final class KafkaProduceClient(broker: String, timeoutMs: Int = 60000,
     case _ => "Unknown error"
   })
 
-  /** Produce v0 (api_key 0): one message, acks=1. Returns the partition
-    * error code from the response. */
+  /** One message framed for the configured version:
+    *   - v0 → MessageSet v0 (magic 0): crc, magic, attributes, key, value;
+    *   - v2 → MessageSet v1 (magic 1): adds the create-time timestamp;
+    *     with gzip, the payload message set is deflated and carried as the
+    *     value of a magic-1 WRAPPER message whose attributes name the codec
+    *     (the classic compressed-set framing every broker still accepts).
+    * Returns the full message-set bytes (offset + size + message, per
+    * entry). */
+  private def messageSet(valueB: Array[Byte]): Array[Byte] = {
+    def oneMessage(magic: Byte, attributes: Byte, value: Array[Byte]): Array[Byte] = {
+      val body = new java.io.ByteArrayOutputStream()
+      val mb = new DataOutputStream(body)
+      mb.writeByte(magic)
+      mb.writeByte(attributes)
+      if (magic >= 1) mb.writeLong(System.currentTimeMillis()) // CreateTime
+      mb.writeInt(-1) // null key
+      mb.writeInt(value.length); mb.write(value)
+      val crc = new java.util.zip.CRC32()
+      crc.update(body.toByteArray)
+      val out = new java.io.ByteArrayOutputStream()
+      val ob = new DataOutputStream(out)
+      ob.writeLong(0L) // offset (assigned by the broker on produce)
+      ob.writeInt(4 + body.size()) // crc + body
+      ob.writeInt(crc.getValue.toInt)
+      ob.write(body.toByteArray)
+      out.toByteArray
+    }
+    val magic: Byte = if (effectiveVersion >= 2) 1 else 0
+    val plainSet = oneMessage(magic, 0, valueB)
+    if (compression != "gzip") plainSet
+    else {
+      val zipped = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(zipped)
+      gz.write(plainSet); gz.close()
+      oneMessage(1, 1, zipped.toByteArray) // attributes bits 0-2: 1 = gzip
+    }
+  }
+
+  /** Produce (api_key 0) at the configured version/acks/codec: one message
+    * per request. Returns the partition error code from the response
+    * (acks=0 is fire-and-forget — no response exists to read). */
   private def produceRoundTrip(topic: String, payload: String): Int = {
     val plain = new Socket()
     var socket: Socket = plain
@@ -167,41 +219,31 @@ final class KafkaProduceClient(broker: String, timeoutMs: Int = 60000,
 
       val clientId = "graft".getBytes(StandardCharsets.UTF_8)
       val topicB = topic.getBytes(StandardCharsets.UTF_8)
-      val valueB = payload.getBytes(StandardCharsets.UTF_8)
+      val set = messageSet(payload.getBytes(StandardCharsets.UTF_8))
       val correlationId = 0x70726f64 // "prod"
-
-      // v0 message: crc, magic=0, attributes=0, key=null, value
-      val msgBody = new java.io.ByteArrayOutputStream()
-      val mb = new DataOutputStream(msgBody)
-      mb.writeByte(0); mb.writeByte(0)
-      mb.writeInt(-1) // null key
-      mb.writeInt(valueB.length); mb.write(valueB)
-      val crc = new java.util.zip.CRC32()
-      crc.update(msgBody.toByteArray)
-      val messageSize = 4 + msgBody.size() // crc + body
-      val messageSetSize = 8 + 4 + messageSize // offset + size + message
 
       val size = 2 + 2 + 4 + (2 + clientId.length) + // header
         2 + 4 + // acks + timeout
         4 + (2 + topicB.length) + 4 + // topic array
-        4 + 4 + messageSetSize // partition + set size + set
+        4 + 4 + set.length // partition + set size + set
       out.writeInt(size)
       out.writeShort(0) // api_key Produce
-      out.writeShort(0) // api_version
+      out.writeShort(effectiveVersion)
       out.writeInt(correlationId)
       out.writeShort(clientId.length); out.write(clientId)
-      out.writeShort(1) // required_acks
+      out.writeShort(acks)
       out.writeInt(timeoutMs)
       out.writeInt(1) // one topic
       out.writeShort(topicB.length); out.write(topicB)
       out.writeInt(1) // one partition
       out.writeInt(0) // partition 0
-      out.writeInt(messageSetSize)
-      out.writeLong(0L) // offset (ignored by brokers on produce)
-      out.writeInt(messageSize)
-      out.writeInt(crc.getValue.toInt)
-      out.write(msgBody.toByteArray)
+      out.writeInt(set.length)
+      out.write(set)
       out.flush()
+
+      // acks=0: the broker sends nothing back — delivery is handed to the
+      // transport and the only observable failures are connection-level
+      if (acks == 0) return 0
 
       val respSize = in.readInt()
       if (respSize < 4 || respSize > (1 << 20))
@@ -218,12 +260,15 @@ final class KafkaProduceClient(broker: String, timeoutMs: Int = 60000,
         while (p < nParts) {
           in.skipBytes(4) // partition id
           val e = in.readShort().toInt
-          in.skipBytes(8) // offset
+          in.skipBytes(8) // base offset
+          if (effectiveVersion >= 2) in.skipBytes(8) // log_append_time
           if (err == 0) err = e
           p += 1
         }
         t += 1
       }
+      // v1+ responses carry a trailing throttle_time_ms; the connection is
+      // per-send, so it needs no read before close
       err
     } finally socket.close() // closing the SSL wrapper closes the transport
   }
@@ -251,4 +296,34 @@ object KafkaProduceClient {
     * (librdkafka's name — singular value), SCRAM-SHA-256 by default. */
   def saslAlgoFromConf(conf: Map[String, String]): ScramAuth.Algo =
     ScramAuth.algoFor(conf.getOrElse("sasl.mechanisms", "SCRAM-SHA-256"))
+
+  /** librdkafka-style conf → acks: the `acks` key (alias
+    * `request.required.acks`), accepting librdkafka's `all` spelling for
+    * -1. Default 1 — librdkafka's classic default and the reference's
+    * effective setting. */
+  def acksFromConf(conf: Map[String, String]): Short = {
+    val raw = conf.get("acks")
+      .orElse(conf.get("request.required.acks")).getOrElse("1")
+    raw.trim.toLowerCase match {
+      case "all" | "-1" => -1
+      case "0"          => 0
+      case "1"          => 1
+      case other => throw new IllegalArgumentException(
+        s"unsupported acks '$other' (0|1|all)")
+    }
+  }
+
+  /** librdkafka-style conf → compression codec: `compression.codec`
+    * (alias `compression.type`). Gzip is the JDK-native codec this client
+    * implements; the other librdkafka codecs need native libs and fail
+    * loudly rather than silently sending uncompressed. */
+  def compressionFromConf(conf: Map[String, String]): String = {
+    val c = conf.get("compression.codec")
+      .orElse(conf.get("compression.type")).getOrElse("none").trim.toLowerCase
+    c match {
+      case "none" | "gzip" => c
+      case other => throw new IllegalArgumentException(
+        s"unsupported compression.codec '$other' (none|gzip)")
+    }
+  }
 }

@@ -32,15 +32,21 @@ object RoutedSink {
     * reference's N-producer deployment, one per daemon. */
   def produceKafka(routed: DataFrame, broker: String, timeoutMs: Int = 60000,
       statsdHostPort: Option[(String, Int)] = None,
-      tlsCaCert: Option[String] = None): Unit =
+      tlsCaCert: Option[String] = None,
+      kafkaConf: Map[String, String] = Map.empty): Unit = {
+    // resolve the librdkafka-style conf ON THE DRIVER so a bad acks /
+    // codec value fails the job at submit, not per executor partition
+    val acks = KafkaProduceClient.acksFromConf(kafkaConf)
+    val codec = KafkaProduceClient.compressionFromConf(kafkaConf)
     kafkaShape(routed).foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
       // TLS context built HERE, per executor — only the PEM path ships
       val client = new KafkaProduceClient(broker, timeoutMs,
         statsdHostPort.map { case (h, p) => new graft.metrics.StatsdEmitter(h, p) },
-        tlsCaCert = tlsCaCert)
+        tlsCaCert = tlsCaCert, acks = acks, compression = codec)
       try { rows.foreach(r => client.send(r.getString(0), r.getString(1))); client.flush() }
       finally client.close()
     }
+  }
 
   /** Write one parquet tree partitioned by destination:
     * `<url>/topic=<destination>/part-*.parquet` — the Spark-native analog of
