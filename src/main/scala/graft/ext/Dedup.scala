@@ -273,13 +273,26 @@ object Dedup {
     * Output: `(ida = probe id, idb = corpus id, sim)`.
     */
   def embeddingCosinePairs(corpus: DataFrame, probes: DataFrame,
-      planes: Array[Array[Double]], threshold: Double): DataFrame = {
+      planes: Array[Array[Double]], threshold: Double,
+      multiProbe: Boolean = false): DataFrame = {
     val bucketed = corpus
       .withColumn("bucket", Similarity.lshBucket(col("embedding"), planes))
-    val p = broadcast(probes
+    val pb = probes
       .select(col("vec_id").as("ida"), col("embedding").as("ea"))
-      .withColumn("bucket", Similarity.lshBucket(col("ea"), planes)))
-    bucketed.join(p, "bucket")
+      .withColumn("bucket0", Similarity.lshBucket(col("ea"), planes))
+    // Hamming-1 multi-probe (the ann_lsh_multiprobe recall repair, applied
+    // to the dedup family): each probe also visits the one-bit-flip
+    // buckets, catching near-dups whose perturbation crosses ONE
+    // hyperplane. Only the broadcast probe side fans out ×(nPlanes+1); the
+    // corpus bucketing is untouched, and since a corpus vector has exactly
+    // one bucket and the probe list is distinct, no pair can double-count.
+    val probed =
+      if (!multiProbe) pb.withColumnRenamed("bucket0", "bucket")
+      else pb.withColumn("bucket", explode(array(
+          col("bucket0") +: planes.indices.map(j =>
+            col("bucket0").bitwiseXOR(lit(1L << j))): _*)))
+        .drop("bucket0")
+    bucketed.join(broadcast(probed), "bucket")
       .select(col("ida"), col("vec_id").as("idb"),
         Similarity.cosine(col("ea"), col("embedding")).as("sim"))
       .filter(col("sim") >= threshold)

@@ -122,6 +122,42 @@ object ExtQueries {
       .orderBy("ida", "idb")
   }
 
+  /** Measured cosine-dedup detection under bucketing — the embedding twin
+    * of `dedup_recall`, and the recall case for Hamming-1 multi-probe in
+    * the DEDUP family (ann_lsh_multiprobe's trick applied to
+    * [[Dedup.embeddingCosinePairs]]): plant one perturbed copy per 50th
+    * vector (+0.5 on the first dimension — enough to push some probes
+    * across one hyperplane), then count how many planted (probe → origin)
+    * pairs each path finds: `all_pairs` = the bucket-free cosine
+    * denominator, `lsh` = single sign-LSH bucket, `lsh_multiprobe` = the
+    * probe list of one-bit flips. The multiprobe row closes (part of) the
+    * gap between lsh and all_pairs — measured, not asserted. */
+  private val dedupCosineRecall: Q = (s, dir) => {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val e = embeddings(s, dir)
+    val thr = 0.8
+    val probes = e.filter(col("vec_id") % 50 === 0)
+      .select((col("vec_id") + 1000000).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          x.cast("double") + when(i === 0, lit(0.5)).otherwise(lit(0.0)))
+          .as("embedding"))
+    def planted(df: DataFrame) = df.filter(col("idb") === col("ida") - 1000000)
+      .agg(count(lit(1)).as("detected"))
+    def row(name: String, df: DataFrame) =
+      df.select(lit(name).as("method"), col("detected"))
+    val allPairs = probes.select(col("vec_id").as("ida"), col("embedding").as("ea"))
+      .join(e.select(col("vec_id").as("idb"), col("embedding")),
+        col("idb") === col("ida") - 1000000)
+      .filter(Similarity.cosine(col("ea"), col("embedding")) >= thr)
+      .agg(count(lit(1)).as("detected"))
+    row("all_pairs", allPairs)
+      .unionAll(row("lsh",
+        planted(Dedup.embeddingCosinePairs(e, probes, Planes, thr))))
+      .unionAll(row("lsh_multiprobe",
+        planted(Dedup.embeddingCosinePairs(e, probes, Planes, thr, multiProbe = true))))
+      .orderBy("method")
+  }
+
   /** Measured dedup detection — the dedup twin of `ann_recall`: how many
     * of the PLANTED duplicates (1M+ = suffixed near-dups, 2M+ = exact
     * copies) does each method flag? exact = content-hash group ≥2;
@@ -840,6 +876,7 @@ object ExtQueries {
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_containment" -> dedupContainment,
     "dedup_embedding_cosine" -> dedupEmbeddingCosine,
+    "dedup_cosine_recall" -> dedupCosineRecall,
     "dedup_semantic" -> dedupSemantic,
     "dedup_cross_source" -> dedupCrossSource,
     "dedup_recall" -> dedupRecall,
@@ -1609,6 +1646,39 @@ object ExtQueries {
          |  FROM corpus e JOIN copies c ON e.bucket = c.bucket)
          |SELECT ida, idb, sim FROM scored WHERE sim >= 0.999
          |ORDER BY ida, idb""".stripMargin,
+
+    // cosine-recall twin: same perturbed probes (double arithmetic — the
+    // +0.5 lands on the DOUBLE-cast float, exact in both engines), same
+    // plane literals and sequential dot folds; multiprobe = the 6 one-bit
+    // xor buckets next to the home bucket
+    "dedup_cosine_recall" -> {
+      val mpOr = (0 until 6).map(j => s"e.bucket = xor(p.bucket0, ${1L << j})")
+        .mkString(" OR ")
+      s"""WITH probes AS (
+         |  SELECT vec_id + 1000000 AS ida,
+         |    list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE)
+         |      + CASE WHEN i = 1 THEN 0.5 ELSE 0.0 END) AS ea
+         |  FROM embeddings WHERE vec_id % 50 = 0),
+         |corpus AS (
+         |  SELECT vec_id, embedding, ${lshBucketSql("embedding")} AS bucket
+         |  FROM embeddings),
+         |pb AS (SELECT ida, ea, ${lshBucketSql("ea")} AS bucket0 FROM probes)
+         |SELECT method, detected FROM (
+         |  SELECT 'all_pairs' AS method, CAST(count(*) AS BIGINT) AS detected
+         |    FROM probes p JOIN embeddings e ON e.vec_id = p.ida - 1000000
+         |    WHERE ${cosSql("p.ea", "e.embedding")} >= 0.8
+         |  UNION ALL
+         |  SELECT 'lsh', CAST(count(*) AS BIGINT)
+         |    FROM pb p JOIN corpus e
+         |      ON e.vec_id = p.ida - 1000000 AND e.bucket = p.bucket0
+         |    WHERE ${cosSql("p.ea", "e.embedding")} >= 0.8
+         |  UNION ALL
+         |  SELECT 'lsh_multiprobe', CAST(count(*) AS BIGINT)
+         |    FROM pb p JOIN corpus e
+         |      ON e.vec_id = p.ida - 1000000 AND (e.bucket = p.bucket0 OR $mpOr)
+         |    WHERE ${cosSql("p.ea", "e.embedding")} >= 0.8)
+         |ORDER BY method""".stripMargin
+    },
 
     // dedup-recall twin: the minhash scored chain + simhash signature CTEs
     // over the same planted corpus; detection = group/pair membership
