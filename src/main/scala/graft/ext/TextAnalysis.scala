@@ -492,6 +492,57 @@ object TextAnalysis {
       .agg(min("c").as("cms_estimate"))
   }
 
+  /** HyperLogLog distinct-token estimate (Flajolet et al. 2007) next to
+    * the exact count — the other bounded-memory sketch a 100 TB pipeline
+    * keeps (CMS answers "how often", HLL answers "how many distinct"
+    * in m integers). Deliberately built from oracle-mirrorable primitives
+    * instead of Spark's opaque `approx_count_distinct` binary sketch:
+    *   - 60-bit md5 hash (the established `conv(substring(md5…))` family);
+    *   - bucket = h mod m, rank = leading-zero count of the remaining
+    *     54 bits + 1, capped at 50 so 2^(50−rank) stays an exact BIGINT;
+    *   - registers = max rank per bucket; the harmonic sum
+    *     Σ 2^(−M_j) is computed as the exact integer Σ 2^(50−M_j)
+    *     (order-free — no float accumulation), empty buckets contributing
+    *     2^50; only the final α·m²/S division is floating point, in ONE
+    *     pinned expression shape both engines evaluate identically.
+    *
+    * Scale shape: one map-side-combined groupBy onto ≤ m register cells
+    * (each partition emits at most m rows regardless of token count), one
+    * bounded agg over the registers. The exact distinct count exists only
+    * as the comparison baseline — production keeps the m-integer sketch.
+    * The sketched universe is distinct 3-gram SHINGLES, not tokens: a
+    * synthetic vocabulary is a few dozen words (HLL's small-range regime,
+    * where raw estimates need the linear-counting correction — whose ln()
+    * is not bit-pinned across engines), while shingles put the corpus in
+    * the asymptotic regime the raw estimator is built for — and "how many
+    * distinct n-grams" is the question a contamination/novelty pipeline
+    * actually asks at 100 TB.
+    * Output: one row (m, exact_distinct, hll_est, err_x10000). */
+  def hllDistinct(corpus: DataFrame, p: Int = 6): DataFrame = {
+    val m = 1 << p
+    val h = conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long")
+    val toks = shingleRows(corpus).select(col("shingle"))
+    val hashed = toks.select((h % m).as("bucket"), (h / m).cast("long").as("rest"))
+    val rank = least(lit(50),
+      lit(55) - when(col("rest") === 0, lit(0)).otherwise(length(bin(col("rest")))))
+    val regs = hashed.select(col("bucket"), rank.as("rank"))
+      .groupBy("bucket").agg(max("rank").as("reg"))
+    val sums = regs.agg(
+      sum(expr("shiftleft(1L, cast(50 - reg as int))")).as("s_present"),
+      count(lit(1)).as("nb"))
+    val exact = toks.agg(countDistinct(col("shingle")).as("exact_distinct"))
+    // α₆₄ = 0.709; est = α·m²·2⁵⁰ / S — the multiplication chain is written
+    // identically in the oracle so the doubles match bit for bit
+    val s = (col("s_present") + (lit(m.toLong) - col("nb")) * lit(1L << 50)).as("s")
+    val est = (lit(0.709) * lit((m.toLong * m).toDouble) * lit((1L << 50).toDouble) /
+      col("s").cast("double")).as("hll_est")
+    sums.select(s).crossJoin(exact)
+      .select(lit(m.toLong).as("m"), col("exact_distinct"), est)
+      .withColumn("err_x10000",
+        floor(lit(10000.0) * abs(col("hll_est") - col("exact_distinct").cast("double")) /
+          col("exact_distinct").cast("double")).cast("long"))
+  }
+
   /** TF-IDF keyword extraction: top-k terms per document by
     * tf · idf_bits, where idf_bits = ilog2(N) − ilog2(df) — the integer
     * surprisal trick of [[unigramLmScore]] applied to document frequency,

@@ -626,6 +626,11 @@ object ExtQueries {
     TextAnalysis.cmsHeavyHitters(documents(s, dir))
       .orderBy(desc("exact"), asc("tok"))
 
+  /** HyperLogLog distinct-token estimate vs exact: the cardinality sketch
+    * next to CMS's frequency sketch, all register math oracle-exact. */
+  private val textHllDistinct: Q = (s, dir) =>
+    TextAnalysis.hllDistinct(documents(s, dir))
+
   /** Cross-doc duplicated 8-token spans at stride 4 over the planted-dup
     * corpus — the distributed stand-in for exact substring dedup. */
   private val dedupSpanExact: Q = (s, dir) =>
@@ -939,6 +944,7 @@ object ExtQueries {
     "text_bpe_tokens" -> textBpeTokens,
     "text_tfidf_topk" -> textTfidfTopk,
     "text_cms_heavy_hitters" -> textCmsHeavyHitters,
+    "text_hll_distinct" -> textHllDistinct,
     "dedup_span_exact" -> dedupSpanExact,
     "corpus_mix_domains" -> corpusMixDomains,
     "corpus_curation_report" -> corpusCurationReport,
@@ -2769,6 +2775,38 @@ object ExtQueries {
          |SELECT eh.tok, eh.exact, CAST(min(sk.c) AS BIGINT) AS cms_estimate
          |FROM eh JOIN sk ON eh.r = sk.r AND eh.b = sk.b
          |GROUP BY 1, 2 ORDER BY exact DESC, tok""".stripMargin,
+
+    // HLL twin: identical 60-bit hash, bucket/rank split, integer register
+    // sum (exact powers of two — no float accumulation anywhere), and the
+    // SAME pinned multiplication chain for the one floating-point division
+    "text_hll_distinct" ->
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents),
+         |$TokCte,
+         |$ShingleCte,
+         |tr AS (SELECT unnest(sg) AS tok FROM sh),
+         |hh AS (SELECT ${hexFoldSql(1, 15)} AS h
+         |  FROM (SELECT md5(tok) AS hx FROM tr)),
+         |hb AS (SELECT h % 64 AS bucket, h // 64 AS rest FROM hh),
+         |regs AS (SELECT bucket,
+         |    max(least(50, 55 - CASE WHEN rest = 0 THEN 0
+         |                           ELSE length(bin(rest)) END)) AS reg
+         |  FROM hb GROUP BY 1),
+         |sums AS (SELECT CAST(sum(CAST(1 AS BIGINT) << CAST(50 - reg AS INT))
+         |      AS BIGINT) AS s_present,
+         |    CAST(count(*) AS BIGINT) AS nb FROM regs),
+         |st AS (SELECT s_present + (64 - nb) * (CAST(1 AS BIGINT) << 50) AS s
+         |  FROM sums),
+         |ex AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS exact_distinct
+         |  FROM tr),
+         |est AS (SELECT CAST(64 AS BIGINT) AS m, exact_distinct,
+         |    CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE)
+         |      * CAST(1125899906842624 AS DOUBLE) / CAST(s AS DOUBLE) AS hll_est
+         |  FROM st CROSS JOIN ex)
+         |SELECT m, exact_distinct, hll_est,
+         |  CAST(floor(CAST(10000 AS DOUBLE)
+         |    * abs(hll_est - CAST(exact_distinct AS DOUBLE))
+         |    / CAST(exact_distinct AS DOUBLE)) AS BIGINT) AS err_x10000
+         |FROM est""".stripMargin,
 
     // TF-IDF twin: integer idf bits (ilog2 = bin-string length), ranked by
     // (score desc, md5-prefix term key asc) — the exact topk_pairs order

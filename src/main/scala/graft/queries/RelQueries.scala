@@ -132,6 +132,55 @@ object RelQueries {
       .orderBy("user_id")
   }
 
+  // Rank-family window surface: ntile quartiles + percent_rank + cume_dist
+  // of per-customer spend WITHIN each market segment — the analyst's
+  // distribution-position triple. The window is PARTITIONED (by segment):
+  // an unpartitioned rank window is a single-task global sort and must
+  // never ship at scale — any rank query needs a partition key, and the
+  // segment is this one's natural unit of comparison. Plan: one map-side-
+  // combined agg shuffle for spend, one broadcast join for the segment,
+  // one hash exchange + in-partition sort shared by all three functions.
+  // The doubles are exact rationals (rank-1)/(n-1) etc., so both engines
+  // emit identical bits.
+  private val qNtileWindow: Q = (s, dir) => {
+    val spend = orders(s, dir)
+      .groupBy("o_custkey")
+      .agg(dsum(col("o_totalprice")).as("spend"))
+      .join(broadcast(customer(s, dir)
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))),
+        "o_custkey")
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("spend").desc, col("o_custkey"))
+    spend
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cume", cume_dist().over(w))
+      .orderBy("o_custkey")
+  }
+
+  // Correlated subquery surface (EXISTS / NOT EXISTS + a correlated scalar
+  // subquery) through spark.sql — Catalyst's RewritePredicateSubquery turns
+  // the predicates into the same semi/anti joins q_semi_anti declares
+  // directly, and the scalar subquery becomes one aggregated left join: the
+  // SQL front door to plans already proven scale-safe, not a new executor
+  // shape.
+  private val qExistsSubquery: Q = (s, dir) => {
+    customer(s, dir).createOrReplaceTempView("graft_sub_customer")
+    orders(s, dir).createOrReplaceTempView("graft_sub_orders")
+    s.sql("""
+      SELECT c_custkey,
+             (SELECT count(*) FROM graft_sub_orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderpriority = '1-URGENT') AS n_urgent
+      FROM graft_sub_customer c
+      WHERE EXISTS (SELECT 1 FROM graft_sub_orders o
+                    WHERE o.o_custkey = c.c_custkey)
+        AND NOT EXISTS (SELECT 1 FROM graft_sub_orders o
+                        WHERE o.o_custkey = c.c_custkey
+                          AND o.o_orderpriority = '5-LOW')
+      ORDER BY c_custkey""")
+  }
+
   // Global top-k: TakeOrderedAndProject (no full sort materialization).
   private val qTopk: Q = (s, dir) =>
     orders(s, dir)
@@ -418,6 +467,8 @@ object RelQueries {
     "q5_multi_join" -> q5MultiJoin,
     "q_semi_anti" -> qSemiAnti,
     "q_window" -> qWindow,
+    "q_ntile_window" -> qNtileWindow,
+    "q_exists_subquery" -> qExistsSubquery,
     "q_lead_lag" -> qLeadLag,
     "q_funnel" -> qFunnel,
     "q_topk" -> qTopk,
@@ -488,6 +539,33 @@ object RelQueries {
         |    row_number() OVER (PARTITION BY o_custkey
         |                       ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
         |  FROM orders) WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+
+    "q_ntile_window" ->
+      """WITH spend AS (
+        |  SELECT o_custkey,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS spend,
+        |    c_mktsegment
+        |  FROM orders JOIN customer ON c_custkey = o_custkey
+        |  GROUP BY o_custkey, c_mktsegment)
+        |SELECT o_custkey, spend, c_mktsegment,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume
+        |FROM spend
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY spend DESC, o_custkey)
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q_exists_subquery" ->
+      """SELECT c_custkey,
+        |  (SELECT count(*) FROM orders o
+        |   WHERE o.o_custkey = c.c_custkey
+        |     AND o.o_orderpriority = '1-URGENT') AS n_urgent
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderpriority = '5-LOW')
+        |ORDER BY c_custkey""".stripMargin,
 
     "q_lead_lag" ->
       """SELECT o_custkey, o_orderkey,
