@@ -256,6 +256,27 @@ object Similarity {
       centroids: Array[Array[Double]]): DataFrame =
     ivfProbe(centroidIndex(centroids), corpus, queries, k)
 
+  /** k-means clustering REPORT: cluster sizes + cohesion over trained
+    * centroids — the clustering operator surfaced on its own (SemDeDup's
+    * bucketing and IVF's coarse quantizer both embed it; a curation
+    * pipeline also ships the report: how big are the content clusters and
+    * how tight). Assignment is the same narrow codegen'd `ivf_assign`
+    * projection as the IVF family (centroids ride as a plan literal, zero
+    * joins); the report is ONE map-side-combined aggregate onto K cells.
+    * Cohesion sums go through DECIMAL so they are partition-order-free;
+    * min/max are order-free by nature. */
+  def kmeansReport(corpus: DataFrame, centroids: Array[Array[Double]]): DataFrame = {
+    val assigned = cellAssign(centroidIndex(centroids), corpus,
+      "embedding", "cluster", withRep = true)
+    assigned
+      .select(col("cluster"), cosine(col("embedding"), col("rep")).as("cos"))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n"),
+        sum(col("cos").cast("decimal(18,6)")).cast("double").as("sum_cos"),
+        min("cos").as("min_cos"), max("cos").as("max_cos"))
+      .orderBy("cluster")
+  }
+
   /** Product-quantization ANN (ADC flavor): the 100-TB-scale compression
     * path — each vector is encoded once into `m` sub-space codebook indices
     * (8 bytes here vs 256 for raw floats), and query scans touch only the
@@ -634,6 +655,36 @@ object Similarity {
     * narrow pass as [[lshTopK]]); only the tiny broadcast query side
     * explodes over its probe list, and since probe buckets are distinct a
     * corpus vector matches at most one probe — no candidate dedup needed. */
+  /** k-NN GRAPH: top-k cosine neighbors for EVERY corpus vector — the
+    * primitive under graph-based dedup, SemDeDup neighborhoods, and label
+    * propagation, where the query set IS the corpus. A broadcast-probe
+    * plan is impossible here (the probe side is corpus-sized), so this is
+    * the bucketed SELF-JOIN shape: one narrow sign-LSH bucketing pass,
+    * a shuffle equi-join of the corpus against itself on the bucket key,
+    * quadratic work only WITHIN buckets, then the bounded `topk_pairs`
+    * per-vector ranking (never a per-key window over all scored pairs).
+    *
+    * Scale contract: nPlanes must grow with the corpus — buckets ≈
+    * 2^nPlanes is both the shuffle-key cardinality and the occupancy
+    * divisor, so planes ∝ log₂(N) keeps bucket size (the quadratic term)
+    * constant while the shuffle stays balanced. Recall is bounded by
+    * same-bucket membership, the standard LSH-graph trade; the
+    * [[lshMultiProbeTopK]] probe-list repair composes if needed. */
+  def knnGraph(corpus: DataFrame, k: Int,
+      planes: Array[Array[Double]]): DataFrame = {
+    val bucketed = corpus
+      .select(col("vec_id"), col("embedding"),
+        lshBucket(col("embedding"), planes).as("bucket"))
+    val q = bucketed
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("bucket"))
+    val scored = bucketed.join(q, "bucket")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        cosine(col("q_emb"), col("embedding")).as("sim"))
+    rankTopK(scored, k, "sim", asc = false)
+      .select("q_id", "rank", "n_id", "sim")
+  }
+
   /** Cosine RANGE search (threshold retrieval, the other half of the ANN
     * API next to top-k): all corpus vectors within `threshold` cosine of
     * each query, candidate-pruned by the same Hamming-1 multi-probe

@@ -272,6 +272,14 @@ object ExtQueries {
       .orderBy("q_id", "rank")
   }
 
+  /** Top-3 neighbor graph over the WHOLE corpus (every vector a query) —
+    * the bucketed self-join shape; see [[Similarity.knnGraph]]. */
+  private val annKnnGraph: Q = (s, dir) => {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    Similarity.knnGraph(embeddings(s, dir), 3, Planes)
+      .orderBy("q_id", "rank")
+  }
+
   /** Measured recall@5 of the approximate ANN methods against the exact
     * brute-force baseline — the accuracy side of the ANN speed/recall
     * trade, as a first-class query ("measure, don't guess"). */
@@ -358,6 +366,14 @@ object ExtQueries {
         PqTrainer.trainCodebook(e, m = 1, ksub = 16)(0),
         PqTrainer.trainCodebook(e))
       .orderBy("q_id", "rank")
+  }
+
+  /** k-means cluster report over the trained coarse centroids: sizes +
+    * cohesion (decimal-exact sums) — clustering as its own operator. */
+  private val corpusKmeans: Q = (s, dir) => {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val e = embeddings(s, dir)
+    Similarity.kmeansReport(e, PqTrainer.trainCodebook(e, m = 1, ksub = 16)(0))
   }
 
   /** Threshold retrieval at cosine ≥ 0.25, multiprobe-bucket-pruned. */
@@ -752,6 +768,31 @@ object ExtQueries {
     TextAnalysis.redactPii(planted).orderBy("doc_id")
   }
 
+  /** Text normalization — the step that runs BEFORE every content hash in
+    * a real crawl pipeline: Unicode NFC (via the codegen'd `nfc_normalize`
+    * expression — Spark has no builtin) + whitespace collapse + trim. The
+    * corpus plants decomposed accents (e + U+0301 etc.) and messy spacing
+    * on every 4th doc; the output pins that NFC actually composed them
+    * (char count shrinks, md5 of the composed form matches the oracle's
+    * nfc_normalize). Pure row-local projection, exchange-free. */
+  private val corpusNormalizeText: Q = (s, dir) => {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val planted = documents(s, dir).select(col("doc_id"),
+      when(col("doc_id") % 4 === 0,
+        // DECOMPOSED plants (e+U+0301, A+U+030A) — the byte sequences NFC
+        // must compose; a precomposed literal would make the key vacuous
+        concat(lit("  cafe\u0301 A\u030Abo  "), col("text"), lit("  ")))
+        .otherwise(col("text")).as("text"))
+    planted.select(col("doc_id"),
+        length(col("text")).cast("long").as("len_raw"),
+        call_function("nfc_normalize",
+          trim(regexp_replace(col("text"), "\\s+", " "))).as("norm"))
+      .select(col("doc_id"), col("len_raw"),
+        length(col("norm")).cast("long").as("len_norm"),
+        md5(col("norm")).as("norm_md5"))
+      .orderBy("doc_id")
+  }
+
   /** Overlapping 64-token context windows at stride 48 — the chunking
     * step of an embedding/retrieval pipeline. */
   private val corpusChunk: Q = (s, dir) =>
@@ -888,6 +929,8 @@ object ExtQueries {
     "ann_brute_force" -> annBruteForce,
     "ann_lsh" -> annLsh,
     "ann_lsh_multiprobe" -> annLshMultiprobe,
+    "ann_knn_graph" -> annKnnGraph,
+    "corpus_kmeans" -> corpusKmeans,
     "ann_range_search" -> annRangeSearch,
     "ann_recall" -> annRecall,
     "ann_ivf" -> annIvf,
@@ -915,6 +958,7 @@ object ExtQueries {
     "corpus_decontaminate" -> corpusDecontaminate,
     "corpus_stratified_sample" -> corpusStratifiedSample,
     "corpus_redact_pii" -> corpusRedactPii,
+    "corpus_normalize_text" -> corpusNormalizeText,
     "corpus_chunk" -> corpusChunk,
     "corpus_chunk_dedup" -> corpusChunkDedup,
     "corpus_line_dedup" -> corpusLineDedup,
@@ -1493,6 +1537,27 @@ object ExtQueries {
 
     "corpus_redact_pii" -> RedactPiiOracle,
 
+    // normalization twin: DuckDB's nfc_normalize implements the same
+    // Unicode canonical composition as java.text.Normalizer; the
+    // decomposed plants arrive via chr() so no source encoding is trusted;
+    // regexp_replace needs the 'g' flag (DuckDB replaces first-only by
+    // default, Spark replaces all)
+    "corpus_normalize_text" ->
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 4 = 0
+        |         THEN '  cafe' || chr(769) || ' A' || chr(778) || 'bo  '
+        |              || text || '  '
+        |         ELSE text END AS text
+        |  FROM documents),
+        |norm AS (
+        |  SELECT doc_id, CAST(length(text) AS BIGINT) AS len_raw,
+        |    nfc_normalize(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS n
+        |  FROM planted)
+        |SELECT doc_id, len_raw, CAST(length(n) AS BIGINT) AS len_norm,
+        |  md5(n) AS norm_md5
+        |FROM norm ORDER BY doc_id""".stripMargin,
+
     // 64-token windows at stride 48, trailing partials kept — 1-based
     // inclusive list slice mirrors Spark's slice(toks, s*48+1, 64)
     "corpus_chunk" ->
@@ -1915,6 +1980,23 @@ object ExtQueries {
          |SELECT q_id, rank, n_id, sim FROM ranked WHERE rank <= 5
          |ORDER BY q_id, rank""".stripMargin,
 
+    // kNN-graph twin: the ann_lsh bucket self-join with EVERY vector as a
+    // query, ranked identically (sim desc, n_id asc)
+    "ann_knn_graph" ->
+      s"""WITH bucketed AS (
+         |  SELECT vec_id, embedding,
+         |    ${bucketExpr("embedding")} AS bucket
+         |  FROM embeddings),
+         |scored AS (SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+         |  ${cosSql("q.embedding", "e.embedding")} AS sim
+         |  FROM bucketed e JOIN bucketed q USING (bucket)
+         |  WHERE e.vec_id <> q.vec_id),
+         |ranked AS (SELECT q_id, n_id, sim,
+         |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS INT) AS rank
+         |  FROM scored)
+         |SELECT q_id, rank, n_id, sim FROM ranked WHERE rank <= 3
+         |ORDER BY q_id, rank""".stripMargin,
+
     "ann_lsh" ->
       s"""WITH bucketed AS (
          |  SELECT vec_id, embedding,
@@ -2162,6 +2244,25 @@ object ExtQueries {
     // ann_ivf's oracle IS the twin
     "ann_ivf_persisted" -> AnnIvfOracle,
 
+
+    // k-means report twin: the coarse k-means CTEs + the same trained-cell
+    // assignment, aggregated per cell (decimal cohesion sums, order-free
+    // min/max)
+    "corpus_kmeans" ->
+      s"""WITH RECURSIVE
+         |$CoarseKmCtes,
+         |assigned AS (
+         |  SELECT vec_id, embedding, ivf_cell, rep FROM (
+         |    SELECT e.vec_id, e.embedding, r.cell AS ivf_cell, r.rep,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosSql("e.embedding", "r.rep")} DESC, r.cell) AS rn
+         |    FROM embeddings e, reps r) WHERE rn = 1)
+         |SELECT ivf_cell AS cluster, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(CAST(${cosSql("embedding", "rep")} AS DECIMAL(18,6)))
+         |    AS DOUBLE) AS sum_cos,
+         |  min(${cosSql("embedding", "rep")}) AS min_cos,
+         |  max(${cosSql("embedding", "rep")}) AS max_cos
+         |FROM assigned GROUP BY 1 ORDER BY cluster""".stripMargin,
 
     // trained-IVF twin: coarse k-means (CoarseKmCtes) + the ann_ivf
     // assignment/probe CTEs with reps = the trained centroids
