@@ -181,6 +181,59 @@ object RelQueries {
       ORDER BY c_custkey""")
   }
 
+  // RANGE window frame — the VALUE-based frame next to the ROWS frames
+  // used elsewhere: per customer, the rolling count and decimal-exact sum
+  // of orders in the 30 days UP TO each order (inclusive), measured on the
+  // order-date axis, not row offsets — ties and gaps behave correctly
+  // where a rowsBetween frame would not. Same one-exchange shape as every
+  // window here: hash-partition on the entity key, in-partition sort; the
+  // frame bound adds no exchange. Dates go through epoch days (integer) so
+  // the range arithmetic is engine-exact.
+  private val qRangeFrame: Q = (s, dir) => {
+    val w = Window.partitionBy("o_custkey").orderBy(col("d"))
+      .rangeBetween(-30L, 0L)
+    orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("od"), col("o_totalprice"))
+      .withColumn("d", datediff(col("od"), lit("1970-01-01").cast("date")).cast("long"))
+      .withColumn("n_30d", count(lit(1)).over(w))
+      .withColumn("spend_30d",
+        sum(col("o_totalprice").cast("decimal(18,6)")).over(w).cast("double"))
+      .select("o_custkey", "o_orderkey", "d", "n_30d", "spend_30d")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  // Unpivot (melt): wide per-flag quantity columns back to long form — the
+  // inverse of q_pivot, exercised on its output shape. Spark's unpivot is
+  // a plan-level Expand (each row emits one output row per value column);
+  // no shuffle beyond the source aggregation.
+  private val qUnpivot: Q = (s, dir) =>
+    lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(dsum(col("l_quantity")))
+      .na.fill(0.0, Seq("F", "O"))
+      .unpivot(Array(col("l_returnflag")), Array(col("F"), col("O")),
+        "status", "qty")
+      .orderBy("l_returnflag", "status")
+
+  // Full outer join over two key sets that only partly overlap (customers
+  // with URGENT orders vs customers with LOW orders): both null sides
+  // survive, coalesced key + per-side counts. One shuffle per side on the
+  // join key (AQE may broadcast at small SF — plan adapts by size).
+  private val qFullOuter: Q = (s, dir) => {
+    val o = orders(s, dir)
+    def side(p: String, n: String) = o.filter(col("o_orderpriority") === p)
+      .groupBy(col("o_custkey").as(s"${n}_key"))
+      .agg(count(lit(1)).as(s"n_$n"))
+    side("1-URGENT", "hi").join(side("5-LOW", "lo"),
+        col("hi_key") === col("lo_key"), "full_outer")
+      .select(coalesce(col("hi_key"), col("lo_key")).as("custkey"),
+        coalesce(col("n_hi"), lit(0L)).as("n_hi"),
+        coalesce(col("n_lo"), lit(0L)).as("n_lo"))
+      .orderBy("custkey")
+  }
+
   // Global top-k: TakeOrderedAndProject (no full sort materialization).
   private val qTopk: Q = (s, dir) =>
     orders(s, dir)
@@ -467,6 +520,9 @@ object RelQueries {
     "q5_multi_join" -> q5MultiJoin,
     "q_semi_anti" -> qSemiAnti,
     "q_window" -> qWindow,
+    "q_range_frame" -> qRangeFrame,
+    "q_unpivot" -> qUnpivot,
+    "q_full_outer" -> qFullOuter,
     "q_ntile_window" -> qNtileWindow,
     "q_exists_subquery" -> qExistsSubquery,
     "q_lead_lag" -> qLeadLag,
@@ -539,6 +595,42 @@ object RelQueries {
         |    row_number() OVER (PARTITION BY o_custkey
         |                       ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
         |  FROM orders) WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+
+    "q_range_frame" ->
+      """SELECT o_custkey, o_orderkey, d,
+        |  CAST(count(*) OVER w AS BIGINT) AS n_30d,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) OVER w AS DOUBLE) AS spend_30d
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |        CAST(date_diff('day', DATE '1970-01-01',
+        |          CAST(o_orderdate AS DATE)) AS BIGINT) AS d
+        |      FROM orders)
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY d
+        |             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_unpivot" ->
+      """WITH p AS (
+        |  SELECT l_returnflag,
+        |    coalesce(CAST(sum(CASE WHEN l_linestatus = 'F'
+        |      THEN CAST(l_quantity AS DECIMAL(18,6)) END) AS DOUBLE), 0.0) AS qf,
+        |    coalesce(CAST(sum(CASE WHEN l_linestatus = 'O'
+        |      THEN CAST(l_quantity AS DECIMAL(18,6)) END) AS DOUBLE), 0.0) AS qo
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, status, qty FROM (
+        |  SELECT l_returnflag, 'F' AS status, qf AS qty FROM p
+        |  UNION ALL
+        |  SELECT l_returnflag, 'O', qo FROM p)
+        |ORDER BY l_returnflag, status""".stripMargin,
+
+    "q_full_outer" ->
+      """WITH hi AS (SELECT o_custkey AS hi_key, CAST(count(*) AS BIGINT) AS n_hi
+        |            FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1),
+        |     lo AS (SELECT o_custkey AS lo_key, CAST(count(*) AS BIGINT) AS n_lo
+        |            FROM orders WHERE o_orderpriority = '5-LOW' GROUP BY 1)
+        |SELECT coalesce(hi_key, lo_key) AS custkey,
+        |  coalesce(n_hi, 0) AS n_hi, coalesce(n_lo, 0) AS n_lo
+        |FROM hi FULL OUTER JOIN lo ON hi_key = lo_key
+        |ORDER BY custkey""".stripMargin,
 
     "q_ntile_window" ->
       """WITH spend AS (
