@@ -165,6 +165,90 @@ object Multimodal {
     }
   }
 
+  // ------------------------------------------- real pixel path (ImageIO)
+
+  final case class PixelMeta(
+      doc_id: Long, width: Long, height: Long, out_w: Long, out_h: Long,
+      pixel_md5: String, decodable: Boolean)
+
+  /** Deterministic REAL image corpus: a doc_id-seeded RGB pattern encoded
+    * through the JDK's actual PNG writer — genuinely decodable media (the
+    * synthetic [[synthBlobs]] containers carry valid headers but text
+    * payloads), produced executor-side in one narrow pass. The pattern is
+    * pure integer arithmetic on (x, y, doc_id), so any engine/worker
+    * produces identical pixels and the PNG round-trip is reproducible. */
+  def synthRealImages(docs: DataFrame): Dataset[Blob] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val w = (id % 13 + 4).toInt
+      val h = (id % 11 + 4).toInt
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val r = (x * 31 + id) % 256
+          val g = (y * 17 + id * 3) % 256
+          val b = (x * y + id * 7) % 256
+          img.setRGB(x, y, (r.toInt << 16) | (g.toInt << 8) | b.toInt)
+          x += 1
+        }
+        y += 1
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      Blob(id, out.toByteArray)
+    }
+  }
+
+  /** REAL pixel decode + resize through the same mapPartitions seam the
+    * structural parsers use: ImageIO decodes the payload, a deterministic
+    * nearest-neighbor resample caps the longer side at `maxDim` (floor
+    * sampling — srcX = x·w/outW in integer arithmetic, no interpolation,
+    * so the resized pixels are bit-identical on any JVM), and the output
+    * row carries the resized raster's md5 — the feature-extraction shape
+    * (decode → normalize size → fingerprint) of an image-curation
+    * pipeline. Payloads ImageIO cannot decode (the structural synthetic
+    * containers, raw text) degrade to a `decodable = false` row instead
+    * of failing the partition — the hostile-input contract of every
+    * parser here. One narrow pass, no shuffle; decode cost is per-row CPU
+    * exactly where a cluster scales it. */
+  def decodeResize(blobs: Dataset[Blob], maxDim: Int = 8): Dataset[PixelMeta] = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.mapPartitions(_.map { b =>
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b.data))
+        catch { case _: Exception => null }
+      if (img == null) PixelMeta(b.doc_id, 0L, 0L, 0L, 0L, "", decodable = false)
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        val scaleDown = math.max(w, h) > maxDim
+        val (ow, oh) =
+          if (!scaleDown) (w, h)
+          else if (w >= h) (maxDim, math.max(1, h * maxDim / w))
+          else (math.max(1, w * maxDim / h), maxDim)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val px = new Array[Byte](3)
+        var y = 0
+        while (y < oh) {
+          var x = 0
+          while (x < ow) {
+            val rgb = img.getRGB(x * w / ow, y * h / oh)
+            px(0) = (rgb >> 16).toByte; px(1) = (rgb >> 8).toByte; px(2) = rgb.toByte
+            md.update(px)
+            x += 1
+          }
+          y += 1
+        }
+        PixelMeta(b.doc_id, w, h, ow, oh,
+          md.digest().map("%02x".format(_)).mkString, decodable = true)
+      }
+    })
+  }
+
   // ------------------------------------------------------------- audio
 
   final case class AudioMeta(

@@ -912,6 +912,15 @@ object ExtQueries {
     Multimodal.frameSample(Multimodal.asBlobs(documents(s, dir)))
       .toDF().orderBy("doc_id", "frame_idx")
 
+  /** REAL pixel decode + nearest-neighbor resize (ImageIO) over a
+    * deterministic genuinely-encoded PNG corpus — the pixel-level upgrade
+    * of the structural multimodal path. No DuckDB oracle (a SQL engine
+    * cannot decode PNG) → the driver records the rows-only check; the
+    * cross-engine determinism is spec-pinned instead (ExtSpec). */
+  private val multimodalDecodePixels: Q = (s, dir) =>
+    Multimodal.decodeResize(Multimodal.synthRealImages(documents(s, dir)))
+      .toDF().orderBy("doc_id")
+
   val queries: Map[String, Q] = Map(
     "dedup_exact" -> dedupExact,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
@@ -997,6 +1006,7 @@ object ExtQueries {
     "multimodal_audio_meta" -> multimodalAudioMeta,
     "multimodal_video_meta" -> multimodalVideoMeta,
     "multimodal_resize" -> multimodalResize,
+    "multimodal_decode_pixels" -> multimodalDecodePixels,
     "multimodal_frames" -> multimodalFrames)
 
   // ------------------------------------------------------ oracle SQL

@@ -360,6 +360,43 @@ class ExtSpec extends AnyFunSuite {
     assert(Multimodal.parseMp4Header(hostile) == ((0L, 0L)))
   }
 
+  test("REAL pixel decode: ImageIO round-trip, deterministic NN resize, hostile fallback") {
+    val docs = Seq((5L, "x"), (9L, "y"), (20L, "z")).toDF("doc_id", "text")
+    val metas = Multimodal.decodeResize(Multimodal.synthRealImages(docs))
+      .collect().map(m => m.doc_id -> m).toMap
+    // closed-form dims survive the REAL PNG encode→decode round trip
+    assert(metas(5L).width == 9L && metas(5L).height == 9L) // 5%13+4, 5%11+4
+    assert(metas(20L).width == 11L && metas(20L).height == 13L)
+    assert(metas.values.forall(_.decodable))
+    // resize caps the longer side at 8, floor-scaled aspect: 11x13 → 6x8
+    assert(metas(20L).out_w == 6L && metas(20L).out_h == 8L)
+    assert(metas(5L).out_w == 8L && metas(5L).out_h == 8L)
+    // the pixel hash is the REAL raster: recompute doc 5's expected md5
+    // from the pattern directly (no ImageIO on the reference side)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val (w, h, ow, oh, id) = (9, 9, 8, 8, 5L)
+    for (y <- 0 until oh; x <- 0 until ow) {
+      val (sx, sy) = (x * w / ow, y * h / oh)
+      md.update(Array(
+        ((sx * 31 + id) % 256).toByte,
+        ((sy * 17 + id * 3) % 256).toByte,
+        ((sx * sy + id * 7) % 256).toByte))
+    }
+    assert(metas(5L).pixel_md5 == md.digest().map("%02x".format(_)).mkString,
+      "decoded+resized pixels must equal the generating pattern sampled directly")
+    // hostile / non-image payloads degrade to decodable=false, never throw
+    val junk = Multimodal.decodeResize(
+      Multimodal.asBlobs(Seq((1L, "not an image")).toDF("doc_id", "text")))
+      .collect().head
+    assert(!junk.decodable && junk.pixel_md5.isEmpty)
+    // the STRUCTURAL synthetic container (valid header, text payload) is
+    // also correctly refused by the real decoder
+    val synthetic = Multimodal.decodeResize(
+      Multimodal.synthBlobs(Seq((0L, "text payload")).toDF("doc_id", "text")))
+      .collect().head
+    assert(!synthetic.decodable)
+  }
+
   test("WAV decode parses REAL javax.sound-encoded audio; synth round-trips") {
     // capability proof: a WAV produced by the JDK's own audio writer (not
     // our synthesizer) must yield its true format parameters
