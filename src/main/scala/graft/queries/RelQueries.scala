@@ -234,6 +234,66 @@ object RelQueries {
       .orderBy("custkey")
   }
 
+  // Complex-type aggregation surface: per order, the SORTED array of its
+  // part keys (collect_list + sort_array — deterministic regardless of
+  // arrival order) serialized to CSV for the oracle compare, plus array
+  // cardinalities. One map-side-combined shuffle on the high-cardinality
+  // order key; arrays stay row-local (never a shuffle key).
+  private val qCollectList: Q = (s, dir) =>
+    lineitem(s, dir)
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_list(col("l_partkey"))).as("parts"),
+        count(lit(1)).as("n_lines"))
+      .select(col("l_orderkey"),
+        array_join(col("parts"), ",").as("parts_csv"),
+        size(array_distinct(col("parts"))).cast("long").as("n_distinct_parts"),
+        col("n_lines"))
+      .orderBy("l_orderkey")
+
+  // Exact LOWER-median per group WITHOUT a sort: the value-domain
+  // histogram trick (the same shape as corpus_select_top_quality) — when
+  // the measure has a bounded domain (l_quantity ∈ 1..50), the exact
+  // order statistic is one (group, value) count aggregation plus a
+  // cumulative scan over ≤|domain| rows per group. At 100 TB this beats
+  // any percentile that buffers per-group values: the heavy agg is
+  // map-side combined on a high-cardinality composite key and the window
+  // runs over 50-row groups. Lower median = smallest v with cum ≥ ⌈n/2⌉.
+  private val qMedianHistogram: Q = (s, dir) => {
+    val hist = lineitem(s, dir)
+      .select(col("l_returnflag").as("flag"), col("l_quantity").cast("long").as("qty"))
+      .groupBy("flag", "qty").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("flag").orderBy("qty")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val n = Window.partitionBy("flag")
+    hist
+      .withColumn("cum", sum("c").over(w))
+      .withColumn("n", sum("c").over(n))
+      .filter(col("cum") * 2 >= col("n") + 1)
+      .groupBy("flag")
+      .agg(min("qty").as("median_qty"), max("n").as("n"))
+      .orderBy("flag")
+  }
+
+  // Calendar/date scalar surface over the order-date axis: truncation,
+  // part extraction, month arithmetic with end-of-month clamping, ISO
+  // week — the functions every reporting query leans on, pinned across
+  // engines (Spark's Sunday=1 dayofweek vs DuckDB's Sunday=0 is mapped in
+  // the oracle). Pure narrow projection.
+  private val qDateScalars: Q = (s, dir) =>
+    orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderdate").cast("date").as("d"))
+      .select(col("o_orderkey"),
+        date_format(col("d"), "yyyy-MM-dd").as("iso"),
+        date_format(date_trunc("month", col("d")), "yyyy-MM-dd").as("month_start"),
+        date_format(last_day(col("d")), "yyyy-MM-dd").as("month_end"),
+        date_format(add_months(col("d"), 2), "yyyy-MM-dd").as("plus2m"),
+        year(col("d")).cast("long").as("y"),
+        quarter(col("d")).cast("long").as("q"),
+        dayofyear(col("d")).cast("long").as("doy"),
+        dayofweek(col("d")).cast("long").as("dow"),
+        weekofyear(col("d")).cast("long").as("iso_week"))
+      .orderBy("o_orderkey")
+
   // Global top-k: TakeOrderedAndProject (no full sort materialization).
   private val qTopk: Q = (s, dir) =>
     orders(s, dir)
@@ -521,6 +581,9 @@ object RelQueries {
     "q_semi_anti" -> qSemiAnti,
     "q_window" -> qWindow,
     "q_range_frame" -> qRangeFrame,
+    "q_collect_list" -> qCollectList,
+    "q_date_scalars" -> qDateScalars,
+    "q_median_histogram" -> qMedianHistogram,
     "q_unpivot" -> qUnpivot,
     "q_full_outer" -> qFullOuter,
     "q_ntile_window" -> qNtileWindow,
@@ -607,6 +670,44 @@ object RelQueries {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY d
         |             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_date_scalars" ->
+      """SELECT o_orderkey,
+        |  strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS iso,
+        |  strftime(date_trunc('month', CAST(o_orderdate AS DATE)), '%Y-%m-%d')
+        |    AS month_start,
+        |  strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+        |  strftime(CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE),
+        |    '%Y-%m-%d') AS plus2m,
+        |  CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS y,
+        |  CAST(quarter(CAST(o_orderdate AS DATE)) AS BIGINT) AS q,
+        |  CAST(dayofyear(CAST(o_orderdate AS DATE)) AS BIGINT) AS doy,
+        |  CAST(dayofweek(CAST(o_orderdate AS DATE)) + 1 AS BIGINT) AS dow,
+        |  CAST(weekofyear(CAST(o_orderdate AS DATE)) AS BIGINT) AS iso_week
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_collect_list" ->
+      """SELECT l_orderkey,
+        |  array_to_string(list_sort(list(l_partkey)), ',') AS parts_csv,
+        |  CAST(len(list_distinct(list(l_partkey))) AS BIGINT) AS n_distinct_parts,
+        |  count(*) AS n_lines
+        |FROM lineitem GROUP BY 1 ORDER BY l_orderkey""".stripMargin,
+
+    "q_median_histogram" ->
+      """WITH hist AS (
+        |  SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS qty,
+        |    count(*) AS c
+        |  FROM lineitem GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT flag, qty, c,
+        |    sum(c) OVER (PARTITION BY flag ORDER BY qty
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(c) OVER (PARTITION BY flag) AS n
+        |  FROM hist)
+        |SELECT flag, CAST(min(qty) AS BIGINT) AS median_qty,
+        |  CAST(max(n) AS BIGINT) AS n
+        |FROM cum WHERE cum * 2 >= n + 1
+        |GROUP BY 1 ORDER BY flag""".stripMargin,
 
     "q_unpivot" ->
       """WITH p AS (
