@@ -294,6 +294,53 @@ object RelQueries {
         weekofyear(col("d")).cast("long").as("iso_week"))
       .orderBy("o_orderkey")
 
+  // Data profiling — the pre-training audit every pipeline runs: one row
+  // per (column, metric) with counts, nulls, distincts, min/max (numerics
+  // as scaled-integer cents so the long-form table stays one type).
+  // Plan: ONE pass computes all plain aggregates; the distincts ride the
+  // same job as separate count(DISTINCT) columns (Expand + two-phase agg,
+  // the q_distinct_agg shape); the long form is a literal-pivot projection
+  // of the single result row — no per-metric scans.
+  private val qDataProfile: Q = (s, dir) => {
+    val o = orders(s, dir)
+    val row = o.agg(
+      count(lit(1)).as("n"),
+      count(col("o_custkey")).as("ck_nn"),
+      countDistinct(col("o_custkey")).as("ck_d"),
+      min(col("o_custkey")).as("ck_min"), max(col("o_custkey")).as("ck_max"),
+      count(col("o_totalprice")).as("tp_nn"),
+      countDistinct(col("o_totalprice")).as("tp_d"),
+      min((col("o_totalprice") * 100).cast("long")).as("tp_min"),
+      max((col("o_totalprice") * 100).cast("long")).as("tp_max"),
+      count(col("o_orderstatus")).as("st_nn"),
+      countDistinct(col("o_orderstatus")).as("st_d"))
+    def m(colName: String, metric: String, v: org.apache.spark.sql.Column) =
+      row.select(lit(colName).as("column"), lit(metric).as("metric"),
+        v.cast("long").as("value"))
+    m("o_custkey", "non_null", col("ck_nn"))
+      .unionAll(m("o_custkey", "distinct", col("ck_d")))
+      .unionAll(m("o_custkey", "min", col("ck_min")))
+      .unionAll(m("o_custkey", "max", col("ck_max")))
+      .unionAll(m("o_orderstatus", "distinct", col("st_d")))
+      .unionAll(m("o_orderstatus", "non_null", col("st_nn")))
+      .unionAll(m("o_totalprice", "distinct", col("tp_d")))
+      .unionAll(m("o_totalprice", "max_cents", col("tp_max")))
+      .unionAll(m("o_totalprice", "min_cents", col("tp_min")))
+      .unionAll(m("o_totalprice", "non_null", col("tp_nn")))
+      .unionAll(m("table", "rows", col("n")))
+      .orderBy("column", "metric")
+  }
+
+  // Equi-width numeric histogram over order value — the profiling
+  // companion: literal bin bounds (no min/max pre-pass), one map-side-
+  // combined agg onto ≤ |bins| cells.
+  private val qHistogram: Q = (s, dir) =>
+    orders(s, dir)
+      .select(least(floor(col("o_totalprice") / 50000.0), lit(9L)).cast("long")
+        .as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n"))
+      .orderBy("bin")
+
   // Global top-k: TakeOrderedAndProject (no full sort materialization).
   private val qTopk: Q = (s, dir) =>
     orders(s, dir)
@@ -583,6 +630,8 @@ object RelQueries {
     "q_range_frame" -> qRangeFrame,
     "q_collect_list" -> qCollectList,
     "q_date_scalars" -> qDateScalars,
+    "q_data_profile" -> qDataProfile,
+    "q_histogram" -> qHistogram,
     "q_median_histogram" -> qMedianHistogram,
     "q_unpivot" -> qUnpivot,
     "q_full_outer" -> qFullOuter,
@@ -670,6 +719,36 @@ object RelQueries {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY d
         |             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_data_profile" ->
+      """WITH a AS (
+        |  SELECT count(*) AS n,
+        |    count(o_custkey) AS ck_nn, count(DISTINCT o_custkey) AS ck_d,
+        |    min(o_custkey) AS ck_min, max(o_custkey) AS ck_max,
+        |    count(o_totalprice) AS tp_nn, count(DISTINCT o_totalprice) AS tp_d,
+        |    min(CAST(o_totalprice * 100 AS BIGINT)) AS tp_min,
+        |    max(CAST(o_totalprice * 100 AS BIGINT)) AS tp_max,
+        |    count(o_orderstatus) AS st_nn,
+        |    count(DISTINCT o_orderstatus) AS st_d
+        |  FROM orders)
+        |SELECT "column", metric, CAST(value AS BIGINT) AS value FROM (
+        |  SELECT 'o_custkey' AS "column", 'non_null' AS metric, ck_nn AS value FROM a
+        |  UNION ALL SELECT 'o_custkey', 'distinct', ck_d FROM a
+        |  UNION ALL SELECT 'o_custkey', 'min', ck_min FROM a
+        |  UNION ALL SELECT 'o_custkey', 'max', ck_max FROM a
+        |  UNION ALL SELECT 'o_orderstatus', 'distinct', st_d FROM a
+        |  UNION ALL SELECT 'o_orderstatus', 'non_null', st_nn FROM a
+        |  UNION ALL SELECT 'o_totalprice', 'distinct', tp_d FROM a
+        |  UNION ALL SELECT 'o_totalprice', 'max_cents', tp_max FROM a
+        |  UNION ALL SELECT 'o_totalprice', 'min_cents', tp_min FROM a
+        |  UNION ALL SELECT 'o_totalprice', 'non_null', tp_nn FROM a
+        |  UNION ALL SELECT 'table', 'rows', n FROM a)
+        |ORDER BY "column", metric""".stripMargin,
+
+    "q_histogram" ->
+      """SELECT CAST(least(floor(o_totalprice / 50000.0), 9) AS BIGINT) AS bin,
+        |  count(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY bin""".stripMargin,
 
     "q_date_scalars" ->
       """SELECT o_orderkey,
