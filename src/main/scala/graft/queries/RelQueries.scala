@@ -341,6 +341,29 @@ object RelQueries {
       .groupBy("bin").agg(count(lit(1)).as("n"))
       .orderBy("bin")
 
+  // Time-series gap fill (resampling): per-user 15-min activity buckets
+  // with MISSING buckets materialized as zero rows between each user's
+  // first and last event — the regularization step before any
+  // window/forecast consumer. The dense axis is generated per user with
+  // sequence()+explode (fan-out bounded by the user's own span — never a
+  // global calendar cross join), then the observed counts left-join on
+  // the (user, bucket) composite: both sides high-cardinality,
+  // map-side combined.
+  private val qGapFill: Q = (s, dir) => {
+    val B = 900000000L // 15 min in µs
+    val ev = eventsTs(s, dir)
+      .select(col("user_id"), expr(s"ts_us div $B").as("bucket"))
+    val counts = ev.groupBy("user_id", "bucket").agg(count(lit(1)).as("n"))
+    val spans = ev.groupBy("user_id")
+      .agg(min("bucket").as("b0"), max("bucket").as("b1"))
+    val dense = spans.select(col("user_id"),
+      explode(sequence(col("b0"), col("b1"))).as("bucket"))
+    dense.join(counts, Seq("user_id", "bucket"), "left_outer")
+      .select(col("user_id"), (col("bucket") * B).as("bucket_us"),
+        coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy("user_id", "bucket_us")
+  }
+
   // Global top-k: TakeOrderedAndProject (no full sort materialization).
   private val qTopk: Q = (s, dir) =>
     orders(s, dir)
@@ -632,6 +655,7 @@ object RelQueries {
     "q_date_scalars" -> qDateScalars,
     "q_data_profile" -> qDataProfile,
     "q_histogram" -> qHistogram,
+    "q_gap_fill" -> qGapFill,
     "q_median_histogram" -> qMedianHistogram,
     "q_unpivot" -> qUnpivot,
     "q_full_outer" -> qFullOuter,
@@ -749,6 +773,22 @@ object RelQueries {
       """SELECT CAST(least(floor(o_totalprice / 50000.0), 9) AS BIGINT) AS bin,
         |  count(*) AS n
         |FROM orders GROUP BY 1 ORDER BY bin""".stripMargin,
+
+    "q_gap_fill" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) // 900000000 AS bucket FROM events),
+        |counts AS (
+        |  SELECT user_id, bucket, count(*) AS n FROM e GROUP BY 1, 2),
+        |spans AS (
+        |  SELECT user_id, min(bucket) AS b0, max(bucket) AS b1
+        |  FROM e GROUP BY 1),
+        |dense AS (
+        |  SELECT user_id, unnest(range(b0, b1 + 1)) AS bucket FROM spans)
+        |SELECT d.user_id, d.bucket * 900000000 AS bucket_us,
+        |  CAST(coalesce(n, 0) AS BIGINT) AS n
+        |FROM dense d LEFT JOIN counts c
+        |  ON d.user_id = c.user_id AND d.bucket = c.bucket
+        |ORDER BY d.user_id, bucket_us""".stripMargin,
 
     "q_date_scalars" ->
       """SELECT o_orderkey,
