@@ -364,6 +364,57 @@ object RelQueries {
       .orderBy("user_id", "bucket_us")
   }
 
+  // Null-semantics surface: null-safe equality (<=>), coalesce/nullif,
+  // count(*) vs count(col), and null ordering in aggregates over a
+  // projection that PLANTS nulls (every 7th status) — SQL's sharpest
+  // cross-engine edges, pinned. Narrow + one small agg.
+  private val qNullSemantics: Q = (s, dir) => {
+    val o = orders(s, dir)
+      .select(col("o_orderkey"),
+        when(col("o_orderkey") % 7 === 0, lit(null).cast("string"))
+          .otherwise(col("o_orderstatus")).as("st"))
+    o.groupBy(coalesce(col("st"), lit("NULL")).as("status"))
+      .agg(count(lit(1)).as("n_rows"), count(col("st")).as("n_nonnull"),
+        sum(when(col("st") <=> lit(null).cast("string"), 1L).otherwise(0L))
+          .as("n_nullsafe_eq_null"),
+        sum(when(nullif(col("st"), lit("O")).isNull && col("st").isNotNull, 1L)
+          .otherwise(0L)).as("n_was_o"))
+      .orderBy("status")
+  }
+
+  // Incremental aggregate maintenance — the epoch-over-epoch discipline as
+  // a batch key: a standing per-customer aggregate state (count, decimal
+  // sum, min, max over the first epoch) MERGED with the new epoch's
+  // partial state, algebraically: merged = f(state, state) not
+  // f(raw ∪ raw). The oracle recomputes from the union — proving the merge
+  // is lossless — while the plan only ever aggregates each epoch once and
+  // joins the two SMALL state tables. At 100 TB this is the difference
+  // between reprocessing the corpus per epoch and touching only the new
+  // data.
+  private val qIncrementalAgg: Q = (s, dir) => {
+    val o = orders(s, dir)
+    def partial(df: DataFrame) = df.groupBy("o_custkey")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,6)")).as("s"),
+        min(col("o_totalprice")).as("mn"), max(col("o_totalprice")).as("mx"))
+    val epoch1 = partial(o.filter(col("o_orderkey") % 3 =!= 0))
+    val epoch2 = partial(o.filter(col("o_orderkey") % 3 === 0))
+    epoch1.select(col("o_custkey"), col("n").as("n1"), col("s").as("s1"),
+        col("mn").as("mn1"), col("mx").as("mx1"))
+      .join(epoch2.select(col("o_custkey"), col("n").as("n2"), col("s").as("s2"),
+        col("mn").as("mn2"), col("mx").as("mx2")), Seq("o_custkey"), "full_outer")
+      .select(col("o_custkey"),
+        (coalesce(col("n1"), lit(0L)) + coalesce(col("n2"), lit(0L))).as("n"),
+        coalesce(col("s1"), lit(0).cast("decimal(18,6)"))
+          .plus(coalesce(col("s2"), lit(0).cast("decimal(18,6)")))
+          .cast("double").as("spend"),
+        least(coalesce(col("mn1"), col("mn2")), coalesce(col("mn2"), col("mn1")))
+          .as("mn"),
+        greatest(coalesce(col("mx1"), col("mx2")), coalesce(col("mx2"), col("mx1")))
+          .as("mx"))
+      .orderBy("o_custkey")
+  }
+
   // Global top-k: TakeOrderedAndProject (no full sort materialization).
   private val qTopk: Q = (s, dir) =>
     orders(s, dir)
@@ -656,6 +707,8 @@ object RelQueries {
     "q_data_profile" -> qDataProfile,
     "q_histogram" -> qHistogram,
     "q_gap_fill" -> qGapFill,
+    "q_null_semantics" -> qNullSemantics,
+    "q_incremental_agg" -> qIncrementalAgg,
     "q_median_histogram" -> qMedianHistogram,
     "q_unpivot" -> qUnpivot,
     "q_full_outer" -> qFullOuter,
@@ -773,6 +826,28 @@ object RelQueries {
       """SELECT CAST(least(floor(o_totalprice / 50000.0), 9) AS BIGINT) AS bin,
         |  count(*) AS n
         |FROM orders GROUP BY 1 ORDER BY bin""".stripMargin,
+
+    "q_null_semantics" ->
+      """WITH o AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderstatus END AS st
+        |  FROM orders)
+        |SELECT coalesce(st, 'NULL') AS status,
+        |  count(*) AS n_rows,
+        |  count(st) AS n_nonnull,
+        |  CAST(sum(CASE WHEN st IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_nullsafe_eq_null,
+        |  CAST(sum(CASE WHEN nullif(st, 'O') IS NULL AND st IS NOT NULL
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_was_o
+        |FROM o GROUP BY 1 ORDER BY status""".stripMargin,
+
+    // the oracle recomputes from the UNION of epochs — the merge must be
+    // lossless against full recomputation
+    "q_incremental_agg" ->
+      """SELECT o_custkey, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS spend,
+        |  min(o_totalprice) AS mn, max(o_totalprice) AS mx
+        |FROM orders GROUP BY 1 ORDER BY o_custkey""".stripMargin,
 
     "q_gap_fill" ->
       """WITH e AS (
