@@ -1307,6 +1307,34 @@ class ExtSpec extends AnyFunSuite {
       "codegen'd merge loop must match the per-merge HOF fold chain")
   }
 
+  test("property: nfc_normalize equals java.text.Normalizer on adversarial strings") {
+    import org.scalacheck.Gen
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    // decomposed sequences, precomposed chars, non-BMP (surrogate pairs),
+    // combining marks without a base, plain ASCII
+    val atomGen = Gen.oneOf(
+      "é", "é", "Å", "Å" /* ANGSTROM SIGN → Å */,
+      "😀" /* non-BMP emoji */, "́" /* lone combining */,
+      "abc", " ", "ḍ̇" /* d-dot-above + dot-below: reorders */)
+    val strGen = for {
+      n <- Gen.choose(0, 6)
+      parts <- Gen.listOfN(n, atomGen)
+    } yield parts.mkString
+    var seed = org.scalacheck.rng.Seed(11L)
+    val cases = (1 to 300).map { i =>
+      val s = strGen.pureApply(Gen.Parameters.default, seed)
+      seed = seed.next
+      (i.toLong, s)
+    }
+    val got = cases.toDF("id", "s")
+      .select(col("id"), call_function("nfc_normalize", col("s")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    cases.foreach { case (id, s) =>
+      val exp = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+      assert(got(id) == exp, s"id $id input ${s.codePoints().toArray.toSeq}")
+    }
+  }
+
   test("property: BPE greedy-leftmost fold matches the reference implementation") {
     import org.scalacheck.Gen
     def ref(syms: Seq[String], p1: String, p2: String): List[String] =
