@@ -48,6 +48,36 @@ object RoutedSink {
     }
   }
 
+  /** The COMPLETE conf-driven wire delivery — the reference feeds its whole
+    * `[kafka]` table plus env overrides to librdkafka
+    * (src/sink/kafka.rs:63-84, 224-231); this is the one call site mapping
+    * the same librdkafka-style conf (env-overlaid, [[KafkaBootstrap
+    * .withEnvOverrides]]) to EVERY wire-client knob: bootstrap fail-over
+    * list, TLS trust anchors (`security.protocol`/`ssl.ca.location`), SCRAM
+    * credentials + mechanism (`sasl.*`), acks, compression codec, and the
+    * produce timeout. Conf resolves ON THE DRIVER so a bad value fails at
+    * submit; executors get plain resolved scalars. */
+  def produceKafkaWithConf(routed: DataFrame, bootstrap: String,
+      cfg: graft.config.GraftConfig,
+      statsdHostPort: Option[(String, Int)] = None): Unit = {
+    val (servers, conf) = KafkaBootstrap.withEnvOverrides(bootstrap, cfg.kafkaConf)
+    val broker = servers.split(',').head.trim
+    val tls = KafkaProduceClient.tlsFromConf(conf)
+    val sasl = KafkaProduceClient.saslFromConf(conf)
+    val algo = KafkaProduceClient.saslAlgoFromConf(conf)
+    val acks = KafkaProduceClient.acksFromConf(conf)
+    val codec = KafkaProduceClient.compressionFromConf(conf)
+    val timeoutMs = cfg.kafkaTimeoutMs.toInt
+    kafkaShape(routed).foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+      val client = new KafkaProduceClient(broker, timeoutMs,
+        statsdHostPort.map { case (h, p) => new graft.metrics.StatsdEmitter(h, p) },
+        tlsCaCert = tls, sasl = sasl, saslAlgo = algo,
+        acks = acks, compression = codec)
+      try { rows.foreach(r => client.send(r.getString(0), r.getString(1))); client.flush() }
+      finally client.close()
+    }
+  }
+
   /** Write one parquet tree partitioned by destination:
     * `<url>/topic=<destination>/part-*.parquet` — the Spark-native analog of
     * the reference's `{destination}/{uuid}.parquet` objects

@@ -529,6 +529,30 @@ class KafkaProduceSpec extends AnyFunSuite {
     } finally broker.close()
   }
 
+  test("produceKafkaWithConf: the whole librdkafka-style conf drives the client") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // credentialed broker; conf carries SASL + gzip + acks=all, like the
+    // reference's full [kafka] table passthrough
+    val broker = new LoopbackBroker(scram = Some(("svc", "pw")))
+    try {
+      val cfg = graft.config.GraftConfig(
+        rules = Nil, schemas = Map.empty, defaultTopic = None,
+        kafkaBuffer = 1024, kafkaTimeoutMs = 5000L, parquetUrl = None,
+        parquetBufferBytes = None, flushMs = 60000L,
+        kafkaConf = Map(
+          "sasl.username" -> "svc", "sasl.password" -> "pw",
+          "compression.codec" -> "gzip", "acks" -> "all"))
+      val routed = Seq(("t-conf", "full conf payload")).toDF("topic", "value")
+      RoutedSink.produceKafkaWithConf(routed, broker.broker, cfg)
+      assert(broker.received.toArray(Array.empty[(String, String)]).toSet
+        == Set("t-conf" -> "full conf payload"))
+      val frames = broker.frames.toArray(Array.empty[(Short, Short, Byte)])
+      assert(frames.toSeq == Seq((2.toShort, (-1).toShort, 1.toByte)),
+        s"conf must reach the wire: $frames")
+    } finally broker.close()
+  }
+
   test("RoutedSink.produceKafka: executor-side delivery of a routed frame") {
     val spark = TestSpark.spark
     import spark.implicits._
