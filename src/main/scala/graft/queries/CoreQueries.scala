@@ -30,6 +30,49 @@ object CoreQueries {
         graft.rules.TestMode.matchesStr(HotdogConfig, col("text")).as("matches"))
       .orderBy("doc_id")
 
+  // Source-format surface: CSV round-trip — routed output written as CSV
+  // (quote/escape handling exercised by the JSON payloads) and read back
+  // with an explicit schema, proving a lossless text-format hop. Both the
+  // write and the typed re-read are distributed; the oracle reads the SAME
+  // files with DuckDB's CSV reader, so quoting semantics must agree
+  // byte-for-byte. One stable slot per sf dir, overwrite-rewritten.
+  private[queries] val CsvSlot: String = java.nio.file.Paths.get(
+    sys.props("java.io.tmpdir"), "graft-csv-roundtrip", "current").toString
+
+  private val srcCsvRoundtrip: Q = (s, dir) => {
+    // escape = quote → RFC 4180 doubled quotes, the dialect DuckDB's CSV
+    // reader speaks natively (Spark's default backslash-escape is not
+    // portable); multiLine on the read side because template outputs carry
+    // embedded newlines inside quoted fields (disables intra-file split
+    // parallelism — the cost of newline-bearing CSV anywhere, which is why
+    // parquet is the real interchange format and this key is an exhibit)
+    routed(s, dir).write.mode("overwrite")
+      .option("header", "true").option("escape", "\"").csv(CsvSlot)
+    s.read.schema("event_id long, topic string, value string")
+      .option("header", "true").option("escape", "\"")
+      .option("multiLine", "true").csv(CsvSlot)
+      .orderBy("event_id")
+  }
+
+  // JSON corrupt-record handling: the three parser dispositions a pipeline
+  // needs (typed parse, explicit corrupt flag, drop) in one projection —
+  // every 11th props string is corrupted; from_json yields null fields,
+  // json_valid drives the flag, and the dropped set is the filter twin.
+  private val jsonCorruptModes: Q = (s, dir) => {
+    val planted = events(s, dir).select(col("event_id"),
+      when(col("event_id") % 11 === 0, concat(lit("{broken "), col("props")))
+        .otherwise(col("props")).as("j"))
+    planted
+      .withColumn("parsed", from_json(col("j"),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.LongType)))))
+      .select(col("event_id"),
+        col("parsed.k").as("k"),
+        get_json_object(col("j"), "$").isNotNull.as("is_valid"))
+      .orderBy("event_id")
+  }
+
   // O4 — RFC 5424 parse → 5-field projection.
   private val parse5424Q: Q = (s, dir) =>
     parsed(s, dir).orderBy("event_id")
@@ -351,6 +394,8 @@ object CoreQueries {
   val queries: Map[String, Q] = Map(
     "src_lines" -> srcLines,
     "src_file_test_mode" -> srcFileTestMode,
+    "src_csv_roundtrip" -> srcCsvRoundtrip,
+    "json_corrupt_modes" -> jsonCorruptModes,
     "parse_syslog_5424" -> parse5424Q,
     "parse_syslog_3164" -> parse3164Q,
     "parse_error_filter" -> parseErrorFilter,
@@ -383,6 +428,27 @@ object CoreQueries {
   val oracle: Map[String, String] = Map(
     "src_lines" ->
       s"$Lines5424Cte SELECT event_id, line FROM lines ORDER BY event_id",
+
+    // reads the SAME files the Spark key just wrote (stable slot,
+    // overwrite-rewritten per Verify run) — the CSV dialect must agree
+    "src_csv_roundtrip" ->
+      s"""SELECT event_id, topic, value
+         |FROM read_csv('$CsvSlot/*.csv', header = true,
+         |  columns = {'event_id': 'BIGINT', 'topic': 'VARCHAR',
+         |             'value': 'VARCHAR'})
+         |ORDER BY event_id""".stripMargin,
+
+    "json_corrupt_modes" ->
+      """WITH planted AS (
+        |  SELECT event_id,
+        |    CASE WHEN event_id % 11 = 0 THEN '{broken ' || props
+        |         ELSE props END AS j
+        |  FROM events)
+        |SELECT event_id,
+        |  CASE WHEN json_valid(j)
+        |       THEN TRY_CAST(json_extract_string(j, '$.k') AS BIGINT) END AS k,
+        |  json_valid(j) AS is_valid
+        |FROM planted ORDER BY event_id""".stripMargin,
 
     "src_file_test_mode" ->
       """SELECT doc_id,
