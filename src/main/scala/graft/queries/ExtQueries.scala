@@ -2,7 +2,7 @@ package graft.queries
 
 import scala.util.chaining._
 
-import graft.ext.{Contamination, Dedup, Embeddings, Multimodal, PqTrainer, Selection, Similarity, TextAnalysis}
+import graft.ext.{Contamination, Dedup, EmbedPipeline, Embeddings, Multimodal, PqTrainer, Selection, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -793,6 +793,13 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  /** The embedding-side composed pipeline: chunk → hashed-BoW embed →
+    * sign-LSH bucketed semantic dedup → per-chunk disposition. */
+  private val corpusEmbedPipeline: Q = (s, dir) => {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    EmbedPipeline.semanticChunkDedup(documents(s, dir))
+  }
+
   /** Overlapping 64-token context windows at stride 48 — the chunking
     * step of an embedding/retrieval pipeline. */
   private val corpusChunk: Q = (s, dir) =>
@@ -970,6 +977,7 @@ object ExtQueries {
     "corpus_normalize_text" -> corpusNormalizeText,
     "corpus_chunk" -> corpusChunk,
     "corpus_chunk_dedup" -> corpusChunkDedup,
+    "corpus_embed_pipeline" -> corpusEmbedPipeline,
     "corpus_line_dedup" -> corpusLineDedup,
     "corpus_pipeline_e2e" -> corpusPipelineE2e,
     "text_vocab_topk" -> textVocabTopk,
@@ -1020,6 +1028,24 @@ object ExtQueries {
 
   private def cosSql(a: String, b: String): String =
     s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
+
+  /** dims-parameterized twin of [[dotSql]] (that one is pinned to the
+    * 64-dim embeddings table). */
+  private def dotSqlN(a: String, b: String, n: Int): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      s"list_transform(range(1,${n + 1}), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), " +
+      "(x,y) -> x + y)"
+
+  private def cosSqlN(a: String, b: String, n: Int): String =
+    s"(${dotSqlN(a, b, n)} / (sqrt(${dotSqlN(a, a, n)}) * sqrt(${dotSqlN(b, b, n)})))"
+
+  /** Sign-LSH bucket over an n-dim vector with the given plane literals —
+    * the [[lshBucketSql]] generalization for the embed-pipeline vectors. */
+  private def lshBucketSqlN(emb: String, planes: Array[Array[Double]]): String =
+    planes.zipWithIndex.map { case (p, j) =>
+      val lit = p.map(d => s"CAST($d AS DOUBLE)").mkString("([", ", ", "])")
+      s"(CASE WHEN ${dotSqlN(emb, lit, p.length)} > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
 
   /** DuckDB twin of `Similarity.lshBucket(emb, Planes)`: the sign bit of
     * each plane dot (same sequential fold, plane embedded as a literal —
@@ -1570,6 +1596,55 @@ object ExtQueries {
 
     // 64-token windows at stride 48, trailing partials kept — 1-based
     // inclusive list slice mirrors Spark's slice(toks, s*48+1, 64)
+    // embed-pipeline twin: 32/24 chunking, hashed-BoW dims via the hex
+    // fold, dense vectors through map_from_entries/map_extract, identical
+    // 4-plane 16-dim sign buckets and sequential cosine folds; keeper =
+    // min lexicographic predecessor via the doc·2^20+chunk composite
+    // (chunk_id bounded far below 2^20)
+    "corpus_embed_pipeline" -> {
+      val planes16 = graft.ext.Similarity.hyperplanes(4, 16)
+      s"""WITH tok AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t
+         |  FROM documents),
+         |st AS (SELECT doc_id, t, unnest(range(0, (len(t)-1)//24 + 1)) AS s
+         |  FROM tok WHERE len(t) > 0),
+         |ch AS (SELECT doc_id, CAST(s AS BIGINT) AS chunk_id,
+         |    t[s*24+1 : s*24+32] AS c,
+         |    md5(array_to_string(t[s*24+1 : s*24+32], ' ')) AS chunk_md5
+         |  FROM st),
+         |cells AS (SELECT doc_id, chunk_id, chunk_md5,
+         |    ${hexFoldSql(1, 15)} % 16 AS dim, count(*) AS c
+         |  FROM (SELECT doc_id, chunk_id, chunk_md5, md5(tok) AS hx
+         |        FROM (SELECT doc_id, chunk_id, chunk_md5, unnest(c) AS tok
+         |              FROM ch))
+         |  GROUP BY 1, 2, 3, 4),
+         |vecs AS (SELECT doc_id, chunk_id, chunk_md5,
+         |    map_from_entries(list({'k': dim, 'v': c})) AS m
+         |  FROM cells GROUP BY 1, 2, 3),
+         |v AS (SELECT doc_id, chunk_id, chunk_md5,
+         |    list_transform(range(0, 16), d ->
+         |      CAST(coalesce(list_extract(map_extract(m, d), 1), 0) AS DOUBLE))
+         |      AS vec
+         |  FROM vecs),
+         |b AS (SELECT doc_id, chunk_id, chunk_md5, vec,
+         |    ${lshBucketSqlN("vec", planes16)} AS bucket FROM v),
+         |drops AS (SELECT b2.doc_id, b2.chunk_id,
+         |    min(a.a_doc * 1048576 + a.a_chunk) AS kp
+         |  FROM b b2 JOIN (SELECT bucket, doc_id AS a_doc,
+         |      chunk_id AS a_chunk, vec AS a_vec FROM b) a
+         |    ON a.bucket = b2.bucket
+         |  WHERE (a.a_doc < b2.doc_id
+         |         OR (a.a_doc = b2.doc_id AND a.a_chunk < b2.chunk_id))
+         |    AND ${cosSqlN("a.a_vec", "b2.vec", 16)} >= 0.95
+         |  GROUP BY 1, 2)
+         |SELECT b.doc_id, b.chunk_id, b.chunk_md5,
+         |  kp IS NULL AS kept,
+         |  CAST(kp // 1048576 AS BIGINT) AS keeper_doc,
+         |  CAST(kp % 1048576 AS BIGINT) AS keeper_chunk
+         |FROM b LEFT JOIN drops ON b.doc_id = drops.doc_id
+         |  AND b.chunk_id = drops.chunk_id
+         |ORDER BY b.doc_id, b.chunk_id""".stripMargin
+    },
+
     "corpus_chunk" ->
       """WITH tok AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS t
         |  FROM documents),
