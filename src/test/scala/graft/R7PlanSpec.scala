@@ -95,6 +95,15 @@ class R7PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("corpus_embed_pipeline: bucket-keyed dedup join, no cartesian/BNLJ") {
+    val plan = SparkEntry.queries("corpus_embed_pipeline")(spark, sf)
+      .queryExecution.executedPlan
+    assert(plan.collect { case c: CartesianProductExec => c }.isEmpty)
+    assert(plan.collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+    }.isEmpty, "semantic chunk dedup must join on the bucket key, never all-pairs")
+  }
+
   test("ann_knn_graph: no cartesian/BNLJ — the self-join is bucket-keyed") {
     val plan = SparkEntry.queries("ann_knn_graph")(spark, sf)
       .queryExecution.executedPlan
