@@ -256,6 +256,36 @@ object Similarity {
       centroids: Array[Array[Double]]): DataFrame =
     ivfProbe(centroidIndex(centroids), corpus, queries, k)
 
+  /** FILTERED vector search — the modern vector-DB staple: top-k under a
+    * metadata predicate ("nearest docs WHERE label = X"). Pre-filtering is
+    * the only correct strategy when the filter is selective (post-filtering
+    * a top-k can return < k survivors); here the predicate pushes into the
+    * corpus scan BEFORE bucketing, so the probe cost shrinks WITH the
+    * filter instead of paying full-corpus retrieval and discarding. Same
+    * broadcast-query / bucket-probe shape as [[lshTopK]]; with a
+    * partition-pruned layout ([[ivfPersistedTopK]]'s directory index) a
+    * label-partitioned write makes the filter a pure partition prune. */
+  def filteredLshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      planes: Array[Array[Double]], predicate: Column): DataFrame = {
+    val filtered = corpus.filter(predicate)
+    val bucketed = filtered
+      .withColumn("bucket", lshBucket(col("embedding"), planes))
+    val q = broadcast(queries
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .withColumn("bucket", lshBucket(col("q_emb"), planes)))
+    val scored = bucketed.join(q, "bucket")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        cosine(col("q_emb"), col("embedding")).as("sim"))
+    rankTopK(scored, k, "sim", asc = false)
+      .select("q_id", "rank", "n_id", "sim")
+  }
+
+  /** Public nearest-centroid assignment (the narrow `ivf_assign`
+    * projection) — (input columns ++ `cluster`). */
+  def kmeansAssign(corpus: DataFrame, centroids: Array[Array[Double]]): DataFrame =
+    cellAssign(centroidIndex(centroids), corpus, "embedding", "cluster")
+
   /** k-means clustering REPORT: cluster sizes + cohesion over trained
     * centroids — the clustering operator surfaced on its own (SemDeDup's
     * bucketing and IVF's coarse quantizer both embed it; a curation

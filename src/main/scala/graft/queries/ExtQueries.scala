@@ -368,6 +368,50 @@ object ExtQueries {
       .orderBy("q_id", "rank")
   }
 
+  /** Filtered vector search: top-5 under `label % 3 = 0` — the metadata
+    * predicate pre-filters the corpus BEFORE bucketing. */
+  private val annFilteredSearch: Q = (s, dir) => {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val e = embeddings(s, dir)
+    Similarity.filteredLshTopK(e, e.filter(col("vec_id") < 10), 5, Planes,
+        col("label") % 3 === 0)
+      .orderBy("q_id", "rank")
+  }
+
+  /** Embedding DRIFT monitor: per-cluster centroid shift between two
+    * epochs (vec_id halves) — the distribution-shift check a production
+    * embedding pipeline runs on every refresh. Per epoch and cluster the
+    * mean is exact (integer-quantized component sums ÷ count); the shift
+    * is the cosine between the two epoch means. Bounded output (K rows);
+    * the heavy work is one map-side-combined vector_sum_long agg per
+    * epoch. */
+  private val embDrift: Q = (s, dir) => {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val e = embeddings(s, dir)
+    val cents = PqTrainer.trainCodebook(e, m = 1, ksub = 16)(0)
+    val half = e.agg(max("vec_id")).head().getLong(0) / 2
+    def epochMeans(pred: org.apache.spark.sql.Column) =
+      Similarity.kmeansAssign(e.filter(pred), cents)
+        .select(col("cluster"),
+          // floor (not round) — no half-tie semantics to match cross-engine
+          expr("transform(embedding, x -> cast(floor(cast(x as double) * 10000.0) as long))")
+            .as("q"))
+        .groupBy("cluster")
+        .agg(call_function("vector_sum_long", col("q")).as("s"),
+          count(lit(1)).as("n"))
+        .select(col("cluster"),
+          expr("transform(s, x -> cast(x as double) / (n * 10000.0))").as("mean"),
+          col("n"))
+    val e1 = epochMeans(col("vec_id") <= half)
+      .select(col("cluster"), col("mean").as("m1"), col("n").as("n1"))
+    val e2 = epochMeans(col("vec_id") > half)
+      .select(col("cluster"), col("mean").as("m2"), col("n").as("n2"))
+    e1.join(e2, Seq("cluster"), "inner")
+      .select(col("cluster"), col("n1"), col("n2"),
+        Similarity.cosine(col("m1"), col("m2")).as("mean_cosine"))
+      .orderBy("cluster")
+  }
+
   /** k-means cluster report over the trained coarse centroids: sizes +
     * cohesion (decimal-exact sums) — clustering as its own operator. */
   private val corpusKmeans: Q = (s, dir) => {
@@ -946,7 +990,9 @@ object ExtQueries {
     "ann_lsh" -> annLsh,
     "ann_lsh_multiprobe" -> annLshMultiprobe,
     "ann_knn_graph" -> annKnnGraph,
+    "ann_filtered_search" -> annFilteredSearch,
     "corpus_kmeans" -> corpusKmeans,
+    "emb_drift" -> embDrift,
     "ann_range_search" -> annRangeSearch,
     "ann_recall" -> annRecall,
     "ann_ivf" -> annIvf,
@@ -2329,6 +2375,59 @@ object ExtQueries {
     // ann_ivf's oracle IS the twin
     "ann_ivf_persisted" -> AnnIvfOracle,
 
+
+    // filtered-search twin: the ann_lsh CTEs with the label predicate
+    // pre-filtering the CORPUS side only (queries bucket from their own
+    // embeddings regardless)
+    "ann_filtered_search" ->
+      s"""WITH bucketed AS (
+         |  SELECT vec_id, embedding, ${bucketExpr("embedding")} AS bucket
+         |  FROM embeddings WHERE label % 3 = 0),
+         |q AS (SELECT vec_id AS q_id, embedding AS qe,
+         |    ${bucketExpr("embedding")} AS bucket
+         |  FROM embeddings WHERE vec_id < 10),
+         |scored AS (SELECT q_id, e.vec_id AS n_id,
+         |  ${cosSql("qe", "e.embedding")} AS sim
+         |  FROM bucketed e JOIN q USING (bucket) WHERE e.vec_id <> q.q_id),
+         |ranked AS (SELECT q_id, n_id, sim,
+         |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS INT) AS rank
+         |  FROM scored)
+         |SELECT q_id, rank, n_id, sim FROM ranked WHERE rank <= 5
+         |ORDER BY q_id, rank""".stripMargin,
+
+    // drift twin: coarse k-means + trained assignment, per-epoch
+    // quantized component sums (floor — no tie semantics), exact means,
+    // cosine between epoch means via the shared sequential folds
+    "emb_drift" ->
+      s"""WITH RECURSIVE
+         |$CoarseKmCtes,
+         |assigned AS (
+         |  SELECT vec_id, embedding, ivf_cell FROM (
+         |    SELECT e.vec_id, e.embedding, r.cell AS ivf_cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosSql("e.embedding", "r.rep")} DESC, r.cell) AS rn
+         |    FROM embeddings e, reps r) WHERE rn = 1),
+         |half AS (SELECT max(vec_id) // 2 AS h FROM embeddings),
+         |q AS (SELECT vec_id, ivf_cell,
+         |    list_transform(range(1, 65), i ->
+         |      CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000.0) AS BIGINT)) AS qv
+         |  FROM assigned),
+         |s1 AS (SELECT ivf_cell AS cluster, i, CAST(sum(qv[i]) AS BIGINT) AS s
+         |  FROM q, half, range(1, 65) r(i) WHERE vec_id <= h GROUP BY 1, 2),
+         |n1 AS (SELECT ivf_cell AS cluster, CAST(count(*) AS BIGINT) AS n1
+         |  FROM q, half WHERE vec_id <= h GROUP BY 1),
+         |m1 AS (SELECT cluster, list(CAST(s AS DOUBLE) / (n1 * 10000.0)
+         |    ORDER BY i) AS m1 FROM s1 JOIN n1 USING (cluster) GROUP BY cluster, n1),
+         |s2 AS (SELECT ivf_cell AS cluster, i, CAST(sum(qv[i]) AS BIGINT) AS s
+         |  FROM q, half, range(1, 65) r(i) WHERE vec_id > h GROUP BY 1, 2),
+         |n2 AS (SELECT ivf_cell AS cluster, CAST(count(*) AS BIGINT) AS n2
+         |  FROM q, half WHERE vec_id > h GROUP BY 1),
+         |m2 AS (SELECT cluster, list(CAST(s AS DOUBLE) / (n2 * 10000.0)
+         |    ORDER BY i) AS m2 FROM s2 JOIN n2 USING (cluster) GROUP BY cluster, n2)
+         |SELECT cluster, n1, n2, ${cosSql("m1", "m2")} AS mean_cosine
+         |FROM m1 JOIN m2 USING (cluster) JOIN n1 USING (cluster)
+         |  JOIN n2 USING (cluster)
+         |ORDER BY cluster""".stripMargin,
 
     // k-means report twin: the coarse k-means CTEs + the same trained-cell
     // assignment, aggregated per cell (decimal cohesion sums, order-free
