@@ -281,6 +281,34 @@ object Similarity {
       .select("q_id", "rank", "n_id", "sim")
   }
 
+  /** Build-once/filter-many FILTERED search: the corpus persists
+    * bucketed AND partitioned by the metadata column, so a later query's
+    * predicate never scans excluded data at all — the filter resolves to
+    * DIRECTORY pruning before a single row is read (spec-asserted via the
+    * scan's partition filters), and the sign buckets are stored, not
+    * recomputed. Result-identical to [[filteredLshTopK]] over the same
+    * predicate (shared oracle). This is the 100-TB layout for
+    * "top-k WHERE tenant/lang/label = X" retrieval: pay the partitioned
+    * write once, every filtered probe reads only its partitions. */
+  def filteredPersistedLshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      planes: Array[Array[Double]], partitionCol: String, predicate: Column,
+      indexDir: String): DataFrame = {
+    val spark = corpus.sparkSession
+    corpus
+      .withColumn("bucket", lshBucket(col("embedding"), planes))
+      .write.mode("overwrite").partitionBy(partitionCol).parquet(indexDir)
+    val idx = spark.read.parquet(indexDir).filter(predicate)
+    val q = broadcast(queries
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .withColumn("bucket", lshBucket(col("q_emb"), planes)))
+    val scored = idx.join(q, "bucket")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        cosine(col("q_emb"), col("embedding")).as("sim"))
+    rankTopK(scored, k, "sim", asc = false)
+      .select("q_id", "rank", "n_id", "sim")
+  }
+
   /** Public nearest-centroid assignment (the narrow `ivf_assign`
     * projection) — (input columns ++ `cluster`). */
   def kmeansAssign(corpus: DataFrame, centroids: Array[Array[Double]]): DataFrame =

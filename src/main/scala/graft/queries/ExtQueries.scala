@@ -378,6 +378,17 @@ object ExtQueries {
       .orderBy("q_id", "rank")
   }
 
+  /** Persisted filtered search: bucketed index partitioned by label —
+    * the predicate prunes DIRECTORIES before any row is read; results
+    * identical to ann_filtered_search (shared oracle). */
+  private val annFilteredPersisted: Q = (s, dir) => {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val e = embeddings(s, dir)
+    Similarity.filteredPersistedLshTopK(e, e.filter(col("vec_id") < 10), 5,
+        Planes, "label", col("label") % 3 === 0, indexSlot("lshlabel", dir))
+      .orderBy("q_id", "rank")
+  }
+
   /** Embedding DRIFT monitor: per-cluster centroid shift between two
     * epochs (vec_id halves) — the distribution-shift check a production
     * embedding pipeline runs on every refresh. Per epoch and cluster the
@@ -991,6 +1002,7 @@ object ExtQueries {
     "ann_lsh_multiprobe" -> annLshMultiprobe,
     "ann_knn_graph" -> annKnnGraph,
     "ann_filtered_search" -> annFilteredSearch,
+    "ann_filtered_persisted" -> annFilteredPersisted,
     "corpus_kmeans" -> corpusKmeans,
     "emb_drift" -> embDrift,
     "ann_range_search" -> annRangeSearch,
@@ -1084,6 +1096,24 @@ object ExtQueries {
 
   private def cosSqlN(a: String, b: String, n: Int): String =
     s"(${dotSqlN(a, b, n)} / (sqrt(${dotSqlN(a, a, n)}) * sqrt(${dotSqlN(b, b, n)})))"
+
+  /** Shared twin of the filtered-search pair (in-memory and persisted
+    * produce identical rows; partition pruning is a plan property). */
+  private lazy val AnnFilteredOracle: String =
+    s"""WITH bucketed AS (
+       |  SELECT vec_id, embedding, ${bucketExpr("embedding")} AS bucket
+       |  FROM embeddings WHERE label % 3 = 0),
+       |q AS (SELECT vec_id AS q_id, embedding AS qe,
+       |    ${bucketExpr("embedding")} AS bucket
+       |  FROM embeddings WHERE vec_id < 10),
+       |scored AS (SELECT q_id, e.vec_id AS n_id,
+       |  ${cosSql("qe", "e.embedding")} AS sim
+       |  FROM bucketed e JOIN q USING (bucket) WHERE e.vec_id <> q.q_id),
+       |ranked AS (SELECT q_id, n_id, sim,
+       |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS INT) AS rank
+       |  FROM scored)
+       |SELECT q_id, rank, n_id, sim FROM ranked WHERE rank <= 5
+       |ORDER BY q_id, rank""".stripMargin
 
   /** Sign-LSH bucket over an n-dim vector with the given plane literals —
     * the [[lshBucketSql]] generalization for the embed-pipeline vectors. */
@@ -2379,21 +2409,12 @@ object ExtQueries {
     // filtered-search twin: the ann_lsh CTEs with the label predicate
     // pre-filtering the CORPUS side only (queries bucket from their own
     // embeddings regardless)
-    "ann_filtered_search" ->
-      s"""WITH bucketed AS (
-         |  SELECT vec_id, embedding, ${bucketExpr("embedding")} AS bucket
-         |  FROM embeddings WHERE label % 3 = 0),
-         |q AS (SELECT vec_id AS q_id, embedding AS qe,
-         |    ${bucketExpr("embedding")} AS bucket
-         |  FROM embeddings WHERE vec_id < 10),
-         |scored AS (SELECT q_id, e.vec_id AS n_id,
-         |  ${cosSql("qe", "e.embedding")} AS sim
-         |  FROM bucketed e JOIN q USING (bucket) WHERE e.vec_id <> q.q_id),
-         |ranked AS (SELECT q_id, n_id, sim,
-         |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS INT) AS rank
-         |  FROM scored)
-         |SELECT q_id, rank, n_id, sim FROM ranked WHERE rank <= 5
-         |ORDER BY q_id, rank""".stripMargin,
+    "ann_filtered_search" -> AnnFilteredOracle,
+
+    // identical semantics through the label-partitioned persisted index —
+    // the filtered oracle IS the twin (directory pruning is a plan
+    // property, not a result property)
+    "ann_filtered_persisted" -> AnnFilteredOracle,
 
     // drift twin: coarse k-means + trained assignment, per-epoch
     // quantized component sums (floor — no tie semantics), exact means,

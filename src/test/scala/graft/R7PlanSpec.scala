@@ -104,6 +104,22 @@ class R7PlanSpec extends AnyFunSuite {
     }.isEmpty, "semantic chunk dedup must join on the bucket key, never all-pairs")
   }
 
+  test("ann_filtered_persisted: the label predicate prunes PARTITIONS in the scan") {
+    withConf("spark.sql.adaptive.enabled" -> "false") {
+      val df = SparkEntry.queries("ann_filtered_persisted")(spark, sf)
+      val scans = df.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      val indexScan = scans.find(_.partitionFilters.nonEmpty)
+      assert(indexScan.isDefined,
+        s"expected a partition-filtered index scan, got:\n${scans.mkString("\n")}")
+      // and the pruned read produces the same rows as the in-memory filter
+      val mem = SparkEntry.queries("ann_filtered_search")(spark, sf).collect()
+      assert(df.collect().toSeq == mem.toSeq,
+        "persisted partition-pruned results must equal the in-memory filter")
+    }
+  }
+
   test("ann_knn_graph: no cartesian/BNLJ — the self-join is bucket-keyed") {
     val plan = SparkEntry.queries("ann_knn_graph")(spark, sf)
       .queryExecution.executedPlan
