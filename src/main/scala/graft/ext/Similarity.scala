@@ -32,6 +32,11 @@ object Similarity {
     * capped at |queries| and which shuffles EVERY scored row — this shape
     * survives a 100× corpus scale-up. Ordering (score, then n_id asc on ties)
     * is identical to the window it replaces. */
+  /** Public alias of [[rankTopK]] for composed retrieval operators that
+    * bring their own scoring (e.g. hybrid fusion). */
+  def rankTopKPublic(scored: DataFrame, k: Int, scoreCol: String,
+      asc: Boolean): DataFrame = rankTopK(scored, k, scoreCol, asc)
+
   private def rankTopK(scored: DataFrame, k: Int, scoreCol: String,
       asc: Boolean): DataFrame =
     scored.groupBy("q_id")

@@ -378,6 +378,42 @@ object ExtQueries {
       .orderBy("q_id", "rank")
   }
 
+  /** HYBRID retrieval — dense + lexical fusion, the shape every modern
+    * retrieval stack runs: sign-LSH buckets generate the candidate set
+    * (the ANN stage), then each candidate is re-scored by a FUSED rank of
+    * vector cosine and lexical token-set Jaccard between the query's and
+    * candidate's TEXT (embeddings ⋈ documents on id). The fusion is
+    * integer-exact: floor(5000·cos) + jacc_x10000/2 — equal weights on a
+    * 0..10000-ish scale, no float accumulation across rows. Candidates
+    * stay bucket-bounded (never all-pairs); the text join touches only
+    * candidates; ranking is the bounded topk_pairs aggregate. */
+  private val annHybridSearch: Q = (s, dir) => {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val e = embeddings(s, dir)
+    val d = documents(s, dir).select(col("doc_id"), col("text"))
+    val bucketed = e.withColumn("bucket", Similarity.lshBucket(col("embedding"), Planes))
+    val q = broadcast(bucketed.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("bucket")))
+    val cand = bucketed.join(q, "bucket")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        Similarity.cosine(col("q_emb"), col("embedding")).as("cos"))
+    val scored = cand
+      .join(d.select(col("doc_id").as("n_id"), col("text").as("n_text")), "n_id")
+      .join(broadcast(d.select(col("doc_id").as("q_id"), col("text").as("q_text"))), "q_id")
+      .withColumn("jacc", Dedup.jaccardX10000(TextAnalysis.tokens(col("q_text")),
+        TextAnalysis.tokens(col("n_text"))))
+      // integer div — no .5 fractions whose long-cast rounding differs
+      // between engines
+      .select(col("q_id"), col("n_id"),
+        (floor(col("cos") * 5000.0).cast("long") + expr("jacc div 2"))
+          .cast("double").as("hybrid"))
+    Similarity.rankTopKPublic(scored, 5, "hybrid", asc = false)
+      .select(col("q_id"), col("rank"), col("n_id"),
+        col("hybrid").cast("long").as("hybrid_x10000"))
+      .orderBy("q_id", "rank")
+  }
+
   /** Persisted filtered search: bucketed index partitioned by label —
     * the predicate prunes DIRECTORIES before any row is read; results
     * identical to ann_filtered_search (shared oracle). */
@@ -1003,6 +1039,7 @@ object ExtQueries {
     "ann_knn_graph" -> annKnnGraph,
     "ann_filtered_search" -> annFilteredSearch,
     "ann_filtered_persisted" -> annFilteredPersisted,
+    "ann_hybrid_search" -> annHybridSearch,
     "corpus_kmeans" -> corpusKmeans,
     "emb_drift" -> embDrift,
     "ann_range_search" -> annRangeSearch,
@@ -2415,6 +2452,36 @@ object ExtQueries {
     // the filtered oracle IS the twin (directory pruning is a plan
     // property, not a result property)
     "ann_filtered_persisted" -> AnnFilteredOracle,
+
+    // hybrid twin: the lsh candidate CTEs + the containment-key token
+    // Jaccard over the joined texts, fused with the same integer formula
+    "ann_hybrid_search" -> {
+      def inter(a: String, b: String) =
+        s"len(list_distinct(list_intersect($a, $b)))"
+      val jacc = s"(10000 * ${inter("qt.t", "nt.t")}) " +
+        s"// (len(qt.t) + len(nt.t) - ${inter("qt.t", "nt.t")})"
+      s"""WITH bucketed AS (
+         |  SELECT vec_id, embedding, ${bucketExpr("embedding")} AS bucket
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, embedding AS qe, bucket
+         |      FROM bucketed WHERE vec_id < 10),
+         |cand AS (SELECT q_id, e.vec_id AS n_id,
+         |    ${cosSql("qe", "e.embedding")} AS cos
+         |  FROM bucketed e JOIN q USING (bucket) WHERE e.vec_id <> q.q_id),
+         |tx AS (SELECT doc_id,
+         |    list_distinct(regexp_split_to_array(text, '\\s+')) AS t
+         |  FROM documents),
+         |sc AS (SELECT q_id, n_id,
+         |    CAST(floor(cos * 5000.0) AS BIGINT) + ($jacc) // 2 AS hybrid
+         |  FROM cand JOIN tx nt ON nt.doc_id = cand.n_id
+         |            JOIN tx qt ON qt.doc_id = cand.q_id),
+         |ranked AS (SELECT q_id, n_id, hybrid,
+         |  CAST(row_number() OVER (PARTITION BY q_id
+         |    ORDER BY hybrid DESC, n_id) AS INT) AS rank
+         |  FROM sc)
+         |SELECT q_id, rank, n_id, CAST(hybrid AS BIGINT) AS hybrid_x10000
+         |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+    },
 
     // drift twin: coarse k-means + trained assignment, per-epoch
     // quantized component sums (floor — no tie semantics), exact means,
