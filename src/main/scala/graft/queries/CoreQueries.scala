@@ -39,6 +39,26 @@ object CoreQueries {
   private[queries] val CsvSlot: String = java.nio.file.Paths.get(
     sys.props("java.io.tmpdir"), "graft-csv-roundtrip", "current").toString
 
+  private[graft] val OrcSlot: String = java.nio.file.Paths.get(
+    sys.props("java.io.tmpdir"), "graft-orc-roundtrip", "current").toString
+
+  // ORC round-trip: the second columnar interchange format Spark ships
+  // natively. The full typed events stream writes as ORC and reads back;
+  // the oracle aggregates the ORIGINAL parquet — so the key proves the
+  // ORC write+read preserves every value bit (longs, doubles, strings,
+  // µs timestamps) end to end. Decimal sums keep the check
+  // partition-order-free.
+  private val srcOrcRoundtrip: Q = (s, dir) => {
+    Synth.eventsTs(s, dir).write.mode("overwrite").orc(OrcSlot)
+    val back = s.read.orc(OrcSlot)
+    back.groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"),
+      min("event_id").as("min_id"), max("event_id").as("max_id"),
+      min("ts_us").as("min_ts_us"), max("ts_us").as("max_ts_us"))
+      .orderBy("event_type")
+  }
+
   private val srcCsvRoundtrip: Q = (s, dir) => {
     // escape = quote → RFC 4180 doubled quotes, the dialect DuckDB's CSV
     // reader speaks natively (Spark's default backslash-escape is not
@@ -395,6 +415,7 @@ object CoreQueries {
     "src_lines" -> srcLines,
     "src_file_test_mode" -> srcFileTestMode,
     "src_csv_roundtrip" -> srcCsvRoundtrip,
+    "src_orc_roundtrip" -> srcOrcRoundtrip,
     "json_corrupt_modes" -> jsonCorruptModes,
     "parse_syslog_5424" -> parse5424Q,
     "parse_syslog_3164" -> parse3164Q,
@@ -437,6 +458,15 @@ object CoreQueries {
          |  columns = {'event_id': 'BIGINT', 'topic': 'VARCHAR',
          |             'value': 'VARCHAR'})
          |ORDER BY event_id""".stripMargin,
+
+    // aggregates the ORIGINAL parquet — the Spark side must reproduce it
+    // through the ORC write+read, proving bit-level round-trip fidelity
+    "src_orc_roundtrip" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+        |  min(event_id) AS min_id, max(event_id) AS max_id,
+        |  min(epoch_us(ts)) AS min_ts_us, max(epoch_us(ts)) AS max_ts_us
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "json_corrupt_modes" ->
       """WITH planted AS (

@@ -683,7 +683,76 @@ object RelQueries {
       .orderBy("key")
   }
 
+  // Exact interpolated percentiles (percentile_cont semantics) per group.
+  // Spark's `percentile` is the exact sort-based aggregate — a per-group
+  // sort of that group's values only (map-side partials carry the value
+  // multiset), never a global sort. Quantities are integer-valued doubles
+  // and the fractions are dyadic (.25/.5/.75), so lower + (upper-lower)·f
+  // is exactly representable and bit-equal across engines.
+  private val qPercentileCont: Q = (s, dir) =>
+    lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        expr("percentile(l_quantity, 0.25)").as("p25"),
+        expr("percentile(l_quantity, 0.5)").as("p50"),
+        expr("percentile(l_quantity, 0.75)").as("p75"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  // SCD2 (slowly-changing-dimension type 2) build from a change stream:
+  // each event becomes a version row [valid_from, valid_to) closed by the
+  // user's NEXT event via lead(); the open row is flagged current. ONE
+  // hash shuffle on the entity key + in-partition sort — the standard
+  // warehouse compaction shape, linear at any history depth.
+  private val qScd2: Q = (s, dir) => {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    eventsTs(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts_us"))
+      .withColumn("valid_to", lead("ts_us", 1).over(w))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts_us").as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+      .orderBy("user_id", "valid_from", "event_id")
+  }
+
+  // Total-order global sort over the fact table by a high-entropy derived
+  // key — Spark samples the key distribution and range-partitions
+  // (Exchange rangepartitioning), so every partition sorts independently
+  // and the output is globally ordered with NO single-task funnel; the
+  // canonical "deterministically shuffle the corpus" operation a training
+  // pipeline runs before sharding.
+  private val qGlobalSort: Q = (s, dir) =>
+    lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        md5(concat(col("l_orderkey").cast("string"), lit("|"),
+          col("l_linenumber").cast("string"))).as("sk"))
+      .orderBy("sk")
+
+  // Z-score anomaly detection: per-type moments from ONE map-side-combined
+  // aggregate (decimal-exact sums → partition-order-free), broadcast back
+  // over the stream, outliers flagged in a narrow pass. Mean/variance/z
+  // use a fixed IEEE expression shape (division and sqrt are correctly
+  // rounded) so both engines produce identical bits.
+  private val qAnomalyZscore: Q = (s, dir) => {
+    val ev = events(s, dir)
+    val stats = ev.groupBy("event_type").agg(
+      dsum(col("value")).as("sv"),
+      dsum(col("value") * col("value")).as("sv2"),
+      count(lit(1)).as("n"))
+    ev.join(broadcast(stats), Seq("event_type"))
+      .withColumn("z",
+        (col("value") - col("sv") / col("n")) /
+          sqrt(col("sv2") / col("n") - (col("sv") / col("n")) * (col("sv") / col("n"))))
+      .filter(abs(col("z")) > lit(2.0))
+      .select(col("event_id"), col("event_type"), col("value"), col("z"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_percentile_cont" -> qPercentileCont,
+    "q_scd2_build" -> qScd2,
+    "q_global_sort" -> qGlobalSort,
+    "q_anomaly_zscore" -> qAnomalyZscore,
     "q_bucketed_join" -> qBucketedJoin,
     "q_skew_join_aqe" -> qSkewJoinAqe,
     "q_distinct_agg" -> qDistinctAgg,
@@ -738,6 +807,41 @@ object RelQueries {
       |GROUP BY 1, 2 ORDER BY f.key""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_percentile_cont" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.25) AS p25,
+        |  quantile_cont(l_quantity, 0.5) AS p50,
+        |  quantile_cont(l_quantity, 0.75) AS p75,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_scd2_build" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events)
+        |SELECT user_id, event_id, event_type, ts_us AS valid_from,
+        |  lead(ts_us) OVER w AS valid_to,
+        |  lead(ts_us) OVER w IS NULL AS is_current
+        |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |ORDER BY user_id, valid_from, event_id""".stripMargin,
+
+    "q_global_sort" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  md5(CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)) AS sk
+        |FROM lineitem ORDER BY sk""".stripMargin,
+
+    "q_anomaly_zscore" ->
+      s"""WITH st AS (
+         |  SELECT event_type,
+         |    ${DSum.format("value")} AS sv,
+         |    ${DSum.format("value * value")} AS sv2,
+         |    count(*) AS n
+         |  FROM events GROUP BY 1)
+         |SELECT event_id, e.event_type, value,
+         |  (value - sv / n) / sqrt(sv2 / n - (sv / n) * (sv / n)) AS z
+         |FROM events e JOIN st ON e.event_type = st.event_type
+         |WHERE abs((value - sv / n) / sqrt(sv2 / n - (sv / n) * (sv / n))) > 2.0
+         |ORDER BY event_id""".stripMargin,
+
     "q1_agg" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  ${DSum.format("l_quantity")} AS sum_qty,

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.catalyst.plans.physical.{HashPartitioning, RangePartitioning}
+import org.apache.spark.sql.execution.SortExec
+import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan pins for the second round-7 relational wave: each key
+  * exists partly FOR its plan shape, so the shape is asserted.
+  */
+class R7bPlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def withConf(pairs: (String, String)*)(body: => Unit): Unit = {
+    val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("q_global_sort range-partitions — total order with no single-task funnel") {
+    withConf("spark.sql.adaptive.enabled" -> "false") {
+      val plan = SparkEntry.queries("q_global_sort")(spark, sf)
+        .queryExecution.executedPlan
+      val rangeEx = plan.collect {
+        case e: ShuffleExchangeExec
+            if e.outputPartitioning.isInstanceOf[RangePartitioning] => e
+      }
+      assert(rangeEx.nonEmpty, s"global sort must range-partition:\n$plan")
+      assert(rangeEx.head.outputPartitioning
+        .asInstanceOf[RangePartitioning].numPartitions > 1,
+        "range exchange must fan out across partitions, not funnel to one")
+      assert(plan.collect { case s: SortExec if !s.global => s }.nonEmpty ||
+        plan.collect { case s: SortExec => s }.nonEmpty)
+    }
+  }
+
+  test("q_anomaly_zscore: moments broadcast back — no fact-side re-shuffle") {
+    withConf("spark.sql.adaptive.enabled" -> "false") {
+      val plan = SparkEntry.queries("q_anomaly_zscore")(spark, sf)
+        .queryExecution.executedPlan
+      assert(plan.collect { case b: BroadcastHashJoinExec => b }.nonEmpty,
+        s"per-type stats must broadcast over the stream:\n$plan")
+      // the stats aggregate is partially combined below its shuffle
+      val hashShuffles = plan.collect {
+        case e: ShuffleExchangeExec
+            if e.outputPartitioning.isInstanceOf[HashPartitioning] => e
+      }
+      hashShuffles.foreach { sh =>
+        assert(sh.collect { case a: HashAggregateExec => a }.nonEmpty,
+          s"stats shuffle without map-side combine:\n$sh")
+      }
+    }
+  }
+
+  test("q_scd2_build: ONE entity-key hash shuffle serves the whole history pass") {
+    withConf("spark.sql.adaptive.enabled" -> "false") {
+      val plan = SparkEntry.queries("q_scd2_build")(spark, sf)
+        .queryExecution.executedPlan
+      val hashShuffles = plan.collect {
+        case e: ShuffleExchangeExec
+            if e.outputPartitioning.isInstanceOf[HashPartitioning] => e
+      }
+      // the source spread repartition is round-robin, not hash; the lead()
+      // window is the only hash exchange in the pipeline
+      assert(hashShuffles.size == 1,
+        s"SCD2 build must shuffle once on the entity key, got ${hashShuffles.size}:\n$plan")
+    }
+  }
+
+  test("q_percentile_cont: exact percentile aggregates partially map-side") {
+    withConf("spark.sql.adaptive.enabled" -> "false") {
+      val plan = SparkEntry.queries("q_percentile_cont")(spark, sf)
+        .queryExecution.executedPlan
+      val partials = plan.collect {
+        case a: ObjectHashAggregateExec
+            if a.aggregateExpressions.exists(_.mode.toString == "Partial") => a
+        case a: SortAggregateExec
+            if a.aggregateExpressions.exists(_.mode.toString == "Partial") => a
+      }
+      assert(partials.nonEmpty,
+        s"percentile must carry partial per-partition state, not raw rows:\n$plan")
+    }
+  }
+
+  test("src_orc_roundtrip preserves the typed stream bit-for-bit") {
+    val dir = sf
+    val out = SparkEntry.queries("src_orc_roundtrip")(spark, dir).collect()
+    assert(out.length == 5 && out.map(_.getLong(1)).sum == 1000L)
+    // spot-check: the ORC-read rows equal the parquet-read rows exactly
+    val back = spark.read.orc(graft.queries.CoreQueries.OrcSlot)
+      .orderBy("event_id").collect()
+    val orig = graft.queries.Synth.eventsTs(spark, dir)
+      .select(back.head.schema.fieldNames.map(org.apache.spark.sql.functions.col).toSeq: _*)
+      .orderBy("event_id").collect()
+    assert(back.toSeq == orig.toSeq, "ORC round-trip must be lossless")
+  }
+}
