@@ -181,7 +181,6 @@ object Dedup {
     * itself never sees the O(group²) member pairs. */
   private def lshRepState(corpus: DataFrame, n: Int, bands: Int,
       thresholdX10000: Long, maxBucket: Int): (DataFrame, DataFrame) = {
-    val rows = n / bands
     // ONE content shuffle: per distinct text, the representative (min id +
     // text) and the sorted member-id list. Everything downstream — the
     // identical pairs and the member expansion — reads the id arrays, so no
@@ -198,15 +197,7 @@ object Dedup {
     val reps = groups.select(col("r.doc_id").as("doc_id"), col("r.text").as("text"))
     // (doc_id, band, bucket) over DISTINCT texts — ids only; token arrays
     // stay out of the bucket shuffle.
-    val sig = TextAnalysis.minhashSignatureRows(reps, n)
-    val bandCols = (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        md5(concat_ws(",",
-          (0 until rows).map(r => col(s"h${b * rows + r}").cast("string")): _*)).as("bucket"))
-    }
-    val allBuckets = sig
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val allBuckets = bandBuckets(reps, n, bands)
     val buckets =
       if (maxBucket <= 0) allBuckets
       else {
@@ -562,5 +553,48 @@ object Dedup {
     tested.join(hitDups, Seq("doc_id"), "left")
       .select(col("doc_id"), col("bloom_hit"),
         coalesce(col("is_dup"), lit(false)).as("is_dup"))
+  }
+
+  /** (doc_id, band, bucket) LSH band rows for a corpus — the unit the
+    * incremental index stores and probes. */
+  private def bandBuckets(corpus: DataFrame, n: Int, bands: Int): DataFrame = {
+    val rows = n / bands
+    val sig = TextAnalysis.minhashSignatureRows(corpus, n)
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat_ws(",",
+          (0 until rows).map(r => col(s"h${b * rows + r}").cast("string")): _*)).as("bucket"))
+    }
+    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
+  /** INCREMENTAL near-dup detection — the epoch-over-epoch shape of
+    * [[minhashLshPairs]]: the standing corpus's band buckets persist ONCE
+    * as a parquet index partitioned by band (build-once/probe-many, like
+    * the IVF index family); each arriving epoch signs only its own
+    * documents and equi-joins its buckets against the index, so per-epoch
+    * cost is O(epoch) signing + a collision-group join — the standing
+    * corpus is never re-shingled. Jaccard verification runs only on the
+    * colliding cross-epoch pairs. Near-dup twin of the exact-hash
+    * [[bloomPrefilter]]; returns (ida = standing doc, idb = epoch doc,
+    * jacc_x10000 ≥ threshold).
+    */
+  def incrementalLshNewDups(standing: DataFrame, epoch: DataFrame,
+      indexDir: String, n: Int = 32, bands: Int = 4,
+      thresholdX10000: Long = 5000L): DataFrame = {
+    bandBuckets(standing, n, bands).write
+      .mode("overwrite").partitionBy("band").parquet(indexDir)
+    val idx = standing.sparkSession.read.parquet(indexDir)
+    val cand = bandBuckets(epoch, n, bands).as("b")
+      .join(idx.as("a"), Seq("band", "bucket"))
+      .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
+      .distinct()
+    val ta = standing.select(col("doc_id").as("ida"), tokSet(col("text")).as("ta"))
+    val tb = epoch.select(col("doc_id").as("idb"), tokSet(col("text")).as("tb"))
+    cand.join(ta, "ida").join(tb, "idb")
+      .select(col("ida"), col("idb"),
+        jaccardX10000(col("ta"), col("tb")).as("jacc_x10000"))
+      .filter(col("jacc_x10000") >= thresholdX10000)
   }
 }

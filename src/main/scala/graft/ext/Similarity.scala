@@ -340,6 +340,27 @@ object Similarity {
       .orderBy("cluster")
   }
 
+  /** DIVERSITY sample: the `m` most PERIPHERAL members of each cluster
+    * (lowest cosine to the cluster medoid — the vectors a centroid-mean
+    * summary represents worst). The coverage-keeping half of cluster-based
+    * selection: SemDeDup prunes the redundant core, this keeps the edge
+    * cases a training mix under-samples. Assignment is the narrow
+    * `ivf_assign` projection; ranking is the bounded per-cluster
+    * `topk_pairs` aggregate (map-side partial top-m — never a window over
+    * the corpus), so the whole operator is one narrow pass + one
+    * K-cardinality agg shuffle carrying ≤ m rows per cluster per
+    * partition. */
+  def peripherySample(corpus: DataFrame, m: Int): DataFrame = {
+    val ix = medoidIndex(corpus)
+    cellAssign(ix, corpus, "embedding", "cluster", withRep = true)
+      .select(col("cluster").as("q_id"), col("vec_id").as("n_id"),
+        cosine(col("embedding"), col("rep")).as("cos"))
+      .transform(rankTopK(_, m, "cos", asc = true))
+      .select(col("q_id").as("cluster"), col("rank"),
+        col("n_id").as("vec_id"), col("cos"))
+      .orderBy("cluster", "rank")
+  }
+
   /** Product-quantization ANN (ADC flavor): the 100-TB-scale compression
     * path — each vector is encoded once into `m` sub-space codebook indices
     * (8 bytes here vs 256 for raw floats), and query scans touch only the

@@ -1019,7 +1019,52 @@ object ExtQueries {
     Multimodal.decodeResize(Multimodal.synthRealImages(documents(s, dir)))
       .toDF().orderBy("doc_id")
 
+  /** Edit-distance verification metric over the planted near-dup pairs:
+    * the character-level confirmation step LSH candidates feed at the end
+    * of a dedup funnel (token Jaccard is blind to within-token edits).
+    * Inputs are CAPPED at 256 chars — levenshtein is O(len²) per pair, so
+    * production verification always bounds the window; the cap is part of
+    * the operator contract, not a shortcut. */
+  private val dedupEditDistance: Q = (s, dir) => {
+    val L = 256
+    val pairs = documents(s, dir).filter(col("doc_id") % 20 === 0)
+      .select(col("doc_id"),
+        substring(col("text"), 1, L).as("a"),
+        substring(concat(col("text"), lit(Suffix)), 1, L).as("b"))
+    val dist = levenshtein(col("a"), col("b"))
+    val maxLen = greatest(length(col("a")), length(col("b"))).cast("long")
+    pairs.select(col("doc_id"), dist.cast("long").as("dist"),
+        ((lit(10000L) * (maxLen - dist)) / maxLen).cast("long").as("sim_x10000"))
+      .orderBy("doc_id")
+  }
+
+  /** Epoch-over-epoch NEAR-dup admission: the standing corpus's LSH band
+    * buckets persist once as a band-partitioned parquet index; the
+    * arriving epoch (suffix-mutated twins) signs only itself and probes
+    * the index. The near-dup sibling of dedup_bloom_prefilter's
+    * exact-hash epoch gate. */
+  private val dedupLshIncremental: Q = (s, dir) => {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val base = documents(s, dir).filter(col("doc_id") % 20 === 0)
+      .select(col("doc_id"), col("text"))
+    val epoch = base.select((col("doc_id") + 1000000L).as("doc_id"),
+      concat(col("text"), lit(Suffix)).as("text"))
+    Dedup.incrementalLshNewDups(base, epoch, indexSlot("lshinc", dir))
+      .orderBy("ida", "idb")
+  }
+
+  /** Per-cluster periphery sample: the 3 most peripheral members of each
+    * medoid cluster — diversity-keeping selection (the coverage complement
+    * of SemDeDup's redundancy pruning). */
+  private val corpusDiversitySample: Q = (s, dir) => {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    Similarity.peripherySample(embeddings(s, dir), 3)
+  }
+
   val queries: Map[String, Q] = Map(
+    "dedup_edit_distance" -> dedupEditDistance,
+    "dedup_lsh_incremental" -> dedupLshIncremental,
+    "corpus_diversity_sample" -> corpusDiversitySample,
     "dedup_exact" -> dedupExact,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_cluster_components" -> dedupClusters,
@@ -1682,6 +1727,53 @@ object ExtQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "dedup_edit_distance" ->
+      s"""WITH pairs AS (
+         |  SELECT doc_id, substr(text, 1, 256) AS a,
+         |    substr(text || '$Suffix', 1, 256) AS b
+         |  FROM documents WHERE doc_id % 20 = 0)
+         |SELECT doc_id, CAST(levenshtein(a, b) AS BIGINT) AS dist,
+         |  10000 * (greatest(length(a), length(b)) - levenshtein(a, b))
+         |    // greatest(length(a), length(b)) AS sim_x10000
+         |FROM pairs ORDER BY doc_id""".stripMargin,
+
+    // the incremental probe's survivors equal the batch chain's
+    // cross-epoch collision pairs: band collision is symmetric, so
+    // filtering the all-pairs scored set to (standing, epoch) pairs is
+    // exactly what the index join produces
+    "dedup_lsh_incremental" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0
+         |  UNION ALL SELECT doc_id + 1000000, text || '$Suffix'
+         |    FROM documents WHERE doc_id % 20 = 0),
+         |$MinhashFromCorpus
+         |SELECT ida, idb, jacc_x10000 FROM scored
+         |WHERE ida < 1000000 AND idb >= 1000000 AND jacc_x10000 >= 5000
+         |ORDER BY ida, idb""".stripMargin,
+
+    // medoid reps (min-id per label), nearest-rep assignment (cos desc,
+    // ties → lower cell), then the 3 LOWEST-cosine members per cluster
+    "corpus_diversity_sample" ->
+      s"""WITH reps AS (
+         |  SELECT label AS cell, embedding AS rep FROM (
+         |    SELECT label, embedding,
+         |      row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+         |    FROM embeddings) WHERE rn = 1),
+         |assigned AS (
+         |  SELECT vec_id, cluster, cos FROM (
+         |    SELECT e.vec_id, r.cell AS cluster,
+         |      ${cosSql("e.embedding", "r.rep")} AS cos,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosSql("e.embedding", "r.rep")} DESC, r.cell) AS rn
+         |    FROM embeddings e, reps r) WHERE rn = 1),
+         |ranked AS (
+         |  SELECT cluster, vec_id, cos,
+         |    CAST(row_number() OVER (PARTITION BY cluster
+         |      ORDER BY cos ASC, vec_id) AS INT) AS rank
+         |  FROM assigned)
+         |SELECT cluster, rank, vec_id, cos FROM ranked WHERE rank <= 3
+         |ORDER BY cluster, rank""".stripMargin,
+
     "ann_ivf_nprobe" -> AnnIvfNprobeOracle,
 
     "corpus_redact_pii" -> RedactPiiOracle,

@@ -88,6 +88,54 @@ class R7bPlanSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup_lsh_incremental: probe reads the PERSISTED band index, no cartesian") {
+    withConf("spark.sql.adaptive.enabled" -> "false") {
+    val df = SparkEntry.queries("dedup_lsh_incremental")(spark, sf)
+    val plan = df.queryExecution.executedPlan
+    assert(plan.collect {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }.isEmpty)
+    assert(plan.collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+    }.isEmpty, "candidate generation must equi-join on (band, bucket)")
+    // the standing side of the candidate join is the parquet INDEX scan
+    // (band-partitioned), not a re-shingling of the standing corpus
+    val indexScans = plan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.relation.location.rootPaths.exists(_.toString.contains("lshinc")) => f
+    }
+    assert(indexScans.nonEmpty, s"probe must scan the persisted index:\n$plan")
+    }
+  }
+
+  test("corpus_diversity_sample ranks via bounded topk_pairs, not a corpus window") {
+    withConf("spark.sql.adaptive.enabled" -> "false") {
+      val plan = SparkEntry.queries("corpus_diversity_sample")(spark, sf)
+        .queryExecution.executedPlan
+      assert(plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }.isEmpty, s"periphery ranking must not window over the corpus:\n$plan")
+      val partials = plan.collect {
+        case a: ObjectHashAggregateExec
+            if a.aggregateExpressions.exists(_.mode.toString == "Partial") => a
+      }
+      assert(partials.nonEmpty, "topk_pairs must aggregate partially map-side")
+    }
+  }
+
+  test("dedup_edit_distance is a narrow pass — zero hash shuffles") {
+    withConf("spark.sql.adaptive.enabled" -> "false") {
+      val plan = SparkEntry.queries("dedup_edit_distance")(spark, sf)
+        .queryExecution.executedPlan
+      val hashShuffles = plan.collect {
+        case e: ShuffleExchangeExec
+            if e.outputPartitioning.isInstanceOf[HashPartitioning] => e
+      }
+      assert(hashShuffles.isEmpty,
+        s"pairwise verification is row-local — no shuffle justified:\n$plan")
+    }
+  }
+
   test("src_orc_roundtrip preserves the typed stream bit-for-bit") {
     val dir = sf
     val out = SparkEntry.queries("src_orc_roundtrip")(spark, dir).collect()
