@@ -230,4 +230,42 @@ object Selection {
         aggregate(toks, lit(0L),
           (acc, tok) => acc + lamCol(bucketOf(tok, m.buckets), m)))
   }
+
+  /** TOKEN-BUDGET selection: keep the best documents (quality proxy
+    * descending, doc_id tiebreak) until the cumulative token count
+    * reaches `num/den` of the corpus — "give me the top-quality X% of
+    * tokens", the cut every scheduled data mix makes.
+    *
+    * A global running sum over a total order is the textbook scale trap
+    * (one task). This is the BANDED shape: per-band token totals are one
+    * bounded aggregate (output = |quality-value domain|, a model-sized
+    * collect); the driver prefix-sums the band ladder and broadcasts each
+    * surviving band's starting offset back; the intra-band running sum is
+    * a window PARTITIONED by band — every band accumulates in parallel
+    * and the global cumulative is prefix + intra. Identical output to the
+    * single-order cumsum, no serial stage anywhere. */
+  def selectTokenBudget(docs: DataFrame, num: Long = 6, den: Long = 10)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs.select(col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("tok_n"), col("n_chars"))
+    val bands = d.groupBy("n_chars").agg(sum("tok_n").as("band_tok"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(-_._1)
+    val total = bands.map(_._2).sum
+    val budget = total * num / den
+    var acc = 0L
+    val prefixes = bands.map { case (b, t) => val p = acc; acc += t; (b, p) }
+      .filter(_._2 <= budget) // bands starting past the budget are pruned
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val prefixDf = broadcast(prefixes.toSeq.toDF("n_chars", "prefix"))
+    val w = Window.partitionBy("n_chars").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d.join(prefixDf, "n_chars")
+      .withColumn("cum_tokens", col("prefix") + sum("tok_n").over(w))
+      .filter(col("cum_tokens") <= budget)
+      .select(col("doc_id"), col("tok_n"), col("cum_tokens"))
+      .orderBy("cum_tokens")
+  }
 }

@@ -705,4 +705,27 @@ object TextAnalysis {
             x => x.getField("line")),
           "\n").as("clean_text"))
   }
+
+  /** Out-of-vocabulary rate against the corpus's own top-`k` vocabulary
+    * (count desc, token asc tiebreak — fully deterministic): the tokenizer
+    * -coverage signal a vocab size decision reads. The vocabulary is one
+    * map-side-combined token count + TakeOrdered (k rows to the driver —
+    * model-sized by construction); scoring is a pure narrow pass over the
+    * materialized token array (r4 HOF rule: the array is an attribute,
+    * never an inlined split). Integer-exact rate ×10000. */
+  def oovRate(docs: DataFrame, k: Int = 25): DataFrame = {
+    val vocab = docs
+      .select(explode(tokens(col("text"))).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("t")).limit(k)
+      .collect().map(_.getString(0)).toSeq.sorted
+    val vLit = typedLit(vocab)
+    docs.select(col("doc_id"), tokens(col("text")).as("tk"))
+      .select(col("doc_id"), size(col("tk")).cast("long").as("n"),
+        size(filter(col("tk"), t => !array_contains(vLit, t)))
+          .cast("long").as("oov"))
+      .withColumn("oov_x10000",
+        ((lit(10000L) * col("oov")) / col("n")).cast("long"))
+      .orderBy("doc_id")
+  }
 }

@@ -1061,7 +1061,19 @@ object ExtQueries {
     Similarity.peripherySample(embeddings(s, dir), 3)
   }
 
+  /** Token-budget selection: top-quality docs until 60% of corpus tokens
+    * (banded prefix — no global cumsum task; see
+    * [[Selection.selectTokenBudget]]). */
+  private val corpusSelectBudget: Q = (s, dir) =>
+    Selection.selectTokenBudget(documents(s, dir))
+
+  /** OOV rate vs the corpus top-25 vocabulary (tokenizer coverage). */
+  private val textOovRate: Q = (s, dir) =>
+    TextAnalysis.oovRate(documents(s, dir))
+
   val queries: Map[String, Q] = Map(
+    "corpus_select_budget" -> corpusSelectBudget,
+    "text_oov_rate" -> textOovRate,
     "dedup_edit_distance" -> dedupEditDistance,
     "dedup_lsh_incremental" -> dedupLshIncremental,
     "corpus_diversity_sample" -> corpusDiversitySample,
@@ -1727,6 +1739,37 @@ object ExtQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    // the oracle is the naive single-order cumsum — the banded Spark plan
+    // must reproduce it exactly
+    "corpus_select_budget" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS tok_n,
+        |    n_chars
+        |  FROM documents),
+        |t AS (SELECT CAST(sum(tok_n) AS BIGINT) AS total FROM d),
+        |c AS (SELECT doc_id, tok_n,
+        |  CAST(sum(tok_n) OVER (ORDER BY n_chars DESC, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_tokens
+        |  FROM d)
+        |SELECT doc_id, tok_n, cum_tokens FROM c, t
+        |WHERE cum_tokens <= total * 6 // 10
+        |ORDER BY cum_tokens""".stripMargin,
+
+    "text_oov_rate" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS t
+        |  FROM documents),
+        |vc AS (SELECT t FROM (
+        |  SELECT t, count(*) AS c FROM tok GROUP BY 1
+        |  ORDER BY c DESC, t LIMIT 25)),
+        |pd AS (SELECT doc_id, count(*) AS n,
+        |  count(CASE WHEN t NOT IN (SELECT t FROM vc) THEN 1 END) AS oov
+        |  FROM tok GROUP BY 1)
+        |SELECT doc_id, n, oov, 10000 * oov // n AS oov_x10000
+        |FROM pd ORDER BY doc_id""".stripMargin,
+
     "dedup_edit_distance" ->
       s"""WITH pairs AS (
          |  SELECT doc_id, substr(text, 1, 256) AS a,

@@ -748,7 +748,36 @@ object RelQueries {
       .orderBy("event_id")
   }
 
+  // Lateral/table-function surface: UNNEST WITH ORDINALITY — one row per
+  // array element with its position. posexplode is a Generate node fused
+  // into the scan stage: a pure narrow fan-out, no shuffle at any corpus
+  // size.
+  private val qLateralExplode: Q = (s, dir) =>
+    documents(s, dir).filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), "\\s+")).as(Seq("ord", "tok")))
+      .select(col("doc_id"), col("ord").cast("long").as("ord"), col("tok"))
+      .orderBy("doc_id", "ord")
+
+  // CDC snapshot compaction: latest record per key as ONE max_by
+  // aggregate — map-side combine collapses each partition to ≤|keys| rows
+  // before the shuffle. The window/row_number idiom (q_window) shuffles
+  // every version; this is the shape that wins when history depth ≫ key
+  // count, which is what a 100-TB changelog looks like.
+  private val qLatestByKey: Q = (s, dir) =>
+    eventsTs(s, dir)
+      .groupBy("user_id")
+      .agg(max_by(
+        struct(col("ts_us"), col("event_id"), col("event_type"), col("value")),
+        struct(col("ts_us"), col("event_id"))).as("m"))
+      .select(col("user_id"), col("m.event_id").as("event_id"),
+        col("m.event_type").as("event_type"), col("m.ts_us").as("ts_us"),
+        col("m.value").as("value"))
+      .orderBy("user_id")
+
   val queries: Map[String, Q] = Map(
+    "q_lateral_explode" -> qLateralExplode,
+    "q_latest_by_key" -> qLatestByKey,
     "q_percentile_cont" -> qPercentileCont,
     "q_scd2_build" -> qScd2,
     "q_global_sort" -> qGlobalSort,
@@ -807,6 +836,23 @@ object RelQueries {
       |GROUP BY 1, 2 ORDER BY f.key""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_lateral_explode" ->
+      """SELECT doc_id,
+        |  CAST(unnest(range(0, len(l))) AS BIGINT) AS ord,
+        |  unnest(l) AS tok
+        |FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS l
+        |      FROM documents WHERE doc_id % 50 = 0)
+        |ORDER BY doc_id, ord""".stripMargin,
+
+    "q_latest_by_key" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us, value
+        |  FROM events)
+        |SELECT user_id, event_id, event_type, ts_us, value FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts_us DESC, event_id DESC) AS rn FROM e)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
     "q_percentile_cont" ->
       """SELECT l_returnflag,
         |  quantile_cont(l_quantity, 0.25) AS p25,

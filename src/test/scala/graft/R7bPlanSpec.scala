@@ -136,6 +136,55 @@ class R7bPlanSpec extends AnyFunSuite {
     }
   }
 
+  test("corpus_select_budget: every running sum is band-PARTITIONED — no global cumsum task") {
+    withConf("spark.sql.adaptive.enabled" -> "false") {
+      val plan = SparkEntry.queries("corpus_select_budget")(spark, sf)
+        .queryExecution.executedPlan
+      val windows = plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(windows.nonEmpty)
+      windows.foreach { w =>
+        assert(w.partitionSpec.nonEmpty,
+          s"an UNPARTITIONED window = one serial task over the corpus:\n$w")
+      }
+    }
+  }
+
+  test("q_latest_by_key compacts via map-side-combined max_by — no window") {
+    withConf("spark.sql.adaptive.enabled" -> "false") {
+      val plan = SparkEntry.queries("q_latest_by_key")(spark, sf)
+        .queryExecution.executedPlan
+      assert(plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }.isEmpty, "compaction must be an aggregate, not a per-key window sort")
+      val partials = plan.collect {
+        case a: HashAggregateExec
+            if a.aggregateExpressions.exists(_.mode.toString == "Partial") => a
+        case a: ObjectHashAggregateExec
+            if a.aggregateExpressions.exists(_.mode.toString == "Partial") => a
+        case a: SortAggregateExec
+            if a.aggregateExpressions.exists(_.mode.toString == "Partial") => a
+      }
+      assert(partials.nonEmpty, s"max_by must combine map-side:\n$plan")
+    }
+  }
+
+  test("q_lateral_explode and text_oov_rate scoring are narrow passes") {
+    withConf("spark.sql.adaptive.enabled" -> "false") {
+      Seq("q_lateral_explode", "text_oov_rate").foreach { key =>
+        val plan = SparkEntry.queries(key)(spark, sf)
+          .queryExecution.executedPlan
+        val hashShuffles = plan.collect {
+          case e: ShuffleExchangeExec
+              if e.outputPartitioning.isInstanceOf[HashPartitioning] => e
+        }
+        assert(hashShuffles.isEmpty,
+          s"$key must not hash-shuffle (row-local fan-out/scoring):\n$plan")
+      }
+    }
+  }
+
   test("src_orc_roundtrip preserves the typed stream bit-for-bit") {
     val dir = sf
     val out = SparkEntry.queries("src_orc_roundtrip")(spark, dir).collect()
