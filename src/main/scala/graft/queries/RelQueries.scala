@@ -775,7 +775,59 @@ object RelQueries {
         col("m.value").as("value"))
       .orderBy("user_id")
 
+  // first/last/nth_value with IGNORE NULLS over an explicit running frame
+  // — the gap-carrying "last known value" surface (sensor forward-fill,
+  // sparse dimension propagation). Values are nulled on a deterministic
+  // rule; all three functions share ONE frame → one WindowExec.
+  private val qFirstLastWindow: Q = (s, dir) => {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    eventsTs(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        when(col("event_type") =!= "view", col("value")).as("v"))
+      .withColumn("first_v", first("v", ignoreNulls = true).over(w))
+      .withColumn("last_v", last("v", ignoreNulls = true).over(w))
+      .withColumn("second_v", nth_value(col("v"), 2, ignoreNulls = true).over(w))
+      .select("user_id", "event_id", "first_v", "last_v", "second_v")
+      .orderBy("user_id", "event_id")
+  }
+
+  // MERGE/upsert in its scale shape: both sides compact to latest-per-key
+  // FIRST (map-side-combined max_by — history never reaches the join),
+  // then ONE key-partitioned full outer join emits the merged snapshot
+  // with its disposition (inserted / updated / kept). The set-based batch
+  // form of MERGE INTO.
+  private val qUpsertMerge: Q = (s, dir) => {
+    val ev = eventsTs(s, dir)
+    def latest(df: DataFrame) = df
+      .groupBy("user_id")
+      .agg(max_by(struct(col("ts_us"), col("event_id"), col("value")),
+        struct(col("ts_us"), col("event_id"))).as("m"))
+      .select(col("user_id"), col("m.ts_us").as("ts_us"),
+        col("m.event_id").as("event_id"), col("m.value").as("value"))
+    // users ≡ 0 (mod 7) are absent from the snapshot; the change feed
+    // carries users ≡ 1 (mod 3) — so ≡1 (mod 3) ∧ ≡0 (mod 7) users are
+    // 'inserted', ≡1 (mod 3) ∧ ≢0 (mod 7) are 'updated', the rest 'kept'
+    val snap = latest(ev.filter(col("user_id") % 7 =!= 0))
+      .withColumnRenamed("ts_us", "s_ts").withColumnRenamed("event_id", "s_id")
+      .withColumnRenamed("value", "s_value")
+    val changes = latest(ev.filter(col("user_id") % 3 === 1))
+      .withColumnRenamed("ts_us", "c_ts").withColumnRenamed("event_id", "c_id")
+      .withColumnRenamed("value", "c_value")
+    snap.join(changes, Seq("user_id"), "full_outer")
+      .select(col("user_id"),
+        coalesce(col("c_id"), col("s_id")).as("event_id"),
+        coalesce(col("c_ts"), col("s_ts")).as("ts_us"),
+        coalesce(col("c_value"), col("s_value")).as("value"),
+        when(col("s_id").isNull, "inserted")
+          .when(col("c_id").isNull, "kept")
+          .otherwise("updated").as("action"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_first_last_window" -> qFirstLastWindow,
+    "q_upsert_merge" -> qUpsertMerge,
     "q_lateral_explode" -> qLateralExplode,
     "q_latest_by_key" -> qLatestByKey,
     "q_percentile_cont" -> qPercentileCont,
@@ -836,6 +888,42 @@ object RelQueries {
       |GROUP BY 1, 2 ORDER BY f.key""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_first_last_window" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |    CASE WHEN event_type <> 'view' THEN value END AS v
+        |  FROM events)
+        |SELECT user_id, event_id,
+        |  first_value(v IGNORE NULLS) OVER w AS first_v,
+        |  last_value(v IGNORE NULLS) OVER w AS last_v,
+        |  nth_value(v, 2 IGNORE NULLS) OVER w AS second_v
+        |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "q_upsert_merge" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events),
+        |snap AS (
+        |  SELECT user_id, ts_us AS s_ts, event_id AS s_id, value AS s_value
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |          ORDER BY ts_us DESC, event_id DESC) AS rn
+        |        FROM e WHERE user_id % 7 <> 0) WHERE rn = 1),
+        |chg AS (
+        |  SELECT user_id, ts_us AS c_ts, event_id AS c_id, value AS c_value
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |          ORDER BY ts_us DESC, event_id DESC) AS rn
+        |        FROM e WHERE user_id % 3 = 1) WHERE rn = 1)
+        |SELECT coalesce(snap.user_id, chg.user_id) AS user_id,
+        |  coalesce(c_id, s_id) AS event_id,
+        |  coalesce(c_ts, s_ts) AS ts_us,
+        |  coalesce(c_value, s_value) AS value,
+        |  CASE WHEN s_id IS NULL THEN 'inserted'
+        |       WHEN c_id IS NULL THEN 'kept'
+        |       ELSE 'updated' END AS action
+        |FROM snap FULL OUTER JOIN chg ON snap.user_id = chg.user_id
+        |ORDER BY 1""".stripMargin,
+
     "q_lateral_explode" ->
       """SELECT doc_id,
         |  CAST(unnest(range(0, len(l))) AS BIGINT) AS ord,

@@ -185,6 +185,37 @@ class R7bPlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q_first_last_window: all three IGNORE NULLS functions share ONE window") {
+    withConf("spark.sql.adaptive.enabled" -> "false") {
+      val plan = SparkEntry.queries("q_first_last_window")(spark, sf)
+        .queryExecution.executedPlan
+      val windows = plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(windows.size == 1, s"expected one WindowExec, got ${windows.size}")
+      assert(windows.head.windowExpression.size == 3)
+    }
+  }
+
+  test("q_upsert_merge: both sides compact BEFORE the join — no window, combined aggs") {
+    withConf("spark.sql.adaptive.enabled" -> "false") {
+      val plan = SparkEntry.queries("q_upsert_merge")(spark, sf)
+        .queryExecution.executedPlan
+      assert(plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }.isEmpty, "latest-per-key must be an aggregate, not a window")
+      val partials = plan.collect {
+        case a: ObjectHashAggregateExec
+            if a.aggregateExpressions.exists(_.mode.toString == "Partial") => a
+        case a: HashAggregateExec
+            if a.aggregateExpressions.exists(_.mode.toString == "Partial") => a
+        case a: SortAggregateExec
+            if a.aggregateExpressions.exists(_.mode.toString == "Partial") => a
+      }
+      assert(partials.size >= 2, "both merge sides must compact map-side")
+    }
+  }
+
   test("src_orc_roundtrip preserves the typed stream bit-for-bit") {
     val dir = sf
     val out = SparkEntry.queries("src_orc_roundtrip")(spark, dir).collect()
