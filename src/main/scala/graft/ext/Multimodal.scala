@@ -177,21 +177,31 @@ object Multimodal {
     * payloads), produced executor-side in one narrow pass. The pattern is
     * pure integer arithmetic on (x, y, doc_id), so any engine/worker
     * produces identical pixels and the PNG round-trip is reproducible. */
-  def synthRealImages(docs: DataFrame): Dataset[Blob] = {
+  def synthRealImages(docs: DataFrame): Dataset[Blob] =
+    synthRealImageVariant(docs, scale = 1, redOff = 0)
+
+  /** [[synthRealImages]] generalized with the two mutations the
+    * perceptual-hash exhibit plants: `scale`× nearest-neighbor upscale
+    * (same content, different resolution) and a clamped `redOff`
+    * brightness shift (same content, small photometric edit) — the two
+    * most common ways the SAME image re-enters a web corpus. */
+  def synthRealImageVariant(docs: DataFrame, scale: Int, redOff: Int)
+      : Dataset[Blob] = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col("doc_id")).as[Long].map { id =>
-      val w = (id % 13 + 4).toInt
-      val h = (id % 11 + 4).toInt
+      val w = (id % 13 + 4).toInt * scale
+      val h = (id % 11 + 4).toInt * scale
       val img = new java.awt.image.BufferedImage(
         w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
       var y = 0
       while (y < h) {
         var x = 0
         while (x < w) {
-          val r = (x * 31 + id) % 256
-          val g = (y * 17 + id * 3) % 256
-          val b = (x * y + id * 7) % 256
+          val (bx, by) = (x / scale, y / scale)
+          val r = math.min(255L, (bx * 31 + id) % 256 + redOff)
+          val g = (by * 17 + id * 3) % 256
+          val b = (bx * by + id * 7) % 256
           img.setRGB(x, y, (r.toInt << 16) | (g.toInt << 8) | b.toInt)
           x += 1
         }
@@ -201,6 +211,53 @@ object Multimodal {
       javax.imageio.ImageIO.write(img, "png", out)
       Blob(id, out.toByteArray)
     }
+  }
+
+  final case class PHash(doc_id: Long, phash: Long, decodable: Boolean)
+
+  /** Perceptual AVERAGE HASH (aHash): decode, nearest-neighbor stretch to
+    * `dim`×`dim` (the floor sampling of [[decodeResize]] — resolution
+    * invariant by construction: a k× NN upscale samples back to the
+    * identical grid because ⌊⌊k·t⌋/k⌋ = ⌊t⌋), integer luma
+    * (299r+587g+114b)/1000, one bit per cell (luma > integer mean). 64
+    * bits per image however large the payload — the fixed-size signature
+    * image dedup buckets on. Pure narrow pass; undecodable payloads
+    * degrade to a flagged row. */
+  def averageHash(blobs: Dataset[Blob], dim: Int = 8): Dataset[PHash] = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.mapPartitions(_.map { bl =>
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bl.data))
+        catch { case _: Exception => null }
+      if (img == null) PHash(bl.doc_id, 0L, decodable = false)
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        val luma = new Array[Long](dim * dim)
+        var sum = 0L
+        var y = 0
+        while (y < dim) {
+          var x = 0
+          while (x < dim) {
+            val rgb = img.getRGB(x * w / dim, y * h / dim)
+            val l = (299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
+              114L * (rgb & 0xff)) / 1000L
+            luma(y * dim + x) = l
+            sum += l
+            x += 1
+          }
+          y += 1
+        }
+        val mean = sum / (dim * dim)
+        var bits = 0L
+        var i = 0
+        while (i < dim * dim) {
+          if (luma(i) > mean) bits |= (1L << i)
+          i += 1
+        }
+        PHash(bl.doc_id, bits, decodable = true)
+      }
+    })
   }
 
   /** REAL pixel decode + resize through the same mapPartitions seam the

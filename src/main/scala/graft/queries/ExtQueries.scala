@@ -1019,6 +1019,29 @@ object ExtQueries {
     Multimodal.decodeResize(Multimodal.synthRealImages(documents(s, dir)))
       .toDF().orderBy("doc_id")
 
+  /** Perceptual-hash image dedup: aHash signatures for each image and its
+    * two planted re-entries (2× NN upscale — provably Hamming 0 — and a
+    * +8 brightness shift — small distance), with the near-dup verdicts a
+    * perceptual bucket join would emit. No DuckDB oracle (SQL cannot
+    * decode PNG) → rows-only driver check; the invariance and distance
+    * band are spec-pinned (ExtSpec). */
+  private val multimodalPhashDedup: Q = (s, dir) => {
+    val docs = documents(s, dir).filter(col("doc_id") % 10 === 0)
+    def hashes(scale: Int, redOff: Int, name: String) =
+      Multimodal.averageHash(
+        Multimodal.synthRealImageVariant(docs, scale, redOff))
+        .toDF().select(col("doc_id"), col("phash").as(name))
+    hashes(1, 0, "h_base")
+      .join(hashes(2, 0, "h_up2x"), "doc_id")
+      .join(hashes(1, 8, "h_bright"), "doc_id")
+      .select(col("doc_id"), col("h_base"),
+        expr("bit_count(h_base ^ h_up2x)").cast("long").as("dist_up2x"),
+        expr("bit_count(h_base ^ h_bright)").cast("long").as("dist_bright"))
+      .withColumn("near_up2x", col("dist_up2x") <= 10)
+      .withColumn("near_bright", col("dist_bright") <= 10)
+      .orderBy("doc_id")
+  }
+
   /** Edit-distance verification metric over the planted near-dup pairs:
     * the character-level confirmation step LSH candidates feed at the end
     * of a dedup funnel (token Jaccard is blind to within-token edits).
@@ -1072,6 +1095,7 @@ object ExtQueries {
     TextAnalysis.oovRate(documents(s, dir))
 
   val queries: Map[String, Q] = Map(
+    "multimodal_phash_dedup" -> multimodalPhashDedup,
     "corpus_select_budget" -> corpusSelectBudget,
     "text_oov_rate" -> textOovRate,
     "dedup_edit_distance" -> dedupEditDistance,

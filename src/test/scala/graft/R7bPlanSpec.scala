@@ -216,6 +216,18 @@ class R7bPlanSpec extends AnyFunSuite {
     }
   }
 
+  test("multimodal_phash_dedup: aHash is 2×-upscale INVARIANT, brightness-robust") {
+    val rows = SparkEntry.queries("multimodal_phash_dedup")(spark, sf).collect()
+    assert(rows.length == 50)
+    // ⌊⌊k·t⌋/k⌋ = ⌊t⌋ makes the NN resample grid identical → Hamming 0
+    assert(rows.forall(_.getLong(2) == 0L),
+      s"2× upscale must hash identically, got ${rows.map(_.getLong(2)).max}")
+    // a +8 red shift moves luma ≤ 2 units — only cells straddling the
+    // mean can flip; the distance stays well inside the near-dup band
+    assert(rows.forall(_.getLong(3) <= 10L))
+    assert(rows.forall(r => r.getBoolean(4) && r.getBoolean(5)))
+  }
+
   test("src_orc_roundtrip preserves the typed stream bit-for-bit") {
     val dir = sf
     val out = SparkEntry.queries("src_orc_roundtrip")(spark, dir).collect()
