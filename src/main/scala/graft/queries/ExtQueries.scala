@@ -1094,9 +1094,30 @@ object ExtQueries {
   private val textOovRate: Q = (s, dir) =>
     TextAnalysis.oovRate(documents(s, dir))
 
+  /** Shard manifest — the LAST step of a curation pipeline: deterministic
+    * content-hash shard assignment (byte-identical docs land in the same
+    * shard at any epoch) + the per-shard accounting a dataloader reads
+    * (doc/token/char totals). Assignment is a narrow projection; the
+    * manifest is one map-side-combined agg onto S cells; at 100 TB the
+    * same `shard` column IS the dynamic-partition write key. */
+  private val corpusShardManifest: Q = (s, dir) => {
+    val shards = 16
+    documents(s, dir)
+      .select(col("doc_id"), col("n_chars"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("tok_n"),
+        (conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long") % shards)
+          .as("shard"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("tok_n").as("total_tokens"),
+        sum("n_chars").as("total_chars"),
+        min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+      .orderBy("shard")
+  }
+
   val queries: Map[String, Q] = Map(
     "multimodal_phash_dedup" -> multimodalPhashDedup,
     "corpus_select_budget" -> corpusSelectBudget,
+    "corpus_shard_manifest" -> corpusShardManifest,
     "text_oov_rate" -> textOovRate,
     "dedup_edit_distance" -> dedupEditDistance,
     "dedup_lsh_incremental" -> dedupLshIncremental,
@@ -1780,6 +1801,20 @@ object ExtQueries {
         |SELECT doc_id, tok_n, cum_tokens FROM c, t
         |WHERE cum_tokens <= total * 6 // 10
         |ORDER BY cum_tokens""".stripMargin,
+
+    "corpus_shard_manifest" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, n_chars,
+         |    CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS tok_n,
+         |    md5(text) AS hx
+         |  FROM documents),
+         |b AS (SELECT doc_id, n_chars, tok_n,
+         |  ${hexFoldSql(1, 8)} % 16 AS shard FROM h)
+         |SELECT shard, count(*) AS n_docs,
+         |  CAST(sum(tok_n) AS BIGINT) AS total_tokens,
+         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+         |FROM b GROUP BY 1 ORDER BY shard""".stripMargin,
 
     "text_oov_rate" ->
       """WITH tok AS (
