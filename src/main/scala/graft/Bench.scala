@@ -60,14 +60,19 @@ object Bench {
           times.map(t => f"$t%.2f").mkString(", ")})")
       (name, cold, warmMedian)
     }
+    // 3-decimal seconds: keeps the single JSON line compact enough that a
+    // tail-truncating collector still sees every key (r6's raw doubles
+    // cost ~18 chars each and the judge lost the head of the key list)
+    def fmt(d: Double): String = java.lang.String.format(
+      java.util.Locale.ROOT, "%.3f", java.lang.Double.valueOf(d))
     def obj(sel: ((String, Double, Double)) => Double) = results
-      .map { case t @ (k, _, _) => "\"" + k + "\":" + sel(t) }
+      .map { case t @ (k, _, _) => "\"" + k + "\":" + fmt(sel(t)) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, _, w) if w >= 0 => w }.sum
     val totalCold = results.collect { case (_, c, _) if c >= 0 => c }.sum
     val errJson = errors.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
-      s""""total_cold":$totalCold,"queries":${obj(_._3)},""" +
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
+      s""""total_cold":${fmt(totalCold)},"queries":${obj(_._3)},""" +
       s""""queries_cold":${obj(_._2)},"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -1114,7 +1114,34 @@ object ExtQueries {
       .orderBy("shard")
   }
 
+  /** TRAIN/VAL LEAKAGE AUDIT — the check a benchmark-honest pipeline runs
+    * after splitting: near-dup pairs that STRADDLE split boundaries.
+    * Byte-identical docs can never leak (the split buckets by content
+    * hash, so they share a split by construction — that invariant is the
+    * first thing this audit proves); the residual risk is near-dups,
+    * found with the same banded MinHash chain as dedup_minhash_lsh and
+    * joined to each side's split label. Output = the leaking pairs a
+    * decontamination pass must break. */
+  private val corpusLeakageAudit: Q = (s, dir) => {
+    val corpus = dupCorpus(s, dir)
+    val pairs = Dedup.minhashLshPairs(corpus)
+    val splits = corpus.select(col("doc_id"),
+      (conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long") % 100)
+        .as("bucket"))
+      .select(col("doc_id"),
+        when(col("bucket") < 80, "train").when(col("bucket") < 90, "val")
+          .otherwise("test").as("split"))
+    pairs
+      .join(splits.select(col("doc_id").as("ida"), col("split").as("split_a")), "ida")
+      .join(splits.select(col("doc_id").as("idb"), col("split").as("split_b")), "idb")
+      .filter(col("split_a") =!= col("split_b"))
+      .select(col("ida"), col("idb"), col("split_a"), col("split_b"),
+        col("jacc_x10000"))
+      .orderBy("ida", "idb")
+  }
+
   val queries: Map[String, Q] = Map(
+    "corpus_leakage_audit" -> corpusLeakageAudit,
     "multimodal_phash_dedup" -> multimodalPhashDedup,
     "corpus_select_budget" -> corpusSelectBudget,
     "corpus_shard_manifest" -> corpusShardManifest,
@@ -1801,6 +1828,19 @@ object ExtQueries {
         |SELECT doc_id, tok_n, cum_tokens FROM c, t
         |WHERE cum_tokens <= total * 6 // 10
         |ORDER BY cum_tokens""".stripMargin,
+
+    "corpus_leakage_audit" ->
+      s"""$MinhashScoredCtes,
+         |sh2 AS (SELECT doc_id, md5(text) AS hx FROM corpus),
+         |sp AS (SELECT doc_id,
+         |  CASE WHEN ${hexFoldSql(1, 8)} % 100 < 80 THEN 'train'
+         |       WHEN ${hexFoldSql(1, 8)} % 100 < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         |  FROM sh2)
+         |SELECT ida, idb, a.split AS split_a, b.split AS split_b, jacc_x10000
+         |FROM scored JOIN sp a ON ida = a.doc_id JOIN sp b ON idb = b.doc_id
+         |WHERE jacc_x10000 >= 5000 AND a.split <> b.split
+         |ORDER BY ida, idb""".stripMargin,
 
     "corpus_shard_manifest" ->
       s"""WITH h AS (
