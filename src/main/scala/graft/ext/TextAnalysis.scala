@@ -713,6 +713,35 @@ object TextAnalysis {
     * model-sized by construction); scoring is a pure narrow pass over the
     * materialized token array (r4 HOF rule: the array is an attribute,
     * never an inlined split). Integer-exact rate ×10000. */
+  final case class CompressionRow(doc_id: Long, raw_len: Long, gz_len: Long,
+      ratio_x10000: Long)
+
+  /** Compression-ratio quality signal (deflate level 6): highly
+    * compressible text is repetitive/templated — the cheap boilerplate
+    * detector (CCNet/RefinedWeb-family heuristic) that needs no model and
+    * no corpus statistics. Runs through the typed mapPartitions seam
+    * (justified: zlib has no Catalyst builtin) — per-row CPU in a narrow
+    * pass, one Deflater reset-reused per partition. No SQL oracle (DuckDB
+    * cannot deflate) → rows-only driver check; the planted-signal
+    * ordering is spec-pinned. */
+  def compressionRatio(docs: DataFrame): org.apache.spark.sql.Dataset[CompressionRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val d = new java.util.zip.Deflater(6, false)
+        val buf = new Array[Byte](8192)
+        it.map { case (id, t) =>
+          val bytes = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          d.reset(); d.setInput(bytes); d.finish()
+          var gz = 0L
+          while (!d.finished()) gz += d.deflate(buf)
+          CompressionRow(id, bytes.length.toLong, gz,
+            if (bytes.length == 0) 10000L else 10000L * gz / bytes.length)
+        }
+      }
+  }
+
   def oovRate(docs: DataFrame, k: Int = 25): DataFrame = {
     val vocab = docs
       .select(explode(tokens(col("text"))).as("t"))

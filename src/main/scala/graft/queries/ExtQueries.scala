@@ -1140,7 +1140,22 @@ object ExtQueries {
       .orderBy("ida", "idb")
   }
 
+  /** Compression-ratio boilerplate signal with a planted highly-repetitive
+    * variant every 8th doc — the cheap model-free quality heuristic. No
+    * DuckDB oracle (SQL cannot deflate) → rows-only check; the planted
+    * ordering (repetitive ≪ natural) is spec-pinned. */
+  private val textCompressionRatio: Q = (s, dir) => {
+    val planted = documents(s, dir).select(col("doc_id"),
+      when(col("doc_id") % 8 === 0,
+        concat_ws(" ", Seq.fill(40)(lit("boiler plate row")): _*))
+        .otherwise(col("text")).as("text"))
+    TextAnalysis.compressionRatio(planted).toDF()
+      .withColumn("boilerplate_suspect", col("ratio_x10000") < 2000)
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "text_compression_ratio" -> textCompressionRatio,
     "corpus_leakage_audit" -> corpusLeakageAudit,
     "multimodal_phash_dedup" -> multimodalPhashDedup,
     "corpus_select_budget" -> corpusSelectBudget,

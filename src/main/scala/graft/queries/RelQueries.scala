@@ -825,7 +825,25 @@ object RelQueries {
       .orderBy("user_id")
   }
 
+  // Recursive CTE (Spark 4's iterative-plan surface): ancestor walk up a
+  // synthetic binary hierarchy (parent = key DIV 2) — the org-chart /
+  // BOM-explosion query shape, expressed declaratively instead of a
+  // driver-side RDD loop. Each iteration is one distributed step; depth
+  // is bounded by the hierarchy height (log₂ of the key domain here).
+  private val qRecursiveCte: Q = (s, dir) => {
+    events(s, dir).select(col("user_id").as("u")).distinct()
+      .createOrReplaceTempView("graft_users")
+    s.sql(
+      """WITH RECURSIVE anc(u, a, depth) AS (
+        |  SELECT u, u, 0 FROM graft_users
+        |  UNION ALL
+        |  SELECT u, a DIV 2, depth + 1 FROM anc WHERE a > 0)
+        |SELECT u AS user_id, a AS ancestor, depth
+        |FROM anc ORDER BY user_id, depth""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_recursive_cte" -> qRecursiveCte,
     "q_first_last_window" -> qFirstLastWindow,
     "q_upsert_merge" -> qUpsertMerge,
     "q_lateral_explode" -> qLateralExplode,
@@ -888,6 +906,15 @@ object RelQueries {
       |GROUP BY 1, 2 ORDER BY f.key""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_recursive_cte" ->
+      """WITH RECURSIVE u0 AS (SELECT DISTINCT user_id AS u FROM events),
+        |anc(u, a, depth) AS (
+        |  SELECT u, u, 0 FROM u0
+        |  UNION ALL
+        |  SELECT u, a // 2, depth + 1 FROM anc WHERE a > 0)
+        |SELECT u AS user_id, a AS ancestor, depth
+        |FROM anc ORDER BY user_id, depth""".stripMargin,
+
     "q_first_last_window" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,

@@ -228,6 +228,34 @@ class R7bPlanSpec extends AnyFunSuite {
     assert(rows.forall(r => r.getBoolean(4) && r.getBoolean(5)))
   }
 
+  test("text_compression_ratio separates planted boilerplate from natural text") {
+    val rows = SparkEntry.queries("text_compression_ratio")(spark, sf).collect()
+    assert(rows.length == 500)
+    val (planted, natural) = rows.partition(_.getLong(0) % 8 == 0)
+    // 40× repeated phrase deflates to a tiny fraction; token-soup text
+    // stays comparatively incompressible
+    assert(planted.forall(_.getLong(3) < 2000),
+      s"repetitive docs must compress hard, worst ${planted.map(_.getLong(3)).max}")
+    assert(natural.forall(_.getLong(3) > 2000),
+      s"natural docs must not flag, best ${natural.map(_.getLong(3)).min}")
+    assert(planted.forall(_.getBoolean(4)) && natural.forall(!_.getBoolean(4)))
+  }
+
+  test("q_recursive_cte: ancestor walk terminates with per-user log-depth rows") {
+    val rows = SparkEntry.queries("q_recursive_cte")(spark, sf).collect()
+    val byUser = rows.groupBy(_.getLong(0))
+    byUser.foreach { case (u, rs) =>
+      // depth 0 self-row, then halving chain down to 0
+      val chain = rs.sortBy(_.getInt(2)).map(_.getLong(1))
+      assert(chain.head == u)
+      chain.sliding(2).foreach {
+        case Array(a, b) => assert(b == a / 2)
+        case _ =>
+      }
+      assert(chain.last == 0L)
+    }
+  }
+
   test("src_orc_roundtrip preserves the typed stream bit-for-bit") {
     val dir = sf
     val out = SparkEntry.queries("src_orc_roundtrip")(spark, dir).collect()
