@@ -842,7 +842,31 @@ object RelQueries {
         |FROM anc ORDER BY user_id, depth""".stripMargin)
   }
 
+  // NATIVE session windows (session_window) — the event-time session
+  // operator Structured Streaming shares with batch, next to the manual
+  // lag+cumsum twin (sessionize_events). Spark merges an event into the
+  // open session when its gap is STRICTLY below the timeout (session end
+  // = last event + gap), so the oracle's boundary rule is `diff >= gap
+  // starts a session`. One hash shuffle on user_id; the session merge is
+  // in-partition.
+  private val qSessionWindow: Q = (s, dir) => {
+    val gapUs = 1800000000L // 30 min
+    eventsTs(s, dir)
+      .select(col("user_id"), col("event_id"),
+        timestamp_micros(col("ts_us")).as("ts"))
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("start_us"),
+        // Spark's session end = last event + gap; subtract the gap to get
+        // the last-event time the manual twin reports
+        (unix_micros(col("session_window.end")) - gapUs).as("end_us"),
+        col("n_events"))
+      .orderBy("user_id", "start_us")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_session_window" -> qSessionWindow,
     "q_recursive_cte" -> qRecursiveCte,
     "q_first_last_window" -> qFirstLastWindow,
     "q_upsert_merge" -> qUpsertMerge,
@@ -906,6 +930,25 @@ object RelQueries {
       |GROUP BY 1, 2 ORDER BY f.key""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // manual sessionization under session_window's boundary rule
+    // (gap >= timeout starts a session; equal-gap events do NOT merge)
+    "q_session_window" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events),
+        |f AS (
+        |  SELECT user_id, event_id, ts_us,
+        |    CASE WHEN lag(ts_us) OVER w IS NULL
+        |           OR ts_us - lag(ts_us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |g AS (
+        |  SELECT user_id, ts_us,
+        |    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+        |  FROM f)
+        |SELECT user_id, min(ts_us) AS start_us, max(ts_us) AS end_us,
+        |  count(*) AS n_events
+        |FROM g GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin,
+
     "q_recursive_cte" ->
       """WITH RECURSIVE u0 AS (SELECT DISTINCT user_id AS u FROM events),
         |anc(u, a, depth) AS (
