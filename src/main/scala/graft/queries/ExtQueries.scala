@@ -1154,7 +1154,22 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  /** Token-count histogram in power-of-2 buckets — the length-distribution
+    * profile a tokenizer/packing decision reads (know-your-data op).
+    * Bucket = floor(log2(tok_n)) via binary-string length (the repo's
+    * integer-ilog2 idiom — no float logs); ONE map-side-combined agg onto
+    * ≤64 cells. */
+  private val corpusTokenHistogram: Q = (s, dir) =>
+    documents(s, dir)
+      .select(size(TextAnalysis.tokens(col("text"))).cast("long").as("tok_n"))
+      .select(col("tok_n"), (length(bin(col("tok_n"))) - 1).cast("long").as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("tok_n").as("total_tokens"),
+        min("tok_n").as("min_tokens"), max("tok_n").as("max_tokens"))
+      .orderBy("bucket")
+
   val queries: Map[String, Q] = Map(
+    "corpus_token_histogram" -> corpusTokenHistogram,
     "text_compression_ratio" -> textCompressionRatio,
     "corpus_leakage_audit" -> corpusLeakageAudit,
     "multimodal_phash_dedup" -> multimodalPhashDedup,
@@ -1843,6 +1858,20 @@ object ExtQueries {
         |SELECT doc_id, tok_n, cum_tokens FROM c, t
         |WHERE cum_tokens <= total * 6 // 10
         |ORDER BY cum_tokens""".stripMargin,
+
+    // ilog2 bucket via bit_length-of-binary minus leading zeros twin:
+    // DuckDB's bit_length(bin()) differs, so use length(lpad-free bin)
+    // — floor(log2(n)) = length of n's binary repr minus 1, both engines
+    "corpus_token_histogram" ->
+      """WITH d AS (
+        |  SELECT CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS tok_n
+        |  FROM documents),
+        |b AS (SELECT tok_n,
+        |  CAST(length(bin(tok_n)) - 1 AS BIGINT) AS bucket FROM d)
+        |SELECT bucket, count(*) AS n_docs,
+        |  CAST(sum(tok_n) AS BIGINT) AS total_tokens,
+        |  min(tok_n) AS min_tokens, max(tok_n) AS max_tokens
+        |FROM b GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     "corpus_leakage_audit" ->
       s"""$MinhashScoredCtes,
