@@ -569,6 +569,37 @@ object Dedup {
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
   }
 
+  /** LSH BAND SWEEP — the S-curve knob measured: candidate volume and
+    * verified-pair yield at several (bands × rows-per-band) splits of the
+    * same n-hash signature. More bands with shorter rows catch lower
+    * Jaccard pairs (recall ↑) at the cost of more candidates to verify
+    * (precision ↓); this is THE tuning decision a 100-TB dedup run makes
+    * before committing a full pass, made on exactly this table. One
+    * signature computation per config (the sweep is index construction,
+    * run on a sample in production). */
+  def bandSweep(corpus: DataFrame, n: Int, bandsList: Seq[Int],
+      thresholdX10000: Long = 5000L): DataFrame = {
+    val toks = corpus.select(col("doc_id"), tokSet(col("text")).as("t"))
+    bandsList.map { bands =>
+      val buckets = bandBuckets(corpus, n, bands)
+      val cand = buckets.as("a")
+        .join(buckets.as("b"), Seq("band", "bucket"))
+        .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
+        .filter(col("ida") < col("idb"))
+        .distinct()
+      cand
+        .join(toks.select(col("doc_id").as("ida"), col("t").as("ta")), "ida")
+        .join(toks.select(col("doc_id").as("idb"), col("t").as("tb")), "idb")
+        .select(jaccardX10000(col("ta"), col("tb")).as("j"))
+        .agg(count(lit(1)).as("n_candidates"),
+          coalesce(sum(when(col("j") >= thresholdX10000, 1L).otherwise(0L)),
+            lit(0L)).as("n_verified"))
+        .select(lit(bands.toLong).as("bands"),
+          lit((n / bands).toLong).as("rows_per_band"),
+          col("n_candidates"), col("n_verified"))
+    }.reduce(_ unionAll _).orderBy("bands")
+  }
+
   /** INCREMENTAL near-dup detection — the epoch-over-epoch shape of
     * [[minhashLshPairs]]: the standing corpus's band buckets persist ONCE
     * as a parquet index partitioned by band (build-once/probe-many, like

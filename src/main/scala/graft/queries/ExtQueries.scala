@@ -1168,7 +1168,14 @@ object ExtQueries {
         min("tok_n").as("min_tokens"), max("tok_n").as("max_tokens"))
       .orderBy("bucket")
 
+  /** LSH S-curve sweep over the planted dup corpus: candidate volume vs
+    * verified yield at 2/4/8 bands of the same 32-hash signature — the
+    * recall/cost knob measured before a full dedup pass commits. */
+  private val dedupBandSweep: Q = (s, dir) =>
+    Dedup.bandSweep(dupCorpus(s, dir), 32, Seq(2, 4, 8))
+
   val queries: Map[String, Q] = Map(
+    "dedup_band_sweep" -> dedupBandSweep,
     "corpus_token_histogram" -> corpusTokenHistogram,
     "text_compression_ratio" -> textCompressionRatio,
     "corpus_leakage_audit" -> corpusLeakageAudit,
@@ -1858,6 +1865,39 @@ object ExtQueries {
         |SELECT doc_id, tok_n, cum_tokens FROM c, t
         |WHERE cum_tokens <= total * 6 // 10
         |ORDER BY cum_tokens""".stripMargin,
+
+    "dedup_band_sweep" -> {
+      def jaccSql =
+        "10000 * len(list_distinct(list_intersect(x.t, y.t))) // " +
+          "(len(x.t) + len(y.t) - len(list_distinct(list_intersect(x.t, y.t))))"
+      def cfg(b: Int): String = {
+        val r = 32 / b
+        s"""bands$b AS (SELECT doc_id, b,
+           |  md5(array_to_string(sig[b*$r+1 : b*$r+$r], ',')) AS bucket
+           |  FROM sigl, range(0,$b) r(b)),
+           |cand$b AS (SELECT DISTINCT a.doc_id AS ida, c.doc_id AS idb
+           |  FROM bands$b a JOIN bands$b c ON a.b = c.b AND a.bucket = c.bucket
+           |  WHERE a.doc_id < c.doc_id),
+           |agg$b AS (SELECT CAST($b AS BIGINT) AS bands,
+           |  CAST($r AS BIGINT) AS rows_per_band,
+           |  count(*) AS n_candidates,
+           |  COALESCE(CAST(sum(CASE WHEN $jaccSql >= 5000 THEN 1 ELSE 0 END)
+           |    AS BIGINT), 0) AS n_verified
+           |  FROM cand$b JOIN ts x ON ida = x.doc_id JOIN ts y ON idb = y.doc_id)"""
+          .stripMargin
+      }
+      s"""$MinhashScoredCtes,
+         |${cfg(2)},
+         |${cfg(8)},
+         |agg4 AS (SELECT CAST(4 AS BIGINT) AS bands,
+         |  CAST(8 AS BIGINT) AS rows_per_band,
+         |  count(*) AS n_candidates,
+         |  COALESCE(CAST(sum(CASE WHEN jacc_x10000 >= 5000 THEN 1 ELSE 0 END)
+         |    AS BIGINT), 0) AS n_verified FROM scored)
+         |SELECT * FROM agg2 UNION ALL SELECT * FROM agg4
+         |UNION ALL SELECT * FROM agg8
+         |ORDER BY bands""".stripMargin
+    },
 
     // ilog2 bucket via bit_length-of-binary minus leading zeros twin:
     // DuckDB's bit_length(bin()) differs, so use length(lpad-free bin)
