@@ -865,7 +865,33 @@ object RelQueries {
       .orderBy("user_id", "start_us")
   }
 
+  // As-of join with TOLERANCE — the financial-data staple (merge_asof
+  // tolerance semantics): the latest prior click counts only within a
+  // 10-minute horizon; staler matches return null. Same single-pass
+  // union+window shape as q_asof_join (no join explosion); the match
+  // carries (ts, id) in one struct so both fields come from the SAME
+  // matched row.
+  private val qAsofTolerance: Q = (s, dir) => {
+    val tolUs = 600000000L // 10 min
+    val ev = eventsTs(s, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts_us"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ev.withColumn("pc",
+        last(when(col("event_type") === "click",
+          struct(col("ts_us").as("cts"), col("event_id").as("cid"))),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"),
+        when(col("pc").isNotNull && col("ts_us") - col("pc.cts") <= tolUs,
+          col("pc.cid")).as("prev_click_10m"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_asof_tolerance" -> qAsofTolerance,
     "q_session_window" -> qSessionWindow,
     "q_recursive_cte" -> qRecursiveCte,
     "q_first_last_window" -> qFirstLastWindow,
@@ -930,6 +956,21 @@ object RelQueries {
       |GROUP BY 1, 2 ORDER BY f.key""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_asof_tolerance" ->
+      """SELECT event_id,
+        |  CASE WHEN cts IS NOT NULL AND ts_us - cts <= 600000000
+        |       THEN cid END AS prev_click_10m
+        |FROM (
+        |  SELECT event_id, event_type, epoch_us(ts) AS ts_us,
+        |    last_value(CASE WHEN event_type = 'click' THEN event_id END
+        |      IGNORE NULLS) OVER w AS cid,
+        |    last_value(CASE WHEN event_type = 'click' THEN epoch_us(ts) END
+        |      IGNORE NULLS) OVER w AS cts
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+
     // manual sessionization under session_window's boundary rule
     // (gap >= timeout starts a session; equal-gap events do NOT merge)
     "q_session_window" ->
