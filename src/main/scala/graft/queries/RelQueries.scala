@@ -890,7 +890,38 @@ object RelQueries {
       .orderBy("event_id")
   }
 
+  // Dynamic partition pruning: the fact table lands PARTITIONED BY its
+  // category once; a filtered dimension join then scans ONLY the
+  // partitions the dim rows select — decided at runtime via the
+  // broadcast-side subquery, not statically. At 100 TB this is the
+  // difference between scanning 2 partitions and 100; the layout
+  // (partition column = the join/filter key) is the design decision this
+  // key exhibits. R7bPlanSpec asserts the DynamicPruningExpression
+  // reaches the fact scan.
+  private val qDynamicPartitionPruning: Q = (s, dir) => {
+    val factSlot = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      "graft-dpp", s"fact-${Integer.toHexString(dir.hashCode)}").toString
+    val dimSlot = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      "graft-dpp", s"dim-${Integer.toHexString(dir.hashCode)}").toString
+    eventsTs(s, dir).write.mode("overwrite")
+      .partitionBy("event_type").parquet(factSlot)
+    eventsTs(s, dir).select(col("event_type")).distinct()
+      .withColumn("kind",
+        when(col("event_type").isin("purchase", "signup"), "conversion")
+          .otherwise("engagement"))
+      .write.mode("overwrite").parquet(dimSlot)
+    val fact = s.read.parquet(factSlot)
+    // a string-equality dim predicate — the selective-filter shape the
+    // PartitionPruning rule requires on the build side
+    val dim = s.read.parquet(dimSlot).filter(col("kind") === "conversion")
+    fact.join(broadcast(dim), Seq("event_type"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_dynamic_partition_pruning" -> qDynamicPartitionPruning,
     "q_asof_tolerance" -> qAsofTolerance,
     "q_session_window" -> qSessionWindow,
     "q_recursive_cte" -> qRecursiveCte,
@@ -956,6 +987,12 @@ object RelQueries {
       |GROUP BY 1, 2 ORDER BY f.key""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_dynamic_partition_pruning" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events WHERE event_type IN ('purchase', 'signup')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_asof_tolerance" ->
       """SELECT event_id,
         |  CASE WHEN cts IS NOT NULL AND ts_us - cts <= 600000000

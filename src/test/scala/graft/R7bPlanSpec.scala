@@ -256,6 +256,34 @@ class R7bPlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q_dynamic_partition_pruning: the fact scan carries a runtime pruning filter") {
+    // the DPP cost heuristic compares pruned bytes against subquery
+    // overhead — meaningless at test-corpus size, so force the benefit
+    // estimate up; at production scale the default heuristic fires on its
+    // own (the exhibit pins that the PLAN SHAPE is reachable, the layout
+    // is right, and the pruned result is correct)
+    withConf("spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.optimizer.dynamicPartitionPruning.useStats" -> "false",
+      "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio" -> "100000") {
+      val df = SparkEntry.queries("q_dynamic_partition_pruning")(spark, sf)
+      val scans = df.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+            if f.relation.location.rootPaths.exists(_.toString.contains("graft-dpp/fact")) => f
+      }
+      assert(scans.nonEmpty, "fact scan not found")
+      val pruned = scans.exists(_.partitionFilters.exists(_.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.DynamicPruningExpression])))
+      assert(pruned,
+        s"fact partitionFilters must contain a DynamicPruningExpression:\n${
+          scans.map(_.partitionFilters).mkString("\n")}")
+      // and the pruned read equals the static answer
+      assert(df.collect().map(_.getLong(1)).sum ==
+        graft.queries.Synth.events(spark, sf)
+          .filter(org.apache.spark.sql.functions.col("event_type")
+            .isin("purchase", "signup")).count())
+    }
+  }
+
   test("src_orc_roundtrip preserves the typed stream bit-for-bit") {
     val dir = sf
     val out = SparkEntry.queries("src_orc_roundtrip")(spark, dir).collect()
