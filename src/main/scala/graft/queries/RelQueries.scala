@@ -844,11 +844,11 @@ object RelQueries {
 
   // NATIVE session windows (session_window) — the event-time session
   // operator Structured Streaming shares with batch, next to the manual
-  // lag+cumsum twin (sessionize_events). Spark merges an event into the
-  // open session when its gap is STRICTLY below the timeout (session end
-  // = last event + gap), so the oracle's boundary rule is `diff >= gap
-  // starts a session`. One hash shuffle on user_id; the session merge is
-  // in-partition.
+  // lag+cumsum twin (sessionize_events). Boundary rule (probed in batch
+  // AND streaming, pinned in NativeSessionStreamSpec): an event at
+  // EXACTLY gap distance still merges — a new session starts only when
+  // the gap strictly exceeds the timeout, the same rule as the manual
+  // twin. One hash shuffle on user_id; the session merge is in-partition.
   private val qSessionWindow: Q = (s, dir) => {
     val gapUs = 1800000000L // 30 min
     eventsTs(s, dir)
@@ -1009,14 +1009,15 @@ object RelQueries {
         |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
 
     // manual sessionization under session_window's boundary rule
-    // (gap >= timeout starts a session; equal-gap events do NOT merge)
+    // (a new session only when the gap STRICTLY exceeds the timeout —
+    // exact-gap events merge; probed in both batch and streaming)
     "q_session_window" ->
       """WITH e AS (
         |  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events),
         |f AS (
         |  SELECT user_id, event_id, ts_us,
         |    CASE WHEN lag(ts_us) OVER w IS NULL
-        |           OR ts_us - lag(ts_us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS new_s
+        |           OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
         |g AS (
         |  SELECT user_id, ts_us,
