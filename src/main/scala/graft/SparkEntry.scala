@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.queries.{CoreQueries, ExtQueries, RelQueries, Synth}
+import graft.queries.{CoreQueries, ExtQueries, GraphQueries, RelQueries, Synth}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Query keys are the SURVEY.md §2.1 operator inventory plus relational and
@@ -19,10 +19,12 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2, plus the
     * relational surface and training-data-pipeline extensions. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CoreQueries.queries ++ RelQueries.queries ++ ExtQueries.queries
+    CoreQueries.queries ++ RelQueries.queries ++ ExtQueries.queries ++
+      GraphQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
   def oracleSql: Map[String, String] =
-    CoreQueries.oracle ++ RelQueries.oracle ++ ExtQueries.oracle
+    CoreQueries.oracle ++ RelQueries.oracle ++ ExtQueries.oracle ++
+      GraphQueries.oracle
 }

@@ -1,0 +1,309 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Graph analytics over an event-derived interaction graph (SURVEY.md §2.3
+  * extension family `graph_*`). A web-scale training-data pipeline needs
+  * graph signals — link-graph PageRank for domain quality (the CommonCrawl
+  * ranking signal), triangle/clustering structure for community spam
+  * detection, k-hop candidate generation for link-prediction data — and
+  * each of those is an iterative/self-join shape whose SCALE behavior (not
+  * its per-row math) is the hard part.
+  *
+  * Everything here is integer-exact by construction — fixed-point ranks
+  * with truncating division, integer counts — so the DuckDB oracle matches
+  * bit-for-bit regardless of partitioning or summation order (no float
+  * drift, unlike a naive double PageRank whose `sum` order would differ
+  * per plan).
+  *
+  * The edge set is synthesized deterministically from `events` (the
+  * testdata carries no link table): `src = user_id`,
+  * `dst = event_id mod 150`, keeping only ~30% of click/view events so the
+  * graph is sparse-ish. Both engines derive it with the same SQL, so the
+  * graph — like the syslog lines in [[Synth]] — is part of the shared
+  * contract, not a private fixture.
+  *
+  * Scale notes (the 100-TB design):
+  *   - Edges are the big table; node state (ranks/labels) is |V|-sized.
+  *     Every iteration joins edges⋈state on src and re-aggregates on dst —
+  *     the canonical Pregel data movement. Edges are persisted ONCE
+  *     pre-partitioned on `src` so each iteration's state join reuses the
+  *     same partitioning instead of re-shuffling the big side 5×.
+  *   - Triangle counting uses the degree-orientation trick: orient every
+  *     undirected edge from its lower-(degree,id) endpoint to the higher
+  *     one, making each triangle a DAG with exactly ONE two-out-edge apex.
+  *     Wedge generation at the apex is then O(Σ out_deg²) with out-degrees
+  *     bounded by √|E| — the hub blowup (a 10⁶-degree node generating
+  *     10¹² wedges) cannot happen by construction.
+  *   - Label propagation / two-hop are bounded-round self-joins; rounds are
+  *     fixed (not run-to-convergence) so cost is predictable and the
+  *     result is a pure function of the input on both engines.
+  */
+object GraphQueries {
+  import Synth._
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Fixed-point scale for PageRank ranks: 1 rank unit = 1e-12. */
+  private val Scale = 1000000000000L
+  private val PrIters = 5
+  private val LpIters = 8
+
+  /** The shared deterministic edge contract (see class doc). Distinct
+    * directed edges, self-loops dropped. */
+  def edges(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .filter(col("event_type").isin("click", "view") && col("event_id") % 10 < 3)
+      .select(col("user_id").as("src"), (col("event_id") % 150).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+
+  private val EdgesSql =
+    """SELECT DISTINCT user_id AS src, event_id % 150 AS dst FROM events
+      |  WHERE event_type IN ('click','view') AND event_id % 10 < 3
+      |    AND user_id <> event_id % 150""".stripMargin
+
+  /** Node set = every endpoint. */
+  def nodes(edges: DataFrame): DataFrame =
+    edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+
+  // ---------------------------------------------------------------- degree
+
+  /** In/out/total degree per node — the profile every other graph op's cost
+    * model starts from. One union + one shuffle on `node`. */
+  def degrees(edges: DataFrame): DataFrame =
+    edges.select(col("src").as("node"), lit(1L).as("o"), lit(0L).as("i"))
+      .union(edges.select(col("dst").as("node"), lit(0L).as("o"), lit(1L).as("i")))
+      .groupBy("node")
+      .agg(sum("o").as("out_deg"), sum("i").as("in_deg"))
+      .withColumn("total_deg", col("out_deg") + col("in_deg"))
+
+  private val qDegree: Q = (s, dir) =>
+    degrees(edges(s, dir)).orderBy("node")
+
+  // -------------------------------------------------------------- pagerank
+
+  /** PageRank, [[PrIters]] synchronous iterations, damping 0.85, in 1e-12
+    * fixed point with truncating division (all operands positive, so Spark
+    * `div` == DuckDB `//`). Dangling mass is dropped — both engines apply
+    * the same rule, and at web scale the redistribution term is usually
+    * folded into the teleport constant anyway. Returns (node, rank_e12). */
+  def pagerank(s: SparkSession, edgeDf: DataFrame, iters: Int = PrIters): DataFrame = {
+    val nd = nodes(edgeDf).persist(StorageLevel.MEMORY_AND_DISK)
+    // out-degree rides on the edge rows so the per-iteration join is ONE
+    // state⋈edges join on src (pre-partitioned), then the dst re-agg.
+    val eDeg = edgeDf.join(
+        edgeDf.groupBy("src").agg(count(lit(1)).as("out_deg")), "src")
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = nd.count() // |V|-sized driver scalar, same role as the oracle's subquery
+      val init = Scale / n
+      val base = (15L * Scale / 100L) / n
+      var ranks = nd.withColumn("rank_e12", lit(init))
+      for (_ <- 1 to iters) {
+        val inbound = eDeg
+          .join(ranks.withColumnRenamed("node", "src"), "src")
+          .select(col("dst").as("node"),
+            expr("rank_e12 div out_deg").as("contrib"))
+          .groupBy("node").agg(sum("contrib").as("inb"))
+        ranks = nd.join(inbound, Seq("node"), "left")
+          .select(col("node"),
+            (lit(base) + expr("85 * coalesce(inb, 0L) div 100")).as("rank_e12"))
+      }
+      // |V|-sized result: eagerly materialize + cut lineage so the edge
+      // cache can drop here instead of accumulating across calls.
+      ranks.orderBy("node").localCheckpoint(true)
+    } finally { eDeg.unpersist(); nd.unpersist() }
+  }
+
+  private val qPagerank: Q = (s, dir) => pagerank(s, edges(s, dir))
+
+  // ------------------------------------------------------------- triangles
+
+  /** Exact global triangle + wedge count and clustering coefficient (ppm,
+    * truncating) via degree orientation (see class doc). One row. */
+  def triangles(edgeDf: DataFrame): DataFrame = {
+    val und = edgeDf.select(
+        least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val deg = und.select(col("a").as("node")).union(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    // orient a—b from the lower (deg, id) endpoint to the higher
+    val oriented = und
+      .join(deg.withColumnRenamed("node", "a").withColumnRenamed("deg", "da"), "a")
+      .join(deg.withColumnRenamed("node", "b").withColumnRenamed("deg", "db"), "b")
+      .select(
+        when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+          struct(col("a").as("u"), col("b").as("v")))
+          .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+    val e1 = oriented.select(col("u"), col("v").as("v1"))
+    val e2 = oriented.select(col("u"), col("v").as("v2"))
+    val wedgeApex = e1.join(e2, "u").filter(col("v1") < col("v2"))
+    val tri = wedgeApex.join(und,
+        least(col("v1"), col("v2")) === col("a") &&
+        greatest(col("v1"), col("v2")) === col("b"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val wedges = deg.agg(sum(expr("deg * (deg - 1) div 2")).as("n_wedges"))
+    tri.crossJoin(wedges)
+      .select(col("n_triangles"), col("n_wedges"),
+        expr("CASE WHEN n_wedges = 0 THEN 0L ELSE 3 * n_triangles * 1000000 div n_wedges END")
+          .as("clustering_ppm"))
+  }
+
+  private val qTriangles: Q = (s, dir) => triangles(edges(s, dir))
+
+  // --------------------------------------------------------------- two-hop
+
+  /** Per-source count of nodes reachable in exactly two directed hops that
+    * are NOT already direct neighbors (and not the source) — the
+    * friend-of-friend candidate set behind link-prediction training pairs.
+    * Distinct-pair dedup happens on (src, dst2) BEFORE the count, and the
+    * direct-edge exclusion is a left-anti join, not a NOT IN collect. */
+  def twoHop(edgeDf: DataFrame): DataFrame = {
+    val hop2 = edgeDf.select(col("src"), col("dst").as("mid"))
+      .join(edgeDf.select(col("src").as("mid"), col("dst").as("dst2")), "mid")
+      .filter(col("dst2") =!= col("src"))
+      .select("src", "dst2").distinct()
+    hop2.join(edgeDf.withColumnRenamed("dst", "dst2"), Seq("src", "dst2"), "left_anti")
+      .groupBy("src").agg(count(lit(1)).as("n_two_hop"))
+  }
+
+  private val qTwoHop: Q = (s, dir) => twoHop(edges(s, dir)).orderBy("src")
+
+  // ---------------------------------------------- label-prop components
+
+  /** Fixed-round ([[LpIters]]) minimum-label propagation over the
+    * UNDIRECTED graph: label(v) starts at v and each round takes the min
+    * over v and its neighbors. After k rounds every node holds the minimum
+    * node id within k hops — on a graph with diameter ≤ k that IS the
+    * connected-component id, and either way it's a pure, engine-agnostic
+    * function of the input (no convergence race). */
+  def labelProp(edgeDf: DataFrame, iters: Int = LpIters): DataFrame = {
+    val sym = edgeDf.select(col("src").as("u"), col("dst").as("v"))
+      .union(edgeDf.select(col("dst").as("u"), col("src").as("v")))
+      .distinct()
+      .repartition(col("v"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      sym.count()
+      var labels = nodes(edgeDf).withColumn("label", col("node"))
+      for (_ <- 1 to iters) {
+        val fromNbr = sym
+          .join(labels.withColumnRenamed("node", "v"), "v")
+          .groupBy(col("u").as("node")).agg(min("label").as("nbr_min"))
+        labels = labels.join(fromNbr, Seq("node"), "left")
+          .select(col("node"),
+            least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+      }
+      labels.localCheckpoint(true)
+    } finally sym.unpersist()
+  }
+
+  private val qLabelProp: Q = (s, dir) => labelProp(edges(s, dir)).orderBy("node")
+
+  // ---------------------------------------------------------------- wiring
+
+  val queries: Map[String, Q] = Map(
+    "graph_degree" -> qDegree,
+    "graph_pagerank" -> qPagerank,
+    "graph_triangles" -> qTriangles,
+    "graph_two_hop" -> qTwoHop,
+    "graph_cc_labelprop" -> qLabelProp)
+
+  private val prOracle: String = {
+    val base = s"(15 * ${Scale}::BIGINT // 100) // (SELECT count(*) FROM n0)"
+    def iter(k: Int): String =
+      s"""r$k AS (
+         |  SELECT n0.node,
+         |    $base + (85 * coalesce(s.c, 0)) // 100 AS rank_e12
+         |  FROM n0 LEFT JOIN (
+         |    SELECT e.dst AS node, CAST(sum(r.rank_e12 // d.out_deg) AS BIGINT) AS c
+         |    FROM e JOIN r${k - 1} r ON r.node = e.src
+         |           JOIN od d ON d.node = e.src
+         |    GROUP BY e.dst) s USING (node))""".stripMargin
+    s"""WITH e AS ($EdgesSql),
+       |n0 AS (SELECT DISTINCT src AS node FROM e
+       |       UNION SELECT DISTINCT dst FROM e),
+       |od AS (SELECT src AS node, count(*) AS out_deg FROM e GROUP BY 1),
+       |r0 AS (SELECT node, ${Scale}::BIGINT // (SELECT count(*) FROM n0) AS rank_e12
+       |       FROM n0),
+       |${(1 to PrIters).map(iter).mkString(",\n")}
+       |SELECT node, rank_e12 FROM r$PrIters ORDER BY node""".stripMargin
+  }
+
+  private val lpOracle: String = {
+    def iter(k: Int): String =
+      s"""l$k AS (
+         |  SELECT l.node,
+         |    least(l.label, coalesce(m.nbr_min, l.label)) AS label
+         |  FROM l${k - 1} l LEFT JOIN (
+         |    SELECT sym.u AS node, min(p.label) AS nbr_min
+         |    FROM sym JOIN l${k - 1} p ON p.node = sym.v
+         |    GROUP BY sym.u) m USING (node))""".stripMargin
+    s"""WITH e AS ($EdgesSql),
+       |sym AS (SELECT src AS u, dst AS v FROM e
+       |        UNION SELECT dst, src FROM e),
+       |n0 AS (SELECT DISTINCT src AS node FROM e
+       |       UNION SELECT DISTINCT dst FROM e),
+       |l0 AS (SELECT node, node AS label FROM n0),
+       |${(1 to LpIters).map(iter).mkString(",\n")}
+       |SELECT node, label FROM l$LpIters ORDER BY node""".stripMargin
+  }
+
+  val oracle: Map[String, String] = Map(
+    "graph_degree" ->
+      s"""WITH e AS ($EdgesSql),
+         |d AS (
+         |  SELECT node, CAST(sum(o) AS BIGINT) AS out_deg,
+         |         CAST(sum(i) AS BIGINT) AS in_deg
+         |  FROM (SELECT src AS node, 1 AS o, 0 AS i FROM e
+         |        UNION ALL SELECT dst, 0, 1 FROM e)
+         |  GROUP BY node)
+         |SELECT node, out_deg, in_deg, out_deg + in_deg AS total_deg
+         |FROM d ORDER BY node""".stripMargin,
+
+    "graph_pagerank" -> prOracle,
+
+    "graph_triangles" ->
+      s"""WITH e AS ($EdgesSql),
+         |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |        FROM e),
+         |deg AS (SELECT node, count(*) AS deg
+         |        FROM (SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+         |        GROUP BY node),
+         |o AS (
+         |  SELECT CASE WHEN (da.deg < db.deg) OR (da.deg = db.deg AND und.a < und.b)
+         |              THEN und.a ELSE und.b END AS u,
+         |         CASE WHEN (da.deg < db.deg) OR (da.deg = db.deg AND und.a < und.b)
+         |              THEN und.b ELSE und.a END AS v
+         |  FROM und JOIN deg da ON da.node = und.a
+         |           JOIN deg db ON db.node = und.b),
+         |tri AS (
+         |  SELECT count(*) AS n_triangles
+         |  FROM o o1 JOIN o o2 ON o1.u = o2.u AND o1.v < o2.v
+         |    JOIN und ON und.a = least(o1.v, o2.v) AND und.b = greatest(o1.v, o2.v)),
+         |w AS (SELECT CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges FROM deg)
+         |SELECT n_triangles, n_wedges,
+         |  CASE WHEN n_wedges = 0 THEN 0
+         |       ELSE 3 * n_triangles * 1000000 // n_wedges END AS clustering_ppm
+         |FROM tri, w""".stripMargin,
+
+    "graph_two_hop" ->
+      s"""WITH e AS ($EdgesSql),
+         |h2 AS (
+         |  SELECT DISTINCT e1.src, e2.dst AS dst2
+         |  FROM e e1 JOIN e e2 ON e1.dst = e2.src
+         |  WHERE e2.dst <> e1.src)
+         |SELECT h2.src, count(*) AS n_two_hop
+         |FROM h2 LEFT JOIN e ON e.src = h2.src AND e.dst = h2.dst2
+         |WHERE e.src IS NULL
+         |GROUP BY h2.src ORDER BY h2.src""".stripMargin,
+
+    "graph_cc_labelprop" -> lpOracle)
+}

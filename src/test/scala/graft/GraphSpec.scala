@@ -1,0 +1,69 @@
+package graft
+
+import graft.queries.GraphQueries
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Planted-graph asserts for the graph_* family: a 3-cycle with a chord
+  * plus a detached pendant pair — small enough to verify every count by
+  * hand, structured enough to exercise orientation, exclusion, and
+  * component logic.
+  */
+class GraphSpec extends AnyFunSuite {
+  private lazy val s = TestSpark.spark
+  import s.implicits._
+
+  // 1→2, 2→3, 3→1 (cycle), 1→3 (chord), 4→5 (pendant component)
+  private lazy val edges =
+    Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), (4L, 5L)).toDF("src", "dst")
+
+  test("degrees counts both directions per node") {
+    val d = GraphQueries.degrees(edges).orderBy("node")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(d === Seq((1L, 2L, 1L, 3L), (2L, 1L, 1L, 2L), (3L, 1L, 2L, 3L),
+      (4L, 1L, 0L, 1L), (5L, 0L, 1L, 1L)))
+  }
+
+  test("triangle count via degree orientation, wedges, clustering") {
+    // und = {1-2, 2-3, 1-3, 4-5}: one triangle; wedges = 3·C(2,2)=3;
+    // clustering = 3·1/3 = 1.0 → 1_000_000 ppm
+    val r = GraphQueries.triangles(edges).collect().head
+    assert(r === Row(1L, 3L, 1000000L))
+  }
+
+  test("two-hop excludes self and direct neighbors, dedups paths") {
+    // 1: {3 via 2} is direct, {1 via 3} is self → no row
+    // 2: {1 via 3} → 1;  3: {2 via 1} → 1 ({3 via 1} is self)
+    val r = GraphQueries.twoHop(edges).orderBy("src")
+      .as[(Long, Long)].collect().toSeq
+    assert(r === Seq((2L, 1L), (3L, 1L)))
+  }
+
+  test("pagerank fixed point on a pure cycle is the uniform rank") {
+    // 1→2→3→1: out_deg=1 everywhere, so rank/3 is invariant:
+    // base + 85·(10^12/3)//100 = 50e9 + 283333333333 = 10^12/3 exactly.
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val r = GraphQueries.pagerank(s, cyc).as[(Long, Long)].collect().toSeq
+    assert(r === Seq((1L, 333333333333L), (2L, 333333333333L), (3L, 333333333333L)))
+  }
+
+  test("pagerank: sink node collects chord mass, dangling mass drops") {
+    // On the planted graph node 3 has in-edges from 1 (deg 2) and 2 — its
+    // rank must strictly exceed node 2's (single in-edge of half weight).
+    val r = GraphQueries.pagerank(s, edges).as[(Long, Long)].collect().toMap
+    assert(r(3L) > r(2L) && r(1L) > 0L && r(5L) > r(4L))
+  }
+
+  test("label propagation converges to component minima") {
+    val r = GraphQueries.labelProp(edges).orderBy("node")
+      .as[(Long, Long)].collect().toSeq
+    assert(r === Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L)))
+  }
+
+  test("edge synthesis is distinct, self-loop-free, and ~30% selective") {
+    val e = GraphQueries.edges(s, "/root/testdata/sf0.001")
+    val n = e.count()
+    assert(n > 0 && e.distinct().count() === n)
+    assert(e.filter($"src" === $"dst").count() === 0L)
+  }
+}
