@@ -42,6 +42,9 @@ object CoreQueries {
   private[graft] val OrcSlot: String = java.nio.file.Paths.get(
     sys.props("java.io.tmpdir"), "graft-orc-roundtrip", "current").toString
 
+  private[queries] val JsonlSlot: String = java.nio.file.Paths.get(
+    sys.props("java.io.tmpdir"), "graft-jsonl-roundtrip", "current").toString
+
   // ORC round-trip: the second columnar interchange format Spark ships
   // natively. The full typed events stream writes as ORC and reads back;
   // the oracle aggregates the ORIGINAL parquet — so the key proves the
@@ -57,6 +60,27 @@ object CoreQueries {
       min("event_id").as("min_id"), max("event_id").as("max_id"),
       min("ts_us").as("min_ts_us"), max("ts_us").as("max_ts_us"))
       .orderBy("event_type")
+  }
+
+  // JSON-lines round-trip: the third text interchange hop next to CSV and
+  // ORC. The typed events stream writes as newline-delimited JSON and the
+  // ORACLE reads the very files Spark wrote, so the escaping of the
+  // embedded-JSON `props` string and the shortest-round-trip double
+  // rendering of `value` must both survive a foreign parser (Jackson's
+  // shortest repr re-parses to the identical bit pattern — the IEEE
+  // round-trip guarantee this key exhibits). Both write and read are
+  // distributed; JSONL splits by line, so unlike quoted CSV it keeps
+  // intra-file parallelism — noted as why it beats CSV for text interchange.
+  private val srcJsonlRoundtrip: Q = (s, dir) => {
+    Synth.eventsTs(s, dir)
+      .select(col("event_id"), col("ts_us"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .write.mode("overwrite").json(JsonlSlot)
+    s.read
+      .schema("event_id long, ts_us long, user_id long, event_type string," +
+        " value double, props string")
+      .json(JsonlSlot)
+      .orderBy("event_id")
   }
 
   private val srcCsvRoundtrip: Q = (s, dir) => {
@@ -416,6 +440,7 @@ object CoreQueries {
     "src_file_test_mode" -> srcFileTestMode,
     "src_csv_roundtrip" -> srcCsvRoundtrip,
     "src_orc_roundtrip" -> srcOrcRoundtrip,
+    "src_jsonl_roundtrip" -> srcJsonlRoundtrip,
     "json_corrupt_modes" -> jsonCorruptModes,
     "parse_syslog_5424" -> parse5424Q,
     "parse_syslog_3164" -> parse3164Q,
@@ -457,6 +482,16 @@ object CoreQueries {
          |FROM read_csv('$CsvSlot/*.csv', header = true,
          |  columns = {'event_id': 'BIGINT', 'topic': 'VARCHAR',
          |             'value': 'VARCHAR'})
+         |ORDER BY event_id""".stripMargin,
+
+    // reads the SAME jsonl files Spark wrote — string escaping and double
+    // rendering must survive DuckDB's JSON parser byte-for-byte
+    "src_jsonl_roundtrip" ->
+      s"""SELECT event_id, ts_us, user_id, event_type, value, props
+         |FROM read_json('$JsonlSlot/*.json', format = 'newline_delimited',
+         |  columns = {'event_id': 'BIGINT', 'ts_us': 'BIGINT',
+         |             'user_id': 'BIGINT', 'event_type': 'VARCHAR',
+         |             'value': 'DOUBLE', 'props': 'VARCHAR'})
          |ORDER BY event_id""".stripMargin,
 
     // aggregates the ORIGINAL parquet — the Spark side must reproduce it
