@@ -350,6 +350,49 @@ object Multimodal {
     none
   }
 
+  final case class AudioFeatures(
+      doc_id: Long, n_samples: Long, energy: Long, peak: Long)
+
+  /** REAL sample-level audio feature extraction (the step past structural
+    * metadata): locate the `data` chunk, read its 16-bit LE PCM words, and
+    * reduce to integer features — word count, energy Σw², peak. Integer
+    * features make the decode VALUE-checkable by the oracle (which
+    * re-derives the expected samples from the generating text — ASCII
+    * payloads keep every word in [0, 32768) so there is no sign handling
+    * to disagree on), unlike float MFCC-style features which would drift.
+    * Same mapPartitions seam, one narrow pass, no shuffle. */
+  def audioFeatures(b: Blob): AudioFeatures = {
+    val d = b.data
+    val (rate, _, _, declaredLen) = parseWavHeader(d)
+    if (rate == 0) return AudioFeatures(b.doc_id, 0L, 0L, 0L)
+    // find the data chunk payload offset (parseWavHeader validated shape)
+    var i = 12
+    var off = -1
+    var len = 0
+    while (off < 0 && i + 8 <= d.length) {
+      val id = new String(d, i, 4, StandardCharsets.US_ASCII)
+      val sz = le32(d, i + 4).toInt
+      if (id == "data") { off = i + 8; len = math.min(sz, d.length - off) }
+      else i += 8 + sz + (sz & 1)
+    }
+    var n = 0L; var energy = 0L; var peak = 0L
+    var j = off
+    val end = off + (len / 2) * 2
+    while (j + 2 <= end) {
+      val w = le16(d, j).toLong
+      energy += w * w
+      if (w > peak) peak = w
+      n += 1; j += 2
+    }
+    AudioFeatures(b.doc_id, n, energy, peak)
+  }
+
+  def decodeAudioFeatures(blobs: Dataset[Blob]): Dataset[AudioFeatures] = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.mapPartitions(_.map(audioFeatures))
+  }
+
   /** Canonical 44-byte PCM WAV header for `dataLen` payload bytes. */
   private def wavHeader(sampleRate: Long, channels: Int, bits: Int,
       dataLen: Int): Array[Byte] = {

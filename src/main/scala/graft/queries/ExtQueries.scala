@@ -997,6 +997,13 @@ object ExtQueries {
     Multimodal.decodeAudio(Multimodal.synthAudioBlobs(documents(s, dir)))
       .toDF().orderBy("doc_id")
 
+  /** Sample-level PCM feature extraction through the REAL decode path —
+    * the oracle re-derives every 16-bit word from the generating text, so
+    * the decode is value-checked end to end (not rows-only). */
+  private val multimodalAudioEnergy: Q = (s, dir) =>
+    Multimodal.decodeAudioFeatures(Multimodal.synthAudioBlobs(documents(s, dir)))
+      .toDF().orderBy("doc_id")
+
   /** MP4/ISO-BMFF structural video decode (mvhd timescale/duration). */
   private val multimodalVideoMeta: Q = (s, dir) =>
     Multimodal.decodeVideo(Multimodal.synthVideoBlobs(documents(s, dir)))
@@ -1273,6 +1280,7 @@ object ExtQueries {
     "corpus_filter_pipeline" -> corpusFilterPipeline,
     "multimodal_meta" -> multimodalMeta,
     "multimodal_audio_meta" -> multimodalAudioMeta,
+    "multimodal_audio_energy" -> multimodalAudioEnergy,
     "multimodal_video_meta" -> multimodalVideoMeta,
     "multimodal_resize" -> multimodalResize,
     "multimodal_decode_pixels" -> multimodalDecodePixels,
@@ -3729,6 +3737,23 @@ object ExtQueries {
         |  CAST(strlen(text) // ((doc_id % 2 + 1) * 2) AS BIGINT) AS n_samples,
         |  'wav' AS format
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // full-value decode check: every 16-bit LE PCM word is two consecutive
+    // ASCII text bytes (lo + 256·hi, always in [0, 32768) — no sign
+    // handling), so the oracle rebuilds the sample stream from the text
+    // and must match the Spark side's real WAV-decode reduction exactly
+    "multimodal_audio_energy" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    ord(substr(text, CAST(2 * i + 1 AS INT), 1))
+        |      + 256 * ord(substr(text, CAST(2 * i + 2 AS INT), 1)) AS word
+        |  FROM (SELECT doc_id, text,
+        |          unnest(range(0, strlen(text) // 2)) AS i
+        |        FROM documents))
+        |SELECT doc_id, count(*) AS n_samples,
+        |  CAST(sum(word * word) AS BIGINT) AS energy,
+        |  CAST(max(word) AS BIGINT) AS peak
+        |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // video twin: the synthesized MP4 skeleton (ftyp 20 + moov 116 + mdat
     // header 8 = 144 bytes) carries closed-form mvhd params of doc_id;

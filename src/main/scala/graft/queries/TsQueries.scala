@@ -91,12 +91,36 @@ object TsQueries {
       .orderBy("cohort_week", "weeks_since")
   }
 
+  // ------------------------------------------------- sliding distinct WAU
+
+  /** Rolling 7-day distinct users per active day (the DAU/WAU board
+    * metric). A naive `countDistinct` over a sliding window would carry
+    * every user id through every window frame; instead the stream
+    * pre-collapses to the (day, user) distinct grid — bounded by
+    * days × active users, ~raw-volume/events-per-user-day smaller — and
+    * the 7-day membership becomes an integer range join on the day axis
+    * followed by a plain distinct count. At 100 TB the grid is the only
+    * thing that shuffles twice, never the raw events. */
+  private val qWau: Q = (s, dir) => {
+    val dayUser = eventsTs(s, dir)
+      .select(expr("ts_us div 86400000000").as("day"), col("user_id"))
+      .distinct()
+    val days = dayUser.select("day").distinct()
+    days.join(dayUser.withColumnRenamed("day", "d2"),
+        col("d2") >= col("day") - 6 && col("d2") <= col("day"))
+      .select("day", "user_id").distinct()
+      .groupBy("day").agg(count(lit(1)).as("wau"))
+      .join(dayUser.groupBy("day").agg(count(lit(1)).as("dau")), "day")
+      .orderBy("day")
+  }
+
   // ---------------------------------------------------------------- wiring
 
   val queries: Map[String, Q] = Map(
     "q_ewma" -> qEwma,
     "q_ohlc_bars" -> qOhlc,
-    "q_retention_cohorts" -> qRetention)
+    "q_retention_cohorts" -> qRetention,
+    "q_wau_sliding_distinct" -> qWau)
 
   val oracle: Map[String, String] = Map(
     "q_ewma" ->
@@ -118,6 +142,19 @@ object TsQueries {
          |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
          |FROM e GROUP BY user_id, bucket_us
          |ORDER BY user_id, bucket_us""".stripMargin,
+
+    "q_wau_sliding_distinct" ->
+      """WITH du AS (
+        |  SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id
+        |  FROM events),
+        |days AS (SELECT DISTINCT day FROM du),
+        |w AS (
+        |  SELECT DISTINCT days.day, du.user_id
+        |  FROM days JOIN du ON du.day BETWEEN days.day - 6 AND days.day),
+        |wau AS (SELECT day, count(*) AS wau FROM w GROUP BY day),
+        |dau AS (SELECT day, count(*) AS dau FROM du GROUP BY day)
+        |SELECT day, wau, dau FROM wau JOIN dau USING (day)
+        |ORDER BY day""".stripMargin,
 
     "q_retention_cohorts" ->
       """WITH e AS (

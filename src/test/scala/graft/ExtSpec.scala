@@ -424,6 +424,22 @@ class ExtSpec extends AnyFunSuite {
       ((0L, 0L, 0L, 0L)))
   }
 
+  test("audio features reduce the REAL PCM words, odd trailing byte dropped") {
+    import spark.implicits._
+    // "ab" → one word 97 + 256·98 = 25185; "abc" → same word, 'c' dropped
+    val feats = Multimodal.decodeAudioFeatures(Multimodal.synthAudioBlobs(
+        Seq((1L, "ab"), (2L, "abc"), (3L, "aa")).toDF("doc_id", "text")))
+      .collect().map(f => f.doc_id -> f).toMap
+    val w = 97L + 256L * 98L
+    assert(feats(1L) == Multimodal.AudioFeatures(1L, 1L, w * w, w))
+    assert(feats(2L) == Multimodal.AudioFeatures(2L, 1L, w * w, w))
+    val wa = 97L + 256L * 97L
+    assert(feats(3L) == Multimodal.AudioFeatures(3L, 1L, wa * wa, wa))
+    // non-WAV payload degrades to zeros, never throws
+    assert(Multimodal.audioFeatures(Multimodal.Blob(9L, "junk".getBytes)) ==
+      Multimodal.AudioFeatures(9L, 0L, 0L, 0L))
+  }
+
   test("multimodal decode parses REAL ImageIO-encoded PNG and JPEG headers") {
     // the capability proof: files produced by the JDK's own encoders (not
     // our synthesizer) must yield their true dimensions
