@@ -114,13 +114,34 @@ object TsQueries {
       .orderBy("day")
   }
 
+  // ------------------------------------------------ cumulative distinct
+
+  /** Cumulative unique users per day (the growth curve). A running
+    * `countDistinct` window would re-scan every user id per frame; the
+    * scalable form counts each user ONCE at their first-seen day, then
+    * running-sums the per-day first-seen counts — a window over ≤ |days|
+    * rows, not over the stream. */
+  private val qCumulativeUsers: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val firstSeen = eventsTs(s, dir)
+      .select(col("user_id"), expr("ts_us div 86400000000").as("day"))
+      .groupBy("user_id").agg(min("day").as("first_day"))
+      .groupBy("first_day").agg(count(lit(1)).as("new_users"))
+    firstSeen
+      .withColumn("cum_users",
+        sum("new_users").over(Window.orderBy("first_day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy("first_day")
+  }
+
   // ---------------------------------------------------------------- wiring
 
   val queries: Map[String, Q] = Map(
     "q_ewma" -> qEwma,
     "q_ohlc_bars" -> qOhlc,
     "q_retention_cohorts" -> qRetention,
-    "q_wau_sliding_distinct" -> qWau)
+    "q_wau_sliding_distinct" -> qWau,
+    "q_cumulative_users" -> qCumulativeUsers)
 
   val oracle: Map[String, String] = Map(
     "q_ewma" ->
@@ -155,6 +176,17 @@ object TsQueries {
         |dau AS (SELECT day, count(*) AS dau FROM du GROUP BY day)
         |SELECT day, wau, dau FROM wau JOIN dau USING (day)
         |ORDER BY day""".stripMargin,
+
+    "q_cumulative_users" ->
+      """WITH fs AS (
+        |  SELECT user_id, min(epoch_us(ts) // 86400000000) AS first_day
+        |  FROM events GROUP BY user_id),
+        |nd AS (SELECT first_day, count(*) AS new_users FROM fs GROUP BY 1)
+        |SELECT first_day, new_users,
+        |  CAST(sum(new_users) OVER (ORDER BY first_day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_users
+        |FROM nd ORDER BY first_day""".stripMargin,
 
     "q_retention_cohorts" ->
       """WITH e AS (
