@@ -1352,7 +1352,7 @@ object ExtQueries {
 
   /** DuckDB twin of Spark's `conv(substring(hx, start, len), 16, 10)`:
     * left fold acc*16 + hexdigit over md5-hex positions [start, start+len). */
-  private def hexFoldSql(start: Int, len: Int): String =
+  private[queries] def hexFoldSql(start: Int, len: Int): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
       s"list_transform(range($start, ${start + len}), " +
       "j -> CAST(strpos('0123456789abcdef', substr(hx, CAST(j AS INT), 1)) - 1 AS BIGINT))), " +

@@ -110,17 +110,60 @@ object GraphQueries {
           .select(col("dst").as("node"),
             expr("rank_e12 div out_deg").as("contrib"))
           .groupBy("node").agg(sum("contrib").as("inb"))
+        // eager per-round lineage cut — the iterative-graph discipline
+        // (GraphX checkpoint cadence): without it round k's plan replays
+        // rounds 1..k-1, turning k rounds into O(k²) recompute (and
+        // EXPONENTIAL when the state is referenced twice per round).
+        // Cost: one |V|-row materialization per round.
         ranks = nd.join(inbound, Seq("node"), "left")
           .select(col("node"),
             (lit(base) + expr("85 * coalesce(inb, 0L) div 100")).as("rank_e12"))
+          .localCheckpoint(true)
       }
-      // |V|-sized result: eagerly materialize + cut lineage so the edge
-      // cache can drop here instead of accumulating across calls.
-      ranks.orderBy("node").localCheckpoint(true)
+      ranks.orderBy("node")
     } finally { eDeg.unpersist(); nd.unpersist() }
   }
 
   private val qPagerank: Q = (s, dir) => pagerank(s, edges(s, dir))
+
+  /** Personalized PageRank: random walk with restart to a SEED set (nodes
+    * ≡ 0 mod 10) — the recommendation / related-items primitive. Identical
+    * iteration shape and fixed-point discipline as [[pagerank]]; only the
+    * teleport term changes (mass restarts at seeds, so rank concentrates
+    * in the seeds' neighborhoods instead of spreading globally). */
+  def personalizedPagerank(s: SparkSession, edgeDf: DataFrame,
+      iters: Int = PrIters): DataFrame = {
+    val nd = nodes(edgeDf).persist(StorageLevel.MEMORY_AND_DISK)
+    val eDeg = edgeDf.join(
+        edgeDf.groupBy("src").agg(count(lit(1)).as("out_deg")), "src")
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val isSeed = col("node") % 10 === 0
+      val nSeeds = nd.filter(isSeed).count()
+      require(nSeeds > 0, "seed set empty — personalization undefined")
+      val init = Scale / nSeeds
+      val base = (15L * Scale / 100L) / nSeeds
+      var ranks = nd.withColumn("rank_e12",
+        when(isSeed, lit(init)).otherwise(lit(0L)))
+      for (_ <- 1 to iters) {
+        val inbound = eDeg
+          .join(ranks.withColumnRenamed("node", "src"), "src")
+          .select(col("dst").as("node"),
+            expr("rank_e12 div out_deg").as("contrib"))
+          .groupBy("node").agg(sum("contrib").as("inb"))
+        // per-round lineage cut — see pagerank
+        ranks = nd.join(inbound, Seq("node"), "left")
+          .select(col("node"),
+            (when(isSeed, lit(base)).otherwise(lit(0L)) +
+              expr("85 * coalesce(inb, 0L) div 100")).as("rank_e12"))
+          .localCheckpoint(true)
+      }
+      ranks.orderBy("node")
+    } finally { eDeg.unpersist(); nd.unpersist() }
+  }
+
+  private val qPpr: Q = (s, dir) => personalizedPagerank(s, edges(s, dir))
 
   // ------------------------------------------------------------- triangles
 
@@ -197,11 +240,17 @@ object GraphQueries {
         val fromNbr = sym
           .join(labels.withColumnRenamed("node", "v"), "v")
           .groupBy(col("u").as("node")).agg(min("label").as("nbr_min"))
+        // the per-round lineage cut is LOAD-BEARING here: `labels` is
+        // referenced twice per round (neighbor join + carry-over), so an
+        // uncut plan DOUBLES per round — 2⁸ recompute by round 8 (measured
+        // 106 s at sf0.1 before the cut). One |V|-row materialization per
+        // round is the price of linear cost.
         labels = labels.join(fromNbr, Seq("node"), "left")
           .select(col("node"),
             least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+          .localCheckpoint(true)
       }
-      labels.localCheckpoint(true)
+      labels
     } finally sym.unpersist()
   }
 
@@ -212,6 +261,7 @@ object GraphQueries {
   val queries: Map[String, Q] = Map(
     "graph_degree" -> qDegree,
     "graph_pagerank" -> qPagerank,
+    "graph_ppr" -> qPpr,
     "graph_triangles" -> qTriangles,
     "graph_two_hop" -> qTwoHop,
     "graph_cc_labelprop" -> qLabelProp)
@@ -256,7 +306,32 @@ object GraphQueries {
        |SELECT node, label FROM l$LpIters ORDER BY node""".stripMargin
   }
 
+  private val pprOracle: String = {
+    val base = s"CASE WHEN n0.node % 10 = 0 THEN " +
+      s"(15 * ${Scale}::BIGINT // 100) // (SELECT count(*) FROM n0 WHERE node % 10 = 0) ELSE 0 END"
+    def iter(k: Int): String =
+      s"""r$k AS (
+         |  SELECT n0.node,
+         |    $base + (85 * coalesce(s.c, 0)) // 100 AS rank_e12
+         |  FROM n0 LEFT JOIN (
+         |    SELECT e.dst AS node, CAST(sum(r.rank_e12 // d.out_deg) AS BIGINT) AS c
+         |    FROM e JOIN r${k - 1} r ON r.node = e.src
+         |           JOIN od d ON d.node = e.src
+         |    GROUP BY e.dst) s USING (node))""".stripMargin
+    s"""WITH e AS ($EdgesSql),
+       |n0 AS (SELECT DISTINCT src AS node FROM e
+       |       UNION SELECT DISTINCT dst FROM e),
+       |od AS (SELECT src AS node, count(*) AS out_deg FROM e GROUP BY 1),
+       |r0 AS (SELECT node,
+       |    CASE WHEN node % 10 = 0 THEN ${Scale}::BIGINT
+       |      // (SELECT count(*) FROM n0 WHERE node % 10 = 0) ELSE 0 END AS rank_e12
+       |  FROM n0),
+       |${(1 to PrIters).map(iter).mkString(",\n")}
+       |SELECT node, rank_e12 FROM r$PrIters ORDER BY node""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "graph_ppr" -> pprOracle,
     "graph_degree" ->
       s"""WITH e AS ($EdgesSql),
          |d AS (

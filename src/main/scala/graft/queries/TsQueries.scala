@@ -134,6 +134,44 @@ object TsQueries {
       .orderBy("first_day")
   }
 
+  // ----------------------------------------------------- per-group HLL
+
+  /** HyperLogLog distinct-user estimate PER GROUP (event_type) next to the
+    * exact count — the sketch-partitioned form of `text_hll_distinct`:
+    * registers key on (group, bucket), so state is m rows per group
+    * however many users stream through, and per-group sketches are
+    * mergeable across shards/epochs by register max. Same integer register
+    * chain + ONE pinned double division as the global key (oracle
+    * bit-equal); p=6 → ±~13% — the err column is part of the output. */
+  private val qHllPerGroup: Q = (s, dir) => {
+    val m = 64L
+    val ev = eventsTs(s, dir).select(col("event_type"), col("user_id"))
+    val h = conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val hashed = ev.select(col("event_type"),
+      (h % m).as("bucket"), (h / m).cast("long").as("rest"))
+    val rank = least(lit(50),
+      lit(55) - when(col("rest") === 0, lit(0)).otherwise(length(bin(col("rest")))))
+    val regs = hashed.select(col("event_type"), col("bucket"), rank.as("rank"))
+      .groupBy("event_type", "bucket").agg(max("rank").as("reg"))
+    val sums = regs.groupBy("event_type").agg(
+      sum(expr("shiftleft(1L, cast(50 - reg as int))")).as("s_present"),
+      count(lit(1)).as("nb"))
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("exact_distinct"))
+    sums
+      .select(col("event_type"),
+        (col("s_present") + (lit(m) - col("nb")) * lit(1L << 50)).as("s"))
+      .join(exact, "event_type")
+      .select(col("event_type"), col("exact_distinct"),
+        (lit(0.709) * lit((m * m).toDouble) * lit((1L << 50).toDouble) /
+          col("s").cast("double")).as("hll_est"))
+      .withColumn("err_x10000",
+        floor(lit(10000.0) * abs(col("hll_est") - col("exact_distinct").cast("double")) /
+          col("exact_distinct").cast("double")).cast("long"))
+      .orderBy("event_type")
+  }
+
   // ---------------------------------------------------------------- wiring
 
   val queries: Map[String, Q] = Map(
@@ -141,7 +179,8 @@ object TsQueries {
     "q_ohlc_bars" -> qOhlc,
     "q_retention_cohorts" -> qRetention,
     "q_wau_sliding_distinct" -> qWau,
-    "q_cumulative_users" -> qCumulativeUsers)
+    "q_cumulative_users" -> qCumulativeUsers,
+    "q_hll_per_group" -> qHllPerGroup)
 
   val oracle: Map[String, String] = Map(
     "q_ewma" ->
@@ -176,6 +215,37 @@ object TsQueries {
         |dau AS (SELECT day, count(*) AS dau FROM du GROUP BY day)
         |SELECT day, wau, dau FROM wau JOIN dau USING (day)
         |ORDER BY day""".stripMargin,
+
+    "q_hll_per_group" -> {
+      val hexFold = ExtQueries.hexFoldSql(1, 15)
+      s"""WITH hh AS (
+         |  SELECT event_type, $hexFold AS h
+         |  FROM (SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS hx
+         |        FROM events)),
+         |hb AS (SELECT event_type, h % 64 AS bucket, h // 64 AS rest FROM hh),
+         |regs AS (SELECT event_type, bucket,
+         |    max(least(50, 55 - CASE WHEN rest = 0 THEN 0
+         |                           ELSE length(bin(rest)) END)) AS reg
+         |  FROM hb GROUP BY 1, 2),
+         |sums AS (SELECT event_type,
+         |    CAST(sum(CAST(1 AS BIGINT) << CAST(50 - reg AS INT)) AS BIGINT)
+         |      AS s_present,
+         |    CAST(count(*) AS BIGINT) AS nb FROM regs GROUP BY 1),
+         |st AS (SELECT event_type,
+         |    s_present + (64 - nb) * (CAST(1 AS BIGINT) << 50) AS s FROM sums),
+         |ex AS (SELECT event_type,
+         |    CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+         |  FROM events GROUP BY 1),
+         |est AS (SELECT st.event_type, exact_distinct,
+         |    CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE)
+         |      * CAST(1125899906842624 AS DOUBLE) / CAST(s AS DOUBLE) AS hll_est
+         |  FROM st JOIN ex ON st.event_type = ex.event_type)
+         |SELECT event_type, exact_distinct, hll_est,
+         |  CAST(floor(CAST(10000 AS DOUBLE)
+         |    * abs(hll_est - CAST(exact_distinct AS DOUBLE))
+         |    / CAST(exact_distinct AS DOUBLE)) AS BIGINT) AS err_x10000
+         |FROM est ORDER BY event_type""".stripMargin
+    },
 
     "q_cumulative_users" ->
       """WITH fs AS (

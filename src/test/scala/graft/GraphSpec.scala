@@ -54,6 +54,19 @@ class GraphSpec extends AnyFunSuite {
     assert(r(3L) > r(2L) && r(1L) > 0L && r(5L) > r(4L))
   }
 
+  test("personalized pagerank: mass restarts at seeds, unreachable non-seeds stay zero") {
+    // 10 → 2 → 3 (10 is the only seed); 5 → 6 disconnected non-seeds
+    val e = Seq((10L, 2L), (2L, 3L), (5L, 6L)).toDF("src", "dst")
+    val r = GraphQueries.personalizedPagerank(s, e)
+      .as[(Long, Long)].collect().toMap
+    val base = (15L * 1000000000000L / 100L) / 1L
+    assert(r(10L) === base, "the seed's steady rank is exactly the teleport term")
+    assert(r(2L) > 0L && r(3L) > 0L, "downstream of the seed collects walk mass")
+    assert(r(5L) === 0L && r(6L) === 0L,
+      "a component with no seed must hold zero mass at every iteration")
+    assert(r(2L) > r(3L), "rank decays with distance from the seed")
+  }
+
   test("label propagation converges to component minima") {
     val r = GraphQueries.labelProp(edges).orderBy("node")
       .as[(Long, Long)].collect().toSeq
