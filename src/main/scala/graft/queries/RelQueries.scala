@@ -920,7 +920,28 @@ object RelQueries {
       .orderBy("event_type")
   }
 
+  // The NATURAL banded range join — written as the user would (pure range
+  // predicate, no hand-binning): the injected RangeBinJoin optimizer rule
+  // rewrites it to the binned equi-join q_range_join_binned builds by
+  // hand, so this key is the end-to-end proof the rule carries real
+  // queries (RangeBinJoinSpec pins the plan shape; here the oracle pins
+  // the values). Cross-user on purpose: with no equi key, the unrewritten
+  // plan would be a nested-loop — the shape that dies at scale.
+  private val qRangeJoinAuto: Q = (s, dir) => {
+    val ev = eventsTs(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("ts_us").as("c_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("ts_us").as("p_ts"))
+    clicks.join(purchases,
+        col("p_ts") > col("c_ts") && col("p_ts") <= col("c_ts") + 3600000000L)
+      .groupBy("click_id")
+      .agg(count(lit(1)).as("n_purchases"), min("p_id").as("first_purchase"))
+      .orderBy("click_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_range_join_auto" -> qRangeJoinAuto,
     "q_dynamic_partition_pruning" -> qDynamicPartitionPruning,
     "q_asof_tolerance" -> qAsofTolerance,
     "q_session_window" -> qSessionWindow,
@@ -987,6 +1008,17 @@ object RelQueries {
       |GROUP BY 1, 2 ORDER BY f.key""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_range_join_auto" ->
+      """WITH c AS (
+        |  SELECT event_id AS click_id, epoch_us(ts) AS c_ts FROM events
+        |  WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT event_id AS p_id, epoch_us(ts) AS p_ts FROM events
+        |  WHERE event_type = 'purchase')
+        |SELECT click_id, count(*) AS n_purchases, min(p_id) AS first_purchase
+        |FROM c JOIN p ON p_ts > c_ts AND p_ts <= c_ts + 3600000000
+        |GROUP BY click_id ORDER BY click_id""".stripMargin,
+
     "q_dynamic_partition_pruning" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
