@@ -213,6 +213,42 @@ object Multimodal {
     }
   }
 
+  final case class ImageStats(
+      doc_id: Long, n_px: Long, sum_r: Long, sum_g: Long, sum_b: Long,
+      decodable: Boolean)
+
+  /** Per-image integer channel statistics through the REAL decode path
+    * (ImageIO reads the actual PNG bytes) — the image sibling of
+    * [[audioFeatures]]: integer sums make the decode VALUE-checkable,
+    * because the generating pattern is closed-form in (x, y, doc_id) and
+    * the oracle re-derives the expected sums without ever seeing a PNG.
+    * Narrow mapPartitions pass; undecodable payloads degrade flagged. */
+  def imageStats(blobs: Dataset[Blob]): Dataset[ImageStats] = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.mapPartitions(_.map { bl =>
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bl.data))
+        catch { case _: Exception => null }
+      if (img == null) ImageStats(bl.doc_id, 0L, 0L, 0L, 0L, decodable = false)
+      else {
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val rgb = img.getRGB(x, y)
+            sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        ImageStats(bl.doc_id, img.getWidth.toLong * img.getHeight, sr, sg, sb,
+          decodable = true)
+      }
+    })
+  }
+
   final case class PHash(doc_id: Long, phash: Long, decodable: Boolean)
 
   /** Perceptual AVERAGE HASH (aHash): decode, nearest-neighbor stretch to

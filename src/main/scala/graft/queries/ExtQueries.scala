@@ -1004,6 +1004,14 @@ object ExtQueries {
     Multimodal.decodeAudioFeatures(Multimodal.synthAudioBlobs(documents(s, dir)))
       .toDF().orderBy("doc_id")
 
+  /** Channel sums through the REAL PNG decode — the oracle rebuilds the
+    * expected sums from the closed-form (x, y, doc_id) pattern without
+    * ever touching a PNG, so the whole encode→decode→reduce path is
+    * value-checked. */
+  private val multimodalImageStats: Q = (s, dir) =>
+    Multimodal.imageStats(Multimodal.synthRealImages(documents(s, dir)))
+      .toDF().orderBy("doc_id")
+
   /** MP4/ISO-BMFF structural video decode (mvhd timescale/duration). */
   private val multimodalVideoMeta: Q = (s, dir) =>
     Multimodal.decodeVideo(Multimodal.synthVideoBlobs(documents(s, dir)))
@@ -1281,6 +1289,7 @@ object ExtQueries {
     "multimodal_meta" -> multimodalMeta,
     "multimodal_audio_meta" -> multimodalAudioMeta,
     "multimodal_audio_energy" -> multimodalAudioEnergy,
+    "multimodal_image_stats" -> multimodalImageStats,
     "multimodal_video_meta" -> multimodalVideoMeta,
     "multimodal_resize" -> multimodalResize,
     "multimodal_decode_pixels" -> multimodalDecodePixels,
@@ -3754,6 +3763,23 @@ object ExtQueries {
         |  CAST(sum(word * word) AS BIGINT) AS energy,
         |  CAST(max(word) AS BIGINT) AS peak
         |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // full-value image check: the pattern is r=(x·31+id)%256,
+    // g=(y·17+3id)%256, b=(x·y+7id)%256 over a w×h = (id%13+4)×(id%11+4)
+    // grid — the oracle sums the formula directly; Spark must reproduce it
+    // through the real PNG encode + ImageIO decode
+    "multimodal_image_stats" ->
+      """WITH dims AS (
+        |  SELECT doc_id, doc_id % 13 + 4 AS w, doc_id % 11 + 4 AS h
+        |  FROM documents),
+        |px AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM dims),
+        |pxy AS (SELECT doc_id, x, unnest(range(0, h)) AS y, w, h FROM px)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_px,
+        |  CAST(sum((x * 31 + doc_id) % 256) AS BIGINT) AS sum_r,
+        |  CAST(sum((y * 17 + doc_id * 3) % 256) AS BIGINT) AS sum_g,
+        |  CAST(sum((x * y + doc_id * 7) % 256) AS BIGINT) AS sum_b,
+        |  true AS decodable
+        |FROM pxy GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // video twin: the synthesized MP4 skeleton (ftyp 20 + moov 116 + mdat
     // header 8 = 144 bytes) carries closed-form mvhd params of doc_id;
