@@ -201,6 +201,44 @@ object GraphQueries {
 
   private val qTriangles: Q = (s, dir) => triangles(edges(s, dir))
 
+  /** Per-node triangle counts + LOCAL clustering coefficient (ppm) — the
+    * node-granular spam/community signal next to the global coefficient.
+    * Same degree-oriented wedge join as [[triangles]]; each matched
+    * triangle credits its three corners via a 3-row explode, so the extra
+    * cost over the global count is one |triangles|-sized shuffle. */
+  def localClustering(edgeDf: DataFrame): DataFrame = {
+    val und = edgeDf.select(
+        least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val deg = und.select(col("a").as("node")).union(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val oriented = und
+      .join(deg.withColumnRenamed("node", "a").withColumnRenamed("deg", "da"), "a")
+      .join(deg.withColumnRenamed("node", "b").withColumnRenamed("deg", "db"), "b")
+      .select(
+        when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+          struct(col("a").as("u"), col("b").as("v")))
+          .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+    val tri = oriented.select(col("u"), col("v").as("v1"))
+      .join(oriented.select(col("u"), col("v").as("v2")), "u")
+      .filter(col("v1") < col("v2"))
+      .join(und, least(col("v1"), col("v2")) === col("a") &&
+        greatest(col("v1"), col("v2")) === col("b"))
+    val perNode = tri.select(explode(array(col("u"), col("v1"), col("v2"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+      .withColumn("local_cc_ppm",
+        when(col("deg") < 2, lit(0L))
+          .otherwise(expr("2 * n_triangles * 1000000 div (deg * (deg - 1))")))
+      .orderBy("node")
+  }
+
+  private val qLocalClustering: Q = (s, dir) => localClustering(edges(s, dir))
+
   // --------------------------------------------------------------- two-hop
 
   /** Per-source count of nodes reachable in exactly two directed hops that
@@ -263,6 +301,7 @@ object GraphQueries {
     "graph_pagerank" -> qPagerank,
     "graph_ppr" -> qPpr,
     "graph_triangles" -> qTriangles,
+    "graph_local_clustering" -> qLocalClustering,
     "graph_two_hop" -> qTwoHop,
     "graph_cc_labelprop" -> qLabelProp)
 
@@ -344,6 +383,35 @@ object GraphQueries {
          |FROM d ORDER BY node""".stripMargin,
 
     "graph_pagerank" -> prOracle,
+
+    "graph_local_clustering" ->
+      s"""WITH e AS ($EdgesSql),
+         |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |        FROM e),
+         |deg AS (SELECT node, count(*) AS deg
+         |        FROM (SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+         |        GROUP BY node),
+         |o AS (
+         |  SELECT CASE WHEN (da.deg < db.deg) OR (da.deg = db.deg AND und.a < und.b)
+         |              THEN und.a ELSE und.b END AS u,
+         |         CASE WHEN (da.deg < db.deg) OR (da.deg = db.deg AND und.a < und.b)
+         |              THEN und.b ELSE und.a END AS v
+         |  FROM und JOIN deg da ON da.node = und.a
+         |           JOIN deg db ON db.node = und.b),
+         |tri AS (
+         |  SELECT o1.u AS u, o1.v AS v1, o2.v AS v2
+         |  FROM o o1 JOIN o o2 ON o1.u = o2.u AND o1.v < o2.v
+         |    JOIN und ON und.a = least(o1.v, o2.v) AND und.b = greatest(o1.v, o2.v)),
+         |pn AS (
+         |  SELECT node, count(*) AS n_triangles FROM (
+         |    SELECT u AS node FROM tri
+         |    UNION ALL SELECT v1 FROM tri
+         |    UNION ALL SELECT v2 FROM tri) GROUP BY node)
+         |SELECT deg.node, deg.deg, coalesce(pn.n_triangles, 0) AS n_triangles,
+         |  CASE WHEN deg.deg < 2 THEN 0
+         |       ELSE 2 * coalesce(pn.n_triangles, 0) * 1000000
+         |            // (deg.deg * (deg.deg - 1)) END AS local_cc_ppm
+         |FROM deg LEFT JOIN pn USING (node) ORDER BY deg.node""".stripMargin,
 
     "graph_triangles" ->
       s"""WITH e AS ($EdgesSql),

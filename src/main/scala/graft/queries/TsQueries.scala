@@ -134,6 +134,26 @@ object TsQueries {
       .orderBy("first_day")
   }
 
+  // -------------------------------------------------- gaps and islands
+
+  /** Longest consecutive-day activity streak per user (the gaps-and-
+    * islands shape): on the (user, day) distinct grid, `day − row_number`
+    * is constant within a run of consecutive days, so one window + one
+    * two-level agg finds every streak. The window partitions by user and
+    * consumes at most that user's distinct DAYS (grid rows, not events). */
+  private val qActivityStreaks: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val du = eventsTs(s, dir)
+      .select(col("user_id"), expr("ts_us div 86400000000").as("day"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy("day")
+    du.withColumn("grp", col("day") - row_number().over(w))
+      .groupBy("user_id", "grp").agg(count(lit(1)).as("len"))
+      .groupBy("user_id")
+      .agg(max("len").as("longest_streak"), count(lit(1)).as("n_streaks"))
+      .orderBy("user_id")
+  }
+
   // ----------------------------------------------------- per-group HLL
 
   /** HyperLogLog distinct-user estimate PER GROUP (event_type) next to the
@@ -180,7 +200,8 @@ object TsQueries {
     "q_retention_cohorts" -> qRetention,
     "q_wau_sliding_distinct" -> qWau,
     "q_cumulative_users" -> qCumulativeUsers,
-    "q_hll_per_group" -> qHllPerGroup)
+    "q_hll_per_group" -> qHllPerGroup,
+    "q_activity_streaks" -> qActivityStreaks)
 
   val oracle: Map[String, String] = Map(
     "q_ewma" ->
@@ -215,6 +236,20 @@ object TsQueries {
         |dau AS (SELECT day, count(*) AS dau FROM du GROUP BY day)
         |SELECT day, wau, dau FROM wau JOIN dau USING (day)
         |ORDER BY day""".stripMargin,
+
+    "q_activity_streaks" ->
+      """WITH du AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+        |  FROM events),
+        |g AS (
+        |  SELECT user_id, day,
+        |    day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+        |  FROM du),
+        |runs AS (
+        |  SELECT user_id, grp, count(*) AS len FROM g GROUP BY 1, 2)
+        |SELECT user_id, CAST(max(len) AS BIGINT) AS longest_streak,
+        |  count(*) AS n_streaks
+        |FROM runs GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q_hll_per_group" -> {
       val hexFold = ExtQueries.hexFoldSql(1, 15)
