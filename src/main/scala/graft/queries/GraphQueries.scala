@@ -257,6 +257,44 @@ object GraphQueries {
 
   private val qTwoHop: Q = (s, dir) => twoHop(edges(s, dir)).orderBy("src")
 
+  // ------------------------------------------------------------- k-core
+
+  /** Fixed-round k-core peeling over the undirected graph: [[KcoreIters]]
+    * rounds of "drop every node with degree < k, drop incident edges" —
+    * the standard web-graph quality/spam filter (a node surviving the
+    * 3-core has 3 independent mutual-linkage witnesses). Fixed rounds keep
+    * the result a pure function of the input; on this graph peeling
+    * reaches its fixed point well inside the budget, and either way both
+    * engines compute the same rounds. Returns surviving (node, core_deg). */
+  def kcore(edgeDf: DataFrame, k: Int = 3, iters: Int = KcoreIters): DataFrame = {
+    var e = edgeDf.select(col("src").as("u"), col("dst").as("v"))
+      .union(edgeDf.select(col("dst").as("u"), col("src").as("v")))
+      .distinct()
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val alive = e.groupBy("u").agg(count(lit(1)).as("c"))
+        .filter(col("c") >= k).select("u")
+      // per-round lineage cut — e is referenced twice (two semi-joins)
+      e = e.join(alive, "u")
+        .join(alive.withColumnRenamed("u", "v"), "v")
+        .select("u", "v")
+        .localCheckpoint(true)
+    }
+    e.groupBy(col("u").as("node")).agg(count(lit(1)).as("core_deg"))
+      .orderBy("node")
+  }
+
+  private val KcoreIters = 8
+  private val qKcore: Q = (s, dir) => kcore(edges(s, dir))
+
+  /** Log-binned degree histogram (ilog2 buckets) — the power-law profile
+    * read before choosing skew defenses. ONE agg onto ≤ 64 cells. */
+  private val qDegreeHist: Q = (s, dir) =>
+    degrees(edges(s, dir))
+      .select(expr("length(bin(total_deg)) - 1").cast("long").as("bucket_ilog2"))
+      .groupBy("bucket_ilog2").agg(count(lit(1)).as("n_nodes"))
+      .orderBy("bucket_ilog2")
+
   // ---------------------------------------------- label-prop components
 
   /** Fixed-round ([[LpIters]]) minimum-label propagation over the
@@ -302,6 +340,8 @@ object GraphQueries {
     "graph_ppr" -> qPpr,
     "graph_triangles" -> qTriangles,
     "graph_local_clustering" -> qLocalClustering,
+    "graph_kcore" -> qKcore,
+    "graph_degree_hist" -> qDegreeHist,
     "graph_two_hop" -> qTwoHop,
     "graph_cc_labelprop" -> qLabelProp)
 
@@ -327,8 +367,10 @@ object GraphQueries {
   }
 
   private val lpOracle: String = {
+    // MATERIALIZED: each round references the prior label table twice —
+    // see the kcore oracle note (11 s → sub-second at sf0.1)
     def iter(k: Int): String =
-      s"""l$k AS (
+      s"""l$k AS MATERIALIZED (
          |  SELECT l.node,
          |    least(l.label, coalesce(m.nbr_min, l.label)) AS label
          |  FROM l${k - 1} l LEFT JOIN (
@@ -383,6 +425,37 @@ object GraphQueries {
          |FROM d ORDER BY node""".stripMargin,
 
     "graph_pagerank" -> prOracle,
+
+    "graph_kcore" -> {
+      // AS MATERIALIZED is load-bearing: each round references the prior
+      // round TWICE, so inlined CTEs would replay the whole chain per
+      // reference — the SQL form of the loop-lineage blowup the Spark side
+      // cuts with per-round localCheckpoint
+      def round(i: Int): String =
+        s"""a$i AS MATERIALIZED (
+           |  SELECT u FROM (SELECT u, count(*) AS c FROM e${i - 1} GROUP BY u)
+           |  WHERE c >= 3),
+           |e$i AS MATERIALIZED (
+           |  SELECT e.u, e.v FROM e${i - 1} e
+           |  JOIN a$i x ON e.u = x.u JOIN a$i y ON e.v = y.u)""".stripMargin
+      s"""WITH raw AS ($EdgesSql),
+         |e0 AS MATERIALIZED (SELECT src AS u, dst AS v FROM raw
+         |       UNION SELECT dst, src FROM raw),
+         |${(1 to KcoreIters).map(round).mkString(",\n")}
+         |SELECT u AS node, count(*) AS core_deg
+         |FROM e$KcoreIters GROUP BY u ORDER BY node""".stripMargin
+    },
+
+    "graph_degree_hist" ->
+      s"""WITH e AS ($EdgesSql),
+         |d AS (
+         |  SELECT node, CAST(sum(o) + sum(i) AS BIGINT) AS total_deg
+         |  FROM (SELECT src AS node, 1 AS o, 0 AS i FROM e
+         |        UNION ALL SELECT dst, 0, 1 FROM e)
+         |  GROUP BY node)
+         |SELECT CAST(length(bin(total_deg)) - 1 AS BIGINT) AS bucket_ilog2,
+         |  count(*) AS n_nodes
+         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "graph_local_clustering" ->
       s"""WITH e AS ($EdgesSql),

@@ -73,6 +73,16 @@ class GraphSpec extends AnyFunSuite {
     assert(r === Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L)))
   }
 
+  test("k-core peels chains, keeps the clique, and cascades removals") {
+    // 4-clique {1,2,3,4} (each degree 3) + a chain 4—5—6: 6 peels (deg 1),
+    // then 5 (deg drops to 1) — the cascade the iteration exists for
+    val clique = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val e = (clique ++ Seq((4L, 5L), (5L, 6L))).toDF("src", "dst")
+    val r = GraphQueries.kcore(e).as[(Long, Long)].collect().toMap
+    assert(r === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L),
+      s"only the 4-clique survives the 3-core, at degree 3: $r")
+  }
+
   test("edge synthesis is distinct, self-loop-free, and ~30% selective") {
     val e = GraphQueries.edges(s, "/root/testdata/sf0.001")
     val n = e.count()
