@@ -257,6 +257,32 @@ object GraphQueries {
 
   private val qTwoHop: Q = (s, dir) => twoHop(edges(s, dir)).orderBy("src")
 
+  // ----------------------------------------- neighbor-set similarity
+
+  /** Common-neighbor counts + neighbor-Jaccard (×10000, truncating) for
+    * every unordered node pair sharing at least one undirected neighbor —
+    * the classic link-prediction score. Candidate pairs come from the
+    * wedge join (never all pairs): only nodes with a common neighbor meet,
+    * and the wedge volume is degree-bounded like [[triangles]]. */
+  def commonNeighbors(edgeDf: DataFrame): DataFrame = {
+    val sym = edgeDf.select(col("src").as("n"), col("dst").as("nbr"))
+      .union(edgeDf.select(col("dst").as("n"), col("src").as("nbr")))
+      .distinct()
+    val deg = sym.groupBy("n").agg(count(lit(1)).as("deg"))
+    val pairs = sym.select(col("n").as("a"), col("nbr"))
+      .join(sym.select(col("n").as("c"), col("nbr")), "nbr")
+      .filter(col("a") < col("c"))
+      .groupBy("a", "c").agg(count(lit(1)).as("common"))
+    pairs
+      .join(deg.withColumnRenamed("n", "a").withColumnRenamed("deg", "da"), "a")
+      .join(deg.withColumnRenamed("n", "c").withColumnRenamed("deg", "dc"), "c")
+      .select(col("a"), col("c"), col("common"),
+        expr("10000 * common div (da + dc - common)").as("jaccard_x10000"))
+      .orderBy("a", "c")
+  }
+
+  private val qCommonNeighbors: Q = (s, dir) => commonNeighbors(edges(s, dir))
+
   // ------------------------------------------------------------- k-core
 
   /** Fixed-round k-core peeling over the undirected graph: [[KcoreIters]]
@@ -342,6 +368,7 @@ object GraphQueries {
     "graph_local_clustering" -> qLocalClustering,
     "graph_kcore" -> qKcore,
     "graph_degree_hist" -> qDegreeHist,
+    "graph_common_neighbors" -> qCommonNeighbors,
     "graph_two_hop" -> qTwoHop,
     "graph_cc_labelprop" -> qLabelProp)
 
@@ -445,6 +472,20 @@ object GraphQueries {
          |SELECT u AS node, count(*) AS core_deg
          |FROM e$KcoreIters GROUP BY u ORDER BY node""".stripMargin
     },
+
+    "graph_common_neighbors" ->
+      s"""WITH e AS ($EdgesSql),
+         |sym AS (SELECT src AS n, dst AS nbr FROM e
+         |        UNION SELECT dst, src FROM e),
+         |deg AS (SELECT n, count(*) AS deg FROM sym GROUP BY n),
+         |pairs AS (
+         |  SELECT s1.n AS a, s2.n AS c, count(*) AS common
+         |  FROM sym s1 JOIN sym s2 ON s1.nbr = s2.nbr AND s1.n < s2.n
+         |  GROUP BY 1, 2)
+         |SELECT a, c, common,
+         |  10000 * common // (da.deg + dc.deg - common) AS jaccard_x10000
+         |FROM pairs JOIN deg da ON da.n = a JOIN deg dc ON dc.n = c
+         |ORDER BY a, c""".stripMargin,
 
     "graph_degree_hist" ->
       s"""WITH e AS ($EdgesSql),

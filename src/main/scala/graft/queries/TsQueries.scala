@@ -134,6 +134,36 @@ object TsQueries {
       .orderBy("first_day")
   }
 
+  // ------------------------------------------------- rolling z-score
+
+  /** Per-event anomaly score against the TRAILING 20 same-type events
+    * (strictly before the current row — the streaming-friendly form of
+    * q_anomaly_zscore's global stats). Decimal window sums are exact, the
+    * mean/var/σ expression shape is pinned identically in the oracle, and
+    * NaN never reaches the filter: the variance guard runs on bit-equal
+    * doubles in both engines (DuckDB orders NaN above everything, Spark
+    * does not — an unguarded |z| > 2 would diverge on zero-variance
+    * windows). */
+  private val qRollingZscore: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("ts_us"), col("event_id")).rowsBetween(-20, -1)
+    val dsumW = (c: org.apache.spark.sql.Column) =>
+      sum(c.cast("decimal(18,6)")).over(w).cast("double")
+    eventsTs(s, dir)
+      .withColumn("sv", dsumW(col("value")))
+      .withColumn("sv2", dsumW(col("value") * col("value")))
+      .withColumn("n", count(lit(1)).over(w))
+      .filter(col("n") >= 10)
+      .withColumn("varg",
+        col("sv2") / col("n") - (col("sv") / col("n")) * (col("sv") / col("n")))
+      .filter(col("varg") > 0)
+      .withColumn("z", (col("value") - col("sv") / col("n")) / sqrt(col("varg")))
+      .filter(abs(col("z")) > lit(3.0))
+      .select(col("event_id"), col("event_type"), col("value"), col("z"))
+      .orderBy("event_id")
+  }
+
   // -------------------------------------------------- gaps and islands
 
   /** Longest consecutive-day activity streak per user (the gaps-and-
@@ -201,7 +231,8 @@ object TsQueries {
     "q_wau_sliding_distinct" -> qWau,
     "q_cumulative_users" -> qCumulativeUsers,
     "q_hll_per_group" -> qHllPerGroup,
-    "q_activity_streaks" -> qActivityStreaks)
+    "q_activity_streaks" -> qActivityStreaks,
+    "q_rolling_zscore" -> qRollingZscore)
 
   val oracle: Map[String, String] = Map(
     "q_ewma" ->
@@ -236,6 +267,26 @@ object TsQueries {
         |dau AS (SELECT day, count(*) AS dau FROM du GROUP BY day)
         |SELECT day, wau, dau FROM wau JOIN dau USING (day)
         |ORDER BY day""".stripMargin,
+
+    "q_rolling_zscore" ->
+      """WITH e AS (
+        |  SELECT event_id, event_type, value, epoch_us(ts) AS ts_us FROM events),
+        |s AS (
+        |  SELECT event_id, event_type, value,
+        |    CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sv,
+        |    CAST(sum(CAST(value * value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sv2,
+        |    count(*) OVER w AS n
+        |  FROM e WINDOW w AS (PARTITION BY event_type ORDER BY ts_us, event_id
+        |    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
+        |g AS (
+        |  SELECT *, sv2 / n - (sv / n) * (sv / n) AS varg
+        |  FROM s WHERE n >= 10),
+        |z AS (
+        |  SELECT event_id, event_type, value,
+        |    (value - sv / n) / sqrt(varg) AS z
+        |  FROM g WHERE varg > 0)
+        |SELECT event_id, event_type, value, z FROM z
+        |WHERE abs(z) > 3.0 ORDER BY event_id""".stripMargin,
 
     "q_activity_streaks" ->
       """WITH du AS (
