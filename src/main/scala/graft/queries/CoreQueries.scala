@@ -45,6 +45,9 @@ object CoreQueries {
   private[queries] val JsonlSlot: String = java.nio.file.Paths.get(
     sys.props("java.io.tmpdir"), "graft-jsonl-roundtrip", "current").toString
 
+  private[queries] val EvoSlot: String = java.nio.file.Paths.get(
+    sys.props("java.io.tmpdir"), "graft-schema-evolution", "current").toString
+
   // ORC round-trip: the second columnar interchange format Spark ships
   // natively. The full typed events stream writes as ORC and reads back;
   // the oracle aggregates the ORIGINAL parquet — so the key proves the
@@ -81,6 +84,28 @@ object CoreQueries {
         " value double, props string")
       .json(JsonlSlot)
       .orderBy("event_id")
+  }
+
+  // Schema evolution across landed epochs — the lake reality a 100-TB
+  // table lives with: an old epoch lacks a column newer epochs carry.
+  // Spark's mergeSchema read unifies the footers (absent column → null),
+  // and the aggregation must see exactly the union. The oracle re-derives
+  // the same split from the source table, so the whole write→merge→read
+  // path is value-checked. Epochs land as separate directories under one
+  // root — the layout a daily append job produces.
+  private val srcSchemaEvolution: Q = (s, dir) => {
+    val ev = Synth.eventsTs(s, dir)
+    ev.filter(col("event_id") % 2 === 0)
+      .select(col("event_id"), col("user_id"), col("value"))
+      .write.mode("overwrite").parquet(s"$EvoSlot/epoch=0")
+    ev.filter(col("event_id") % 2 === 1)
+      .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+      .write.mode("overwrite").parquet(s"$EvoSlot/epoch=1")
+    s.read.option("mergeSchema", "true").parquet(s"$EvoSlot")
+      .groupBy(coalesce(col("event_type"), lit("__pre_evolution__")).as("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+      .orderBy("event_type")
   }
 
   private val srcCsvRoundtrip: Q = (s, dir) => {
@@ -441,6 +466,7 @@ object CoreQueries {
     "src_csv_roundtrip" -> srcCsvRoundtrip,
     "src_orc_roundtrip" -> srcOrcRoundtrip,
     "src_jsonl_roundtrip" -> srcJsonlRoundtrip,
+    "src_schema_evolution" -> srcSchemaEvolution,
     "json_corrupt_modes" -> jsonCorruptModes,
     "parse_syslog_5424" -> parse5424Q,
     "parse_syslog_3164" -> parse3164Q,
@@ -483,6 +509,15 @@ object CoreQueries {
          |  columns = {'event_id': 'BIGINT', 'topic': 'VARCHAR',
          |             'value': 'VARCHAR'})
          |ORDER BY event_id""".stripMargin,
+
+    // the oracle re-derives the epoch split directly from the source, so
+    // Spark's mergeSchema write→read path must reproduce it exactly
+    "src_schema_evolution" ->
+      """SELECT CASE WHEN event_id % 2 = 0 THEN '__pre_evolution__'
+        |            ELSE event_type END AS event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // reads the SAME jsonl files Spark wrote — string escaping and double
     // rendering must survive DuckDB's JSON parser byte-for-byte

@@ -134,6 +134,39 @@ object TsQueries {
       .orderBy("first_day")
   }
 
+  // ------------------------------------------------------------ TWAP
+
+  /** Time-weighted average value per user (the monitoring/billing metric:
+    * each reading weighted by how long it was current, at SECOND
+    * resolution). lead() pairs each event with its successor; durations
+    * floor to whole seconds so the Σ value·duration decimal sum keeps its
+    * unscaled value inside 2⁵³ — the envelope where a decimal→double cast
+    * is a SINGLE rounding in both engines (DuckDB converts the unscaled
+    * int then divides by 10^scale: two roundings once the int leaves the
+    * exact-double range, which is exactly where a µs-weighted numerator
+    * landed and diverged by 1 ulp). The final division is one pinned
+    * double op. Zero-duration users report their earliest reading. */
+  private val qTwap: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    eventsTs(s, dir)
+      .withColumn("next_ts", lead(col("ts_us"), 1).over(w))
+      .withColumn("dur_s",
+        expr("coalesce(next_ts - ts_us, 0L) div 1000000"))
+      .groupBy("user_id")
+      .agg(
+        sum((col("value") * col("dur_s")).cast("decimal(18,6)")).cast("double").as("wsum"),
+        sum("dur_s").as("tot_s"),
+        min_by(col("value"),
+          format_string("%020d-%020d", col("ts_us"), col("event_id"))).as("first_v"),
+        count(lit(1)).as("n"))
+      .select(col("user_id"),
+        when(col("tot_s") === 0, col("first_v"))
+          .otherwise(col("wsum") / col("tot_s").cast("double")).as("twap"),
+        col("tot_s"), col("n"))
+      .orderBy("user_id")
+  }
+
   // ------------------------------------------------- rolling z-score
 
   /** Per-event anomaly score against the TRAILING 20 same-type events
@@ -232,7 +265,8 @@ object TsQueries {
     "q_cumulative_users" -> qCumulativeUsers,
     "q_hll_per_group" -> qHllPerGroup,
     "q_activity_streaks" -> qActivityStreaks,
-    "q_rolling_zscore" -> qRollingZscore)
+    "q_rolling_zscore" -> qRollingZscore,
+    "q_time_weighted_avg" -> qTwap)
 
   val oracle: Map[String, String] = Map(
     "q_ewma" ->
@@ -267,6 +301,27 @@ object TsQueries {
         |dau AS (SELECT day, count(*) AS dau FROM du GROUP BY day)
         |SELECT day, wau, dau FROM wau JOIN dau USING (day)
         |ORDER BY day""".stripMargin,
+
+    "q_time_weighted_avg" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events),
+        |d AS (
+        |  SELECT user_id, value, ts_us, event_id,
+        |    coalesce(lead(ts_us) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id) - ts_us, 0) // 1000000 AS dur_s
+        |  FROM e),
+        |a AS (
+        |  SELECT user_id,
+        |    CAST(sum(CAST(value * dur_s AS DECIMAL(18,6))) AS DOUBLE) AS wsum,
+        |    CAST(sum(dur_s) AS BIGINT) AS tot_s,
+        |    arg_min(value, printf('%020d-%020d', ts_us, event_id)) AS first_v,
+        |    count(*) AS n
+        |  FROM d GROUP BY user_id)
+        |SELECT user_id,
+        |  CASE WHEN tot_s = 0 THEN first_v
+        |       ELSE wsum / CAST(tot_s AS DOUBLE) END AS twap,
+        |  tot_s, n
+        |FROM a ORDER BY user_id""".stripMargin,
 
     "q_rolling_zscore" ->
       """WITH e AS (
