@@ -69,9 +69,61 @@ object AuditQueries {
       .orderBy("event_id")
   }
 
+  /** FILTER-clause aggregation surface: several conditional aggregates of
+    * one pass over the stream — the idiomatic replacement for N separate
+    * filtered jobs (and for CASE-WHEN-NULL contortions). */
+  private val qFilteredAgg: Q = (s, dir) =>
+    eventsTs(s, dir)
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_total"),
+        count_if(col("event_type") === "purchase").as("n_purchases"),
+        count_if(col("event_type") === "error").as("n_errors"),
+        sum(when(col("event_type") === "purchase", col("value"))
+          .otherwise(lit(0d)).cast("decimal(18,6)")).cast("double")
+          .as("purchase_value"),
+        max(when(col("event_type") === "click", col("ts_us"))).as("last_click_us"))
+      .orderBy("user_id")
+
+  /** Correlated scalar subquery through the SQL front door — Catalyst
+    * de-correlates it into an aggregate + join, no per-row re-execution
+    * (the rewrite that makes 100-TB correlated SQL possible at all). */
+  private val qScalarSubquery: Q = (s, dir) => {
+    eventsTs(s, dir).createOrReplaceTempView("ev_ssq")
+    s.sql(
+      """SELECT event_id, user_id, value,
+        |  (SELECT max(e2.value) FROM ev_ssq e2
+        |   WHERE e2.user_id = e1.user_id) AS user_max,
+        |  value = (SELECT max(e3.value) FROM ev_ssq e3
+        |           WHERE e3.user_id = e1.user_id) AS is_user_max
+        |FROM ev_ssq e1
+        |WHERE event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin)
+  }
+
+  /** unionByName with allowMissingColumns — the DataFrame-level sibling of
+    * src_schema_evolution: two frames with overlapping-but-different
+    * schemas align by NAME (position-based union would silently mismatch)
+    * and absent columns null-fill. */
+  private val qUnionByName: Q = (s, dir) => {
+    val ev = eventsTs(s, dir)
+    val old = ev.filter(col("event_id") % 2 === 0)
+      .select(col("event_id"), col("user_id"), col("value"))
+    val neu = ev.filter(col("event_id") % 2 === 1)
+      .select(col("event_id"), col("event_type"), col("user_id"), col("value"))
+    old.unionByName(neu, allowMissingColumns = true)
+      .groupBy(coalesce(col("event_type"), lit("__old__")).as("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_dq_checks" -> qDqChecks,
-    "q_asof_forward" -> qAsofForward)
+    "q_asof_forward" -> qAsofForward,
+    "q_filtered_agg" -> qFilteredAgg,
+    "q_scalar_subquery" -> qScalarSubquery,
+    "q_union_by_name" -> qUnionByName)
 
   val oracle: Map[String, String] = Map(
     "q_dq_checks" ->
@@ -97,6 +149,34 @@ object AuditQueries {
         |SELECT rule, CAST(violations AS BIGINT) AS violations,
         |  violations = 0 AS pass
         |FROM long ORDER BY rule""".stripMargin,
+
+    "q_filtered_agg" ->
+      """SELECT user_id, count(*) AS n_total,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS n_purchases,
+        |  count(*) FILTER (WHERE event_type = 'error') AS n_errors,
+        |  CAST(sum(CAST(CASE WHEN event_type = 'purchase' THEN value
+        |                     ELSE 0 END AS DECIMAL(18,6))) AS DOUBLE)
+        |    AS purchase_value,
+        |  max(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+        |    AS last_click_us
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_scalar_subquery" ->
+      """SELECT event_id, user_id, value,
+        |  (SELECT max(e2.value) FROM events e2
+        |   WHERE e2.user_id = e1.user_id) AS user_max,
+        |  value = (SELECT max(e3.value) FROM events e3
+        |           WHERE e3.user_id = e1.user_id) AS is_user_max
+        |FROM events e1
+        |WHERE event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin,
+
+    "q_union_by_name" ->
+      """SELECT CASE WHEN event_id % 2 = 0 THEN '__old__'
+        |            ELSE event_type END AS event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_asof_forward" ->
       """SELECT event_id, next_purchase FROM (
