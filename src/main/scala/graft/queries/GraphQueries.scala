@@ -358,6 +358,50 @@ object GraphQueries {
 
   private val qLabelProp: Q = (s, dir) => labelProp(edges(s, dir)).orderBy("node")
 
+  // --------------------------------------------------------- modularity
+
+  /** Newman modularity of the label-propagation communities — EXACT, in
+    * integers: Q = Σ_c [L_c/m − (D_c/2m)²] over communities c with L_c
+    * intra-community edges, D_c total degree, m undirected edges. Instead
+    * of floating division, report the exact rational Q = num / (4m²):
+    * num = Σ_c (4·m·L_c − D_c²) — every term integer, so the score is
+    * bit-independent of partitioning and the oracle matches exactly.
+    * Per-community rows carry (label, n_nodes, intra_edges, total_deg);
+    * the __total__ row carries (num, den). */
+  def modularity(s: SparkSession, edgeDf: DataFrame): DataFrame = {
+    val und = edgeDf.select(
+        least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct().localCheckpoint(true)
+    val labels = labelProp(edgeDf, ModularityRounds)
+    val m = und.count()
+    val withLa = und
+      .join(labels.withColumnRenamed("node", "a").withColumnRenamed("label", "la"), "a")
+      .join(labels.withColumnRenamed("node", "b").withColumnRenamed("label", "lb"), "b")
+    val intra = withLa.filter(col("la") === col("lb"))
+      .groupBy(col("la").as("label")).agg(count(lit(1)).as("intra_edges"))
+    val degByLabel = und.select(col("a").as("node"))
+      .union(und.select(col("b").as("node")))
+      .join(labels, "node")
+      .groupBy("label").agg(count(lit(1)).as("total_deg"))
+    val sizes = labels.groupBy("label").agg(count(lit(1)).as("n_nodes"))
+    val per = sizes
+      .join(degByLabel, Seq("label"), "left")
+      .join(intra, Seq("label"), "left")
+      .select(col("label"), col("n_nodes"),
+        coalesce(col("intra_edges"), lit(0L)).as("intra_edges"),
+        coalesce(col("total_deg"), lit(0L)).as("total_deg"))
+    val total = per.agg(
+        sum(expr(s"4 * ${m}L * intra_edges - total_deg * total_deg")).as("num"))
+      .select(lit(-1L).as("label"), lit(0L).as("n_nodes"),
+        col("num").as("intra_edges"), lit(4L * m * m).as("total_deg"))
+    // the __total__ row reuses the numeric columns as (num, den) — flagged
+    // by label = -1 (node ids are nonnegative)
+    per.unionAll(total).orderBy("label")
+  }
+
+  private val qModularity: Q = (s, dir) => modularity(s, edges(s, dir))
+
   // ---------------------------------------------------------------- wiring
 
   val queries: Map[String, Q] = Map(
@@ -369,6 +413,7 @@ object GraphQueries {
     "graph_kcore" -> qKcore,
     "graph_degree_hist" -> qDegreeHist,
     "graph_common_neighbors" -> qCommonNeighbors,
+    "graph_modularity" -> qModularity,
     "graph_two_hop" -> qTwoHop,
     "graph_cc_labelprop" -> qLabelProp)
 
@@ -393,9 +438,10 @@ object GraphQueries {
        |SELECT node, rank_e12 FROM r$PrIters ORDER BY node""".stripMargin
   }
 
-  private val lpOracle: String = {
-    // MATERIALIZED: each round references the prior label table twice —
-    // see the kcore oracle note (11 s → sub-second at sf0.1)
+  /** Shared label-propagation CTE chain (WITH-prefix, final table
+    * `l{rounds}`). MATERIALIZED: each round references the prior label
+    * table twice — see the kcore oracle note (11 s → sub-second at sf0.1). */
+  private def lpCtes(rounds: Int = LpIters): String = {
     def iter(k: Int): String =
       s"""l$k AS MATERIALIZED (
          |  SELECT l.node,
@@ -410,9 +456,45 @@ object GraphQueries {
        |n0 AS (SELECT DISTINCT src AS node FROM e
        |       UNION SELECT DISTINCT dst FROM e),
        |l0 AS (SELECT node, node AS label FROM n0),
-       |${(1 to LpIters).map(iter).mkString(",\n")}
-       |SELECT node, label FROM l$LpIters ORDER BY node""".stripMargin
+       |${(1 to rounds).map(iter).mkString(",\n")}""".stripMargin
   }
+
+  private val lpOracle: String =
+    s"${lpCtes()}\nSELECT node, label FROM l$LpIters ORDER BY node"
+
+  /** Modularity is scored on the EARLY (2-round) label-prop partition:
+    * full propagation on this connected graph collapses to one community
+    * (Q trivially ~0), while the 2-hop-minimum partition gives the
+    * non-degenerate community structure the metric is for. */
+  private val ModularityRounds = 2
+
+  private val modularityOracle: String =
+    s"""${lpCtes(ModularityRounds)},
+       |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |        FROM e),
+       |mm AS (SELECT count(*) AS m FROM und),
+       |lab AS (SELECT node, label FROM l$ModularityRounds),
+       |wl AS (SELECT la.label AS la, lb.label AS lb
+       |       FROM und u JOIN lab la ON la.node = u.a
+       |                  JOIN lab lb ON lb.node = u.b),
+       |intra AS (SELECT la AS label, count(*) AS intra_edges
+       |          FROM wl WHERE la = lb GROUP BY 1),
+       |degl AS (SELECT lab.label, count(*) AS total_deg
+       |         FROM (SELECT a AS node FROM und UNION ALL SELECT b FROM und) x
+       |         JOIN lab ON lab.node = x.node GROUP BY 1),
+       |sizes AS (SELECT label, count(*) AS n_nodes FROM lab GROUP BY 1),
+       |per AS (SELECT s.label, CAST(s.n_nodes AS BIGINT) AS n_nodes,
+       |    CAST(coalesce(i.intra_edges, 0) AS BIGINT) AS intra_edges,
+       |    CAST(coalesce(d.total_deg, 0) AS BIGINT) AS total_deg
+       |  FROM sizes s LEFT JOIN degl d USING (label)
+       |               LEFT JOIN intra i USING (label)),
+       |tot AS (SELECT CAST(-1 AS BIGINT) AS label, CAST(0 AS BIGINT) AS n_nodes,
+       |    CAST(sum(4 * mm.m * intra_edges - total_deg * total_deg) AS BIGINT)
+       |      AS intra_edges,
+       |    CAST(4 * mm.m * mm.m AS BIGINT) AS total_deg
+       |  FROM per, mm GROUP BY mm.m)
+       |SELECT label, n_nodes, intra_edges, total_deg FROM per
+       |UNION ALL SELECT * FROM tot ORDER BY label""".stripMargin
 
   private val pprOracle: String = {
     val base = s"CASE WHEN n0.node % 10 = 0 THEN " +
@@ -562,5 +644,6 @@ object GraphQueries {
          |WHERE e.src IS NULL
          |GROUP BY h2.src ORDER BY h2.src""".stripMargin,
 
-    "graph_cc_labelprop" -> lpOracle)
+    "graph_cc_labelprop" -> lpOracle,
+    "graph_modularity" -> modularityOracle)
 }
