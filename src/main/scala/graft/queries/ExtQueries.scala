@@ -577,6 +577,33 @@ object ExtQueries {
       TextAnalysis.langId(col("text")).as("guess"))
       .orderBy("doc_id")
 
+  /** Distribution-drift report between two corpus slices (en vs zh): for
+    * every token frequent enough in the union, the integer log-ratio
+    * delta_bits = ilog2((cA+1)·(NB+1)) − ilog2((cB+1)·(NA+1)) — the
+    * add-one-smoothed, corpus-size-normalized drift in exact bits (the
+    * DSIR/importance-weight quantity as a REPORT instead of a weight).
+    * Top-20 by (|delta| desc, token asc) — both ends of the report are the
+    * tokens that most distinguish the slices. */
+  private val textDomainDrift: Q = (s, dir) => {
+    val toks = TextAnalysis.tokenRows(
+        documents(s, dir).filter(col("lang").isin("en", "zh")))
+      .join(documents(s, dir).select(col("doc_id"), col("lang")), "doc_id")
+    val counts = toks.groupBy("tok")
+      .agg(count_if(col("lang") === "en").as("c_en"),
+        count_if(col("lang") === "zh").as("c_zh"))
+    val totals = toks.agg(
+      count_if(col("lang") === "en").as("n_en"),
+      count_if(col("lang") === "zh").as("n_zh"))
+    def ilog2(c: org.apache.spark.sql.Column) = (length(bin(c)) - 1).cast("long")
+    counts.crossJoin(totals)
+      .filter(col("c_en") + col("c_zh") >= 10)
+      .select(col("tok"), col("c_en"), col("c_zh"),
+        (ilog2((col("c_en") + 1) * (col("n_zh") + 1)) -
+          ilog2((col("c_zh") + 1) * (col("n_en") + 1))).as("delta_bits"))
+      .orderBy(abs(col("delta_bits")).desc, col("tok"))
+      .limit(20)
+  }
+
   private val textFingerprint: Q = (s, dir) =>
     TextAnalysis.fingerprintRows(documents(s, dir)).orderBy("doc_id")
 
@@ -1266,6 +1293,7 @@ object ExtQueries {
     "text_tokens" -> textTokens,
     "text_quality" -> textQuality,
     "text_langid" -> textLangid,
+    "text_domain_drift" -> textDomainDrift,
     "text_fingerprint" -> textFingerprint,
     "text_repetition" -> textRepetition,
     "text_unigram_lm" -> textUnigramLm,
@@ -3261,6 +3289,27 @@ object ExtQueries {
         |  CASE WHEN len(regexp_extract_all(text, '\bthe\b')) + len(regexp_extract_all(text, '\band\b')) > 0
         |       THEN 'en' ELSE 'und' END AS guess
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_domain_drift" ->
+      """WITH toks AS (
+        |  SELECT lang, unnest(regexp_split_to_array(text, '\s+')) AS tok
+        |  FROM documents WHERE lang IN ('en', 'zh')),
+        |counts AS (
+        |  SELECT tok,
+        |    CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS c_en,
+        |    CAST(count(*) FILTER (WHERE lang = 'zh') AS BIGINT) AS c_zh
+        |  FROM toks GROUP BY tok),
+        |totals AS (
+        |  SELECT CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS n_en,
+        |    CAST(count(*) FILTER (WHERE lang = 'zh') AS BIGINT) AS n_zh
+        |  FROM toks)
+        |SELECT tok, c_en, c_zh,
+        |  CAST(length(bin((c_en + 1) * (n_zh + 1))) - 1 AS BIGINT)
+        |    - CAST(length(bin((c_zh + 1) * (n_en + 1))) - 1 AS BIGINT)
+        |    AS delta_bits
+        |FROM counts, totals
+        |WHERE c_en + c_zh >= 10
+        |ORDER BY abs(delta_bits) DESC, tok LIMIT 20""".stripMargin,
 
     "text_fingerprint" ->
       s"""WITH corpus AS (SELECT doc_id, text FROM documents),
