@@ -80,6 +80,22 @@ class RangeBinJoinSpec extends AnyFunSuite {
     assert(oneSided.count() === 1L)
   }
 
+  test("negative domains bin correctly (Pmod floor division, not truncation)") {
+    // values straddling zero: truncating division would fold bins −1 and 0
+    // together and lose pairs at the boundary; floor division must not
+    val l = Seq((1L, -60L), (2L, -10L), (3L, 5L), (4L, 40L)).toDF("a_id", "a_ts")
+    val r = (-70L to 70L by 7L).map(t => (t, t)).toDF("b_id", "b_ts")
+    noAqe {
+      val got = banded(l, r).as[(Long, Long)].collect().toSet
+      val expected = withRuleDisabled {
+        banded(l, r).as[(Long, Long)].collect().toSet
+      }
+      assert(got === expected, s"got $got expected $expected")
+      assert(expected.nonEmpty && expected.contains((2L, -7L)),
+        "cross-zero band (−10, 40] must match b_ts = −7")
+    }
+  }
+
   test("rule honors the disable flag") {
     noAqe {
       withRuleDisabled {
