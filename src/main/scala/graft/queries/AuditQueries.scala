@@ -118,7 +118,23 @@ object AuditQueries {
       .orderBy("event_type")
   }
 
+  /** MapType aggregation surface: per-user event_type→count maps built
+    * with map_from_entries over a SORTED entry array, rendered through
+    * to_json so the oracle (which assembles the same JSON text with an
+    * ordered string_agg) compares exactly — the deterministic way to ship
+    * complex types through a text compare. */
+  private val qMapAgg: Q = (s, dir) =>
+    eventsTs(s, dir)
+      .groupBy("user_id", "event_type").agg(count(lit(1)).as("n"))
+      .groupBy("user_id")
+      .agg(
+        to_json(map_from_entries(array_sort(
+          collect_list(struct(col("event_type"), col("n")))))).as("type_counts"),
+        sum("n").as("total"))
+      .orderBy("user_id")
+
   val queries: Map[String, Q] = Map(
+    "q_map_agg" -> qMapAgg,
     "q_dq_checks" -> qDqChecks,
     "q_asof_forward" -> qAsofForward,
     "q_filtered_agg" -> qFilteredAgg,
@@ -149,6 +165,16 @@ object AuditQueries {
         |SELECT rule, CAST(violations AS BIGINT) AS violations,
         |  violations = 0 AS pass
         |FROM long ORDER BY rule""".stripMargin,
+
+    "q_map_agg" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT user_id,
+        |  '{' || string_agg('"' || event_type || '":' || n, ',' ORDER BY event_type)
+        |      || '}' AS type_counts,
+        |  CAST(sum(n) AS BIGINT) AS total
+        |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q_filtered_agg" ->
       """SELECT user_id, count(*) AS n_total,
