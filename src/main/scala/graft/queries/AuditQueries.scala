@@ -133,8 +133,27 @@ object AuditQueries {
         sum("n").as("total"))
       .orderBy("user_id")
 
+  /** Higher-order array function surface — transform / filter / exists /
+    * aggregate / zip_with lambdas over the token array, all row-local and
+    * codegen'd (the APIs that keep array logic OUT of explode+shuffle):
+    * one narrow projection, integer outputs. */
+  private val qArrayFunctions: Q = (s, dir) =>
+    documents(s, dir)
+      .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        expr("size(filter(toks, t -> length(t) > 4))").cast("long").as("n_long"),
+        expr("exists(toks, t -> t = 'the')").as("has_the"),
+        expr("aggregate(transform(toks, t -> length(t)), 0L, (a, x) -> a + x)")
+          .as("total_chars"),
+        expr("aggregate(zip_with(toks, reverse(toks), (a, b) -> " +
+          "CASE WHEN a = b THEN 1L ELSE 0L END), 0L, (a, x) -> a + x)")
+          .as("palindromic_positions"))
+      .orderBy("doc_id")
+
   val queries: Map[String, Q] = Map(
     "q_map_agg" -> qMapAgg,
+    "q_array_functions" -> qArrayFunctions,
     "q_dq_checks" -> qDqChecks,
     "q_asof_forward" -> qAsofForward,
     "q_filtered_agg" -> qFilteredAgg,
@@ -165,6 +184,22 @@ object AuditQueries {
         |SELECT rule, CAST(violations AS BIGINT) AS violations,
         |  violations = 0 AS pass
         |FROM long ORDER BY rule""".stripMargin,
+
+    "q_array_functions" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_filter(toks, x -> length(x) > 4)) AS BIGINT) AS n_long,
+        |  len(list_filter(toks, x -> x = 'the')) > 0 AS has_the,
+        |  CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT)
+        |    AS total_chars,
+        |  CAST(list_sum(list_transform(range(1, len(toks) + 1),
+        |    i -> CASE WHEN toks[CAST(i AS INT)] =
+        |                   toks[CAST(len(toks) - i + 1 AS INT)]
+        |              THEN 1 ELSE 0 END)) AS BIGINT) AS palindromic_positions
+        |FROM t ORDER BY doc_id""".stripMargin,
 
     "q_map_agg" ->
       """WITH c AS (
