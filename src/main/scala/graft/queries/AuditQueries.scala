@@ -151,7 +151,28 @@ object AuditQueries {
           .as("palindromic_positions"))
       .orderBy("doc_id")
 
+  /** Contribution analysis: each user's share of their event type's total
+    * value, in EXACT ppm — decimal micro-units (6dp ×10⁶ → BIGINT is a
+    * lossless rescale in both engines) then integer division, so no float
+    * ratio can drift. The type totals come from a second small agg joined
+    * back (broadcast at any realistic type cardinality), not a window over
+    * the raw stream. */
+  private val qPercentOfTotal: Q = (s, dir) => {
+    val micro = (c: org.apache.spark.sql.Column) =>
+      (sum(c.cast("decimal(18,6)")) * 1000000).cast("long")
+    val perUser = eventsTs(s, dir)
+      .groupBy("event_type", "user_id")
+      .agg(micro(col("value")).as("user_micro"))
+    val perType = perUser.groupBy("event_type")
+      .agg(sum("user_micro").as("type_micro"))
+    perUser.join(broadcast(perType), "event_type")
+      .select(col("event_type"), col("user_id"),
+        expr("1000000 * user_micro div type_micro").as("share_ppm"))
+      .orderBy("event_type", "user_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_percent_of_total" -> qPercentOfTotal,
     "q_map_agg" -> qMapAgg,
     "q_array_functions" -> qArrayFunctions,
     "q_dq_checks" -> qDqChecks,
@@ -184,6 +205,20 @@ object AuditQueries {
         |SELECT rule, CAST(violations AS BIGINT) AS violations,
         |  violations = 0 AS pass
         |FROM long ORDER BY rule""".stripMargin,
+
+    "q_percent_of_total" ->
+      """WITH pu AS (
+        |  SELECT event_type, user_id,
+        |    CAST(sum(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+        |      AS user_micro
+        |  FROM events GROUP BY 1, 2),
+        |pt AS (
+        |  SELECT event_type, CAST(sum(user_micro) AS BIGINT) AS type_micro
+        |  FROM pu GROUP BY 1)
+        |SELECT pu.event_type, pu.user_id,
+        |  1000000 * user_micro // type_micro AS share_ppm
+        |FROM pu JOIN pt USING (event_type)
+        |ORDER BY pu.event_type, pu.user_id""".stripMargin,
 
     "q_array_functions" ->
       """WITH t AS (
