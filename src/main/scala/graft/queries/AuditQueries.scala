@@ -171,7 +171,22 @@ object AuditQueries {
       .orderBy("event_type", "user_id")
   }
 
+  /** ANSI error-safe scalar surface — try_divide / try_cast / try_add turn
+    * would-be runtime errors (÷0, bad casts, long overflow) into NULLs a
+    * pipeline can quarantine instead of dying 40 TB into a job. Planted
+    * zero divisors, unparseable strings, and a guaranteed overflow; the
+    * oracle mirrors each with explicit CASE guards. */
+  private val qTryArithmetic: Q = (s, dir) =>
+    eventsTs(s, dir)
+      .select(col("event_id"),
+        expr("try_divide(event_id, event_id % 7)").as("safe_div"),
+        expr("try_cast(CASE WHEN event_id % 3 = 0 THEN 'not-a-number' " +
+          "ELSE CAST(event_id AS STRING) END AS BIGINT)").as("parsed"),
+        expr("try_add(9223372036854775807L, event_id)").as("ovf"))
+      .orderBy("event_id")
+
   val queries: Map[String, Q] = Map(
+    "q_try_arithmetic" -> qTryArithmetic,
     "q_percent_of_total" -> qPercentOfTotal,
     "q_map_agg" -> qMapAgg,
     "q_array_functions" -> qArrayFunctions,
@@ -205,6 +220,16 @@ object AuditQueries {
         |SELECT rule, CAST(violations AS BIGINT) AS violations,
         |  violations = 0 AS pass
         |FROM long ORDER BY rule""".stripMargin,
+
+    "q_try_arithmetic" ->
+      """SELECT event_id,
+        |  CASE WHEN event_id % 7 = 0 THEN NULL
+        |       ELSE CAST(event_id AS DOUBLE) / (event_id % 7) END AS safe_div,
+        |  TRY_CAST(CASE WHEN event_id % 3 = 0 THEN 'not-a-number'
+        |                ELSE CAST(event_id AS VARCHAR) END AS BIGINT) AS parsed,
+        |  CASE WHEN event_id > 0 THEN NULL
+        |       ELSE 9223372036854775807 END AS ovf
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "q_percent_of_total" ->
       """WITH pu AS (
