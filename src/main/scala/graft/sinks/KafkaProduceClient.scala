@@ -53,12 +53,13 @@ final class KafkaProduceClient(broker: String, timeoutMs: Int = 60000,
   require(acks == -1 || acks == 0 || acks == 1, s"unsupported acks $acks")
   require(compression == "none" || compression == "gzip",
     s"unsupported compression codec '$compression' (none|gzip)")
-  require(apiVersion == 0 || apiVersion == 2,
-    s"unsupported Produce version $apiVersion (0|2)")
+  require(apiVersion == 0 || apiVersion == 2 || apiVersion == 3,
+    s"unsupported Produce version $apiVersion (0|2|3)")
   // compressed message sets use the magic-1 wrapper-message framing, which
-  // rides the v2 request; plain payloads honor the requested version
+  // rides the v2 request; under v3 compression is a RecordBatch attribute
+  // (the records section deflates in place), so v3 keeps its version
   private val effectiveVersion: Short =
-    if (compression == "gzip") 2 else apiVersion
+    if (compression == "gzip" && apiVersion < 2) 2 else apiVersion
 
   private val (host, port) = broker.lastIndexOf(':') match {
     case -1 => (broker, 9092)
@@ -183,6 +184,62 @@ final class KafkaProduceClient(broker: String, timeoutMs: Int = 60000,
     }
   }
 
+  /** Zigzag varint (the protobuf encoding KIP-98 records use). */
+  private def writeVarlong(out: java.io.ByteArrayOutputStream, v: Long): Unit = {
+    var z = (v << 1) ^ (v >> 63)
+    while ((z & ~0x7fL) != 0) { out.write(((z & 0x7f) | 0x80).toInt); z >>>= 7 }
+    out.write(z.toInt)
+  }
+
+  /** Magic-2 RecordBatch (KIP-98, Produce v3+): the modern on-disk/wire
+    * format — one batch header (crc32c over attributes→end, idempotence
+    * fields stubbed at -1 for a non-transactional producer) + varint-coded
+    * records. Compression deflates the RECORDS section in place and is
+    * named by attributes bits, not a wrapper message. */
+  private def recordBatch(valueB: Array[Byte]): Array[Byte] = {
+    val now = System.currentTimeMillis()
+    // one record, deltas 0, null key, no headers
+    val rec = new java.io.ByteArrayOutputStream()
+    rec.write(0) // record attributes
+    writeVarlong(rec, 0L) // timestampDelta
+    writeVarlong(rec, 0L) // offsetDelta
+    writeVarlong(rec, -1L) // null key
+    writeVarlong(rec, valueB.length.toLong)
+    rec.write(valueB)
+    writeVarlong(rec, 0L) // header count
+    val framed = new java.io.ByteArrayOutputStream()
+    writeVarlong(framed, rec.size().toLong)
+    rec.writeTo(framed)
+    val records =
+      if (compression != "gzip") framed.toByteArray
+      else {
+        val z = new java.io.ByteArrayOutputStream()
+        val gz = new java.util.zip.GZIPOutputStream(z)
+        framed.writeTo(gz); gz.close()
+        z.toByteArray
+      }
+    val attributes: Short = if (compression == "gzip") 1 else 0
+    val section = new java.io.ByteArrayOutputStream()
+    val sb = new DataOutputStream(section)
+    sb.writeShort(attributes)
+    sb.writeInt(0) // lastOffsetDelta
+    sb.writeLong(now); sb.writeLong(now) // base/max timestamp
+    sb.writeLong(-1L); sb.writeShort(-1); sb.writeInt(-1) // pid/epoch/seq
+    sb.writeInt(1) // record count
+    sb.write(records)
+    val crc = new java.util.zip.CRC32C()
+    crc.update(section.toByteArray)
+    val out = new java.io.ByteArrayOutputStream()
+    val ob = new DataOutputStream(out)
+    ob.writeLong(0L) // baseOffset
+    ob.writeInt(4 + 1 + 4 + section.size()) // from partitionLeaderEpoch on
+    ob.writeInt(-1) // partitionLeaderEpoch
+    ob.writeByte(2) // magic
+    ob.writeInt(crc.getValue.toInt)
+    section.writeTo(ob)
+    out.toByteArray
+  }
+
   /** Produce (api_key 0) at the configured version/acks/codec: one message
     * per request. Returns the partition error code from the response
     * (acks=0 is fire-and-forget — no response exists to read). */
@@ -219,11 +276,15 @@ final class KafkaProduceClient(broker: String, timeoutMs: Int = 60000,
 
       val clientId = "graft".getBytes(StandardCharsets.UTF_8)
       val topicB = topic.getBytes(StandardCharsets.UTF_8)
-      val set = messageSet(payload.getBytes(StandardCharsets.UTF_8))
+      val payloadB = payload.getBytes(StandardCharsets.UTF_8)
+      val set =
+        if (effectiveVersion >= 3) recordBatch(payloadB) else messageSet(payloadB)
       val correlationId = 0x70726f64 // "prod"
 
+      // v3 (KIP-98) prefixes a nullable transactional_id before acks
+      val txnBytes = if (effectiveVersion >= 3) 2 else 0
       val size = 2 + 2 + 4 + (2 + clientId.length) + // header
-        2 + 4 + // acks + timeout
+        txnBytes + 2 + 4 + // [transactional_id] + acks + timeout
         4 + (2 + topicB.length) + 4 + // topic array
         4 + 4 + set.length // partition + set size + set
       out.writeInt(size)
@@ -231,6 +292,7 @@ final class KafkaProduceClient(broker: String, timeoutMs: Int = 60000,
       out.writeShort(effectiveVersion)
       out.writeInt(correlationId)
       out.writeShort(clientId.length); out.write(clientId)
+      if (effectiveVersion >= 3) out.writeShort(-1) // null transactional_id
       out.writeShort(acks)
       out.writeInt(timeoutMs)
       out.writeInt(1) // one topic
@@ -311,6 +373,23 @@ object KafkaProduceClient {
       case other => throw new IllegalArgumentException(
         s"unsupported acks '$other' (0|1|all)")
     }
+  }
+
+  /** librdkafka-style conf → Produce version: librdkafka negotiates the
+    * newest supported format via ApiVersions and falls back to
+    * `broker.version.fallback` when the probe is unavailable; this client
+    * doesn't negotiate, so the fallback key IS the dispatch — ≥0.11 speaks
+    * v3 (magic-2 record batches, KIP-98), ≥0.10 v2 (magic-1 timestamped
+    * message sets), older brokers v0. Absent → v0, the most compatible. */
+  def produceVersionFromConf(conf: Map[String, String]): Short = {
+    val raw = conf.get("broker.version.fallback").map(_.trim).getOrElse(return 0)
+    val parts = raw.split("\\.").take(2).map(p =>
+      p.takeWhile(_.isDigit) match { case "" => 0; case d => d.toInt })
+    val (maj, min) = (parts.headOption.getOrElse(0),
+      if (parts.length > 1) parts(1) else 0)
+    if (maj > 0 || min >= 11) 3
+    else if (min >= 10) 2
+    else 0
   }
 
   /** librdkafka-style conf → compression codec: `compression.codec`

@@ -38,11 +38,13 @@ object RoutedSink {
     // codec value fails the job at submit, not per executor partition
     val acks = KafkaProduceClient.acksFromConf(kafkaConf)
     val codec = KafkaProduceClient.compressionFromConf(kafkaConf)
+    val version = KafkaProduceClient.produceVersionFromConf(kafkaConf)
     kafkaShape(routed).foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
       // TLS context built HERE, per executor — only the PEM path ships
       val client = new KafkaProduceClient(broker, timeoutMs,
         statsdHostPort.map { case (h, p) => new graft.metrics.StatsdEmitter(h, p) },
-        tlsCaCert = tlsCaCert, acks = acks, compression = codec)
+        tlsCaCert = tlsCaCert, acks = acks, compression = codec,
+        apiVersion = version)
       try { rows.foreach(r => client.send(r.getString(0), r.getString(1))); client.flush() }
       finally client.close()
     }
@@ -67,12 +69,13 @@ object RoutedSink {
     val algo = KafkaProduceClient.saslAlgoFromConf(conf)
     val acks = KafkaProduceClient.acksFromConf(conf)
     val codec = KafkaProduceClient.compressionFromConf(conf)
+    val version = KafkaProduceClient.produceVersionFromConf(conf)
     val timeoutMs = cfg.kafkaTimeoutMs.toInt
     kafkaShape(routed).foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
       val client = new KafkaProduceClient(broker, timeoutMs,
         statsdHostPort.map { case (h, p) => new graft.metrics.StatsdEmitter(h, p) },
         tlsCaCert = tls, sasl = sasl, saslAlgo = algo,
-        acks = acks, compression = codec)
+        acks = acks, compression = codec, apiVersion = version)
       try { rows.foreach(r => client.send(r.getString(0), r.getString(1))); client.flush() }
       finally client.close()
     }

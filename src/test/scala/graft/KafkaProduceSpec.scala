@@ -121,6 +121,10 @@ class KafkaProduceSpec extends AnyFunSuite {
             val version = f.readShort()
             val corr = f.readInt()
             f.skipBytes(f.readShort()) // client_id
+            if (version >= 3) { // nullable transactional_id (KIP-98)
+              val tl = f.readShort()
+              if (tl >= 0) f.skipBytes(tl)
+            }
             val acks = f.readShort()
             f.readInt() // timeout
 
@@ -154,6 +158,57 @@ class KafkaProduceSpec extends AnyFunSuite {
               }
             }
 
+            // Magic-2 RecordBatch walker (v3+): crc32c-verified header,
+            // varint-decoded records, codec named by batch attributes —
+            // the validation a modern broker runs on every append.
+            def readVarlong(ms: DataInputStream): Long = {
+              var z = 0L; var shift = 0; var b = 0
+              do {
+                b = ms.readUnsignedByte()
+                z |= (b & 0x7fL) << shift; shift += 7
+              } while ((b & 0x80) != 0)
+              (z >>> 1) ^ -(z & 1) // un-zigzag
+            }
+            def parseBatch(setB: Array[Byte], topic: String): Unit = {
+              val ms = new DataInputStream(new ByteArrayInputStream(setB))
+              ms.readLong() // baseOffset
+              val batchLen = ms.readInt()
+              ms.readInt() // partitionLeaderEpoch
+              val magic = ms.readByte()
+              assert(magic == 2, s"v$version produce must carry magic-2, got $magic")
+              val crc = ms.readInt()
+              val section = new Array[Byte](batchLen - 9)
+              ms.readFully(section)
+              val c = new java.util.zip.CRC32C(); c.update(section)
+              assert(c.getValue.toInt == crc, "record batch crc32c mismatch")
+              val sec = new DataInputStream(new ByteArrayInputStream(section))
+              val attributes = sec.readShort()
+              frames.add((version, acks, (attributes & 0xff).toByte))
+              sec.readInt() // lastOffsetDelta
+              sec.readLong(); sec.readLong() // timestamps
+              sec.readLong(); sec.readShort(); sec.readInt() // pid/epoch/seq
+              val n = sec.readInt()
+              val rawRecords = new Array[Byte](sec.available()); sec.readFully(rawRecords)
+              val records = (attributes & 7) match {
+                case 0 => rawRecords
+                case 1 => new java.util.zip.GZIPInputStream(
+                  new ByteArrayInputStream(rawRecords)).readAllBytes()
+                case codec => fail(s"unsupported batch codec $codec")
+              }
+              val rs = new DataInputStream(new ByteArrayInputStream(records))
+              (0 until n).foreach { _ =>
+                readVarlong(rs) // record length
+                rs.readByte() // record attributes
+                readVarlong(rs); readVarlong(rs) // timestamp/offset deltas
+                val keyLen = readVarlong(rs)
+                if (keyLen >= 0) rs.skipBytes(keyLen.toInt)
+                val vb = new Array[Byte](readVarlong(rs).toInt); rs.readFully(vb)
+                val nHeaders = readVarlong(rs)
+                assert(nHeaders == 0, s"unexpected record headers $nHeaders")
+                received.add(topic -> new String(vb, StandardCharsets.UTF_8))
+              }
+            }
+
             val nTopics = f.readInt()
             var topic = ""
             (0 until nTopics).foreach { _ =>
@@ -164,7 +219,8 @@ class KafkaProduceSpec extends AnyFunSuite {
                 f.readInt() // partition
                 val setB = new Array[Byte](f.readInt()) // message_set_size
                 f.readFully(setB)
-                parseSet(setB, topic, outer = true)
+                if (version >= 3) parseBatch(setB, topic)
+                else parseSet(setB, topic, outer = true)
               }
             }
             if (acks == 0) s.close() // fire-and-forget: no response exists
@@ -469,6 +525,42 @@ class KafkaProduceSpec extends AnyFunSuite {
     } finally { client.close(); broker.close() }
   }
 
+  test("Produce v3: magic-2 record batch, crc32c verified, varints decoded") {
+    val broker = new LoopbackBroker(errorFor = t => if (t == "bad") 3 else 0)
+    val client = new KafkaProduceClient(broker.broker, timeoutMs = 5000,
+      apiVersion = 3)
+    try {
+      client.send("v3-topic", "modern payload")
+      client.send("bad", "y")
+      client.flush()
+      assert(broker.received.contains("v3-topic" -> "modern payload"))
+      val frames = broker.frames.toArray(Array.empty[(Short, Short, Byte)])
+      assert(frames.forall(fr => fr._1 == 3 && fr._3 == 0),
+        s"v3 uncompressed batches must carry attribute bits 0: ${frames.toSeq}")
+      val c = counts(client)
+      assert(c("hotdog.kafka.submitted.v3-topic") == 1L)
+      // the v3 response (same shape as v2) surfaces the broker error code
+      assert(c("hotdog.kafka.producer.error.unknown") == 1L)
+    } finally { client.close(); broker.close() }
+  }
+
+  test("Produce v3 + gzip: records section deflates in place, codec in batch attributes") {
+    val broker = new LoopbackBroker()
+    val client = new KafkaProduceClient(broker.broker, timeoutMs = 5000,
+      apiVersion = 3, compression = "gzip")
+    try {
+      val body = "q" * 4096
+      client.send("v3-zip", body)
+      client.flush()
+      assert(broker.received.toArray(Array.empty[(String, String)]).toSet ==
+        Set("v3-zip" -> body))
+      val frames = broker.frames.toArray(Array.empty[(Short, Short, Byte)])
+      assert(frames.toSeq == Seq((3.toShort, 1.toShort, 1.toByte)),
+        s"gzip under v3 stays v3 with batch codec bits 1 (no wrapper message), got ${frames.toSeq}")
+      assert(counts(client)("hotdog.kafka.submitted.v3-zip") == 1L)
+    } finally { client.close(); broker.close() }
+  }
+
   test("acks=all is passed on the wire and acknowledged normally") {
     val broker = new LoopbackBroker()
     val client = new KafkaProduceClient(broker.broker, timeoutMs = 5000,
@@ -510,6 +602,12 @@ class KafkaProduceSpec extends AnyFunSuite {
     assert(compressionFromConf(Map.empty) == "none")
     assert(compressionFromConf(Map("compression.codec" -> "gzip")) == "gzip")
     assert(compressionFromConf(Map("compression.type" -> "GZIP")) == "gzip")
+    import graft.sinks.KafkaProduceClient.produceVersionFromConf
+    assert(produceVersionFromConf(Map.empty) == 0)
+    assert(produceVersionFromConf(Map("broker.version.fallback" -> "0.9.0")) == 0)
+    assert(produceVersionFromConf(Map("broker.version.fallback" -> "0.10.2.1")) == 2)
+    assert(produceVersionFromConf(Map("broker.version.fallback" -> "0.11.0")) == 3)
+    assert(produceVersionFromConf(Map("broker.version.fallback" -> "3.6")) == 3)
     intercept[IllegalArgumentException](
       compressionFromConf(Map("compression.codec" -> "zstd")))
   }
