@@ -321,6 +321,73 @@ object GraphQueries {
       .groupBy("bucket_ilog2").agg(count(lit(1)).as("n_nodes"))
       .orderBy("bucket_ilog2")
 
+  // -------------------------------------------------------- BFS layers
+
+  private val BfsIters = 4
+
+  /** Multi-source BFS from the seed set (node ≡ 0 mod 10, the ppr seeds):
+    * after [[BfsIters]] fixed rounds each reached node carries its exact
+    * hop distance to the nearest seed (min-plus propagation over the
+    * undirected graph — same iteration scaffold and per-round lineage cut
+    * as [[labelProp]], state = the REACHED frontier only, so early rounds
+    * move |frontier|-sized tables, not |V|). Unreached nodes are absent.
+    * Null handling in the min-merge is explicit CASE (never `least`):
+    * Spark's least skips nulls, SQL's returns null — the one place the
+    * engines' built-ins disagree. */
+  def bfsLayers(edgeDf: DataFrame, iters: Int = BfsIters): DataFrame = {
+    val sym = edgeDf.select(col("src").as("u"), col("dst").as("v"))
+      .union(edgeDf.select(col("dst").as("u"), col("src").as("v")))
+      .distinct()
+      .repartition(col("v"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      sym.count()
+      var dist = nodes(edgeDf).filter(col("node") % 10 === 0)
+        .withColumn("dist", lit(0L))
+      for (_ <- 1 to iters) {
+        val viaNbr = sym
+          .join(dist.withColumnRenamed("node", "v"), "v")
+          .groupBy(col("u").as("node")).agg(min(col("dist") + 1).as("nd"))
+        // per-round lineage cut — see labelProp
+        dist = dist.join(viaNbr, Seq("node"), "full_outer")
+          .select(col("node"),
+            when(col("dist").isNull, col("nd"))
+              .when(col("nd").isNull, col("dist"))
+              .otherwise(least(col("dist"), col("nd"))).as("dist"))
+          .localCheckpoint(true)
+      }
+      dist.orderBy("node")
+    } finally sym.unpersist()
+  }
+
+  private val qBfsLayers: Q = (s, dir) => bfsLayers(edges(s, dir))
+
+  // ------------------------------------------- resource allocation
+
+  /** Resource-allocation link-prediction index (Zhou–Lü–Zhang): for every
+    * unordered pair with ≥1 common undirected neighbor,
+    * RA = Σ_w 1/deg(w) over common neighbors w — in exact 1e-12 fixed
+    * point with truncating division, so no float drift (the reason this
+    * index is here instead of Adamic–Adar's 1/log deg). Same wedge-join
+    * candidate generation as [[commonNeighbors]]: pairs meet only through
+    * a shared neighbor, volume degree-bounded, never all-pairs. */
+  def resourceAlloc(edgeDf: DataFrame): DataFrame = {
+    val sym = edgeDf.select(col("src").as("n"), col("dst").as("nbr"))
+      .union(edgeDf.select(col("dst").as("n"), col("src").as("nbr")))
+      .distinct()
+    val deg = sym.groupBy("n").agg(count(lit(1)).as("deg"))
+    sym.select(col("n").as("a"), col("nbr"))
+      .join(sym.select(col("n").as("c"), col("nbr")), "nbr")
+      .filter(col("a") < col("c"))
+      .join(deg.withColumnRenamed("n", "nbr").withColumnRenamed("deg", "dw"), "nbr")
+      .groupBy("a", "c")
+      .agg(count(lit(1)).as("common"),
+        sum(expr(s"${Scale}L div dw")).as("ra_score_e12"))
+      .orderBy("a", "c")
+  }
+
+  private val qResourceAlloc: Q = (s, dir) => resourceAlloc(edges(s, dir))
+
   // ---------------------------------------------- label-prop components
 
   /** Fixed-round ([[LpIters]]) minimum-label propagation over the
@@ -415,7 +482,9 @@ object GraphQueries {
     "graph_common_neighbors" -> qCommonNeighbors,
     "graph_modularity" -> qModularity,
     "graph_two_hop" -> qTwoHop,
-    "graph_cc_labelprop" -> qLabelProp)
+    "graph_cc_labelprop" -> qLabelProp,
+    "graph_bfs_layers" -> qBfsLayers,
+    "graph_resource_alloc" -> qResourceAlloc)
 
   private val prOracle: String = {
     val base = s"(15 * ${Scale}::BIGINT // 100) // (SELECT count(*) FROM n0)"
@@ -645,5 +714,40 @@ object GraphQueries {
          |GROUP BY h2.src ORDER BY h2.src""".stripMargin,
 
     "graph_cc_labelprop" -> lpOracle,
-    "graph_modularity" -> modularityOracle)
+    "graph_modularity" -> modularityOracle,
+    "graph_bfs_layers" -> bfsOracle,
+    "graph_resource_alloc" ->
+      s"""WITH e AS ($EdgesSql),
+         |sym AS (SELECT src AS n, dst AS nbr FROM e
+         |        UNION SELECT dst, src FROM e),
+         |deg AS (SELECT n, count(*) AS deg FROM sym GROUP BY n)
+         |SELECT s1.n AS a, s2.n AS c, count(*) AS common,
+         |  CAST(sum($Scale // dw.deg) AS BIGINT) AS ra_score_e12
+         |FROM sym s1 JOIN sym s2 ON s1.nbr = s2.nbr AND s1.n < s2.n
+         |     JOIN deg dw ON dw.n = s1.nbr
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+
+  /** BFS oracle: the min-plus rounds unrolled as MATERIALIZED full-join
+    * CTEs (each round references the prior table twice — the same
+    * inline-replay hazard as the kcore oracle). */
+  private lazy val bfsOracle: String = {
+    def round(k: Int): String =
+      s"""d$k AS MATERIALIZED (
+         |  SELECT coalesce(d.node, m.node) AS node,
+         |    CASE WHEN d.dist IS NULL THEN m.nd
+         |         WHEN m.nd IS NULL THEN d.dist
+         |         ELSE least(d.dist, m.nd) END AS dist
+         |  FROM d${k - 1} d FULL JOIN (
+         |    SELECT sym.u AS node, min(p.dist + 1) AS nd
+         |    FROM sym JOIN d${k - 1} p ON p.node = sym.v
+         |    GROUP BY sym.u) m ON m.node = d.node)""".stripMargin
+    s"""WITH e AS ($EdgesSql),
+       |sym AS (SELECT src AS u, dst AS v FROM e
+       |        UNION SELECT dst, src FROM e),
+       |n0 AS (SELECT DISTINCT src AS node FROM e
+       |       UNION SELECT DISTINCT dst FROM e),
+       |d0 AS (SELECT node, CAST(0 AS BIGINT) AS dist FROM n0 WHERE node % 10 = 0),
+       |${(1 to BfsIters).map(round).mkString(",\n")}
+       |SELECT node, dist FROM d$BfsIters ORDER BY node""".stripMargin
+  }
 }

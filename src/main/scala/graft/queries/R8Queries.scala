@@ -1,0 +1,357 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ext.{Similarity, TextAnalysis}
+
+/** Round-8 surface: aggregate-function depth the relational layer was still
+  * missing (ordered string agg, bitwise/boolean aggregates, closed-form
+  * regression stats, deterministic mode), an interval-concurrency exhibit
+  * that solves the global-running-sum trap with day-banded windows plus an
+  * exact carry-in, and corpus additions (hapax ratio, word-bigram top-k,
+  * matryoshka-truncation recall).
+  *
+  * Determinism discipline (the repo-wide rules):
+  *   - every count/sum is integer or decimal-pinned; the only doubles are
+  *     produced by ONE pinned IEEE expression shape shared with the oracle
+  *     (regression slope/intercept/r, truncated-cosine similarity);
+  *   - double→int conversions round via floor(x + 0.5) in BOTH engines
+  *     (Spark casts truncate, DuckDB casts round — neither is used);
+  *   - top-k cuts always order by (count DESC, key ASC) — a total order, so
+  *     the limit boundary is engine-independent.
+  */
+object R8Queries {
+  import Synth._
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ------------------------------------------------------- string agg
+
+  /** Ordered string aggregation (LISTAGG/STRING_AGG): the distinct integer
+    * quantities per (returnflag, linestatus) rendered as one sorted CSV
+    * string. The collect_set is bounded by the VALUE DOMAIN (≤50 distinct
+    * quantities), not the row count — the only collect-like aggregate shape
+    * that survives 100 TB is exactly this domain-bounded one. */
+  private val qStringAgg: Q = (s, dir) =>
+    lineitem(s, dir)
+      .select(col("l_returnflag"), col("l_linestatus"),
+        expr("CAST(floor(l_quantity + 0.5D) AS BIGINT)").as("q"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        array_join(
+          transform(array_sort(collect_set(col("q"))), _.cast("string")),
+          ",").as("quantities"),
+        countDistinct(col("q")).as("n_distinct"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  // ------------------------------------------------------ bitwise agg
+
+  /** Bitwise and boolean aggregate surface (BIT_AND/OR/XOR, BOOL_AND/OR,
+    * COUNT_IF) — all order-independent by algebra (AND/OR/XOR are
+    * commutative monoids), so partitioning can never change a bit. */
+  private val qBitwiseAgg: Q = (s, dir) =>
+    events(s, dir)
+      .groupBy("event_type")
+      .agg(
+        expr("bit_and(user_id)").as("uid_and"),
+        expr("bit_or(user_id)").as("uid_or"),
+        expr("bit_xor(user_id)").as("uid_xor"),
+        expr("bool_and(value > 0D)").as("all_pos"),
+        expr("bool_or(value > 100D)").as("any_gt100"),
+        sum(when(col("event_id") % 2 === 0, 1L).otherwise(0L)).as("n_even"))
+      .orderBy("event_type")
+
+  // ------------------------------------------------- regression stats
+
+  /** Closed-form simple linear regression + Pearson r of (quantity →
+    * discount×100) per returnflag. All moment sums are exact BIGINTs
+    * (inputs integerized by the shared floor(x+0.5) rule; margins: every
+    * product stays under 2⁵³, so each BIGINT→DOUBLE cast is exact and the
+    * only roundings are the pinned final expression — bit-equal to the
+    * oracle running the identical op sequence). The aggregation itself is
+    * ONE map-side-combined pass; the driver never sees a row. */
+  private val qRegressionStats: Q = (s, dir) =>
+    lineitem(s, dir)
+      .select(col("l_returnflag"),
+        expr("CAST(floor(l_quantity + 0.5D) AS BIGINT)").as("x"),
+        expr("CAST(floor(l_discount * 100D + 0.5D) AS BIGINT)").as("y"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(col("l_returnflag"), col("n"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("num"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("denx"),
+        (col("n") * col("syy") - col("sy") * col("sy")).as("deny"))
+      .select(col("l_returnflag"), col("n"),
+        when(col("denx") === 0, lit(0.0))
+          .otherwise(col("num").cast("double") / col("denx").cast("double"))
+          .as("slope"),
+        when(col("denx") === 0 || col("deny") === 0, lit(0.0))
+          .otherwise(col("num").cast("double") /
+            (sqrt(col("denx").cast("double")) * sqrt(col("deny").cast("double"))))
+          .as("corr_r"))
+      .orderBy("l_returnflag")
+
+  // ------------------------------------------------------------- mode
+
+  /** Deterministic MODE: most frequent integer quantity per returnflag,
+    * ties broken toward the SMALLER value — encoded as one scalar arg-max
+    * key (cnt·1000 − q, valid while q < 1000) so both engines run the same
+    * two-level aggregation with no engine-specific tie rule. */
+  private val qMode: Q = (s, dir) =>
+    lineitem(s, dir)
+      .select(col("l_returnflag"),
+        expr("CAST(floor(l_quantity + 0.5D) AS BIGINT)").as("q"))
+      .groupBy("l_returnflag", "q").agg(count(lit(1)).as("cnt"))
+      .groupBy("l_returnflag")
+      .agg(
+        max_by(col("q"), col("cnt") * 1000 - col("q")).as("mode_quantity"),
+        max("cnt").as("mode_count"),
+        count(lit(1)).as("n_values"))
+      .orderBy("l_returnflag")
+
+  // -------------------------------------------------- max concurrency
+
+  private val SessUs = 1800000000L // 30-min interval per event
+  private val DayUs = 86400000000L
+
+  /** Peak interval concurrency per day — the sweep-line that normally
+    * demands ONE global running sum (a serial task over the corpus).
+    * Solved banded: ±1 boundary events collapse per distinct timestamp,
+    * the running sum windows PARTITIONED BY DAY (all days in parallel),
+    * and the cross-midnight state is an exact carry-in — intervals whose
+    * end boundary falls in the day but whose start precedes it (well-
+    * defined because the interval length is < 1 day). carry + banded
+    * running sum == the global sweep at every boundary point, which is
+    * what the oracle computes with its single ORDER BY t window. */
+  private val qMaxConcurrency: Q = (s, dir) => {
+    val ev = eventsTs(s, dir).select(col("ts_us"))
+    val bounds = ev.select(col("ts_us").as("t"), lit(1L).as("d"))
+      .unionAll(ev.select((col("ts_us") + SessUs).as("t"), lit(-1L).as("d")))
+    val net = bounds
+      .groupBy(expr(s"t div ${DayUs}L").as("day"), col("t"))
+      .agg(sum("d").as("net"))
+    val w = Window.partitionBy("day").orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val run = net.withColumn("run", sum("net").over(w))
+    val carry = ev
+      .filter(expr(s"ts_us div ${DayUs}L") =!=
+        expr(s"(ts_us + ${SessUs}L) div ${DayUs}L"))
+      .groupBy(expr(s"(ts_us + ${SessUs}L) div ${DayUs}L").as("day"))
+      .agg(count(lit(1)).as("carry_in"))
+    run.groupBy("day").agg(max("run").as("max_run"))
+      .join(carry, Seq("day"), "left")
+      .select(col("day"),
+        (coalesce(col("carry_in"), lit(0L)) + col("max_run")).as("max_concurrent"))
+      .orderBy("day")
+  }
+
+  // ------------------------------------------------------ hapax ratio
+
+  /** Hapax-legomena profile per source: vocabulary size, number of words
+    * occurring exactly once, and their ratio (ppm, truncating) — the
+    * classic lexical-diversity / boilerplate signal (a crawl slice whose
+    * hapax share collapses is template spam). Two map-side-combined aggs;
+    * state bounded by |vocab| per source. */
+  private val qHapax: Q = (s, dir) =>
+    documents(s, dir)
+      .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("source", "tok").agg(count(lit(1)).as("cnt"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("vocab"),
+        sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("hapax"))
+      .withColumn("hapax_ppm", expr("hapax * 1000000 div vocab"))
+      .orderBy("source")
+
+  // ------------------------------------------------------ word bigrams
+
+  /** Corpus-wide top-50 word bigrams — the phrase-level twin of
+    * text_vocab_topk (n-gram LM / contamination fingerprints start here).
+    * Bigrams materialize from each doc's token array with ONE higher-order
+    * transform (the r4 narrow-HOF rule: tokens is an attribute, split runs
+    * once); the cut is a TakeOrdered over (count DESC, gram ASC) — a total
+    * order, so the rank-50 boundary is engine-exact. */
+  private val qBigrams: Q = (s, dir) =>
+    documents(s, dir)
+      .select(TextAnalysis.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(toks) - 1), i -> concat(toks[i-1], ' ', toks[i]))"))
+        .as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("gram")).limit(50)
+
+  // --------------------------------------------- matryoshka recall
+
+  /** Measured top-5 recall of PREFIX-truncated embeddings (matryoshka-
+    * style dims 8/16/32/64) against the full-dim brute-force baseline —
+    * the "how few dims can the first-stage retriever keep" table, same
+    * measure-don't-guess shape as ann_recall. 10 queries × corpus per
+    * dim; each truncated search is the bucketless brute-force scan (the
+    * baseline the bucketed family is graded against). */
+  private val qMatryoshka: Q = (s, dir) => {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val e = embeddings(s, dir)
+    val bf = Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), 5)
+      .select("q_id", "n_id")
+    def truncHits(d: Int): DataFrame = {
+      val et = e.withColumn("embedding", slice(col("embedding"), 1, d))
+      bf.join(
+          Similarity.bruteForceTopK(et, et.filter(col("vec_id") < 10), 5)
+            .select("q_id", "n_id"),
+          Seq("q_id", "n_id"))
+        .agg(count(lit(1)).as("hits"))
+        .select(lit(d.toLong).as("dims"), col("hits"))
+    }
+    truncHits(8).unionAll(truncHits(16)).unionAll(truncHits(32))
+      .unionAll(truncHits(64))
+      .orderBy("dims")
+  }
+
+  // ---------------------------------------------------------- wiring
+
+  val queries: Map[String, Q] = Map(
+    "q_string_agg" -> qStringAgg,
+    "q_bitwise_agg" -> qBitwiseAgg,
+    "q_regression_stats" -> qRegressionStats,
+    "q_mode" -> qMode,
+    "q_max_concurrency" -> qMaxConcurrency,
+    "text_hapax_ratio" -> qHapax,
+    "text_bigram_topk" -> qBigrams,
+    "emb_matryoshka_recall" -> qMatryoshka)
+
+  // ---------------------------------------------------------- oracles
+
+  private def matryoshkaDim(d: Int): String = {
+    val cos = if (d == 64) CosSql64 else cosN("qe", "e.embedding", d)
+    s"""m$d AS (SELECT q_id, n_id FROM (
+       |    SELECT q_id, e.vec_id AS n_id,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY $cos DESC, e.vec_id) AS rank
+       |    FROM embeddings e, bfq
+       |    WHERE e.vec_id <> bfq.q_id)
+       |  WHERE rank <= 5),
+       |h$d AS (SELECT CAST($d AS BIGINT) AS dims, count(*) AS hits
+       |        FROM bf JOIN m$d USING (q_id, n_id))""".stripMargin
+  }
+
+  private def dotN(a: String, b: String, n: Int): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      s"list_transform(range(1,${n + 1}), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), " +
+      "(x,y) -> x + y)"
+
+  private def cosN(a: String, b: String, n: Int): String =
+    s"(${dotN(a, b, n)} / (sqrt(${dotN(a, a, n)}) * sqrt(${dotN(b, b, n)})))"
+
+  private val CosSql64 = cosN("qe", "e.embedding", 64)
+
+  val oracle: Map[String, String] = Map(
+    "q_string_agg" ->
+      """WITH d AS (
+        |  SELECT DISTINCT l_returnflag, l_linestatus,
+        |    CAST(floor(l_quantity + 0.5) AS BIGINT) AS q
+        |  FROM lineitem)
+        |SELECT l_returnflag, l_linestatus,
+        |  string_agg(CAST(q AS VARCHAR), ',' ORDER BY q) AS quantities,
+        |  count(*) AS n_distinct
+        |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_bitwise_agg" ->
+      """SELECT event_type,
+        |  bit_and(user_id) AS uid_and,
+        |  bit_or(user_id) AS uid_or,
+        |  bit_xor(user_id) AS uid_xor,
+        |  bool_and(value > 0) AS all_pos,
+        |  bool_or(value > 100) AS any_gt100,
+        |  CAST(sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_even
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_regression_stats" ->
+      """WITH m AS (
+        |  SELECT l_returnflag,
+        |    CAST(floor(l_quantity + 0.5) AS BIGINT) AS x,
+        |    CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS y
+        |  FROM lineitem),
+        |a AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy
+        |  FROM m GROUP BY 1),
+        |d AS (
+        |  SELECT l_returnflag, n,
+        |    n * sxy - sx * sy AS num,
+        |    n * sxx - sx * sx AS denx,
+        |    n * syy - sy * sy AS deny
+        |  FROM a)
+        |SELECT l_returnflag, n,
+        |  CASE WHEN denx = 0 THEN 0.0
+        |       ELSE CAST(num AS DOUBLE) / CAST(denx AS DOUBLE) END AS slope,
+        |  CASE WHEN denx = 0 OR deny = 0 THEN 0.0
+        |       ELSE CAST(num AS DOUBLE)
+        |            / (sqrt(CAST(denx AS DOUBLE)) * sqrt(CAST(deny AS DOUBLE)))
+        |  END AS corr_r
+        |FROM d ORDER BY l_returnflag""".stripMargin,
+
+    "q_mode" ->
+      """WITH c AS (
+        |  SELECT l_returnflag, CAST(floor(l_quantity + 0.5) AS BIGINT) AS q,
+        |    count(*) AS cnt
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT l_returnflag,
+        |  arg_max(q, cnt * 1000 - q) AS mode_quantity,
+        |  max(cnt) AS mode_count,
+        |  count(*) AS n_values
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_max_concurrency" ->
+      s"""WITH b AS (
+         |  SELECT epoch_us(ts) AS t, 1 AS d FROM events
+         |  UNION ALL
+         |  SELECT epoch_us(ts) + $SessUs, -1 FROM events),
+         |g AS (SELECT t, CAST(sum(d) AS BIGINT) AS net FROM b GROUP BY t),
+         |r AS (SELECT t, CAST(sum(net) OVER (ORDER BY t
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS conc
+         |  FROM g)
+         |SELECT t // $DayUs AS day, max(conc) AS max_concurrent
+         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "text_hapax_ratio" ->
+      """WITH w AS (
+        |  SELECT source, unnest(regexp_split_to_array(text, '\s+')) AS tok
+        |  FROM documents),
+        |c AS (SELECT source, tok, count(*) AS cnt FROM w WHERE tok <> ''
+        |      GROUP BY 1, 2)
+        |SELECT source, count(*) AS vocab,
+        |  CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+        |  CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    * 1000000 // count(*) AS hapax_ppm
+        |FROM c GROUP BY source ORDER BY source""".stripMargin,
+
+    "text_bigram_topk" ->
+      """WITH w AS (SELECT regexp_split_to_array(text, '\s+') AS l FROM documents),
+        |g AS (SELECT unnest(list_transform(range(1, len(l)),
+        |                                   i -> l[i] || ' ' || l[i + 1])) AS gram
+        |      FROM w WHERE len(l) >= 2)
+        |SELECT gram, count(*) AS n FROM g
+        |GROUP BY gram ORDER BY n DESC, gram LIMIT 50""".stripMargin,
+
+    "emb_matryoshka_recall" ->
+      s"""WITH bfq AS (SELECT vec_id AS q_id, embedding AS qe
+         |       FROM embeddings WHERE vec_id < 10),
+         |bf AS (SELECT q_id, n_id FROM (
+         |    SELECT q_id, e.vec_id AS n_id,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY $CosSql64 DESC, e.vec_id) AS rank
+         |    FROM embeddings e, bfq
+         |    WHERE e.vec_id <> bfq.q_id)
+         |  WHERE rank <= 5),
+         |${Seq(8, 16, 32, 64).map(matryoshkaDim).mkString(",\n")}
+         |SELECT dims, hits FROM h8
+         |UNION ALL SELECT dims, hits FROM h16
+         |UNION ALL SELECT dims, hits FROM h32
+         |UNION ALL SELECT dims, hits FROM h64
+         |ORDER BY dims""".stripMargin)
+}
