@@ -185,6 +185,26 @@ object R8Queries {
       .groupBy("gram").agg(count(lit(1)).as("n"))
       .orderBy(desc("n"), asc("gram")).limit(50)
 
+  // ------------------------------- per-source percentile threshold
+
+  /** Group-relative length filter: keep documents at or above their OWN
+    * source's 75th-percentile length — the adaptive per-domain threshold
+    * real curation uses instead of one global cutoff (a fixed length bar
+    * keeps boilerplate from verbose domains and drops good short docs
+    * from terse ones). Exact percentile per source (dyadic fraction over
+    * integer lengths → bit-equal interpolation in both engines, the
+    * q_percentile_cont rule); the 20-row threshold table broadcasts back
+    * over the corpus — the fact side is never re-shuffled. */
+  private val qLenPercentile: Q = (s, dir) => {
+    val docs = documents(s, dir)
+    val thresholds = docs.groupBy("source")
+      .agg(expr("percentile(n_chars, 0.75D)").as("p75"))
+    docs.join(broadcast(thresholds), "source")
+      .filter(col("n_chars").cast("double") >= col("p75"))
+      .select(col("doc_id"), col("source"), col("n_chars"), col("p75"))
+      .orderBy("doc_id")
+  }
+
   // --------------------------------------------- matryoshka recall
 
   /** Measured top-5 recall of PREFIX-truncated embeddings (matryoshka-
@@ -221,6 +241,7 @@ object R8Queries {
     "q_mode" -> qMode,
     "q_max_concurrency" -> qMaxConcurrency,
     "text_hapax_ratio" -> qHapax,
+    "corpus_length_percentile_filter" -> qLenPercentile,
     "text_bigram_topk" -> qBigrams,
     "emb_matryoshka_recall" -> qMatryoshka)
 
@@ -318,6 +339,15 @@ object R8Queries {
          |  FROM g)
          |SELECT t // $DayUs AS day, max(conc) AS max_concurrent
          |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "corpus_length_percentile_filter" ->
+      """WITH t AS (
+        |  SELECT source, quantile_cont(n_chars, 0.75) AS p75
+        |  FROM documents GROUP BY source)
+        |SELECT doc_id, d.source, n_chars, p75
+        |FROM documents d JOIN t ON d.source = t.source
+        |WHERE CAST(n_chars AS DOUBLE) >= p75
+        |ORDER BY doc_id""".stripMargin,
 
     "text_hapax_ratio" ->
       """WITH w AS (
