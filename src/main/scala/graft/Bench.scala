@@ -8,7 +8,7 @@ import org.apache.spark.sql.SparkSession
   * JSON line — the driver's BENCH_r{N}.json contract.
   *
   * Per-query times on this shared host jitter ±2-4× (cold codegen, GC), so
-  * each query is run `SPARK_GRAFT_BENCH_RUNS` times (default 3) and COLD is
+  * each query is run `SPARK_GRAFT_BENCH_RUNS` times (default 2) and COLD is
   * separated from WARM: `queries` / the `total` carry the median of the
   * WARM runs (2..N — steady-state plan cost, comparable across rounds),
   * `queries_cold` / `total_cold` the first run (codegen + JIT included), so
@@ -19,10 +19,39 @@ import org.apache.spark.sql.SparkSession
   * the total.
   */
 object Bench {
+
+  /** The distinct query keys BASELINE.md carries timings for — the set the
+    * judge compares per-key. The stdout JSON line's `queries` map is
+    * restricted to these so the WHOLE line fits in the driver's 2000-char
+    * stdout tail capture (r6 lost the head of a 13 KB line and the round's
+    * bench parsed as null); every key's warm+cold time still lands in the
+    * committed full file. */
+  private val BaselineKeys: Set[String] = Set(
+    "ann_brute_force", "ann_ivf", "ann_ivf_pq", "ann_ivf_pq_residual",
+    "ann_lsh", "ann_pq", "ann_pq_trained", "corpus_decontaminate",
+    "corpus_pipeline_e2e", "corpus_stratified_sample",
+    "dedup_cluster_components", "dedup_embedding_cosine", "dedup_exact",
+    "dedup_keep_canonical", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "dedup_simhash", "emb_random_projection", "enrich_builtin_vars",
+    "field_select", "flush_size_threshold", "flush_time_interval",
+    "match_jmespath", "match_regex_capture", "merge_json", "metrics_counts",
+    "multimodal_meta", "parse_error_filter", "parse_syslog_3164",
+    "parse_syslog_5424", "q1_agg", "q3_join_broadcast", "q5_multi_join",
+    "q_asof_join", "q_cube", "q_distinct_agg", "q_grouping_sets",
+    "q_outer_join", "q_range_join_binned", "q_rollup", "q_semi_anti",
+    "q_setops", "q_skew_join_salted", "q_topk", "q_window",
+    "replace_template", "route_first_match", "route_topic_dynamic",
+    "scalar_surface", "schema_declared_project", "schema_infer_json",
+    "sessionize_events", "sink_group_by_destination", "sink_kafka_shape",
+    "src_file_test_mode", "src_lines", "stop_drop", "text_fingerprint",
+    "text_langid", "text_quality", "text_tokens", "variant_json")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    // 2 runs (cold + 1 warm) by default: at 224 keys a third run would put
+    // the whole bench past the driver's patience for marginal jitter gain
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -60,20 +89,32 @@ object Bench {
           times.map(t => f"$t%.2f").mkString(", ")})")
       (name, cold, warmMedian)
     }
-    // 3-decimal seconds: keeps the single JSON line compact enough that a
-    // tail-truncating collector still sees every key (r6's raw doubles
-    // cost ~18 chars each and the judge lost the head of the key list)
-    def fmt(d: Double): String = java.lang.String.format(
-      java.util.Locale.ROOT, "%.3f", java.lang.Double.valueOf(d))
-    def obj(sel: ((String, Double, Double)) => Double) = results
-      .map { case t @ (k, _, _) => "\"" + k + "\":" + fmt(sel(t)) }
+    def fmt(d: Double, dp: Int): String = java.lang.String.format(
+      java.util.Locale.ROOT, s"%.${dp}f", java.lang.Double.valueOf(d))
+    def obj(rs: Seq[(String, Double, Double)], dp: Int)(
+        sel: ((String, Double, Double)) => Double) = rs
+      .map { case t @ (k, _, _) => "\"" + k + "\":" + fmt(sel(t), dp) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, _, w) if w >= 0 => w }.sum
     val totalCold = results.collect { case (_, c, _) if c >= 0 => c }.sum
     val errJson = errors.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
-      s""""total_cold":${fmt(totalCold)},"queries":${obj(_._3)},""" +
-      s""""queries_cold":${obj(_._2)},"errors":$errJson,"sf":"$sfDir"}""")
+    // Full per-key detail (every key, warm + cold, 3 dp) goes to a FILE —
+    // the committed record; stdout carries only what must survive the
+    // driver's 2000-char tail capture.
+    val fullJson =
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec",""" +
+      s""""total_cold":${fmt(totalCold, 3)},"queries":${obj(results, 3)(_._3)},""" +
+      s""""queries_cold":${obj(results, 3)(_._2)},"errors":$errJson,"sf":"$sfDir"}"""
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full.json")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath), fullJson)
+    // ONE compact stdout line (≈1.7 KB): totals + the BASELINE.md keys the
+    // judge compares per-key. Must stay < ~1.9 KB end-to-end or the driver's
+    // tail window decapitates it and the round loses its bench.
+    val baseRs = results.filter(t => BaselineKeys.contains(t._1))
+    println(s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec",""" +
+      s""""total_cold":${fmt(totalCold, 2)},"n_keys":${results.size},""" +
+      s""""errors":$errJson,"full":"$fullPath",""" +
+      s""""queries":${obj(baseRs, 2)(_._3)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
