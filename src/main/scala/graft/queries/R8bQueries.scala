@@ -116,12 +116,117 @@ object R8bQueries {
           .as("assortativity"))
   }
 
+  // ------------------------------------------------------- zipf slope
+
+  /** Zipf-law fit over the top-1000 vocabulary: regression slope of
+    * ilog2(count) on ilog2(rank) — the rank-frequency power-law check a
+    * corpus-health dashboard runs (natural text sits near −1; template
+    * spam flattens it). Token counts are one map-side-combined agg; the
+    * top-1000 cut is a TakeOrdered over the (count DESC, token ASC) total
+    * order; the rank window then runs over the BOUNDED 1000-row set (the
+    * one place an unpartitioned window is safe — its input is a constant
+    * few KB however big the corpus). Integer log₂ bits both sides (the
+    * repo's ilog2-via-bin-length idiom), exact BIGINT moments, pinned
+    * final slope/r. */
+  private val qZipf: Q = (s, dir) => {
+    val counts = documents(s, dir)
+      .select(explode(graft.ext.TextAnalysis.tokens(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val top = counts.orderBy(desc("cnt"), asc("tok")).limit(1000)
+    val ranked = top.withColumn("rank",
+      row_number().over(Window.orderBy(desc("cnt"), asc("tok"))))
+    ranked
+      .select((length(bin(col("rank"))) - 1).cast("long").as("xb"),
+        (length(bin(col("cnt"))) - 1).cast("long").as("yb"))
+      .agg(count(lit(1)).as("n_top"),
+        sum("xb").as("sx"), sum("yb").as("sy"),
+        sum(col("xb") * col("xb")).as("sxx"),
+        sum(col("yb") * col("yb")).as("syy"),
+        sum(col("xb") * col("yb")).as("sxy"))
+      .select(col("n_top"),
+        (col("n_top") * col("sxy") - col("sx") * col("sy")).as("num"),
+        (col("n_top") * col("sxx") - col("sx") * col("sx")).as("denx"),
+        (col("n_top") * col("syy") - col("sy") * col("sy")).as("deny"))
+      .select(col("n_top"),
+        when(col("denx") === 0, lit(0.0))
+          .otherwise(col("num").cast("double") / col("denx").cast("double"))
+          .as("zipf_slope"),
+        when(col("denx") === 0 || col("deny") === 0, lit(0.0))
+          .otherwise(col("num").cast("double") /
+            (sqrt(col("denx").cast("double")) *
+              sqrt(col("deny").cast("double"))))
+          .as("corr_r"))
+  }
+
+  // ----------------------------------------------------------- KMV sketch
+
+  private val KmvK = 64
+  private val Pow52 = 4503599627370496L // 2^52
+
+  /** KMV (k-minimum-values) distinct sketch per source, PLUS an exact
+    * merge proof. The sketch is the k smallest distinct 52-bit hashes of
+    * the 3-gram shingle universe (52 bits so every hash is an exactly-
+    * representable double); estimate = (k−1)·2⁵² / h₍ₖ₎ — one pinned
+    * division. Unlike HLL's lossy registers, KMV's merge is EXACT set
+    * algebra: the union of per-source k-min sets trimmed back to k IS the
+    * global k-min set (any globally-k-smallest hash is k-smallest in its
+    * own source), so the `__merged__` row — built only from the ≤
+    * |sources|·k pooled sketch entries — must equal the oracle's direct
+    * global computation bit for bit. That is the property that lets 1000
+    * executors sketch independently and a coordinator combine receipts
+    * without rescanning.
+    *
+    * Scale shape: one distinct on (source, h) — high-cardinality,
+    * map-side-combined — then the BOUNDED topk_pairs aggregate (each
+    * partition emits ≤ k entries per source); the merge pool is
+    * |sources|·k rows. Sources with < k hashes surface a NULL estimate in
+    * both engines. `exact_distinct` counts distinct hashes (collisions at
+    * |universe|²·2⁻⁵³ accepted, identically on both sides). */
+  private val qKmv: Q = (s, dir) => {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    import graft.ext.TextAnalysis
+    val sh = documents(s, dir)
+      .select(col("source"), TextAnalysis.tokens(col("text")).as("toks"))
+      .select(col("source"), explode(TextAnalysis.shingles(col("toks"))).as("shingle"))
+    val hashed = sh.select(col("source"),
+        conv(substring(md5(col("shingle")), 1, 13), 16, 10).cast("long").as("h"))
+      .distinct()
+    val per = hashed.groupBy("source")
+      .agg(count(lit(1)).as("exact_distinct"),
+        expr(s"topk_pairs(h, cast(h as double), $KmvK, true)").as("arr"))
+    val perRows = per.select(col("source").as("scope"), col("exact_distinct"),
+      element_at(col("arr"), KmvK).getField("n_id").as("kth_hash"))
+    // merged sketch: pool the per-source entries (≤ |sources|·k rows),
+    // dedup (one shingle in two sources hashes identically), re-trim to k
+    val pool = per.select(explode(col("arr")).as("p"))
+      .select(col("p.n_id").as("h")).distinct()
+    val mergedKth = pool
+      .agg(expr(s"topk_pairs(h, cast(h as double), $KmvK, true)").as("arr"))
+      .select(element_at(col("arr"), KmvK).getField("n_id").as("kth_hash"))
+    val globalExact = hashed.select("h").distinct()
+      .agg(count(lit(1)).as("exact_distinct"))
+    val mergedRow = mergedKth.crossJoin(globalExact)
+      .select(lit("__merged__").as("scope"), col("exact_distinct"),
+        col("kth_hash"))
+    perRows.unionAll(mergedRow)
+      .withColumn("kmv_est",
+        lit((KmvK - 1).toDouble) * lit(Pow52.toDouble) /
+          col("kth_hash").cast("double"))
+      .withColumn("err_x10000",
+        floor(lit(10000.0) * abs(col("kmv_est") - col("exact_distinct").cast("double")) /
+          col("exact_distinct").cast("double")).cast("long"))
+      .orderBy("scope")
+  }
+
   // ---------------------------------------------------------- wiring
 
   val queries: Map[String, Q] = Map(
     "q_autocorr" -> qAutocorr,
     "q_interval_union" -> qIntervalUnion,
-    "graph_assortativity" -> qAssortativity)
+    "graph_assortativity" -> qAssortativity,
+    "text_zipf_slope" -> qZipf,
+    "sketch_kmv_distinct" -> qKmv)
 
   // ---------------------------------------------------------- oracles
 
@@ -129,6 +234,14 @@ object R8bQueries {
     """SELECT DISTINCT user_id AS src, event_id % 150 AS dst FROM events
       |  WHERE event_type IN ('click','view') AND event_id % 10 < 3
       |    AND user_id <> event_id % 150""".stripMargin
+
+  /** DuckDB twin of Spark's `conv(substring(hx, 1, 13), 16, 10)` (the
+    * ExtQueries.hexFoldSql family, re-stated here for the 52-bit width). */
+  private val HexFold13 =
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      "list_transform(range(1, 14), " +
+      "j -> CAST(strpos('0123456789abcdef', substr(hx, CAST(j AS INT), 1)) - 1 AS BIGINT))), " +
+      "(x,y) -> x*16 + y)"
 
   val oracle: Map[String, String] = Map(
     "q_autocorr" ->
@@ -208,5 +321,71 @@ object R8bQueries {
          |       ELSE CAST(num AS DOUBLE)
          |            / (sqrt(CAST(denx AS DOUBLE)) * sqrt(CAST(deny AS DOUBLE)))
          |  END AS assortativity
-         |FROM d""".stripMargin)
+         |FROM d""".stripMargin,
+
+    "text_zipf_slope" ->
+      """WITH w AS (SELECT unnest(regexp_split_to_array(text, '\s+')) AS tok
+        |           FROM documents),
+        |c AS (SELECT tok, count(*) AS cnt FROM w WHERE tok <> '' GROUP BY tok),
+        |top AS (SELECT tok, cnt FROM c ORDER BY cnt DESC, tok LIMIT 1000),
+        |r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, tok) AS rank
+        |      FROM top),
+        |b AS (SELECT CAST(length(bin(rank)) - 1 AS BIGINT) AS xb,
+        |             CAST(length(bin(cnt)) - 1 AS BIGINT) AS yb FROM r),
+        |m AS (SELECT count(*) AS n_top,
+        |    CAST(sum(xb) AS BIGINT) AS sx, CAST(sum(yb) AS BIGINT) AS sy,
+        |    CAST(sum(xb * xb) AS BIGINT) AS sxx,
+        |    CAST(sum(yb * yb) AS BIGINT) AS syy,
+        |    CAST(sum(xb * yb) AS BIGINT) AS sxy
+        |  FROM b),
+        |d AS (SELECT n_top,
+        |    n_top * sxy - sx * sy AS num,
+        |    n_top * sxx - sx * sx AS denx,
+        |    n_top * syy - sy * sy AS deny
+        |  FROM m)
+        |SELECT n_top,
+        |  CASE WHEN denx = 0 THEN 0.0
+        |       ELSE CAST(num AS DOUBLE) / CAST(denx AS DOUBLE) END AS zipf_slope,
+        |  CASE WHEN denx = 0 OR deny = 0 THEN 0.0
+        |       ELSE CAST(num AS DOUBLE)
+        |            / (sqrt(CAST(denx AS DOUBLE)) * sqrt(CAST(deny AS DOUBLE)))
+        |  END AS corr_r
+        |FROM d""".stripMargin,
+
+    "sketch_kmv_distinct" ->
+      s"""WITH tok AS (SELECT source, regexp_split_to_array(text, '\\s+') AS t
+         |             FROM documents),
+         |sh AS (SELECT source,
+         |  CASE WHEN len(t) < 3 THEN []::VARCHAR[]
+         |       ELSE list_transform(range(1, len(t)-1),
+         |                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+         |  END AS sg FROM tok),
+         |tr AS (SELECT source, unnest(sg) AS shingle FROM sh),
+         |hh AS (SELECT DISTINCT source, $HexFold13 AS h
+         |  FROM (SELECT source, md5(shingle) AS hx FROM tr)),
+         |ex AS (SELECT source, CAST(count(*) AS BIGINT) AS exact_distinct
+         |  FROM hh GROUP BY source),
+         |rk AS (SELECT source, h,
+         |    row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM hh),
+         |kth AS (SELECT source, h AS kth_hash FROM rk WHERE rn = $KmvK),
+         |per AS (SELECT ex.source AS scope, exact_distinct, kth_hash
+         |  FROM ex LEFT JOIN kth ON ex.source = kth.source),
+         |g AS (SELECT DISTINCT h FROM hh),
+         |gex AS (SELECT CAST(count(*) AS BIGINT) AS exact_distinct FROM g),
+         |gkth AS (SELECT h AS kth_hash FROM
+         |    (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM g)
+         |  WHERE rn = $KmvK),
+         |u AS (SELECT scope, exact_distinct, kth_hash FROM per
+         |  UNION ALL
+         |  SELECT '__merged__', gex.exact_distinct, gkth.kth_hash
+         |  FROM gex CROSS JOIN gkth),
+         |est AS (SELECT scope, exact_distinct, kth_hash,
+         |    CAST(${KmvK - 1} AS DOUBLE) * CAST($Pow52 AS DOUBLE)
+         |      / CAST(kth_hash AS DOUBLE) AS kmv_est
+         |  FROM u)
+         |SELECT scope, exact_distinct, kth_hash, kmv_est,
+         |  CAST(floor(CAST(10000 AS DOUBLE)
+         |    * abs(kmv_est - CAST(exact_distinct AS DOUBLE))
+         |    / CAST(exact_distinct AS DOUBLE)) AS BIGINT) AS err_x10000
+         |FROM est ORDER BY scope""".stripMargin)
 }
