@@ -219,6 +219,89 @@ object R8bQueries {
       .orderBy("scope")
   }
 
+  // ----------------------------------------------------- HLL union merge
+
+  /** Per-source HLL sketches PLUS the register-merge proof — the lossy-
+    * sketch counterpart of [[qKmv]]'s exact KMV merge. Each source keeps
+    * m=64 registers (max leading-zero rank per bucket, the
+    * text_hll_distinct construction); the `__merged__` row is built ONLY
+    * from the per-source register table by bucket-wise max — and because
+    * max is associative/commutative, that IS the register table a direct
+    * global pass would build, so the merged estimate must match the
+    * oracle's direct global computation bit for bit. This is how 1000
+    * executors (or 1000 daily epochs) each keep 64 integers and the
+    * coordinator still answers "distinct shingles overall" without a
+    * rescan. All register arithmetic is integer; the single α·m²·2⁵⁰/S
+    * division is the pinned shared expression. */
+  private val qHllUnion: Q = (s, dir) => {
+    import graft.ext.TextAnalysis
+    val m = 64
+    val sh = documents(s, dir)
+      .select(col("source"), TextAnalysis.tokens(col("text")).as("toks"))
+      .select(col("source"), explode(TextAnalysis.shingles(col("toks"))).as("shingle"))
+    val h = conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long")
+    val hashed = sh.select(col("source"), (h % m).as("bucket"),
+      (h / m).cast("long").as("rest"))
+    val rank = least(lit(50), lit(55) -
+      when(col("rest") === 0, lit(0)).otherwise(length(bin(col("rest")))))
+    val regs = hashed.select(col("source"), col("bucket"), rank.as("rank"))
+      .groupBy("source", "bucket").agg(max("rank").as("reg"))
+    def estimate(regTable: DataFrame, grp: Seq[String]): DataFrame = {
+      val sums =
+        (if (grp.isEmpty) regTable.groupBy() else regTable.groupBy(grp.head))
+          .agg(sum(expr("shiftleft(1L, cast(50 - reg as int))")).as("s_present"),
+            count(lit(1)).as("nb"))
+      sums.select(
+        (if (grp.isEmpty) lit("__merged__") else col(grp.head)).as("scope"),
+        ((col("s_present") +
+          (lit(m.toLong) - col("nb")) * lit(1L << 50))).as("s"))
+    }
+    val perSrc = estimate(regs, Seq("source"))
+    // merge = bucket-wise max over the per-source registers ONLY
+    val merged = estimate(
+      regs.groupBy("bucket").agg(max("reg").as("reg")), Seq.empty)
+    val exactSrc = sh.select(col("source"), col("shingle")).distinct()
+      .groupBy("source").agg(count(lit(1)).as("exact_distinct"))
+      .withColumnRenamed("source", "scope")
+    val exactAll = sh.select("shingle").distinct()
+      .agg(count(lit(1)).as("exact_distinct"))
+      .select(lit("__merged__").as("scope"), col("exact_distinct"))
+    perSrc.unionAll(merged)
+      .join(exactSrc.unionAll(exactAll), "scope")
+      .select(col("scope"), lit(m.toLong).as("m"), col("exact_distinct"),
+        (lit(0.709) * lit((m.toLong * m).toDouble) * lit((1L << 50).toDouble) /
+          col("s").cast("double")).as("hll_est"))
+      .orderBy("scope")
+  }
+
+  // ------------------------------------------------ perplexity filter
+
+  /** LM-based quality gate (the CCNet middle-perplexity band): score every
+    * document with the corpus-trained bigram-LM surprisal
+    * (integer-bits, [[TextAnalysis.bigramLmScore]]) and keep the middle
+    * band [med/2, 1.5·med] — too predictable is boilerplate, too
+    * surprising is gibberish. The threshold is distribution-adaptive: the
+    * exact median of the integer scores (dyadic ⇒ 2·median is an exact
+    * integer in both engines), and the band is ±1% of the median in pure
+    * integer algebra — |2·score − 2·med| vs (2·med) div 50 — sized to the
+    * synthetic corpus's tight surprisal spread (±2% std) so both drop
+    * buckets are actually exercised. One bounded 1-row agg broadcast
+    * back; the scored corpus is never re-shuffled for its own filter. */
+  private val qPerplexityFilter: Q = (s, dir) => {
+    val scored = graft.ext.TextAnalysis.bigramLmScore(documents(s, dir))
+      .select(col("doc_id"), col("surprisal_x100"))
+    val med2 = scored.agg(
+      expr("CAST(2 * percentile(surprisal_x100, 0.5D) AS BIGINT)").as("med2"))
+    scored.crossJoin(broadcast(med2))
+      .select(col("doc_id"), col("surprisal_x100"),
+        when(col("surprisal_x100") * 2 < col("med2") - expr("med2 div 50"),
+          lit("drop_low"))
+          .when(col("surprisal_x100") * 2 > col("med2") + expr("med2 div 50"),
+            lit("drop_high"))
+          .otherwise(lit("keep")).as("verdict"))
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------- wiring
 
   val queries: Map[String, Q] = Map(
@@ -226,7 +309,9 @@ object R8bQueries {
     "q_interval_union" -> qIntervalUnion,
     "graph_assortativity" -> qAssortativity,
     "text_zipf_slope" -> qZipf,
-    "sketch_kmv_distinct" -> qKmv)
+    "sketch_kmv_distinct" -> qKmv,
+    "sketch_hll_union" -> qHllUnion,
+    "corpus_perplexity_filter" -> qPerplexityFilter)
 
   // ---------------------------------------------------------- oracles
 
@@ -242,6 +327,23 @@ object R8bQueries {
       "list_transform(range(1, 14), " +
       "j -> CAST(strpos('0123456789abcdef', substr(hx, CAST(j AS INT), 1)) - 1 AS BIGINT))), " +
       "(x,y) -> x*16 + y)"
+
+  private val HexFold15 =
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      "list_transform(range(1, 16), " +
+      "j -> CAST(strpos('0123456789abcdef', substr(hx, CAST(j AS INT), 1)) - 1 AS BIGINT))), " +
+      "(x,y) -> x*16 + y)"
+
+  /** Shared source-keyed shingle CTEs (tok → sh → tr). */
+  private val SourceShingleCtes =
+    """tok AS (SELECT source, regexp_split_to_array(text, '\s+') AS t
+      |        FROM documents),
+      |sh AS (SELECT source,
+      |  CASE WHEN len(t) < 3 THEN []::VARCHAR[]
+      |       ELSE list_transform(range(1, len(t)-1),
+      |                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+      |  END AS sg FROM tok),
+      |tr AS (SELECT source, unnest(sg) AS shingle FROM sh)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q_autocorr" ->
@@ -387,5 +489,64 @@ object R8bQueries {
          |  CAST(floor(CAST(10000 AS DOUBLE)
          |    * abs(kmv_est - CAST(exact_distinct AS DOUBLE))
          |    / CAST(exact_distinct AS DOUBLE)) AS BIGINT) AS err_x10000
-         |FROM est ORDER BY scope""".stripMargin)
+         |FROM est ORDER BY scope""".stripMargin,
+
+    // direct per-source + direct GLOBAL registers; Spark's __merged__ row is
+    // built only from per-source registers, so a hash-match proves the merge
+    "sketch_hll_union" ->
+      s"""WITH $SourceShingleCtes,
+         |hh AS (SELECT source, $HexFold15 AS h
+         |  FROM (SELECT source, md5(shingle) AS hx FROM tr)),
+         |hb AS (SELECT source, h % 64 AS bucket, h // 64 AS rest FROM hh),
+         |hr AS (SELECT source, bucket,
+         |    least(50, 55 - CASE WHEN rest = 0 THEN 0
+         |                        ELSE length(bin(rest)) END) AS rank
+         |  FROM hb),
+         |regs AS (SELECT source, bucket, max(rank) AS reg FROM hr GROUP BY 1, 2),
+         |gregs AS (SELECT bucket, max(rank) AS reg FROM hr GROUP BY 1),
+         |sums AS (
+         |  SELECT source AS scope,
+         |    CAST(sum(CAST(1 AS BIGINT) << CAST(50 - reg AS INT)) AS BIGINT)
+         |      AS s_present,
+         |    CAST(count(*) AS BIGINT) AS nb
+         |  FROM regs GROUP BY 1
+         |  UNION ALL
+         |  SELECT '__merged__',
+         |    CAST(sum(CAST(1 AS BIGINT) << CAST(50 - reg AS INT)) AS BIGINT),
+         |    CAST(count(*) AS BIGINT)
+         |  FROM gregs),
+         |st AS (SELECT scope,
+         |    s_present + (64 - nb) * (CAST(1 AS BIGINT) << 50) AS s
+         |  FROM sums),
+         |ex AS (SELECT source AS scope,
+         |    CAST(count(DISTINCT shingle) AS BIGINT) AS exact_distinct
+         |  FROM tr GROUP BY 1
+         |  UNION ALL
+         |  SELECT '__merged__', CAST(count(DISTINCT shingle) AS BIGINT) FROM tr)
+         |SELECT scope, CAST(64 AS BIGINT) AS m, exact_distinct,
+         |  CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE)
+         |    * CAST(1125899906842624 AS DOUBLE) / CAST(s AS DOUBLE) AS hll_est
+         |FROM st JOIN ex USING (scope) ORDER BY scope""".stripMargin,
+
+    "corpus_perplexity_filter" ->
+      """WITH tok AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS t
+        |  FROM documents),
+        |pr AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+        |        FROM tok WHERE len(t) >= 2)),
+        |c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM pr GROUP BY 1, 2),
+        |c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM pr GROUP BY 1),
+        |b AS (SELECT doc_id,
+        |    (strlen(bin(c1)) - 1) - (strlen(bin(c2)) - 1) AS bits
+        |  FROM pr JOIN c2 USING (w1, w2) JOIN c1 USING (w1)),
+        |sc AS (SELECT doc_id,
+        |    CAST(100 * sum(bits) // count(*) AS BIGINT) AS surprisal_x100
+        |  FROM b GROUP BY 1),
+        |md AS (SELECT CAST(2 * quantile_cont(surprisal_x100, 0.5) AS BIGINT)
+        |    AS med2 FROM sc)
+        |SELECT doc_id, surprisal_x100,
+        |  CASE WHEN surprisal_x100 * 2 < med2 - med2 // 50 THEN 'drop_low'
+        |       WHEN surprisal_x100 * 2 > med2 + med2 // 50 THEN 'drop_high'
+        |       ELSE 'keep' END AS verdict
+        |FROM sc CROSS JOIN md ORDER BY doc_id""".stripMargin)
 }
