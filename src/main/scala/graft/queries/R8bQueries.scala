@@ -302,6 +302,100 @@ object R8bQueries {
       .orderBy("doc_id")
   }
 
+  // ------------------------------------------------------ weighted median
+
+  /** Quantity-weighted median price (cents) per returnflag: the smallest
+    * price whose cumulative weight reaches half the group total. The raw
+    * stream first collapses to (flag, cents) — a map-side-combined
+    * high-cardinality agg — so the running-sum window scans the
+    * DOMAIN-bounded aggregated rows (distinct cent values per flag), not
+    * the corpus; same boundedness argument as corpus_select_budget's
+    * banded cumsum. All comparisons integer (2·cum vs tot). */
+  private val qWeightedMedian: Q = (s, dir) => {
+    val g = lineitem(s, dir)
+      .select(col("l_returnflag").as("f"),
+        expr("CAST(floor(l_extendedprice * 100D + 0.5D) AS BIGINT)").as("cents"),
+        expr("CAST(floor(l_quantity + 0.5D) AS BIGINT)").as("w"))
+      .groupBy("f", "cents").agg(sum("w").as("w"))
+    val wRun = Window.partitionBy("f").orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy("f")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    g.withColumn("cum", sum("w").over(wRun))
+      .withColumn("tot", sum("w").over(wTot))
+      .groupBy(col("f").as("l_returnflag"))
+      .agg(max("tot").as("total_weight"),
+        min(when(col("cum") * 2 >= col("tot"), col("cents")))
+          .as("w_median_cents"))
+      .orderBy("l_returnflag")
+  }
+
+  // ---------------------------------------------------- source overlap
+
+  /** Pairwise source-overlap matrix: distinct-shingle Jaccard between
+    * every source pair — the cross-domain contamination/diversity
+    * diagnostic (two "different" crawl slices sharing half their shingles
+    * are one slice). The self-join keys on the SHINGLE (high-cardinality;
+    * per-shingle fan-out bounded by |sources|² = 400), the pair agg is
+    * |sources|²-bounded, and sizes broadcast back. Integer ppm. */
+  private val qSourceOverlap: Q = (s, dir) => {
+    import graft.ext.TextAnalysis
+    val ss = documents(s, dir)
+      .select(col("source"), TextAnalysis.tokens(col("text")).as("toks"))
+      .select(col("source"), explode(TextAnalysis.shingles(col("toks"))).as("shingle"))
+      .distinct()
+    val sizes = ss.groupBy("source").agg(count(lit(1)).as("sz"))
+    val inter = ss.select(col("source").as("s1"), col("shingle"))
+      .join(ss.select(col("source").as("s2"), col("shingle")), "shingle")
+      .filter(col("s1") < col("s2"))
+      .groupBy("s1", "s2").agg(count(lit(1)).as("n_common"))
+    inter
+      .join(broadcast(sizes.select(col("source").as("s1"), col("sz").as("n1"))), "s1")
+      .join(broadcast(sizes.select(col("source").as("s2"), col("sz").as("n2"))), "s2")
+      .select(col("s1"), col("s2"), col("n_common"), col("n1"), col("n2"),
+        expr("n_common * 1000000 div (n1 + n2 - n_common)").as("jaccard_ppm"))
+      .orderBy("s1", "s2")
+  }
+
+  // -------------------------------------------------------- chi-square
+
+  /** Chi-square independence statistic for event_type × day-of-week — the
+    * seasonality/independence test over the contingency table. Observed,
+    * row, column and grand totals are exact BIGINTs (three
+    * map-side-combined aggs over the same pass); each cell's
+    * (o − rc/n)²/(rc/n) term is ONE pinned double expression from exact
+    * integers, and the cross-cell sum — the one place float ADDITION
+    * ORDER could diverge — runs as a fold over the (etype, dow)-sorted
+    * 35-element array (the q_ewma pinned-fold rule), identical in both
+    * engines. Output: n, df, chi2. */
+  private val qChiSquare: Q = (s, dir) => {
+    val base = eventsTs(s, dir)
+      .select(col("event_type").as("et"),
+        expr(s"(ts_us div ${DayUs}L) % 7").as("dow"))
+    val obs = base.groupBy("et", "dow").agg(count(lit(1)).as("o"))
+    val rt = obs.groupBy("et").agg(sum("o").as("r"))
+    val ct = obs.groupBy("dow").agg(sum("o").as("c"))
+    val n = obs.agg(sum("o").as("n"))
+    val cells = obs.join(broadcast(rt), "et").join(broadcast(ct), "dow")
+      .crossJoin(broadcast(n))
+      .select(col("et"), col("dow"), col("n"),
+        ((col("o").cast("double") -
+          (col("r") * col("c")).cast("double") / col("n").cast("double")) *
+          (col("o").cast("double") -
+            (col("r") * col("c")).cast("double") / col("n").cast("double")) /
+          ((col("r") * col("c")).cast("double") / col("n").cast("double")))
+          .as("term"))
+    val nRt = rt.agg(count(lit(1)).as("nr"))
+    val nCt = ct.agg(count(lit(1)).as("nc"))
+    cells
+      .agg(max("n").as("n"),
+        collect_list(struct(col("et"), col("dow"), col("term"))).as("cs"))
+      .crossJoin(broadcast(nRt)).crossJoin(broadcast(nCt))
+      .select(col("n"), ((col("nr") - 1) * (col("nc") - 1)).as("df"),
+        expr("aggregate(array_sort(cs), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.term)")
+          .as("chi2"))
+  }
+
   // ---------------------------------------------------------- wiring
 
   val queries: Map[String, Q] = Map(
@@ -311,7 +405,10 @@ object R8bQueries {
     "text_zipf_slope" -> qZipf,
     "sketch_kmv_distinct" -> qKmv,
     "sketch_hll_union" -> qHllUnion,
-    "corpus_perplexity_filter" -> qPerplexityFilter)
+    "corpus_perplexity_filter" -> qPerplexityFilter,
+    "q_weighted_median" -> qWeightedMedian,
+    "corpus_source_overlap" -> qSourceOverlap,
+    "q_chi_square" -> qChiSquare)
 
   // ---------------------------------------------------------- oracles
 
@@ -548,5 +645,54 @@ object R8bQueries {
         |  CASE WHEN surprisal_x100 * 2 < med2 - med2 // 50 THEN 'drop_low'
         |       WHEN surprisal_x100 * 2 > med2 + med2 // 50 THEN 'drop_high'
         |       ELSE 'keep' END AS verdict
-        |FROM sc CROSS JOIN md ORDER BY doc_id""".stripMargin)
+        |FROM sc CROSS JOIN md ORDER BY doc_id""".stripMargin,
+
+    "q_weighted_median" ->
+      """WITH m AS (
+        |  SELECT l_returnflag AS f,
+        |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+        |    CAST(floor(l_quantity + 0.5) AS BIGINT) AS w
+        |  FROM lineitem),
+        |g AS (SELECT f, cents, CAST(sum(w) AS BIGINT) AS w FROM m GROUP BY 1, 2),
+        |r AS (SELECT f, cents,
+        |    CAST(sum(w) OVER (PARTITION BY f ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |    CAST(sum(w) OVER (PARTITION BY f) AS BIGINT) AS tot
+        |  FROM g)
+        |SELECT f AS l_returnflag, max(tot) AS total_weight,
+        |  min(CASE WHEN cum * 2 >= tot THEN cents END) AS w_median_cents
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "corpus_source_overlap" ->
+      s"""WITH $SourceShingleCtes,
+         |ss AS (SELECT DISTINCT source, shingle FROM tr),
+         |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS sz FROM ss GROUP BY 1),
+         |iv AS (SELECT a.source AS s1, b.source AS s2,
+         |    CAST(count(*) AS BIGINT) AS n_common
+         |  FROM ss a JOIN ss b ON a.shingle = b.shingle AND a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT s1, s2, n_common, x.sz AS n1, y.sz AS n2,
+         |  n_common * 1000000 // (x.sz + y.sz - n_common) AS jaccard_ppm
+         |FROM iv JOIN sz x ON iv.s1 = x.source JOIN sz y ON iv.s2 = y.source
+         |ORDER BY s1, s2""".stripMargin,
+
+    "q_chi_square" ->
+      s"""WITH b AS (SELECT event_type AS et,
+         |    (epoch_us(ts) // $DayUs) % 7 AS dow FROM events),
+         |o AS (SELECT et, dow, CAST(count(*) AS BIGINT) AS o FROM b GROUP BY 1, 2),
+         |r AS (SELECT et, CAST(sum(o) AS BIGINT) AS r FROM o GROUP BY 1),
+         |c AS (SELECT dow, CAST(sum(o) AS BIGINT) AS c FROM o GROUP BY 1),
+         |n AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM o),
+         |t AS (SELECT et, dow, n,
+         |    (CAST(o AS DOUBLE) - CAST(r * c AS DOUBLE) / CAST(n AS DOUBLE))
+         |  * (CAST(o AS DOUBLE) - CAST(r * c AS DOUBLE) / CAST(n AS DOUBLE))
+         |  / (CAST(r * c AS DOUBLE) / CAST(n AS DOUBLE)) AS term
+         |  FROM o JOIN r USING (et) JOIN c USING (dow) CROSS JOIN n),
+         |a AS (SELECT max(n) AS n, list(term ORDER BY et, dow) AS cs FROM t),
+         |d AS (SELECT (SELECT count(*) FROM r) AS nr,
+         |             (SELECT count(*) FROM c) AS nc)
+         |SELECT n, CAST((nr - 1) * (nc - 1) AS BIGINT) AS df,
+         |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), cs), (x,y) -> x + y)
+         |    AS chi2
+         |FROM a CROSS JOIN d""".stripMargin)
 }
