@@ -396,6 +396,87 @@ object R8bQueries {
           .as("chi2"))
   }
 
+  // ------------------------------------------------------ robust z-score
+
+  /** Median/MAD outlier detection per event_type — the robust twin of
+    * q_anomaly_zscore (mean/σ breaks down when the outliers ARE the
+    * contamination). Entirely integer: values integerize to cents, the
+    * median doubles to the exact integer 2·med (dyadic percentile), the
+    * deviation axis stays doubled (dev2 = |2x − m2|), and the MAD doubles
+    * again (mad4 = 2·median(dev2)); the 3σ-equivalent cut
+    * |x−med| > 3·1.4826·MAD becomes dev2·20000 > 44478·mad4 — pure BIGINT
+    * comparison, no float anywhere. Two bounded percentile aggs (per-group
+    * value multisets, the q_percentile_cont cost class) + one broadcast-
+    * back; the event stream is never re-shuffled. */
+  private val qRobustZscore: Q = (s, dir) => {
+    val v = eventsTs(s, dir).select(col("event_type"),
+      expr("CAST(floor(value * 100D + 0.5D) AS BIGINT)").as("cents"))
+    val med = v.groupBy("event_type")
+      .agg(expr("CAST(2 * percentile(cents, 0.5D) AS BIGINT)").as("m2"))
+    val dev = v.join(broadcast(med), "event_type")
+      .select(col("event_type"), col("cents"),
+        abs(col("cents") * 2 - col("m2")).as("dev2"), col("m2"))
+    val mad = dev.groupBy("event_type")
+      .agg(expr("CAST(2 * percentile(dev2, 0.5D) AS BIGINT)").as("mad4"))
+    dev.join(broadcast(mad), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), max("m2").as("median_x2"),
+        max("mad4").as("mad_x4"),
+        sum(when(col("dev2") * 20000 > lit(44478L) * col("mad4"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .orderBy("event_type")
+  }
+
+  // ---------------------------------------------------- Benford digits
+
+  /** First-significant-digit profile of the value column vs Benford's
+    * expectation — the classic fabricated-data screen. The digit comes
+    * from the INTEGER cents rendering (integer→string is engine-identical;
+    * a double's string form is not), counts are one bounded agg onto ≤9
+    * cells, and the observed share is integer ppm. benford_ppm is the
+    * rounded closed-form log10(1+1/d) table as a literal CASE — no float
+    * logs at query time. */
+  private val qBenford: Q = (s, dir) => {
+    val benford = Map(1 -> 301030L, 2 -> 176091L, 3 -> 124939L, 4 -> 96910L,
+      5 -> 79181L, 6 -> 66947L, 7 -> 57992L, 8 -> 51153L, 9 -> 45757L)
+    val digitExpr = expr(
+      "CAST(substring(CAST(CAST(floor(value * 100D + 0.5D) AS BIGINT) AS STRING), 1, 1) AS BIGINT)")
+    val d = eventsTs(s, dir)
+      .filter(col("value") > 0.005)
+      .select(digitExpr.as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val tot = d.agg(sum("n").as("tot"))
+    d.crossJoin(broadcast(tot))
+      .select(col("digit"), col("n"),
+        expr("n * 1000000 div tot").as("observed_ppm"),
+        benford.foldLeft(lit(0L)) { case (acc, (k, v)) =>
+          when(col("digit") === k, lit(v)).otherwise(acc)
+        }.as("benford_ppm"))
+      .orderBy("digit")
+  }
+
+  // ------------------------------------------------------ SQL text API
+
+  /** TPC-H Q6 (forecast revenue change) through the spark.sql TEXT entry
+    * point — the API-surface proof that a SQL-string user needs nothing
+    * beyond a registered view. Revenue is exact: cents × discount-percent
+    * products summed as BIGINT (every factor integerized by the shared
+    * floor(x+0.5) rule), surfaced as revenue_x10000. The plan is the
+    * classic scan→filter→partial/final agg with predicate pushdown. */
+  private val qSqlQ6: Q = (s, dir) => {
+    lineitem(s, dir).createOrReplaceTempView("graft_lineitem_q6")
+    s.sql(
+      """SELECT CAST(sum(CAST(floor(l_extendedprice * 100D + 0.5D) AS BIGINT)
+        |                * CAST(floor(l_discount * 100D + 0.5D) AS BIGINT))
+        |       AS BIGINT) AS revenue_x10000,
+        |       count(*) AS n_rows
+        |FROM graft_lineitem_q6
+        |WHERE l_shipdate >= DATE '1994-01-01'
+        |  AND l_shipdate < DATE '1995-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24D""".stripMargin)
+  }
+
   // ---------------------------------------------------------- wiring
 
   val queries: Map[String, Q] = Map(
@@ -408,7 +489,10 @@ object R8bQueries {
     "corpus_perplexity_filter" -> qPerplexityFilter,
     "q_weighted_median" -> qWeightedMedian,
     "corpus_source_overlap" -> qSourceOverlap,
-    "q_chi_square" -> qChiSquare)
+    "q_chi_square" -> qChiSquare,
+    "q_robust_zscore" -> qRobustZscore,
+    "q_benford_digits" -> qBenford,
+    "q6_revenue" -> qSqlQ6)
 
   // ---------------------------------------------------------- oracles
 
@@ -694,5 +778,48 @@ object R8bQueries {
          |SELECT n, CAST((nr - 1) * (nc - 1) AS BIGINT) AS df,
          |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), cs), (x,y) -> x + y)
          |    AS chi2
-         |FROM a CROSS JOIN d""".stripMargin)
+         |FROM a CROSS JOIN d""".stripMargin,
+
+    "q_robust_zscore" ->
+      """WITH v AS (SELECT event_type,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
+        |md AS (SELECT event_type,
+        |    CAST(2 * quantile_cont(cents, 0.5) AS BIGINT) AS m2
+        |  FROM v GROUP BY 1),
+        |dv AS (SELECT v.event_type, cents, abs(cents * 2 - m2) AS dev2, m2
+        |  FROM v JOIN md ON v.event_type = md.event_type),
+        |ma AS (SELECT event_type,
+        |    CAST(2 * quantile_cont(dev2, 0.5) AS BIGINT) AS mad4
+        |  FROM dv GROUP BY 1)
+        |SELECT dv.event_type, count(*) AS n, max(m2) AS median_x2,
+        |  max(mad4) AS mad_x4,
+        |  CAST(sum(CASE WHEN dev2 * 20000 > 44478 * mad4 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_outliers
+        |FROM dv JOIN ma ON dv.event_type = ma.event_type
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_benford_digits" ->
+      """WITH d AS (
+        |  SELECT CAST(substring(CAST(CAST(floor(value * 100 + 0.5) AS BIGINT)
+        |      AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        |  FROM events WHERE value > 0.005),
+        |c AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c)
+        |SELECT digit, n, n * 1000000 // tot AS observed_ppm,
+        |  CASE digit WHEN 1 THEN 301030 WHEN 2 THEN 176091 WHEN 3 THEN 124939
+        |    WHEN 4 THEN 96910 WHEN 5 THEN 79181 WHEN 6 THEN 66947
+        |    WHEN 7 THEN 57992 WHEN 8 THEN 51153 WHEN 9 THEN 45757
+        |    ELSE 0 END AS benford_ppm
+        |FROM c CROSS JOIN t ORDER BY digit""".stripMargin,
+
+    "q6_revenue" ->
+      """SELECT CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |               * CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS revenue_x10000,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate >= DATE '1994-01-01'
+        |  AND l_shipdate < DATE '1995-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin)
 }
