@@ -183,15 +183,20 @@ object R8bQueries {
     * |sources|·k rows. Sources with < k hashes surface a NULL estimate in
     * both engines. `exact_distinct` counts distinct hashes (collisions at
     * |universe|²·2⁻⁵³ accepted, identically on both sides). */
-  private val qKmv: Q = (s, dir) => {
-    graft.functions.GraftFunctions.ensureRegistered(s)
+  /** Distinct (source, 52-bit hash) set — the shared input of [[qKmv]]. */
+  private[graft] def kmvHashed(s: SparkSession, dir: String): DataFrame = {
     import graft.ext.TextAnalysis
-    val sh = documents(s, dir)
+    documents(s, dir)
       .select(col("source"), TextAnalysis.tokens(col("text")).as("toks"))
       .select(col("source"), explode(TextAnalysis.shingles(col("toks"))).as("shingle"))
-    val hashed = sh.select(col("source"),
+      .select(col("source"),
         conv(substring(md5(col("shingle")), 1, 13), 16, 10).cast("long").as("h"))
       .distinct()
+  }
+
+  /** KMV pipeline over a (possibly cached) hash set — separated from the
+    * persist lifecycle so specs can pin the REAL plan. */
+  private[graft] def kmvResult(hashed: DataFrame): DataFrame = {
     val per = hashed.groupBy("source")
       .agg(count(lit(1)).as("exact_distinct"),
         expr(s"topk_pairs(h, cast(h as double), $KmvK, true)").as("arr"))
@@ -219,6 +224,16 @@ object R8bQueries {
       .orderBy("scope")
   }
 
+  private val qKmv: Q = (s, dir) => {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    // distinct (source, h) feeds the per-source sketch AND the global
+    // exact baseline — persist so the corpus is tokenized+hashed once
+    val hashed = kmvHashed(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try kmvResult(hashed).localCheckpoint(true)
+    finally hashed.unpersist()
+  }
+
   // ----------------------------------------------------- HLL union merge
 
   /** Per-source HLL sketches PLUS the register-merge proof — the lossy-
@@ -236,42 +251,51 @@ object R8bQueries {
   private val qHllUnion: Q = (s, dir) => {
     import graft.ext.TextAnalysis
     val m = 64
-    val sh = documents(s, dir)
+    // distinct (source, shingle) feeds FOUR consumers (registers, the
+    // merged registers, per-source exact, global exact) — persist so the
+    // corpus is tokenized once (registers are duplicate-insensitive, so
+    // pre-distincting changes nothing)
+    val ss = documents(s, dir)
       .select(col("source"), TextAnalysis.tokens(col("text")).as("toks"))
       .select(col("source"), explode(TextAnalysis.shingles(col("toks"))).as("shingle"))
-    val h = conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long")
-    val hashed = sh.select(col("source"), (h % m).as("bucket"),
-      (h / m).cast("long").as("rest"))
-    val rank = least(lit(50), lit(55) -
-      when(col("rest") === 0, lit(0)).otherwise(length(bin(col("rest")))))
-    val regs = hashed.select(col("source"), col("bucket"), rank.as("rank"))
-      .groupBy("source", "bucket").agg(max("rank").as("reg"))
-    def estimate(regTable: DataFrame, grp: Seq[String]): DataFrame = {
-      val sums =
-        (if (grp.isEmpty) regTable.groupBy() else regTable.groupBy(grp.head))
-          .agg(sum(expr("shiftleft(1L, cast(50 - reg as int))")).as("s_present"),
-            count(lit(1)).as("nb"))
-      sums.select(
-        (if (grp.isEmpty) lit("__merged__") else col(grp.head)).as("scope"),
-        ((col("s_present") +
-          (lit(m.toLong) - col("nb")) * lit(1L << 50))).as("s"))
-    }
-    val perSrc = estimate(regs, Seq("source"))
-    // merge = bucket-wise max over the per-source registers ONLY
-    val merged = estimate(
-      regs.groupBy("bucket").agg(max("reg").as("reg")), Seq.empty)
-    val exactSrc = sh.select(col("source"), col("shingle")).distinct()
-      .groupBy("source").agg(count(lit(1)).as("exact_distinct"))
-      .withColumnRenamed("source", "scope")
-    val exactAll = sh.select("shingle").distinct()
-      .agg(count(lit(1)).as("exact_distinct"))
-      .select(lit("__merged__").as("scope"), col("exact_distinct"))
-    perSrc.unionAll(merged)
-      .join(exactSrc.unionAll(exactAll), "scope")
-      .select(col("scope"), lit(m.toLong).as("m"), col("exact_distinct"),
-        (lit(0.709) * lit((m.toLong * m).toDouble) * lit((1L << 50).toDouble) /
-          col("s").cast("double")).as("hll_est"))
-      .orderBy("scope")
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val h = conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long")
+      val hashed = ss.select(col("source"), (h % m).as("bucket"),
+        (h / m).cast("long").as("rest"))
+      val rank = least(lit(50), lit(55) -
+        when(col("rest") === 0, lit(0)).otherwise(length(bin(col("rest")))))
+      val regs = hashed.select(col("source"), col("bucket"), rank.as("rank"))
+        .groupBy("source", "bucket").agg(max("rank").as("reg"))
+      def estimate(regTable: DataFrame, grp: Seq[String]): DataFrame = {
+        val sums =
+          (if (grp.isEmpty) regTable.groupBy() else regTable.groupBy(grp.head))
+            .agg(sum(expr("shiftleft(1L, cast(50 - reg as int))")).as("s_present"),
+              count(lit(1)).as("nb"))
+        sums.select(
+          (if (grp.isEmpty) lit("__merged__") else col(grp.head)).as("scope"),
+          ((col("s_present") +
+            (lit(m.toLong) - col("nb")) * lit(1L << 50))).as("s"))
+      }
+      val perSrc = estimate(regs, Seq("source"))
+      // merge = bucket-wise max over the per-source registers ONLY
+      val merged = estimate(
+        regs.groupBy("bucket").agg(max("reg").as("reg")), Seq.empty)
+      val exactSrc = ss
+        .groupBy("source").agg(count(lit(1)).as("exact_distinct"))
+        .withColumnRenamed("source", "scope")
+      val exactAll = ss.select("shingle").distinct()
+        .agg(count(lit(1)).as("exact_distinct"))
+        .select(lit("__merged__").as("scope"), col("exact_distinct"))
+      perSrc.unionAll(merged)
+        .join(exactSrc.unionAll(exactAll), "scope")
+        .select(col("scope"), lit(m.toLong).as("m"), col("exact_distinct"),
+          (lit(0.709) * lit((m.toLong * m).toDouble) * lit((1L << 50).toDouble) /
+            col("s").cast("double")).as("hll_est"))
+        .orderBy("scope")
+        .localCheckpoint(true)
+    } finally ss.unpersist()
   }
 
   // ------------------------------------------------ perplexity filter
@@ -337,13 +361,25 @@ object R8bQueries {
     * diagnostic (two "different" crawl slices sharing half their shingles
     * are one slice). The self-join keys on the SHINGLE (high-cardinality;
     * per-shingle fan-out bounded by |sources|² = 400), the pair agg is
-    * |sources|²-bounded, and sizes broadcast back. Integer ppm. */
-  private val qSourceOverlap: Q = (s, dir) => {
+    * |sources|²-bounded, and sizes broadcast back. Integer ppm.
+    *
+    * The distinct (source, shingle) set feeds THREE consumers (both join
+    * sides + sizes) whose differing column pruning defeats ReuseExchange
+    * (the dedup_span_exact lesson), so it persists MEMORY_AND_DISK — one
+    * corpus tokenize+shingle pass instead of three. */
+  /** Distinct (source, shingle) set — the shared input of [[qSourceOverlap]]. */
+  private[graft] def sourceShingles(s: SparkSession, dir: String): DataFrame = {
     import graft.ext.TextAnalysis
-    val ss = documents(s, dir)
+    documents(s, dir)
       .select(col("source"), TextAnalysis.tokens(col("text")).as("toks"))
       .select(col("source"), explode(TextAnalysis.shingles(col("toks"))).as("shingle"))
       .distinct()
+  }
+
+  /** Overlap pipeline over a (possibly cached) distinct shingle set —
+    * separated from the persist lifecycle so specs can pin the REAL plan
+    * (after localCheckpoint the executed plan is just an RDD scan). */
+  private[graft] def sourceOverlapResult(ss: DataFrame): DataFrame = {
     val sizes = ss.groupBy("source").agg(count(lit(1)).as("sz"))
     val inter = ss.select(col("source").as("s1"), col("shingle"))
       .join(ss.select(col("source").as("s2"), col("shingle")), "shingle")
@@ -355,6 +391,14 @@ object R8bQueries {
       .select(col("s1"), col("s2"), col("n_common"), col("n1"), col("n2"),
         expr("n_common * 1000000 div (n1 + n2 - n_common)").as("jaccard_ppm"))
       .orderBy("s1", "s2")
+  }
+
+  private val qSourceOverlap: Q = (s, dir) => {
+    val ss = sourceShingles(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // eager |sources|²-row result, lineage cut → the cache drops here
+    try sourceOverlapResult(ss).localCheckpoint(true)
+    finally ss.unpersist()
   }
 
   // -------------------------------------------------------- chi-square
