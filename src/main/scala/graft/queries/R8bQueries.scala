@@ -521,9 +521,87 @@ object R8bQueries {
         |  AND l_quantity < 24D""".stripMargin)
   }
 
+  // ------------------------------------------------- NOT IN null traps
+
+  /** NOT IN's three-valued-logic trap as an executable exhibit: the same
+    * anti-membership question against a null-free subquery (normal anti
+    * join), a null-containing one (NOT IN col, NULL, … is never TRUE — the
+    * correct answer is 0 rows, the classic production surprise), and IN
+    * over the null-containing set (nulls ignored). Spark plans the
+    * null-aware anti join for case two; both engines implement the same
+    * SQL-standard semantics, which is exactly what this key pins. Runs
+    * through the spark.sql text API (NOT IN is subquery syntax). */
+  private val qNotInNull: Q = (s, dir) => {
+    customer(s, dir).createOrReplaceTempView("graft_nin_customer")
+    orders(s, dir).createOrReplaceTempView("graft_nin_orders")
+    s.sql(
+      """SELECT
+        |  (SELECT count(*) FROM graft_nin_customer
+        |   WHERE c_custkey NOT IN (SELECT o_custkey FROM graft_nin_orders
+        |                           WHERE o_orderstatus = 'F')) AS n_nullfree,
+        |  (SELECT count(*) FROM graft_nin_customer
+        |   WHERE c_custkey NOT IN (SELECT CASE WHEN o_orderkey % 97 = 0
+        |                                       THEN NULL ELSE o_custkey END
+        |                           FROM graft_nin_orders
+        |                           WHERE o_orderstatus = 'F')) AS n_withnull,
+        |  (SELECT count(*) FROM graft_nin_customer
+        |   WHERE c_custkey IN (SELECT CASE WHEN o_orderkey % 97 = 0
+        |                                   THEN NULL ELSE o_custkey END
+        |                       FROM graft_nin_orders
+        |                       WHERE o_orderstatus = 'F')) AS n_in_withnull""".stripMargin)
+  }
+
+  // ------------------------------------------------------------- CUSUM
+
+  /** CUSUM change-point statistic per event_type over the daily-count
+    * series — the drift detector for ingest monitoring. Deviations are
+    * scaled by the day count so everything stays integer: S_t =
+    * Σ_{i≤t} (D·c_i − T) (T = the type's total, D = its day count), and
+    * the detectability statistic is max S − min S. The running sum windows
+    * PARTITIONED BY TYPE over the |days|-bounded aggregated series. */
+  private val qCusum: Q = (s, dir) => {
+    val daily = eventsTs(s, dir)
+      .groupBy(col("event_type"), expr(s"ts_us div ${DayUs}L").as("day"))
+      .agg(count(lit(1)).as("c"))
+    val tot = Window.partitionBy("event_type")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val run = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("t_total", sum("c").over(tot))
+      .withColumn("n_days", count(lit(1)).over(tot))
+      .withColumn("s_t",
+        sum(col("c") * col("n_days") - col("t_total")).over(run))
+      .groupBy("event_type")
+      .agg(max("n_days").as("n_days"), max("t_total").as("total"),
+        max("s_t").as("max_cusum"), min("s_t").as("min_cusum"))
+      .withColumn("cusum_range", col("max_cusum") - col("min_cusum"))
+      .orderBy("event_type")
+  }
+
+  // ------------------------------------------------------- reciprocity
+
+  /** Directed-graph reciprocity: the share of edges whose reverse edge
+    * also exists (social graphs ≫ web graphs on this measure). ONE
+    * composite-key equi-join of the edge set against its own transpose;
+    * integer ppm. */
+  private val qReciprocity: Q = (s, dir) => {
+    val ed = GraphQueries.edges(s, dir)
+    val rec = ed.join(
+      ed.select(col("dst").as("src"), col("src").as("dst")),
+      Seq("src", "dst"), "left_semi")
+    ed.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(rec.agg(count(lit(1)).as("n_reciprocal")))
+      .select(col("n_edges"), col("n_reciprocal"),
+        expr("n_reciprocal * 1000000 div n_edges").as("reciprocity_ppm"))
+  }
+
   // ---------------------------------------------------------- wiring
 
   val queries: Map[String, Q] = Map(
+    "q_not_in_null" -> qNotInNull,
+    "q_cusum_changepoint" -> qCusum,
+    "graph_reciprocity" -> qReciprocity,
     "q_autocorr" -> qAutocorr,
     "q_interval_union" -> qIntervalUnion,
     "graph_assortativity" -> qAssortativity,
@@ -571,6 +649,50 @@ object R8bQueries {
       |tr AS (SELECT source, unnest(sg) AS shingle FROM sh)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_not_in_null" ->
+      """SELECT
+        |  (SELECT count(*) FROM customer
+        |   WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+        |                           WHERE o_orderstatus = 'F')) AS n_nullfree,
+        |  (SELECT count(*) FROM customer
+        |   WHERE c_custkey NOT IN (SELECT CASE WHEN o_orderkey % 97 = 0
+        |                                       THEN NULL ELSE o_custkey END
+        |                           FROM orders
+        |                           WHERE o_orderstatus = 'F')) AS n_withnull,
+        |  (SELECT count(*) FROM customer
+        |   WHERE c_custkey IN (SELECT CASE WHEN o_orderkey % 97 = 0
+        |                                   THEN NULL ELSE o_custkey END
+        |                       FROM orders
+        |                       WHERE o_orderstatus = 'F')) AS n_in_withnull""".stripMargin,
+
+    "q_cusum_changepoint" ->
+      s"""WITH daily AS (
+         |  SELECT event_type, epoch_us(ts) // $DayUs AS day, count(*) AS c
+         |  FROM events GROUP BY 1, 2),
+         |w AS (SELECT event_type, day, c,
+         |    CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS t_total,
+         |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_days
+         |  FROM daily),
+         |r AS (SELECT event_type, n_days, t_total,
+         |    CAST(sum(c * n_days - t_total) OVER (PARTITION BY event_type
+         |      ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS s_t
+         |  FROM w)
+         |SELECT event_type, max(n_days) AS n_days, max(t_total) AS total,
+         |  max(s_t) AS max_cusum, min(s_t) AS min_cusum,
+         |  max(s_t) - min(s_t) AS cusum_range
+         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "graph_reciprocity" ->
+      s"""WITH edges AS ($EdgesSql),
+         |rec AS (SELECT a.src, a.dst FROM edges a
+         |  WHERE EXISTS (SELECT 1 FROM edges b
+         |                WHERE b.src = a.dst AND b.dst = a.src))
+         |SELECT (SELECT count(*) FROM edges) AS n_edges,
+         |  (SELECT count(*) FROM rec) AS n_reciprocal,
+         |  (SELECT count(*) FROM rec) * 1000000
+         |    // (SELECT count(*) FROM edges) AS reciprocity_ppm""".stripMargin,
+
     "q_autocorr" ->
       s"""WITH daily AS (
          |  SELECT epoch_us(ts) // $DayUs AS day, count(*) AS c
