@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.ext.Similarity
 
 /** Round-8 second wave: time-series self-correlation, interval coverage
   * (the union-length sweep, banded per entity), and degree-mixing
@@ -596,9 +597,65 @@ object R8bQueries {
         expr("n_reciprocal * 1000000 div n_edges").as("reciprocity_ppm"))
   }
 
+  // --------------------------------------------------- k-NN classification
+
+  /** k-NN label classification over the embedding table with MEASURED
+    * accuracy — the "does my embedding space carry the label" probe every
+    * retrieval/curation pipeline runs before trusting cosine distances.
+    * Every 5th vector is held out as a test probe; its 5 nearest training
+    * neighbors (cosine, the codegen'd dot fold) vote, ties broken toward
+    * the SMALLER label via the scalar arg-max key (cnt·1000 − label, the
+    * q_mode rule); per-label accuracy in integer ppm. Ranking runs through
+    * the bounded topk_pairs aggregate (rankTopK) — no per-probe window. */
+  private val qKnnAccuracy: Q = (s, dir) => {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val e = embeddings(s, dir)
+    val train = e.filter(col("vec_id") % 5 =!= 0)
+    val test = e.filter(col("vec_id") % 5 === 0)
+    val votes = Similarity.bruteForceTopK(train, test, 5)
+      .select("q_id", "n_id")
+      .join(train.select(col("vec_id").as("n_id"),
+        col("label").cast("long").as("label")), "n_id")
+      .groupBy("q_id", "label").agg(count(lit(1)).as("cnt"))
+      .groupBy("q_id")
+      .agg(max_by(col("label"), col("cnt") * 1000 - col("label")).as("pred"))
+    votes
+      .join(test.select(col("vec_id").as("q_id"),
+        col("label").cast("long").as("true_label")), "q_id")
+      .groupBy("true_label")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("pred") === col("true_label"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .withColumn("acc_ppm", expr("n_correct * 1000000 div n"))
+      .orderBy("true_label")
+  }
+
+  // ------------------------------------------------------- lateral top-n
+
+  /** Correlated LATERAL subquery with ORDER BY + LIMIT — top-3 orders per
+    * customer through the dependent-join SQL surface (Spark decorrelates
+    * the limit into a per-customer rank under the hood; the textual API is
+    * what this key pins). Deterministic inner order (price DESC, key ASC). */
+  private val qLateralTopN: Q = (s, dir) => {
+    customer(s, dir).createOrReplaceTempView("graft_lat_customer")
+    orders(s, dir).createOrReplaceTempView("graft_lat_orders")
+    s.sql(
+      """SELECT c.c_custkey, o.o_orderkey, o.price_cents
+        |FROM graft_lat_customer c,
+        |LATERAL (SELECT o_orderkey,
+        |    CAST(floor(o_totalprice * 100D + 0.5D) AS BIGINT) AS price_cents
+        |  FROM graft_lat_orders
+        |  WHERE o_custkey = c.c_custkey
+        |  ORDER BY price_cents DESC, o_orderkey
+        |  LIMIT 3) o
+        |ORDER BY c_custkey, price_cents DESC, o_orderkey""".stripMargin)
+  }
+
   // ---------------------------------------------------------- wiring
 
   val queries: Map[String, Q] = Map(
+    "emb_knn_accuracy" -> qKnnAccuracy,
+    "q_lateral_topn" -> qLateralTopN,
     "q_not_in_null" -> qNotInNull,
     "q_cusum_changepoint" -> qCusum,
     "graph_reciprocity" -> qReciprocity,
@@ -648,7 +705,49 @@ object R8bQueries {
       |  END AS sg FROM tok),
       |tr AS (SELECT source, unnest(sg) AS shingle FROM sh)""".stripMargin
 
+  /** DuckDB sequential-fold dot/cosine twins (the established shape that
+    * matches the codegen'd dot_product bit for bit). */
+  private def knnDot(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      s"list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), " +
+      "(x,y) -> x + y)"
+
+  private def knnCos(a: String, b: String): String =
+    s"(${knnDot(a, b)} / (sqrt(${knnDot(a, a)}) * sqrt(${knnDot(b, b)})))"
+
   val oracle: Map[String, String] = Map(
+    "emb_knn_accuracy" ->
+      s"""WITH tr AS (SELECT vec_id, embedding, CAST(label AS BIGINT) AS label
+         |  FROM embeddings WHERE vec_id % 5 <> 0),
+         |te AS (SELECT vec_id AS q_id, embedding AS qe,
+         |    CAST(label AS BIGINT) AS true_label
+         |  FROM embeddings WHERE vec_id % 5 = 0),
+         |r AS (SELECT q_id, tr.label,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY ${knnCos("qe", "tr.embedding")} DESC, tr.vec_id) AS rank
+         |  FROM tr, te WHERE tr.vec_id <> te.q_id),
+         |v AS (SELECT q_id, label, count(*) AS cnt FROM r WHERE rank <= 5
+         |      GROUP BY 1, 2),
+         |p AS (SELECT q_id, arg_max(label, cnt * 1000 - label) AS pred
+         |      FROM v GROUP BY 1)
+         |SELECT true_label, count(*) AS n,
+         |  CAST(sum(CASE WHEN pred = true_label THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_correct,
+         |  CAST(sum(CASE WHEN pred = true_label THEN 1 ELSE 0 END) AS BIGINT)
+         |    * 1000000 // count(*) AS acc_ppm
+         |FROM p JOIN te USING (q_id) GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_lateral_topn" ->
+      """SELECT c.c_custkey, o.o_orderkey, o.price_cents
+        |FROM customer c,
+        |LATERAL (SELECT o_orderkey,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
+        |  FROM orders
+        |  WHERE o_custkey = c.c_custkey
+        |  ORDER BY price_cents DESC, o_orderkey
+        |  LIMIT 3) o
+        |ORDER BY c_custkey, price_cents DESC, o_orderkey""".stripMargin,
+
     "q_not_in_null" ->
       """SELECT
         |  (SELECT count(*) FROM customer
