@@ -1432,7 +1432,7 @@ object ExtQueries {
   /** BpeTrainer twin: the recursive merge-training CTE, ending in `bpe`
     * whose iter=`merges` rows hold the fully-merged vocabulary and whose
     * iter=i≥1 rows carry the rule learned at round i (mp1, mp2, mn). */
-  private def BpeCtes(merges: Int): String = {
+  private[queries] def BpeCtes(merges: Int): String = {
     val symPat = s"chr(1) || '([^' || chr(2) || ']*)' || chr(2)"
     s"""WITH RECURSIVE w0 AS (
        |  SELECT w, CAST(count(*) AS BIGINT) AS cnt

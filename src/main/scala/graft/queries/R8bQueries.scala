@@ -651,9 +651,31 @@ object R8bQueries {
         |ORDER BY c_custkey, price_cents DESC, o_orderkey""".stripMargin)
   }
 
+  // ------------------------------------------------------ BPE fertility
+
+  /** Tokenizer fertility per source: BPE pieces per whitespace word under
+    * the corpus-trained 64-merge vocabulary (×10000, truncating) — the
+    * compression-quality metric tokenizer teams track per domain (a
+    * domain whose fertility spikes is being shredded into bytes and will
+    * dominate the token budget). Reuses the driver-local trainer + the
+    * codegen'd bpe_apply over the DISTINCT-word vocabulary; the token
+    * stream only joins on the word key. */
+  private val qBpeFertility: Q = (s, dir) => {
+    val docs = documents(s, dir)
+    val perDoc = graft.ext.BpeTrainer
+      .tokenCounts(docs, graft.ext.BpeTrainer.train(docs, merges = 64))
+    perDoc.join(docs.select("doc_id", "source"), "doc_id")
+      .groupBy("source")
+      .agg(sum("ws_tokens").as("ws_tokens"), sum("bpe_tokens").as("bpe_tokens"))
+      .withColumn("fertility_x10000",
+        expr("bpe_tokens * 10000 div ws_tokens"))
+      .orderBy("source")
+  }
+
   // ---------------------------------------------------------- wiring
 
   val queries: Map[String, Q] = Map(
+    "corpus_bpe_fertility" -> qBpeFertility,
     "emb_knn_accuracy" -> qKnnAccuracy,
     "q_lateral_topn" -> qLateralTopN,
     "q_not_in_null" -> qNotInNull,
@@ -716,6 +738,19 @@ object R8bQueries {
     s"(${knnDot(a, b)} / (sqrt(${knnDot(a, a)}) * sqrt(${knnDot(b, b)})))"
 
   val oracle: Map[String, String] = Map(
+    "corpus_bpe_fertility" ->
+      s"""${ExtQueries.BpeCtes(64)},
+         |v8 AS (SELECT w, len(regexp_extract_all(s,
+         |    chr(1) || '([^' || chr(2) || ']*)' || chr(2), 1)) AS n_bpe
+         |  FROM bpe WHERE iter = 64),
+         |tokr2 AS (SELECT source, unnest(regexp_split_to_array(text, '\\s+')) AS w
+         |  FROM documents)
+         |SELECT source, CAST(count(*) AS BIGINT) AS ws_tokens,
+         |  CAST(sum(n_bpe) AS BIGINT) AS bpe_tokens,
+         |  CAST(sum(n_bpe) AS BIGINT) * 10000 // count(*) AS fertility_x10000
+         |FROM tokr2 JOIN v8 USING (w)
+         |GROUP BY source ORDER BY source""".stripMargin,
+
     "emb_knn_accuracy" ->
       s"""WITH tr AS (SELECT vec_id, embedding, CAST(label AS BIGINT) AS label
          |  FROM embeddings WHERE vec_id % 5 <> 0),
