@@ -51,10 +51,18 @@ final class KafkaProduceClient(broker: String, timeoutMs: Int = 60000,
     extends AutoCloseable {
 
   require(acks == -1 || acks == 0 || acks == 1, s"unsupported acks $acks")
-  require(compression == "none" || compression == "gzip",
-    s"unsupported compression codec '$compression' (none|gzip)")
+  require(KafkaProduceClient.Codecs.contains(compression),
+    s"unsupported compression codec '$compression' " +
+      s"(${KafkaProduceClient.Codecs.keys.toSeq.sorted.mkString("|")})")
   require(apiVersion == 0 || apiVersion == 2 || apiVersion == 3,
     s"unsupported Produce version $apiVersion (0|2|3)")
+  // snappy/lz4/zstd ship as RECORD-BATCH codecs only (magic-2, Produce v3):
+  // their magic-1 message-set framings carry legacy quirks (the xerial
+  // block header, KIP-57's broken-HC frame) that modern brokers only keep
+  // for compatibility, and KIP-110 made zstd v2-batches-only outright —
+  // a misconfigured codec/version pair fails HERE at submit, not per task
+  require(compression == "none" || compression == "gzip" || apiVersion >= 3,
+    s"codec '$compression' requires Produce v3 record batches (got v$apiVersion)")
   // compressed message sets use the magic-1 wrapper-message framing, which
   // rides the v2 request; under v3 compression is a RecordBatch attribute
   // (the records section deflates in place), so v3 keeps its version
@@ -211,14 +219,14 @@ final class KafkaProduceClient(broker: String, timeoutMs: Int = 60000,
     writeVarlong(framed, rec.size().toLong)
     rec.writeTo(framed)
     val records =
-      if (compression != "gzip") framed.toByteArray
+      if (compression == "none") framed.toByteArray
       else {
         val z = new java.io.ByteArrayOutputStream()
-        val gz = new java.util.zip.GZIPOutputStream(z)
-        framed.writeTo(gz); gz.close()
+        val cs = KafkaProduceClient.compressOut(compression, z)
+        framed.writeTo(cs); cs.close()
         z.toByteArray
       }
-    val attributes: Short = if (compression == "gzip") 1 else 0
+    val attributes: Short = KafkaProduceClient.Codecs(compression)
     val section = new java.io.ByteArrayOutputStream()
     val sb = new DataOutputStream(section)
     sb.writeShort(attributes)
@@ -399,10 +407,27 @@ object KafkaProduceClient {
   def compressionFromConf(conf: Map[String, String]): String = {
     val c = conf.get("compression.codec")
       .orElse(conf.get("compression.type")).getOrElse("none").trim.toLowerCase
-    c match {
-      case "none" | "gzip" => c
-      case other => throw new IllegalArgumentException(
-        s"unsupported compression.codec '$other' (none|gzip)")
-    }
+    if (Codecs.contains(c)) c
+    else throw new IllegalArgumentException(
+      s"unsupported compression.codec '$c' " +
+        s"(${Codecs.keys.toSeq.sorted.mkString("|")})")
+  }
+
+  /** Codec → RecordBatch attributes bits 0-2 (KIP-98; gzip also valid as
+    * the magic-1 wrapper codec on Produce v0/v2). */
+  val Codecs: Map[String, Short] =
+    Map("none" -> 0, "gzip" -> 1, "snappy" -> 2, "lz4" -> 3, "zstd" -> 4)
+
+  /** The compression stream each codec's records section runs through —
+    * the same stream implementations Kafka's own clients use (xerial
+    * block stream for snappy, LZ4 frame format, zstd frames), all already
+    * on the Spark classpath. */
+  private[sinks] def compressOut(codec: String,
+      out: java.io.OutputStream): java.io.OutputStream = codec match {
+    case "gzip"   => new java.util.zip.GZIPOutputStream(out)
+    case "snappy" => new org.xerial.snappy.SnappyOutputStream(out)
+    case "lz4"    => new net.jpountz.lz4.LZ4FrameOutputStream(out)
+    case "zstd"   => new com.github.luben.zstd.ZstdOutputStream(out)
+    case other    => throw new IllegalArgumentException(s"no stream for '$other'")
   }
 }

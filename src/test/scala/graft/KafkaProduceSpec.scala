@@ -193,6 +193,12 @@ class KafkaProduceSpec extends AnyFunSuite {
                 case 0 => rawRecords
                 case 1 => new java.util.zip.GZIPInputStream(
                   new ByteArrayInputStream(rawRecords)).readAllBytes()
+                case 2 => new org.xerial.snappy.SnappyInputStream(
+                  new ByteArrayInputStream(rawRecords)).readAllBytes()
+                case 3 => new net.jpountz.lz4.LZ4FrameInputStream(
+                  new ByteArrayInputStream(rawRecords)).readAllBytes()
+                case 4 => new com.github.luben.zstd.ZstdInputStream(
+                  new ByteArrayInputStream(rawRecords)).readAllBytes()
                 case codec => fail(s"unsupported batch codec $codec")
               }
               val rs = new DataInputStream(new ByteArrayInputStream(records))
@@ -561,6 +567,36 @@ class KafkaProduceSpec extends AnyFunSuite {
     } finally { client.close(); broker.close() }
   }
 
+  test("Produce v3 snappy/lz4/zstd: batch codec bits 2/3/4, payload recovered") {
+    Seq(("snappy", 2.toByte), ("lz4", 3.toByte), ("zstd", 4.toByte)).foreach {
+      case (codec, bits) =>
+        val broker = new LoopbackBroker()
+        val client = new KafkaProduceClient(broker.broker, timeoutMs = 5000,
+          apiVersion = 3, compression = codec)
+        try {
+          val body = s"$codec " + ("r" * 4096)
+          client.send(s"v3-$codec", body)
+          client.flush()
+          assert(broker.received.toArray(Array.empty[(String, String)]).toSet ==
+            Set(s"v3-$codec" -> body), s"$codec payload must round-trip")
+          val frames = broker.frames.toArray(Array.empty[(Short, Short, Byte)])
+          assert(frames.toSeq == Seq((3.toShort, 1.toShort, bits)),
+            s"$codec must ride v3 with batch codec bits $bits, got ${frames.toSeq}")
+          assert(counts(client)(s"hotdog.kafka.submitted.v3-$codec") == 1L)
+        } finally { client.close(); broker.close() }
+    }
+  }
+
+  test("record-batch codecs reject pre-v3 Produce at construction") {
+    Seq("snappy", "lz4", "zstd").foreach { codec =>
+      val e = intercept[IllegalArgumentException] {
+        new KafkaProduceClient("localhost:1", apiVersion = 2, compression = codec)
+      }
+      assert(e.getMessage.contains("requires Produce v3"),
+        s"$codec at v2 must fail at submit time: ${e.getMessage}")
+    }
+  }
+
   test("acks=all is passed on the wire and acknowledged normally") {
     val broker = new LoopbackBroker()
     val client = new KafkaProduceClient(broker.broker, timeoutMs = 5000,
@@ -608,8 +644,11 @@ class KafkaProduceSpec extends AnyFunSuite {
     assert(produceVersionFromConf(Map("broker.version.fallback" -> "0.10.2.1")) == 2)
     assert(produceVersionFromConf(Map("broker.version.fallback" -> "0.11.0")) == 3)
     assert(produceVersionFromConf(Map("broker.version.fallback" -> "3.6")) == 3)
+    assert(compressionFromConf(Map("compression.codec" -> "zstd")) == "zstd")
+    assert(compressionFromConf(Map("compression.type" -> "LZ4")) == "lz4")
+    assert(compressionFromConf(Map("compression.codec" -> "snappy")) == "snappy")
     intercept[IllegalArgumentException](
-      compressionFromConf(Map("compression.codec" -> "zstd")))
+      compressionFromConf(Map("compression.codec" -> "brotli")))
   }
 
   test("RoutedSink.produceKafka threads acks/codec conf to executor clients") {
