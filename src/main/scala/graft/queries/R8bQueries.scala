@@ -672,9 +672,97 @@ object R8bQueries {
       .orderBy("source")
   }
 
+  // ------------------------------------------------------ nearest as-of
+
+  /** NEAREST-match as-of join (pandas merge_asof direction='nearest'):
+    * each purchase matches its closest click in EITHER direction, ties to
+    * the earlier side. Completes the as-of family (backward, forward,
+    * tolerance, nearest) in the same single-pass union+window shape — the
+    * backward and forward candidates are IGNORE-NULLS window lookups over
+    * one user-keyed sort, never a join explosion. */
+  private val qAsofNearest: Q = (s, dir) => {
+    val ev = eventsTs(s, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts_us"))
+    val wPrev = Window.partitionBy("user_id")
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wNext = Window.partitionBy("user_id")
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    val clickTs = when(col("event_type") === "click", col("ts_us"))
+    val clickId = when(col("event_type") === "click", col("event_id"))
+    ev
+      .withColumn("prev_ts", last(clickTs, ignoreNulls = true).over(wPrev))
+      .withColumn("prev_id", last(clickId, ignoreNulls = true).over(wPrev))
+      .withColumn("next_ts", first(clickTs, ignoreNulls = true).over(wNext))
+      .withColumn("next_id", first(clickId, ignoreNulls = true).over(wNext))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"),
+        when(col("next_ts").isNull ||
+          (col("prev_ts").isNotNull &&
+            col("ts_us") - col("prev_ts") <= col("next_ts") - col("ts_us")),
+          col("prev_id")).otherwise(col("next_id")).as("nearest_click"),
+        when(col("next_ts").isNull ||
+          (col("prev_ts").isNotNull &&
+            col("ts_us") - col("prev_ts") <= col("next_ts") - col("ts_us")),
+          col("ts_us") - col("prev_ts"))
+          .otherwise(col("next_ts") - col("ts_us")).as("gap_us"))
+      .orderBy("event_id")
+  }
+
+  // ------------------------------------------- theta-sketch intersection
+
+  /** Set-INTERSECTION estimates from per-source KMV sketches (the Theta
+    * sketch operation): θ = min of the two sources' k-th minima, the
+    * estimate counts sketch entries below θ in BOTH sketches and scales
+    * by 2⁵²/θ — computed ONLY from the pooled ≤ k-entry sketch arrays,
+    * next to the exact intersection as the measured-error baseline.
+    * Together with [[qKmv]]'s exact union merge this completes the sketch
+    * set algebra a federated pipeline runs on receipts instead of data:
+    * per-node sketches answer both |A∪B| (exactly, for KMV) and |A∩B|
+    * (approximately, with measured error) without rescanning either side.
+    * A source with fewer than k hashes keeps θ = 2⁵² (its sketch IS its
+    * set). Pair fan-out is |sources|² over k-entry arrays — constant. */
+  private val qThetaIntersect: Q = (s, dir) => {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val hashed = kmvHashed(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val per = hashed.groupBy("source")
+        .agg(expr(s"topk_pairs(h, cast(h as double), $KmvK, true)").as("arr"))
+        .select(col("source"),
+          expr("transform(arr, x -> x.n_id)").as("hs"),
+          coalesce(element_at(col("arr"), KmvK).getField("n_id"),
+            lit(Pow52)).as("theta_s"))
+      val pairs = per.select(col("source").as("s1"), col("hs").as("h1"),
+          col("theta_s").as("t1"))
+        .crossJoin(per.select(col("source").as("s2"), col("hs").as("h2"),
+          col("theta_s").as("t2")))
+        .filter(col("s1") < col("s2"))
+        .select(col("s1"), col("s2"), least(col("t1"), col("t2")).as("theta"),
+          expr("size(array_intersect(filter(h1, h -> h < least(t1, t2)), " +
+            "filter(h2, h -> h < least(t1, t2))))").cast("long")
+            .as("n_below_theta"))
+      val exact = hashed.select(col("source").as("s1"), col("h"))
+        .join(hashed.select(col("source").as("s2"), col("h")), "h")
+        .filter(col("s1") < col("s2"))
+        .groupBy("s1", "s2").agg(count(lit(1)).as("exact_common"))
+      pairs.join(exact, Seq("s1", "s2"), "left")
+        .select(col("s1"), col("s2"), col("theta"), col("n_below_theta"),
+          (col("n_below_theta").cast("double") * lit(Pow52.toDouble) /
+            col("theta").cast("double")).as("theta_est"),
+          coalesce(col("exact_common"), lit(0L)).as("exact_common"))
+        .orderBy("s1", "s2")
+        .localCheckpoint(true)
+    } finally hashed.unpersist()
+  }
+
   // ---------------------------------------------------------- wiring
 
   val queries: Map[String, Q] = Map(
+    "q_asof_nearest" -> qAsofNearest,
+    "sketch_theta_intersection" -> qThetaIntersect,
     "corpus_bpe_fertility" -> qBpeFertility,
     "emb_knn_accuracy" -> qKnnAccuracy,
     "q_lateral_topn" -> qLateralTopN,
@@ -738,6 +826,66 @@ object R8bQueries {
     s"(${knnDot(a, b)} / (sqrt(${knnDot(a, a)}) * sqrt(${knnDot(b, b)})))"
 
   val oracle: Map[String, String] = Map(
+    "q_asof_nearest" ->
+      """SELECT event_id,
+        |  CASE WHEN next_ts IS NULL OR (prev_ts IS NOT NULL AND ts - prev_ts <= next_ts - ts)
+        |       THEN prev_id ELSE next_id END AS nearest_click,
+        |  CASE WHEN next_ts IS NULL OR (prev_ts IS NOT NULL AND ts - prev_ts <= next_ts - ts)
+        |       THEN ts - prev_ts ELSE next_ts - ts END AS gap_us
+        |FROM (
+        |  SELECT event_id, event_type, epoch_us(ts) AS ts,
+        |    last_value(CASE WHEN event_type = 'click' THEN epoch_us(ts) END IGNORE NULLS)
+        |      OVER wp AS prev_ts,
+        |    last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+        |      OVER wp AS prev_id,
+        |    first_value(CASE WHEN event_type = 'click' THEN epoch_us(ts) END IGNORE NULLS)
+        |      OVER wn AS next_ts,
+        |    first_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+        |      OVER wn AS next_id
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |  WINDOW wp AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |         wn AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+        |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+
+    "sketch_theta_intersection" ->
+      s"""WITH tok AS (SELECT source, regexp_split_to_array(text, '\\s+') AS t
+         |             FROM documents),
+         |sh AS (SELECT source,
+         |  CASE WHEN len(t) < 3 THEN []::VARCHAR[]
+         |       ELSE list_transform(range(1, len(t)-1),
+         |                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+         |  END AS sg FROM tok),
+         |tr AS (SELECT source, unnest(sg) AS shingle FROM sh),
+         |hh AS (SELECT DISTINCT source, $HexFold13 AS h
+         |  FROM (SELECT source, md5(shingle) AS hx FROM tr)),
+         |rk AS (SELECT source, h,
+         |    row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM hh),
+         |sk AS (SELECT source, h FROM rk WHERE rn <= $KmvK),
+         |th AS (SELECT source,
+         |    coalesce(max(CASE WHEN rn = $KmvK THEN h END), $Pow52) AS theta_s
+         |  FROM rk GROUP BY source),
+         |p AS (SELECT ta.source AS s1, tb.source AS s2,
+         |    least(ta.theta_s, tb.theta_s) AS theta
+         |  FROM th ta, th tb WHERE ta.source < tb.source),
+         |cb AS (SELECT p.s1, p.s2, CAST(count(*) AS BIGINT) AS n_below_theta
+         |  FROM p JOIN sk a ON a.source = p.s1
+         |         JOIN sk b ON b.source = p.s2 AND a.h = b.h
+         |  WHERE a.h < p.theta GROUP BY 1, 2),
+         |ex AS (SELECT a.source AS s1, b.source AS s2,
+         |    CAST(count(*) AS BIGINT) AS exact_common
+         |  FROM hh a JOIN hh b ON a.h = b.h AND a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT p.s1, p.s2, p.theta,
+         |  coalesce(cb.n_below_theta, 0) AS n_below_theta,
+         |  CAST(coalesce(cb.n_below_theta, 0) AS DOUBLE)
+         |    * CAST($Pow52 AS DOUBLE) / CAST(p.theta AS DOUBLE) AS theta_est,
+         |  coalesce(ex.exact_common, 0) AS exact_common
+         |FROM p LEFT JOIN cb ON p.s1 = cb.s1 AND p.s2 = cb.s2
+         |       LEFT JOIN ex ON p.s1 = ex.s1 AND p.s2 = ex.s2
+         |ORDER BY p.s1, p.s2""".stripMargin,
+
     "corpus_bpe_fertility" ->
       s"""${ExtQueries.BpeCtes(64)},
          |v8 AS (SELECT w, len(regexp_extract_all(s,
