@@ -758,9 +758,33 @@ object R8bQueries {
     } finally hashed.unpersist()
   }
 
+  // -------------------------------------------------------- grouping id
+
+  /** GROUPING()/GROUPING_ID() over a rollup with PLANTED NULLs in a
+    * grouping column — the disambiguation those functions exist for: a
+    * real-NULL status group and the all-statuses subtotal row render the
+    * same NULL cell, and only the grouping flags (g_st) tell them apart.
+    * Bitmask order pinned to the SQL standard (first rollup column = MSB)
+    * in both engines. */
+  private val qGroupingId: Q = (s, dir) =>
+    orders(s, dir)
+      .select(
+        when(col("o_orderkey") % 7 === 0, lit(null).cast("string"))
+          .otherwise(col("o_orderstatus")).as("st"),
+        col("o_orderpriority").as("pr"))
+      .rollup("st", "pr")
+      .agg(count(lit(1)).as("n"),
+        grouping_id().cast("long").as("gid"),
+        grouping(col("st")).cast("long").as("g_st"))
+      .select(coalesce(col("st"), lit("(null)")).as("st"),
+        coalesce(col("pr"), lit("(all)")).as("pr"),
+        col("n"), col("gid"), col("g_st"))
+      .orderBy("gid", "st", "pr")
+
   // ---------------------------------------------------------- wiring
 
   val queries: Map[String, Q] = Map(
+    "q_grouping_id" -> qGroupingId,
     "q_asof_nearest" -> qAsofNearest,
     "sketch_theta_intersection" -> qThetaIntersect,
     "corpus_bpe_fertility" -> qBpeFertility,
@@ -826,6 +850,19 @@ object R8bQueries {
     s"(${knnDot(a, b)} / (sqrt(${knnDot(a, a)}) * sqrt(${knnDot(b, b)})))"
 
   val oracle: Map[String, String] = Map(
+    "q_grouping_id" ->
+      """WITH o AS (
+        |  SELECT CASE WHEN o_orderkey % 7 = 0 THEN NULL
+        |              ELSE o_orderstatus END AS st,
+        |    o_orderpriority AS pr
+        |  FROM orders)
+        |SELECT coalesce(st, '(null)') AS st, coalesce(pr, '(all)') AS pr,
+        |  count(*) AS n,
+        |  CAST(GROUPING(st, pr) AS BIGINT) AS gid,
+        |  CAST(GROUPING(st) AS BIGINT) AS g_st
+        |FROM o GROUP BY ROLLUP (st, pr)
+        |ORDER BY gid, st, pr""".stripMargin,
+
     "q_asof_nearest" ->
       """SELECT event_id,
         |  CASE WHEN next_ts IS NULL OR (prev_ts IS NOT NULL AND ts - prev_ts <= next_ts - ts)
