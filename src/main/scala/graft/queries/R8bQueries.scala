@@ -781,9 +781,38 @@ object R8bQueries {
         col("n"), col("gid"), col("g_st"))
       .orderBy("gid", "st", "pr")
 
+  // ------------------------------------------------------ null ordering
+
+  /** NULLS FIRST/LAST pinned as DATA: the engines disagree on the default
+    * (Spark sorts nulls first ascending, DuckDB last), so any ORDER BY
+    * over a nullable key silently diverges unless the placement is
+    * explicit. Ranks materialize the ordering into hashable rows; the
+    * orderkey tie-break makes both total orders unique. Windows run per
+    * status group (partitioned). */
+  private val qNullOrdering: Q = (s, dir) => {
+    val o = orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderstatus").as("grp"),
+        when(col("o_orderkey") % 5 === 0, lit(null).cast("long"))
+          .otherwise(expr("CAST(floor(o_totalprice * 100D + 0.5D) AS BIGINT)"))
+          .as("cents"))
+    val wNl = Window.partitionBy("grp")
+      .orderBy(col("cents").asc_nulls_last, col("o_orderkey"))
+    val wNf = Window.partitionBy("grp")
+      .orderBy(col("cents").desc_nulls_first, col("o_orderkey"))
+    o.withColumn("rank_asc_nulls_last", row_number().over(wNl))
+      .withColumn("rank_desc_nulls_first", row_number().over(wNf))
+      .filter(col("rank_asc_nulls_last") <= 5 ||
+        col("rank_desc_nulls_first") <= 5)
+      .select(col("grp"), col("o_orderkey"), col("cents"),
+        col("rank_asc_nulls_last").cast("long").as("rank_asc_nulls_last"),
+        col("rank_desc_nulls_first").cast("long").as("rank_desc_nulls_first"))
+      .orderBy("grp", "o_orderkey")
+  }
+
   // ---------------------------------------------------------- wiring
 
   val queries: Map[String, Q] = Map(
+    "q_null_ordering" -> qNullOrdering,
     "q_grouping_id" -> qGroupingId,
     "q_asof_nearest" -> qAsofNearest,
     "sketch_theta_intersection" -> qThetaIntersect,
@@ -850,6 +879,26 @@ object R8bQueries {
     s"(${knnDot(a, b)} / (sqrt(${knnDot(a, a)}) * sqrt(${knnDot(b, b)})))"
 
   val oracle: Map[String, String] = Map(
+    "q_null_ordering" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_orderstatus AS grp,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN NULL
+        |         ELSE CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) END AS cents
+        |  FROM orders),
+        |r AS (SELECT grp, o_orderkey, cents,
+        |    CAST(row_number() OVER (PARTITION BY grp
+        |      ORDER BY cents ASC NULLS LAST, o_orderkey) AS BIGINT)
+        |      AS rank_asc_nulls_last,
+        |    CAST(row_number() OVER (PARTITION BY grp
+        |      ORDER BY cents DESC NULLS FIRST, o_orderkey) AS BIGINT)
+        |      AS rank_desc_nulls_first
+        |  FROM o)
+        |SELECT grp, o_orderkey, cents, rank_asc_nulls_last,
+        |  rank_desc_nulls_first
+        |FROM r
+        |WHERE rank_asc_nulls_last <= 5 OR rank_desc_nulls_first <= 5
+        |ORDER BY grp, o_orderkey""".stripMargin,
+
     "q_grouping_id" ->
       """WITH o AS (
         |  SELECT CASE WHEN o_orderkey % 7 = 0 THEN NULL
