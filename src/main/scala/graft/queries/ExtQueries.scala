@@ -678,6 +678,26 @@ object ExtQueries {
     Selection.scoreQuality(d, Selection.trainQualityLsq(d)).orderBy("doc_id")
   }
 
+  /** Calibration curve of the quality classifier: documents bucketed by
+    * score decile (clamped — the LPM score can leave [0,1]), per-bin count
+    * and planted-positive rate in ppm. A well-calibrated bin-0.7 should
+    * run ~70% positive; the reliability diagram is how a selection
+    * pipeline decides whether classifier scores can be USED as keep
+    * probabilities (DSIR-style) or only as a ranking. Bin edges are
+    * floor(score·10) over the bit-equal pinned score, so binning is
+    * engine-exact. */
+  private val classifierCalibration: Q = (s, dir) => {
+    val d = classifierCorpus(s, dir)
+    Selection.scoreQuality(d, Selection.trainQualityLsq(d))
+      .withColumn("bin",
+        greatest(lit(0L), least(lit(9L), floor(col("score") * 10).cast("long"))))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("label") === 1, 1L).otherwise(0L)).as("n_pos"))
+      .withColumn("pos_ppm", expr("n_pos * 1000000 div n"))
+      .orderBy("bin")
+  }
+
   /** Measured holdout accuracy of the quality classifier — the accuracy
     * axis as a first-class oracle-checked key (the classifier twin of
     * `ann_recall`/`dedup_recall`): 2-fold content-hash cross-validation
@@ -1300,6 +1320,7 @@ object ExtQueries {
     "text_bigram_lm" -> textBigramLm,
     "corpus_select_top_quality" -> corpusSelectTopQuality,
     "corpus_quality_classifier" -> corpusQualityClassifier,
+    "classifier_calibration" -> classifierCalibration,
     "classifier_holdout_accuracy" -> classifierHoldoutAccuracy,
     "corpus_dsir_importance" -> corpusDsirImportance,
     "corpus_temperature_sample" -> corpusTemperatureSample,
@@ -3474,6 +3495,24 @@ object ExtQueries {
     // source of truth for the expression tree), SAME left-associated
     // scoring chain, so weights and scores agree bit-for-bit
     "corpus_quality_classifier" -> QualityClassifierOracle,
+
+    "classifier_calibration" ->
+      s"""WITH $ClassifierFeatsCtes,
+         |${classifierSolveCtes("feats")},
+         |sc AS (SELECT
+         |    w0 + w1 * CAST(x1 AS DOUBLE) + w2 * CAST(x2 AS DOUBLE)
+         |       + w3 * CAST(x3 AS DOUBLE) AS score,
+         |    y AS label
+         |  FROM feats, w),
+         |b AS (SELECT
+         |    greatest(0, least(9, CAST(floor(score * 10) AS BIGINT))) AS bin,
+         |    label
+         |  FROM sc)
+         |SELECT bin, count(*) AS n,
+         |  CAST(sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         |  CAST(sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    * 1000000 // count(*) AS pos_ppm
+         |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
 
     // holdout twin: each fold is a complete parenthesized sub-query over
     // the shared feats/solve fragments; folds split on the content-hash
