@@ -47,7 +47,8 @@ final class KafkaProduceClient(broker: String, timeoutMs: Int = 60000,
     saslAlgo: ScramAuth.Algo = ScramAuth.Sha256,
     acks: Short = 1,
     compression: String = "none",
-    apiVersion: Short = 0)
+    apiVersion: Short = 0,
+    maxMessageBytes: Int = 1000000)
     extends AutoCloseable {
 
   require(acks == -1 || acks == 0 || acks == 1, s"unsupported acks $acks")
@@ -113,6 +114,16 @@ final class KafkaProduceClient(broker: String, timeoutMs: Int = 60000,
 
   /** One blocking produce round-trip with the reference's accounting. */
   def sendSync(topic: String, payload: String): Unit = {
+    // librdkafka's message.max.bytes contract: an oversized payload is
+    // rejected LOCALLY before any wire traffic, surfacing through the
+    // same first-word error-counter scheme ("Message size too large" →
+    // `producer.error.message`, collapsing with timeouts exactly as the
+    // reference's split_whitespace().next() mapping does)
+    if (payload.getBytes(java.nio.charset.StandardCharsets.UTF_8).length >
+        maxMessageBytes) {
+      count(Stats.kafkaProducerError(Stats.metricNameFor("Message size too large")))
+      return
+    }
     val t0 = System.nanoTime()
     try {
       val code = produceRoundTrip(topic, payload)
@@ -412,6 +423,12 @@ object KafkaProduceClient {
       s"unsupported compression.codec '$c' " +
         s"(${Codecs.keys.toSeq.sorted.mkString("|")})")
   }
+
+  /** librdkafka `message.max.bytes` (default 1000000, the librdkafka
+    * default): payloads above it are rejected locally with the producer
+    * error counter, never sent. */
+  def maxMessageBytesFromConf(conf: Map[String, String]): Int =
+    conf.get("message.max.bytes").map(_.trim.toInt).getOrElse(1000000)
 
   /** Codec → RecordBatch attributes bits 0-2 (KIP-98; gzip also valid as
     * the magic-1 wrapper codec on Produce v0/v2). */

@@ -587,6 +587,26 @@ class KafkaProduceSpec extends AnyFunSuite {
     }
   }
 
+  test("message.max.bytes: oversized payload rejected locally, never sent") {
+    val broker = new LoopbackBroker()
+    val client = new KafkaProduceClient(broker.broker, timeoutMs = 5000,
+      maxMessageBytes = 64)
+    try {
+      client.send("big", "x" * 65) // 65 UTF-8 bytes > 64
+      client.send("ok", "y" * 64)  // exactly at the limit passes
+      client.flush()
+      assert(broker.received.toArray(Array.empty[(String, String)]).toSet ==
+        Set("ok" -> ("y" * 64)), "only the in-limit payload may reach the wire")
+      val c = counts(client)
+      assert(c("hotdog.kafka.producer.error.message") == 1L)
+      assert(c("hotdog.kafka.submitted.ok") == 1L)
+      assert(!c.contains("hotdog.kafka.submitted.big"))
+    } finally { client.close(); broker.close() }
+    import graft.sinks.KafkaProduceClient.maxMessageBytesFromConf
+    assert(maxMessageBytesFromConf(Map.empty) == 1000000)
+    assert(maxMessageBytesFromConf(Map("message.max.bytes" -> "2048")) == 2048)
+  }
+
   test("record-batch codecs reject pre-v3 Produce at construction") {
     Seq("snappy", "lz4", "zstd").foreach { codec =>
       val e = intercept[IllegalArgumentException] {
