@@ -809,9 +809,68 @@ object R8bQueries {
       .orderBy("grp", "o_orderkey")
   }
 
+  // ---------------------------------------------- dataset fingerprint
+
+  /** Content-addressed dataset manifest: per content-hash shard, the doc
+    * count, byte total, XOR and sum of 52-bit content hashes, and hash
+    * extrema — an order-free fingerprint (XOR/sum/min/max are commutative
+    * monoids) that two independent pipeline runs can compare to PROVE
+    * they produced the identical dataset without moving a byte. This is
+    * the provenance receipt a dataset card carries; any single changed/
+    * added/dropped document flips the shard's xor and sum. One map-side-
+    * combined agg onto |shards| cells. */
+  private val qDatasetFingerprint: Q = (s, dir) =>
+    documents(s, dir)
+      .select(
+        conv(substring(md5(col("text")), 1, 13), 16, 10).cast("long").as("h"),
+        col("n_chars"))
+      .groupBy(expr("h % 16").as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("total_chars"),
+        expr("bit_xor(h)").as("xor_hash"),
+        sum("h").as("sum_hash"),
+        min("h").as("min_hash"), max("h").as("max_hash"))
+      .orderBy("shard")
+
+  // --------------------------------------------------------- epoch diff
+
+  /** Dataset DIFF between two epochs by content hash — the add/remove/
+    * change/unchanged census a versioned corpus publishes per release.
+    * Epoch B is derived in-query: docs ≡0 mod 17 get revised text (a
+    * content change under the same doc_id), docs ≡0 mod 13 are dropped,
+    * and a shifted id range is added. A full-outer join on doc_id
+    * classifies each id; counts + a per-class content-hash XOR land in
+    * one bounded result. */
+  private val qEpochDiff: Q = (s, dir) => {
+    val base = documents(s, dir).select(col("doc_id"), col("text"))
+    val a = base.select(col("doc_id"),
+      conv(substring(md5(col("text")), 1, 13), 16, 10).cast("long").as("ha"))
+    val b = base
+      .filter(col("doc_id") % 13 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 17 === 0, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text")).as("text"))
+      .unionAll(base.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      .select(col("doc_id"),
+        conv(substring(md5(col("text")), 1, 13), 16, 10).cast("long").as("hb"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .select(
+        when(col("ha").isNull, lit("added"))
+          .when(col("hb").isNull, lit("removed"))
+          .when(col("ha") === col("hb"), lit("unchanged"))
+          .otherwise(lit("changed")).as("kind"),
+        coalesce(col("hb"), col("ha")).as("h"))
+      .groupBy("kind")
+      .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("xor_hash"))
+      .orderBy("kind")
+  }
+
   // ---------------------------------------------------------- wiring
 
   val queries: Map[String, Q] = Map(
+    "corpus_dataset_fingerprint" -> qDatasetFingerprint,
+    "corpus_epoch_diff" -> qEpochDiff,
     "q_null_ordering" -> qNullOrdering,
     "q_grouping_id" -> qGroupingId,
     "q_asof_nearest" -> qAsofNearest,
@@ -879,6 +938,41 @@ object R8bQueries {
     s"(${knnDot(a, b)} / (sqrt(${knnDot(a, a)}) * sqrt(${knnDot(b, b)})))"
 
   val oracle: Map[String, String] = Map(
+    "corpus_dataset_fingerprint" ->
+      s"""WITH h AS (
+         |  SELECT $HexFold13 AS h, n_chars
+         |  FROM (SELECT md5(text) AS hx, n_chars FROM documents))
+         |SELECT h % 16 AS shard, count(*) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         |  bit_xor(h) AS xor_hash,
+         |  CAST(sum(h) AS BIGINT) AS sum_hash,
+         |  min(h) AS min_hash, max(h) AS max_hash
+         |FROM h GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "corpus_epoch_diff" ->
+      s"""WITH a AS (
+         |  SELECT doc_id, $HexFold13 AS ha
+         |  FROM (SELECT doc_id, md5(text) AS hx FROM documents)),
+         |bsrc AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 17 = 0 THEN text || ' rev2' ELSE text END AS text
+         |  FROM documents WHERE doc_id % 13 <> 0
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 13 = 0),
+         |b AS (
+         |  SELECT doc_id, $HexFold13 AS hb
+         |  FROM (SELECT doc_id, md5(text) AS hx FROM bsrc)),
+         |j AS (
+         |  SELECT
+         |    CASE WHEN ha IS NULL THEN 'added'
+         |         WHEN hb IS NULL THEN 'removed'
+         |         WHEN ha = hb THEN 'unchanged'
+         |         ELSE 'changed' END AS kind,
+         |    coalesce(hb, ha) AS h
+         |  FROM a FULL OUTER JOIN b USING (doc_id))
+         |SELECT kind, count(*) AS n, bit_xor(h) AS xor_hash
+         |FROM j GROUP BY kind ORDER BY kind""".stripMargin,
+
     "q_null_ordering" ->
       """WITH o AS (
         |  SELECT o_orderkey, o_orderstatus AS grp,
