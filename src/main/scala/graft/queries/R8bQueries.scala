@@ -866,9 +866,39 @@ object R8bQueries {
       .orderBy("kind")
   }
 
+  // ------------------------------------------------------- SCD2 lookup
+
+  /** Point-in-time dimension lookup against the SCD2 build — the consumer
+    * side of q_scd2_build: every click resolves the purchase-version row
+    * valid AT its event time ([valid_from, valid_to) half-open, so a
+    * version is matched by at most one interval per user and zero-length
+    * versions match nothing, in both engines). The join is EQUI on the
+    * entity key — the interval predicate is a residual filter, so the
+    * volume rides a hash join keyed by user, never a range-join blowup;
+    * per-user version chains are the small side by construction. */
+  private val qScd2Lookup: Q = (s, dir) => {
+    val e = eventsTs(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts_us"))
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val dim = e.filter(col("event_type") === "purchase")
+      .withColumn("valid_to", lead("ts_us", 1).over(w))
+      .select(col("user_id"), col("event_id").as("version_id"),
+        col("ts_us").as("valid_from"), col("valid_to"))
+    val facts = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"), col("ts_us"))
+    facts.join(dim,
+        facts("user_id") === dim("user_id") &&
+          facts("ts_us") >= dim("valid_from") &&
+          (dim("valid_to").isNull || facts("ts_us") < dim("valid_to")),
+        "left")
+      .select(facts("event_id"), col("version_id"), col("valid_from"))
+      .orderBy("event_id")
+  }
+
   // ---------------------------------------------------------- wiring
 
   val queries: Map[String, Q] = Map(
+    "q_scd2_lookup" -> qScd2Lookup,
     "corpus_dataset_fingerprint" -> qDatasetFingerprint,
     "corpus_epoch_diff" -> qEpochDiff,
     "q_null_ordering" -> qNullOrdering,
@@ -938,6 +968,24 @@ object R8bQueries {
     s"(${knnDot(a, b)} / (sqrt(${knnDot(a, a)}) * sqrt(${knnDot(b, b)})))"
 
   val oracle: Map[String, String] = Map(
+    "q_scd2_lookup" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+        |  FROM events),
+        |dim AS (
+        |  SELECT user_id, event_id AS version_id, ts_us AS valid_from,
+        |    lead(ts_us) OVER (PARTITION BY user_id
+        |                      ORDER BY ts_us, event_id) AS valid_to
+        |  FROM e WHERE event_type = 'purchase'),
+        |f AS (SELECT user_id, event_id, ts_us FROM e
+        |      WHERE event_type = 'click')
+        |SELECT f.event_id, dim.version_id, dim.valid_from
+        |FROM f LEFT JOIN dim
+        |  ON f.user_id = dim.user_id
+        | AND f.ts_us >= dim.valid_from
+        | AND (dim.valid_to IS NULL OR f.ts_us < dim.valid_to)
+        |ORDER BY f.event_id""".stripMargin,
+
     "corpus_dataset_fingerprint" ->
       s"""WITH h AS (
          |  SELECT $HexFold13 AS h, n_chars
