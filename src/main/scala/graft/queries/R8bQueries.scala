@@ -895,9 +895,68 @@ object R8bQueries {
       .orderBy("event_id")
   }
 
+  // -------------------------------------------------------- burstiness
+
+  /** Token burstiness (Fano factor) for the top-20 corpus tokens: the
+    * variance-to-mean ratio of per-document counts, zeros included —
+    * function words sit near Poisson (≈1), topical/template words burst
+    * far above it; the signal that separates vocabulary to keep from
+    * boilerplate markers. Kept entirely rational-integer:
+    * fano·1000 = 1000·(D·ss − s²) div (D·s) with D the doc count and
+    * s/ss the per-token sum / sum-of-squares over documents CONTAINING
+    * the token (absent docs contribute zero to both, so the formula
+    * already includes them through D). One (doc, tok) agg, one token
+    * agg, a TakeOrdered(20) cut over the (count DESC, token ASC) total
+    * order. */
+  private val qBurstiness: Q = (s, dir) => {
+    val docs = documents(s, dir)
+    val nDocs = docs.agg(count(lit(1)).as("d"))
+    val perDoc = docs
+      .select(col("doc_id"),
+        explode(graft.ext.TextAnalysis.tokens(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+    perDoc.groupBy("tok")
+      .agg(sum("c").as("s"), sum(col("c") * col("c")).as("ss"),
+        count(lit(1)).as("doc_freq"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("tok"), col("s").as("total_count"), col("doc_freq"),
+        expr("1000 * (d * ss - s * s) div (d * s)").as("fano_x1000"))
+      .orderBy(desc("total_count"), asc("tok")).limit(20)
+  }
+
+  // -------------------------------------------------------- Heaps curve
+
+  /** Heaps-law vocabulary-growth curve WITHOUT rescanning per point:
+    * each token's first appearance (min doc_id) lands it in a corpus
+    * decile, and the cumulative bucket counts ARE V(n) at each prefix
+    * boundary — one token-keyed agg + a 10-row window instead of ten
+    * distinct-count passes. Sub-linear growth (each decile adding less)
+    * is the natural-corpus signature; linear growth screams
+    * machine-generated vocabulary. */
+  private val qHeapsCurve: Q = (s, dir) => {
+    val docs = documents(s, dir)
+    val maxDoc = docs.agg(max("doc_id").as("m"))
+    val firstSeen = docs
+      .select(col("doc_id"),
+        explode(graft.ext.TextAnalysis.tokens(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("tok").agg(min("doc_id").as("first_doc"))
+    val buckets = firstSeen.crossJoin(broadcast(maxDoc))
+      .select(least(lit(9L), expr("first_doc * 10 div (m + 1)")).as("decile"))
+      .groupBy("decile").agg(count(lit(1)).as("new_tokens"))
+    val w = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // the window runs over ≤10 aggregated rows — bounded input
+    buckets.withColumn("vocab_size", sum("new_tokens").over(w))
+      .orderBy("decile")
+  }
+
   // ---------------------------------------------------------- wiring
 
   val queries: Map[String, Q] = Map(
+    "text_burstiness" -> qBurstiness,
+    "text_heaps_curve" -> qHeapsCurve,
     "q_scd2_lookup" -> qScd2Lookup,
     "corpus_dataset_fingerprint" -> qDatasetFingerprint,
     "corpus_epoch_diff" -> qEpochDiff,
@@ -968,6 +1027,36 @@ object R8bQueries {
     s"(${knnDot(a, b)} / (sqrt(${knnDot(a, a)}) * sqrt(${knnDot(b, b)})))"
 
   val oracle: Map[String, String] = Map(
+    "text_burstiness" ->
+      """WITH d AS (SELECT CAST(count(*) AS BIGINT) AS d FROM documents),
+        |w AS (SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS tok
+        |      FROM documents),
+        |pc AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+        |       FROM w WHERE tok <> '' GROUP BY 1, 2),
+        |t AS (SELECT tok, CAST(sum(c) AS BIGINT) AS s,
+        |    CAST(sum(c * c) AS BIGINT) AS ss,
+        |    CAST(count(*) AS BIGINT) AS doc_freq
+        |  FROM pc GROUP BY tok)
+        |SELECT tok, s AS total_count, doc_freq,
+        |  1000 * (d * ss - s * s) // (d * s) AS fano_x1000
+        |FROM t CROSS JOIN d
+        |ORDER BY total_count DESC, tok LIMIT 20""".stripMargin,
+
+    "text_heaps_curve" ->
+      """WITH m AS (SELECT CAST(max(doc_id) AS BIGINT) AS m FROM documents),
+        |w AS (SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS tok
+        |      FROM documents),
+        |fs AS (SELECT tok, CAST(min(doc_id) AS BIGINT) AS first_doc
+        |       FROM w WHERE tok <> '' GROUP BY tok),
+        |b AS (SELECT least(9, first_doc * 10 // (m + 1)) AS decile,
+        |    CAST(count(*) AS BIGINT) AS new_tokens
+        |  FROM fs CROSS JOIN m GROUP BY 1)
+        |SELECT decile, new_tokens,
+        |  CAST(sum(new_tokens) OVER (ORDER BY decile
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS vocab_size
+        |FROM b ORDER BY decile""".stripMargin,
+
     "q_scd2_lookup" ->
       """WITH e AS (
         |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
