@@ -952,9 +952,49 @@ object R8bQueries {
       .orderBy("decile")
   }
 
+  // --------------------------------------------------- Hamming retrieval
+
+  /** Binary-embedding retrieval: each vector collapses to a 63-bit sign
+    * code (one BIGINT — dims 1..63; 63 keeps the code inside signed-64 in
+    * both engines), candidates rank by `bit_count(xor)` Hamming distance,
+    * and the measured top-5 overlap against full-precision brute force is
+    * the recall column. This is the 1-bit-per-dim first stage that turns
+    * a 256-byte float scan into an 8-byte popcount scan — the 32× memory
+    * cut that makes a 100 TB corpus RAM-resident; ranking runs through
+    * the bounded topk_pairs aggregate (ties at equal distance to the
+    * lower id, same contract both engines). */
+  private val qHammingSearch: Q = (s, dir) => {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val codeExpr = expr(
+      "aggregate(sequence(1, 63), 0L, (acc, i) -> acc + " +
+        "CASE WHEN element_at(embedding, CAST(i AS INT)) > CAST(0 AS FLOAT) " +
+        "THEN shiftleft(1L, CAST(i - 1 AS INT)) ELSE 0L END)")
+    val e = embeddings(s, dir)
+    val coded = e.select(col("vec_id"), codeExpr.as("code"))
+    val qs = broadcast(coded.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("code").as("q_code")))
+    val ham = coded.crossJoin(qs)
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        expr("bit_count(code ^ q_code)").cast("double").as("dist"))
+      .groupBy("q_id")
+      .agg(expr("topk_pairs(n_id, dist, 5, true)").as("arr"))
+      .select(col("q_id"), explode(expr("transform(arr, x -> x.n_id)")).as("n_id"))
+    val exact = Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), 5)
+      .select("q_id", "n_id")
+    val overlap = ham.join(exact, Seq("q_id", "n_id"), "left_semi")
+      .groupBy("q_id").agg(count(lit(1)).as("hits"))
+    ham.groupBy("q_id").agg(count(lit(1)).as("n_binary"))
+      .join(overlap, Seq("q_id"), "left")
+      .select(col("q_id"), col("n_binary"),
+        coalesce(col("hits"), lit(0L)).as("hits"))
+      .orderBy("q_id")
+  }
+
   // ---------------------------------------------------------- wiring
 
   val queries: Map[String, Q] = Map(
+    "emb_hamming_search" -> qHammingSearch,
     "text_burstiness" -> qBurstiness,
     "text_heaps_curve" -> qHeapsCurve,
     "q_scd2_lookup" -> qScd2Lookup,
@@ -1027,6 +1067,38 @@ object R8bQueries {
     s"(${knnDot(a, b)} / (sqrt(${knnDot(a, a)}) * sqrt(${knnDot(b, b)})))"
 
   val oracle: Map[String, String] = Map(
+    "emb_hamming_search" ->
+      s"""WITH c AS (SELECT vec_id, embedding,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(range(1, 64),
+         |        i -> CASE WHEN CAST(embedding[i] AS DOUBLE) > 0
+         |             THEN (CAST(1 AS BIGINT) << CAST(i - 1 AS INT))
+         |             ELSE CAST(0 AS BIGINT) END)),
+         |      (x, y) -> x + y) AS code
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, code AS q_code FROM c WHERE vec_id < 10),
+         |h AS (SELECT q_id, c.vec_id AS n_id,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY bit_count(xor(code, q_code)), c.vec_id) AS rank
+         |  FROM c, q WHERE c.vec_id <> q.q_id),
+         |h5 AS (SELECT q_id, n_id FROM h WHERE rank <= 5),
+         |bfq AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+         |        WHERE vec_id < 10),
+         |bf AS (SELECT q_id, n_id FROM (
+         |    SELECT q_id, e.vec_id AS n_id,
+         |      row_number() OVER (PARTITION BY q_id
+         |        ORDER BY ${knnCos("qe", "e.embedding")} DESC, e.vec_id) AS rank
+         |    FROM embeddings e, bfq WHERE e.vec_id <> bfq.q_id)
+         |  WHERE rank <= 5),
+         |nb AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_binary
+         |       FROM h5 GROUP BY 1),
+         |ov AS (SELECT h5.q_id, CAST(count(*) AS BIGINT) AS hits
+         |  FROM h5 JOIN bf ON h5.q_id = bf.q_id AND h5.n_id = bf.n_id
+         |  GROUP BY 1)
+         |SELECT nb.q_id, n_binary, coalesce(hits, 0) AS hits
+         |FROM nb LEFT JOIN ov ON nb.q_id = ov.q_id
+         |ORDER BY nb.q_id""".stripMargin,
+
     "text_burstiness" ->
       """WITH d AS (SELECT CAST(count(*) AS BIGINT) AS d FROM documents),
         |w AS (SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS tok
