@@ -991,9 +991,56 @@ object R8bQueries {
       .orderBy("q_id")
   }
 
+  // --------------------------------------------- Hamming + exact re-rank
+
+  /** The production two-stage retrieval contract: the 63-bit Hamming code
+    * pre-selects 50 candidates per query (popcount scan), the exact
+    * cosine re-ranks only those 50 (|Q|·50 float rows instead of the
+    * corpus), and the measured top-5 overlap vs full brute force shows
+    * how much of [[qHammingSearch]]'s recall loss the re-rank recovers —
+    * the speed/recall knob is the candidate width, and the cost of the
+    * float stage no longer scales with the corpus at all. */
+  private val qHammingRerank: Q = (s, dir) => {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val codeExpr = expr(
+      "aggregate(sequence(1, 63), 0L, (acc, i) -> acc + " +
+        "CASE WHEN element_at(embedding, CAST(i AS INT)) > CAST(0 AS FLOAT) " +
+        "THEN shiftleft(1L, CAST(i - 1 AS INT)) ELSE 0L END)")
+    val e = embeddings(s, dir)
+    val coded = e.select(col("vec_id"), col("embedding"), codeExpr.as("code"))
+    val qs = broadcast(coded.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("code").as("q_code")))
+    val cand50 = coded.crossJoin(qs.select("q_id", "q_code"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        expr("bit_count(code ^ q_code)").cast("double").as("dist"))
+      .groupBy("q_id")
+      .agg(expr("topk_pairs(n_id, dist, 50, true)").as("arr"))
+      .select(col("q_id"), explode(expr("transform(arr, x -> x.n_id)")).as("n_id"))
+    val rer = cand50
+      .join(e.select(col("vec_id").as("n_id"), col("embedding")), "n_id")
+      .join(qs.select("q_id", "q_emb"), "q_id")
+      .select(col("q_id"), col("n_id"),
+        Similarity.cosine(col("q_emb"), col("embedding")).as("sim"))
+      .groupBy("q_id")
+      .agg(expr("topk_pairs(n_id, sim, 5, false)").as("arr"))
+      .select(col("q_id"), explode(expr("transform(arr, x -> x.n_id)")).as("n_id"))
+    val exact = Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), 5)
+      .select("q_id", "n_id")
+    val overlap = rer.join(exact, Seq("q_id", "n_id"), "left_semi")
+      .groupBy("q_id").agg(count(lit(1)).as("hits"))
+    rer.groupBy("q_id").agg(count(lit(1)).as("n_reranked"))
+      .join(overlap, Seq("q_id"), "left")
+      .select(col("q_id"), col("n_reranked"),
+        coalesce(col("hits"), lit(0L)).as("hits"))
+      .orderBy("q_id")
+  }
+
   // ---------------------------------------------------------- wiring
 
   val queries: Map[String, Q] = Map(
+    "emb_hamming_rerank" -> qHammingRerank,
     "emb_hamming_search" -> qHammingSearch,
     "text_burstiness" -> qBurstiness,
     "text_heaps_curve" -> qHeapsCurve,
@@ -1067,6 +1114,43 @@ object R8bQueries {
     s"(${knnDot(a, b)} / (sqrt(${knnDot(a, a)}) * sqrt(${knnDot(b, b)})))"
 
   val oracle: Map[String, String] = Map(
+    "emb_hamming_rerank" ->
+      s"""WITH c AS (SELECT vec_id, embedding,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(range(1, 64),
+         |        i -> CASE WHEN CAST(embedding[i] AS DOUBLE) > 0
+         |             THEN (CAST(1 AS BIGINT) << CAST(i - 1 AS INT))
+         |             ELSE CAST(0 AS BIGINT) END)),
+         |      (x, y) -> x + y) AS code
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, embedding AS qe, code AS q_code
+         |      FROM c WHERE vec_id < 10),
+         |h AS (SELECT q_id, c.vec_id AS n_id, c.embedding AS ne,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY bit_count(xor(code, q_code)), c.vec_id) AS rank
+         |  FROM c, q WHERE c.vec_id <> q.q_id),
+         |h50 AS (SELECT q_id, n_id, ne FROM h WHERE rank <= 50),
+         |rr AS (SELECT q_id, n_id FROM (
+         |    SELECT h50.q_id, n_id,
+         |      row_number() OVER (PARTITION BY h50.q_id
+         |        ORDER BY ${knnCos("qe", "ne")} DESC, n_id) AS rank
+         |    FROM h50 JOIN q ON h50.q_id = q.q_id)
+         |  WHERE rank <= 5),
+         |bf AS (SELECT q_id, n_id FROM (
+         |    SELECT q_id, e.vec_id AS n_id,
+         |      row_number() OVER (PARTITION BY q_id
+         |        ORDER BY ${knnCos("qe", "e.embedding")} DESC, e.vec_id) AS rank
+         |    FROM embeddings e, q WHERE e.vec_id <> q.q_id)
+         |  WHERE rank <= 5),
+         |nb AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_reranked
+         |       FROM rr GROUP BY 1),
+         |ov AS (SELECT rr.q_id, CAST(count(*) AS BIGINT) AS hits
+         |  FROM rr JOIN bf ON rr.q_id = bf.q_id AND rr.n_id = bf.n_id
+         |  GROUP BY 1)
+         |SELECT nb.q_id, n_reranked, coalesce(hits, 0) AS hits
+         |FROM nb LEFT JOIN ov ON nb.q_id = ov.q_id
+         |ORDER BY nb.q_id""".stripMargin,
+
     "emb_hamming_search" ->
       s"""WITH c AS (SELECT vec_id, embedding,
          |    list_reduce(list_prepend(CAST(0 AS BIGINT),
