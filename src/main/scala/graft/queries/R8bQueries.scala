@@ -1037,9 +1037,33 @@ object R8bQueries {
       .orderBy("q_id")
   }
 
+  // ----------------------------------------------------- null-safe join
+
+  /** NULL-safe equi join (`<=>` / IS NOT DISTINCT FROM): two halves of
+    * the order stream grouped by a null-planted status key and joined —
+    * the NULL group survives as a real match where plain `=` silently
+    * drops it (the other classic three-valued-logic production surprise,
+    * the join-side sibling of q_not_in_null). Still a hash-joinable equi
+    * key in both engines. */
+  private val qNullSafeJoin: Q = (s, dir) => {
+    val o = orders(s, dir).select(
+      when(col("o_orderkey") % 7 === 0, lit(null).cast("string"))
+        .otherwise(col("o_orderstatus")).as("st"),
+      col("o_orderkey"))
+    val a = o.filter(col("o_orderkey") % 2 === 0)
+      .groupBy("st").agg(count(lit(1)).as("n_even"))
+    val b = o.filter(col("o_orderkey") % 2 === 1)
+      .groupBy(col("st").as("st_b")).agg(count(lit(1)).as("n_odd"))
+    a.join(b, col("st") <=> col("st_b"))
+      .select(coalesce(col("st"), lit("(null)")).as("st"),
+        col("n_even"), col("n_odd"))
+      .orderBy("st")
+  }
+
   // ---------------------------------------------------------- wiring
 
   val queries: Map[String, Q] = Map(
+    "q_null_safe_join" -> qNullSafeJoin,
     "emb_hamming_rerank" -> qHammingRerank,
     "emb_hamming_search" -> qHammingSearch,
     "text_burstiness" -> qBurstiness,
@@ -1114,6 +1138,19 @@ object R8bQueries {
     s"(${knnDot(a, b)} / (sqrt(${knnDot(a, a)}) * sqrt(${knnDot(b, b)})))"
 
   val oracle: Map[String, String] = Map(
+    "q_null_safe_join" ->
+      """WITH o AS (
+        |  SELECT CASE WHEN o_orderkey % 7 = 0 THEN NULL
+        |              ELSE o_orderstatus END AS st, o_orderkey
+        |  FROM orders),
+        |a AS (SELECT st, count(*) AS n_even FROM o
+        |      WHERE o_orderkey % 2 = 0 GROUP BY st),
+        |b AS (SELECT st, count(*) AS n_odd FROM o
+        |      WHERE o_orderkey % 2 = 1 GROUP BY st)
+        |SELECT coalesce(a.st, '(null)') AS st, n_even, n_odd
+        |FROM a JOIN b ON a.st IS NOT DISTINCT FROM b.st
+        |ORDER BY st""".stripMargin,
+
     "emb_hamming_rerank" ->
       s"""WITH c AS (SELECT vec_id, embedding,
          |    list_reduce(list_prepend(CAST(0 AS BIGINT),
