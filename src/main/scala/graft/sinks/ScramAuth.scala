@@ -33,13 +33,21 @@ object ScramAuth {
   val Sha512: Algo =
     Algo("SCRAM-SHA-512", "HmacSHA512", "SHA-512", "PBKDF2WithHmacSHA512", 512)
 
+  /** SASL/PLAIN (RFC 4616): one `\0user\0password` token after the
+    * handshake — no challenge, no server proof, so it is only sane inside
+    * TLS (which is exactly how clusters deploy it); hash-family fields
+    * are unused on this path. */
+  val Plain: Algo = Algo("PLAIN", "HmacSHA256", "SHA-256",
+    "PBKDF2WithHmacSHA256", 256)
+
   val Mechanism = Sha256.mechanism
 
-  /** librdkafka `sasl.mechanisms` value → algo (SCRAM names only; the
-    * client has no GSSAPI/PLAIN path). */
+  /** librdkafka `sasl.mechanisms` value → algo (SCRAM + PLAIN; the
+    * client has no GSSAPI path). */
   def algoFor(mechanism: String): Algo = mechanism.trim.toUpperCase match {
     case "SCRAM-SHA-256" | "" => Sha256
     case "SCRAM-SHA-512"      => Sha512
+    case "PLAIN"              => Plain
     case m => throw new IllegalArgumentException(s"unsupported SASL mechanism: $m")
   }
 
@@ -112,6 +120,14 @@ object ScramAuth {
     if (err != 0)
       throw new IllegalStateException(s"SASL mechanism rejected: error $err")
     in.skipBytes(size - 6) // enabled_mechanisms array — not needed
+
+    if (algo.mechanism == "PLAIN") {
+      // RFC 4616: one authzid\0authcid\0password token; the broker answers
+      // with an empty token on success and drops the connection otherwise
+      sendToken(out, "\u0000" + username + "\u0000" + password)
+      readToken(in) // success ack (empty); a rejection closes the socket
+      return
+    }
 
     // ---- SCRAM exchange over raw length-prefixed tokens
     val gs2 = "n,," // no channel binding, no authzid

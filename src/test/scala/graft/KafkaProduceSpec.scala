@@ -51,6 +51,15 @@ class KafkaProduceSpec extends AnyFunSuite {
     out.writeInt(corr); out.writeShort(0)
     out.writeInt(1); out.writeShort(mecb.length); out.write(mecb)
     out.flush()
+    if (algo.mechanism == "PLAIN") {
+      // RFC 4616: authzid NUL authcid NUL password in ONE token
+      val tok = readTok().split('\u0000')
+      // split of "\0u\0p" yields ["", u, p]
+      if (tok.length == 3 && tok(1) == user && tok(2) == password) {
+        sendTok(""); return true
+      }
+      return false
+    }
     // SCRAM exchange
     val clientFirst = readTok()
     assert(clientFirst.startsWith("n,,"), s"gs2 header: $clientFirst")
@@ -585,6 +594,31 @@ class KafkaProduceSpec extends AnyFunSuite {
           assert(counts(client)(s"hotdog.kafka.submitted.v3-$codec") == 1L)
         } finally { client.close(); broker.close() }
     }
+  }
+
+  test("SASL/PLAIN authenticates and produces; wrong password fails closed") {
+    import graft.sinks.ScramAuth
+    val broker = new LoopbackBroker(scram = Some(("svc", "pw1")),
+      scramAlgo = ScramAuth.Plain)
+    val client = new KafkaProduceClient(broker.broker, timeoutMs = 5000,
+      sasl = Some(("svc", "pw1")), saslAlgo = ScramAuth.Plain)
+    try {
+      client.send("t-plain", "hello")
+      client.flush()
+      assert(broker.received.contains("t-plain" -> "hello"))
+      assert(counts(client)("hotdog.kafka.submitted.t-plain") == 1L)
+    } finally { client.close(); broker.close() }
+    val broker2 = new LoopbackBroker(scram = Some(("svc", "pw1")),
+      scramAlgo = ScramAuth.Plain)
+    val bad = new KafkaProduceClient(broker2.broker, timeoutMs = 5000,
+      sasl = Some(("svc", "WRONG")), saslAlgo = ScramAuth.Plain)
+    try {
+      bad.send("t-plain2", "x")
+      bad.flush()
+      assert(broker2.received.isEmpty, "bad credentials must never produce")
+      assert(!counts(bad).contains("hotdog.kafka.submitted.t-plain2"))
+    } finally { bad.close(); broker2.close() }
+    assert(ScramAuth.algoFor("plain") == ScramAuth.Plain)
   }
 
   test("message.max.bytes: oversized payload rejected locally, never sent") {
