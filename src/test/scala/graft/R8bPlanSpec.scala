@@ -82,6 +82,22 @@ class R8bPlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q6_revenue: all three predicates and the 4-column projection reach the scan") {
+    withConf("spark.sql.adaptive.enabled" -> "false") {
+      val scans = plan("q6_revenue").collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+      assert(scans.nonEmpty, "expected a parquet scan")
+      val pushed = scans.head.metadata.getOrElse("PushedFilters", "")
+      Seq("GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount", "LessThan(l_quantity").foreach(f =>
+        assert(pushed.contains(f), s"predicate $f must push to parquet: $pushed"))
+      val readSchema = scans.head.metadata.getOrElse("ReadSchema", "")
+      assert(!readSchema.contains("l_orderkey"),
+        s"projection must prune to the 4 referenced columns: $readSchema")
+    }
+  }
+
   test("q_chi_square: no window anywhere — pinned fold over the cell array") {
     withConf("spark.sql.adaptive.enabled" -> "false") {
       val p = plan("q_chi_square")
