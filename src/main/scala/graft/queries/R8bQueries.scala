@@ -1060,9 +1060,57 @@ object R8bQueries {
       .orderBy("st")
   }
 
+  // -------------------------------------------------------------- HITS
+
+  private val HitsM = 1000000L
+  private val HitsRounds = 4
+
+  /** HITS hubs & authorities (Kleinberg), 4 synchronous rounds —
+    * completing the canonical centrality pair next to PageRank. The usual
+    * L2 normalization is float; determinism comes from the INTEGER
+    * max-normalization x div (max(x) div 10⁶ + 1) instead — values stay
+    * ≤ ~10⁶ (so every per-round sum fits a BIGINT at any |V|), truncating
+    * div is identical in both engines, and relative ordering is
+    * preserved. Per round: two edge joins + two dst/src aggs (the
+    * pagerank movement pattern), a 1-row max collect per phase (bounded),
+    * and the per-round localCheckpoint lineage cut of the iterative-graph
+    * discipline. */
+  private val qHits: Q = (s, dir) => {
+    val ed = GraphQueries.edges(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nd = GraphQueries.nodes(ed)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        def normalize(raw: DataFrame): DataFrame = {
+          val mx = raw.agg(max("x")).first().getLong(0)
+          val d = mx / HitsM + 1
+          nd.join(raw, Seq("node"), "left")
+            .select(col("node"),
+              expr(s"coalesce(x, 0L) div ${d}L").as("v"))
+            .localCheckpoint(true)
+        }
+        var h = nd.select(col("node"), lit(HitsM).as("v"))
+        var a: DataFrame = h
+        for (_ <- 1 to HitsRounds) {
+          a = normalize(ed
+            .join(h.withColumnRenamed("node", "src"), "src")
+            .groupBy(col("dst").as("node")).agg(sum("v").as("x")))
+          h = normalize(ed
+            .join(a.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(col("src").as("node")).agg(sum("v").as("x")))
+        }
+        h.withColumnRenamed("v", "hub")
+          .join(a.withColumnRenamed("v", "auth"), "node")
+          .orderBy("node")
+      } finally nd.unpersist()
+    } finally ed.unpersist()
+  }
+
   // ---------------------------------------------------------- wiring
 
   val queries: Map[String, Q] = Map(
+    "graph_hits" -> qHits,
     "q_null_safe_join" -> qNullSafeJoin,
     "emb_hamming_rerank" -> qHammingRerank,
     "emb_hamming_search" -> qHammingSearch,
@@ -1137,7 +1185,35 @@ object R8bQueries {
   private def knnCos(a: String, b: String): String =
     s"(${knnDot(a, b)} / (sqrt(${knnDot(a, a)}) * sqrt(${knnDot(b, b)})))"
 
+  private def hitsRound(r: Int): String = {
+    val hp = if (r == 1) "h0" else s"h${r - 1}"
+    s"""a${r}r AS (SELECT e.dst AS node, CAST(sum($hp.v) AS BIGINT) AS x
+       |  FROM edges e JOIN $hp ON e.src = $hp.node GROUP BY e.dst),
+       |a${r}m AS (SELECT CAST(max(x) AS BIGINT) AS mx FROM a${r}r),
+       |a$r AS (SELECT n.node,
+       |    CAST(coalesce(x, 0) // (mx // $HitsM + 1) AS BIGINT) AS v
+       |  FROM n LEFT JOIN a${r}r ON n.node = a${r}r.node CROSS JOIN a${r}m),
+       |h${r}r AS (SELECT e.src AS node, CAST(sum(a$r.v) AS BIGINT) AS x
+       |  FROM edges e JOIN a$r ON e.dst = a$r.node GROUP BY e.src),
+       |h${r}m AS (SELECT CAST(max(x) AS BIGINT) AS mx FROM h${r}r),
+       |h$r AS (SELECT n.node,
+       |    CAST(coalesce(x, 0) // (mx // $HitsM + 1) AS BIGINT) AS v
+       |  FROM n LEFT JOIN h${r}r ON n.node = h${r}r.node CROSS JOIN h${r}m)""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "graph_hits" ->
+      s"""WITH edges AS ($EdgesSql),
+         |n AS (SELECT DISTINCT src AS node FROM edges
+         |      UNION SELECT dst FROM edges),
+         |h0 AS (SELECT node, CAST($HitsM AS BIGINT) AS v FROM n),
+         |${(1 to HitsRounds).map(hitsRound).mkString(",\n")}
+         |SELECT h$HitsRounds.node, h$HitsRounds.v AS hub,
+         |  a$HitsRounds.v AS auth
+         |FROM h$HitsRounds JOIN a$HitsRounds
+         |  ON h$HitsRounds.node = a$HitsRounds.node
+         |ORDER BY h$HitsRounds.node""".stripMargin,
+
     "q_null_safe_join" ->
       """WITH o AS (
         |  SELECT CASE WHEN o_orderkey % 7 = 0 THEN NULL
