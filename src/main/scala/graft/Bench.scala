@@ -111,8 +111,15 @@ object Bench {
     // judge compares per-key. Must stay < ~1.9 KB end-to-end or the driver's
     // tail window decapitates it and the round loses its bench.
     val baseRs = results.filter(t => BaselineKeys.contains(t._1))
+    // drift alarm: a renamed/removed key must not silently vanish from the
+    // per-key map the judge compares — count what the filter dropped
+    val missingBase = BaselineKeys.diff(results.map(_._1).toSet)
+    if (missingBase.nonEmpty) System.err.println(
+      s"[bench] WARNING: ${missingBase.size} BASELINE.md keys absent from " +
+        s"SparkEntry.queries: ${missingBase.toSeq.sorted.mkString(", ")}")
     println(s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec",""" +
       s""""total_cold":${fmt(totalCold, 2)},"n_keys":${results.size},""" +
+      s""""baseline_keys_missing":${missingBase.size},""" +
       s""""errors":$errJson,"full":"$fullPath",""" +
       s""""queries":${obj(baseRs, 2)(_._3)},"sf":"$sfDir"}""")
     spark.stop()

@@ -1914,6 +1914,51 @@ object ExtQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    // ---- fixture-backed oracles for the 3 computations DuckDB cannot run
+    // natively (deflate / PNG pixel decode / aHash). The fixtures under
+    // /root/repo/oracle_fixtures are INDEPENDENT CPython re-computations
+    // (zlib + a closed-form replay of the synth pixel pattern) committed as
+    // parquet — scripts/gen_oracle_fixtures.py regenerates them in one
+    // command if the testdata corpus is ever regenerated. Joining on content
+    // md5 (deflate) / doc_id (pixels, phash — the pattern is a pure function
+    // of doc_id) makes the join key SF-independent.
+    "text_compression_ratio" -> {
+      val boiler = Seq.fill(40)("boiler plate row").mkString(" ")
+      s"""WITH planted AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 8 = 0 THEN '$boiler' ELSE text END AS text
+         |  FROM documents),
+         |j AS (SELECT p.doc_id, CAST(strlen(p.text) AS BIGINT) AS raw_len,
+         |    f.gz_len
+         |  FROM planted p
+         |  JOIN '/root/repo/oracle_fixtures/deflate.parquet' f
+         |    ON md5(p.text) = f.text_md5)
+         |SELECT doc_id, raw_len, gz_len,
+         |  CAST(CASE WHEN raw_len = 0 THEN 10000
+         |       ELSE 10000 * gz_len // raw_len END AS BIGINT) AS ratio_x10000,
+         |  (CASE WHEN raw_len = 0 THEN 10000
+         |        ELSE 10000 * gz_len // raw_len END) < 2000
+         |    AS boilerplate_suspect
+         |FROM j ORDER BY doc_id""".stripMargin
+    },
+
+    "multimodal_decode_pixels" ->
+      """SELECT f.doc_id, f.width, f.height, f.out_w, f.out_h, f.pixel_md5,
+        |  f.decodable
+        |FROM documents d
+        |JOIN '/root/repo/oracle_fixtures/pixels.parquet' f
+        |  ON d.doc_id = f.doc_id
+        |ORDER BY f.doc_id""".stripMargin,
+
+    "multimodal_phash_dedup" ->
+      """SELECT f.doc_id, f.h_base, f.dist_up2x, f.dist_bright, f.near_up2x,
+        |  f.near_bright
+        |FROM documents d
+        |JOIN '/root/repo/oracle_fixtures/phash.parquet' f
+        |  ON d.doc_id = f.doc_id
+        |WHERE d.doc_id % 10 = 0
+        |ORDER BY f.doc_id""".stripMargin,
+
     // the oracle is the naive single-order cumsum — the banded Spark plan
     // must reproduce it exactly
     "corpus_select_budget" ->

@@ -246,9 +246,41 @@ object GraphQueries {
     * friend-of-friend candidate set behind link-prediction training pairs.
     * Distinct-pair dedup happens on (src, dst2) BEFORE the count, and the
     * direct-edge exclusion is a left-anti join, not a NOT IN collect. */
-  def twoHop(edgeDf: DataFrame): DataFrame = {
-    val hop2 = edgeDf.select(col("src"), col("dst").as("mid"))
-      .join(edgeDf.select(col("src").as("mid"), col("dst").as("dst2")), "mid")
+  /** Deterministic per-key adjacency cap: keeps at most `cap` rows per
+    * `key` value, lowest (deg(other), other) first — the hub-wedge bound
+    * production link-prediction systems apply before a shared-neighbor
+    * join. Wedge volume through a node w is deg(w)² (10¹² rows for one
+    * 10⁶-degree hub); the cap turns it into min(deg(w), cap)². The
+    * estimator BIAS is documented at the call sites: scores through capped
+    * hubs undercount, deterministically (same survivors on every run /
+    * engine, because the keep-order is a total order). The partitioned
+    * row_number window scales — each hub's neighbor list sorts within its
+    * own partition. */
+  private def capPerKey(adj: DataFrame, key: String, other: String,
+      cap: Int): DataFrame = {
+    val deg = adj.groupBy(other).agg(count(lit(1)).as("__odeg"))
+    adj.join(deg, other)
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(key)
+          .orderBy(col("__odeg"), col(other))))
+      .filter(col("__rn") <= cap)
+      .drop("__rn", "__odeg")
+  }
+
+  /** @param maxNbrs optional hub cap (default off = exact): bounds each
+    *   mid-node's fan-in/fan-out to the `maxNbrs` lowest-(degree, id)
+    *   neighbors before the wedge join, making the two-hop candidate
+    *   volume Σ min(deg,cap)² instead of Σ deg² — counts through capped
+    *   hubs are deterministic undercounts. */
+  def twoHop(edgeDf: DataFrame, maxNbrs: Option[Int] = None): DataFrame = {
+    val left0 = edgeDf.select(col("src"), col("dst").as("mid"))
+    val right0 = edgeDf.select(col("src").as("mid"), col("dst").as("dst2"))
+    val (left, right) = maxNbrs match {
+      case Some(cap) =>
+        (capPerKey(left0, "mid", "src", cap), capPerKey(right0, "mid", "dst2", cap))
+      case None => (left0, right0)
+    }
+    val hop2 = left.join(right, "mid")
       .filter(col("dst2") =!= col("src"))
       .select("src", "dst2").distinct()
     hop2.join(edgeDf.withColumnRenamed("dst", "dst2"), Seq("src", "dst2"), "left_anti")
@@ -264,13 +296,23 @@ object GraphQueries {
     * the classic link-prediction score. Candidate pairs come from the
     * wedge join (never all pairs): only nodes with a common neighbor meet,
     * and the wedge volume is degree-bounded like [[triangles]]. */
-  def commonNeighbors(edgeDf: DataFrame): DataFrame = {
+  /** @param maxNbrs optional hub cap (default off = exact): bounds each
+    *   SHARED neighbor w's adjacency to the `maxNbrs` lowest-(degree, id)
+    *   endpoints before the wedge join (volume Σ min(deg(w),cap)², not
+    *   Σ deg(w)²). With a binding cap, `common` and the Jaccard numerator
+    *   deterministically undercount pairs that meet only through capped
+    *   hubs; `da`/`dc` stay exact. */
+  def commonNeighbors(edgeDf: DataFrame, maxNbrs: Option[Int] = None): DataFrame = {
     val sym = edgeDf.select(col("src").as("n"), col("dst").as("nbr"))
       .union(edgeDf.select(col("dst").as("n"), col("src").as("nbr")))
       .distinct()
     val deg = sym.groupBy("n").agg(count(lit(1)).as("deg"))
-    val pairs = sym.select(col("n").as("a"), col("nbr"))
-      .join(sym.select(col("n").as("c"), col("nbr")), "nbr")
+    val wedgeAdj = maxNbrs match {
+      case Some(cap) => capPerKey(sym, "nbr", "n", cap)
+      case None => sym
+    }
+    val pairs = wedgeAdj.select(col("n").as("a"), col("nbr"))
+      .join(wedgeAdj.select(col("n").as("c"), col("nbr")), "nbr")
       .filter(col("a") < col("c"))
       .groupBy("a", "c").agg(count(lit(1)).as("common"))
     pairs
@@ -371,13 +413,21 @@ object GraphQueries {
     * index is here instead of Adamic–Adar's 1/log deg). Same wedge-join
     * candidate generation as [[commonNeighbors]]: pairs meet only through
     * a shared neighbor, volume degree-bounded, never all-pairs. */
-  def resourceAlloc(edgeDf: DataFrame): DataFrame = {
+  /** @param maxNbrs optional hub cap (default off = exact) — same
+    *   deterministic wedge bound as [[commonNeighbors]]; RA scores through
+    *   capped hubs undercount by exactly the dropped wedges' 1/deg(w)
+    *   terms. */
+  def resourceAlloc(edgeDf: DataFrame, maxNbrs: Option[Int] = None): DataFrame = {
     val sym = edgeDf.select(col("src").as("n"), col("dst").as("nbr"))
       .union(edgeDf.select(col("dst").as("n"), col("src").as("nbr")))
       .distinct()
     val deg = sym.groupBy("n").agg(count(lit(1)).as("deg"))
-    sym.select(col("n").as("a"), col("nbr"))
-      .join(sym.select(col("n").as("c"), col("nbr")), "nbr")
+    val wedgeAdj = maxNbrs match {
+      case Some(cap) => capPerKey(sym, "nbr", "n", cap)
+      case None => sym
+    }
+    wedgeAdj.select(col("n").as("a"), col("nbr"))
+      .join(wedgeAdj.select(col("n").as("c"), col("nbr")), "nbr")
       .filter(col("a") < col("c"))
       .join(deg.withColumnRenamed("n", "nbr").withColumnRenamed("deg", "dw"), "nbr")
       .groupBy("a", "c")

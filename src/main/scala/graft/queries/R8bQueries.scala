@@ -201,15 +201,18 @@ object R8bQueries {
     val per = hashed.groupBy("source")
       .agg(count(lit(1)).as("exact_distinct"),
         expr(s"topk_pairs(h, cast(h as double), $KmvK, true)").as("arr"))
+    // try_element_at, not element_at: Spark 4 runs ANSI-on by default and a
+    // source with < k hashes must surface a NULL kth (matching the oracle's
+    // LEFT JOIN), not throw INVALID_ARRAY_INDEX_IN_ELEMENT_AT.
     val perRows = per.select(col("source").as("scope"), col("exact_distinct"),
-      element_at(col("arr"), KmvK).getField("n_id").as("kth_hash"))
+      try_element_at(col("arr"), lit(KmvK)).getField("n_id").as("kth_hash"))
     // merged sketch: pool the per-source entries (≤ |sources|·k rows),
     // dedup (one shingle in two sources hashes identically), re-trim to k
     val pool = per.select(explode(col("arr")).as("p"))
       .select(col("p.n_id").as("h")).distinct()
     val mergedKth = pool
       .agg(expr(s"topk_pairs(h, cast(h as double), $KmvK, true)").as("arr"))
-      .select(element_at(col("arr"), KmvK).getField("n_id").as("kth_hash"))
+      .select(try_element_at(col("arr"), lit(KmvK)).getField("n_id").as("kth_hash"))
     val globalExact = hashed.select("h").distinct()
       .agg(count(lit(1)).as("exact_distinct"))
     val mergedRow = mergedKth.crossJoin(globalExact)
@@ -724,17 +727,23 @@ object R8bQueries {
     * (approximately, with measured error) without rescanning either side.
     * A source with fewer than k hashes keeps θ = 2⁵² (its sketch IS its
     * set). Pair fan-out is |sources|² over k-entry arrays — constant. */
+  /** Per-source θ-sketch: the ≤ k-entry hash array plus θ_s (= k-th
+    * minimum, or 2⁵² for a source whose whole set fits in the sketch) —
+    * separated so the sub-k fallback is spec-reachable. */
+  private[graft] def thetaPerSource(hashed: DataFrame): DataFrame =
+    hashed.groupBy("source")
+      .agg(expr(s"topk_pairs(h, cast(h as double), $KmvK, true)").as("arr"))
+      .select(col("source"),
+        expr("transform(arr, x -> x.n_id)").as("hs"),
+        coalesce(try_element_at(col("arr"), lit(KmvK)).getField("n_id"),
+          lit(Pow52)).as("theta_s"))
+
   private val qThetaIntersect: Q = (s, dir) => {
     graft.functions.GraftFunctions.ensureRegistered(s)
     val hashed = kmvHashed(s, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val per = hashed.groupBy("source")
-        .agg(expr(s"topk_pairs(h, cast(h as double), $KmvK, true)").as("arr"))
-        .select(col("source"),
-          expr("transform(arr, x -> x.n_id)").as("hs"),
-          coalesce(element_at(col("arr"), KmvK).getField("n_id"),
-            lit(Pow52)).as("theta_s"))
+      val per = thetaPerSource(hashed)
       val pairs = per.select(col("source").as("s1"), col("hs").as("h1"),
           col("theta_s").as("t1"))
         .crossJoin(per.select(col("source").as("s2"), col("hs").as("h2"),
@@ -1695,7 +1704,7 @@ object R8bQueries {
          |u AS (SELECT scope, exact_distinct, kth_hash FROM per
          |  UNION ALL
          |  SELECT '__merged__', gex.exact_distinct, gkth.kth_hash
-         |  FROM gex CROSS JOIN gkth),
+         |  FROM gex LEFT JOIN gkth ON TRUE),
          |est AS (SELECT scope, exact_distinct, kth_hash,
          |    CAST(${KmvK - 1} AS DOUBLE) * CAST($Pow52 AS DOUBLE)
          |      / CAST(kth_hash AS DOUBLE) AS kmv_est

@@ -23,10 +23,26 @@ import graft.metrics.{Stats, StatsdEmitter}
   *     the same mapping over "Message timed out"
   *
   * Counters accumulate in-process (the reference's stats facade) and
-  * optionally emit statsd datagrams. One connection per send keeps the
-  * framing trivially correct; a production path would pool connections —
-  * the delivery/accounting semantics, which is what this class pins, are
-  * identical.
+  * optionally emit statsd datagrams. Connections are POOLED: each sender
+  * thread keeps one persistent broker connection (≤ pool-size sockets
+  * total), authenticated once (TLS handshake + SCRAM/PLAIN per
+  * connection, not per send), with correlation ids incrementing per
+  * request — librdkafka's connection model. A transport failure
+  * (broker restart, stale pooled socket) reconnects and resends the
+  * frame ONCE; without idempotence that is at-least-once delivery
+  * (librdkafka's retries>0 semantics), with [[idempotent]] the broker
+  * dedups on (pid, epoch, seq) and the retry is exactly-once per
+  * partition. Delivery timeouts stay terminal — never retried.
+  *
+  * `idempotent = true` (requires Produce v3 record batches) runs the
+  * KIP-98 idempotent producer: InitProducerId (api 22) fetches a
+  * producer id once per client, every batch carries (pid, epoch,
+  * per-topic sequence), and sends to the same topic serialize (the
+  * max.in.flight=1 safe mode — sequences must reach partition 0 in
+  * order). A terminal delivery failure resets the producer id (the
+  * KIP-98 epoch-bump analogue): the next send re-initializes under a
+  * fresh pid, starting a new dedup domain rather than tripping
+  * OUT_OF_ORDER_SEQUENCE forever.
   *
   * `tlsCaCert` reaches a TLS-listening cluster (the reference passes the
   * full librdkafka config — including `security.protocol=ssl` +
@@ -48,10 +64,15 @@ final class KafkaProduceClient(broker: String, timeoutMs: Int = 60000,
     acks: Short = 1,
     compression: String = "none",
     apiVersion: Short = 0,
-    maxMessageBytes: Int = 1000000)
+    maxMessageBytes: Int = 1000000,
+    idempotent: Boolean = false)
     extends AutoCloseable {
 
   require(acks == -1 || acks == 0 || acks == 1, s"unsupported acks $acks")
+  require(!idempotent || apiVersion >= 3,
+    "idempotent produce needs Produce v3 record batches (KIP-98)")
+  require(!idempotent || acks != 0,
+    "idempotent produce needs an acknowledged send (acks=1|all)")
   require(KafkaProduceClient.Codecs.contains(compression),
     s"unsupported compression codec '$compression' " +
       s"(${KafkaProduceClient.Codecs.keys.toSeq.sorted.mkString("|")})")
@@ -126,7 +147,15 @@ final class KafkaProduceClient(broker: String, timeoutMs: Int = 60000,
     }
     val t0 = System.nanoTime()
     try {
-      val code = produceRoundTrip(topic, payload)
+      // idempotent mode serializes same-topic sends (max.in.flight=1, the
+      // KIP-98 safe mode): the per-topic sequence must reach partition 0
+      // in allocation order or the broker rejects the gap
+      val code =
+        if (idempotent)
+          topicLocks.computeIfAbsent(topic, _ => new Object).synchronized {
+            produceRoundTrip(topic, payload)
+          }
+        else produceRoundTrip(topic, payload)
       if (code == 0) {
         count(Stats.kafkaSubmitted(topic))
         statsd.foreach(_.timerMs(Stats.KafkaProducerSent,
@@ -134,8 +163,10 @@ final class KafkaProduceClient(broker: String, timeoutMs: Int = 60000,
       } else count(Stats.kafkaProducerError(errcodeName(code)))
     } catch {
       case _: SocketTimeoutException =>
+        if (idempotent) resetPid() // KIP-98 epoch-bump analogue
         count(Stats.kafkaProducerError(Stats.metricNameFor("Message timed out")))
       case _: Exception =>
+        if (idempotent) resetPid()
         count(Stats.kafkaProducerError(Stats.metricNameFor("Transport failure")))
     }
   }
@@ -149,7 +180,112 @@ final class KafkaProduceClient(broker: String, timeoutMs: Int = 60000,
   override def close(): Unit = {
     flush()
     pool.shutdown()
+    allConns.forEach(_.close())
     statsd.foreach(_.close())
+  }
+
+  // ------------------------------------------------ pooled connections
+
+  /** One persistent, authenticated broker connection (socket + streams +
+    * per-connection correlation counter). Owned by exactly one sender
+    * thread at a time (ThreadLocal), so no frame interleaving is
+    * possible; registered in [[allConns]] for close(). */
+  private final class Conn extends AutoCloseable {
+    val (socket, in, out) = {
+      val plain = new Socket()
+      // a connect-phase timeout is a TRANSPORT failure (broker
+      // unreachable), not the delivery timeout — resurface it as such so
+      // the error taxonomy matches the reference's
+      try plain.connect(new InetSocketAddress(host, port), timeoutMs)
+      catch {
+        case e: SocketTimeoutException =>
+          throw new java.net.ConnectException(s"connect timed out: ${e.getMessage}")
+      }
+      plain.setSoTimeout(timeoutMs)
+      plain.setTcpNoDelay(true)
+      val s = sslCtx.fold(plain: Socket) { ctx =>
+        val ss = ctx.getSocketFactory.createSocket(plain, host, port, true)
+          .asInstanceOf[javax.net.ssl.SSLSocket]
+        ss.setSoTimeout(timeoutMs)
+        ss.setUseClientMode(true)
+        ss.startHandshake() // chain-verified against the configured anchors
+        ss
+      }
+      val i = new DataInputStream(s.getInputStream)
+      val o = new DataOutputStream(new java.io.BufferedOutputStream(s.getOutputStream))
+      // authenticate ONCE per pooled connection (the librdkafka model),
+      // not once per send
+      sasl.foreach { case (u, p) => ScramAuth.authenticate(i, o, u, p, algo = saslAlgo) }
+      (s, i, o)
+    }
+    private var corr = 0
+    def nextCorr(): Int = { corr += 1; corr }
+    override def close(): Unit = try socket.close() catch { case _: Exception => () }
+  }
+
+  private val allConns = new ConcurrentLinkedQueue[Conn]()
+  private val localConn = new ThreadLocal[Conn]
+
+  /** The calling thread's pooled connection, (re)opened on demand. */
+  private def conn(): Conn = {
+    var c = localConn.get()
+    if (c == null || c.socket.isClosed) {
+      c = new Conn
+      allConns.add(c)
+      localConn.set(c)
+    }
+    c
+  }
+
+  private def dropConn(): Unit = {
+    val c = localConn.get()
+    if (c != null) { c.close(); allConns.remove(c); localConn.set(null) }
+  }
+
+  // ------------------------------------------- idempotent-producer state
+
+  // KIP-98 producer identity: fetched from the broker (InitProducerId,
+  // api 22) once per client, reset after a terminal delivery failure so
+  // the next send opens a fresh dedup domain instead of a sequence gap
+  private val pidLock = new Object
+  @volatile private var producerId: Long = -1L
+  @volatile private var producerEpoch: Short = 0
+  private val seqs = new ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicInteger]()
+  private val topicLocks = new ConcurrentHashMap[String, Object]()
+
+  private def resetPid(): Unit = pidLock.synchronized {
+    producerId = -1L
+    seqs.clear()
+  }
+
+  /** InitProducerId v0 round-trip (public KIP-98 protocol): null
+    * transactional id, broker-assigned pid + epoch. */
+  private def ensureProducerId(): Unit = {
+    if (producerId != -1L) return
+    pidLock.synchronized {
+      if (producerId != -1L) return
+      val c = conn()
+      val clientId = "graft".getBytes(StandardCharsets.UTF_8)
+      val corr = c.nextCorr()
+      c.out.writeInt(2 + 2 + 4 + (2 + clientId.length) + 2 + 4)
+      c.out.writeShort(22) // api_key InitProducerId
+      c.out.writeShort(0)  // v0
+      c.out.writeInt(corr)
+      c.out.writeShort(clientId.length); c.out.write(clientId)
+      c.out.writeShort(-1) // null transactional_id
+      c.out.writeInt(timeoutMs) // transaction_timeout_ms
+      c.out.flush()
+      val respSize = c.in.readInt()
+      if (respSize < 4 || respSize > (1 << 16))
+        throw new IllegalStateException(s"implausible InitProducerId response $respSize")
+      if (c.in.readInt() != corr)
+        throw new IllegalStateException("correlation id mismatch (InitProducerId)")
+      c.in.readInt() // throttle_time_ms
+      val err = c.in.readShort()
+      if (err != 0) throw new java.io.IOException(s"InitProducerId error $err")
+      producerId = c.in.readLong()
+      producerEpoch = c.in.readShort()
+    }
   }
 
   /** Public Kafka protocol error descriptions for the codes a v0 produce
@@ -215,7 +351,8 @@ final class KafkaProduceClient(broker: String, timeoutMs: Int = 60000,
     * fields stubbed at -1 for a non-transactional producer) + varint-coded
     * records. Compression deflates the RECORDS section in place and is
     * named by attributes bits, not a wrapper message. */
-  private def recordBatch(valueB: Array[Byte]): Array[Byte] = {
+  private def recordBatch(valueB: Array[Byte], pid: Long = -1L,
+      epoch: Short = -1, seq: Int = -1): Array[Byte] = {
     val now = System.currentTimeMillis()
     // one record, deltas 0, null key, no headers
     val rec = new java.io.ByteArrayOutputStream()
@@ -243,7 +380,7 @@ final class KafkaProduceClient(broker: String, timeoutMs: Int = 60000,
     sb.writeShort(attributes)
     sb.writeInt(0) // lastOffsetDelta
     sb.writeLong(now); sb.writeLong(now) // base/max timestamp
-    sb.writeLong(-1L); sb.writeShort(-1); sb.writeInt(-1) // pid/epoch/seq
+    sb.writeLong(pid); sb.writeShort(epoch); sb.writeInt(seq) // KIP-98 identity
     sb.writeInt(1) // record count
     sb.write(records)
     val crc = new java.util.zip.CRC32C()
@@ -259,100 +396,134 @@ final class KafkaProduceClient(broker: String, timeoutMs: Int = 60000,
     out.toByteArray
   }
 
-  /** Produce (api_key 0) at the configured version/acks/codec: one message
-    * per request. Returns the partition error code from the response
-    * (acks=0 is fire-and-forget — no response exists to read). */
-  private def produceRoundTrip(topic: String, payload: String): Int = {
-    val plain = new Socket()
-    var socket: Socket = plain
-    try {
-      // a connect-phase timeout is a TRANSPORT failure (broker unreachable),
-      // not the delivery timeout — resurface it as such so the error
-      // taxonomy matches the reference's (send-timeout vs connection error)
-      try plain.connect(new InetSocketAddress(host, port), timeoutMs)
-      catch {
-        case e: SocketTimeoutException =>
-          throw new java.net.ConnectException(s"connect timed out: ${e.getMessage}")
-      }
-      plain.setSoTimeout(timeoutMs)
-      sslCtx.foreach { ctx =>
-        val s = ctx.getSocketFactory.createSocket(plain, host, port, true)
-          .asInstanceOf[javax.net.ssl.SSLSocket]
-        s.setSoTimeout(timeoutMs)
-        s.setUseClientMode(true)
-        s.startHandshake() // chain-verified against the configured anchors
-        socket = s
-      }
-      val out = new DataOutputStream(socket.getOutputStream)
-      val in = new DataInputStream(socket.getInputStream)
-
-      // authenticate before the first produce frame (one connection per
-      // send → one SCRAM exchange per delivery; a pooled client would
-      // authenticate once per pooled connection)
-      sasl.foreach { case (u, p) =>
-        ScramAuth.authenticate(in, out, u, p, algo = saslAlgo)
-      }
-
-      val clientId = "graft".getBytes(StandardCharsets.UTF_8)
-      val topicB = topic.getBytes(StandardCharsets.UTF_8)
-      val payloadB = payload.getBytes(StandardCharsets.UTF_8)
-      val set =
-        if (effectiveVersion >= 3) recordBatch(payloadB) else messageSet(payloadB)
-      val correlationId = 0x70726f64 // "prod"
-
-      // v3 (KIP-98) prefixes a nullable transactional_id before acks
-      val txnBytes = if (effectiveVersion >= 3) 2 else 0
-      val size = 2 + 2 + 4 + (2 + clientId.length) + // header
-        txnBytes + 2 + 4 + // [transactional_id] + acks + timeout
-        4 + (2 + topicB.length) + 4 + // topic array
-        4 + 4 + set.length // partition + set size + set
-      out.writeInt(size)
-      out.writeShort(0) // api_key Produce
-      out.writeShort(effectiveVersion)
-      out.writeInt(correlationId)
-      out.writeShort(clientId.length); out.write(clientId)
-      if (effectiveVersion >= 3) out.writeShort(-1) // null transactional_id
-      out.writeShort(acks)
-      out.writeInt(timeoutMs)
-      out.writeInt(1) // one topic
-      out.writeShort(topicB.length); out.write(topicB)
-      out.writeInt(1) // one partition
-      out.writeInt(0) // partition 0
-      out.writeInt(set.length)
-      out.write(set)
-      out.flush()
-
-      // acks=0: the broker sends nothing back — delivery is handed to the
-      // transport and the only observable failures are connection-level
-      if (acks == 0) return 0
-
-      val respSize = in.readInt()
-      if (respSize < 4 || respSize > (1 << 20))
-        throw new IllegalStateException(s"implausible produce response size $respSize")
-      if (in.readInt() != correlationId)
-        throw new IllegalStateException("correlation id mismatch")
-      val nTopics = in.readInt()
-      var err = 0
-      var t = 0
-      while (t < nTopics) {
-        val tl = in.readShort(); in.skipBytes(tl)
-        val nParts = in.readInt()
-        var p = 0
-        while (p < nParts) {
-          in.skipBytes(4) // partition id
-          val e = in.readShort().toInt
-          in.skipBytes(8) // base offset
-          if (effectiveVersion >= 2) in.skipBytes(8) // log_append_time
-          if (err == 0) err = e
-          p += 1
-        }
-        t += 1
-      }
-      // v1+ responses carry a trailing throttle_time_ms; the connection is
-      // per-send, so it needs no read before close
-      err
-    } finally socket.close() // closing the SSL wrapper closes the transport
+  /** Builds one complete Produce request frame (size prefix included) at
+    * the configured version/acks/codec. The correlation id is patched in
+    * per attempt ([[patchCorr]]) so a RESEND reuses the identical batch —
+    * same (pid, epoch, seq) under idempotence — on a fresh correlation. */
+  private def buildProduceFrame(topic: String, payloadB: Array[Byte],
+      pid: Long, epoch: Short, seq: Int): Array[Byte] = {
+    val clientId = "graft".getBytes(StandardCharsets.UTF_8)
+    val topicB = topic.getBytes(StandardCharsets.UTF_8)
+    val set =
+      if (effectiveVersion >= 3) recordBatch(payloadB, pid, epoch, seq)
+      else messageSet(payloadB)
+    // v3 (KIP-98) prefixes a nullable transactional_id before acks
+    val txnBytes = if (effectiveVersion >= 3) 2 else 0
+    val size = 2 + 2 + 4 + (2 + clientId.length) + // header
+      txnBytes + 2 + 4 + // [transactional_id] + acks + timeout
+      4 + (2 + topicB.length) + 4 + // topic array
+      4 + 4 + set.length // partition + set size + set
+    val buf = new java.io.ByteArrayOutputStream(4 + size)
+    val out = new DataOutputStream(buf)
+    out.writeInt(size)
+    out.writeShort(0) // api_key Produce
+    out.writeShort(effectiveVersion)
+    out.writeInt(0) // correlation id — patched per attempt
+    out.writeShort(clientId.length); out.write(clientId)
+    if (effectiveVersion >= 3) out.writeShort(-1) // null transactional_id
+    out.writeShort(acks)
+    out.writeInt(timeoutMs)
+    out.writeInt(1) // one topic
+    out.writeShort(topicB.length); out.write(topicB)
+    out.writeInt(1) // one partition
+    out.writeInt(0) // partition 0
+    out.writeInt(set.length)
+    out.write(set)
+    buf.toByteArray
   }
+
+  /** Correlation id sits at a fixed offset: size(4) + api_key(2) +
+    * version(2). */
+  private def patchCorr(frame: Array[Byte], corr: Int): Unit = {
+    frame(8) = (corr >> 24).toByte; frame(9) = (corr >> 16).toByte
+    frame(10) = (corr >> 8).toByte; frame(11) = corr.toByte
+  }
+
+  /** One produce exchange over the thread's pooled connection, with ONE
+    * reconnect-and-resend on a transport error (stale pooled socket,
+    * broker restart). Returns the partition error code (acks=0 is
+    * fire-and-forget — no response exists to read). Delivery timeouts
+    * propagate without retry — a slow broker must surface as the timeout
+    * counter, never as a duplicate-risking resend. */
+  private def produceRoundTrip(topic: String, payload: String): Int = {
+    val payloadB = payload.getBytes(StandardCharsets.UTF_8)
+    if (idempotent)
+      try ensureProducerId()
+      catch { // a stale pooled connection can surface here too — once
+        case _: java.io.IOException => dropConn(); ensureProducerId()
+      }
+    // the frame is built ONCE: an idempotent retry must resend the SAME
+    // (pid, epoch, seq) so the broker's dedup window absorbs the
+    // ambiguous first attempt — rebuilding would mint a fresh sequence
+    // and turn the retry into a duplicate
+    val frame =
+      if (idempotent) {
+        val s = seqs.computeIfAbsent(topic,
+          _ => new java.util.concurrent.atomic.AtomicInteger(0))
+        buildProduceFrame(topic, payloadB, producerId, producerEpoch,
+          s.getAndIncrement())
+      } else buildProduceFrame(topic, payloadB, -1L, -1, -1)
+    var attempt = 0
+    while (true) {
+      try return exchange(frame)
+      catch {
+        case e: SocketTimeoutException => dropConn(); throw e
+        case _: java.io.IOException if attempt == 0 =>
+          // reconnect + resend the identical frame once: at-least-once
+          // without idempotence (librdkafka retries>0), exactly-once per
+          // partition with it (broker dedups the seq)
+          dropConn()
+          attempt = 1
+        case e: Exception => dropConn(); throw e
+      }
+    }
+    0 // unreachable
+  }
+
+  /** Writes one frame on the pooled connection and reads its response. */
+  private def exchange(frame: Array[Byte]): Int = {
+    val c = conn()
+    patchCorr(frame, c.nextCorr())
+    c.out.write(frame)
+    c.out.flush()
+    // acks=0: the broker sends nothing back — delivery is handed to the
+    // transport and the only observable failures are connection-level
+    if (acks == 0) return 0
+    val in = c.in
+    val respSize = in.readInt()
+    if (respSize < 4 || respSize > (1 << 20))
+      throw new IllegalStateException(s"implausible produce response size $respSize")
+    val corrSeen = in.readInt()
+    val nTopics = in.readInt()
+    var err = 0
+    var t = 0
+    while (t < nTopics) {
+      val tl = in.readShort(); in.skipBytes(tl)
+      val nParts = in.readInt()
+      var p = 0
+      while (p < nParts) {
+        in.skipBytes(4) // partition id
+        val e = in.readShort().toInt
+        in.skipBytes(8) // base offset
+        if (effectiveVersion >= 2) in.skipBytes(8) // log_append_time
+        if (err == 0) err = e
+        p += 1
+      }
+      t += 1
+    }
+    // v1+ responses end with throttle_time_ms — MUST be consumed on a
+    // pooled connection or the next response misparses
+    if (effectiveVersion >= 1) in.readInt()
+    // corr checked AFTER draining the frame so a mismatch doesn't leave
+    // unread bytes behind
+    if (corrSeen != frameCorr(frame))
+      throw new IllegalStateException("correlation id mismatch")
+    err
+  }
+
+  private def frameCorr(frame: Array[Byte]): Int =
+    ((frame(8) & 0xff) << 24) | ((frame(9) & 0xff) << 16) |
+      ((frame(10) & 0xff) << 8) | (frame(11) & 0xff)
 }
 
 object KafkaProduceClient {
@@ -429,6 +600,13 @@ object KafkaProduceClient {
     * error counter, never sent. */
   def maxMessageBytesFromConf(conf: Map[String, String]): Int =
     conf.get("message.max.bytes").map(_.trim.toInt).getOrElse(1000000)
+
+  /** librdkafka `enable.idempotence` (default false, as librdkafka's):
+    * true runs the KIP-98 idempotent producer — which needs record
+    * batches, so the version/acks requirements fail at construction if
+    * the rest of the conf contradicts it. */
+  def idempotenceFromConf(conf: Map[String, String]): Boolean =
+    conf.get("enable.idempotence").exists(_.trim.equalsIgnoreCase("true"))
 
   /** Codec → RecordBatch attributes bits 0-2 (KIP-98; gzip also valid as
     * the magic-1 wrapper codec on Produce v0/v2). */

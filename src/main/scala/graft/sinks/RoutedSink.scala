@@ -71,13 +71,14 @@ object RoutedSink {
     val codec = KafkaProduceClient.compressionFromConf(conf)
     val version = KafkaProduceClient.produceVersionFromConf(conf)
     val maxBytes = KafkaProduceClient.maxMessageBytesFromConf(conf)
+    val idem = KafkaProduceClient.idempotenceFromConf(conf)
     val timeoutMs = cfg.kafkaTimeoutMs.toInt
     kafkaShape(routed).foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
       val client = new KafkaProduceClient(broker, timeoutMs,
         statsdHostPort.map { case (h, p) => new graft.metrics.StatsdEmitter(h, p) },
         tlsCaCert = tls, sasl = sasl, saslAlgo = algo,
         acks = acks, compression = codec, apiVersion = version,
-        maxMessageBytes = maxBytes)
+        maxMessageBytes = maxBytes, idempotent = idem)
       try { rows.foreach(r => client.send(r.getString(0), r.getString(1))); client.flush() }
       finally client.close()
     }

@@ -83,6 +83,42 @@ class GraphSpec extends AnyFunSuite {
       s"only the 4-clique survives the 3-core, at degree 3: $r")
   }
 
+  test("hub cap: non-binding cap is exact; binding cap bounds wedges deterministically") {
+    // the sf0.001 synthetic graph: max undirected degree well under 64, so
+    // cap=64 must reproduce the uncapped result EXACTLY on all three ops
+    val real = GraphQueries.edges(s, "/root/testdata/sf0.001")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(GraphQueries.commonNeighbors(real, Some(64))) ===
+      rows(GraphQueries.commonNeighbors(real)),
+      "cap above the max degree must not change commonNeighbors")
+    assert(rows(GraphQueries.resourceAlloc(real, Some(64))) ===
+      rows(GraphQueries.resourceAlloc(real)),
+      "cap above the max degree must not change resourceAlloc")
+    assert(rows(GraphQueries.twoHop(real, Some(64))) ===
+      rows(GraphQueries.twoHop(real)),
+      "cap above the max degree must not change twoHop")
+    // star hub 0—{1..6} plus edge 1—2: shared-neighbor volume through the
+    // hub is C(6,2)=15 pairs uncapped; cap=3 keeps the hub's 3
+    // lowest-(deg, id) spokes {3,4,5} (deg(1)=deg(2)=2 sorts after the
+    // deg-1 spokes) → exactly C(3,2)=3 hub pairs, repeatably
+    val star = (1L to 6L).map(i => (0L, i)).toDF("src", "dst")
+      .union(Seq((1L, 2L)).toDF("src", "dst"))
+    val capped = GraphQueries.commonNeighbors(star, Some(3))
+      .collect().map(_.toSeq).toSet
+    val capped2 = GraphQueries.commonNeighbors(star, Some(3))
+      .collect().map(_.toSeq).toSet
+    assert(capped === capped2, "capped candidate set must be deterministic")
+    val hubPairs = capped.filter { r =>
+      val (a, c) = (r.head.asInstanceOf[Long], r(1).asInstanceOf[Long])
+      a >= 1L && c >= 1L } // spoke pairs — only shared neighbor is the hub
+    assert(hubPairs.map(r => (r.head, r(1))) === Set((3L, 4L), (3L, 5L), (4L, 5L)),
+      s"cap=3 keeps the deterministic lowest-(deg,id) spokes {3,4,5}: $capped")
+    assert(GraphQueries.commonNeighbors(star, None)
+      .filter($"a" >= 1L && $"c" >= 1L).count() === 15L,
+      "uncapped star: C(6,2)=15 spoke pairs through the hub")
+  }
+
   test("edge synthesis is distinct, self-loop-free, and ~30% selective") {
     val e = GraphQueries.edges(s, "/root/testdata/sf0.001")
     val n = e.count()

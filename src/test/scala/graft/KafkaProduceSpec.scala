@@ -3,7 +3,7 @@ package graft
 import java.io.{ByteArrayInputStream, DataInputStream, DataOutputStream}
 import java.net.{DatagramPacket, DatagramSocket, ServerSocket}
 import java.nio.charset.StandardCharsets
-import java.util.concurrent.ConcurrentLinkedQueue
+import java.util.concurrent.{ConcurrentHashMap, ConcurrentLinkedQueue}
 
 import graft.sinks.{KafkaProduceClient, RoutedSink}
 import org.scalatest.funsuite.AnyFunSuite
@@ -95,12 +95,31 @@ class KafkaProduceSpec extends AnyFunSuite {
       ssl: Option[javax.net.ssl.SSLContext] = None,
       scram: Option[(String, String)] = None,
       scramSignPassword: Option[String] = None,
-      scramAlgo: graft.sinks.ScramAuth.Algo = graft.sinks.ScramAuth.Sha256)
+      scramAlgo: graft.sinks.ScramAuth.Algo = graft.sinks.ScramAuth.Sha256,
+      dropResponses: Int = 0)
       extends AutoCloseable {
     val received = new ConcurrentLinkedQueue[(String, String)]()
     /** (api_version, acks, wire attributes of the outermost message) per
       * request — lets tests pin the framing the client actually sent. */
     val frames = new ConcurrentLinkedQueue[(Short, Short, Byte)]()
+    /** (pid, epoch, seq) of every magic-2 batch — idempotence exhibits. */
+    val batchIds = new ConcurrentLinkedQueue[(Long, Short, Int)]()
+    /** Total connections accepted — the pooling exhibit. */
+    val connections = new java.util.concurrent.atomic.AtomicInteger(0)
+    /** Accepted sockets still open — lets tests simulate a broker restart. */
+    private val liveSockets = new ConcurrentLinkedQueue[java.net.Socket]()
+    private val nextPid = new java.util.concurrent.atomic.AtomicLong(1000L)
+    // KIP-98 dedup window: last appended seq per (pid, topic); a replayed
+    // or older seq is acknowledged but NOT appended again
+    private val lastSeq = new ConcurrentHashMap[(Long, String), Integer]()
+    private val toDrop = new java.util.concurrent.atomic.AtomicInteger(dropResponses)
+
+    /** Close every accepted connection (the broker-restart exhibit) —
+      * the listener stays up, so clients can reconnect. */
+    def dropAllConnections(): Unit = {
+      var s = liveSockets.poll()
+      while (s != null) { try s.close() catch { case _: Exception => () }; s = liveSockets.poll() }
+    }
     private val server: ServerSocket = ssl match {
       case Some(ctx) =>
         val s = ctx.getServerSocketFactory.createServerSocket()
@@ -113,6 +132,8 @@ class KafkaProduceSpec extends AnyFunSuite {
     private val acceptor = new Thread(() => {
       try while (true) {
         val s = server.accept()
+        connections.incrementAndGet()
+        liveSockets.add(s)
         val t = new Thread(() => {
           try {
             val in = new DataInputStream(s.getInputStream)
@@ -121,15 +142,31 @@ class KafkaProduceSpec extends AnyFunSuite {
               scramServer(in, out, u, p, scramSignPassword.getOrElse(p), scramAlgo)
             }
             if (!authed) { s.close(); throw new java.io.IOException("auth failed") }
+            // pooled-connection broker: serve REQUESTS until the client
+            // closes (or a test drops the socket) — the real broker model
+            while (true) {
             val size = in.readInt()
             val frame = new Array[Byte](size)
             in.readFully(frame)
             val f = new DataInputStream(new ByteArrayInputStream(frame))
             val apiKey = f.readShort()
-            assert(apiKey == 0, s"expected Produce, got api_key=$apiKey")
+            assert(apiKey == 0 || apiKey == 22,
+              s"expected Produce or InitProducerId, got api_key=$apiKey")
             val version = f.readShort()
             val corr = f.readInt()
             f.skipBytes(f.readShort()) // client_id
+            if (apiKey == 22) { // InitProducerId v0 (KIP-98)
+              val tl = f.readShort() // nullable transactional_id
+              if (tl >= 0) f.skipBytes(tl)
+              f.readInt() // transaction_timeout_ms
+              out.writeInt(4 + 4 + 2 + 8 + 2)
+              out.writeInt(corr)
+              out.writeInt(0) // throttle_time_ms
+              out.writeShort(0) // error
+              out.writeLong(nextPid.getAndIncrement())
+              out.writeShort(0) // epoch
+              out.flush()
+            } else {
             if (version >= 3) { // nullable transactional_id (KIP-98)
               val tl = f.readShort()
               if (tl >= 0) f.skipBytes(tl)
@@ -195,7 +232,18 @@ class KafkaProduceSpec extends AnyFunSuite {
               frames.add((version, acks, (attributes & 0xff).toByte))
               sec.readInt() // lastOffsetDelta
               sec.readLong(); sec.readLong() // timestamps
-              sec.readLong(); sec.readShort(); sec.readInt() // pid/epoch/seq
+              val pid = sec.readLong()
+              val epoch = sec.readShort()
+              val seq = sec.readInt()
+              if (pid >= 0) batchIds.add((pid, epoch, seq))
+              // KIP-98 dedup: a replayed sequence is acknowledged, never
+              // re-appended — the broker half of idempotent produce
+              val dup = pid >= 0 && {
+                val k = (pid, topic)
+                val last = lastSeq.get(k)
+                if (last != null && seq <= last.intValue()) true
+                else { lastSeq.put(k, Integer.valueOf(seq)); false }
+              }
               val n = sec.readInt()
               val rawRecords = new Array[Byte](sec.available()); sec.readFully(rawRecords)
               val records = (attributes & 7) match {
@@ -220,7 +268,7 @@ class KafkaProduceSpec extends AnyFunSuite {
                 val vb = new Array[Byte](readVarlong(rs).toInt); rs.readFully(vb)
                 val nHeaders = readVarlong(rs)
                 assert(nHeaders == 0, s"unexpected record headers $nHeaders")
-                received.add(topic -> new String(vb, StandardCharsets.UTF_8))
+                if (!dup) received.add(topic -> new String(vb, StandardCharsets.UTF_8))
               }
             }
 
@@ -238,8 +286,12 @@ class KafkaProduceSpec extends AnyFunSuite {
                 else parseSet(setB, topic, outer = true)
               }
             }
-            if (acks == 0) s.close() // fire-and-forget: no response exists
-            else if (!silent) {
+            if (acks != 0 && toDrop.getAndDecrement() > 0) {
+              // forced-resend exhibit: the request was fully processed but
+              // the ack is lost with the connection — the ambiguous-
+              // delivery window idempotent produce exists for
+              s.close()
+            } else if (acks != 0 && !silent) {
               val tb = topic.getBytes(StandardCharsets.UTF_8)
               val partBytes = 4 + 2 + 8 + (if (version >= 2) 8 else 0)
               val throttle = if (version >= 1) 4 else 0
@@ -254,8 +306,9 @@ class KafkaProduceSpec extends AnyFunSuite {
               if (version >= 2) out.writeLong(-1L) // log_append_time
               if (version >= 1) out.writeInt(0) // throttle_time_ms
               out.flush()
-              s.close()
-            } // silent: leave the socket open until the client times out
+            } // acks=0: nothing to send; silent: starve the client timeout
+            } // produce vs InitProducerId dispatch
+            } // per-connection request loop
           } catch { case _: Exception => () }
         })
         t.setDaemon(true); t.start()
@@ -755,5 +808,87 @@ class KafkaProduceSpec extends AnyFunSuite {
       val got = broker.received.toArray(Array.empty[(String, String)]).toSet
       assert(got == Set("t-a" -> "v1", "t-a" -> "v2", "t-b" -> "v3"))
     } finally broker.close()
+  }
+
+  test("pooled connections: 40 sends share the 8 sender sockets, SCRAM once per socket") {
+    val broker = new LoopbackBroker(scram = Some("alice" -> "pw1"))
+    val client = new KafkaProduceClient(broker.broker, timeoutMs = 5000,
+      sasl = Some("alice" -> "pw1"))
+    try {
+      (1 to 40).foreach(i => client.send("pool-t", s"m$i"))
+      client.flush()
+      assert(broker.received.size == 40)
+      assert(counts(client)("hotdog.kafka.submitted.pool-t") == 40L)
+      // 8 sender threads → at most 8 connections (each SCRAM-authenticated
+      // exactly once; per-send auth was the round-8 weakness)
+      assert(broker.connections.get() <= 8,
+        s"40 sends must reuse pooled sockets, opened ${broker.connections.get()}")
+    } finally { client.close(); broker.close() }
+  }
+
+  test("broker restart: stale pooled socket reconnects and redelivers") {
+    val broker = new LoopbackBroker()
+    val client = new KafkaProduceClient(broker.broker, timeoutMs = 5000)
+    try {
+      client.sendSync("r-t", "before-restart")
+      broker.dropAllConnections() // listener stays up — the restart exhibit
+      client.sendSync("r-t", "after-restart")
+      val got = broker.received.toArray(Array.empty[(String, String)]).toSet
+      assert(got == Set("r-t" -> "before-restart", "r-t" -> "after-restart"))
+      val c = counts(client)
+      assert(c("hotdog.kafka.submitted.r-t") == 2L)
+      assert(!c.keys.exists(_.startsWith("hotdog.kafka.producer.error")),
+        s"the reconnect must be silent to the error taxonomy: $c")
+      assert(broker.connections.get() >= 2, "the retry must have reconnected")
+    } finally { client.close(); broker.close() }
+  }
+
+  test("idempotent produce: batches carry broker-assigned pid + per-topic sequences") {
+    val broker = new LoopbackBroker()
+    val client = new KafkaProduceClient(broker.broker, timeoutMs = 5000,
+      apiVersion = 3, idempotent = true)
+    try {
+      client.sendSync("seq-a", "a0")
+      client.sendSync("seq-a", "a1")
+      client.sendSync("seq-a", "a2")
+      client.sendSync("seq-b", "b0")
+      assert(broker.received.size == 4)
+      val ids = broker.batchIds.toArray(Array.empty[(Long, Short, Int)]).toSeq
+      assert(ids.map(_._1).distinct.size == 1 && ids.head._1 >= 1000L,
+        s"one InitProducerId-assigned pid across all batches: $ids")
+      assert(ids.forall(_._2 == 0.toShort))
+      assert(ids.map(_._3).sorted == Seq(0, 0, 1, 2),
+        s"per-topic sequences 0,1,2 (seq-a) and 0 (seq-b): $ids")
+    } finally { client.close(); broker.close() }
+  }
+
+  test("idempotent: lost ack → same-sequence resend, broker dedups, exactly one append") {
+    val broker = new LoopbackBroker(dropResponses = 1)
+    val client = new KafkaProduceClient(broker.broker, timeoutMs = 5000,
+      apiVersion = 3, idempotent = true)
+    try {
+      client.sendSync("once-t", "only-once")
+      val got = broker.received.toArray(Array.empty[(String, String)]).toSeq
+      assert(got == Seq("once-t" -> "only-once"),
+        s"the replayed sequence must not re-append: $got")
+      val ids = broker.batchIds.toArray(Array.empty[(Long, Short, Int)]).toSeq
+      assert(ids.size == 2 && ids.distinct.size == 1,
+        s"the retry must resend the IDENTICAL (pid, epoch, seq): $ids")
+      val c = counts(client)
+      assert(c("hotdog.kafka.submitted.once-t") == 1L)
+      assert(!c.keys.exists(_.startsWith("hotdog.kafka.producer.error")))
+    } finally { client.close(); broker.close() }
+  }
+
+  test("without idempotence the same lost ack is at-least-once: duplicate append") {
+    val broker = new LoopbackBroker(dropResponses = 1)
+    val client = new KafkaProduceClient(broker.broker, timeoutMs = 5000)
+    try {
+      client.sendSync("dup-t", "maybe-twice")
+      val got = broker.received.toArray(Array.empty[(String, String)]).toSeq
+      assert(got == Seq("dup-t" -> "maybe-twice", "dup-t" -> "maybe-twice"),
+        s"plain retry without sequences duplicates — the contrast exhibit: $got")
+      assert(counts(client)("hotdog.kafka.submitted.dup-t") == 1L)
+    } finally { client.close(); broker.close() }
   }
 }

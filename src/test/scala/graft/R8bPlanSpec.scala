@@ -98,6 +98,35 @@ class R8bPlanSpec extends AnyFunSuite {
     }
   }
 
+  test("kmv/theta sub-k: a source with < k hashes yields NULL kth / θ=2^52 under ANSI") {
+    // regression: element_at(arr, 64) on a shorter sketch array throws
+    // INVALID_ARRAY_INDEX_IN_ELEMENT_AT under Spark 4's default ANSI mode;
+    // the contract is a NULL kth_hash (kmv) / a 2^52 θ fallback (theta)
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    import spark.implicits._
+    assert(spark.conf.get("spark.sql.ansi.enabled") == "true",
+      "this spec must run with the driver's default ANSI mode")
+    val hashed = ((1L to 5L).map(h => ("tiny", h)) ++
+      (1L to 200L).map(h => ("big", h * 7L))).toDF("source", "h")
+    val kmv = graft.queries.R8bQueries.kmvResult(hashed)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(kmv("tiny").isNullAt(2) && kmv("tiny").isNullAt(3),
+      s"sub-k source must surface NULL kth_hash and NULL kmv_est: ${kmv("tiny")}")
+    assert(!kmv("big").isNullAt(2), s"k-full source keeps its kth minimum")
+    // global pool has 203 distinct hashes >= k, so __merged__ is non-NULL here;
+    // a fully sub-k pool must STILL emit the __merged__ row, with NULL kth
+    val allTiny = (1L to 5L).map(h => ("tiny", h)).toDF("source", "h")
+    val merged = graft.queries.R8bQueries.kmvResult(allTiny)
+      .filter($"scope" === "__merged__").collect()
+    assert(merged.length == 1 && merged.head.isNullAt(2),
+      s"sub-k merged row must survive with NULL kth: ${merged.mkString}")
+    val theta = graft.queries.R8bQueries.thetaPerSource(hashed)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(theta("tiny") == 4503599627370496L,
+      s"sub-k source keeps θ = 2^52 (its sketch IS its set): ${theta("tiny")}")
+    assert(theta("big") < 4503599627370496L)
+  }
+
   test("q_chi_square: no window anywhere — pinned fold over the cell array") {
     withConf("spark.sql.adaptive.enabled" -> "false") {
       val p = plan("q_chi_square")
