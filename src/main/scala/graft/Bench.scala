@@ -64,8 +64,14 @@ object Bench {
     // JVM/codegen warmup so the first measured query isn't paying JIT cost
     spark.range(1000000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
 
+    // optional comma-separated key filter — the sf1 scaling runs time only
+    // the heavy subset instead of all 260 keys
+    val keyFilter = sys.env.get("SPARK_GRAFT_KEYS")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     var errors = List.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => keyFilter.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val times = (1 to runs).flatMap { _ =>
         spark.catalog.clearCache()
         val t0 = System.nanoTime()

@@ -14,6 +14,114 @@ import org.apache.spark.sql.functions._
 object Similarity {
   private def toDouble(a: Column): Column = transform(a, x => x.cast("double"))
 
+  /** NN-DESCENT approximate k-NN graph construction (Dong, Moses,
+    * Li 2011 — the graph-ANN family rung next to the IVF/PQ/LSH matrix;
+    * public algorithm, original implementation): start from a
+    * deterministic ring initialization (neighbor j of v = (v + j) mod N),
+    * then iterate "a neighbor of my neighbor is probably my neighbor":
+    * each round the candidate set is the current UNDIRECTED k-NN graph
+    * plus all neighbor-of-neighbor pairs, re-ranked to the top-k by exact
+    * cosine. Every step is Spark-relational: candidate generation is a
+    * self-join on the shared neighbor, re-ranking is the bounded
+    * [[graft.functions.TopKPairs]] aggregate — no windows over the
+    * corpus, no driver state, per-round `localCheckpoint` lineage cuts
+    * like the Pregel-shaped graph ops.
+    *
+    * Scale contract: REVERSE degree is capped at k per node (the
+    * classic ρ·K reverse sample, deterministic by source id) so
+    * candidate volume is ≤ (2k)² per node per round — a popular
+    * neighbor cannot generate a quadratic wedge (the hub-wedge bound,
+    * same argument as GraphQueries.capPerKey). Total work per round is
+    * O(N·k²) exact-cosine evaluations, embarrassingly parallel.
+    *
+    * Determinism: ring init is id-arithmetic; re-rank ties break on
+    * n_id; the reverse cap ranks by source id — every round is a pure
+    * function of the input, so the DuckDB oracle replays it exactly.
+    */
+  def nnDescent(emb: DataFrame, k: Int = 8, iters: Int = 2): DataFrame = {
+    val n = emb.count()
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+    var nbrs = emb.select(col("vec_id"),
+        explode(sequence(lit(1), lit(k))).as("j"))
+      .select(col("vec_id"), ((col("vec_id") + col("j")) % n).as("n_id"))
+    for (_ <- 1 to iters)
+      nbrs = nnDescentRound(vecs, nbrs, k).localCheckpoint(true)
+    nbrs
+  }
+
+  /** BEAM SEARCH over a prebuilt k-NN graph (the query half of the
+    * graph-ANN pair — [[nnDescent]] builds, this searches, HNSW-style
+    * without the hierarchy): every query starts at the deterministic
+    * entry node (vec_id 0), and each hop expands the current beam
+    * through the graph's adjacency (beam·k candidates per query — the
+    * corpus is NEVER scanned), scores candidates by exact cosine to the
+    * query, and keeps the best `beam`. After `hops` rounds the beam's
+    * top-k is the answer. Per-hop cost is |Q|·beam·k cosine rows —
+    * independent of corpus size, the property that makes graph ANN the
+    * production search path at 100 TB (the graph build amortizes over
+    * all queries; the search touches O(beam·k·hops) vectors).
+    * Deterministic: ties break on n_id everywhere. */
+  def graphBeamSearch(corpus: DataFrame, graph: DataFrame, queries: DataFrame,
+      k: Int, beam: Int = 8, hops: Int = 3): DataFrame = {
+    val vecs = corpus.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+    val q = broadcast(queries.select(col("vec_id").as("q_id"),
+      col("embedding").as("q_emb")))
+    var beamDf = q.select(col("q_id"), lit(0L).as("n_id"))
+    for (_ <- 1 to hops) {
+      // self may ride in the beam (it scores 1.0 — one slot, like HNSW's
+      // visited set); it is excluded only from the FINAL answer below
+      val expanded = beamDf
+        .join(graph.select(col("vec_id").as("n_id"), col("n_id").as("next")), "n_id")
+        .select(col("q_id"), col("next").as("n_id"))
+        .union(beamDf)
+        .distinct()
+      val scored = expanded.join(vecs, "n_id").join(q, "q_id")
+        .select(col("q_id"), col("n_id"),
+          cosine(col("q_emb"), col("n_emb")).as("sim"))
+      beamDf = rankTopK(scored, beam, "sim", asc = false)
+        .select("q_id", "n_id")
+        .localCheckpoint(true)
+    }
+    beamDf.filter(col("q_id") =!= col("n_id"))
+      .join(vecs, "n_id").join(q, "q_id")
+      .select(col("q_id"), col("n_id"),
+        cosine(col("q_emb"), col("n_emb")).as("sim"))
+      .groupBy("q_id")
+      .agg(call_function("topk_pairs", col("n_id"), col("sim"), lit(k), lit(false))
+        .as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), (col("pos") + 1).as("rank"), col("col.n_id").as("n_id"))
+  }
+
+  /** One descent round, pre-lineage-cut — separated so specs can pin the
+    * REAL plan (the looped version's executed plan is the checkpointed-RDD
+    * scan). */
+  private[graft] def nnDescentRound(vecs: DataFrame, nbrs: DataFrame,
+      k: Int): DataFrame = {
+    // undirected view with the reverse side capped at k per node
+    val rev = nbrs
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("n_id")
+          .orderBy("vec_id")))
+      .filter(col("rn") <= k)
+      .select(col("n_id").as("vec_id"), col("vec_id").as("n_id"))
+    val und = nbrs.union(rev).distinct()
+    val cand = und.select(col("vec_id"), col("n_id").as("mid"))
+      .join(und.select(col("vec_id").as("mid"), col("n_id").as("cand")), "mid")
+      .select(col("vec_id"), col("cand").as("n_id"))
+      .filter(col("vec_id") =!= col("n_id"))
+      .union(und)
+      .distinct()
+    val scored = cand
+      .join(vecs, "vec_id")
+      .join(vecs.select(col("vec_id").as("n_id"), col("embedding").as("n_emb")),
+        "n_id")
+      .select(col("vec_id").as("q_id"), col("n_id"),
+        cosine(col("embedding"), col("n_emb")).as("sim"))
+    rankTopK(scored, k, "sim", asc = false)
+      .select(col("q_id").as("vec_id"), col("n_id"))
+  }
+
   /** Interpreted reference implementation: aggregate-over-zip_with fold. */
   def foldDot(a: Column, b: Column): Column =
     aggregate(zip_with(toDouble(a), toDouble(b), (x, y) => x * y),

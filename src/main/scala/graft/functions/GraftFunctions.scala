@@ -13,7 +13,7 @@ object GraftFunctions {
   private val descriptors = Seq(
     JsonDeepMerge.descriptor, JsonMergeIn.descriptor, Opaque.descriptor,
     DotProduct.descriptor, BpeApply.descriptor, IvfAssign.descriptor,
-    NfcNormalize.descriptor,
+    NfcNormalize.descriptor, HtmlEscape.descriptor,
     PolyHash16.descriptor, PqEncode.descriptor, PqLut.descriptor,
     TopKPairs.descriptor, VectorSumLong.descriptor,
     graft.syslog.ParseSyslog.descriptor,

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.config._
 import graft.rules.{RuleCompiler, Template}
-import graft.sinks.SchemaConv
+import graft.sinks.{ByteThresholdParquetSink, SchemaConv}
 import graft.syslog.SyslogCols
 import graft.functions.GraftFunctions
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -353,6 +353,93 @@ object CoreQueries {
       .orderBy("bucket", "topic")
   }
 
+  // O21 — shutdown flush as an ORACLE-CHECKED key (r8 verdict #7): the
+  // byte-threshold sink buffers a routed subset with the size threshold and
+  // flush timer both set unreachable, so ONLY the close() shutdown drain
+  // (src/sink/parquet.rs — the drain the termination listener runs) can
+  // land the rows; the read-back per-topic counts+bytes must equal the
+  // cascade's. A lost shutdown flush = missing rows = hash mismatch.
+  private[queries] val ShutdownSlot: String = java.nio.file.Paths.get(
+    sys.props("java.io.tmpdir"), "graft-shutdown-flush", "current").toString
+
+  private val flushShutdownDrain: Q = (s, dir) => {
+    def del(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(del)
+      f.delete()
+    }
+    del(new java.io.File(ShutdownSlot)) // writeRouted appends — fresh slot
+    val cfg = HotdogConfig.copy(schemas = Map.empty,
+      parquetBufferBytes = Some(Long.MaxValue), flushMs = Long.MaxValue / 8)
+    val sink = new ByteThresholdParquetSink(cfg, ShutdownSlot)
+    try {
+      sink.addBatch(routed(s, dir).filter(col("event_id") % 13 === 0)
+        .select("topic", "value"), 0L)
+      require(!new java.io.File(ShutdownSlot).exists(),
+        "nothing may flush before close: threshold and timer are unreachable")
+    } finally sink.close() // THE operator under test: the shutdown drain
+    s.read.parquet(ShutdownSlot)
+      .groupBy("topic")
+      .agg(count(lit(1)).as("n"), sum(octet_length(col("value"))).as("bytes"))
+      .orderBy("topic")
+  }
+
+  // O2 — the TLS line source END TO END as an oracle-checked key (r8
+  // verdict #7): deterministic syslog lines are pushed through a REAL TLS
+  // handshake into the graft-syslog DSv2 server source (PEM cert+key, the
+  // reference's src/serve/tls.rs front door), the full streaming cascade
+  // routes them, and the per-topic counts must match the DuckDB twin of
+  // the batch cascade. Bounded: the pushed subset is event_id % 17.
+  private val srcTlsLines: Q = (s, dir) => {
+    val lines = Synth.lines5424(events(s, dir))
+      .filter(col("event_id") % 17 === 0)
+      .orderBy("event_id").select("line")
+      .collect().map(_.getString(0))
+    val expected = routed(s, dir).filter(col("event_id") % 17 === 0).count()
+    def res(n: String): String = { // Pem reads paths; resources may be jarred
+      val p = java.nio.file.Files.createTempFile("graft-tls-", n)
+      val in = getClass.getResourceAsStream(s"/tls/$n")
+      try java.nio.file.Files.copy(in, p,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      finally in.close()
+      p.toString
+    }
+    val name = "tlskey_" + java.util.UUID.randomUUID().toString.take(8)
+    val stream = graft.streaming.GraftPipeline.tcpStream(s, HotdogConfig,
+      "127.0.0.1", 0, Map("name" -> name,
+        "tls.cert" -> res("cert.pem"), "tls.key" -> res("pkcs8-key.pem")))
+    val q = stream.writeStream.format("memory").queryName(name).start()
+    try {
+      val deadline = System.currentTimeMillis() + 60000
+      var port = graft.sources.SyslogSocketSource.boundPort(name)
+      while (port.isEmpty && System.currentTimeMillis() < deadline) {
+        Thread.sleep(100); port = graft.sources.SyslogSocketSource.boundPort(name)
+      }
+      require(port.nonEmpty, "TLS source never registered its bound port")
+      val trustAll = new javax.net.ssl.X509TrustManager {
+        override def checkClientTrusted(
+            c: Array[java.security.cert.X509Certificate], a: String): Unit = ()
+        override def checkServerTrusted(
+            c: Array[java.security.cert.X509Certificate], a: String): Unit = ()
+        override def getAcceptedIssuers: Array[java.security.cert.X509Certificate] =
+          Array.empty
+      }
+      val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+      ctx.init(null, Array(trustAll), null)
+      val sock = ctx.getSocketFactory.createSocket("127.0.0.1", port.get)
+      val w = new java.io.OutputStreamWriter(sock.getOutputStream,
+        java.nio.charset.StandardCharsets.UTF_8)
+      lines.foreach(l => w.write(l + "\n"))
+      w.flush(); sock.close()
+      def landed(): Long = s.table(name).count()
+      while (landed() < expected && System.currentTimeMillis() < deadline) {
+        Thread.sleep(100); q.processAllAvailable()
+      }
+      require(landed() == expected,
+        s"expected $expected routed rows through TLS, got ${landed()}")
+    } finally q.stop()
+    s.table(name).groupBy("topic").agg(count(lit(1)).as("n")).orderBy("topic")
+  }
+
   /** Declared schema for the routed t-* destinations (FIXTURES.md §4 shape). */
   private val declaredSchema: TopicSchema = TopicSchema("t-purchase", List(
     "k" -> FieldType.Lng,
@@ -487,6 +574,8 @@ object CoreQueries {
     "sink_group_by_destination" -> sinkGroupByDestination,
     "flush_size_threshold" -> flushSizeThreshold,
     "flush_time_interval" -> flushTimeInterval,
+    "flush_shutdown_drain" -> flushShutdownDrain,
+    "src_tls_lines" -> srcTlsLines,
     "schema_declared_project" -> schemaDeclaredProject,
     "schema_infer_json" -> schemaInferJson,
     "scalar_surface" -> scalarSurface,
@@ -686,6 +775,23 @@ object CoreQueries {
       s"""$RoutedSql
          |SELECT topic, count(*) AS n, CAST(sum(strlen(value) + 1) AS BIGINT) AS bytes
          |FROM routed GROUP BY topic ORDER BY topic""".stripMargin,
+
+    // O21: rows land ONLY via the close() shutdown drain, so matching the
+    // cascade's per-topic counts+bytes proves the drain lost nothing
+    "flush_shutdown_drain" ->
+      s"""$RoutedSql
+         |SELECT topic, count(*) AS n, CAST(sum(strlen(value)) AS BIGINT) AS bytes
+         |FROM routed WHERE event_id % 13 = 0
+         |GROUP BY topic ORDER BY topic""".stripMargin,
+
+    // O2: the TLS transport must deliver the subset losslessly — counts
+    // only (the streaming cascade stamps a runtime iso8601 into merged
+    // values, so value bytes are pinned by the batch keys instead)
+    "src_tls_lines" ->
+      s"""$RoutedSql
+         |SELECT topic, count(*) AS n
+         |FROM routed WHERE event_id % 17 = 0
+         |GROUP BY topic ORDER BY topic""".stripMargin,
 
     "flush_size_threshold" ->
       s"""$RoutedSql

@@ -304,6 +304,58 @@ object ExtQueries {
       .orderBy("method")
   }
 
+  /** NN-DESCENT graph ANN with measured recall (the graph-family rung
+    * the r8 verdict listed as the optional gap next to IVF/PQ/LSH): the
+    * deterministic ring-initialized k-NN graph is refined by 2
+    * neighbor-of-neighbor rounds ([[Similarity.nnDescent]]), and the
+    * output grades the descent itself — per probe query, exact-top-k
+    * overlap of the INITIAL graph vs the REFINED graph (hits_final ≫
+    * hits_init is the operator working). Fully deterministic, so the
+    * DuckDB twin replays both graphs exactly. */
+  private val annNnDescentRecall: Q = (s, dir) => {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val e = embeddings(s, dir)
+    val exact = Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), 8)
+      .select("q_id", "n_id")
+    def hits(g: DataFrame, name: String) = g
+      .filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("n_id"))
+      .join(exact, Seq("q_id", "n_id"), "left_semi")
+      .groupBy("q_id").agg(count(lit(1)).as(name))
+    e.filter(col("vec_id") < 10).select(col("vec_id").as("q_id"))
+      .join(hits(Similarity.nnDescent(e, 8, 0), "hits_init"), Seq("q_id"), "left")
+      .join(hits(Similarity.nnDescent(e, 8, 4), "hits_final"), Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("hits_init"), lit(0L)).as("hits_init"),
+        coalesce(col("hits_final"), lit(0L)).as("hits_final"))
+      .orderBy("q_id")
+  }
+
+  /** The QUERY half of the graph-ANN pair: beam search over the
+    * NN-Descent graph ([[Similarity.graphBeamSearch]]) — per hop each
+    * query expands its beam through the prebuilt adjacency and keeps the
+    * `beam` best by exact cosine; the corpus is never scanned (per-query
+    * cost O(beam·k·hops), corpus-size-independent — the production
+    * search shape). Output: per probe, beam results found + exact-top-5
+    * overlap. */
+  private val annGraphSearch: Q = (s, dir) => {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val e = embeddings(s, dir)
+    val g = Similarity.nnDescent(e, 8, 4)
+    val res = Similarity.graphBeamSearch(e, g, e.filter(col("vec_id") < 10),
+      k = 5, beam = 8, hops = 3)
+    val exact = Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), 5)
+      .select("q_id", "n_id")
+    val overlap = res.select("q_id", "n_id")
+      .join(exact, Seq("q_id", "n_id"), "left_semi")
+      .groupBy("q_id").agg(count(lit(1)).as("hits"))
+    res.groupBy("q_id").agg(count(lit(1)).as("n_found"))
+      .join(overlap, Seq("q_id"), "left")
+      .select(col("q_id"), col("n_found"),
+        coalesce(col("hits"), lit(0L)).as("hits"))
+      .orderBy("q_id")
+  }
+
   private val annIvf: Q = (s, dir) => {
     graft.functions.GraftFunctions.ensureRegistered(s)
     val e = embeddings(s, dir)
@@ -1272,6 +1324,8 @@ object ExtQueries {
     "emb_drift" -> embDrift,
     "ann_range_search" -> annRangeSearch,
     "ann_recall" -> annRecall,
+    "ann_nndescent_recall" -> annNnDescentRecall,
+    "ann_graph_search" -> annGraphSearch,
     "ann_ivf" -> annIvf,
     "ann_ivf_nprobe" -> annIvfNprobe,
     "ann_ivf_persisted" -> annIvfPersisted,
@@ -1355,6 +1409,38 @@ object ExtQueries {
 
   private def cosSql(a: String, b: String): String =
     s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
+
+  /** Unrolled NN-Descent CTE chain (`nb0` … `nb$iters`) — the DuckDB twin
+    * of [[graft.ext.Similarity.nnDescent]], shared by the build key and
+    * the graph-search key. */
+  private def nnDescentCtes(k: Int, iters: Int): String = {
+    def iterCtes(i: Int): String = {
+      val prev = s"nb${i - 1}"
+      s"""rev$i AS MATERIALIZED (SELECT n_id AS vec_id, vec_id AS n_id FROM (
+         |    SELECT vec_id, n_id,
+         |      row_number() OVER (PARTITION BY n_id ORDER BY vec_id) AS rn
+         |    FROM $prev) WHERE rn <= $k),
+         |und$i AS MATERIALIZED (SELECT vec_id, n_id FROM $prev
+         |          UNION SELECT vec_id, n_id FROM rev$i),
+         |cand$i AS MATERIALIZED (
+         |  SELECT a.vec_id, b.n_id FROM und$i a JOIN und$i b ON a.n_id = b.vec_id
+         |  WHERE a.vec_id <> b.n_id
+         |  UNION SELECT vec_id, n_id FROM und$i),
+         |sc$i AS MATERIALIZED (SELECT c.vec_id, c.n_id,
+         |    ${cosSql("e1.embedding", "e2.embedding")} AS sim
+         |  FROM cand$i c JOIN embeddings e1 ON e1.vec_id = c.vec_id
+         |                JOIN embeddings e2 ON e2.vec_id = c.n_id),
+         |nb$i AS MATERIALIZED (SELECT vec_id, n_id FROM (
+         |    SELECT vec_id, n_id,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, n_id) AS rn
+         |    FROM sc$i) WHERE rn <= $k)""".stripMargin
+    }
+    s"""nb0 AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    (vec_id + j) % (SELECT count(*) FROM embeddings) AS n_id
+       |  FROM embeddings, range(1, ${k + 1}) r(j)),
+       |${(1 to iters).map(iterCtes).mkString(",\n")}""".stripMargin
+  }
 
   /** dims-parameterized twin of [[dotSql]] (that one is pinned to the
     * 64-dim embeddings table). */
@@ -2680,10 +2766,79 @@ object ExtQueries {
 
     // recall twin: brute-force top-5 + each approximate method's top-5 as
     // CTEs, counted through the same (q_id, n_id) intersection joins
+    // replays the full deterministic descent: ring init, reverse cap,
+    // neighbor-of-neighbor candidates, cosine re-rank — four unrolled rounds
+    "ann_nndescent_recall" -> {
+      val k = 8
+      s"""WITH ${nnDescentCtes(k, 4)},
+         |bf AS MATERIALIZED (SELECT q_id, n_id FROM (
+         |    SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${cosSql("q.embedding", "e.embedding")} DESC, e.vec_id) AS rn
+         |    FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+         |    WHERE q.vec_id < 10) WHERE rn <= $k),
+         |hi AS (SELECT nb0.vec_id AS q_id, count(*) AS hits_init
+         |  FROM nb0 JOIN bf ON bf.q_id = nb0.vec_id AND bf.n_id = nb0.n_id
+         |  GROUP BY 1),
+         |hf AS (SELECT nb4.vec_id AS q_id, count(*) AS hits_final
+         |  FROM nb4 JOIN bf ON bf.q_id = nb4.vec_id AND bf.n_id = nb4.n_id
+         |  GROUP BY 1)
+         |SELECT q.vec_id AS q_id,
+         |  coalesce(hi.hits_init, 0) AS hits_init,
+         |  coalesce(hf.hits_final, 0) AS hits_final
+         |FROM embeddings q LEFT JOIN hi ON hi.q_id = q.vec_id
+         |                  LEFT JOIN hf ON hf.q_id = q.vec_id
+         |WHERE q.vec_id < 10 ORDER BY q_id""".stripMargin
+    },
+
+    // graph build (shared descent CTEs) + 3 unrolled beam hops from the
+    // fixed entry node, self excluded only from the final answer
+    "ann_graph_search" -> {
+      val (k, beam, hops, topK) = (8, 8, 3, 5)
+      def hopCtes(i: Int): String = {
+        val prev = s"beam${i - 1}"
+        s"""exp$i AS MATERIALIZED (SELECT b.q_id, g.n_id FROM $prev b
+           |            JOIN nb4 g ON g.vec_id = b.n_id
+           |          UNION SELECT q_id, n_id FROM $prev),
+           |bsc$i AS MATERIALIZED (SELECT x.q_id, x.n_id,
+           |    ${cosSql("q.embedding", "e.embedding")} AS sim
+           |  FROM exp$i x JOIN embeddings q ON q.vec_id = x.q_id
+           |               JOIN embeddings e ON e.vec_id = x.n_id),
+           |beam$i AS MATERIALIZED (SELECT q_id, n_id FROM (
+           |    SELECT q_id, n_id,
+           |      row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn
+           |    FROM bsc$i) WHERE rn <= $beam)""".stripMargin
+      }
+      s"""WITH ${nnDescentCtes(k, 4)},
+         |beam0 AS (SELECT vec_id AS q_id, CAST(0 AS BIGINT) AS n_id
+         |          FROM embeddings WHERE vec_id < 10),
+         |${(1 to hops).map(hopCtes).mkString(",\n")},
+         |fin AS MATERIALIZED (SELECT q_id, n_id FROM (
+         |    SELECT b.q_id, b.n_id,
+         |      row_number() OVER (PARTITION BY b.q_id
+         |        ORDER BY ${cosSql("q.embedding", "e.embedding")} DESC, b.n_id) AS rn
+         |    FROM beam$hops b JOIN embeddings q ON q.vec_id = b.q_id
+         |                     JOIN embeddings e ON e.vec_id = b.n_id
+         |    WHERE b.q_id <> b.n_id) WHERE rn <= $topK),
+         |bf5 AS MATERIALIZED (SELECT q_id, n_id FROM (
+         |    SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${cosSql("q.embedding", "e.embedding")} DESC, e.vec_id) AS rn
+         |    FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+         |    WHERE q.vec_id < 10) WHERE rn <= $topK),
+         |ov AS (SELECT fin.q_id, count(*) AS hits
+         |  FROM fin JOIN bf5 ON bf5.q_id = fin.q_id AND bf5.n_id = fin.n_id
+         |  GROUP BY 1),
+         |nf AS (SELECT q_id, count(*) AS n_found FROM fin GROUP BY 1)
+         |SELECT nf.q_id, nf.n_found, coalesce(ov.hits, 0) AS hits
+         |FROM nf LEFT JOIN ov ON ov.q_id = nf.q_id
+         |ORDER BY nf.q_id""".stripMargin
+    },
+
     "ann_recall" ->
       s"""WITH bfq AS (SELECT vec_id AS q_id, embedding AS qe
          |       FROM embeddings WHERE vec_id < 10),
-         |bf AS (SELECT q_id, n_id FROM (
+         |bf AS MATERIALIZED (SELECT q_id, n_id FROM (
          |    SELECT q_id, n_id,
          |      row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank
          |    FROM (SELECT q_id, e.vec_id AS n_id, ${cosSql("qe", "e.embedding")} AS sim

@@ -325,6 +325,16 @@ object GraphQueries {
 
   private val qCommonNeighbors: Q = (s, dir) => commonNeighbors(edges(s, dir))
 
+  /** The capped variant AS ITS OWN ORACLE-CHECKED KEY: cap=64 with the
+    * DuckDB twin implementing the SAME deterministic (deg, id) cap, so
+    * the key is exact at every SF — and at 10x data it stays bounded
+    * while the exact key's wedge volume grows quadratically (measured:
+    * sf1 wedge volume 264M vs sf0.1's 2.8M on the 150 planted hub
+    * nodes; the exact key ran 140x slower at 10x data, the capped one
+    * is the production path). */
+  private val qCommonNeighborsCapped: Q = (s, dir) =>
+    commonNeighbors(edges(s, dir), maxNbrs = Some(64))
+
   // ------------------------------------------------------------- k-core
 
   /** Fixed-round k-core peeling over the undirected graph: [[KcoreIters]]
@@ -530,6 +540,7 @@ object GraphQueries {
     "graph_kcore" -> qKcore,
     "graph_degree_hist" -> qDegreeHist,
     "graph_common_neighbors" -> qCommonNeighbors,
+    "graph_common_neighbors_capped" -> qCommonNeighborsCapped,
     "graph_modularity" -> qModularity,
     "graph_two_hop" -> qTwoHop,
     "graph_cc_labelprop" -> qLabelProp,
@@ -682,6 +693,26 @@ object GraphQueries {
          |pairs AS (
          |  SELECT s1.n AS a, s2.n AS c, count(*) AS common
          |  FROM sym s1 JOIN sym s2 ON s1.nbr = s2.nbr AND s1.n < s2.n
+         |  GROUP BY 1, 2)
+         |SELECT a, c, common,
+         |  10000 * common // (da.deg + dc.deg - common) AS jaccard_x10000
+         |FROM pairs JOIN deg da ON da.n = a JOIN deg dc ON dc.n = c
+         |ORDER BY a, c""".stripMargin,
+
+    // same cap, same total order — the oracle replays the row_number cut
+    "graph_common_neighbors_capped" ->
+      s"""WITH e AS ($EdgesSql),
+         |sym AS (SELECT src AS n, dst AS nbr FROM e
+         |        UNION SELECT dst, src FROM e),
+         |deg AS (SELECT n, count(*) AS deg FROM sym GROUP BY n),
+         |ranked AS (
+         |  SELECT s.n, s.nbr,
+         |    row_number() OVER (PARTITION BY s.nbr ORDER BY d.deg, s.n) AS rn
+         |  FROM sym s JOIN deg d ON d.n = s.n),
+         |adj AS (SELECT n, nbr FROM ranked WHERE rn <= 64),
+         |pairs AS (
+         |  SELECT s1.n AS a, s2.n AS c, count(*) AS common
+         |  FROM adj s1 JOIN adj s2 ON s1.nbr = s2.nbr AND s1.n < s2.n
          |  GROUP BY 1, 2)
          |SELECT a, c, common,
          |  10000 * common // (da.deg + dc.deg - common) AS jaccard_x10000

@@ -102,8 +102,12 @@ object Template {
   private def parse(template: String): List[Node] =
     parseNodes(template, 0, inBlock = false)._1
 
-  private def escapeCol(c: Column): Column =
-    EscapePairs.foldLeft(c) { case (acc, (s, r)) => replace(acc, lit(s), lit(r)) }
+  // one codegen'd pass ([[graft.functions.HtmlEscape]]) instead of five
+  // chained replace()es — five intermediate UTF8Strings per row per
+  // variable was the cascade family's hottest allocation site. Resolved
+  // by name like parse_syslog: every cascade session registers the graft
+  // expressions (GraftExtensions / ensureRegistered).
+  private def escapeCol(c: Column): Column = call_function("html_escape", c)
 
   private def escapeStr(s: String): String =
     EscapePairs.foldLeft(s) { case (acc, (a, b)) => acc.replace(a, b) }

@@ -148,6 +148,30 @@ class AnnPlanSpec extends AnyFunSuite {
     assert(top2 == Set(6L, 7L))
   }
 
+  test("nn-descent: every window is partitioned, re-rank is topk_pairs, descent improves") {
+    withStaticPlan {
+      graft.functions.GraftFunctions.ensureRegistered(spark)
+      val e = graft.queries.Synth.embeddings(spark, sf)
+      val init = graft.ext.Similarity.nnDescent(e, 8, 0)
+      // pin the ROUND's plan pre-checkpoint (the looped key's executed plan
+      // is just the checkpointed-RDD scan)
+      val round = graft.ext.Similarity.nnDescentRound(
+        e.select(col("vec_id"), col("embedding")), init, 8)
+      val p = round.queryExecution.executedPlan
+      val g = graft.ext.Similarity.nnDescent(e, 8, 1)
+      // the only windows allowed are the per-node reverse cap — PARTITIONED
+      // (by the neighbor id); an unpartitioned window would serialize the
+      // corpus into one task
+      p.collect { case w: WindowExec => w }.foreach(w =>
+        assert(w.partitionSpec.nonEmpty, s"unpartitioned window:\n$w"))
+      assert(p.toString.contains("topk_pairs"),
+        s"the re-rank must be the bounded aggregate:\n$p")
+      // per-node degree bound: k neighbors per node, always
+      val over = g.groupBy("vec_id").count().filter(col("count") > 8).count()
+      assert(over == 0, "no node may exceed k neighbors")
+    }
+  }
+
   test("topk_pairs ascending mode ranks smallest distances first") {
     import spark.implicits._
     val df = Seq((1L, 10L, 5.0), (1L, 11L, 1.0), (1L, 12L, 3.0))
