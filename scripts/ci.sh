@@ -7,5 +7,6 @@ cd "$(dirname "$0")/.."
 SF="${1:-sf0.001}"
 OUT="$(mktemp -d /tmp/graft-verify-XXXX)"
 sbt -batch test
+sbt -batch "runMain graft.tools.PlanAudit /root/testdata/sf0.001 PLANAUDIT.md"
 sbt -batch "runMain graft.Verify /root/testdata/$SF $OUT"
 python3 scripts/check.py "/root/testdata/$SF" "$OUT"

@@ -34,6 +34,13 @@ import graft.metrics.{Stats, StatsdEmitter}
   * dedups on (pid, epoch, seq) and the retry is exactly-once per
   * partition. Delivery timeouts stay terminal — never retried.
   *
+  * Partitioning follows librdkafka's keyless behavior: the partition
+  * count is discovered once per topic via the public Metadata API
+  * (api 3, over the pooled connection) and sends round-robin across the
+  * partitions; discovery failure falls back to partition 0. With
+  * idempotence, sequences are kept per (topic, partition) — the KIP-98
+  * dedup domain.
+  *
   * `idempotent = true` (requires Produce v3 record batches) runs the
   * KIP-98 idempotent producer: InitProducerId (api 22) fetches a
   * producer id once per client, every batch carries (pid, epoch,
@@ -147,15 +154,16 @@ final class KafkaProduceClient(broker: String, timeoutMs: Int = 60000,
     }
     val t0 = System.nanoTime()
     try {
-      // idempotent mode serializes same-topic sends (max.in.flight=1, the
-      // KIP-98 safe mode): the per-topic sequence must reach partition 0
-      // in allocation order or the broker rejects the gap
+      // idempotent mode serializes same-partition sends (max.in.flight=1,
+      // the KIP-98 safe mode): the per-partition sequence must arrive in
+      // allocation order or the broker rejects the gap. The partition is
+      // chosen BEFORE the lock so round-robin still spreads load.
       val code =
-        if (idempotent)
-          topicLocks.computeIfAbsent(topic, _ => new Object).synchronized {
-            produceRoundTrip(topic, payload)
-          }
-        else produceRoundTrip(topic, payload)
+        if (idempotent) {
+          val part = choosePartition(topic)
+          topicLocks.computeIfAbsent(s"$topic/$part", _ => new Object)
+            .synchronized { produceRoundTrip(topic, part, payload) }
+        } else produceRoundTrip(topic, choosePartition(topic), payload)
       if (code == 0) {
         count(Stats.kafkaSubmitted(topic))
         statsd.foreach(_.timerMs(Stats.KafkaProducerSent,
@@ -243,6 +251,72 @@ final class KafkaProduceClient(broker: String, timeoutMs: Int = 60000,
   }
 
   // ------------------------------------------- idempotent-producer state
+
+  // ------------------------------------------- partitioner (Metadata v0)
+
+  // librdkafka's keyless-payload behavior: partition count discovered via
+  // the public Metadata API (api 3) once per topic, sends round-robin
+  // across the partitions. Discovery failure (old broker, transport)
+  // falls back to partition 0 — the pre-partitioner behavior.
+  private val partitionCounts = new ConcurrentHashMap[String, Integer]()
+  private val rrCounter = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private def partitionsFor(topic: String): Int = {
+    val cached = partitionCounts.get(topic)
+    if (cached != null) return cached.intValue()
+    val n =
+      try metadataPartitions(topic)
+      catch {
+        case e: SocketTimeoutException => dropConn(); throw e
+        case _: Exception => dropConn(); 1
+      }
+    partitionCounts.putIfAbsent(topic, Integer.valueOf(n))
+    n
+  }
+
+  /** Metadata v0 round-trip: partition count for one topic. */
+  private def metadataPartitions(topic: String): Int = {
+    val c = conn()
+    val clientId = "graft".getBytes(StandardCharsets.UTF_8)
+    val topicB = topic.getBytes(StandardCharsets.UTF_8)
+    val corr = c.nextCorr()
+    c.out.writeInt(2 + 2 + 4 + (2 + clientId.length) + 4 + 2 + topicB.length)
+    c.out.writeShort(3) // api_key Metadata
+    c.out.writeShort(0) // v0
+    c.out.writeInt(corr)
+    c.out.writeShort(clientId.length); c.out.write(clientId)
+    c.out.writeInt(1) // one topic
+    c.out.writeShort(topicB.length); c.out.write(topicB)
+    c.out.flush()
+    val respSize = c.in.readInt()
+    if (respSize < 4 || respSize > (1 << 20))
+      throw new IllegalStateException(s"implausible Metadata response $respSize")
+    if (c.in.readInt() != corr)
+      throw new IllegalStateException("correlation id mismatch (Metadata)")
+    val nBrokers = c.in.readInt()
+    (0 until nBrokers).foreach { _ =>
+      c.in.skipBytes(4) // node id
+      c.in.skipBytes(c.in.readShort()) // host
+      c.in.skipBytes(4) // port
+    }
+    val nTopics = c.in.readInt()
+    var count = 1
+    (0 until nTopics).foreach { _ =>
+      c.in.skipBytes(2) // topic error
+      val nameB = new Array[Byte](c.in.readShort()); c.in.readFully(nameB)
+      val nParts = c.in.readInt()
+      var p = 0
+      while (p < nParts) {
+        c.in.skipBytes(2 + 4 + 4) // error, partition id, leader
+        c.in.skipBytes(4 * c.in.readInt()) // replicas
+        c.in.skipBytes(4 * c.in.readInt()) // isr
+        p += 1
+      }
+      if (new String(nameB, StandardCharsets.UTF_8) == topic && nParts > 0)
+        count = nParts
+    }
+    count
+  }
 
   // KIP-98 producer identity: fetched from the broker (InitProducerId,
   // api 22) once per client, reset after a terminal delivery failure so
@@ -400,8 +474,8 @@ final class KafkaProduceClient(broker: String, timeoutMs: Int = 60000,
     * the configured version/acks/codec. The correlation id is patched in
     * per attempt ([[patchCorr]]) so a RESEND reuses the identical batch —
     * same (pid, epoch, seq) under idempotence — on a fresh correlation. */
-  private def buildProduceFrame(topic: String, payloadB: Array[Byte],
-      pid: Long, epoch: Short, seq: Int): Array[Byte] = {
+  private def buildProduceFrame(topic: String, partition: Int,
+      payloadB: Array[Byte], pid: Long, epoch: Short, seq: Int): Array[Byte] = {
     val clientId = "graft".getBytes(StandardCharsets.UTF_8)
     val topicB = topic.getBytes(StandardCharsets.UTF_8)
     val set =
@@ -425,8 +499,8 @@ final class KafkaProduceClient(broker: String, timeoutMs: Int = 60000,
     out.writeInt(timeoutMs)
     out.writeInt(1) // one topic
     out.writeShort(topicB.length); out.write(topicB)
-    out.writeInt(1) // one partition
-    out.writeInt(0) // partition 0
+    out.writeInt(1) // one partition entry
+    out.writeInt(partition)
     out.writeInt(set.length)
     out.write(set)
     buf.toByteArray
@@ -445,7 +519,14 @@ final class KafkaProduceClient(broker: String, timeoutMs: Int = 60000,
     * fire-and-forget — no response exists to read). Delivery timeouts
     * propagate without retry — a slow broker must surface as the timeout
     * counter, never as a duplicate-risking resend. */
-  private def produceRoundTrip(topic: String, payload: String): Int = {
+  /** Keyless-partitioner: round-robin over the discovered count. */
+  private def choosePartition(topic: String): Int = {
+    val n = partitionsFor(topic)
+    if (n <= 1) 0 else (rrCounter.getAndIncrement() % n).toInt
+  }
+
+  private def produceRoundTrip(topic: String, partition: Int,
+      payload: String): Int = {
     val payloadB = payload.getBytes(StandardCharsets.UTF_8)
     if (idempotent)
       try ensureProducerId()
@@ -458,11 +539,11 @@ final class KafkaProduceClient(broker: String, timeoutMs: Int = 60000,
     // and turn the retry into a duplicate
     val frame =
       if (idempotent) {
-        val s = seqs.computeIfAbsent(topic,
+        val s = seqs.computeIfAbsent(s"$topic/$partition",
           _ => new java.util.concurrent.atomic.AtomicInteger(0))
-        buildProduceFrame(topic, payloadB, producerId, producerEpoch,
-          s.getAndIncrement())
-      } else buildProduceFrame(topic, payloadB, -1L, -1, -1)
+        buildProduceFrame(topic, partition, payloadB, producerId,
+          producerEpoch, s.getAndIncrement())
+      } else buildProduceFrame(topic, partition, payloadB, -1L, -1, -1)
     var attempt = 0
     while (true) {
       try return exchange(frame)

@@ -96,7 +96,8 @@ class KafkaProduceSpec extends AnyFunSuite {
       scram: Option[(String, String)] = None,
       scramSignPassword: Option[String] = None,
       scramAlgo: graft.sinks.ScramAuth.Algo = graft.sinks.ScramAuth.Sha256,
-      dropResponses: Int = 0)
+      dropResponses: Int = 0,
+      partitions: Int = 1)
       extends AutoCloseable {
     val received = new ConcurrentLinkedQueue[(String, String)]()
     /** (api_version, acks, wire attributes of the outermost message) per
@@ -104,6 +105,8 @@ class KafkaProduceSpec extends AnyFunSuite {
     val frames = new ConcurrentLinkedQueue[(Short, Short, Byte)]()
     /** (pid, epoch, seq) of every magic-2 batch — idempotence exhibits. */
     val batchIds = new ConcurrentLinkedQueue[(Long, Short, Int)]()
+    /** Target partition of every produce request — partitioner exhibits. */
+    val partitionsSeen = new ConcurrentLinkedQueue[Integer]()
     /** Total connections accepted — the pooling exhibit. */
     val connections = new java.util.concurrent.atomic.AtomicInteger(0)
     /** Accepted sockets still open — lets tests simulate a broker restart. */
@@ -150,12 +153,41 @@ class KafkaProduceSpec extends AnyFunSuite {
             in.readFully(frame)
             val f = new DataInputStream(new ByteArrayInputStream(frame))
             val apiKey = f.readShort()
-            assert(apiKey == 0 || apiKey == 22,
-              s"expected Produce or InitProducerId, got api_key=$apiKey")
+            assert(apiKey == 0 || apiKey == 3 || apiKey == 22,
+              s"expected Produce/Metadata/InitProducerId, got api_key=$apiKey")
             val version = f.readShort()
             val corr = f.readInt()
             f.skipBytes(f.readShort()) // client_id
-            if (apiKey == 22) { // InitProducerId v0 (KIP-98)
+            if (apiKey == 3) { // Metadata v0: advertise `partitions` per topic
+              val nT = f.readInt()
+              val names = (0 until nT).map { _ =>
+                val b = new Array[Byte](f.readShort()); f.readFully(b)
+                new String(b, StandardCharsets.UTF_8)
+              }
+              val body = new java.io.ByteArrayOutputStream()
+              val bo = new DataOutputStream(body)
+              bo.writeInt(corr)
+              bo.writeInt(1) // one broker
+              bo.writeInt(0) // node id
+              val hostB = "127.0.0.1".getBytes(StandardCharsets.UTF_8)
+              bo.writeShort(hostB.length); bo.write(hostB)
+              bo.writeInt(port)
+              bo.writeInt(names.size)
+              names.foreach { n =>
+                bo.writeShort(0) // topic error
+                val nb = n.getBytes(StandardCharsets.UTF_8)
+                bo.writeShort(nb.length); bo.write(nb)
+                bo.writeInt(partitions)
+                (0 until partitions).foreach { p =>
+                  bo.writeShort(0) // partition error
+                  bo.writeInt(p) // partition id
+                  bo.writeInt(0) // leader
+                  bo.writeInt(1); bo.writeInt(0) // replicas [0]
+                  bo.writeInt(1); bo.writeInt(0) // isr [0]
+                }
+              }
+              if (!silent) { out.writeInt(body.size()); body.writeTo(out); out.flush() }
+            } else if (apiKey == 22) { // InitProducerId v0 (KIP-98)
               val tl = f.readShort() // nullable transactional_id
               if (tl >= 0) f.skipBytes(tl)
               f.readInt() // transaction_timeout_ms
@@ -215,7 +247,7 @@ class KafkaProduceSpec extends AnyFunSuite {
               } while ((b & 0x80) != 0)
               (z >>> 1) ^ -(z & 1) // un-zigzag
             }
-            def parseBatch(setB: Array[Byte], topic: String): Unit = {
+            def parseBatch(setB: Array[Byte], topic: String, partId: Int): Unit = {
               val ms = new DataInputStream(new ByteArrayInputStream(setB))
               ms.readLong() // baseOffset
               val batchLen = ms.readInt()
@@ -239,7 +271,7 @@ class KafkaProduceSpec extends AnyFunSuite {
               // KIP-98 dedup: a replayed sequence is acknowledged, never
               // re-appended — the broker half of idempotent produce
               val dup = pid >= 0 && {
-                val k = (pid, topic)
+                val k = (pid, s"$topic/$partId")
                 val last = lastSeq.get(k)
                 if (last != null && seq <= last.intValue()) true
                 else { lastSeq.put(k, Integer.valueOf(seq)); false }
@@ -279,10 +311,11 @@ class KafkaProduceSpec extends AnyFunSuite {
               topic = new String(tb, StandardCharsets.UTF_8)
               val nParts = f.readInt()
               (0 until nParts).foreach { _ =>
-                f.readInt() // partition
+                val partId = f.readInt()
+                partitionsSeen.add(Integer.valueOf(partId))
                 val setB = new Array[Byte](f.readInt()) // message_set_size
                 f.readFully(setB)
-                if (version >= 3) parseBatch(setB, topic)
+                if (version >= 3) parseBatch(setB, topic, partId)
                 else parseSet(setB, topic, outer = true)
               }
             }
@@ -877,6 +910,38 @@ class KafkaProduceSpec extends AnyFunSuite {
       val c = counts(client)
       assert(c("hotdog.kafka.submitted.once-t") == 1L)
       assert(!c.keys.exists(_.startsWith("hotdog.kafka.producer.error")))
+    } finally { client.close(); broker.close() }
+  }
+
+  test("partitioner: Metadata discovery + round-robin across 3 partitions") {
+    val broker = new LoopbackBroker(partitions = 3)
+    val client = new KafkaProduceClient(broker.broker, timeoutMs = 5000)
+    try {
+      (1 to 6).foreach(i => client.sendSync("part-t", s"m$i"))
+      assert(broker.received.size == 6)
+      val parts = broker.partitionsSeen.toArray(Array.empty[Integer]).map(_.intValue())
+      assert(parts.toSet == Set(0, 1, 2),
+        s"round-robin must reach every advertised partition: ${parts.toSeq}")
+      assert(parts.groupBy(identity).values.map(_.length).toSet == Set(2),
+        s"6 keyless sends over 3 partitions spread 2-2-2: ${parts.toSeq}")
+    } finally { client.close(); broker.close() }
+  }
+
+  test("idempotent sequences are per (topic, partition)") {
+    val broker = new LoopbackBroker(partitions = 2)
+    val client = new KafkaProduceClient(broker.broker, timeoutMs = 5000,
+      apiVersion = 3, idempotent = true)
+    try {
+      (1 to 4).foreach(i => client.sendSync("seq-p", s"m$i"))
+      assert(broker.received.size == 4)
+      val parts = broker.partitionsSeen.toArray(Array.empty[Integer]).map(_.intValue())
+      val seqs = broker.batchIds.toArray(Array.empty[(Long, Short, Int)]).map(_._3)
+      // 4 round-robin sends over 2 partitions → each partition sees its OWN
+      // 0,1 sequence (a shared counter would show 0,1,2,3 and desync the
+      // broker's per-partition dedup window)
+      val perPart = parts.zip(seqs).groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq)
+      assert(perPart.toMap.values.toSet == Set(Seq(0, 1)),
+        s"per-partition sequences must each start at 0: ${perPart.toMap}")
     } finally { client.close(); broker.close() }
   }
 
