@@ -38,12 +38,38 @@ object Similarity {
     * n_id; the reverse cap ranks by source id — every round is a pure
     * function of the input, so the DuckDB oracle replays it exactly.
     */
-  def nnDescent(emb: DataFrame, k: Int = 8, iters: Int = 2): DataFrame = {
+  def nnDescent(emb: DataFrame, k: Int = 8, iters: Int = 2,
+      lshPlanes: Option[Array[Array[Double]]] = None): DataFrame = {
     val n = emb.count()
     val vecs = emb.select(col("vec_id"), col("embedding"))
-    var nbrs = emb.select(col("vec_id"),
+    // ring init: id-arithmetic, always k neighbors, no locality. With
+    // `lshPlanes`, hyperplane bucket-mates SEED the graph with likely-close
+    // neighbors (the production init — LSH gets the descent near the right
+    // neighborhood so fixed rounds converge further); the ring stays
+    // unioned in so singleton-bucket nodes are never stranded, and the
+    // per-node cap keeps init degree at k (deterministic by n_id).
+    val ring = emb.select(col("vec_id"),
         explode(sequence(lit(1), lit(k))).as("j"))
       .select(col("vec_id"), ((col("vec_id") + col("j")) % n).as("n_id"))
+    var nbrs = lshPlanes match {
+      case None => ring
+      case Some(planes) =>
+        val b = emb.select(col("vec_id"),
+          lshBucket(col("embedding"), planes).as("bucket"))
+        val mates = b
+          .join(b.select(col("vec_id").as("n_id"), col("bucket")), "bucket")
+          .select(col("vec_id"), col("n_id"))
+          .filter(col("vec_id") =!= col("n_id"))
+        // mates (src=0) outrank ring fallbacks (src=1) in the per-node cap
+        mates.withColumn("src", lit(0))
+          .union(ring.withColumn("src", lit(1)))
+          .groupBy("vec_id", "n_id").agg(min(col("src")).as("src"))
+          .withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
+              .orderBy("src", "n_id")))
+          .filter(col("rn") <= k)
+          .select("vec_id", "n_id")
+    }
     for (_ <- 1 to iters)
       nbrs = nnDescentRound(vecs, nbrs, k).localCheckpoint(true)
     nbrs

@@ -323,8 +323,10 @@ object ExtQueries {
       .join(exact, Seq("q_id", "n_id"), "left_semi")
       .groupBy("q_id").agg(count(lit(1)).as(name))
     e.filter(col("vec_id") < 10).select(col("vec_id").as("q_id"))
-      .join(hits(Similarity.nnDescent(e, 8, 0), "hits_init"), Seq("q_id"), "left")
-      .join(hits(Similarity.nnDescent(e, 8, 4), "hits_final"), Seq("q_id"), "left")
+      .join(hits(Similarity.nnDescent(e, 8, 0, Some(Planes)), "hits_init"),
+        Seq("q_id"), "left")
+      .join(hits(Similarity.nnDescent(e, 8, 4, Some(Planes)), "hits_final"),
+        Seq("q_id"), "left")
       .select(col("q_id"),
         coalesce(col("hits_init"), lit(0L)).as("hits_init"),
         coalesce(col("hits_final"), lit(0L)).as("hits_final"))
@@ -341,7 +343,7 @@ object ExtQueries {
   private val annGraphSearch: Q = (s, dir) => {
     graft.functions.GraftFunctions.ensureRegistered(s)
     val e = embeddings(s, dir)
-    val g = Similarity.nnDescent(e, 8, 4)
+    val g = Similarity.nnDescent(e, 8, 4, Some(Planes))
     val res = Similarity.graphBeamSearch(e, g, e.filter(col("vec_id") < 10),
       k = 5, beam = 8, hops = 3)
     val exact = Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), 5)
@@ -1435,10 +1437,22 @@ object ExtQueries {
          |      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, n_id) AS rn
          |    FROM sc$i) WHERE rn <= $k)""".stripMargin
     }
-    s"""nb0 AS MATERIALIZED (
+    s"""ring AS (
        |  SELECT vec_id,
        |    (vec_id + j) % (SELECT count(*) FROM embeddings) AS n_id
        |  FROM embeddings, range(1, ${k + 1}) r(j)),
+       |bk AS MATERIALIZED (SELECT vec_id, ${bucketExpr("embedding")} AS bucket
+       |  FROM embeddings),
+       |mates AS (SELECT a.vec_id, b.vec_id AS n_id
+       |  FROM bk a JOIN bk b USING (bucket) WHERE a.vec_id <> b.vec_id),
+       |nb0 AS MATERIALIZED (SELECT vec_id, n_id FROM (
+       |    SELECT vec_id, n_id,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY src, n_id) AS rn
+       |    FROM (SELECT vec_id, n_id, min(src) AS src FROM (
+       |            SELECT vec_id, n_id, 0 AS src FROM mates
+       |            UNION ALL SELECT vec_id, n_id, 1 AS src FROM ring)
+       |          GROUP BY vec_id, n_id))
+       |  WHERE rn <= $k),
        |${(1 to iters).map(iterCtes).mkString(",\n")}""".stripMargin
   }
 
