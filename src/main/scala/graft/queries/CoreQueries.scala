@@ -383,6 +383,33 @@ object CoreQueries {
       .orderBy("topic")
   }
 
+  // Exactly-once sink as an ORACLE-CHECKED key: epoch 1 is written, then
+  // REPLAYED (the recovery path — must be a no-op), then epoch 2 appends;
+  // the read-back per-(epoch, topic) counts equal the cascade's subsets
+  // only if the replay deduplicated and the append landed.
+  private[queries] val ExactlyOnceSlot: String = java.nio.file.Paths.get(
+    sys.props("java.io.tmpdir"), "graft-exactly-once", "current").toString
+
+  private val sinkExactlyOnce: Q = (s, dir) => {
+    def del(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(del)
+      f.delete()
+    }
+    del(new java.io.File(ExactlyOnceSlot))
+    val cfg = HotdogConfig.copy(schemas = Map.empty)
+    val r = routed(s, dir)
+    val e1 = r.filter(col("event_id") % 11 === 0).select("topic", "value")
+    val e2 = r.filter(col("event_id") % 11 === 1).select("topic", "value")
+    require(graft.sinks.RoutedSink.writeRoutedExactlyOnce(e1, 1L, cfg, ExactlyOnceSlot))
+    require(!graft.sinks.RoutedSink.writeRoutedExactlyOnce(e1, 1L, cfg, ExactlyOnceSlot),
+      "the replayed epoch must be skipped")
+    require(graft.sinks.RoutedSink.writeRoutedExactlyOnce(e2, 2L, cfg, ExactlyOnceSlot))
+    s.read.parquet(ExactlyOnceSlot)
+      .groupBy(col("epoch").cast("long").as("epoch"), col("topic"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("epoch", "topic")
+  }
+
   // O2 — the TLS line source END TO END as an oracle-checked key (r8
   // verdict #7): deterministic syslog lines are pushed through a REAL TLS
   // handshake into the graft-syslog DSv2 server source (PEM cert+key, the
@@ -575,6 +602,7 @@ object CoreQueries {
     "flush_size_threshold" -> flushSizeThreshold,
     "flush_time_interval" -> flushTimeInterval,
     "flush_shutdown_drain" -> flushShutdownDrain,
+    "sink_exactly_once" -> sinkExactlyOnce,
     "src_tls_lines" -> srcTlsLines,
     "schema_declared_project" -> schemaDeclaredProject,
     "schema_infer_json" -> schemaInferJson,
@@ -783,6 +811,17 @@ object CoreQueries {
          |SELECT topic, count(*) AS n, CAST(sum(strlen(value)) AS BIGINT) AS bytes
          |FROM routed WHERE event_id % 13 = 0
          |GROUP BY topic ORDER BY topic""".stripMargin,
+
+    // replay-dedup + append proof: per-(epoch, topic) counts match the
+    // cascade subsets only if the replayed epoch 1 was skipped
+    "sink_exactly_once" ->
+      s"""$RoutedSql
+         |SELECT CAST(1 AS BIGINT) AS epoch, topic,
+         |  count(*) AS n FROM routed WHERE event_id % 11 = 0 GROUP BY topic
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT), topic, count(*)
+         |FROM routed WHERE event_id % 11 = 1 GROUP BY topic
+         |ORDER BY epoch, topic""".stripMargin,
 
     // O2: the TLS transport must deliver the subset losslessly — counts
     // only (the streaming cascade stamps a runtime iso8601 into merged

@@ -152,4 +152,40 @@ object RoutedSink {
       }
     } finally routed.unpersist()
   }
+
+  /** EXACTLY-ONCE routed parquet delivery for foreachBatch — the parquet
+    * sibling of the Kafka client's idempotent produce: Spark replays a
+    * micro-batch after recovery with the SAME epoch id, so the write is
+    * made idempotent the standard way — epoch-scoped output
+    * (`url/epoch=<id>/topic=.../...`, readable as one partitioned tree)
+    * committed by marker file:
+    *
+    *   1. `_commits/<id>` exists → the epoch already landed in a previous
+    *      attempt; the replay is SKIPPED entirely (returns false);
+    *   2. else any partial `epoch=<id>` directory (a crash between data
+    *      write and marker) is deleted, the batch writes fresh, and the
+    *      marker is created LAST — so the marker's existence implies
+    *      complete data, and its absence makes the data invisible to the
+    *      replay path (readers should filter `epoch` dirs against
+    *      `_commits`, or simply trust the stream: an uncommitted epoch is
+    *      always rewritten before its marker appears).
+    *
+    * `_commits` is underscore-prefixed, so Spark/parquet discovery skips
+    * it. One marker file per epoch — driver-side metadata only. */
+  def writeRoutedExactlyOnce(batch: DataFrame, epochId: Long,
+      cfg: GraftConfig, url: String): Boolean = {
+    val commits = java.nio.file.Paths.get(url, "_commits")
+    java.nio.file.Files.createDirectories(commits)
+    val marker = commits.resolve(epochId.toString)
+    if (java.nio.file.Files.exists(marker)) return false // replayed epoch
+    val epochDir = java.nio.file.Paths.get(url, s"epoch=$epochId")
+    def del(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(del)
+      f.delete()
+    }
+    del(epochDir.toFile) // partial write from a crashed attempt
+    writeRouted(batch, cfg, epochDir.toString)
+    java.nio.file.Files.createFile(marker) // commit point
+    true
+  }
 }

@@ -111,6 +111,23 @@ object GraftPipeline {
       }
       .start()
 
+  /** Exactly-once routed parquet delivery: same per-trigger cadence as
+    * [[startParquetSink]], but each micro-batch lands through
+    * [[RoutedSink.writeRoutedExactlyOnce]] — epoch-scoped output + commit
+    * marker, so a recovery replay of a delivered epoch is a no-op
+    * (`ExactlyOnceSinkSpec` pins replay, crash-window, and restart). The
+    * strongest delivery tier next to the reference-faithful buffered sink's
+    * documented loss window. */
+  def startExactlyOnceParquetSink(routed: DataFrame, cfg: GraftConfig,
+      url: String, checkpoint: String): StreamingQuery =
+    routed.writeStream
+      .trigger(Trigger.ProcessingTime(cfg.flushMs))
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        RoutedSink.writeRoutedExactlyOnce(batch, id, cfg, url): Unit
+      }
+      .start()
+
   /** Routed parquet delivery with the reference's EXACT flush triggers
     * (src/sink/parquet.rs:89-230): payload bytes accumulate across
     * micro-batches per destination, any destination reaching
