@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.queries.{AuditQueries, CoreQueries, ExtQueries, GraphQueries, LayoutQueries, R8Queries, R8bQueries, RelQueries, Synth, TsQueries}
+import graft.queries.{AuditQueries, CoreQueries, ExtQueries, GraphQueries, LayoutQueries, R8Queries, R8bQueries, R9Queries, RelQueries, Synth, TsQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Query keys are the SURVEY.md §2.1 operator inventory plus relational and
@@ -21,12 +21,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ RelQueries.queries ++ ExtQueries.queries ++
       GraphQueries.queries ++ TsQueries.queries ++ LayoutQueries.queries ++
-      AuditQueries.queries ++ R8Queries.queries ++ R8bQueries.queries
+      AuditQueries.queries ++ R8Queries.queries ++ R8bQueries.queries ++
+      R9Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
   def oracleSql: Map[String, String] =
     CoreQueries.oracle ++ RelQueries.oracle ++ ExtQueries.oracle ++
       GraphQueries.oracle ++ TsQueries.oracle ++ LayoutQueries.oracle ++
-      AuditQueries.oracle ++ R8Queries.oracle ++ R8bQueries.oracle
+      AuditQueries.oracle ++ R8Queries.oracle ++ R8bQueries.oracle ++
+      R9Queries.oracle
 }

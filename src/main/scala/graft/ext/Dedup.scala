@@ -628,4 +628,121 @@ object Dedup {
         jaccardX10000(col("ta"), col("tb")).as("jacc_x10000"))
       .filter(col("jacc_x10000") >= thresholdX10000)
   }
+
+  /** EXACT-Jaccard self-join via prefix filtering (the PPJoin/AllPairs
+    * family — Chaudhuri et al. 2006, Xiao et al. 2008): the deterministic
+    * complement to [[minhashLshPairs]]. MinHash+LSH is probabilistic (band
+    * collisions can miss true pairs); the prefix filter is COMPLETE at the
+    * threshold: if Jaccard(A,B) ≥ t then |A∩B| ≥ t·max(|A|,|B|), so when
+    * both documents order their k=3-shingle sets by a GLOBAL rarity order
+    * (ascending document frequency, ties on the shingle string) and keep
+    * only the first |X| − ⌈t·|X|⌉ + 1 elements, any qualifying pair shares
+    * a prefix element. Candidates = the prefix-token equi-join (plus the
+    * |Y| ≥ t·|X| length filter); exact set intersection verifies.
+    *
+    * Scale shape: NO all-pairs product and NO vocabulary-wide sort — the
+    * global rarity order is realized per document by joining exploded
+    * shingles to their df and sorting the (df, shingle) structs row-locally,
+    * so ranking never needs a window over the shingle vocabulary. The
+    * candidate join keys on prefix shingles, which the rarity order biases
+    * toward the df≈1 tail: collision groups stay near the near-dup rate,
+    * the same bound LSH buckets carry. All thresholds are exact integer
+    * arithmetic (t = tNum/tDen, cross-multiplied) — no float compare in
+    * either engine. */
+  def prefixFilterPairs(corpus: DataFrame, tNum: Long = 6L, tDen: Long = 10L): DataFrame = {
+    val ss = corpus
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        array_distinct(TextAnalysis.shingles(col("toks"))).as("s"))
+    val tok = ss.select(col("doc_id"), size(col("s")).cast("long").as("sz"),
+      explode(col("s")).as("w"))
+    val dfreq = tok.groupBy("w").agg(count(lit(1)).as("df"))
+    // per-doc global-order shingle list WITHOUT a vocabulary-wide window:
+    // (df, w) structs sort row-locally after a df equi-join
+    val ordered = tok.join(dfreq, "w")
+      .groupBy("doc_id")
+      .agg(max("sz").as("sz"),
+        sort_array(collect_list(struct(col("df"), col("w")))).as("ord"))
+    // prefix length p = sz − ⌈tNum·sz/tDen⌉ + 1  (≥ 1 for any sz ≥ 1)
+    val pref = ordered.select(col("doc_id"), col("sz"),
+      explode(expr(s"transform(slice(ord, 1, CAST(sz - (($tNum * sz + ${tDen - 1}) div $tDen) + 1 AS INT)), x -> x.w)")).as("w"))
+    val cand = pref.as("a").join(pref.as("b"),
+        col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id") &&
+          lit(tNum) * greatest(col("a.sz"), col("b.sz")) <=
+            lit(tDen) * least(col("a.sz"), col("b.sz")))
+      .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
+      .distinct()
+    cand
+      .join(ss.select(col("doc_id").as("ida"), col("s").as("sa")), "ida")
+      .join(ss.select(col("doc_id").as("idb"), col("s").as("sb")), "idb")
+      .select(col("ida"), col("idb"),
+        size(array_intersect(col("sa"), col("sb"))).cast("long").as("inter"),
+        (size(col("sa")).cast("long") + size(col("sb"))).as("ssum"))
+      .select(col("ida"), col("idb"), col("inter"),
+        (col("ssum") - col("inter")).as("uni"))
+      .filter(lit(tDen) * col("inter") >= lit(tNum) * col("uni"))
+      .select(col("ida"), col("idb"),
+        (lit(10000L) * col("inter") / col("uni")).cast("long").as("jacc_x10000"))
+  }
+
+  /** Content-defined chunking dedup (the Gear/FastCDC boundary rule of
+    * Xia et al. 2016, at token granularity): chunk boundaries fall where a
+    * rolling hash of the last 4 token hashes has its low 4 bits zero
+    * (expected chunk ≈ 16 tokens), so an insertion near the head of a
+    * document shifts only the chunks it touches — boundaries re-synchronize
+    * after one hash window, where the fixed-stride windows of
+    * [[spanDupStats]] shift EVERY downstream span. Per document: chunk
+    * count, chunks whose content hash appears in >1 document, and the
+    * scaled duplicated fraction.
+    *
+    * The boundary rule is position-local (h_i = Σ_{k<4} g(w_{i−k})·2^k
+    * mod 16 — higher shifts vanish mod 16), so chunking runs entirely
+    * row-locally in codegen'd array expressions: no token ever shuffles,
+    * exactly the [[spanDupStats]] discipline. The (hash, doc) table
+    * persists once for its three consumers, then the |docs|-row result is
+    * checkpointed and the cache dropped. g(w) = md5-prefix mod 16 — the
+    * same hex-fold both engines share. */
+  def cdcChunkStats(corpus: DataFrame): DataFrame = {
+    val base = corpus
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"))
+      .withColumn("g", expr(
+        "transform(t, w -> CAST(conv(substring(md5(w), 1, 15), 16, 10) AS BIGINT) % 16)"))
+      .withColumn("bpos", expr(
+        """CASE WHEN size(t) < 4 THEN CAST(array() AS array<bigint>)
+          |ELSE filter(sequence(4L, CAST(size(t) AS BIGINT)), i ->
+          |  (element_at(g, CAST(i AS INT)) + 2 * element_at(g, CAST(i AS INT) - 1)
+          |   + 4 * element_at(g, CAST(i AS INT) - 2)
+          |   + 8 * element_at(g, CAST(i AS INT) - 3)) % 16 = 0)
+          |END""".stripMargin))
+      // chunks = token slices between consecutive boundaries (a boundary
+      // token ENDS its chunk); a trailing boundary yields an empty slice,
+      // filtered out. Docs under the window emit one whole-doc chunk.
+      .withColumn("chunk", expr(
+        """filter(
+          |  zip_with(
+          |    concat(array(0L), bpos),
+          |    concat(bpos, array(CAST(size(t) AS BIGINT))),
+          |    (s, e) -> IF(e > s,
+          |      concat_ws(' ', slice(t, CAST(s AS INT) + 1, CAST(e - s AS INT))),
+          |      CAST(NULL AS STRING))),
+          |  c -> c IS NOT NULL)""".stripMargin))
+    val chunkDocs = base
+      .select(col("doc_id"), explode(col("chunk")).as("c"))
+      .select(col("doc_id"), md5(col("c")).as("h"))
+      .groupBy("h", "doc_id").agg(count(lit(1)).as("occ"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dupH = chunkDocs.groupBy("h").agg(count(lit(1)).as("nd"))
+        .filter(col("nd") > 1).select("h")
+      val dupPerDoc = chunkDocs.join(dupH, Seq("h"), "left_semi")
+        .groupBy("doc_id").agg(sum("occ").as("dup_chunks"))
+      chunkDocs.groupBy("doc_id").agg(sum("occ").as("chunks"))
+        .join(dupPerDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("chunks"),
+          coalesce(col("dup_chunks"), lit(0L)).as("dup_chunks"),
+          coalesce((lit(10000L) * col("dup_chunks") / col("chunks")).cast("long"),
+            lit(0L)).as("dup_x10000"))
+        .localCheckpoint(true)
+    } finally chunkDocs.unpersist()
+  }
 }

@@ -757,4 +757,49 @@ object TextAnalysis {
         ((lit(10000L) * col("oov")) / col("n")).cast("long"))
       .orderBy("doc_id")
   }
+
+  /** BM25 top-k retrieval over the k=3-shingle index — the sparse-retrieval
+    * operator of a data-curation stack (query-relevant corpus selection,
+    * retrieval-based decontamination). Terms are shingles (phrase-ish
+    * matching that survives the synthetic corpus's tiny word vocabulary);
+    * the query is a deterministic probe — the 5 lexicographically-first
+    * distinct shingles of doc 0 — so both engines rank the same terms.
+    *
+    * Scoring is Robertson–Spärck Jones BM25 (k1 = 1.2, b = 0.75) made
+    * integer-exact: idf_bits = ilog2(N) − ilog2(df) (the [[tfidfTopK]]
+    * surprisal trick), and the tf-saturation fraction
+    * tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)) clears denominators with
+    * avgdl = T/N to the all-integer form 22·T·tf / (10·T·tf + 3·T + 9·dl·N),
+    * scaled ×10000 before one integer division per term. Headroom: the
+    * widest product 22·10⁴·T·tf stays under 2⁶³ through corpus token counts
+    * T ≈ 4·10¹³ — beyond that swap the score column to decimal(38,0).
+    *
+    * Scale shape: the broadcast query-term semi-join prunes the exploded
+    * shingle stream BEFORE any aggregation (the inverted-index probe —
+    * only postings for query terms ever shuffle); doc-frequency and the
+    * corpus totals are map-side-combined aggs; the 1-row totals broadcast;
+    * global top-k is TakeOrdered with the (score desc, doc_id) tie-break,
+    * never a window. */
+  def bm25TopK(corpus: DataFrame, k: Int = 10): DataFrame = {
+    def ilog2(x: Column): Column = (length(bin(x)) - 1).cast("long")
+    val sh = corpus.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), shingles(col("toks")).as("sg"))
+    val stats = sh.agg(count(lit(1)).as("n"), sum(size(col("sg"))).cast("long").as("tt"))
+    val q = sh.filter(col("doc_id") === 0)
+      .select(explode(slice(array_sort(array_distinct(col("sg"))), 1, 5)).as("w"))
+    val tf = sh
+      .select(col("doc_id"), size(col("sg")).cast("long").as("dl"),
+        explode(col("sg")).as("w"))
+      .join(broadcast(q), "w")
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"), max("dl").as("dl"))
+    val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    tf.join(dfreq, "w").crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        ((ilog2(col("n")) - ilog2(col("df"))) *
+          expr("(10000L * 22L * tt * tf) div (10L * tt * tf + 3L * tt + 9L * dl * n)")).as("s"))
+      .groupBy("doc_id").agg(sum("s").as("score_x10000"))
+      .orderBy(col("score_x10000").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("score_x10000"))
+  }
 }

@@ -21,7 +21,7 @@ object ExtQueries {
 
   /** documents ∪ near-dup copies (every 20th, suffixed) ∪ exact copies
     * (every 25th). */
-  private def dupCorpus(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def dupCorpus(s: SparkSession, dir: String): DataFrame = {
     val d = documents(s, dir).select("doc_id", "text")
     d.unionAll(d.filter(col("doc_id") % 20 === 0)
         .select((col("doc_id") + 1000000).as("doc_id"),
@@ -30,7 +30,7 @@ object ExtQueries {
         .select((col("doc_id") + 2000000).as("doc_id"), col("text")))
   }
 
-  private val CorpusCte: String =
+  private[queries] val CorpusCte: String =
     s"""WITH corpus AS (
        |  SELECT doc_id, text FROM documents
        |  UNION ALL SELECT doc_id + 1000000, text || '$Suffix' FROM documents WHERE doc_id % 20 = 0
