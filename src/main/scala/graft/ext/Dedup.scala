@@ -703,7 +703,31 @@ object Dedup {
     * checkpointed and the cache dropped. g(w) = md5-prefix mod 16 — the
     * same hex-fold both engines share. */
   def cdcChunkStats(corpus: DataFrame): DataFrame = {
-    val base = corpus
+    val chunkDocs = cdcChunkArrays(corpus)
+      .select(col("doc_id"), explode(col("chunk")).as("c"))
+      .select(col("doc_id"), md5(col("c")).as("h"))
+      .groupBy("h", "doc_id").agg(count(lit(1)).as("occ"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dupH = chunkDocs.groupBy("h").agg(count(lit(1)).as("nd"))
+        .filter(col("nd") > 1).select("h")
+      val dupPerDoc = chunkDocs.join(dupH, Seq("h"), "left_semi")
+        .groupBy("doc_id").agg(sum("occ").as("dup_chunks"))
+      chunkDocs.groupBy("doc_id").agg(sum("occ").as("chunks"))
+        .join(dupPerDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("chunks"),
+          coalesce(col("dup_chunks"), lit(0L)).as("dup_chunks"),
+          coalesce((lit(10000L) * col("dup_chunks") / col("chunks")).cast("long"),
+            lit(0L)).as("dup_x10000"))
+        .localCheckpoint(true)
+    } finally chunkDocs.unpersist()
+  }
+
+  /** The row-local CDC chunker shared by [[cdcChunkStats]] and
+    * [[cdcClean]]: (doc_id, chunk array) — see [[cdcChunkStats]] for the
+    * boundary rule. */
+  private[graft] def cdcChunkArrays(corpus: DataFrame): DataFrame =
+    corpus
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"))
       .withColumn("g", expr(
         "transform(t, w -> CAST(conv(substring(md5(w), 1, 15), 16, 10) AS BIGINT) % 16)"))
@@ -726,23 +750,43 @@ object Dedup {
           |      concat_ws(' ', slice(t, CAST(s AS INT) + 1, CAST(e - s AS INT))),
           |      CAST(NULL AS STRING))),
           |  c -> c IS NOT NULL)""".stripMargin))
-    val chunkDocs = base
-      .select(col("doc_id"), explode(col("chunk")).as("c"))
-      .select(col("doc_id"), md5(col("c")).as("h"))
-      .groupBy("h", "doc_id").agg(count(lit(1)).as("occ"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val dupH = chunkDocs.groupBy("h").agg(count(lit(1)).as("nd"))
-        .filter(col("nd") > 1).select("h")
-      val dupPerDoc = chunkDocs.join(dupH, Seq("h"), "left_semi")
-        .groupBy("doc_id").agg(sum("occ").as("dup_chunks"))
-      chunkDocs.groupBy("doc_id").agg(sum("occ").as("chunks"))
-        .join(dupPerDoc, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("chunks"),
-          coalesce(col("dup_chunks"), lit(0L)).as("dup_chunks"),
-          coalesce((lit(10000L) * col("dup_chunks") / col("chunks")).cast("long"),
-            lit(0L)).as("dup_x10000"))
-        .localCheckpoint(true)
-    } finally chunkDocs.unpersist()
+      .select(col("doc_id"), col("chunk"))
+
+  /** CDC-chunk-level corpus CLEANING — the actionable form of
+    * [[cdcChunkStats]] and the Lee et al. 2022 exact-substring removal
+    * realized at content-defined granularity: every chunk whose content
+    * hash appears in MORE THAN ONE document is removed from every document
+    * except the minimum-id owner (keep-first), and each document's
+    * surviving chunks reassemble in original order. Whole-document dedup
+    * keeps one copy of a page; THIS keeps one copy of a syndicated
+    * paragraph while preserving the hosts' unique prose around it.
+    * Within-document repeats of a non-cross-doc chunk are untouched (they
+    * are the document's own structure, [[spanDupStats]] territory).
+    *
+    * Output: (doc_id, n_kept, n_removed, clean_text) — one row per doc,
+    * clean_text = '' when everything was someone else's boilerplate.
+    *
+    * Scale shape: chunking is row-local ([[cdcChunkArrays]]); ownership is
+    * one map-side-combined groupBy on the content hash; the keep decision
+    * joins instances to owners on that same high-cardinality hash; the
+    * rebuild is one groupBy(doc_id) whose per-group state is the
+    * document's own chunk list — the two corpus-sized shuffles (hash,
+    * doc_id) are intrinsic to an output that IS the corpus. */
+  def cdcClean(corpus: DataFrame): DataFrame = {
+    val inst = cdcChunkArrays(corpus)
+      .select(col("doc_id"), posexplode(col("chunk")))
+      .toDF("doc_id", "idx", "c")
+      .withColumn("h", md5(col("c")))
+    val own = inst.groupBy("h")
+      .agg(min("doc_id").as("owner"), countDistinct("doc_id").as("nd"))
+    inst.join(own, "h")
+      .withColumn("keep", col("nd") === 1 || col("doc_id") === col("owner"))
+      .groupBy("doc_id")
+      .agg(
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), 0L).otherwise(1L)).as("n_removed"),
+        concat_ws(" ", expr(
+          "transform(filter(sort_array(collect_list(struct(idx, IF(keep, c, CAST(NULL AS STRING)) AS c))), x -> x.c IS NOT NULL), x -> x.c)"))
+          .as("clean_text"))
   }
 }

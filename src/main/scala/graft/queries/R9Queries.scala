@@ -73,9 +73,16 @@ object R9Queries {
       .orderBy("event_type")
   }
 
+  /** Keep-first removal of cross-doc duplicated CDC chunks; exact copies
+    * clean to '' (their owner keeps everything), suffix twins keep only
+    * their unique tail. */
+  private val corpusCdcClean: Q = (s, dir) =>
+    Dedup.cdcClean(ExtQueries.dupCorpus(s, dir)).orderBy("doc_id")
+
   val queries: Map[String, Q] = Map(
     "dedup_jaccard_prefix" -> dedupJaccardPrefix,
     "dedup_cdc_chunks" -> dedupCdcChunks,
+    "corpus_cdc_clean" -> corpusCdcClean,
     "text_bm25_topk" -> textBm25Topk,
     "sketch_quantile_histogram" -> sketchQuantileHistogram)
 
@@ -91,6 +98,24 @@ object R9Queries {
     """CASE WHEN len(t) < 3 THEN []::VARCHAR[]
       |     ELSE list_transform(range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
       |END""".stripMargin
+
+  /** Shared CDC chain: planted corpus → (doc_id, cid, chunk). */
+  private lazy val CdcChunksCtes: String =
+    s"""${ExtQueries.CorpusCte},
+       |tok AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t FROM corpus),
+       |tp AS (SELECT doc_id, unnest(t) AS w, unnest(range(1, len(t)+1)) AS pos FROM tok),
+       |gs AS (SELECT doc_id, pos, w, $GearSql AS g FROM tp),
+       |fl AS (SELECT doc_id, pos, w,
+       |    CASE WHEN pos >= 4 AND (g + 2*lag(g,1) OVER w1 + 4*lag(g,2) OVER w1
+       |                            + 8*lag(g,3) OVER w1) % 16 = 0
+       |         THEN 1 ELSE 0 END AS b
+       |  FROM gs WINDOW w1 AS (PARTITION BY doc_id ORDER BY pos)),
+       |cum AS (SELECT doc_id, pos, w,
+       |    sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - b AS cid
+       |  FROM fl),
+       |chunks AS (SELECT doc_id, cid, string_agg(w, ' ' ORDER BY pos) AS chunk
+       |  FROM cum GROUP BY doc_id, cid)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     // the same global rarity order realized the window way: row_number
@@ -120,21 +145,7 @@ object R9Queries {
     // boundary rule: lag() rebuilds the 4-token gear window, a cumulative
     // sum numbers chunks, string_agg(ORDER BY pos) rebuilds chunk text
     "dedup_cdc_chunks" ->
-      s"""${ExtQueries.CorpusCte},
-         |tok AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t FROM corpus),
-         |tp AS (SELECT doc_id, unnest(t) AS w, unnest(range(1, len(t)+1)) AS pos FROM tok),
-         |gs AS (SELECT doc_id, pos, w, $GearSql AS g FROM tp),
-         |fl AS (SELECT doc_id, pos, w,
-         |    CASE WHEN pos >= 4 AND (g + 2*lag(g,1) OVER w1 + 4*lag(g,2) OVER w1
-         |                            + 8*lag(g,3) OVER w1) % 16 = 0
-         |         THEN 1 ELSE 0 END AS b
-         |  FROM gs WINDOW w1 AS (PARTITION BY doc_id ORDER BY pos)),
-         |cum AS (SELECT doc_id, pos, w,
-         |    sum(b) OVER (PARTITION BY doc_id ORDER BY pos
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - b AS cid
-         |  FROM fl),
-         |chunks AS (SELECT doc_id, cid, string_agg(w, ' ' ORDER BY pos) AS chunk
-         |  FROM cum GROUP BY doc_id, cid),
+      s"""$CdcChunksCtes,
          |ch AS (SELECT doc_id, md5(chunk) AS h, CAST(count(*) AS BIGINT) AS occ
          |  FROM chunks GROUP BY doc_id, md5(chunk)),
          |dup AS (SELECT h FROM (SELECT h, count(*) AS nd FROM ch GROUP BY h) WHERE nd > 1),
@@ -145,6 +156,21 @@ object R9Queries {
          |  CAST(coalesce(dup_chunks, 0) AS BIGINT) AS dup_chunks,
          |  CAST(coalesce(10000 * dup_chunks // chunks, 0) AS BIGINT) AS dup_x10000
          |FROM per LEFT JOIN dupper USING (doc_id) ORDER BY per.doc_id""".stripMargin,
+
+    // keep-first ownership over the same chunk chain; string_agg skips the
+    // NULLed-out removed chunks exactly like the Spark side's struct filter
+    "corpus_cdc_clean" ->
+      s"""$CdcChunksCtes,
+         |inst AS (SELECT doc_id, cid, chunk, md5(chunk) AS h FROM chunks),
+         |own AS (SELECT h, min(doc_id) AS owner, count(DISTINCT doc_id) AS nd
+         |  FROM inst GROUP BY h)
+         |SELECT doc_id,
+         |  CAST(sum(CASE WHEN nd = 1 OR doc_id = owner THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(sum(CASE WHEN nd = 1 OR doc_id = owner THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+         |  coalesce(string_agg(CASE WHEN nd = 1 OR doc_id = owner THEN chunk END,
+         |    ' ' ORDER BY cid), '') AS clean_text
+         |FROM inst JOIN own USING (h)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // identical integer BM25: idf_bits via bin-length ilog2, the
     // denominators-cleared saturation fraction, one integer division per

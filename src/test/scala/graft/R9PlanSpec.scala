@@ -114,6 +114,25 @@ class R9PlanSpec extends AnyFunSuite {
     assert(chunked.count() == 0, "chunking must partition the token stream")
   }
 
+  test("cdcClean: keep-first removal — copies empty, owners and uniques intact") {
+    import spark.implicits._
+    import graft.ext.Dedup
+    val toks = (0 until 150).map(i => s"v${(i * 40503L) % 89}")
+    val a = toks.mkString(" ")                       // owner
+    val b = a                                        // exact copy → cleaned to ''
+    val c = toks.map(t => t + "x").mkString(" ")     // unique → untouched
+    val out = Dedup.cdcClean(
+        Seq((10L, a), (20L, b), (30L, c)).toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out(10L)._2 == 0 && out(10L)._3 == a,
+      s"owner keeps everything: ${out(10L)}")
+    assert(out(20L)._1 == 0 && out(20L)._3 == "",
+      s"exact copy loses every chunk: ${out(20L)}")
+    assert(out(30L)._2 == 0 && out(30L)._3 == c,
+      s"unique doc untouched: ${out(30L)}")
+  }
+
   test("text_bm25_topk: probe doc ranks, scores monotone, plan is keyed") {
     withConf("spark.sql.adaptive.enabled" -> "false") {
       val df = SparkEntry.queries("text_bm25_topk")(spark, sf)
