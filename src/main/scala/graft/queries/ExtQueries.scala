@@ -1409,7 +1409,7 @@ object ExtQueries {
       s"list_transform(range(1,65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), " +
       "(x,y) -> x + y)"
 
-  private def cosSql(a: String, b: String): String =
+  private[queries] def cosSql(a: String, b: String): String =
     s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
 
   /** Unrolled NN-Descent CTE chain (`nb0` … `nb$iters`) — the DuckDB twin

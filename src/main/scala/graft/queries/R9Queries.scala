@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.ext.{Dedup, TextAnalysis}
+import graft.ext.{Dedup, Similarity, TextAnalysis}
 
 /** Round-9 continuation wave: the deterministic-complete complement of the
   * probabilistic dedup family (prefix-filter exact-Jaccard join), the
@@ -79,12 +79,184 @@ object R9Queries {
   private val corpusCdcClean: Q = (s, dir) =>
     Dedup.cdcClean(ExtQueries.dupCorpus(s, dir)).orderBy("doc_id")
 
+  /** Hybrid sparse+dense retrieval via reciprocal-rank fusion (Cormack et
+    * al. 2009 — the fusion rule RAG stacks default to): the BM25 top-20
+    * for the doc-0 shingle probe fuses with the exact-cosine top-20 for
+    * the vec-0 embedding probe (the testdata's vec_id and doc_id share one
+    * id domain), rrf = Σ ⌊10⁶/(60+rank)⌋ over the lists a doc appears in —
+    * all-integer, so the fused ranking is engine-exact given the two
+    * input rankings (BM25 is integer; the cosine ranking's cross-engine
+    * determinism is the ann_brute_force contract). The cosine side is the
+    * documented exact rung (1 bounded probe × corpus); at scale it swaps
+    * for the IVF/graph search paths that exist alongside. Rank windows run
+    * over the two ≤20-row lists only. */
+  private val textHybridRrf: Q = (s, dir) => {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val bm = TextAnalysis.bm25TopK(documents(s, dir), 20)
+      .withColumn("r_bm", row_number().over(
+        Window.orderBy(col("score_x10000").desc, col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("r_bm"))
+    val e = embeddings(s, dir)
+    val cosR = Similarity.bruteForceTopK(e, e.filter(col("vec_id") === 0), 20)
+      .select(col("n_id").as("doc_id"), col("rank").cast("long").as("r_cos"))
+    bm.join(cosR, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        (coalesce(expr("1000000L div (60L + r_bm)"), lit(0L)) +
+          coalesce(expr("1000000L div (60L + r_cos)"), lit(0L))).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(10)
+  }
+
+  // ------------------------------------------------- adapted TPC-H depth
+  // The testdata is a simplified TPC-H (no partsupp, no commit/receipt
+  // dates, no comments/phones), so Q2/4/9/11/12/13/16/17/19/20/21/22 are
+  // not expressible; Q7/8/10/14/15/18 are, with the repo's money rule
+  // (DECIMAL(18,6) sums — exact under any partitioning; shares re-enter
+  // doubles only in ONE pinned final expression). Dimension tables
+  // broadcast; the only corpus-sized shuffle in each is lineitem⋈orders
+  // on the order key.
+
+  private def dsum(c: org.apache.spark.sql.Column) =
+    sum(c.cast("decimal(18,6)")).cast("double")
+  private val DSum = "CAST(sum(CAST(%s AS DECIMAL(18,6))) AS DOUBLE)"
+  private def tsLit(d: String) = lit(d).cast("timestamp")
+  private def nationDf(s: SparkSession, dir: String) =
+    s.read.parquet(s"$dir/nation.parquet")
+  private def supplierDf(s: SparkSession, dir: String) =
+    s.read.parquet(s"$dir/supplier.parquet")
+  private def partDf(s: SparkSession, dir: String) =
+    s.read.parquet(s"$dir/part.parquet")
+
+  /** TPC-H Q7 (volume shipping): bilateral trade volume between two
+    * nations by ship year. */
+  private val q7VolumeShipping: Q = (s, dir) => {
+    val n1 = broadcast(nationDf(s, dir)
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation")))
+    val n2 = broadcast(nationDf(s, dir)
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation")))
+    lineitem(s, dir)
+      .filter(col("l_shipdate").between(tsLit("1996-01-01"), tsLit("1997-12-31")))
+      .join(orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supplierDf(s, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(n1, col("s_nationkey") === col("s_nk"))
+      .join(n2, col("c_nationkey") === col("c_nk"))
+      .filter((col("supp_nation") === "NATION_12" && col("cust_nation") === "NATION_10") ||
+        (col("supp_nation") === "NATION_10" && col("cust_nation") === "NATION_12"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** TPC-H Q8 (market share): NATION_12's share of ECONOMY-part volume
+    * sold into region ASIA, by order year — exact decimal numerator and
+    * denominator, ONE pinned double division at the end. */
+  private val q8MarketShare: Q = (s, dir) => {
+    val asia = broadcast(nationDf(s, dir)
+      .join(broadcast(s.read.parquet(s"$dir/region.parquet")
+        .filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("c_nk")))
+    val suppNation = broadcast(nationDf(s, dir)
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation")))
+    val vol = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    lineitem(s, dir)
+      .join(broadcast(partDf(s, dir).filter(col("p_type") === "ECONOMY")),
+        col("l_partkey") === col("p_partkey"))
+      .join(orders(s, dir)
+        .filter(col("o_orderdate").between(tsLit("1995-01-01"), tsLit("1998-12-31"))),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .join(asia, col("c_nationkey") === col("c_nk"), "left_semi")
+      .join(broadcast(supplierDf(s, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(suppNation, col("s_nationkey") === col("s_nk"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(
+        sum(when(col("supp_nation") === "NATION_12", vol).otherwise(lit(0.0))
+          .cast("decimal(18,6)")).as("num"),
+        sum(vol.cast("decimal(18,6)")).as("den"))
+      .select(col("o_year"),
+        floor(lit(10000) * col("num").cast("double") / col("den").cast("double"))
+          .cast("long").as("mkt_share_x10000"))
+      .orderBy("o_year")
+  }
+
+  /** TPC-H Q10 (returned items): top 20 customers by returned-line
+    * revenue over one order year. */
+  private val q10ReturnedItems: Q = (s, dir) =>
+    lineitem(s, dir).filter(col("l_returnflag") === "R")
+      .join(orders(s, dir)
+        .filter(col("o_orderdate").between(tsLit("1995-01-01"), tsLit("1995-12-31"))),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nationDf(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "n_name")
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+
+  /** TPC-H Q14 (promotion effect): PROMO-part share of one ship year's
+    * volume, ×10000. */
+  private val q14PromoEffect: Q = (s, dir) => {
+    val vol = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    lineitem(s, dir)
+      .filter(col("l_shipdate").between(tsLit("1996-01-01"), tsLit("1996-12-31")))
+      .join(broadcast(partDf(s, dir)), col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", vol).otherwise(lit(0.0))
+          .cast("decimal(18,6)")).as("num"),
+        sum(vol.cast("decimal(18,6)")).as("den"))
+      .select(
+        floor(lit(10000) * col("num").cast("double") / col("den").cast("double"))
+          .cast("long").as("promo_x10000"))
+  }
+
+  /** TPC-H Q15 (top supplier): supplier(s) with the maximum half-year
+    * revenue — the max compares EXACT decimals, ties all surface. */
+  private val q15TopSupplier: Q = (s, dir) => {
+    val rev = lineitem(s, dir)
+      .filter(col("l_shipdate").between(tsLit("1996-01-01"), tsLit("1996-06-30")))
+      .groupBy("l_suppkey")
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(18,6)")).as("revd"))
+    val maxRev = rev.agg(max(col("revd")).as("maxd"))
+    rev.crossJoin(broadcast(maxRev))
+      .filter(col("revd") === col("maxd"))
+      .join(broadcast(supplierDf(s, dir)), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("revd").cast("double").as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  /** TPC-H Q18 (large-volume orders): orders whose line quantity sum
+    * exceeds 250 — the threshold compares the EXACT decimal sum. */
+  private val q18LargeOrders: Q = (s, dir) =>
+    lineitem(s, dir)
+      .groupBy("l_orderkey")
+      .agg(sum(col("l_quantity").cast("decimal(18,6)")).as("sum_qty"))
+      .filter(col("sum_qty") > 250)
+      .join(orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+        col("o_totalprice"), col("sum_qty").cast("double").as("sum_qty"))
+      .orderBy(col("sum_qty").desc, col("o_orderkey"))
+      .limit(100)
+
   val queries: Map[String, Q] = Map(
     "dedup_jaccard_prefix" -> dedupJaccardPrefix,
     "dedup_cdc_chunks" -> dedupCdcChunks,
     "corpus_cdc_clean" -> corpusCdcClean,
     "text_bm25_topk" -> textBm25Topk,
-    "sketch_quantile_histogram" -> sketchQuantileHistogram)
+    "text_hybrid_rrf" -> textHybridRrf,
+    "sketch_quantile_histogram" -> sketchQuantileHistogram,
+    "q7_volume_shipping" -> q7VolumeShipping,
+    "q8_market_share" -> q8MarketShare,
+    "q10_returned_items" -> q10ReturnedItems,
+    "q14_promo_effect" -> q14PromoEffect,
+    "q15_top_supplier" -> q15TopSupplier,
+    "q18_large_orders" -> q18LargeOrders)
 
   /** DuckDB twin of graft.ext hex-fold mod 16 applied to md5(w): the gear
     * value g(w). */
@@ -98,6 +270,21 @@ object R9Queries {
     """CASE WHEN len(t) < 3 THEN []::VARCHAR[]
       |     ELSE list_transform(range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
       |END""".stripMargin
+
+  /** Shared integer-BM25 chain ending at `sc(doc_id, score_x10000)`. */
+  private lazy val Bm25Ctes: String =
+    s"""tok AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t FROM documents),
+       |sh AS (SELECT doc_id, $ShingleListSql AS sg FROM tok),
+       |st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(len(sg)) AS BIGINT) AS tt FROM sh),
+       |q AS (SELECT unnest(list_sort(list_distinct(sg))[1:5]) AS w FROM sh WHERE doc_id = 0),
+       |tfd AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf, CAST(max(dl) AS BIGINT) AS dl
+       |  FROM (SELECT doc_id, unnest(sg) AS w, len(sg) AS dl FROM sh) x
+       |  JOIN q USING (w) GROUP BY doc_id, w),
+       |dfq AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tfd GROUP BY w),
+       |sc AS (SELECT doc_id,
+       |    sum(((strlen(bin(n)) - 1) - (strlen(bin(df)) - 1)) *
+       |        ((10000 * 22 * tt * tf) // (10 * tt * tf + 3 * tt + 9 * dl * n))) AS score_x10000
+       |  FROM tfd JOIN dfq USING (w) CROSS JOIN st GROUP BY doc_id)""".stripMargin
 
   /** Shared CDC chain: planted corpus → (doc_id, cid, chunk). */
   private lazy val CdcChunksCtes: String =
@@ -176,20 +363,30 @@ object R9Queries {
     // denominators-cleared saturation fraction, one integer division per
     // term, (score desc, doc_id) tie-break
     "text_bm25_topk" ->
-      s"""WITH tok AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t FROM documents),
-         |sh AS (SELECT doc_id, $ShingleListSql AS sg FROM tok),
-         |st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(len(sg)) AS BIGINT) AS tt FROM sh),
-         |q AS (SELECT unnest(list_sort(list_distinct(sg))[1:5]) AS w FROM sh WHERE doc_id = 0),
-         |tfd AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf, CAST(max(dl) AS BIGINT) AS dl
-         |  FROM (SELECT doc_id, unnest(sg) AS w, len(sg) AS dl FROM sh) x
-         |  JOIN q USING (w) GROUP BY doc_id, w),
-         |dfq AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tfd GROUP BY w),
-         |sc AS (SELECT doc_id,
-         |    sum(((strlen(bin(n)) - 1) - (strlen(bin(df)) - 1)) *
-         |        ((10000 * 22 * tt * tf) // (10 * tt * tf + 3 * tt + 9 * dl * n))) AS score_x10000
-         |  FROM tfd JOIN dfq USING (w) CROSS JOIN st GROUP BY doc_id)
+      s"""WITH $Bm25Ctes
          |SELECT doc_id, CAST(score_x10000 AS BIGINT) AS score_x10000
          |FROM sc ORDER BY score_x10000 DESC, doc_id LIMIT 10""".stripMargin,
+
+    // the same BM25 chain + the ann_brute_force cosine contract, fused
+    // with the all-integer reciprocal-rank rule over the two top-20 lists
+    "text_hybrid_rrf" ->
+      s"""WITH $Bm25Ctes,
+         |bmr AS (SELECT doc_id, r_bm FROM (
+         |    SELECT doc_id,
+         |      row_number() OVER (ORDER BY score_x10000 DESC, doc_id) AS r_bm
+         |    FROM sc) WHERE r_bm <= 20),
+         |qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |cosr AS (SELECT n_id AS doc_id, r_cos FROM (
+         |    SELECT e.vec_id AS n_id,
+         |      row_number() OVER (
+         |        ORDER BY ${ExtQueries.cosSql("qe", "e.embedding")} DESC, e.vec_id) AS r_cos
+         |    FROM embeddings e, qv WHERE e.vec_id <> 0) WHERE r_cos <= 20),
+         |f AS (SELECT coalesce(b.doc_id, c.doc_id) AS doc_id,
+         |    coalesce(1000000 // (60 + r_bm), 0)
+         |      + coalesce(1000000 // (60 + r_cos), 0) AS rrf
+         |  FROM bmr b FULL OUTER JOIN cosr c ON b.doc_id = c.doc_id)
+         |SELECT doc_id, CAST(rrf AS BIGINT) AS rrf
+         |FROM f ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
 
     // identical integer bucket code, cumulative walk, rank pick, and
     // lower-bound decode — the window runs over <= 16·63 bucket rows/group
@@ -218,5 +415,93 @@ object R9Queries {
         |       ELSE (16 + b95 % 16) << CAST(b95//16 - 4 AS INT) END AS BIGINT) AS p95_us,
         |  CAST(CASE WHEN b99 < 32 THEN b99
         |       ELSE (16 + b99 % 16) << CAST(b99//16 - 4 AS INT) END AS BIGINT) AS p99_us
-        |FROM agg ORDER BY event_type""".stripMargin)
+        |FROM agg ORDER BY event_type""".stripMargin,
+
+    "q7_volume_shipping" ->
+      s"""SELECT supp_nation, cust_nation, l_year, revenue FROM (
+         |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |    CAST(year(l_shipdate) AS BIGINT) AS l_year,
+         |    ${DSum.format("l_extendedprice * (1 - l_discount)")} AS revenue
+         |  FROM lineitem
+         |    JOIN orders ON l_orderkey = o_orderkey
+         |    JOIN customer ON o_custkey = c_custkey
+         |    JOIN supplier ON l_suppkey = s_suppkey
+         |    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |  WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+         |    AND ((n1.n_name = 'NATION_12' AND n2.n_name = 'NATION_10')
+         |      OR (n1.n_name = 'NATION_10' AND n2.n_name = 'NATION_12'))
+         |  GROUP BY 1, 2, 3)
+         |ORDER BY 1, 2, 3""".stripMargin,
+
+    "q8_market_share" ->
+      s"""SELECT o_year,
+         |  CAST(floor(10000 * CAST(num AS DOUBLE) / CAST(den AS DOUBLE)) AS BIGINT)
+         |    AS mkt_share_x10000
+         |FROM (
+         |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         |    sum(CAST(CASE WHEN n1.n_name = 'NATION_12'
+         |        THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END
+         |      AS DECIMAL(18,6))) AS num,
+         |    sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS den
+         |  FROM lineitem
+         |    JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+         |    JOIN orders ON l_orderkey = o_orderkey
+         |    JOIN customer ON o_custkey = c_custkey
+         |    JOIN supplier ON l_suppkey = s_suppkey
+         |    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |  WHERE o_orderdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1998-12-31'
+         |    AND c_nationkey IN (
+         |      SELECT n_nationkey FROM nation JOIN region ON n_regionkey = r_regionkey
+         |      WHERE r_name = 'ASIA')
+         |  GROUP BY 1)
+         |ORDER BY o_year""".stripMargin,
+
+    "q10_returned_items" ->
+      s"""SELECT c_custkey, c_name, n_name,
+         |  ${DSum.format("l_extendedprice * (1 - l_discount)")} AS revenue
+         |FROM lineitem
+         |  JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation ON c_nationkey = n_nationkey
+         |WHERE l_returnflag = 'R'
+         |  AND o_orderdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1995-12-31'
+         |GROUP BY 1, 2, 3
+         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q14_promo_effect" ->
+      """SELECT CAST(floor(10000 * CAST(num AS DOUBLE) / CAST(den AS DOUBLE)) AS BIGINT)
+        |    AS promo_x10000
+        |FROM (
+        |  SELECT
+        |    sum(CAST(CASE WHEN p_type = 'PROMO'
+        |        THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END
+        |      AS DECIMAL(18,6))) AS num,
+        |    sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS den
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31')""".stripMargin,
+
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS revd
+        |  FROM lineitem
+        |  WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-06-30'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, CAST(revd AS DOUBLE) AS total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE revd = (SELECT max(revd) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q18_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,6))) AS sum_qty
+        |  FROM lineitem GROUP BY 1 HAVING sum(CAST(l_quantity AS DECIMAL(18,6))) > 250)
+        |SELECT c_custkey, c_name, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+        |  o_totalprice, CAST(sum_qty AS DOUBLE) AS sum_qty
+        |FROM big
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |ORDER BY sum_qty DESC, o_orderkey LIMIT 100""".stripMargin)
 }

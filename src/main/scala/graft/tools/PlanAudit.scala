@@ -88,7 +88,10 @@ object PlanAudit {
     "q_histogram" -> (Set("unpartitioned-window"),
       "bounded bucket table"),
     "sketch_kmv_distinct" -> (Set("unpartitioned-window"),
-      "merged-sketch rank over <= |sources|*k pooled entries"))
+      "merged-sketch rank over <= |sources|*k pooled entries"),
+    "text_hybrid_rrf" -> (Set("cartesian", "bnlj", "unpartitioned-window"),
+      "RRF fusion: bounded 1-query exact-cosine rung (IVF/graph paths exist " +
+        "alongside) + rank windows over the two <=20-row top lists"))
 
   /** True when `p` provably yields at most one row (a no-grouping
     * aggregate, or unary/scalar-join compositions of one) — the standard

@@ -133,6 +133,19 @@ class R9PlanSpec extends AnyFunSuite {
       s"unique doc untouched: ${out(30L)}")
   }
 
+  test("text_hybrid_rrf: fusion favors docs on BOTH lists; integer-monotone") {
+    val rows = SparkEntry.queries("text_hybrid_rrf")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.nonEmpty && rows.length <= 10)
+    assert(rows.map(_._2).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)),
+      s"rrf must be non-increasing: ${rows.toSeq}")
+    // a doc on both top-20 lists scores at least 2·⌊10⁶/80⌋; one-list docs
+    // cap at ⌊10⁶/61⌋ — the head of the fused list must beat the one-list cap
+    val oneListCap = 1000000L / 61L
+    assert(rows.head._2 > oneListCap,
+      s"head ${rows.head} must sit on both lists (> $oneListCap)")
+  }
+
   test("text_bm25_topk: probe doc ranks, scores monotone, plan is keyed") {
     withConf("spark.sql.adaptive.enabled" -> "false") {
       val df = SparkEntry.queries("text_bm25_topk")(spark, sf)
