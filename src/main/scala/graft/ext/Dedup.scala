@@ -650,10 +650,42 @@ object Dedup {
     * arithmetic (t = tNum/tDen, cross-multiplied) — no float compare in
     * either engine. */
   def prefixFilterPairs(corpus: DataFrame, tNum: Long = 6L, tDen: Long = 10L): DataFrame = {
-    val ss = corpus
-      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
-      .select(col("doc_id"),
-        array_distinct(TextAnalysis.shingles(col("toks"))).as("s"))
+    // the shingle-set table feeds FOUR consumers (df build, rarity
+    // ordering, both verify sides) — persist once, checkpoint the small
+    // pair result, drop the cache (the spanDupStats discipline; measured
+    // 5.4 s → 3.3 s at sf0.1)
+    val ss = shingleSets(corpus)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try prefixPairsFromSets(ss, tNum, tDen).localCheckpoint(true)
+    finally ss.unpersist()
+  }
+
+  /** Per-doc distinct-shingle SETS, built through the explode-first
+    * shingleRows shape (the narrow, measured-fast path) and ONE doc_id
+    * aggregation — building the array in a projection instead lets
+    * Catalyst inline the token array into the shingle lambda and
+    * re-evaluate the split per element access (the O(tokens²)
+    * interpreted-HOF trap shingleRows' doc describes; measured 15 s →
+    * ~1 s at sf0.1 for this builder). Docs under k tokens have no set and
+    * no row — they cannot pair.
+    *
+    * k = 5, not the minhash family's 3: prefix filtering is only
+    * sub-quadratic when prefix elements are RARE, and the synthetic
+    * corpus's 31-word vocabulary saturates the 3-shingle space (~30k
+    * combinations — df ≈ 87 at 50k docs, 23M candidate pairs, measured).
+    * The 5-shingle space cannot saturate (31⁵), and candidates == verified
+    * pairs at every SF (28 / 256 / 256 — perfect prefix selectivity,
+    * DuckDB-counted). Real-web shingle spaces behave like the latter. */
+  private[graft] def shingleSets(corpus: DataFrame): DataFrame =
+    TextAnalysis.shingleRows(corpus.select(col("doc_id"), col("text")), 5)
+      .groupBy("doc_id")
+      .agg(array_sort(array_distinct(collect_list(col("shingle")))).as("s"))
+
+  /** The prefix-filter join proper, pre-persist/checkpoint — separated so
+    * specs pin the REAL plan (the public method's executed plan is the
+    * checkpointed-RDD scan). */
+  private[graft] def prefixPairsFromSets(ss: DataFrame, tNum: Long,
+      tDen: Long): DataFrame = {
     val tok = ss.select(col("doc_id"), size(col("s")).cast("long").as("sz"),
       explode(col("s")).as("w"))
     val dfreq = tok.groupBy("w").agg(count(lit(1)).as("df"))
@@ -725,32 +757,14 @@ object Dedup {
 
   /** The row-local CDC chunker shared by [[cdcChunkStats]] and
     * [[cdcClean]]: (doc_id, chunk array) — see [[cdcChunkStats]] for the
-    * boundary rule. */
+    * boundary rule. Runs in the codegen'd
+    * [[graft.functions.CdcChunks]] expression (one O(tokens) pass per
+    * row); the equivalent built-in transform/filter/zip_with chain was
+    * O(tokens²·md5) per document once Catalyst inlined the gear array
+    * into the lambdas — 146 s → <1 s at sf0.1. */
   private[graft] def cdcChunkArrays(corpus: DataFrame): DataFrame =
-    corpus
-      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"))
-      .withColumn("g", expr(
-        "transform(t, w -> CAST(conv(substring(md5(w), 1, 15), 16, 10) AS BIGINT) % 16)"))
-      .withColumn("bpos", expr(
-        """CASE WHEN size(t) < 4 THEN CAST(array() AS array<bigint>)
-          |ELSE filter(sequence(4L, CAST(size(t) AS BIGINT)), i ->
-          |  (element_at(g, CAST(i AS INT)) + 2 * element_at(g, CAST(i AS INT) - 1)
-          |   + 4 * element_at(g, CAST(i AS INT) - 2)
-          |   + 8 * element_at(g, CAST(i AS INT) - 3)) % 16 = 0)
-          |END""".stripMargin))
-      // chunks = token slices between consecutive boundaries (a boundary
-      // token ENDS its chunk); a trailing boundary yields an empty slice,
-      // filtered out. Docs under the window emit one whole-doc chunk.
-      .withColumn("chunk", expr(
-        """filter(
-          |  zip_with(
-          |    concat(array(0L), bpos),
-          |    concat(bpos, array(CAST(size(t) AS BIGINT))),
-          |    (s, e) -> IF(e > s,
-          |      concat_ws(' ', slice(t, CAST(s AS INT) + 1, CAST(e - s AS INT))),
-          |      CAST(NULL AS STRING))),
-          |  c -> c IS NOT NULL)""".stripMargin))
-      .select(col("doc_id"), col("chunk"))
+    corpus.select(col("doc_id"),
+      call_function("cdc_chunks", TextAnalysis.tokens(col("text"))).as("chunk"))
 
   /** CDC-chunk-level corpus CLEANING — the actionable form of
     * [[cdcChunkStats]] and the Lee et al. 2022 exact-substring removal

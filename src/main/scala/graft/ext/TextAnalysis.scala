@@ -16,11 +16,12 @@ object TextAnalysis {
   def reTokenCount(text: Column): Column =
     regexp_count(text, lit("\\w+|[^\\w\\s]")).cast("long")
 
-  /** k=3 token shingles; empty array when the doc has fewer than 3 tokens. */
-  def shingles(toks: Column): Column =
-    when(size(toks) < 3, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), size(toks) - 2), i =>
-        concat_ws(" ", element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))
+  /** k-token shingles (default 3); empty array when the doc has fewer
+    * than k tokens. */
+  def shingles(toks: Column, k: Int = 3): Column =
+    when(size(toks) < k, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(toks) - (k - 1)), i =>
+        concat_ws(" ", (0 until k).map(j => element_at(toks, i + j)): _*)))
 
   /** Document fingerprint: minimum md5 over the k=3 shingle set (a 1-hash
     * MinHash — winnowing-style representative). Null for docs under 3 tokens.
@@ -71,7 +72,7 @@ object TextAnalysis {
     * every (doc_id, pos, tok) row just to rebuild adjacency the row already
     * had; with this shape the downstream signature groupBy's map-side
     * partial min is the ONLY exchange, carrying |docs|·n rows. */
-  def shingleRows(corpus: DataFrame): DataFrame =
+  def shingleRows(corpus: DataFrame, k: Int = 3): DataFrame =
     // tokens materialize as an ATTRIBUTE before the shingle lambda: inlining
     // the split into the higher-order function would re-run it per element
     // access in interpreted HOF eval (the O(shingles × tokens) blowup this
@@ -79,7 +80,7 @@ object TextAnalysis {
     // CollapseProject keeps the two projections separate because split is
     // not duplicable-cheap.
     corpus.select(col("doc_id"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"), explode(shingles(col("toks"))).as("shingle"))
+      .select(col("doc_id"), explode(shingles(col("toks"), k)).as("shingle"))
 
   /** Modulus for the Kirsch-Mitzenmacher hash family (fits i·h2m in a long). */
   val MinhashP = 1000000007L
@@ -782,16 +783,22 @@ object TextAnalysis {
     * never a window. */
   def bm25TopK(corpus: DataFrame, k: Int = 10): DataFrame = {
     def ilog2(x: Column): Column = (length(bin(x)) - 1).cast("long")
-    val sh = corpus.select(col("doc_id"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"), shingles(col("toks")).as("sg"))
-    val stats = sh.agg(count(lit(1)).as("n"), sum(size(col("sg"))).cast("long").as("tt"))
-    val q = sh.filter(col("doc_id") === 0)
-      .select(explode(slice(array_sort(array_distinct(col("sg"))), 1, 5)).as("w"))
-    val tf = sh
-      .select(col("doc_id"), size(col("sg")).cast("long").as("dl"),
-        explode(col("sg")).as("w"))
+    // postings through the explode-first shingleRows shape (building the
+    // shingle ARRAY in a projection re-evaluates the inlined split per
+    // element access — the O(tokens²) interpreted-HOF trap)
+    val sgRows = shingleRows(corpus).withColumnRenamed("shingle", "w")
+    // N counts EVERY doc (shingle-less ones included); T counts postings
+    val stats = corpus.agg(count(lit(1)).as("n"))
+      .crossJoin(sgRows.agg(count(lit(1)).cast("long").as("tt")))
+    val q = sgRows.filter(col("doc_id") === 0)
+      .groupBy("doc_id")
+      .agg(slice(array_sort(array_distinct(collect_list(col("w")))), 1, 5).as("qs"))
+      .select(explode(col("qs")).as("w"))
+    val dl = sgRows.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val tf = sgRows
       .join(broadcast(q), "w")
-      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"), max("dl").as("dl"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      .join(dl, "doc_id")
     val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
     tf.join(dfreq, "w").crossJoin(broadcast(stats))
       .select(col("doc_id"),

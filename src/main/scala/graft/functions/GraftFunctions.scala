@@ -14,7 +14,7 @@ object GraftFunctions {
     JsonDeepMerge.descriptor, JsonMergeIn.descriptor, Opaque.descriptor,
     DotProduct.descriptor, BpeApply.descriptor, IvfAssign.descriptor,
     NfcNormalize.descriptor, HtmlEscape.descriptor,
-    PolyHash16.descriptor, PqEncode.descriptor, PqLut.descriptor,
+    PolyHash16.descriptor, CdcChunks.descriptor, PqEncode.descriptor, PqLut.descriptor,
     TopKPairs.descriptor, VectorSumLong.descriptor,
     graft.syslog.ParseSyslog.descriptor,
     JmesPathEval.queryDescriptor, JmesPathEval.valueDescriptor,

@@ -16,17 +16,20 @@ object R9Queries {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** PPJoin-family prefix-filter self-join at Jaccard ≥ 0.6 over 3-shingle
+  /** PPJoin-family prefix-filter self-join at Jaccard ≥ 0.6 over 5-shingle
     * sets — COMPLETE (every qualifying pair is emitted; no LSH miss
-    * probability), still never all-pairs. */
+    * probability), still never all-pairs. k=5 keeps the shingle space
+    * unsaturated (see Dedup.shingleSets). */
   private val dedupJaccardPrefix: Q = (s, dir) =>
     Dedup.prefixFilterPairs(documents(s, dir)).orderBy("ida", "idb")
 
   /** Gear/FastCDC chunk-level dedup on the planted corpus (exact copies →
     * fully duplicated chunk sets; suffixed twins → all-but-the-tail
     * duplicated — the chunk-level view whole-document dedup misses). */
-  private val dedupCdcChunks: Q = (s, dir) =>
+  private val dedupCdcChunks: Q = (s, dir) => {
+    graft.functions.GraftFunctions.ensureRegistered(s)
     Dedup.cdcChunkStats(ExtQueries.dupCorpus(s, dir)).orderBy("doc_id")
+  }
 
   /** BM25 top-10 for the deterministic doc-0 probe query. */
   private val textBm25Topk: Q = (s, dir) =>
@@ -76,8 +79,10 @@ object R9Queries {
   /** Keep-first removal of cross-doc duplicated CDC chunks; exact copies
     * clean to '' (their owner keeps everything), suffix twins keep only
     * their unique tail. */
-  private val corpusCdcClean: Q = (s, dir) =>
+  private val corpusCdcClean: Q = (s, dir) => {
+    graft.functions.GraftFunctions.ensureRegistered(s)
     Dedup.cdcClean(ExtQueries.dupCorpus(s, dir)).orderBy("doc_id")
+  }
 
   /** Hybrid sparse+dense retrieval via reciprocal-rank fusion (Cormack et
     * al. 2009 — the fusion rule RAG stacks default to): the BM25 top-20
@@ -271,6 +276,12 @@ object R9Queries {
       |     ELSE list_transform(range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
       |END""".stripMargin
 
+  private val Shingle5ListSql: String =
+    """CASE WHEN len(t) < 5 THEN []::VARCHAR[]
+      |     ELSE list_transform(range(1, len(t)-3),
+      |       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])
+      |END""".stripMargin
+
   /** Shared integer-BM25 chain ending at `sc(doc_id, score_x10000)`. */
   private lazy val Bm25Ctes: String =
     s"""tok AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t FROM documents),
@@ -310,7 +321,7 @@ object R9Queries {
     // length filter and threshold are the identical integer expressions
     "dedup_jaccard_prefix" ->
       s"""WITH tok AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t FROM documents),
-         |sh AS (SELECT doc_id, list_distinct($ShingleListSql) AS s FROM tok),
+         |sh AS (SELECT doc_id, list_distinct($Shingle5ListSql) AS s FROM tok),
          |tokx AS (SELECT doc_id, len(s) AS sz, unnest(s) AS w FROM sh),
          |df AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tokx GROUP BY w),
          |ordered AS (SELECT doc_id, w, sz,

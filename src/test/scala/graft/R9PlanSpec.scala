@@ -27,7 +27,7 @@ class R9PlanSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     // brute force is test-only ground truth: 500 docs = 125k pairs
     val ss = docs.select(col("doc_id"),
-      array_distinct(TextAnalysis.shingles(TextAnalysis.tokens(col("text")))).as("s"))
+      array_distinct(TextAnalysis.shingles(TextAnalysis.tokens(col("text")), 5)).as("s"))
     val want = ss.as("x").crossJoin(ss.as("y"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("ida"), col("y.doc_id").as("idb"),
@@ -46,7 +46,11 @@ class R9PlanSpec extends AnyFunSuite {
 
   test("dedup_jaccard_prefix plan: keyed joins only — no product, no window") {
     withConf("spark.sql.adaptive.enabled" -> "false") {
-      val p = SparkEntry.queries("dedup_jaccard_prefix")(spark, sf)
+      // pin the REAL pipeline, pre-checkpoint (the key's executed plan is
+      // the checkpointed-RDD scan)
+      val docs = graft.queries.Synth.documents(spark, sf).select("doc_id", "text")
+      val p = graft.ext.Dedup
+        .prefixPairsFromSets(graft.ext.Dedup.shingleSets(docs), 6L, 10L)
         .queryExecution.executedPlan
       assert(p.collect { case c: CartesianProductExec => c }.isEmpty, s"$p")
       assert(p.collect { case b: BroadcastNestedLoopJoinExec => b }.isEmpty, s"$p")
@@ -82,12 +86,25 @@ class R9PlanSpec extends AnyFunSuite {
   }
 
   test("CDC chunks reassemble the document exactly") {
-    import spark.implicits._
     // chunk texts joined back with single spaces == the tokenized doc —
     // no token lost or duplicated at any boundary (checked on real docs)
     val docs = graft.queries.Synth.documents(spark, sf)
       .select("doc_id", "text").limit(50)
-    val chunked = docs
+    val chunked = graft.ext.Dedup.cdcChunkArrays(docs)
+      .join(docs, "doc_id")
+      .select(col("doc_id"),
+        concat_ws(" ", col("chunk")).as("joined"),
+        concat_ws(" ", graft.ext.TextAnalysis.tokens(col("text"))).as("orig"))
+      .filter(col("joined") =!= col("orig"))
+    assert(chunked.count() == 0, "chunking must partition the token stream")
+  }
+
+  test("cdc_chunks expression == the built-in transform/filter/zip_with chain") {
+    // the slow expression chain the codegen'd CdcChunks replaced stays as
+    // the cross-check reference: identical chunk arrays on real docs
+    val docs = graft.queries.Synth.documents(spark, sf)
+      .select("doc_id", "text").limit(50)
+    val chain = docs
       .select(col("doc_id"), graft.ext.TextAnalysis.tokens(col("text")).as("t"))
       .withColumn("g", expr(
         "transform(t, w -> CAST(conv(substring(md5(w), 1, 15), 16, 10) AS BIGINT) % 16)"))
@@ -98,7 +115,7 @@ class R9PlanSpec extends AnyFunSuite {
           |   + 4 * element_at(g, CAST(i AS INT) - 2)
           |   + 8 * element_at(g, CAST(i AS INT) - 3)) % 16 = 0)
           |END""".stripMargin))
-      .withColumn("chunk", expr(
+      .withColumn("chunk_ref", expr(
         """filter(
           |  zip_with(
           |    concat(array(0L), bpos),
@@ -107,11 +124,11 @@ class R9PlanSpec extends AnyFunSuite {
           |      concat_ws(' ', slice(t, CAST(s AS INT) + 1, CAST(e - s AS INT))),
           |      CAST(NULL AS STRING))),
           |  c -> c IS NOT NULL)""".stripMargin))
-      .select(col("doc_id"),
-        concat_ws(" ", col("chunk")).as("joined"),
-        concat_ws(" ", col("t")).as("orig"))
-      .filter(col("joined") =!= col("orig"))
-    assert(chunked.count() == 0, "chunking must partition the token stream")
+      .select(col("doc_id"), col("chunk_ref"))
+    val diff = graft.ext.Dedup.cdcChunkArrays(docs)
+      .join(chain, "doc_id")
+      .filter(col("chunk") =!= col("chunk_ref"))
+    assert(diff.count() == 0, "codegen'd chunker must equal the reference chain")
   }
 
   test("cdcClean: keep-first removal — copies empty, owners and uniques intact") {
