@@ -23,6 +23,15 @@ object R9Queries {
   private val dedupJaccardPrefix: Q = (s, dir) =>
     Dedup.prefixFilterPairs(documents(s, dir)).orderBy("ida", "idb")
 
+  /** The complete-dedup end-to-end: COMPLETE prefix-filter pairs →
+    * connected components → keep one canonical doc per cluster + every
+    * unpaired doc. The exact-join twin of `dedup_keep_canonical` (whose
+    * pairs are probabilistic LSH). */
+  private val dedupKeepCanonicalPrefix: Q = (s, dir) => {
+    val docs = documents(s, dir)
+    Dedup.keepCanonical(docs, Dedup.prefixFilterPairs(docs)).orderBy("doc_id")
+  }
+
   /** Gear/FastCDC chunk-level dedup on the planted corpus (exact copies →
     * fully duplicated chunk sets; suffixed twins → all-but-the-tail
     * duplicated — the chunk-level view whole-document dedup misses). */
@@ -251,6 +260,7 @@ object R9Queries {
 
   val queries: Map[String, Q] = Map(
     "dedup_jaccard_prefix" -> dedupJaccardPrefix,
+    "dedup_keep_canonical_prefix" -> dedupKeepCanonicalPrefix,
     "dedup_cdc_chunks" -> dedupCdcChunks,
     "corpus_cdc_clean" -> corpusCdcClean,
     "text_bm25_topk" -> textBm25Topk,
@@ -281,6 +291,26 @@ object R9Queries {
       |     ELSE list_transform(range(1, len(t)-3),
       |       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])
       |END""".stripMargin
+
+  /** Shared prefix-filter chain: documents → 5-shingle sets → rarity
+    * order → prefix candidates → `ver(ida, idb, inter, uni)`. */
+  private lazy val PrefixPairsCtes: String =
+    s"""tok AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t FROM documents),
+       |sh AS (SELECT doc_id, list_distinct($Shingle5ListSql) AS s FROM tok),
+       |tokx AS (SELECT doc_id, len(s) AS sz, unnest(s) AS w FROM sh),
+       |df AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tokx GROUP BY w),
+       |ordered AS (SELECT doc_id, w, sz,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY df.df, w) AS rn
+       |  FROM tokx JOIN df USING (w)),
+       |pref AS (SELECT doc_id, w, sz FROM ordered
+       |  WHERE rn <= sz - ((6*sz + 9)//10) + 1),
+       |cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+       |  FROM pref a JOIN pref b ON a.w = b.w AND a.doc_id < b.doc_id
+       |  WHERE 6*greatest(a.sz, b.sz) <= 10*least(a.sz, b.sz)),
+       |ver AS (SELECT ida, idb,
+       |    len(list_intersect(x.s, y.s)) AS inter,
+       |    len(x.s) + len(y.s) - len(list_intersect(x.s, y.s)) AS uni
+       |  FROM cand JOIN sh x ON x.doc_id = ida JOIN sh y ON y.doc_id = idb)""".stripMargin
 
   /** Shared integer-BM25 chain ending at `sc(doc_id, score_x10000)`. */
   private lazy val Bm25Ctes: String =
@@ -320,24 +350,28 @@ object R9Queries {
     // over (df, shingle) replays sort_array(struct(df, w)); prefix length,
     // length filter and threshold are the identical integer expressions
     "dedup_jaccard_prefix" ->
-      s"""WITH tok AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t FROM documents),
-         |sh AS (SELECT doc_id, list_distinct($Shingle5ListSql) AS s FROM tok),
-         |tokx AS (SELECT doc_id, len(s) AS sz, unnest(s) AS w FROM sh),
-         |df AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tokx GROUP BY w),
-         |ordered AS (SELECT doc_id, w, sz,
-         |    row_number() OVER (PARTITION BY doc_id ORDER BY df.df, w) AS rn
-         |  FROM tokx JOIN df USING (w)),
-         |pref AS (SELECT doc_id, w, sz FROM ordered
-         |  WHERE rn <= sz - ((6*sz + 9)//10) + 1),
-         |cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
-         |  FROM pref a JOIN pref b ON a.w = b.w AND a.doc_id < b.doc_id
-         |  WHERE 6*greatest(a.sz, b.sz) <= 10*least(a.sz, b.sz)),
-         |ver AS (SELECT ida, idb,
-         |    len(list_intersect(x.s, y.s)) AS inter,
-         |    len(x.s) + len(y.s) - len(list_intersect(x.s, y.s)) AS uni
-         |  FROM cand JOIN sh x ON x.doc_id = ida JOIN sh y ON y.doc_id = idb)
+      s"""WITH $PrefixPairsCtes
          |SELECT ida, idb, CAST(10000 * inter // uni AS BIGINT) AS jacc_x10000
          |FROM ver WHERE 10*inter >= 6*uni ORDER BY ida, idb""".stripMargin,
+
+    // the complete-dedup end-to-end: the SAME prefix pair chain feeds the
+    // transitive-closure recursion; kept = each component's min-id label
+    // doc + every unpaired doc
+    "dedup_keep_canonical_prefix" ->
+      s"""WITH RECURSIVE $PrefixPairsCtes,
+         |ppairs AS (SELECT ida, idb FROM ver WHERE 10*inter >= 6*uni),
+         |edges AS (SELECT ida AS a, idb AS b FROM ppairs
+         |          UNION SELECT idb, ida FROM ppairs),
+         |verts AS (SELECT DISTINCT a AS v FROM edges),
+         |reach(v, r) AS (
+         |  SELECT v, v FROM verts
+         |  UNION
+         |  SELECT reach.v, e.b FROM reach JOIN edges e ON reach.r = e.a),
+         |comp AS (SELECT v AS doc_id, min(r) AS comp FROM reach GROUP BY 1)
+         |SELECT d.doc_id, CAST(coalesce(c.comp, d.doc_id) AS BIGINT) AS cluster
+         |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+         |WHERE c.comp IS NULL OR c.comp = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
 
     // the sequential window-function realization of the same position-local
     // boundary rule: lag() rebuilds the 4-token gear window, a cumulative
