@@ -485,6 +485,83 @@ object GraphQueries {
 
   private val qLabelProp: Q = (s, dir) => labelProp(edges(s, dir)).orderBy("node")
 
+  // ------------------------------------- star-contraction components
+
+  /** Connected components by alternating LARGE-STAR / SMALL-STAR rounds —
+    * the Alternating algorithm of Kiveris et al., "Connected Components in
+    * MapReduce and Beyond" (SoCC '14, §3; public paper). Where min-label
+    * propagation ([[labelProp]]) needs DIAMETER rounds — a chain-shaped
+    * component at 100 TB means thousands of shuffles — star contraction
+    * converges in O(log² n) rounds regardless of diameter: large-star
+    * rewires every strictly-larger neighbor of each node onto the minimum
+    * of its closed neighborhood, small-star does the same for the
+    * not-larger side, and together the edge set collapses geometrically
+    * toward the star forest rooted at each component's minimum id. Per
+    * round the shuffle volume is edge-linear (grouped min + re-emit +
+    * distinct), i.e. the same order as ONE label-prop round, but distances
+    * shrink multiplicatively instead of by one hop.
+    *
+    * Convergence = the canonical edge set is EXACTLY unchanged by a full
+    * round, tested with count + `except` emptiness on the checkpointed
+    * sets (not a checksum: a colliding checksum could silently bless a
+    * partial contraction). Every intermediate cuts lineage via
+    * localCheckpoint — the repo-wide iterative-operator discipline
+    * ([[labelProp]]'s measured 2^rounds replay without it). At
+    * convergence each component is one star (a=root=component min,
+    * b=member), so labels are a single left join from the node set. */
+  def starContractCC(edgeDf: DataFrame, maxRounds: Int = 25): DataFrame = {
+    val allNodes = nodes(edgeDf).localCheckpoint(true)
+    var e = edgeDf.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint(true)
+    var eCount = e.count()
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      // large-star: every v ∈ Γ(u) with v > u attaches to m(u) = min(Γ⁺(u))
+      val sym = e.select(col("a").as("u"), col("b").as("v"))
+        .union(e.select(col("b").as("u"), col("a").as("v")))
+      val lMins = sym.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val ls = sym.join(lMins, "u").filter(col("v") > col("u"))
+        .select(least(col("v"), col("m")).as("a"),
+          greatest(col("v"), col("m")).as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+        .localCheckpoint(true)
+      // small-star: orient big→small; u and its smaller neighbors N(u)
+      // all attach to m(u) = min(N(u))
+      val d = ls.select(col("b").as("u"), col("a").as("v")) // v < u by canon
+      val sMins = d.groupBy("u").agg(min("v").as("m"))
+      val ss = d.join(sMins, "u").select(col("v").as("x"), col("m"))
+        .unionAll(sMins.select(col("u").as("x"), col("m")))
+        .filter(col("x") =!= col("m"))
+        .select(least(col("x"), col("m")).as("a"),
+          greatest(col("x"), col("m")).as("b"))
+        .distinct()
+        .localCheckpoint(true)
+      val ssCount = ss.count()
+      converged = ssCount == eCount && ss.except(e).isEmpty
+      e = ss
+      eCount = ssCount
+      round += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"starContractCC did not converge in $maxRounds rounds — " +
+          "theoretically impossible under O(log² n) convergence at this " +
+          "scale; raise maxRounds only after inspecting the edge set")
+    // star forest: every member node has exactly ONE edge, to its root.
+    // The min() re-agg is belt-and-braces (a violated star invariant would
+    // otherwise duplicate rows); GraphSpec pins uniqueness directly.
+    allNodes
+      .join(e.select(col("b").as("node"), col("a").as("root")), Seq("node"), "left")
+      .groupBy("node").agg(min(coalesce(col("root"), col("node"))).as("label"))
+  }
+
+  private val qStarContract: Q = (s, dir) =>
+    starContractCC(edges(s, dir)).orderBy("node")
+
   // --------------------------------------------------------- modularity
 
   /** Newman modularity of the label-propagation communities — EXACT, in
@@ -544,6 +621,7 @@ object GraphQueries {
     "graph_modularity" -> qModularity,
     "graph_two_hop" -> qTwoHop,
     "graph_cc_labelprop" -> qLabelProp,
+    "graph_cc_starcontract" -> qStarContract,
     "graph_bfs_layers" -> qBfsLayers,
     "graph_resource_alloc" -> qResourceAlloc)
 
@@ -591,6 +669,23 @@ object GraphQueries {
 
   private val lpOracle: String =
     s"${lpCtes()}\nSELECT node, label FROM l$LpIters ORDER BY node"
+
+  /** TRUE-component oracle for [[starContractCC]] (which runs to
+    * convergence, unlike the fixed-round [[labelProp]]): the [[lpCtes]]
+    * min-label rounds plus two pointer-doubling steps
+    * (label ← min(label, label(label))) — coverage radius
+    * LpIters·2² = 32 hops, far past the events graph's diameter at any SF
+    * (every dst lands in a 150-hub space). A diameter beyond 32 fails the
+    * driver compare loudly rather than silently blessing a partial label.
+    * `label` is always itself a node id, so the doubling join is total. */
+  private val starOracle: String =
+    s"""${lpCtes()},
+       |d1 AS MATERIALIZED (
+       |  SELECT l.node, least(l.label, r.label) AS label
+       |  FROM l$LpIters l JOIN l$LpIters r ON r.node = l.label),
+       |d2 AS (SELECT l.node, least(l.label, r.label) AS label
+       |       FROM d1 l JOIN d1 r ON r.node = l.label)
+       |SELECT node, label FROM d2 ORDER BY node""".stripMargin
 
   /** Modularity is scored on the EARLY (2-round) label-prop partition:
     * full propagation on this connected graph collapses to one community
@@ -795,6 +890,7 @@ object GraphQueries {
          |GROUP BY h2.src ORDER BY h2.src""".stripMargin,
 
     "graph_cc_labelprop" -> lpOracle,
+    "graph_cc_starcontract" -> starOracle,
     "graph_modularity" -> modularityOracle,
     "graph_bfs_layers" -> bfsOracle,
     "graph_resource_alloc" ->

@@ -119,6 +119,39 @@ class GraphSpec extends AnyFunSuite {
       "uncapped star: C(6,2)=15 spoke pairs through the hub")
   }
 
+  test("star contraction labels the planted components by their min id") {
+    val r = GraphQueries.starContractCC(edges).orderBy("node")
+      .as[(Long, Long)].collect().toSeq
+    assert(r === Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L)))
+  }
+
+  test("star contraction is diameter-independent where fixed-round label-prop is not") {
+    // a 41-node path 0—1—…—40: diameter 40. Fixed-round labelProp(8)
+    // only sees 8 hops (node 40 still holds 32); star contraction reaches
+    // the true component min in O(log²) rounds.
+    val path = (0L until 40L).map(i => (i, i + 1)).toDF("src", "dst")
+    val star = GraphQueries.starContractCC(path)
+      .as[(Long, Long)].collect().toMap
+    assert(star.size === 41 && star.values.forall(_ === 0L),
+      s"every path node must collapse to component min 0: $star")
+    val lp8 = GraphQueries.labelProp(path)
+      .as[(Long, Long)].collect().toMap
+    assert(lp8(40L) === 32L,
+      "8-round min-label propagation must stop 8 hops in — the contrast " +
+        "that motivates the star-contraction operator")
+  }
+
+  test("star contraction result is one row per node and matches converged label-prop") {
+    val real = GraphQueries.edges(s, "/root/testdata/sf0.001")
+    val star = GraphQueries.starContractCC(real)
+    val n = GraphQueries.nodes(real).count()
+    assert(star.count() === n, "exactly one label per node")
+    // converged truth via 16 label-prop rounds (diameter at sf0.001 ≪ 16)
+    val truth = GraphQueries.labelProp(real, 16)
+      .as[(Long, Long)].collect().toMap
+    assert(star.as[(Long, Long)].collect().toMap === truth)
+  }
+
   test("edge synthesis is distinct, self-loop-free, and ~30% selective") {
     val e = GraphQueries.edges(s, "/root/testdata/sf0.001")
     val n = e.count()
