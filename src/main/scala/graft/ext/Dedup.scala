@@ -100,6 +100,85 @@ object Dedup {
     } finally spanDocs.unpersist()
   }
 
+  /** The REMOVAL half of exact substring dedup (Lee et al. 2022) that
+    * [[spanDupStats]] only measures: mark every non-first occurrence of a
+    * repeated `window`-token span (global keep-first by (doc_id, start)),
+    * merge the marked occurrences' token ranges into maximal islands, cut
+    * those tokens out, and emit per doc the token totals, removed count,
+    * island count, and the md5 of the REBUILT text — the fingerprint pins
+    * the exact surviving byte stream without shipping corpus-sized strings
+    * through the compare.
+    *
+    * Scale shape — everything is linear in the token stream:
+    *   - tokens posexplode row-locally; spans build with `window−1`
+    *     `lead`s over a doc_id-partitioned window (docs are bounded, so
+    *     partitions are; NO array-indexed-from-lambda anywhere — the
+    *     interpreted-HOF inlining trap measured at 181 s/key in round 9);
+    *   - keep-first marking is one groupBy on the high-cardinality span
+    *     hash with map-side partial agg, joined back once;
+    *   - removed positions explode from ranges (≤ token count rows),
+    *     dedupe, and anti-join the token rows;
+    *   - the rebuild is a per-doc sort-free aggregate: array_sort over a
+    *     collect_list of (pos, tok) structs — the array a lambda then
+    *     reads comes OUT OF AN AGGREGATE, the trap-safe source.
+    * No driver collect, no all-pairs, no corpus-sized broadcast. */
+  def spanClean(corpus: DataFrame, window: Int = 8, stride: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val tokRows = corpus
+      .select(col("doc_id"), posexplode(TextAnalysis.tokens(col("text")))
+        .as(Seq("pos", "tok")))
+      .persist(mem)
+    try {
+      val wDoc = Window.partitionBy("doc_id").orderBy("pos")
+      val spanStr = concat_ws(" ",
+        col("tok") +: (1 until window).map(k => lead(col("tok"), k).over(wDoc)): _*)
+      // spans start at every stride-th position with a full window ahead
+      // (lead(window−1) non-null ⇔ start+window ≤ n) — the spanDupStats
+      // span set, but carrying its start position
+      val occ = tokRows
+        .select(col("doc_id"), col("pos").as("start"),
+          lead(col("tok"), window - 1).over(wDoc).as("last"), spanStr.as("span"))
+        .filter(col("start") % stride === 0 && col("last").isNotNull)
+        .select(col("doc_id"), col("start"), md5(col("span")).as("sh"))
+        .persist(mem)
+      try {
+        val grp = occ.groupBy("sh").agg(count(lit(1)).as("cnt"),
+          min(struct(col("doc_id"), col("start"))).as("first"))
+        val dup = occ.join(grp, "sh")
+          .filter(col("cnt") > 1 &&
+            !(struct(col("doc_id"), col("start")) === col("first")))
+          .select(col("doc_id"), col("start"),
+            (col("start") + window - 1).as("e"))
+        val rem = dup
+          .select(col("doc_id"), explode(sequence(col("start"), col("e"))).as("pos"))
+          .distinct()
+          .persist(mem)
+        try {
+          val isl = rem
+            .withColumn("prev", lag(col("pos"), 1).over(wDoc))
+            .groupBy("doc_id")
+            .agg(count(lit(1)).as("removed_tokens"),
+              sum(when(col("prev").isNull || col("pos") - col("prev") > 1, 1L)
+                .otherwise(0L)).as("n_islands"))
+          val clean = tokRows.join(rem, Seq("doc_id", "pos"), "left_anti")
+            .groupBy("doc_id")
+            .agg(md5(array_join(
+              transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+                x => x.getField("tok")), " ")).as("clean_md5"))
+          tokRows.groupBy("doc_id").agg(count(lit(1)).as("n_tokens"))
+            .join(isl, Seq("doc_id"), "left")
+            .join(clean, Seq("doc_id"), "left")
+            .select(col("doc_id"), col("n_tokens"),
+              coalesce(col("removed_tokens"), lit(0L)).as("removed_tokens"),
+              coalesce(col("n_islands"), lit(0L)).as("n_islands"),
+              coalesce(col("clean_md5"), md5(lit(""))).as("clean_md5"))
+            .localCheckpoint(true)
+        } finally rem.unpersist()
+      } finally occ.unpersist()
+    } finally tokRows.unpersist()
+  }
+
   /** Distinct-token set (order-preserving ops not needed for Jaccard). */
   private def tokSet(text: Column): Column = array_distinct(TextAnalysis.tokens(text))
 

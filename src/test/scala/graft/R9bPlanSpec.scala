@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-9 second wave: span REMOVAL (the destructive half of exact
+  * substring dedup), verified on planted corpora where every removed token
+  * is hand-checkable.
+  */
+class R9bPlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def toks(n: Int, p: String = "w"): String =
+    (0 until n).map(i => s"$p$i").mkString(" ")
+
+  private def md5Of(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+    d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  test("spanClean: exact copy loses everything, original keeps everything") {
+    // 20 tokens → spans at 0,4,8,12 (window 8); the copy's spans are all
+    // non-first ⇒ islands [0,11],[4,15],[8,19] merge to [0,19] — full wipe
+    val corpus = Seq((1L, toks(20)), (2L, toks(20))).toDF("doc_id", "text")
+    val r = graft.ext.Dedup.spanClean(corpus).orderBy("doc_id")
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    assert(r === Seq(
+      (1L, 20L, 0L, 0L, md5Of(toks(20))),
+      (2L, 20L, 20L, 1L, md5Of(""))))
+  }
+
+  test("spanClean removes WITHIN-doc repetition, keep-first") {
+    // 8 unique tokens, repeated, then a distinct 8-token tail: the second
+    // block's aligned span (start 8) duplicates start-0's hash → island
+    // [8,15] removed; straddling spans (4,12) are unique and survive
+    val text = toks(8, "a") + " " + toks(8, "a") + " " + toks(8, "z")
+    val corpus = Seq((7L, text)).toDF("doc_id", "text")
+    val r = graft.ext.Dedup.spanClean(corpus)
+      .as[(Long, Long, Long, Long, String)].collect().head
+    assert(r === ((7L, 24L, 8L, 1L, md5Of(toks(8, "a") + " " + toks(8, "z")))))
+  }
+
+  test("spanClean: two separated duplicate regions form two islands") {
+    // doc 1 = A(8) ++ M(12) ++ B(8): A and B replanted in docs 2,3 at
+    // aligned starts (their own start-0 spans) — doc 1 is first by doc_id
+    // so keeps all; docs 2,3 lose their 8-token copies
+    val a = toks(8, "a"); val b = toks(8, "b")
+    val corpus = Seq(
+      (1L, a + " " + toks(12, "m") + " " + b),
+      (2L, a + " " + toks(8, "x")),
+      (3L, b + " " + toks(8, "y"))).toDF("doc_id", "text")
+    val r = graft.ext.Dedup.spanClean(corpus).orderBy("doc_id")
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    assert(r.head === ((1L, 28L, 0L, 0L, md5Of(a + " " + toks(12, "m") + " " + b))))
+    assert(r(1) === ((2L, 16L, 8L, 1L, md5Of(toks(8, "x")))))
+    assert(r(2) === ((3L, 16L, 8L, 1L, md5Of(toks(8, "y")))))
+  }
+
+  test("spanClean: sub-window docs pass through untouched") {
+    val corpus = Seq((1L, "only five short tokens here"),
+      (2L, "only five short tokens here")).toDF("doc_id", "text")
+    val r = graft.ext.Dedup.spanClean(corpus).orderBy("doc_id")
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    assert(r.forall(t => t._3 == 0L && t._5 == md5Of("only five short tokens here")))
+  }
+}
