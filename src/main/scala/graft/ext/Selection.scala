@@ -268,4 +268,52 @@ object Selection {
       .select(col("doc_id"), col("tok_n"), col("cum_tokens"))
       .orderBy("cum_tokens")
   }
+
+  /** Deterministic systematic PPS (probability-proportional-to-size)
+    * sampling: order documents by a 60-bit content-hash key (the repo's
+    * md5-fold convention — a deterministic shuffle both engines replay
+    * bit-equal), lay the k grid points (j + ½)·W/k over the cumulative
+    * weight line W = Σw, and pick every document whose weight interval
+    * contains a grid point. `hits` = contained grid points — exactly
+    * ⌊w·k/W⌋ or ⌈w·k/W⌉ per doc, Σhits = k ALWAYS, inclusion probability
+    * ∝ weight: the one-pass weighted sampler a mixture pipeline uses when
+    * it needs an exact-size draw (rejection/temperature rates only hit
+    * their target in expectation). Pure integer arithmetic — grid
+    * membership is n(x) = ⌊(2xk + W) / 2W⌋, long-safe while 2·W·k < 2⁶³
+    * (W < 4.6·10¹⁶ at k=100 — beyond a 100-TB character count; past that
+    * the same formula moves to DECIMAL).
+    *
+    * Scale shape — the [[selectTokenBudget]] banded-prefix-sum discipline,
+    * with hash-range bands instead of quality bands: per-band weight sums
+    * are a 256-row aggregate (driver prefix + broadcast back), the
+    * intra-band running sum is a window PARTITIONED by band, and the
+    * global cumulative is prefix + intra. No single-ordered window, no
+    * corpus-sized collect, one shuffle. */
+  def ppsSample(docs: DataFrame, k: Long = 100L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // 60-bit fold of md5 hex chars [1,16); band = top 8 bits — band order
+    // IS hash order, so per-band offsets compose to the global prefix sum
+    val h = conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long")
+    val base = docs.select(col("doc_id"), col("n_chars").as("w"), h.as("h"))
+      .withColumn("bkt", (col("h") / (1L << 52)).cast("int"))
+    val bands = base.groupBy("bkt").agg(sum("w").as("bw"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val wTot = bands.map(_._2).sum
+    var acc = 0L
+    val offsets = bands.map { case (b, t) => val p = acc; acc += t; (b, p) }
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val offDf = broadcast(offsets.toSeq.toDF("bkt", "off"))
+    val win = Window.partitionBy("bkt").orderBy("h", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    require(wTot > 0, "ppsSample needs a positive total weight")
+    base.join(offDf, "bkt")
+      .withColumn("ci", col("off") + sum("w").over(win))
+      // integer grid-point counts (div, not /: Spark's / on longs is double)
+      .withColumn("hits",
+        expr(s"(2 * ci * $k + $wTot) div ${2L * wTot} " +
+          s"- (2 * (ci - w) * $k + $wTot) div ${2L * wTot}"))
+      .filter(col("hits") > 0)
+      .select(col("doc_id"), col("w").as("weight"), col("hits"))
+  }
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ext.Dedup
+import graft.ext.{Dedup, Selection}
 
 /** Round-9 second continuation wave: the destructive half of substring
   * dedup (span REMOVAL, where `dedup_span_exact` only measures), plus
@@ -22,8 +22,15 @@ object R9bQueries {
   private val corpusSpanClean: Q = (s, dir) =>
     Dedup.spanClean(ExtQueries.dupCorpus(s, dir)).orderBy("doc_id")
 
+  /** Exact-size weighted draw: systematic PPS over the md5-fold hash
+    * order, weights = n_chars, k = 100 grid points — Σhits is exactly k
+    * and every doc's hits ∈ {⌊wk/W⌋, ⌈wk/W⌉}. */
+  private val corpusPpsSample: Q = (s, dir) =>
+    Selection.ppsSample(Synth.documents(s, dir)).orderBy("doc_id")
+
   def queries: Map[String, Q] = Map(
-    "corpus_span_clean" -> corpusSpanClean)
+    "corpus_span_clean" -> corpusSpanClean,
+    "corpus_pps_sample" -> corpusPpsSample)
 
   private val SpanCleanOracle: String =
     s"""${ExtQueries.CorpusCte},
@@ -66,6 +73,22 @@ object R9bQueries {
        |           LEFT JOIN clean c USING (doc_id)
        |ORDER BY k.doc_id""".stripMargin
 
+  /** Single-ordered-window twin of the banded Spark plan: the global
+    * cumulative weight line, grid membership by the same integer formula. */
+  private val PpsOracle: String =
+    s"""WITH hs AS (SELECT doc_id, n_chars AS w, md5(text) AS hx FROM documents),
+       |hh AS (SELECT doc_id, w, ${ExtQueries.hexFoldSql(1, 15)} AS h FROM hs),
+       |t AS (SELECT CAST(sum(w) AS BIGINT) AS wt FROM hh),
+       |c AS (SELECT doc_id, w, sum(w) OVER (ORDER BY h, doc_id
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ci FROM hh)
+       |SELECT doc_id, CAST(w AS BIGINT) AS weight,
+       |  CAST((2*ci*100 + wt) // (2*wt) - (2*(ci-w)*100 + wt) // (2*wt)
+       |    AS BIGINT) AS hits
+       |FROM c, t
+       |WHERE (2*ci*100 + wt) // (2*wt) > (2*(ci-w)*100 + wt) // (2*wt)
+       |ORDER BY doc_id""".stripMargin
+
   def oracle: Map[String, String] = Map(
-    "corpus_span_clean" -> SpanCleanOracle)
+    "corpus_span_clean" -> SpanCleanOracle,
+    "corpus_pps_sample" -> PpsOracle)
 }

@@ -57,6 +57,37 @@ class R9bPlanSpec extends AnyFunSuite {
     assert(r(2) === ((3L, 16L, 8L, 1L, md5Of(toks(8, "y")))))
   }
 
+  test("ppsSample: exactly k hits, each doc within its systematic bracket") {
+    val docs = graft.queries.Synth.documents(spark, "/root/testdata/sf0.001")
+    val k = 100L
+    val r = graft.ext.Selection.ppsSample(docs, k)
+      .as[(Long, Long, Long)].collect()
+    assert(r.map(_._3).sum === k, "systematic PPS draws EXACTLY k")
+    val w = docs.agg(sum("n_chars")).head().getLong(0)
+    r.foreach { case (id, wi, hits) =>
+      val lo = wi * k / w
+      assert(hits == lo || hits == lo + 1,
+        s"doc $id: hits=$hits outside {⌊wk/W⌋, ⌈wk/W⌉} = {$lo, ${lo + 1}}")
+    }
+    // determinism: the draw is a pure function of the corpus
+    val r2 = graft.ext.Selection.ppsSample(docs, k)
+      .as[(Long, Long, Long)].collect()
+    assert(r.toSet === r2.toSet)
+  }
+
+  test("ppsSample: a dominant-weight doc collects its proportional multi-hits") {
+    // planted: one doc at ~90% of the weight mass with k=10 must be hit
+    // 9 or 10 times; light docs at most once
+    val docs = ((1L to 10L).map(i => (i, s"light doc $i", 1L)) :+
+      ((99L, "x " * 100, 90L))).toDF("doc_id", "text", "n_chars")
+    val r = graft.ext.Selection.ppsSample(docs, 10L)
+      .as[(Long, Long, Long)].collect()
+    assert(r.map(_._3).sum === 10L)
+    val heavy = r.find(_._1 == 99L).map(_._3).getOrElse(0L)
+    assert(heavy === 9L || heavy === 10L, s"heavy doc drew $heavy")
+    assert(r.filter(_._1 != 99L).forall(_._3 == 1L))
+  }
+
   test("spanClean: sub-window docs pass through untouched") {
     val corpus = Seq((1L, "only five short tokens here"),
       (2L, "only five short tokens here")).toDF("doc_id", "text")
