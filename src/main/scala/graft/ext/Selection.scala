@@ -316,4 +316,62 @@ object Selection {
       .filter(col("hits") > 0)
       .select(col("doc_id"), col("w").as("weight"), col("hits"))
   }
+
+  /** Poisson-bootstrap inverse-CDF thresholds for λ=1 on the 60-bit
+    * uniform scale: t(j) = ⌊CDF(j)·2⁶⁰⌋ for j = 0..8 (mass beyond 8 is
+    * 1.1e-6 — capped to 9). Computed ONCE here and inlined verbatim into
+    * BOTH the Spark expression and the DuckDB oracle, so engine parity is
+    * by construction, independent of floating-point quality. */
+  val PoissonThresholds: IndexedSeq[Long] = {
+    var term = math.exp(-1.0)
+    var cum = 0.0
+    (0 to 8).map { j =>
+      cum += term
+      term /= (j + 1).toDouble
+      (cum * math.pow(2.0, 60)).toLong
+    }
+  }
+
+  /** Deterministic Poisson bootstrap of the mean-n_chars statistic:
+    * `reps` resamples where doc i's multiplicity in replicate b is
+    * Poisson(1), inverse-CDF'd from the 60-bit md5 fold of "doc_id_b" —
+    * the classic streaming bootstrap (Poisson counts ≈ multinomial
+    * resampling, no global coordination), made replayable by hashing
+    * instead of drawing. Output: the point estimate and the rank-⌊0.025B⌋
+    * / rank-⌈0.975B⌉ replicate means — a 95% percentile-bootstrap CI, all
+    * ⌊·10⁴⌋ integer.
+    *
+    * Scale shape: the B× row multiplication never moves data — the
+    * explode is row-local and the per-replicate Σcx / Σc aggregate is
+    * map-side partial, so the shuffle carries B·partitions partial rows,
+    * not B·N. The final ranking windows over exactly B rows (bounded by
+    * design). Long-safe while 10⁴·9·Σ n_chars < 2⁶³. */
+  def bootstrapCi(docs: DataFrame, reps: Int = 200): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = PoissonThresholds
+    val u = conv(substring(md5(concat(col("doc_id").cast("string"), lit("_"),
+      col("b").cast("string"))), 1, 15), 16, 10).cast("long")
+    val cCol = t.zipWithIndex.foldRight(lit(9): Column) {
+      case ((thr, j), other) => when(col("u") < thr, j).otherwise(other)
+    }.cast("long")
+    val means = docs
+      .select(col("doc_id"), col("n_chars"),
+        explode(sequence(lit(0), lit(reps - 1))).as("b"))
+      .withColumn("u", u)
+      .select(col("b"), col("n_chars"), cCol.as("c"))
+      .groupBy("b")
+      .agg(expr("10000 * sum(c * n_chars) div sum(c)").as("m"))
+    val loRank = (25 * reps) / 1000   // ⌊0.025·B⌋, 1-indexed
+    val hiRank = reps + 1 - loRank
+    val ranked = means
+      .withColumn("rn", row_number().over(Window.orderBy("m")))
+    val ci = ranked.agg(
+      max(when(col("rn") === loRank, col("m"))).as("lo_x10000"),
+      max(when(col("rn") === hiRank, col("m"))).as("hi_x10000"))
+    val point = docs.agg(
+      expr("10000 * sum(n_chars) div count(*)").as("mean_x10000"))
+    point.crossJoin(ci)
+      .select(col("mean_x10000"), col("lo_x10000"), col("hi_x10000"),
+        lit(reps.toLong).as("n_reps"))
+  }
 }

@@ -28,9 +28,15 @@ object R9bQueries {
   private val corpusPpsSample: Q = (s, dir) =>
     Selection.ppsSample(Synth.documents(s, dir)).orderBy("doc_id")
 
+  /** Percentile-bootstrap 95% CI of mean n_chars, 200 deterministic
+    * Poisson replicates hashed from (doc_id, replicate). */
+  private val corpusBootstrapCi: Q = (s, dir) =>
+    Selection.bootstrapCi(Synth.documents(s, dir))
+
   def queries: Map[String, Q] = Map(
     "corpus_span_clean" -> corpusSpanClean,
-    "corpus_pps_sample" -> corpusPpsSample)
+    "corpus_pps_sample" -> corpusPpsSample,
+    "corpus_bootstrap_ci" -> corpusBootstrapCi)
 
   private val SpanCleanOracle: String =
     s"""${ExtQueries.CorpusCte},
@@ -88,7 +94,29 @@ object R9bQueries {
        |WHERE (2*ci*100 + wt) // (2*wt) > (2*(ci-w)*100 + wt) // (2*wt)
        |ORDER BY doc_id""".stripMargin
 
+  /** Replays the hashed Poisson counts with the SAME threshold literals
+    * ([[Selection.PoissonThresholds]]) — parity by construction. */
+  private val BootstrapOracle: String = {
+    val cases = Selection.PoissonThresholds.zipWithIndex
+      .map { case (thr, j) => s"WHEN u < $thr THEN $j" }.mkString(" ")
+    s"""WITH reps AS (SELECT doc_id, n_chars, unnest(range(0, 200)) AS b
+       |  FROM documents),
+       |hs AS (SELECT n_chars, b, md5(doc_id || '_' || b) AS hx FROM reps),
+       |uu AS (SELECT n_chars, b, ${ExtQueries.hexFoldSql(1, 15)} AS u FROM hs),
+       |cc AS (SELECT b, n_chars, CASE $cases ELSE 9 END AS c FROM uu),
+       |m AS (SELECT b, 10000 * sum(c * n_chars) // sum(c) AS m
+       |      FROM cc GROUP BY b),
+       |r AS (SELECT m, row_number() OVER (ORDER BY m) AS rn FROM m)
+       |SELECT
+       |  CAST((SELECT 10000 * sum(n_chars) // count(*) FROM documents)
+       |    AS BIGINT) AS mean_x10000,
+       |  CAST((SELECT m FROM r WHERE rn = 5) AS BIGINT) AS lo_x10000,
+       |  CAST((SELECT m FROM r WHERE rn = 196) AS BIGINT) AS hi_x10000,
+       |  CAST(200 AS BIGINT) AS n_reps""".stripMargin
+  }
+
   def oracle: Map[String, String] = Map(
     "corpus_span_clean" -> SpanCleanOracle,
-    "corpus_pps_sample" -> PpsOracle)
+    "corpus_pps_sample" -> PpsOracle,
+    "corpus_bootstrap_ci" -> BootstrapOracle)
 }

@@ -88,6 +88,20 @@ class R9bPlanSpec extends AnyFunSuite {
     assert(r.filter(_._1 != 99L).forall(_._3 == 1L))
   }
 
+  test("bootstrapCi: CI brackets the point estimate; Poisson mass is sane") {
+    val t = graft.ext.Selection.PoissonThresholds
+    assert(t === t.sorted && t.last > (0.999995 * math.pow(2, 60)).toLong,
+      "thresholds monotone, j=8 CDF ~ 1")
+    val docs = graft.queries.Synth.documents(spark, "/root/testdata/sf0.001")
+    val r = graft.ext.Selection.bootstrapCi(docs)
+      .as[(Long, Long, Long, Long)].collect().head
+    val (mean, lo, hi, n) = r
+    assert(n === 200L && lo <= mean && mean <= hi && lo < hi,
+      s"degenerate CI: $r")
+    // the 95% band of a 500-doc mean should be tight (≪ ±10% of the mean)
+    assert(hi - lo < mean / 5, s"implausibly wide CI: $r")
+  }
+
   test("spanClean: sub-window docs pass through untouched") {
     val corpus = Seq((1L, "only five short tokens here"),
       (2L, "only five short tokens here")).toDF("doc_id", "text")
