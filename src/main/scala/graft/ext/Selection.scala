@@ -317,6 +317,37 @@ object Selection {
       .select(col("doc_id"), col("w").as("weight"), col("hits"))
   }
 
+  /** Batch A-ES weighted reservoir (Efraimidis–Spirakis): top-k docs by
+    * priority u^(1/w), u = (52-bit md5 fold + 1)/2⁵² — the EXACT doubles
+    * [[graft.streaming.WeightedReservoirStream]] maintains online (same
+    * JVM Math.pow over the same hash; parity is bitwise, spec-pinned).
+    * Inclusion probability is proportional-to-weight without replacement;
+    * where [[ppsSample]] is the exact-size SYSTEMATIC draw (integer, DuckDB
+    * -replayable), A-ES is the MERGEABLE one — per-partition top-ks union
+    * losslessly, which is also why it streams with O(k) state.
+    *
+    * Scale shape: one narrow projection + TakeOrderedAndProject (no global
+    * sort — each partition ships k rows). */
+  def weightedReservoir(docs: DataFrame, k: Int = 16,
+      weightCol: String = "n_chars"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 13), 16, 10)
+      .cast("long") + 1).cast("double") / lit(4503599627370496L).cast("double")
+    // strict_pow, not pow: Math.pow is 1-ulp-loose across JIT tiers; the
+    // stream twin's byte-parity contract needs fdlibm on both sides
+    val p = call_function("strict_pow", u,
+      lit(1.0) / col(weightCol).cast("double"))
+    val top = docs
+      .select(col("doc_id"), col(weightCol).cast("long").as("weight"),
+        p.as("priority"))
+      .orderBy(col("priority").desc, col("doc_id"))
+      .limit(k)
+    top.withColumn("rank",
+      row_number().over(Window.orderBy(col("priority").desc, col("doc_id"))))
+      .select("rank", "doc_id", "weight", "priority")
+  }
+
   /** Poisson-bootstrap inverse-CDF thresholds for λ=1 on the 60-bit
     * uniform scale: t(j) = ⌊CDF(j)·2⁶⁰⌋ for j = 0..8 (mass beyond 8 is
     * 1.1e-6 — capped to 9). Computed ONCE here and inlined verbatim into

@@ -15,6 +15,7 @@ object GraftFunctions {
     DotProduct.descriptor, BpeApply.descriptor, IvfAssign.descriptor,
     NfcNormalize.descriptor, HtmlEscape.descriptor,
     PolyHash16.descriptor, CdcChunks.descriptor, PqEncode.descriptor, PqLut.descriptor,
+    StrictPow.descriptor,
     TopKPairs.descriptor, VectorSumLong.descriptor,
     graft.syslog.ParseSyslog.descriptor,
     JmesPathEval.queryDescriptor, JmesPathEval.valueDescriptor,
