@@ -16,6 +16,28 @@ object TextAnalysis {
   def reTokenCount(text: Column): Column =
     regexp_count(text, lit("\\w+|[^\\w\\s]")).cast("long")
 
+  /** Flesch reading-ease readability, all-integer (×1000): syllables ≈
+    * vowel groups over the whole lowercased text (whitespace breaks groups,
+    * so this equals the per-word sum without any per-token loop), sentences
+    * = sentence-final punctuation runs floored at 1. score_x1000 =
+    * 206835 − 1015·⌊1000w/s⌋/1000 − 84600·⌊1000y/w⌋/1000 with pinned
+    * floor order — replayable bit-equal in any engine. A curation signal
+    * (too-easy ≈ boilerplate/lists, too-hard ≈ OCR noise/code) computed in
+    * three regexp_counts: one narrow row-local projection, no shuffle, no
+    * token fan-out. */
+  def readability(docs: DataFrame): DataFrame = {
+    val words = size(tokens(col("text"))).cast("long")
+    val sentences = greatest(regexp_count(col("text"), lit("[.!?]+")), lit(1))
+      .cast("long")
+    val syllables = regexp_count(lower(col("text")), lit("[aeiouy]+"))
+      .cast("long")
+    docs.select(col("doc_id"), words.as("words"), sentences.as("sentences"),
+        syllables.as("syllables"))
+      .withColumn("flesch_x1000",
+        expr("206835 - 1015 * (1000 * words div sentences) div 1000" +
+          " - 84600 * (1000 * syllables div words) div 1000"))
+  }
+
   /** k-token shingles (default 3); empty array when the doc has fewer
     * than k tokens. */
   def shingles(toks: Column, k: Int = 3): Column =

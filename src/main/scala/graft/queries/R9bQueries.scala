@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ext.{Dedup, Selection}
+import graft.ext.{Dedup, Selection, TextAnalysis}
 
 /** Round-9 second continuation wave: the destructive half of substring
   * dedup (span REMOVAL, where `dedup_span_exact` only measures), plus
@@ -33,10 +33,15 @@ object R9bQueries {
   private val corpusBootstrapCi: Q = (s, dir) =>
     Selection.bootstrapCi(Synth.documents(s, dir))
 
+  /** Per-doc integer Flesch reading ease — the readability curation signal. */
+  private val textReadability: Q = (s, dir) =>
+    TextAnalysis.readability(Synth.documents(s, dir)).orderBy("doc_id")
+
   def queries: Map[String, Q] = Map(
     "corpus_span_clean" -> corpusSpanClean,
     "corpus_pps_sample" -> corpusPpsSample,
-    "corpus_bootstrap_ci" -> corpusBootstrapCi)
+    "corpus_bootstrap_ci" -> corpusBootstrapCi,
+    "text_readability" -> textReadability)
 
   private val SpanCleanOracle: String =
     s"""${ExtQueries.CorpusCte},
@@ -115,8 +120,24 @@ object R9bQueries {
        |  CAST(200 AS BIGINT) AS n_reps""".stripMargin
   }
 
+  private val ReadabilityOracle: String =
+    """SELECT doc_id,
+      |  CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS words,
+      |  CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT)
+      |    AS sentences,
+      |  CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+      |    AS syllables,
+      |  CAST(206835
+      |    - 1015 * ((1000 * len(regexp_split_to_array(text, '\s+')))
+      |        // greatest(len(regexp_extract_all(text, '[.!?]+')), 1)) // 1000
+      |    - 84600 * ((1000 * len(regexp_extract_all(lower(text), '[aeiouy]+')))
+      |        // len(regexp_split_to_array(text, '\s+'))) // 1000
+      |    AS BIGINT) AS flesch_x1000
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   def oracle: Map[String, String] = Map(
     "corpus_span_clean" -> SpanCleanOracle,
     "corpus_pps_sample" -> PpsOracle,
-    "corpus_bootstrap_ci" -> BootstrapOracle)
+    "corpus_bootstrap_ci" -> BootstrapOracle,
+    "text_readability" -> ReadabilityOracle)
 }

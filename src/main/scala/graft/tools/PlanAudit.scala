@@ -91,7 +91,9 @@ object PlanAudit {
       "merged-sketch rank over <= |sources|*k pooled entries"),
     "text_hybrid_rrf" -> (Set("cartesian", "bnlj", "unpartitioned-window"),
       "RRF fusion: bounded 1-query exact-cosine rung (IVF/graph paths exist " +
-        "alongside) + rank windows over the two <=20-row top lists"))
+        "alongside) + rank windows over the two <=20-row top lists"),
+    "corpus_bootstrap_ci" -> (Set("unpartitioned-window"),
+      "replicate-mean ranking over exactly B=200 rows (corpus-independent)"))
 
   /** True when `p` provably yields at most one row (a no-grouping
     * aggregate, or unary/scalar-join compositions of one) — the standard

@@ -102,6 +102,19 @@ class R9bPlanSpec extends AnyFunSuite {
     assert(hi - lo < mean / 5, s"implausibly wide CI: $r")
   }
 
+  test("readability: hand-computed integer Flesch on a planted doc") {
+    // words=5, sentence runs = {".", "!"} = 2, vowel groups: the/cat/sat/it/ran
+    // = 5.  score = 206835 - (1015*((1000*5) div 2)) div 1000
+    //             - (84600*((1000*5) div 5)) div 1000 = 206835 - 2537 - 84600
+    val docs = Seq((1L, "the cat sat. it ran!"),
+      (2L, "no sentence punctuation at all")).toDF("doc_id", "text")
+    val r = graft.ext.TextAnalysis.readability(docs).orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(r.head === ((1L, 5L, 2L, 5L, 206835L - 2537L - 84600L)))
+    // sentences floored at 1; vowel groups: o,e,e,e,u,ua,io,a,a = 9
+    assert(r(1)._3 === 1L && r(1)._2 === 5L && r(1)._4 === 9L)
+  }
+
   test("spanClean: sub-window docs pass through untouched") {
     val corpus = Seq((1L, "only five short tokens here"),
       (2L, "only five short tokens here")).toDF("doc_id", "text")
