@@ -38,6 +38,66 @@ object TextAnalysis {
           " - 84600 * (1000 * syllables div words) div 1000"))
   }
 
+  /** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    * SIGMOD 2003 — the MOSS algorithm): 5-token grams hashed to 40 bits
+    * (md5 prefix fold), a w=4 sliding window over the gram-hash sequence,
+    * per window the MINIMUM hash selected with the RIGHTMOST-occurrence
+    * tie-break, selections deduplicated. Guarantees every shared token run
+    * of length ≥ w+k-1 = 8 contributes at least one common fingerprint,
+    * while keeping only ~2/(w+1) of the grams — the sampled-but-guaranteed
+    * middle ground between full shingle sets (dedup_ngram_jaccard) and a
+    * single whole-doc hash (text_fingerprint).
+    *
+    * Shape: posexplode (a Generate — no array indexed from a lambda, see
+    * PLANS.md's interpreted-HOF trap), grams via window `lead`s, the
+    * window minimum via a doc-partitioned ROWS frame; both window passes
+    * and the final groupBy share the doc_id partitioning, so the whole
+    * operator costs ONE token-stream shuffle. Tie-break packs (hash, pos)
+    * into one long: h·2²⁰ + (2²⁰−1−pos) — larger pos ⇒ smaller packed
+    * value among equal hashes; documents are capped at 2²⁰ grams (a 1M-
+    * token doc is a pathology upstream length filters remove first). */
+  /** The selected (gram-hash, position) pairs — winnowing's raw output,
+    * exposed so the detection guarantee is spec-checkable: a shared token
+    * run of ≥ 8 selects at least one common HASH in both docs. */
+  def winnowingSelections(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byDoc = Window.partitionBy("doc_id")
+    val seq = byDoc.orderBy("pos")
+    val toks = docs.select(col("doc_id"),
+      posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+    val grams = toks
+      .withColumn("n_toks", count(lit(1)).over(byDoc))
+      .withColumn("gram", concat_ws(" ", col("tok"),
+        lead("tok", 1).over(seq), lead("tok", 2).over(seq),
+        lead("tok", 3).over(seq), lead("tok", 4).over(seq)))
+      .filter(col("pos") <= col("n_toks") - 5)
+      .select(col("doc_id"), (col("pos") + 1).as("pos1"),
+        (col("n_toks") - 4).as("n_grams"),
+        conv(substring(md5(col("gram")), 1, 10), 16, 10).cast("long").as("h"))
+    grams
+      .withColumn("fp", min(col("h") * lit(1048576L) +
+          (lit(1048575L) - col("pos1")))
+        .over(Window.partitionBy("doc_id").orderBy("pos1")
+          .rowsBetween(Window.currentRow, 3)))
+      .filter(col("pos1") <= col("n_grams") - 3)
+      .select(col("doc_id"), col("n_grams"),
+        // integer div, NOT `/`: fp reaches 2^60 and a double round-trip
+        // would corrupt the low bits the position lives in
+        expr("fp div 1048576L").as("h"),
+        expr("1048575L - fp % 1048576L").as("sel_pos"))
+      .distinct()
+  }
+
+  def winnowingFingerprints(docs: DataFrame): DataFrame =
+    winnowingSelections(docs).groupBy("doc_id")
+      .agg(max("n_grams").as("n_grams"),
+        count(lit(1)).as("n_fp"),
+        // the cross-doc-comparable fingerprint SET is the hashes alone —
+        // positions located the selections but never enter the digest
+        md5(expr("array_join(transform(array_sort(array_distinct(" +
+          "collect_list(h))), x -> cast(x as string)), ',')"))
+          .as("fp_digest"))
+
   /** k-token shingles (default 3); empty array when the doc has fewer
     * than k tokens. */
   def shingles(toks: Column, k: Int = 3): Column =
