@@ -1,0 +1,176 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-9 fourth continuation wave.
+  *
+  * Completes the adapted TPC-H suite (Q4/Q9/Q12 were the last gaps — with
+  * these, all 22 benchmark plan shapes are oracle-checked keys) and adds a
+  * per-user Markov transition matrix over the events stream (the
+  * event-sequence analytics shape: one user-partitioned window + one
+  * pair-keyed aggregate).
+  *
+  * Adaptation notes (same contract as [[R9cQueries]]: keep the PLAN SHAPE,
+  * swap the columns the simplified testdata lacks):
+  *   - Q4's `l_commitdate < l_receiptdate` lateness predicate becomes
+  *     "shipped more than 30 days after the order date" — the EXISTS still
+  *     correlates on BOTH the join key and an outer non-equi column, which
+  *     is the entire point of Q4 (a semi-join whose condition references
+  *     the outer row beyond the key).
+  *   - Q9 has no partsupp/ps_supplycost: unit cost is the synthetic
+  *     0.6 × p_retailprice. The 5-table join tree (fact ⋈ part ⋈ supplier
+  *     ⋈ nation ⋈ orders) and the (nation, year) rollup — Q9's defining
+  *     shape, the widest join in the benchmark — survive unchanged.
+  *   - Q12 has no l_shipmode/commit/receipt dates: l_linestatus stands in
+  *     for the mode axis and the lateness predicate is ship > order + 60d;
+  *     the conditional-aggregation-over-join shape is what Q12 is for.
+  *
+  * Money rule (from the session-3 wave): exact DECIMAL(18,6) sums under
+  * any partitioning; doubles re-entered in ONE pinned final expression.
+  */
+object R9dQueries {
+  import Synth._
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Same stable-view front door as [[R9cQueries.views]], plus nation. */
+  private def views(s: SparkSession, dir: String): Unit = {
+    lineitem(s, dir).createOrReplaceTempView("graft_td_lineitem")
+    orders(s, dir).createOrReplaceTempView("graft_td_orders")
+    s.read.parquet(s"$dir/supplier.parquet")
+      .createOrReplaceTempView("graft_td_supplier")
+    s.read.parquet(s"$dir/part.parquet")
+      .createOrReplaceTempView("graft_td_part")
+    s.read.parquet(s"$dir/nation.parquet")
+      .createOrReplaceTempView("graft_td_nation")
+  }
+
+  private def sqlQ(body: String): Q = (s, dir) => {
+    views(s, dir)
+    s.sql(body)
+  }
+
+  /** TPC-H Q4 (order-priority checking), adapted: orders placed in 1996Q2
+    * with at least one line shipped >30 days after the order date. The
+    * EXISTS correlates on l_orderkey = o_orderkey AND the non-equi
+    * l_shipdate > o_orderdate + 30d — Catalyst decorrelates to ONE left
+    * semi join carrying both conditions (no per-row re-execution), which
+    * the plan spec pins. */
+  private val q4OrderPriority: Q = sqlQ("""
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM graft_td_orders
+    WHERE o_orderdate >= TIMESTAMP '1996-04-01'
+      AND o_orderdate < TIMESTAMP '1996-07-01'
+      AND EXISTS (SELECT 1 FROM graft_td_lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+    GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+
+  /** TPC-H Q9 (product-type profit), adapted: profit = revenue − synthetic
+    * unit cost (0.6 × p_retailprice) × quantity, for parts named like
+    * '%ol%' (the '%green%' stand-in, ~37% selective), rolled up by
+    * (nation, order year). At scale: part/supplier/nation broadcast; the
+    * only fact-sized exchanges are the lineitem⋈orders join and the final
+    * (nation, year) aggregate — both partial-aggregated map-side. */
+  private val q9ProductProfit: Q = sqlQ("""
+    SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           CAST(sum(CAST((l_extendedprice * (1 - l_discount))
+                         - ((p_retailprice * 0.6) * l_quantity)
+                    AS DECIMAL(18,6))) AS DOUBLE) AS profit
+    FROM graft_td_lineitem
+    JOIN graft_td_part ON p_partkey = l_partkey
+    JOIN graft_td_supplier ON s_suppkey = l_suppkey
+    JOIN graft_td_nation ON n_nationkey = s_nationkey
+    JOIN graft_td_orders ON o_orderkey = l_orderkey
+    WHERE p_name LIKE '%ol%'
+    GROUP BY 1, 2
+    ORDER BY nation, o_year DESC""")
+
+  /** TPC-H Q12 (shipping modes and order priority), adapted: lines shipped
+    * in 1996 more than 60 days after their order date, split by
+    * l_linestatus into high/low-priority conditional counts. */
+  private val q12ShipmodePriority: Q = sqlQ("""
+    SELECT l_linestatus,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM graft_td_orders JOIN graft_td_lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l_linestatus ORDER BY l_linestatus""")
+
+  /** Per-user event-type transition matrix (the first-order Markov view of
+    * the event stream): next event per user via ONE user-partitioned
+    * window ordered by (ts, event_id), then a (src, dst)-keyed count.
+    * Counts stay integers — the transition probabilities are a trivial
+    * downstream division the caller re-enters doubles with; keeping the
+    * key integral makes it exact under any partitioning. Scale: the window
+    * partitions by user_id (high-cardinality), the aggregate's key space is
+    * |event_type|² — both shuffles are healthy. */
+  private val qMarkovTransitions: Q = (s, dir) =>
+    eventsTs(s, dir)
+      .withColumn("dst", lead("event_type", 1).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("ts_us", "event_id")))
+      .filter(col("dst").isNotNull)
+      .groupBy(col("event_type").as("src"), col("dst"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("src", "dst")
+
+  val queries: Map[String, Q] = Map(
+    "q4_order_priority" -> q4OrderPriority,
+    "q9_product_profit" -> q9ProductProfit,
+    "q12_shipmode_priority" -> q12ShipmodePriority,
+    "q_markov_transitions" -> qMarkovTransitions)
+
+  val oracle: Map[String, String] = Map(
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-04-01'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q9_product_profit" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |       CAST(sum(CAST((l_extendedprice * (1 - l_discount))
+        |                     - ((p_retailprice * 0.6) * l_quantity)
+        |                AS DECIMAL(18,6))) AS DOUBLE) AS profit
+        |FROM lineitem
+        |JOIN part ON p_partkey = l_partkey
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN nation ON n_nationkey = s_nationkey
+        |JOIN orders ON o_orderkey = l_orderkey
+        |WHERE p_name LIKE '%ol%'
+        |GROUP BY 1, 2
+        |ORDER BY nation, o_year DESC""".stripMargin,
+
+    "q12_shipmode_priority" ->
+      """SELECT l_linestatus,
+        |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
+    "q_markov_transitions" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |         lead(event_type) OVER (PARTITION BY user_id
+        |                                ORDER BY epoch_us(ts), event_id)
+        |           AS dst
+        |  FROM events)
+        |SELECT event_type AS src, dst, CAST(count(*) AS BIGINT) AS n
+        |FROM seq WHERE dst IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+}
