@@ -882,4 +882,46 @@ object Dedup {
           "transform(filter(sort_array(collect_list(struct(idx, IF(keep, c, CAST(NULL AS STRING)) AS c))), x -> x.c IS NOT NULL), x -> x.c)"))
           .as("clean_text"))
   }
+
+  /** MOSS-style near-dup candidate pairs from winnowing fingerprints
+    * (Schleimer/Wilkerson/Aiken, SIGMOD '03 §5 — the use the sampler was
+    * built for): two docs are candidates when their fingerprint SETS share
+    * ≥ `minShared` hashes. Winnowing's guarantee makes the candidate set
+    * principled: any shared token run of ≥ w+k−1 = 8 tokens lands ≥ 1
+    * common fingerprint, so real overlaps of ~minShared·(w+1)/2 tokens
+    * can't hide.
+    *
+    * Scale shape: the fingerprint table is |docs|·density(≈2/(w+1)) rows;
+    * pairing is a self-join keyed on the 40-bit hash. The hub defense is
+    * the same as the LSH bucket cap: a hash present in more than
+    * `hashCap` docs is boilerplate (license headers, navigation chrome)
+    * and is EXCLUDED from pairing — Σ min(n_h, cap)² bounds the wedge
+    * volume where Σ n_h² would let one viral snippet go quadratic.
+    * Deterministic, so the DuckDB oracle replays it; bias documented:
+    * pairs whose entire overlap is boilerplate are not reported, which
+    * for dedup is the wanted behavior. `shared` counts capped hashes;
+    * `n_a`/`n_b` are the full fingerprint-set sizes, so the caller's
+    * resemblance estimate shared/(n_a+n_b−shared) is conservative.
+    *
+    * Output: (doc_a, doc_b, shared, n_a, n_b), doc_a < doc_b, integers.
+    */
+  def winnowingPairs(corpus: DataFrame, minShared: Int = 3,
+      hashCap: Int = 64): DataFrame = {
+    val fp = TextAnalysis.winnowingSelections(corpus)
+      .select("doc_id", "h").distinct()
+    val eligible = fp.join(
+      fp.groupBy("h").agg(count(lit(1)).as("nh"))
+        .filter(col("nh") <= hashCap).select("h"),
+      "h")
+    val pairs = eligible.select(col("h"), col("doc_id").as("doc_a"))
+      .join(eligible.select(col("h"), col("doc_id").as("doc_b")), "h")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+    val sizes = fp.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    pairs
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
+      .select("doc_a", "doc_b", "shared", "n_a", "n_b")
+  }
 }

@@ -238,8 +238,11 @@ object R9cQueries {
       "CAST(strpos('0123456789abcdef', substr(hx, CAST(j AS INT), 1)) - 1 " +
       "AS BIGINT))), (x,y) -> x*16 + y)"
 
-  private val WinnowingOracle: String =
-    s"""WITH toks AS (
+  /** The CTE chain producing winnowing's selected (doc_id, n_grams, h,
+    * sel_pos) rows — shared with the dedup_winnowing oracle in
+    * [[R9dQueries]]. */
+  private[queries] val WinnowingSelCtes: String =
+    s"""toks AS (
        |  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t
        |  FROM documents),
        |glist AS (
@@ -265,7 +268,10 @@ object R9cQueries {
        |sel AS (
        |  SELECT DISTINCT doc_id, n_grams, fp // 1048576 AS h,
        |         1048575 - (fp % 1048576) AS sel_pos
-       |  FROM wins WHERE pos <= n_grams - 3),
+       |  FROM wins WHERE pos <= n_grams - 3)""".stripMargin
+
+  private val WinnowingOracle: String =
+    s"""WITH $WinnowingSelCtes,
        |agg AS (
        |  SELECT doc_id, max(n_grams) AS n_grams,
        |         CAST(count(*) AS BIGINT) AS n_fp,

@@ -120,11 +120,18 @@ object R9dQueries {
       .agg(count(lit(1)).as("n"))
       .orderBy("src", "dst")
 
+  /** MOSS-style winnowing-overlap near-dup pairs —
+    * [[graft.ext.Dedup.winnowingPairs]]. */
+  private val dedupWinnowing: Q = (s, dir) =>
+    graft.ext.Dedup.winnowingPairs(documents(s, dir))
+      .orderBy("doc_a", "doc_b")
+
   val queries: Map[String, Q] = Map(
     "q4_order_priority" -> q4OrderPriority,
     "q9_product_profit" -> q9ProductProfit,
     "q12_shipmode_priority" -> q12ShipmodePriority,
-    "q_markov_transitions" -> qMarkovTransitions)
+    "q_markov_transitions" -> qMarkovTransitions,
+    "dedup_winnowing" -> dedupWinnowing)
 
   val oracle: Map[String, String] = Map(
     "q4_order_priority" ->
@@ -162,6 +169,25 @@ object R9dQueries {
         |  AND l_shipdate >= TIMESTAMP '1996-01-01'
         |  AND l_shipdate < TIMESTAMP '1997-01-01'
         |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
+    "dedup_winnowing" ->
+      s"""WITH ${R9cQueries.WinnowingSelCtes},
+         |fp AS (SELECT DISTINCT doc_id, h FROM sel),
+         |elig AS (
+         |  SELECT doc_id, h FROM fp
+         |  WHERE h IN (SELECT h FROM fp GROUP BY h HAVING count(*) <= 64)),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         CAST(count(*) AS BIGINT) AS shared
+         |  FROM elig a JOIN elig b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2 HAVING count(*) >= 3),
+         |sizes AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM fp GROUP BY 1)
+         |SELECT doc_a, doc_b, shared, sa.n AS n_a, sb.n AS n_b
+         |FROM pairs
+         |JOIN sizes sa ON sa.doc_id = doc_a
+         |JOIN sizes sb ON sb.doc_id = doc_b
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q_markov_transitions" ->
       """WITH seq AS (

@@ -69,6 +69,35 @@ class R9dPlanSpec extends AnyFunSuite {
     assert(got === Set(("a", "b", 2L), ("b", "a", 1L), ("a", "a", 1L)))
   }
 
+  test("winnowing pairs: a planted 20-token overlap is reported, " +
+    "disjoint docs are not") {
+    def toks(n: Int, p: String) = (0 until n).map(i => s"$p$i").mkString(" ")
+    val shared = toks(20, "s")
+    val docs = Seq(
+      (1L, shared + " " + toks(15, "a")),
+      (2L, toks(15, "b") + " " + shared),
+      (3L, toks(40, "z")))
+      .toDF("doc_id", "text")
+    val got = graft.ext.Dedup.winnowingPairs(docs, minShared = 3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L)))
+  }
+
+  test("winnowing pairs: a hash present in more docs than the cap is " +
+    "excluded from pairing (boilerplate defense)") {
+    def toks(n: Int, p: String) = (0 until n).map(i => s"$p$i").mkString(" ")
+    val boiler = toks(20, "s") // in ALL docs -> its hashes exceed cap=2
+    val docs = (1L to 4L).map(i => (i, boiler + " " + toks(15, s"u$i")))
+      .toDF("doc_id", "text")
+    val capped = graft.ext.Dedup.winnowingPairs(docs, minShared = 1,
+      hashCap = 2)
+    assert(capped.count() === 0,
+      "boilerplate-only overlap must not pair under the cap")
+    val uncapped = graft.ext.Dedup.winnowingPairs(docs, minShared = 1,
+      hashCap = 1000)
+    assert(uncapped.count() === 6, "all 6 pairs share the planted run")
+  }
+
   test("markov transitions: window partitions by user (no global window)") {
     val s = plan("q_markov_transitions").toString
     val winLines = s.linesIterator.filter(_.contains("Window")).toSeq
