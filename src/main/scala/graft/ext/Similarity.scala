@@ -195,6 +195,78 @@ object Similarity {
       .select("q_id", "rank", "n_id", "sim")
   }
 
+  /** Hard-negative mining for contrastive training (the DPR/SimCSE recipe,
+    * public technique): per query, the top-k most-similar corpus vectors
+    * whose LABEL differs from the query's — the negatives that actually
+    * move a contrastive loss. Exact baseline shape = [[bruteForceTopK]]
+    * with the label predicate fused into the scan (broadcast queries, one
+    * corpus pass, bounded topk_pairs ranking); at scale the candidate
+    * generation swaps to any ANN rung — the label filter composes with
+    * IVF/PQ probes exactly like ann_filtered_search's predicate. */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries.select(
+      col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+      col("label").as("q_label")))
+    val scored = corpus.crossJoin(q)
+      .filter(col("vec_id") =!= col("q_id") &&
+        col("label") =!= col("q_label"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        cosine(col("q_emb"), col("embedding")).as("sim"))
+    rankTopK(scored, k, "sim", asc = false)
+      .select("q_id", "rank", "n_id", "sim")
+  }
+
+  /** Maximal Marginal Relevance (Carbonell & Goldstein, SIGIR '98):
+    * greedy diversified re-ranking — pick kOut results that are relevant
+    * to the query but not redundant with each other,
+    * mmr(c) = λ·sim(q,c) − μ·max_{s∈S} sim(c,s), highest first. The
+    * training-data use is diverse few-shot/context selection where plain
+    * top-k returns kOut copies of the same near-duplicate.
+    *
+    * Shape: candidate generation is the exact [[bruteForceTopK]] here
+    * (swap in any ANN rung at scale); the greedy loop is kOut−1 joins
+    * over the BOUNDED candidate table (|Q|·kCand rows, localCheckpointed
+    * once) — per-query work is O(kOut·kCand) similarity evaluations,
+    * independent of corpus size, distributed by q_id. Ties break on
+    * (score desc, n_id asc) via struct-max, so the selection is a pure
+    * function of the input and the DuckDB oracle replays every round.
+    * λ/μ are pinned literals in BOTH engines — never derived as 1−λ,
+    * which in binary floating point is not the literal 0.3. */
+  def mmrDiversify(corpus: DataFrame, queries: DataFrame, kCand: Int = 12,
+      kOut: Int = 5, lam: Double = 0.7, mu: Double = 0.3): DataFrame = {
+    val cand = bruteForceTopK(corpus, queries, kCand)
+      .join(corpus.select(col("vec_id").as("n_id"),
+        col("embedding").as("n_emb")), "n_id")
+      .select("q_id", "rank", "n_id", "sim", "n_emb")
+      .localCheckpoint(true) // bounded: |Q|·kCand rows
+    // first pick: argmax λ·sim ≡ the rank-1 candidate (same tie-break)
+    var selected = cand.filter(col("rank") === 1)
+      .select(col("q_id"), col("n_id"), col("sim"),
+        (lit(lam) * col("sim")).as("mmr"), lit(1).as("sel_rank"),
+        col("n_emb"))
+    for (r <- 2 to kOut) {
+      val selEmb = selected.select(col("q_id"), col("n_emb").as("s_emb"))
+      val rem = cand.join(selected.select("q_id", "n_id"),
+        Seq("q_id", "n_id"), "left_anti")
+      val msim = rem.join(selEmb, Seq("q_id"))
+        .select(col("q_id"), col("n_id"),
+          cosine(col("n_emb"), col("s_emb")).as("cs"))
+        .groupBy("q_id", "n_id").agg(max("cs").as("msim"))
+      val pick = rem.join(msim, Seq("q_id", "n_id"))
+        .withColumn("score", lit(lam) * col("sim") - lit(mu) * col("msim"))
+        .groupBy("q_id")
+        .agg(max(struct(col("score"), (-col("n_id")).as("negid"),
+          col("n_id").as("nid"), col("sim").as("psim"))).as("m"))
+        .select(col("q_id"), col("m.nid").as("n_id"),
+          col("m.psim").as("sim"), col("m.score").as("mmr"),
+          lit(r).as("sel_rank"))
+        .join(cand.select("q_id", "n_id", "n_emb"), Seq("q_id", "n_id"))
+        .select("q_id", "n_id", "sim", "mmr", "sel_rank", "n_emb")
+      selected = selected.union(pick).localCheckpoint(true)
+    }
+    selected.select("q_id", "sel_rank", "n_id", "sim", "mmr")
+  }
+
   /** Deterministic random-hyperplane LSH: 16 sign bits → bucket id. At scale
     * the corpus is bucketed once (one narrow pass), queries probe only their
     * bucket — the IVF-style scale path for ANN. */

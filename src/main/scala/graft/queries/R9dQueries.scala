@@ -126,12 +126,57 @@ object R9dQueries {
     graft.ext.Dedup.winnowingPairs(documents(s, dir))
       .orderBy("doc_a", "doc_b")
 
+  /** Hard-negative mining — [[graft.ext.Similarity.hardNegatives]]. */
+  private val annHardNegatives: Q = (s, dir) => {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val e = embeddings(s, dir)
+    graft.ext.Similarity.hardNegatives(e, e.filter(col("vec_id") < 10), 5)
+      .orderBy("q_id", "rank")
+  }
+
+  /** MMR diversified retrieval — [[graft.ext.Similarity.mmrDiversify]]. */
+  private val annMmrDiversify: Q = (s, dir) => {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val e = embeddings(s, dir)
+    graft.ext.Similarity.mmrDiversify(e, e.filter(col("vec_id") < 10))
+      .orderBy("q_id", "sel_rank")
+  }
+
   val queries: Map[String, Q] = Map(
     "q4_order_priority" -> q4OrderPriority,
     "q9_product_profit" -> q9ProductProfit,
     "q12_shipmode_priority" -> q12ShipmodePriority,
     "q_markov_transitions" -> qMarkovTransitions,
-    "dedup_winnowing" -> dedupWinnowing)
+    "dedup_winnowing" -> dedupWinnowing,
+    "ann_hard_negatives" -> annHardNegatives,
+    "ann_mmr_diversify" -> annMmrDiversify)
+
+  /** One unrolled MMR round: pick the argmax of
+    * 0.7·sim − 0.3·max_{s∈selcum} cos(c,s) among unselected candidates,
+    * ties (score desc, n_id asc) via DuckDB struct-max — the exact twin
+    * of the Spark round. */
+  private def mmrRound(r: Int): String = {
+    val prev = s"selcum${r - 1}"
+    s"""pick$r AS MATERIALIZED (
+       |  SELECT q_id, (m).nid AS n_id, (m).psim AS sim, (m).s AS mmr,
+       |         $r AS sel_rank
+       |  FROM (
+       |    SELECT c.q_id,
+       |      max({'s': CAST(0.7 AS DOUBLE) * c.sim
+       |                - CAST(0.3 AS DOUBLE) * ms.msim,
+       |           'n': -c.n_id, 'nid': c.n_id, 'psim': c.sim}) AS m
+       |    FROM cand c
+       |    JOIN (SELECT cc.q_id, cc.i AS n_id, max(cc.cs) AS msim
+       |          FROM cc JOIN $prev s
+       |            ON cc.q_id = s.q_id AND cc.j = s.n_id
+       |          GROUP BY 1, 2) ms
+       |      ON ms.q_id = c.q_id AND ms.n_id = c.n_id
+       |    WHERE NOT EXISTS (SELECT 1 FROM $prev s
+       |                      WHERE s.q_id = c.q_id AND s.n_id = c.n_id)
+       |    GROUP BY c.q_id)),
+       |selcum$r AS MATERIALIZED (
+       |  SELECT * FROM $prev UNION ALL SELECT * FROM pick$r)""".stripMargin
+  }
 
   val oracle: Map[String, String] = Map(
     "q4_order_priority" ->
@@ -169,6 +214,50 @@ object R9dQueries {
         |  AND l_shipdate >= TIMESTAMP '1996-01-01'
         |  AND l_shipdate < TIMESTAMP '1997-01-01'
         |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
+    "ann_hard_negatives" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qe, label AS ql
+         |           FROM embeddings WHERE vec_id < 10),
+         |scored AS (SELECT q_id, e.vec_id AS n_id,
+         |  ${ExtQueries.cosSql("qe", "e.embedding")} AS sim
+         |  FROM embeddings e, q
+         |  WHERE e.vec_id <> q.q_id AND e.label <> q.ql),
+         |ranked AS (SELECT q_id, n_id, sim,
+         |  CAST(row_number() OVER (PARTITION BY q_id
+         |       ORDER BY sim DESC, n_id) AS INT) AS rank
+         |  FROM scored)
+         |SELECT q_id, rank, n_id, sim FROM ranked WHERE rank <= 5
+         |ORDER BY q_id, rank""".stripMargin,
+
+    "ann_mmr_diversify" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qe
+         |           FROM embeddings WHERE vec_id < 10),
+         |scored AS (SELECT q_id, e.vec_id AS n_id,
+         |    ${ExtQueries.cosSql("qe", "e.embedding")} AS sim
+         |  FROM embeddings e, q WHERE e.vec_id <> q.q_id),
+         |cand AS MATERIALIZED (
+         |  SELECT q_id, n_id, sim FROM (
+         |    SELECT q_id, n_id, sim,
+         |      row_number() OVER (PARTITION BY q_id
+         |        ORDER BY sim DESC, n_id) AS rn
+         |    FROM scored) WHERE rn <= 12),
+         |cc AS MATERIALIZED (
+         |  SELECT a.q_id, a.n_id AS i, b.n_id AS j,
+         |    ${ExtQueries.cosSql("ea.embedding", "eb.embedding")} AS cs
+         |  FROM cand a
+         |  JOIN cand b ON a.q_id = b.q_id AND a.n_id <> b.n_id
+         |  JOIN embeddings ea ON ea.vec_id = a.n_id
+         |  JOIN embeddings eb ON eb.vec_id = b.n_id),
+         |selcum1 AS MATERIALIZED (
+         |  SELECT q_id, n_id, sim, CAST(0.7 AS DOUBLE) * sim AS mmr,
+         |         1 AS sel_rank
+         |  FROM (SELECT q_id, n_id, sim,
+         |          row_number() OVER (PARTITION BY q_id
+         |            ORDER BY sim DESC, n_id) AS rn
+         |        FROM cand) WHERE rn = 1),
+         |${(2 to 5).map(mmrRound).mkString(",\n")}
+         |SELECT q_id, CAST(sel_rank AS INT) AS sel_rank, n_id, sim, mmr
+         |FROM selcum5 ORDER BY q_id, sel_rank""".stripMargin,
 
     "dedup_winnowing" ->
       s"""WITH ${R9cQueries.WinnowingSelCtes},

@@ -98,6 +98,46 @@ class R9dPlanSpec extends AnyFunSuite {
     assert(uncapped.count() === 6, "all 6 pairs share the planted run")
   }
 
+  test("hard negatives: every returned neighbor has a different label") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"))
+    val bad = graft.ext.Similarity.hardNegatives(e, e.filter(col("vec_id") < 10), 5)
+      .join(q, "q_id")
+      .join(e.select(col("vec_id").as("n_id"), col("label").as("n_label")), "n_id")
+      .filter(col("q_label") === col("n_label"))
+    assert(bad.count() === 0)
+  }
+
+  test("mmr: a planted redundant cluster is diversified") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    // corpus: 3 near-identical vectors close to the query (the redundant
+    // cluster) + 2 moderately-relevant distinct directions. Plain top-3
+    // takes the whole cluster; MMR (λ=0.7) must spend picks 2-3 on the
+    // distinct directions instead of the 2nd/3rd cluster copies.
+    // geometry: cluster at ~32° from the query with near-zero internal
+    // spread (redundancy term ≈ 1 after the first pick), alternatives at
+    // ~33° from the query but ~65° from the cluster — relevant enough to
+    // be candidates, far enough that 0.7·sim − 0.3·msim prefers them
+    def v(x: Double, y: Double, z: Double) = Array(x.toFloat, y.toFloat, z.toFloat)
+    val rows = Seq(
+      (0L, v(1, 0, 0)),              // query
+      (1L, v(0.848, 0.530, 0.0)),    // cluster a
+      (2L, v(0.848, 0.530, 0.001)),  // cluster b (near-dup of a)
+      (3L, v(0.848, 0.530, 0.002)),  // cluster c (near-dup of a)
+      (4L, v(0.84, -0.54, 0.0)),     // distinct direction 1
+      (5L, v(0.84, 0.0, -0.54)))     // distinct direction 2
+    val e = rows.toDF("vec_id", "embedding")
+    val got = graft.ext.Similarity
+      .mmrDiversify(e, e.filter(col("vec_id") === 0L), kCand = 5, kOut = 3)
+      .orderBy("sel_rank")
+      .select("n_id").as[Long].collect().toSeq
+    assert(got.head >= 1L && got.head <= 3L, s"first pick must be the most relevant: $got")
+    assert(got.tail.toSet === Set(4L, 5L),
+      s"picks 2-3 must diversify out of the cluster: $got")
+  }
+
   test("markov transitions: window partitions by user (no global window)") {
     val s = plan("q_markov_transitions").toString
     val winLines = s.linesIterator.filter(_.contains("Window")).toSeq
