@@ -891,4 +891,33 @@ object TextAnalysis {
       .limit(k)
       .select(col("doc_id"), col("score_x10000"))
   }
+
+  /** Per-document character-collision diversity — the Simpson index
+    * D = Σ cᵢ(cᵢ−1) / (n(n−1)) over the char histogram, reported as
+    * diversity = 1 − D scaled ×10⁶ by integer division. This is the
+    * exact-integer member of the entropy family (Rényi-2 entropy is
+    * −log2 D): `log2` is libm-dependent and NOT bit-portable across
+    * engines, so a Shannon-entropy double could never hash-match a DuckDB
+    * oracle — collision probability carries the same curation signal
+    * (low diversity = repeated-char boilerplate, high = natural text)
+    * with every intermediate a BIGINT.
+    *
+    * Chars are Java `split("")` units = UTF-16 code units; identical to
+    * DuckDB's per-codepoint split for BMP text (the corpus is checked
+    * ASCII; astral input would diverge — documented, not defended).
+    * Docs with n < 2 surface NULL diversity. Shape: one linear char
+    * explode + two doc-keyed aggregates — token-stream scaling. */
+  def charDiversity(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .filter(col("ch") =!= "") // Java split(limit=-1) keeps a trailing ""
+      .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n"), count(lit(1)).as("distinct_chars"),
+        sum(col("c") * (col("c") - 1)).as("coll_num"))
+      .withColumn("coll_den", col("n") * (col("n") - 1))
+      .withColumn("diversity_x1e6",
+        when(col("n") >= 2,
+          expr("((coll_den - coll_num) * 1000000L) div coll_den")))
+      .select("doc_id", "n", "distinct_chars", "coll_num", "coll_den",
+        "diversity_x1e6")
 }

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.ext.TextAnalysis
 
 /** Round-9 fourth continuation wave.
   *
@@ -126,6 +127,18 @@ object R9dQueries {
     graft.ext.Dedup.winnowingPairs(documents(s, dir))
       .orderBy("doc_a", "doc_b")
 
+  /** Complete-dedup e2e over the winnowing pairs: fingerprint-overlap
+    * candidates → connected components → one canonical doc per cluster +
+    * every unpaired doc (the third keep-canonical rung next to the LSH
+    * and exact-Jaccard-prefix variants). */
+  private val dedupKeepCanonicalWinnowing: Q = (s, dir) => {
+    val docs = documents(s, dir)
+    graft.ext.Dedup.keepCanonical(docs,
+      graft.ext.Dedup.winnowingPairs(docs)
+        .select(col("doc_a").as("ida"), col("doc_b").as("idb")))
+      .orderBy("doc_id")
+  }
+
   /** Hard-negative mining — [[graft.ext.Similarity.hardNegatives]]. */
   private val annHardNegatives: Q = (s, dir) => {
     graft.functions.GraftFunctions.ensureRegistered(s)
@@ -148,8 +161,11 @@ object R9dQueries {
     "q12_shipmode_priority" -> q12ShipmodePriority,
     "q_markov_transitions" -> qMarkovTransitions,
     "dedup_winnowing" -> dedupWinnowing,
+    "dedup_keep_canonical_winnowing" -> dedupKeepCanonicalWinnowing,
     "ann_hard_negatives" -> annHardNegatives,
-    "ann_mmr_diversify" -> annMmrDiversify)
+    "ann_mmr_diversify" -> annMmrDiversify,
+    "text_char_diversity" -> ((s, dir) =>
+      TextAnalysis.charDiversity(documents(s, dir)).orderBy("doc_id")))
 
   /** One unrolled MMR round: pick the argmax of
     * 0.7·sim − 0.3·max_{s∈selcum} cos(c,s) among unselected candidates,
@@ -277,6 +293,50 @@ object R9dQueries {
          |JOIN sizes sa ON sa.doc_id = doc_a
          |JOIN sizes sb ON sb.doc_id = doc_b
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // same transitive-closure recursion as dedup_keep_canonical_prefix,
+    // fed by the winnowing pair chain
+    "dedup_keep_canonical_winnowing" ->
+      s"""WITH RECURSIVE ${R9cQueries.WinnowingSelCtes},
+         |fp AS (SELECT DISTINCT doc_id, h FROM sel),
+         |elig AS (
+         |  SELECT doc_id, h FROM fp
+         |  WHERE h IN (SELECT h FROM fp GROUP BY h HAVING count(*) <= 64)),
+         |wpairs AS (
+         |  SELECT a.doc_id AS ida, b.doc_id AS idb
+         |  FROM elig a JOIN elig b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2 HAVING count(*) >= 3),
+         |edges AS (SELECT ida AS a, idb AS b FROM wpairs
+         |          UNION SELECT idb, ida FROM wpairs),
+         |verts AS (SELECT DISTINCT a AS v FROM edges),
+         |reach(v, r) AS (
+         |  SELECT v, v FROM verts
+         |  UNION
+         |  SELECT reach.v, e.b FROM reach JOIN edges e ON reach.r = e.a),
+         |comp AS (SELECT v AS doc_id, min(r) AS comp FROM reach GROUP BY 1)
+         |SELECT d.doc_id, CAST(coalesce(c.comp, d.doc_id) AS BIGINT) AS cluster
+         |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+         |WHERE c.comp IS NULL OR c.comp = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
+    "text_char_diversity" ->
+      """WITH ch AS (
+        |  SELECT doc_id, unnest(string_split(text, '')) AS ch
+        |  FROM documents),
+        |hist AS (
+        |  SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c
+        |  FROM ch WHERE ch <> '' GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+        |         CAST(count(*) AS BIGINT) AS distinct_chars,
+        |         CAST(sum(c * (c - 1)) AS BIGINT) AS coll_num
+        |  FROM hist GROUP BY 1)
+        |SELECT doc_id, n, distinct_chars, coll_num,
+        |       n * (n - 1) AS coll_den,
+        |       CASE WHEN n >= 2 THEN
+        |         ((n * (n - 1) - coll_num) * 1000000) // (n * (n - 1))
+        |       END AS diversity_x1e6
+        |FROM agg ORDER BY doc_id""".stripMargin,
 
     "q_markov_transitions" ->
       """WITH seq AS (
