@@ -239,12 +239,12 @@ object R9cQueries {
       "AS BIGINT))), (x,y) -> x*16 + y)"
 
   /** The CTE chain producing winnowing's selected (doc_id, n_grams, h,
-    * sel_pos) rows — shared with the dedup_winnowing oracle in
-    * [[R9dQueries]]. */
-  private[queries] val WinnowingSelCtes: String =
+    * sel_pos) rows over `table(doc_id, text)` — shared with the
+    * dedup_winnowing oracles in [[R9dQueries]]. */
+  private[queries] def winnowingSelCtes(table: String): String =
     s"""toks AS (
        |  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t
-       |  FROM documents),
+       |  FROM $table),
        |glist AS (
        |  SELECT doc_id, list_transform(range(1, len(t) - 3),
        |    i -> md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
@@ -271,7 +271,7 @@ object R9cQueries {
        |  FROM wins WHERE pos <= n_grams - 3)""".stripMargin
 
   private val WinnowingOracle: String =
-    s"""WITH $WinnowingSelCtes,
+    s"""WITH ${winnowingSelCtes("documents")},
        |agg AS (
        |  SELECT doc_id, max(n_grams) AS n_grams,
        |         CAST(count(*) AS BIGINT) AS n_fp,

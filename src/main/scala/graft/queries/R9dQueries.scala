@@ -139,6 +139,43 @@ object R9dQueries {
       .orderBy("doc_id")
   }
 
+  /** Measured recall of the winnowing candidate generator on the planted
+    * duplicate corpus (the self-grading discipline of dedup_recall /
+    * ann_recall applied to the winnowing rung): of the planted suffixed
+    * near-dups (+1e6) and exact copies (+2e6), how many appear in at
+    * least one winnowing pair? */
+  private val dedupWinnowingRecall: Q = (s, dir) => {
+    val c = ExtQueries.dupCorpus(s, dir)
+    val planted = c.filter(col("doc_id") >= 1000000).select("doc_id")
+    val wp = graft.ext.Dedup.winnowingPairs(c)
+    val det = wp.select(col("doc_a").as("doc_id"))
+      .unionAll(wp.select(col("doc_b").as("doc_id"))).distinct()
+    planted.agg(count(lit(1)).as("planted"))
+      .crossJoin(planted.join(det, "doc_id")
+        .agg(count(lit(1)).as("detected")))
+  }
+
+  /** Seasonal-naive forecast evaluation over the events stream: per
+    * event type, daily exact-decimal volume; forecast(day) =
+    * actual(day − 7); MAE over forecastable days. The lag is an equi
+    * self-join on (event_type, day − 7) — never an ordered window, so
+    * calendar gaps can't silently shift the season and the join
+    * partitions healthily at scale. Doubles re-enter in ONE final
+    * division. */
+  private val qSeasonalNaiveMae: Q = (s, dir) => {
+    eventsTs(s, dir).createOrReplaceTempView("graft_sn_events")
+    s.sql("""
+      WITH daily AS (
+        SELECT event_type, ts_us div 86400000000 AS day,
+               sum(CAST(value AS DECIMAL(18,6))) AS v
+        FROM graft_sn_events GROUP BY 1, 2)
+      SELECT a.event_type, CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(abs(a.v - b.v)) AS DOUBLE) / count(*) AS mae
+      FROM daily a JOIN daily b
+        ON a.event_type = b.event_type AND a.day = b.day + 7
+      GROUP BY a.event_type ORDER BY a.event_type""")
+  }
+
   /** Hard-negative mining — [[graft.ext.Similarity.hardNegatives]]. */
   private val annHardNegatives: Q = (s, dir) => {
     graft.functions.GraftFunctions.ensureRegistered(s)
@@ -162,6 +199,8 @@ object R9dQueries {
     "q_markov_transitions" -> qMarkovTransitions,
     "dedup_winnowing" -> dedupWinnowing,
     "dedup_keep_canonical_winnowing" -> dedupKeepCanonicalWinnowing,
+    "dedup_winnowing_recall" -> dedupWinnowingRecall,
+    "q_seasonal_naive_mae" -> qSeasonalNaiveMae,
     "ann_hard_negatives" -> annHardNegatives,
     "ann_mmr_diversify" -> annMmrDiversify,
     "text_char_diversity" -> ((s, dir) =>
@@ -276,7 +315,7 @@ object R9dQueries {
          |FROM selcum5 ORDER BY q_id, sel_rank""".stripMargin,
 
     "dedup_winnowing" ->
-      s"""WITH ${R9cQueries.WinnowingSelCtes},
+      s"""WITH ${R9cQueries.winnowingSelCtes("documents")},
          |fp AS (SELECT DISTINCT doc_id, h FROM sel),
          |elig AS (
          |  SELECT doc_id, h FROM fp
@@ -297,7 +336,7 @@ object R9dQueries {
     // same transitive-closure recursion as dedup_keep_canonical_prefix,
     // fed by the winnowing pair chain
     "dedup_keep_canonical_winnowing" ->
-      s"""WITH RECURSIVE ${R9cQueries.WinnowingSelCtes},
+      s"""WITH RECURSIVE ${R9cQueries.winnowingSelCtes("documents")},
          |fp AS (SELECT DISTINCT doc_id, h FROM sel),
          |elig AS (
          |  SELECT doc_id, h FROM fp
@@ -318,6 +357,38 @@ object R9dQueries {
          |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
          |WHERE c.comp IS NULL OR c.comp = d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+
+    // same pair chain over the planted-dup corpus; recall = planted ids
+    // appearing in >= 1 pair
+    "dedup_winnowing_recall" ->
+      s"""${ExtQueries.CorpusCte},
+         |${R9cQueries.winnowingSelCtes("corpus")},
+         |fp AS (SELECT DISTINCT doc_id, h FROM sel),
+         |elig AS (
+         |  SELECT doc_id, h FROM fp
+         |  WHERE h IN (SELECT h FROM fp GROUP BY h HAVING count(*) <= 64)),
+         |wpairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM elig a JOIN elig b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2 HAVING count(*) >= 3),
+         |planted AS (SELECT doc_id FROM corpus WHERE doc_id >= 1000000),
+         |det AS (SELECT DISTINCT doc_id FROM (
+         |  SELECT doc_a AS doc_id FROM wpairs
+         |  UNION ALL SELECT doc_b FROM wpairs))
+         |SELECT (SELECT CAST(count(*) AS BIGINT) FROM planted) AS planted,
+         |       (SELECT CAST(count(*) AS BIGINT)
+         |        FROM planted JOIN det USING (doc_id)) AS detected""".stripMargin,
+
+    "q_seasonal_naive_mae" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |         sum(CAST(value AS DECIMAL(18,6))) AS v
+        |  FROM events GROUP BY 1, 2)
+        |SELECT a.event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |       CAST(sum(abs(a.v - b.v)) AS DOUBLE) / count(*) AS mae
+        |FROM daily a JOIN daily b
+        |  ON a.event_type = b.event_type AND a.day = b.day + 7
+        |GROUP BY a.event_type ORDER BY a.event_type""".stripMargin,
 
     "text_char_diversity" ->
       """WITH ch AS (
