@@ -35,7 +35,8 @@ object R9dQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** Same stable-view front door as [[R9cQueries.views]], plus nation. */
+  /** Same stable-view front door as [[R9cQueries.views]], plus nation and
+    * region. */
   private def views(s: SparkSession, dir: String): Unit = {
     lineitem(s, dir).createOrReplaceTempView("graft_td_lineitem")
     orders(s, dir).createOrReplaceTempView("graft_td_orders")
@@ -45,6 +46,8 @@ object R9dQueries {
       .createOrReplaceTempView("graft_td_part")
     s.read.parquet(s"$dir/nation.parquet")
       .createOrReplaceTempView("graft_td_nation")
+    s.read.parquet(s"$dir/region.parquet")
+      .createOrReplaceTempView("graft_td_region")
   }
 
   private def sqlQ(body: String): Q = (s, dir) => {
@@ -139,6 +142,34 @@ object R9dQueries {
       .orderBy("doc_id")
   }
 
+  /** Ratio-to-parent — the OLAP drill-down share metric: each nation's
+    * revenue as a fraction of its region's, entirely in integers.
+    * Revenue sums are exact DECIMAL(18,6), FLOORED to whole-unit BIGINTs
+    * (explicit floor — a bare decimal→long cast truncates in Spark but
+    * rounds in DuckDB), and the share is one integer division ×10⁴ — no
+    * decimal division (whose rounding differs across engines) anywhere;
+    * rev·10⁴ stays under 2⁶³ past sf100. Shape: one fact aggregate to
+    * nation grain, a 25-row parent rollup, one broadcast join back — the
+    * parent total is never a global window. */
+  private val qShareOfParent: Q = sqlQ("""
+    WITH nat AS (
+      SELECT n_regionkey, n_name,
+             CAST(floor(sum(CAST(l_extendedprice * (1 - l_discount)
+                      AS DECIMAL(18,6)))) AS BIGINT) AS rev_f
+      FROM graft_td_lineitem
+      JOIN graft_td_supplier ON s_suppkey = l_suppkey
+      JOIN graft_td_nation ON n_nationkey = s_nationkey
+      GROUP BY 1, 2),
+    reg AS (
+      SELECT n_regionkey, CAST(sum(rev_f) AS BIGINT) AS region_f
+      FROM nat GROUP BY 1)
+    SELECT r_name AS region, n_name AS nation, rev_f,
+           (rev_f * 10000) div region_f AS share_x10000
+    FROM nat
+    JOIN reg USING (n_regionkey)
+    JOIN graft_td_region ON r_regionkey = n_regionkey
+    ORDER BY region, nation""")
+
   /** Measured recall of the winnowing candidate generator on the planted
     * duplicate corpus (the self-grading discipline of dedup_recall /
     * ann_recall applied to the winnowing rung): of the planted suffixed
@@ -201,6 +232,7 @@ object R9dQueries {
     "dedup_keep_canonical_winnowing" -> dedupKeepCanonicalWinnowing,
     "dedup_winnowing_recall" -> dedupWinnowingRecall,
     "q_seasonal_naive_mae" -> qSeasonalNaiveMae,
+    "q_share_of_parent" -> qShareOfParent,
     "ann_hard_negatives" -> annHardNegatives,
     "ann_mmr_diversify" -> annMmrDiversify,
     "text_char_diversity" -> ((s, dir) =>
@@ -378,6 +410,25 @@ object R9dQueries {
          |SELECT (SELECT CAST(count(*) AS BIGINT) FROM planted) AS planted,
          |       (SELECT CAST(count(*) AS BIGINT)
          |        FROM planted JOIN det USING (doc_id)) AS detected""".stripMargin,
+
+    "q_share_of_parent" ->
+      """WITH nat AS (
+        |  SELECT n_regionkey, n_name,
+        |         CAST(floor(sum(CAST(l_extendedprice * (1 - l_discount)
+        |                  AS DECIMAL(18,6)))) AS BIGINT) AS rev_f
+        |  FROM lineitem
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN nation ON n_nationkey = s_nationkey
+        |  GROUP BY 1, 2),
+        |reg AS (
+        |  SELECT n_regionkey, CAST(sum(rev_f) AS BIGINT) AS region_f
+        |  FROM nat GROUP BY 1)
+        |SELECT r_name AS region, n_name AS nation, rev_f,
+        |       (rev_f * 10000) // region_f AS share_x10000
+        |FROM nat
+        |JOIN reg USING (n_regionkey)
+        |JOIN region ON r_regionkey = n_regionkey
+        |ORDER BY region, nation""".stripMargin,
 
     "q_seasonal_naive_mae" ->
       """WITH daily AS (
