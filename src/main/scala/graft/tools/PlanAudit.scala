@@ -32,6 +32,12 @@ object PlanAudit {
     // pruned counterparts exist alongside (ann_ivf*, ann_lsh*, ...)
     "ann_brute_force" -> (Set("cartesian", "bnlj"),
       "exact baseline: bounded 10-query probe set x corpus"),
+    "ann_hard_negatives" -> (Set("cartesian", "bnlj"),
+      "exact-baseline shape: bounded 10-query probe set x corpus with " +
+        "the label predicate fused; IVF/PQ-filtered rungs are the scale path"),
+    "ann_mmr_diversify" -> (Set("cartesian", "bnlj"),
+      "candidate generation is the bounded 10-query brute-force rung; " +
+        "the greedy re-rank itself is corpus-size-independent"),
     "ann_recall" -> (Set("cartesian", "bnlj"),
       "measured-recall composite runs the brute-force baseline inside"),
     "ann_range_search" -> (Set("cartesian", "bnlj"),
