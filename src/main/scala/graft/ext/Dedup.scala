@@ -924,4 +924,58 @@ object Dedup {
       .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
       .select("doc_a", "doc_b", "shared", "n_a", "n_b")
   }
+
+  /** Edit-distance fuzzy-dup pairs — the CHARACTER-level rung of the dedup
+    * ladder (typo/OCR noise, single-character mutations), which the
+    * token-set rungs (MinHash/Jaccard/winnowing) treat as near-identical
+    * shingle sets and the exact rung misses entirely. Classical blocking +
+    * verify: each doc is keyed by the head AND tail `blockLen`-char slice
+    * of an ASCII-normalized `sigLen`-char signature; a single edit run
+    * cannot alter both ends of the signature (for signatures longer than
+    * 2·blockLen), so every pair within `maxDist` edits confined to the
+    * interior is caught by at least one of the two block families — the
+    * documented recall contract (edits inside the first or last `blockLen`
+    * chars can drop a pair; resemblance-style overlap is the other rungs'
+    * job). Verification is `levenshtein` on the SIGNATURES only, never the
+    * full text, after the `|len_a − len_b| ≤ maxDist` lower-bound
+    * prefilter.
+    *
+    * The normalization (lowercase, strip non-`[a-z0-9 ]`) also pins the
+    * cross-engine semantics: DuckDB's `levenshtein` edits BYTES while
+    * Spark's edits CODEPOINTS ('café'→'cafe' is 2 vs 1), so signatures are
+    * forced to pure ASCII where the two definitions coincide.
+    *
+    * Scale: pairing is per-block with a deterministic per-block cap
+    * (`maxBlock` members kept by (len, id) — partitioned row_number, no
+    * global sort), so candidate volume is Σ min(n_b, cap)² over blocks —
+    * a boilerplate prefix shared by a million docs costs cap², not 10¹².
+    * Capped-out members fall back to their OTHER block key; a doc capped
+    * from both families is skipped, surfaced by the recall key as data.
+    *
+    * Output: (ida, idb, dist), ida < idb, dist = signature edit distance.
+    */
+  def levenshteinBlockPairs(corpus: DataFrame, sigLen: Int = 96,
+      blockLen: Int = 16, maxDist: Int = 4, maxBlock: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sig = corpus.select(col("doc_id"),
+        substring(regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""),
+          1, sigLen).as("sig"))
+      .withColumn("len", length(col("sig")).cast("long"))
+    val keyed = sig.select(col("doc_id"), col("sig"), col("len"),
+      explode(array(
+        concat(lit("p:"), substring(col("sig"), 1, blockLen)),
+        concat(lit("s:"), expr(s"right(sig, $blockLen)")))).as("bkey"))
+    val capped = keyed
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("bkey").orderBy("len", "doc_id")))
+      .filter(col("rn") <= maxBlock).drop("rn")
+    capped.as("a").join(capped.as("b"),
+        col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          abs(col("a.len") - col("b.len")) <= maxDist)
+      .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"),
+        levenshtein(col("a.sig"), col("b.sig")).cast("long").as("dist"))
+      .filter(col("dist") <= maxDist)
+      .groupBy("ida", "idb").agg(min("dist").as("dist"))
+  }
 }

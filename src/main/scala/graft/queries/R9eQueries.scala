@@ -1,0 +1,271 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-9 fifth continuation wave.
+  *
+  * The centerpiece is the CHARACTER-level dedup rung
+  * ([[graft.ext.Dedup.levenshteinBlockPairs]]): blocked edit-distance
+  * pairs, the keep-canonical composition, and the measured recall AND
+  * precision counters over a planted single-edit corpus — typo/OCR noise
+  * is the duplication mode the token-set rungs (MinHash / winnowing /
+  * exact-Jaccard) see as ~identical shingle sets and the exact rung
+  * misses entirely; a real curation pipeline runs both.
+  *
+  * Alongside: the join-key skew diagnostic every 100 TB engagement runs
+  * before sizing a shuffle (frequency-of-frequencies over a foreign key),
+  * and a robust second-order curation gate (per-source median + MAD of
+  * doc length via two bounded-histogram passes — never a per-group value
+  * buffer) with exact-integer outlier counts.
+  */
+object R9eQueries {
+  import Synth.documents
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** documents ∪ single-character-edited copies (every 20th doc, the
+    * char at position 40 replaced by 'x') — the planted TYPO corpus the
+    * levenshtein rung is graded on. +3000000 keeps the id space disjoint
+    * from [[ExtQueries.dupCorpus]]'s +1e6/+2e6 plantings. The mutation is
+    * SQL-expressible so the DuckDB twin rebuilds the identical corpus. */
+  private[graft] def levCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = documents(s, dir).select("doc_id", "text")
+    d.unionAll(d.filter(col("doc_id") % 20 === 0)
+      .select((col("doc_id") + 3000000).as("doc_id"),
+        concat(substring(col("text"), 1, 39), lit("x"),
+          expr("substring(text, 41)")).as("text")))
+  }
+
+  private[queries] val LevCorpusCte: String =
+    """WITH lc AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 3000000, substr(text, 1, 39) || 'x' || substr(text, 41)
+      |  FROM documents WHERE doc_id % 20 = 0)""".stripMargin
+
+  /** The DuckDB twin of [[graft.ext.Dedup.levenshteinBlockPairs]] at the
+    * default (sigLen=96, blockLen=16, maxDist=4, maxBlock=64) operating
+    * point, as a `pairs` CTE chain over a corpus relation named `lc`. */
+  private[queries] val LevPairsCtes: String =
+    """sig0 AS (
+      |  SELECT doc_id,
+      |         substr(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+      |                1, 96) AS sig
+      |  FROM lc),
+      |sigt AS (SELECT doc_id, sig, CAST(length(sig) AS BIGINT) AS len
+      |         FROM sig0),
+      |keyed AS (
+      |  SELECT doc_id, sig, len, 'p:' || substr(sig, 1, 16) AS bkey FROM sigt
+      |  UNION ALL
+      |  SELECT doc_id, sig, len, 's:' || right(sig, 16) AS bkey FROM sigt),
+      |capped AS (
+      |  SELECT doc_id, sig, len, bkey FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY bkey
+      |                                 ORDER BY len, doc_id) AS rn
+      |    FROM keyed) WHERE rn <= 64),
+      |pairs AS (
+      |  SELECT a.doc_id AS ida, b.doc_id AS idb,
+      |         CAST(min(levenshtein(a.sig, b.sig)) AS BIGINT) AS dist
+      |  FROM capped a JOIN capped b
+      |    ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+      |   AND abs(a.len - b.len) <= 4
+      |  WHERE levenshtein(a.sig, b.sig) <= 4
+      |  GROUP BY 1, 2)""".stripMargin
+
+  /** Blocked edit-distance fuzzy-dup pairs —
+    * [[graft.ext.Dedup.levenshteinBlockPairs]]. */
+  private val dedupLevBlock: Q = (s, dir) =>
+    graft.ext.Dedup.levenshteinBlockPairs(levCorpus(s, dir))
+      .orderBy("ida", "idb")
+
+  /** Complete-dedup e2e over the edit-distance pairs: pairs → connected
+    * components → one canonical doc per cluster + every unpaired doc (the
+    * fourth keep-canonical rung, next to LSH, exact-Jaccard-prefix and
+    * winnowing). */
+  private val dedupKeepCanonicalLev: Q = (s, dir) => {
+    val c = levCorpus(s, dir)
+    graft.ext.Dedup.keepCanonical(c,
+      graft.ext.Dedup.levenshteinBlockPairs(c).select("ida", "idb"))
+      .orderBy("doc_id")
+  }
+
+  /** Measured recall AND precision counters of the levenshtein rung on
+    * the planted typo corpus: `planted` copies, `detected` = planted ids
+    * appearing in ≥1 pair (recall numerator), `pairs_total` emitted
+    * pairs, `pairs_planted` = pairs that are exactly an (origin, typo
+    * copy) planting (precision numerator). Organic lev≤4 signature pairs
+    * in `pairs_total − pairs_planted` are not false positives per se —
+    * the corpus genuinely contains near-identical texts — which is why
+    * both counters are surfaced as data rather than folded into one
+    * score. */
+  private val dedupLevRecall: Q = (s, dir) => {
+    val c = levCorpus(s, dir)
+    val pairs = graft.ext.Dedup.levenshteinBlockPairs(c)
+    val planted = c.filter(col("doc_id") >= 3000000).select("doc_id")
+    val det = pairs.select(col("ida").as("doc_id"))
+      .unionAll(pairs.select(col("idb").as("doc_id"))).distinct()
+    planted.agg(count(lit(1)).as("planted"))
+      .crossJoin(planted.join(det, "doc_id")
+        .agg(count(lit(1)).as("detected")))
+      .crossJoin(pairs.agg(count(lit(1)).as("pairs_total")))
+      .crossJoin(pairs
+        .filter(col("idb") - col("ida") === 3000000 && col("ida") % 20 === 0)
+        .agg(count(lit(1)).as("pairs_planted")))
+  }
+
+  /** Join-key skew profile — the frequency-of-frequencies histogram over
+    * a foreign key (orders.o_custkey), the diagnostic that sizes every
+    * downstream shuffle decision (salting? AQE skew thresholds? broadcast
+    * cut-off?). Two map-side-combined aggregates, both on healthy keys:
+    * the first on the (high-cardinality) key itself, the second on the
+    * (small-domain) frequency. Never a global sort, never a collect —
+    * the profile is ≤ max-frequency rows however large the fact table. */
+  private val qKeySkewProfile: Q = (s, dir) => {
+    Synth.orders(s, dir).createOrReplaceTempView("graft_r9e_orders")
+    s.sql("""
+      WITH f AS (
+        SELECT o_custkey, CAST(count(*) AS BIGINT) AS freq
+        FROM graft_r9e_orders GROUP BY 1)
+      SELECT freq, CAST(count(*) AS BIGINT) AS n_keys
+      FROM f GROUP BY 1 ORDER BY freq""")
+  }
+
+  /** Robust per-source length gate: exact lower-median and MAD (median
+    * absolute deviation) of n_chars via TWO bounded-histogram passes —
+    * the q_median_histogram technique composed on itself (deviations are
+    * a derived bounded domain), then an exact-integer count of docs
+    * outside med ± 3·MAD. The robust twin of z-score outlier gating:
+    * immune to the very outliers it hunts, and at 100 TB each pass is a
+    * map-side-combined (source, value) count plus a window over ≤|domain|
+    * rows per source — no per-group value buffering anywhere. */
+  private val textMadOutliers: Q = (s, dir) => {
+    documents(s, dir).createOrReplaceTempView("graft_r9e_docs")
+    s.sql("""
+      WITH hist AS (
+        SELECT source, n_chars, CAST(count(*) AS BIGINT) AS c
+        FROM graft_r9e_docs GROUP BY 1, 2),
+      cum AS (
+        SELECT source, n_chars, c,
+               sum(c) OVER (PARTITION BY source ORDER BY n_chars
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               sum(c) OVER (PARTITION BY source) AS n
+        FROM hist),
+      med AS (
+        SELECT source, min(n_chars) AS med FROM cum
+        WHERE cum * 2 >= n + 1 GROUP BY 1),
+      dhist AS (
+        SELECT d.source, abs(d.n_chars - m.med) AS dev,
+               CAST(count(*) AS BIGINT) AS c
+        FROM graft_r9e_docs d JOIN med m ON d.source = m.source
+        GROUP BY 1, 2),
+      dcum AS (
+        SELECT source, dev, c,
+               sum(c) OVER (PARTITION BY source ORDER BY dev
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               sum(c) OVER (PARTITION BY source) AS n
+        FROM dhist),
+      mad AS (
+        SELECT source, min(dev) AS mad FROM dcum
+        WHERE cum * 2 >= n + 1 GROUP BY 1)
+      SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+             min(m.med) AS med, min(a.mad) AS mad,
+             CAST(sum(CASE WHEN abs(d.n_chars - m.med) > 3 * a.mad
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      FROM graft_r9e_docs d
+      JOIN med m ON d.source = m.source
+      JOIN mad a ON d.source = a.source
+      GROUP BY d.source ORDER BY d.source""")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "dedup_levenshtein_block" -> dedupLevBlock,
+    "dedup_keep_canonical_lev" -> dedupKeepCanonicalLev,
+    "dedup_lev_recall" -> dedupLevRecall,
+    "q_key_skew_profile" -> qKeySkewProfile,
+    "text_mad_outliers" -> textMadOutliers)
+
+  val oracle: Map[String, String] = Map(
+    "dedup_levenshtein_block" ->
+      s"""$LevCorpusCte,
+         |$LevPairsCtes
+         |SELECT ida, idb, dist FROM pairs ORDER BY ida, idb""".stripMargin,
+
+    "dedup_keep_canonical_lev" ->
+      s"""WITH RECURSIVE lc AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 3000000, substr(text, 1, 39) || 'x' || substr(text, 41)
+         |  FROM documents WHERE doc_id % 20 = 0),
+         |$LevPairsCtes,
+         |edges AS (SELECT ida AS a, idb AS b FROM pairs
+         |          UNION SELECT idb, ida FROM pairs),
+         |verts AS (SELECT DISTINCT a AS v FROM edges),
+         |reach(v, r) AS (
+         |  SELECT v, v FROM verts
+         |  UNION
+         |  SELECT reach.v, e.b FROM reach JOIN edges e ON reach.r = e.a),
+         |comp AS (SELECT v AS doc_id, min(r) AS comp FROM reach GROUP BY 1)
+         |SELECT d.doc_id, CAST(coalesce(c.comp, d.doc_id) AS BIGINT) AS cluster
+         |FROM lc d LEFT JOIN comp c ON d.doc_id = c.doc_id
+         |WHERE c.comp IS NULL OR c.comp = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
+    "dedup_lev_recall" ->
+      s"""$LevCorpusCte,
+         |$LevPairsCtes,
+         |det AS (SELECT DISTINCT doc_id FROM (
+         |  SELECT ida AS doc_id FROM pairs
+         |  UNION ALL SELECT idb FROM pairs)),
+         |pl AS (SELECT doc_id FROM lc WHERE doc_id >= 3000000)
+         |SELECT
+         |  (SELECT CAST(count(*) AS BIGINT) FROM pl) AS planted,
+         |  (SELECT CAST(count(*) AS BIGINT)
+         |   FROM pl JOIN det ON pl.doc_id = det.doc_id) AS detected,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM pairs) AS pairs_total,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM pairs
+         |   WHERE idb - ida = 3000000 AND ida % 20 = 0) AS pairs_planted""".stripMargin,
+
+    "q_key_skew_profile" ->
+      """WITH f AS (
+        |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS freq
+        |  FROM orders GROUP BY 1)
+        |SELECT freq, CAST(count(*) AS BIGINT) AS n_keys
+        |FROM f GROUP BY 1 ORDER BY freq""".stripMargin,
+
+    "text_mad_outliers" ->
+      """WITH hist AS (
+        |  SELECT source, n_chars, CAST(count(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT source, n_chars, c,
+        |         sum(c) OVER (PARTITION BY source ORDER BY n_chars
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |         sum(c) OVER (PARTITION BY source) AS n
+        |  FROM hist),
+        |med AS (
+        |  SELECT source, min(n_chars) AS med FROM cum
+        |  WHERE cum * 2 >= n + 1 GROUP BY 1),
+        |dhist AS (
+        |  SELECT d.source, abs(d.n_chars - m.med) AS dev,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM documents d JOIN med m ON d.source = m.source
+        |  GROUP BY 1, 2),
+        |dcum AS (
+        |  SELECT source, dev, c,
+        |         sum(c) OVER (PARTITION BY source ORDER BY dev
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |         sum(c) OVER (PARTITION BY source) AS n
+        |  FROM dhist),
+        |mad AS (
+        |  SELECT source, min(dev) AS mad FROM dcum
+        |  WHERE cum * 2 >= n + 1 GROUP BY 1)
+        |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       min(m.med) AS med, min(a.mad) AS mad,
+        |       CAST(sum(CASE WHEN abs(d.n_chars - m.med) > 3 * a.mad
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM documents d
+        |JOIN med m ON d.source = m.source
+        |JOIN mad a ON d.source = a.source
+        |GROUP BY d.source ORDER BY d.source""".stripMargin)
+}
