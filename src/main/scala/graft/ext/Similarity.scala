@@ -1176,4 +1176,60 @@ object Similarity {
     exactRerank(corpus, q.select("q_id", "q_emb").dropDuplicates("q_id"),
       rankTopK(scored, nCand, "asim", asc = false), k)
   }
+
+  /** Recall-vs-nprobe CURVE in one pass — the operating-curve view of the
+    * single-point `ann_recall` measurement: for each nprobe in `nprobes`,
+    * hits@k of the multi-probe IVF against the exact brute-force top-k.
+    * This is the dial a 100 TB deployment actually tunes (probe more
+    * cells → scan more inverted lists → higher recall), measured rather
+    * than guessed.
+    *
+    * Cost discipline: the corpus is assigned ONCE (narrow projection),
+    * queries probe their top max(nprobes) cells ONCE (each probe cell
+    * carries its rank `pr`), candidates are scored ONCE against the
+    * widest probe set and localCheckpointed; each curve point then only
+    * re-ranks the scored table filtered to `pr ≤ nprobe` through the
+    * bounded top-k aggregate — never re-assigning, re-probing or
+    * re-scoring. The exact baseline is computed once and checkpointed
+    * for the same reason. Output: (nprobe, hits), hits out of k·|Q|. */
+  def ivfNprobeCurve(corpus: DataFrame, queries: DataFrame, k: Int,
+      nprobes: Seq[Int]): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
+    val maxNp = nprobes.max
+    val ix = medoidIndex(corpus)
+    val bucketed = cellAssign(ix, corpus, "embedding", "ivf_cell")
+    // probeCells with the probe RANK kept: topk_pairs orders by
+    // (csim desc, cell asc) — identical to the single-point variant
+    val qScored = queries
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .select(col("q_id"), col("q_emb"),
+        posexplode(centLit(ix)).as(Seq("cpos", "cvec")))
+      .select(col("q_id"),
+        element_at(typedLit(ix._1.toSeq), col("cpos") + 1).as("cell"),
+        cosine(col("q_emb"), col("cvec")).as("csim"))
+    val probed = qScored.groupBy("q_id")
+      .agg(call_function("topk_pairs", col("cell"), col("csim"),
+        lit(maxNp), lit(false)).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "p")))
+      .select(col("q_id"), (col("pos") + 1).cast("long").as("pr"),
+        col("p.n_id").as("ivf_cell"))
+    val q = broadcast(probed.join(
+      queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
+      "q_id"))
+    val scored = bucketed.join(q, "ivf_cell")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("pr"), col("vec_id").as("n_id"),
+        cosine(col("q_emb"), col("embedding")).as("sim"))
+      .localCheckpoint()
+    val exact = bruteForceTopK(corpus, queries, k).select("q_id", "n_id")
+      .localCheckpoint()
+    nprobes.map { np =>
+      exact.join(
+          rankTopK(scored.filter(col("pr") <= np), k, "sim", asc = false)
+            .select("q_id", "n_id"),
+          Seq("q_id", "n_id"))
+        .agg(count(lit(1)).as("hits"))
+        .select(lit(np.toLong).as("nprobe"), col("hits"))
+    }.reduce(_ unionAll _)
+  }
 }

@@ -178,12 +178,23 @@ object R9eQueries {
       GROUP BY d.source ORDER BY d.source""")
   }
 
+  /** Recall-vs-nprobe operating curve —
+    * [[graft.ext.Similarity.ivfNprobeCurve]]: hits@5 of multi-probe IVF
+    * at nprobe ∈ {1,2,4,8} against the exact baseline, assign/probe/score
+    * each done ONCE. The curve form of the single-point ann_recall
+    * measurement — the dial a deployment tunes. */
+  private val annNprobeCurve: Q = (s, dir) =>
+    graft.ext.Similarity.ivfNprobeCurve(Synth.embeddings(s, dir),
+      Synth.embeddings(s, dir).filter(col("vec_id") < 10), 5, Seq(1, 2, 4, 8))
+      .orderBy("nprobe")
+
   val queries: Map[String, Q] = Map(
     "dedup_levenshtein_block" -> dedupLevBlock,
     "dedup_keep_canonical_lev" -> dedupKeepCanonicalLev,
     "dedup_lev_recall" -> dedupLevRecall,
     "q_key_skew_profile" -> qKeySkewProfile,
-    "text_mad_outliers" -> textMadOutliers)
+    "text_mad_outliers" -> textMadOutliers,
+    "ann_nprobe_curve" -> annNprobeCurve)
 
   val oracle: Map[String, String] = Map(
     "dedup_levenshtein_block" ->
@@ -225,6 +236,58 @@ object R9eQueries {
          |  (SELECT CAST(count(*) AS BIGINT) FROM pairs) AS pairs_total,
          |  (SELECT CAST(count(*) AS BIGINT) FROM pairs
          |   WHERE idb - ida = 3000000 AND ida % 20 = 0) AS pairs_planted""".stripMargin,
+
+    // the DuckDB twin replays assignment/probing/scoring at the widest
+    // probe set with the probe rank kept, then ranks each curve point
+    // from the shared scored table — the same one-pass discipline as the
+    // Spark side; LEFT JOIN from the curve axis so a zero-hit operating
+    // point still emits its row (Spark's global agg always returns one)
+    "ann_nprobe_curve" -> {
+      import ExtQueries.cosSql
+      s"""WITH reps AS (
+         |  SELECT label AS cell, embedding AS rep FROM (
+         |    SELECT label, embedding,
+         |      row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+         |    FROM embeddings) WHERE rn = 1),
+         |assigned AS (
+         |  SELECT vec_id, embedding, ivf_cell FROM (
+         |    SELECT e.vec_id, e.embedding, r.cell AS ivf_cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosSql("e.embedding", "r.rep")} DESC, r.cell) AS rn
+         |    FROM embeddings e, reps r) WHERE rn = 1),
+         |qprobe AS (
+         |  SELECT q_id, qe, ivf_cell, CAST(rn AS BIGINT) AS pr FROM (
+         |    SELECT e.vec_id AS q_id, e.embedding AS qe, r.cell AS ivf_cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosSql("e.embedding", "r.rep")} DESC, r.cell) AS rn
+         |    FROM embeddings e, reps r WHERE e.vec_id < 10) WHERE rn <= 8),
+         |scored AS (
+         |  SELECT q_id, pr, e.vec_id AS n_id,
+         |         ${cosSql("qe", "e.embedding")} AS sim
+         |  FROM assigned e JOIN qprobe q USING (ivf_cell)
+         |  WHERE e.vec_id <> q.q_id),
+         |exact AS (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${cosSql("q.embedding", "e.embedding")} DESC, e.vec_id) AS rank
+         |    FROM embeddings q, embeddings e
+         |    WHERE q.vec_id < 10 AND e.vec_id <> q.vec_id) WHERE rank <= 5),
+         |curve AS (SELECT unnest([1, 2, 4, 8]) AS np),
+         |ranked AS (
+         |  SELECT np, q_id, n_id FROM (
+         |    SELECT c.np, s.q_id, s.n_id,
+         |      row_number() OVER (PARTITION BY c.np, s.q_id
+         |        ORDER BY s.sim DESC, s.n_id) AS rank
+         |    FROM curve c JOIN scored s ON s.pr <= c.np) WHERE rank <= 5),
+         |pts AS (
+         |  SELECT np, CAST(count(*) AS BIGINT) AS hits
+         |  FROM ranked r JOIN exact e USING (q_id, n_id) GROUP BY 1)
+         |SELECT CAST(c.np AS BIGINT) AS nprobe,
+         |       CAST(coalesce(p.hits, 0) AS BIGINT) AS hits
+         |FROM curve c LEFT JOIN pts p ON c.np = p.np
+         |ORDER BY nprobe""".stripMargin
+    },
 
     "q_key_skew_profile" ->
       """WITH f AS (

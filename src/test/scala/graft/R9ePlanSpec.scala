@@ -144,6 +144,16 @@ class R9ePlanSpec extends AnyFunSuite {
     sql // keep the reference so an accidental key rename fails here
   }
 
+  test("nprobe curve: one row per operating point, hits monotone " +
+    "non-decreasing in nprobe (probing more cells never loses a hit)") {
+    val rows = SparkEntry.queries("ann_nprobe_curve")(spark, sf)
+      .as[(Long, Long)].collect().toSeq
+    assert(rows.map(_._1) == Seq(1L, 2L, 4L, 8L))
+    assert(rows.map(_._2) == rows.map(_._2).sorted,
+      s"recall curve not monotone: $rows")
+    assert(rows.last._2 > 0)
+  }
+
   test("lev recall counters: every planted typo copy detected at sf0.001") {
     val r = SparkEntry.queries("dedup_lev_recall")(spark, sf).collect()(0)
     val (planted, detected) = (r.getLong(0), r.getLong(1))
