@@ -188,7 +188,42 @@ object R9eQueries {
       Synth.embeddings(s, dir).filter(col("vec_id") < 10), 5, Seq(1, 2, 4, 8))
       .orderBy("nprobe")
 
+  /** TextRank keyword extraction (Mihalcea/Tarau EMNLP '04, the public
+    * classic): PageRank over the word co-occurrence graph — an edge links
+    * words ADJACENT anywhere in the corpus ≥ 3 times (undirected, so both
+    * directions enter the directed PR), ranked by the SAME integer
+    * fixed-point iteration as [[GraphQueries.pagerank]] (rank_e12 longs,
+    * div-based damping — bit-replayable by the oracle, unlike any
+    * floating-point PR). Top-20 by (rank desc, word). The text→graph→rank
+    * composition exhibit: corpus keywording is what a curation pipeline
+    * runs to label domains/topics cheaply. Scale: the graph is
+    * vocabulary-sized (|V| = distinct words, |E| ≤ distinct adjacent
+    * pairs), NOT corpus-sized — the heavy step is the one adjacency
+    * count, a (pair)-keyed map-side-combined aggregate; the PR rounds run
+    * on the small graph with the usual per-round lineage cuts. */
+  private val textTextrank: Q = (s, dir) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val toks = documents(s, dir).select(col("doc_id"),
+      posexplode(graft.ext.TextAnalysis.tokens(col("text")))
+        .as(Seq("pos", "w")))
+    val adj = toks
+      .withColumn("nxt", lead("w", 1).over(w))
+      .filter(col("nxt").isNotNull && col("w") =!= col("nxt"))
+      .select(least(col("w"), col("nxt")).as("u"),
+        greatest(col("w"), col("nxt")).as("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 3)
+    val edges = adj.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(adj.select(col("v").as("src"), col("u").as("dst")))
+    GraphQueries.pagerank(s, edges)
+      .orderBy(col("rank_e12").desc, col("node"))
+      .limit(20)
+      .select(col("node").as("word"), col("rank_e12"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "text_textrank_keywords" -> textTextrank,
     "dedup_levenshtein_block" -> dedupLevBlock,
     "dedup_keep_canonical_lev" -> dedupKeepCanonicalLev,
     "dedup_lev_recall" -> dedupLevRecall,
@@ -196,7 +231,46 @@ object R9eQueries {
     "text_mad_outliers" -> textMadOutliers,
     "ann_nprobe_curve" -> annNprobeCurve)
 
+  /** One unrolled integer-fixed-point PR round over the word graph —
+    * identical arithmetic to [[GraphQueries]]' prOracle (rank_e12 longs,
+    * // damping) so the replay is bit-exact. */
+  private def trIter(k: Int): String =
+    s"""r$k AS MATERIALIZED (
+       |  SELECT n0.node,
+       |    (15 * 1000000000000::BIGINT // 100) // (SELECT count(*) FROM n0)
+       |      + (85 * coalesce(s.c, 0)) // 100 AS rank_e12
+       |  FROM n0 LEFT JOIN (
+       |    SELECT e.dst AS node,
+       |           CAST(sum(r.rank_e12 // d.out_deg) AS BIGINT) AS c
+       |    FROM e JOIN r${k - 1} r ON r.node = e.src
+       |           JOIN od d ON d.node = e.src
+       |    GROUP BY e.dst) s USING (node))""".stripMargin
+
+  private val TextrankOracle: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t
+       |  FROM documents),
+       |prs AS (
+       |  SELECT unnest(list_transform(range(1, len(t)),
+       |    i -> {'u': least(t[i], t[i+1]), 'v': greatest(t[i], t[i+1])})) AS p
+       |  FROM toks WHERE len(t) >= 2),
+       |adj AS (
+       |  SELECT (p).u AS u, (p).v AS v FROM prs WHERE (p).u <> (p).v
+       |  GROUP BY 1, 2 HAVING count(*) >= 3),
+       |e AS (SELECT u AS src, v AS dst FROM adj
+       |      UNION ALL SELECT v, u FROM adj),
+       |n0 AS (SELECT DISTINCT src AS node FROM e
+       |       UNION SELECT DISTINCT dst FROM e),
+       |od AS (SELECT src AS node, count(*) AS out_deg FROM e GROUP BY 1),
+       |r0 AS (SELECT node,
+       |         1000000000000::BIGINT // (SELECT count(*) FROM n0) AS rank_e12
+       |       FROM n0),
+       |${(1 to 5).map(trIter).mkString(",\n")}
+       |SELECT node AS word, CAST(rank_e12 AS BIGINT) AS rank_e12
+       |FROM r5 ORDER BY rank_e12 DESC, node LIMIT 20""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "text_textrank_keywords" -> TextrankOracle,
     "dedup_levenshtein_block" ->
       s"""$LevCorpusCte,
          |$LevPairsCtes

@@ -154,6 +154,30 @@ class R9ePlanSpec extends AnyFunSuite {
     assert(rows.last._2 > 0)
   }
 
+  test("textrank: a hub word adjacent to everything outranks leaf words") {
+    // docs where 'hub' is adjacent to 6 distinct words ≥3 times each and
+    // the leaves only ever touch 'hub' — PR must rank the hub first
+    val line = "a hub b hub c hub d hub e hub f hub"
+    val docs = Seq((1L, line), (2L, line), (3L, line)).toDF("doc_id", "text")
+    docs.createOrReplaceTempView("graft_r9e_trdocs")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val toks = docs.select(col("doc_id"),
+      posexplode(graft.ext.TextAnalysis.tokens(col("text"))).as(Seq("pos", "w")))
+    val adj = toks.withColumn("nxt", lead("w", 1).over(w))
+      .filter(col("nxt").isNotNull && col("w") =!= col("nxt"))
+      .select(least(col("w"), col("nxt")).as("u"),
+        greatest(col("w"), col("nxt")).as("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("n")).filter(col("n") >= 3)
+    val edges = adj.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(adj.select(col("v").as("src"), col("u").as("dst")))
+    val top = graft.queries.GraphQueries.pagerank(spark, edges)
+      .orderBy(col("rank_e12").desc, col("node"))
+      .as[(String, Long)].collect()
+    assert(top.head._1 == "hub", s"hub not top: ${top.take(3).toSeq}")
+    assert(top.head._2 > top(1)._2)
+  }
+
   test("lev recall counters: every planted typo copy detected at sf0.001") {
     val r = SparkEntry.queries("dedup_lev_recall")(spark, sf).collect()(0)
     val (planted, detected) = (r.getLong(0), r.getLong(1))
