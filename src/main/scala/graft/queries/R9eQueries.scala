@@ -222,7 +222,58 @@ object R9eQueries {
       .select(col("node").as("word"), col("rank_e12"))
   }
 
+  /** Kneser–Ney smoothed bigram LM table (Kneser/Ney ICASSP '95, the
+    * classic n-gram smoothing) in EXACT RATIONALS — the smoothing rung
+    * above the corpus-trained MLE unigram/bigram surprisal keys. With
+    * discount d = 3/4,
+    *   P(w2|w1) = max(c12 − 3/4, 0)/c1 + (3/4)·(N1+(w1·)/c1)·(N1+(·w2)/N1+(··))
+    * multiplied through by 4·c1·N1+(··) gives the integer pair
+    *   num = max(4·c12 − 3, 0)·Ntot + 3·n1p_w1·ncont_w2,  den = 4·c1·Ntot
+    * — both BIGINT-exact (num < 4·c12·Ntot ≈ 4·10¹⁷ even at c12 ~ 10⁹
+    * bigram tokens over 10⁸ bigram types), so the smoothed LM is
+    * hash-checkable where any log-space perplexity never could be
+    * (libm). Emitted for the top-100 bigrams by count. The continuation
+    * counts are the KN insight: P_cont ranks w2 by how many DISTINCT
+    * contexts it follows, not raw frequency — 'francisco' is frequent
+    * but only ever follows 'san'.
+    *
+    * Scale: one corpus-sized (pair)-keyed count (map-side combined),
+    * three vocabulary-sized aggregates derived from it, broadcast-sized
+    * joins back. Ntot is a driver-free scalar carried by a 1-row cross
+    * join. */
+  private val textKneserNey: Q = (s, dir) => {
+    documents(s, dir).createOrReplaceTempView("graft_r9e_kn_docs")
+    s.sql("""
+      WITH toks AS (
+        SELECT doc_id, posexplode(split(text, '\\s+')) AS (pos, w)
+        FROM graft_r9e_kn_docs),
+      big AS (
+        SELECT doc_id, w AS w1,
+               lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        FROM toks),
+      c AS (
+        SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+        FROM big WHERE w2 IS NOT NULL GROUP BY 1, 2),
+      ctx AS (
+        SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+               CAST(count(*) AS BIGINT) AS n1p
+        FROM c GROUP BY 1),
+      cont AS (
+        SELECT w2, CAST(count(*) AS BIGINT) AS ncont FROM c GROUP BY 1),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS ntot FROM c)
+      SELECT c.w1, c.w2, c.c12,
+             greatest(4 * c.c12 - 3, 0) * t.ntot
+               + 3 * x.n1p * o.ncont AS num,
+             4 * x.c1 * t.ntot AS den
+      FROM c
+      JOIN ctx x ON c.w1 = x.w1
+      JOIN cont o ON c.w2 = o.w2
+      CROSS JOIN tot t
+      ORDER BY c.c12 DESC, c.w1, c.w2 LIMIT 100""")
+  }
+
   val queries: Map[String, Q] = Map(
+    "text_kneser_ney_bigram" -> textKneserNey,
     "text_textrank_keywords" -> textTextrank,
     "dedup_levenshtein_block" -> dedupLevBlock,
     "dedup_keep_canonical_lev" -> dedupKeepCanonicalLev,
@@ -270,6 +321,34 @@ object R9eQueries {
        |FROM r5 ORDER BY rank_e12 DESC, node LIMIT 20""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "text_kneser_ney_bigram" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS t
+        |  FROM documents),
+        |big AS (
+        |  SELECT unnest(list_transform(range(1, len(t)),
+        |    i -> {'w1': t[i], 'w2': t[i+1]})) AS p
+        |  FROM toks WHERE len(t) >= 2),
+        |c AS (
+        |  SELECT (p).w1 AS w1, (p).w2 AS w2, CAST(count(*) AS BIGINT) AS c12
+        |  FROM big GROUP BY 1, 2),
+        |ctx AS (
+        |  SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+        |         CAST(count(*) AS BIGINT) AS n1p
+        |  FROM c GROUP BY 1),
+        |cont AS (
+        |  SELECT w2, CAST(count(*) AS BIGINT) AS ncont FROM c GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS ntot FROM c)
+        |SELECT c.w1, c.w2, c.c12,
+        |       CAST(greatest(4 * c.c12 - 3, 0) * t.ntot
+        |         + 3 * x.n1p * o.ncont AS BIGINT) AS num,
+        |       CAST(4 * x.c1 * t.ntot AS BIGINT) AS den
+        |FROM c
+        |JOIN ctx x ON c.w1 = x.w1
+        |JOIN cont o ON c.w2 = o.w2
+        |CROSS JOIN tot t
+        |ORDER BY c.c12 DESC, c.w1, c.w2 LIMIT 100""".stripMargin,
+
     "text_textrank_keywords" -> TextrankOracle,
     "dedup_levenshtein_block" ->
       s"""$LevCorpusCte,

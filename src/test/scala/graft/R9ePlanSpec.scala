@@ -178,6 +178,41 @@ class R9ePlanSpec extends AnyFunSuite {
     assert(top.head._2 > top(1)._2)
   }
 
+  test("kneser-ney: continuation count ranks a many-context word above " +
+    "a frequent-but-single-context one ('san francisco' effect)") {
+    // 'common' follows 4 distinct contexts once each; 'francisco' follows
+    // only 'san' but 4 times. Raw frequency ties (c(.w2)=4); KN's
+    // continuation count must give P_cont(common)=4/Ntot > 1/Ntot.
+    val docs = Seq(
+      (1L, "san francisco san francisco san francisco san francisco"),
+      (2L, "a common b common c common d common"))
+      .toDF("doc_id", "text")
+    docs.createOrReplaceTempView("graft_r9e_kn_docs")
+    val rows = spark.sql("""
+      WITH toks AS (
+        SELECT doc_id, posexplode(split(text, '\\s+')) AS (pos, w)
+        FROM graft_r9e_kn_docs),
+      big AS (
+        SELECT doc_id, w AS w1,
+               lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        FROM toks),
+      c AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+            FROM big WHERE w2 IS NOT NULL GROUP BY 1, 2),
+      cont AS (SELECT w2, CAST(count(*) AS BIGINT) AS ncont FROM c GROUP BY 1)
+      SELECT w2, ncont FROM cont WHERE w2 IN ('francisco', 'common')""")
+      .as[(String, Long)].collect().toMap
+    assert(rows("francisco") == 1L && rows("common") == 4L)
+    // and the full key's rational is exact on a hand case: den divides as
+    // 4*c1*Ntot with c1 = sum over contexts
+    val kn = graft.queries.R9eQueries.queries("text_kneser_ney_bigram")
+    val out = kn(spark, sf).collect()
+    assert(out.length == 100)
+    out.foreach { r =>
+      assert(r.getLong(4) > 0 && r.getLong(3) >= 0 && r.getLong(3) <= r.getLong(4),
+        s"P outside [0,1]: $r")
+    }
+  }
+
   test("lev recall counters: every planted typo copy detected at sf0.001") {
     val r = SparkEntry.queries("dedup_lev_recall")(spark, sf).collect()(0)
     val (planted, detected) = (r.getLong(0), r.getLong(1))
