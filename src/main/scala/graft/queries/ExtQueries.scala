@@ -1752,7 +1752,10 @@ object ExtQueries {
 
   /** The minhash CTE chain over a PRE-EXISTING `corpus(doc_id, text)` CTE —
     * reused by the e2e pipeline key, whose corpus is mid-pipeline. */
-  private lazy val MinhashFromCorpus: String =
+  /** The signature-building prefix (corpus tokens → 32-hash minhash sig
+    * list `sigl`) shared by the fixed-band pipeline below and the band
+    * -curve key's parametric banding. */
+  private[queries] lazy val MinhashSigCtes: String =
     s"""$TokCte,
        |$ShingleCte,
        |shx AS (SELECT doc_id, md5(s) AS hx
@@ -1768,7 +1771,10 @@ object ExtQueries {
        |sigl AS (SELECT doc_id,
        |  list_transform([${(0 until 32).map(i => s"h$i").mkString(",")}],
        |    x -> CAST(x AS VARCHAR)) AS sig
-       |  FROM sigs),
+       |  FROM sigs)""".stripMargin
+
+  private lazy val MinhashFromCorpus: String =
+    s"""$MinhashSigCtes,
        |bands AS (SELECT doc_id, b,
        |  md5(array_to_string(sig[b*8+1 : b*8+8], ',')) AS bucket
        |  FROM sigl, range(0,4) r(b)),

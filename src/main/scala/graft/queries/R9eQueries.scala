@@ -272,7 +272,33 @@ object R9eQueries {
       ORDER BY c.c12 DESC, c.w1, c.w2 LIMIT 100""")
   }
 
+  /** LSH band-count RECALL curve — the accuracy half of the band
+    * operating picture whose COST half is the existing
+    * `dedup_band_sweep` (candidate volume + verified yield per config):
+    * planted-duplicate detection of the 32-hash MinHash pipeline at
+    * bands ∈ {2, 4, 8} (rows/band 16, 8, 4 — collision threshold
+    * t ≈ (1/b)^(1/r) ≈ 0.96 / 0.84 / 0.59). Together the two keys are
+    * the table a 100 TB dedup run tunes on: recall climbs (31→42→45/45
+    * at sf0.001) as candidates grow; the deployment picks the knee. The
+    * S-curve sibling of [[annNprobeCurve]] on the dedup side. Output:
+    * (bands, planted, detected) under the same exact-Jaccard ≥ 0.5
+    * verification as the production rung. */
+  private val dedupLshBandCurve: Q = (s, dir) => {
+    val c = ExtQueries.dupCorpus(s, dir)
+    val planted = c.filter(col("doc_id") >= 1000000).select("doc_id")
+    Seq(2, 4, 8).map { b =>
+      val p = graft.ext.Dedup.minhashLshPairs(c, 32, b)
+      val det = p.select(col("ida").as("doc_id"))
+        .unionAll(p.select(col("idb").as("doc_id"))).distinct()
+      planted.agg(count(lit(1)).as("planted"))
+        .crossJoin(planted.join(det, "doc_id")
+          .agg(count(lit(1)).as("detected")))
+        .select(lit(b.toLong).as("bands"), col("planted"), col("detected"))
+    }.reduce(_ unionAll _).orderBy("bands")
+  }
+
   val queries: Map[String, Q] = Map(
+    "dedup_lsh_band_curve" -> dedupLshBandCurve,
     "text_kneser_ney_bigram" -> textKneserNey,
     "text_textrank_keywords" -> textTextrank,
     "dedup_levenshtein_block" -> dedupLevBlock,
@@ -320,7 +346,43 @@ object R9eQueries {
        |SELECT node AS word, CAST(rank_e12 AS BIGINT) AS rank_e12
        |FROM r5 ORDER BY rank_e12 DESC, node LIMIT 20""".stripMargin
 
+  /** Parametric banding over the shared `sigl` signatures: bands of
+    * 32/b rows, candidate = any same-band bucket collision, detection
+    * under exact-Jaccard ≥ 0.5 — one CTE chain per curve point. */
+  private def lshBandPoint(b: Int): String = {
+    val rows = 32 / b
+    s"""bands$b AS (SELECT doc_id, b,
+       |  md5(array_to_string(sig[b*$rows+1 : b*$rows+$rows], ',')) AS bucket
+       |  FROM sigl, range(0,$b) r(b)),
+       |cand$b AS (SELECT DISTINCT a.doc_id AS ida, c.doc_id AS idb
+       |  FROM bands$b a JOIN bands$b c ON a.b = c.b AND a.bucket = c.bucket
+       |  WHERE a.doc_id < c.doc_id),
+       |ver$b AS (SELECT ida, idb FROM cand$b
+       |  JOIN ts x ON ida = x.doc_id JOIN ts y ON idb = y.doc_id
+       |  WHERE 10000 * len(list_distinct(list_intersect(x.t, y.t)))
+       |    // (len(x.t) + len(y.t) - len(list_distinct(list_intersect(x.t, y.t)))) >= 5000),
+       |det$b AS (SELECT DISTINCT doc_id FROM (
+       |  SELECT ida AS doc_id FROM ver$b UNION ALL SELECT idb FROM ver$b))""".stripMargin
+  }
+
+  private val LshBandCurveOracle: String =
+    s"""${ExtQueries.CorpusCte},
+       |${ExtQueries.MinhashSigCtes},
+       |ts AS (SELECT doc_id,
+       |  list_distinct(regexp_split_to_array(text, '\\s+')) AS t
+       |  FROM corpus),
+       |pl AS (SELECT doc_id FROM corpus WHERE doc_id >= 1000000),
+       |${Seq(2, 4, 8).map(lshBandPoint).mkString(",\n")}
+       |${Seq(2, 4, 8).map(b =>
+          s"""SELECT CAST($b AS BIGINT) AS bands,
+             |  (SELECT CAST(count(*) AS BIGINT) FROM pl) AS planted,
+             |  (SELECT CAST(count(*) AS BIGINT)
+             |   FROM pl JOIN det$b ON pl.doc_id = det$b.doc_id) AS detected""".stripMargin)
+         .mkString("\nUNION ALL\n")}
+       |ORDER BY bands""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "dedup_lsh_band_curve" -> LshBandCurveOracle,
     "text_kneser_ney_bigram" ->
       """WITH toks AS (
         |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS t

@@ -213,6 +213,17 @@ class R9ePlanSpec extends AnyFunSuite {
     }
   }
 
+  test("lsh band curve: detection monotone non-decreasing in band count " +
+    "(narrower bands lower the collision threshold)") {
+    val rows = SparkEntry.queries("dedup_lsh_band_curve")(spark, sf)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(rows.map(_._1) == Seq(2L, 4L, 8L))
+    assert(rows.map(_._3) == rows.map(_._3).sorted,
+      s"band curve not monotone: $rows")
+    assert(rows.forall(r => r._3 <= r._2))
+    assert(rows.last._3 > rows.head._3, "curve should actually climb here")
+  }
+
   test("lev recall counters: every planted typo copy detected at sf0.001") {
     val r = SparkEntry.queries("dedup_lev_recall")(spark, sf).collect()(0)
     val (planted, detected) = (r.getLong(0), r.getLong(1))
