@@ -297,7 +297,50 @@ object R9eQueries {
     }.reduce(_ unionAll _).orderBy("bands")
   }
 
+  /** b-bit minwise hashing (Li & König CACM '11) — the storage-optimal
+    * end of the signature ladder, with its estimation error MEASURED: a
+    * b-bit minhash keeps only the lowest b bits of each of the 32 hashes
+    * (32 bits total at b=1 — a 60x compression of the 60-bit family),
+    * and the match fraction m/32 estimates J through the bias correction
+    * Ĵ = (m/32 − 2⁻ᵇ)/(1 − 2⁻ᵇ), here in exact integers
+    * est = max(0, (m·2ᵇ − 32)·10⁴ div (32·(2ᵇ−1))). Per planted
+    * (origin, suffixed-twin) pair: the exact Jaccard next to the b=1/2/4
+    * estimates — the storage/accuracy trade as data, beside
+    * dedup_minhash_jaccard_est's full-width fidelity row. One signature
+    * chain over origins ∪ twins, matched by a self-join on the planted
+    * id offset. */
+  private val dedupBbitMinhash: Q = (s, dir) => {
+    import graft.ext.{Dedup, TextAnalysis}
+    val origins = documents(s, dir).filter(col("doc_id") % 20 === 0)
+      .select("doc_id", "text")
+    val both = origins.unionAll(origins.select(
+      (col("doc_id") + 1000000).as("doc_id"),
+      concat(col("text"), lit(" almost identical suffix tokens")).as("text")))
+    val sigs = TextAnalysis.minhashSignatureRows(both, 32)
+    val twin = sigs.select(
+      col("doc_id") +: (0 until 32).map(i => col(s"h$i").as(s"g$i")): _*)
+      .withColumn("doc_id", col("doc_id") - 1000000)
+    def m(b: Int) = (0 until 32).map(i =>
+      when(col(s"h$i") % (1L << b) === col(s"g$i") % (1L << b), 1L)
+        .otherwise(0L)).reduce(_ + _)
+    def est(mc: String, b: Int) = expr(
+      s"greatest(0L, (($mc * ${1L << b} - 32) * 10000) div ${32L * ((1L << b) - 1)})")
+    val exact = origins.select(col("doc_id"),
+      Dedup.jaccardX10000(
+        TextAnalysis.tokens(col("text")),
+        TextAnalysis.tokens(concat(col("text"),
+          lit(" almost identical suffix tokens")))).as("jacc_x10000"))
+    sigs.filter(col("doc_id") < 1000000).join(twin, "doc_id")
+      .select(col("doc_id"), m(1).as("m1"), m(2).as("m2"), m(4).as("m4"))
+      .select(col("doc_id"), col("m1"), est("m1", 1).as("est1_x10000"),
+        col("m2"), est("m2", 2).as("est2_x10000"),
+        col("m4"), est("m4", 4).as("est4_x10000"))
+      .join(exact, "doc_id")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "dedup_bbit_minhash" -> dedupBbitMinhash,
     "dedup_lsh_band_curve" -> dedupLshBandCurve,
     "text_kneser_ney_bigram" -> textKneserNey,
     "text_textrank_keywords" -> textTextrank,
@@ -381,7 +424,48 @@ object R9eQueries {
          .mkString("\nUNION ALL\n")}
        |ORDER BY bands""".stripMargin
 
+  private def bbitMatchSql(b: Int): String = {
+    val mod = 1L << b
+    (0 until 32).map(i =>
+      s"CASE WHEN a.h$i % $mod = t.h$i % $mod THEN 1 ELSE 0 END")
+      .mkString("(", " + ", ")")
+  }
+
+  private def bbitEstSql(mc: String, b: Int): String =
+    s"greatest(0, (($mc * ${1L << b} - 32) * 10000) // ${32L * ((1L << b) - 1)})"
+
+  private val BbitMinhashOracle: String =
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, text || ' almost identical suffix tokens'
+       |  FROM documents WHERE doc_id % 20 = 0),
+       |${ExtQueries.MinhashSigCtes},
+       |ts AS (SELECT doc_id,
+       |  list_distinct(regexp_split_to_array(text, '\\s+')) AS t
+       |  FROM corpus),
+       |mm AS (
+       |  SELECT a.doc_id,
+       |    CAST(${bbitMatchSql(1)} AS BIGINT) AS m1,
+       |    CAST(${bbitMatchSql(2)} AS BIGINT) AS m2,
+       |    CAST(${bbitMatchSql(4)} AS BIGINT) AS m4
+       |  FROM sigs a JOIN sigs t ON t.doc_id = a.doc_id + 1000000),
+       |ex AS (
+       |  SELECT x.doc_id,
+       |    10000 * len(list_distinct(list_intersect(x.t, y.t)))
+       |      // (len(x.t) + len(y.t)
+       |          - len(list_distinct(list_intersect(x.t, y.t)))) AS jacc_x10000
+       |  FROM ts x JOIN ts y ON y.doc_id = x.doc_id + 1000000)
+       |SELECT mm.doc_id, mm.m1,
+       |  CAST(${bbitEstSql("mm.m1", 1)} AS BIGINT) AS est1_x10000,
+       |  mm.m2, CAST(${bbitEstSql("mm.m2", 2)} AS BIGINT) AS est2_x10000,
+       |  mm.m4, CAST(${bbitEstSql("mm.m4", 4)} AS BIGINT) AS est4_x10000,
+       |  CAST(ex.jacc_x10000 AS BIGINT) AS jacc_x10000
+       |FROM mm JOIN ex ON mm.doc_id = ex.doc_id
+       |ORDER BY mm.doc_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "dedup_bbit_minhash" -> BbitMinhashOracle,
     "dedup_lsh_band_curve" -> LshBandCurveOracle,
     "text_kneser_ney_bigram" ->
       """WITH toks AS (

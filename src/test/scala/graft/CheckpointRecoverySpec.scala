@@ -93,4 +93,41 @@ class CheckpointRecoverySpec extends AnyFunSuite {
     assert(rows.exists { case (n, kth) => n == 4 && kth == expect.last },
       s"post-restart emission must rank phase-1 hashes too: $rows vs ${expect.last}")
   }
+
+  test("lev-admission block members survive a stop/restart from the " +
+    "checkpoint") {
+    import graft.streaming.LevAdmissionStream
+    val in = tmp("lev-in"); val out = tmp("lev-out"); val ck = tmp("lev-st")
+    def runOnce(): Unit = {
+      val src = spark.readStream
+        .schema("bkey string, doc_id long, len long, sig string")
+        .json(in)
+        .as[LevAdmissionStream.BlockHit]
+      val q = LevAdmissionStream.verdicts(src)
+        .writeStream.format("json")
+        .option("path", out).option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+    }
+    val sig = "alpha beta gamma delta epsilon zeta"
+    val sigEdit = sig.replace('z', 'x') // one occurrence → distance 1
+    // phase 1: doc 1 admitted into block p:x
+    Files.writeString(Paths.get(in, "p1.json"),
+      s"""{"bkey":"p:x","doc_id":1,"len":${sig.length},"sig":"$sig"}
+         |""".stripMargin)
+    runOnce()
+    // phase 2 (NEW query, same checkpoint): a single edit of doc 1's sig
+    // must be rejected against the PRE-RESTART member list
+    Files.writeString(Paths.get(in, "p2.json"),
+      s"""{"bkey":"p:x","doc_id":2,"len":${sigEdit.length},"sig":"$sigEdit"}
+         |""".stripMargin)
+    runOnce()
+    val got = spark.read
+      .schema("doc_id long, bkey string, canonical long, dist long")
+      .json(out).as[(Long, String, Long, Long)].collect().toSet
+    assert(got == Set((1L, "p:x", -1L, -1L), (2L, "p:x", 1L, 1L)),
+      s"doc 2 must match pre-restart member 1: $got")
+  }
 }

@@ -224,6 +224,19 @@ class R9ePlanSpec extends AnyFunSuite {
     assert(rows.last._3 > rows.head._3, "curve should actually climb here")
   }
 
+  test("b-bit minhash: identical docs estimate exactly 10000 at every b; " +
+    "more bits never raise the mean error on the planted pairs") {
+    val rows = SparkEntry.queries("dedup_bbit_minhash")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // bias correction sanity: m = 32 (identical sigs) → est = 10000 exact
+    rows.filter(_.getLong(1) == 32L).foreach(r => assert(r.getLong(2) == 10000L))
+    def mae(estIdx: Int) = rows.map(r =>
+      math.abs(r.getLong(estIdx) - r.getLong(7))).sum.toDouble / rows.length
+    val (e1, e2, e4) = (mae(2), mae(4), mae(6))
+    assert(e1 >= e2 - 1 && e2 >= e4 - 1,
+      s"error should shrink with b: $e1 $e2 $e4")
+  }
+
   test("lev recall counters: every planted typo copy detected at sf0.001") {
     val r = SparkEntry.queries("dedup_lev_recall")(spark, sf).collect()(0)
     val (planted, detected) = (r.getLong(0), r.getLong(1))
