@@ -448,6 +448,15 @@ object GraphQueries {
 
   private val qResourceAlloc: Q = (s, dir) => resourceAlloc(edges(s, dir))
 
+  /** The capped production shape (cap 64, non-binding on the synth graph
+    * — GraphSpec pins capped == uncapped there). The session-7 full-sf1
+    * run measured WHY this key exists: the uncapped twin goes 2.3 s →
+    * 266 s at 10x data (the Σ deg(w)² wedge quadratic) while the capped
+    * common-neighbors variant stays flat — this key gives the RA scorer
+    * the same measured rung. */
+  private val qResourceAllocCapped: Q = (s, dir) =>
+    resourceAlloc(edges(s, dir), maxNbrs = Some(64))
+
   // ---------------------------------------------- label-prop components
 
   /** Fixed-round ([[LpIters]]) minimum-label propagation over the
@@ -623,7 +632,8 @@ object GraphQueries {
     "graph_cc_labelprop" -> qLabelProp,
     "graph_cc_starcontract" -> qStarContract,
     "graph_bfs_layers" -> qBfsLayers,
-    "graph_resource_alloc" -> qResourceAlloc)
+    "graph_resource_alloc" -> qResourceAlloc,
+    "graph_resource_alloc_capped" -> qResourceAllocCapped)
 
   private val prOracle: String = {
     val base = s"(15 * ${Scale}::BIGINT // 100) // (SELECT count(*) FROM n0)"
@@ -901,6 +911,24 @@ object GraphQueries {
          |SELECT s1.n AS a, s2.n AS c, count(*) AS common,
          |  CAST(sum($Scale // dw.deg) AS BIGINT) AS ra_score_e12
          |FROM sym s1 JOIN sym s2 ON s1.nbr = s2.nbr AND s1.n < s2.n
+         |     JOIN deg dw ON dw.n = s1.nbr
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // same wedge-cap discipline as graph_common_neighbors_capped, with the
+    // resource-allocation score over the CAPPED shared-neighbor adjacency
+    "graph_resource_alloc_capped" ->
+      s"""WITH e AS ($EdgesSql),
+         |sym AS (SELECT src AS n, dst AS nbr FROM e
+         |        UNION SELECT dst, src FROM e),
+         |deg AS (SELECT n, count(*) AS deg FROM sym GROUP BY n),
+         |ranked AS (
+         |  SELECT s.n, s.nbr,
+         |    row_number() OVER (PARTITION BY s.nbr ORDER BY d.deg, s.n) AS rn
+         |  FROM sym s JOIN deg d ON d.n = s.n),
+         |adj AS (SELECT n, nbr FROM ranked WHERE rn <= 64)
+         |SELECT s1.n AS a, s2.n AS c, count(*) AS common,
+         |  CAST(sum($Scale // dw.deg) AS BIGINT) AS ra_score_e12
+         |FROM adj s1 JOIN adj s2 ON s1.nbr = s2.nbr AND s1.n < s2.n
          |     JOIN deg dw ON dw.n = s1.nbr
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
 
