@@ -936,9 +936,18 @@ object Dedup {
     * interior is caught by at least one of the two block families — the
     * documented recall contract (edits inside the first or last `blockLen`
     * chars can drop a pair; resemblance-style overlap is the other rungs'
-    * job). Verification is `levenshtein` on the SIGNATURES only, never the
-    * full text, after the `|len_a − len_b| ≤ maxDist` lower-bound
-    * prefilter.
+    * job). One further documented mode: the contract holds in the
+    * NORMALIZED signature domain, so a raw-text substitution whose
+    * replaced character is itself stripped by the normalization (e.g. 'x'
+    * over a punctuation char) becomes an effective INSERTION that shifts
+    * the tail block; if that insertion point also lies inside the head
+    * block, both families miss the pair. Planted-edit recall tests must
+    * therefore plant edits that survive normalization as substitutions
+    * (replace a kept `[a-z0-9 ]` char), or plant directly in the signature
+    * domain, for the detected==planted guarantee to be structural rather
+    * than data-dependent. Verification is `levenshtein` on the SIGNATURES
+    * only, never the full text, after the `|len_a − len_b| ≤ maxDist`
+    * lower-bound prefilter.
     *
     * The normalization (lowercase, strip non-`[a-z0-9 ]`) also pins the
     * cross-engine semantics: DuckDB's `levenshtein` edits BYTES while

@@ -574,6 +574,36 @@ object CoreQueries {
     merr.unionAll(sub).orderBy("metric")
   }
 
+  /** O25 — status server (status.rs:23-40) round-trip: the same counters
+    * [[metricsCounts]] computes are pushed into a live [[StatusServer]] and
+    * read back over HTTP `GET /stats`, and the DataFrame is built from the
+    * HTTP RESPONSE BODY — so the oracle (identical to metrics_counts)
+    * verifies the full counter → registry → JSON-serving path, closing the
+    * one §2.1 row that was spec-asserted only (r9 verdict #5). The
+    * `.collect()` is one row per counter (topics + 2) — bounded registry
+    * size, not data volume. */
+  private val metricsStatusSnapshot: Q = (s, dir) => {
+    val counters = metricsCounts(s, dir).collect()
+    val srv = new graft.metrics.StatusServer(0)
+    val body =
+      try {
+        counters.foreach(r => srv.update(r.getString(0), r.getLong(1)))
+        val url = new java.net.URI(
+          s"http://127.0.0.1:${srv.boundPort}/stats").toURL
+        val in = url.openStream()
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      } finally srv.close()
+    import s.implicits._
+    Seq(body).toDF("j")
+      .select(explode(from_json(col("j"),
+        org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.LongType))))
+      .select(col("key").as("metric"), col("value"))
+      .orderBy("metric")
+  }
+
   val queries: Map[String, Q] = Map(
     "src_lines" -> srcLines,
     "src_file_test_mode" -> srcFileTestMode,
@@ -609,10 +639,35 @@ object CoreQueries {
     "scalar_surface" -> scalarSurface,
     "variant_json" -> variantJson,
     "metrics_counts" -> metricsCounts,
-    "metrics_merge_errors" -> metricsMergeErrors)
+    "metrics_merge_errors" -> metricsMergeErrors,
+    "metrics_status_snapshot" -> metricsStatusSnapshot)
 
   private val parsedSql = parsedCte(P5424Sql, 8, 3, 4)
   private val parsed3164Sql = parsedCte(P3164Sql, 4, 2, 3)
+
+  /** Shared by `metrics_counts` and the O25 `metrics_status_snapshot`
+    * round-trip — the HTTP hop serves the SAME counters, so one oracle
+    * covers both (any divergence is a round-trip bug by construction). */
+  private val MetricsCountsOracle: String =
+    s"""$Lines5424Cte, corrupted AS (
+       |  SELECT event_id,
+       |    CASE WHEN event_id % 10 = 0 THEN 'garbage ' || line ELSE line END AS line
+       |  FROM lines),
+       |parsed AS (
+       |  SELECT event_id, regexp_extract(line, '$P5424Sql', 8) AS msg
+       |  FROM corrupted WHERE regexp_matches(line, '$P5424Sql')
+       |    AND TRY_CAST(regexp_extract(line, '$P5424Sql', 1) AS INT) <= 191)
+       |    -- TRY_CAST: DuckDB splits AND conjuncts into separate filters
+       |    -- and orders them by stats, so the cast can run on rows the
+       |    -- match predicate would reject (empty group → cast error at
+       |    -- some scale factors; surfaced at sf0.1)
+       |$RoutedCte
+       |SELECT 'lines' AS metric, count(*) AS value FROM corrupted
+       |UNION ALL
+       |SELECT 'error.log_parse', (SELECT count(*) FROM corrupted) - (SELECT count(*) FROM parsed)
+       |UNION ALL
+       |SELECT 'kafka.submitted.' || topic, count(*) FROM routed GROUP BY topic
+       |ORDER BY metric""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "src_lines" ->
@@ -872,26 +927,10 @@ object CoreQueries {
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_long
         |FROM events ORDER BY event_id""".stripMargin,
 
-    "metrics_counts" ->
-      s"""$Lines5424Cte, corrupted AS (
-         |  SELECT event_id,
-         |    CASE WHEN event_id % 10 = 0 THEN 'garbage ' || line ELSE line END AS line
-         |  FROM lines),
-         |parsed AS (
-         |  SELECT event_id, regexp_extract(line, '$P5424Sql', 8) AS msg
-         |  FROM corrupted WHERE regexp_matches(line, '$P5424Sql')
-         |    AND TRY_CAST(regexp_extract(line, '$P5424Sql', 1) AS INT) <= 191)
-         |    -- TRY_CAST: DuckDB splits AND conjuncts into separate filters
-         |    -- and orders them by stats, so the cast can run on rows the
-         |    -- match predicate would reject (empty group → cast error at
-         |    -- some scale factors; surfaced at sf0.1)
-         |$RoutedCte
-         |SELECT 'lines' AS metric, count(*) AS value FROM corrupted
-         |UNION ALL
-         |SELECT 'error.log_parse', (SELECT count(*) FROM corrupted) - (SELECT count(*) FROM parsed)
-         |UNION ALL
-         |SELECT 'kafka.submitted.' || topic, count(*) FROM routed GROUP BY topic
-         |ORDER BY metric""".stripMargin,
+    "metrics_counts" -> MetricsCountsOracle,
+
+    // O25 round-trip serves the SAME counters over HTTP — same oracle
+    "metrics_status_snapshot" -> MetricsCountsOracle,
 
     "metrics_merge_errors" ->
       s"""$Lines5424Cte $parsedSql

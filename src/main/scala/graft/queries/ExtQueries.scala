@@ -937,12 +937,28 @@ object ExtQueries {
     TextAnalysis.qualityFilter(documents(s, dir)).orderBy("doc_id")
 
   /** Benchmark decontamination: docs sharing an 8-gram with the probe set
-    * (every 100th doc stands in for the benchmark). */
+    * (every 100th doc stands in for the benchmark). The synthetic corpus
+    * has no organic cross-doc verbatim 8-gram, so a fixed 8-token phrase is
+    * PLANTED on every 50th doc — half of those (doc_id % 100 == 0) are
+    * probes, the other half (doc_id % 100 == 50) become true contamination
+    * the oracle must also find (r9 verdict: the un-planted key passed with
+    * 0 oracle rows, leaving the positive path oracle-unexercised). The
+    * plant tokens are outside the corpus vocabulary so each planted doc
+    * collides on exactly the grams both engines can count identically. */
   private val corpusDecontaminate: Q = (s, dir) => {
     val docs = documents(s, dir)
-    Contamination.contaminatedDocs(docs, docs.filter(col("doc_id") % 100 === 0))
+    val planted = docs.select(col("doc_id"),
+      when(col("doc_id") % 50 === 0,
+        concat(col("text"), lit(" " + ContaminationPlant))).otherwise(col("text"))
+        .as("text"))
+    Contamination.contaminatedDocs(planted,
+      planted.filter(col("doc_id") % 100 === 0))
       .orderBy("doc_id")
   }
+
+  /** 8 tokens deliberately outside the synthetic corpus vocabulary. */
+  private val ContaminationPlant =
+    "qleak0 qleak1 qleak2 qleak3 qleak4 qleak5 qleak6 qleak7"
 
   private val corpusStratifiedSample: Q = (s, dir) =>
     TextAnalysis.stratifiedSample(documents(s, dir), Map("en" -> 20), defaultRate = 50)
@@ -4228,11 +4244,16 @@ object ExtQueries {
          |ORDER BY doc_id""".stripMargin,
 
     // 8-gram exact-collision decontamination: grams built positionally
-    // (t[i]..t[i+7]), md5-hashed, probe = every 100th doc
+    // (t[i]..t[i+7]), md5-hashed, probe = every 100th doc; the same fixed
+    // 8-token phrase is planted on every 50th doc so contamination exists
     "corpus_decontaminate" -> {
       val gram = (0 until 8).map(k => s"t[i+$k]").mkString(" || ' ' || ")
-      s"""WITH tok AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t
+      s"""WITH d AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 50 = 0 THEN text || ' $ContaminationPlant'
+         |         ELSE text END AS text
          |  FROM documents),
+         |tok AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t
+         |  FROM d),
          |g AS (SELECT doc_id,
          |    unnest(list_transform(range(1, len(t) - 6), i -> md5($gram))) AS gh
          |  FROM tok WHERE len(t) >= 8),

@@ -21,7 +21,7 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * LOWEST matching admitted id.
   *
   * Because a doc carries TWO block keys, its per-block verdicts are
-  * partial: the caller ANDs them (a doc is a duplicate if EITHER block
+  * partial: the caller ORs them (a doc is a duplicate if EITHER block
   * found a match — `admittedIds` does this reduction in-spec). Admission
   * semantics deliberately differ from the batch CC composition on CHAINS:
   * online, a doc is compared against ADMITTED members only, so A←B(4

@@ -13,6 +13,17 @@ class R9ePlanSpec extends AnyFunSuite {
 
   private val sf = "/root/testdata/sf0.001"
 
+  /** Materializes `docs` as `<tmp>/documents.parquet` and hands the dir to
+    * `f`, so hand-check tests can execute the SHIPPED (SparkSession, dir)
+    * keys against a toy corpus instead of re-pasting their SQL — the pasted
+    * copy could silently drift from the registered key (r9 advice). */
+  private def withToyDocs(docs: org.apache.spark.sql.DataFrame)(
+      f: String => Unit): Unit = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-toy-docs").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    f(dir)
+  }
+
   test("levenshtein pairs: planted single edits caught at head, middle " +
     "and tail interior; disjoint docs never paired") {
     // base < 96 chars so NOTHING is hidden by the signature truncation
@@ -83,6 +94,22 @@ class R9ePlanSpec extends AnyFunSuite {
       s"window not partitioned by bkey:\n${windows.mkString("\n")}")
   }
 
+  test("levCorpus id space: organic doc_ids stay below the +3000000 " +
+    "planted offset at every local SF") {
+    // the pairs_planted predicate (idb − ida == 3000000 && ida % 20 == 0)
+    // silently assumes max organic doc_id < 3,000,000; assert the bound on
+    // every corpus a key can run against so a larger SF can't alias
+    // planted and organic ids (r9 advice)
+    for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1")) {
+      val maxId = graft.queries.Synth.documents(spark, d)
+        .agg(max("doc_id")).as[Long].head()
+      assert(maxId < 3000000L,
+        s"$d: doc_id space ($maxId) reaches the planted-id offset — " +
+          "levCorpus planted ids would alias organic ids")
+    }
+  }
+
   test("key-skew profile: planted frequencies") {
     val orders = Seq(1L, 1L, 1L, 2L, 2L, 3L, 4L, 5L)
       .toDF("o_custkey")
@@ -102,46 +129,13 @@ class R9ePlanSpec extends AnyFunSuite {
     val docs = Seq((1L, "s", 10L), (2L, "s", 10L), (3L, "s", 12L),
         (4L, "s", 14L), (5L, "s", 100L))
       .toDF("doc_id", "source", "n_chars")
-    docs.createOrReplaceTempView("graft_r9e_docs")
-    val sql = graft.queries.R9eQueries.queries("text_mad_outliers")
-    // reuse the key's SQL by re-registering the toy view afterwards:
-    // call the key against sf, then run the same statement on the toy
-    val got = spark.sql("""
-      WITH hist AS (
-        SELECT source, n_chars, CAST(count(*) AS BIGINT) AS c
-        FROM graft_r9e_docs GROUP BY 1, 2),
-      cum AS (
-        SELECT source, n_chars, c,
-               sum(c) OVER (PARTITION BY source ORDER BY n_chars
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
-               sum(c) OVER (PARTITION BY source) AS n
-        FROM hist),
-      med AS (SELECT source, min(n_chars) AS med FROM cum
-              WHERE cum * 2 >= n + 1 GROUP BY 1),
-      dhist AS (
-        SELECT d.source, abs(d.n_chars - m.med) AS dev,
-               CAST(count(*) AS BIGINT) AS c
-        FROM graft_r9e_docs d JOIN med m ON d.source = m.source
-        GROUP BY 1, 2),
-      dcum AS (
-        SELECT source, dev, c,
-               sum(c) OVER (PARTITION BY source ORDER BY dev
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
-               sum(c) OVER (PARTITION BY source) AS n
-        FROM dhist),
-      mad AS (SELECT source, min(dev) AS mad FROM dcum
-              WHERE cum * 2 >= n + 1 GROUP BY 1)
-      SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
-             min(m.med) AS med, min(a.mad) AS mad,
-             CAST(sum(CASE WHEN abs(d.n_chars - m.med) > 3 * a.mad
-                           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
-      FROM graft_r9e_docs d
-      JOIN med m ON d.source = m.source
-      JOIN mad a ON d.source = a.source
-      GROUP BY d.source ORDER BY d.source""")
-      .as[(String, Long, Long, Long, Long)].collect().toSeq
-    assert(got === Seq(("s", 5L, 12L, 2L, 1L)), s"got $got")
-    sql // keep the reference so an accidental key rename fails here
+    // execute the SHIPPED key against a toy documents.parquet dir — no
+    // pasted SQL copy to drift from the registered statement
+    withToyDocs(docs) { dir =>
+      val got = graft.queries.R9eQueries.queries("text_mad_outliers")(spark, dir)
+        .as[(String, Long, Long, Long, Long)].collect().toSeq
+      assert(got === Seq(("s", 5L, 12L, 2L, 1L)), s"got $got")
+    }
   }
 
   test("nprobe curve: one row per operating point, hits monotone " +
@@ -245,31 +239,15 @@ class R9ePlanSpec extends AnyFunSuite {
     val repetitive = Seq.fill(26)("dup").mkString(" ")
     val docs = Seq((1L, "s", diverse), (2L, "s", repetitive))
       .toDF("doc_id", "source", "text")
-    docs.createOrReplaceTempView("graft_r9e_mattr_docs")
-    val got = graft.queries.R9eQueries.queries("text_mattr")(spark, sf)
-    // re-point the view at the toy AFTER the key call binds it to sf data:
-    // call the SQL directly instead for the toy
-    docs.createOrReplaceTempView("graft_r9e_mattr_docs")
-    val rows = spark.sql("""
-      WITH toks AS (
-        SELECT doc_id, source, split(text, '\\s+') AS t
-        FROM graft_r9e_mattr_docs),
-      win AS (
-        SELECT doc_id, source,
-          CASE WHEN size(t) <= 25 THEN size(array_distinct(t))
-               ELSE aggregate(sequence(1, size(t) - 24),
-                      0L, (acc, i) -> acc + size(array_distinct(slice(t, i, 25))))
-          END AS sum_distinct,
-          CASE WHEN size(t) <= 25 THEN size(t)
-               ELSE 25 * (size(t) - 24) END AS denom
-        FROM toks WHERE size(t) > 0)
-      SELECT doc_id,
-             CAST(1000000 * sum_distinct AS BIGINT) div denom AS mattr_x1e6
-      FROM win ORDER BY doc_id""")
-      .as[(Long, Long)].collect().toMap
-    assert(rows(1L) == 1000000L, s"all-distinct windows must score 1.0: $rows")
-    assert(rows(2L) == 40000L, s"1 type per 25-token window = 0.04: $rows")
-    got // key reference kept so a rename breaks this spec
+    // execute the SHIPPED key against a toy documents.parquet dir — no
+    // pasted SQL copy to drift from the registered statement
+    withToyDocs(docs) { dir =>
+      val rows = graft.queries.R9eQueries.queries("text_mattr")(spark, dir)
+        .select("doc_id", "mattr_x1e6")
+        .as[(Long, Long)].collect().toMap
+      assert(rows(1L) == 1000000L, s"all-distinct windows must score 1.0: $rows")
+      assert(rows(2L) == 40000L, s"1 type per 25-token window = 0.04: $rows")
+    }
   }
 
   test("lev recall counters: every planted typo copy detected at sf0.001") {
