@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.streaming.ExactDedupStream
+import graft.streaming.{ExactDedupStream, NearDupStream}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -76,8 +76,70 @@ object R10Queries {
       .orderBy("doc_id")
   }
 
+  /** Deterministic 3-batch replay through the streaming MinHash-LSH
+    * operator (graft.streaming.NearDupStream) — the second oracle-asserted
+    * twin, and the one whose state machine is richer than exact dedup's:
+    * per-(band,bucket) GroupState holds a running-minimum canonical that a
+    * LATER batch can take over.
+    *
+    *   batch 0 — byte-identical copies of every 10th doc at id + 1,000,000
+    *             (high ids arrive FIRST, seeding every shared bucket with a
+    *             large canonical);
+    *   batch 1 — the organic base corpus (every 5th doc) — smaller ids WIN
+    *             the buckets, so this batch exercises the takeover path:
+    *             the dethroned batch-0 canonical must itself be re-emitted
+    *             as a candidate edge to the new canonical;
+    *   batch 2 — a second copy wave at id + 2,000,000 — pure rejects
+    *             against state that has survived two batch boundaries.
+    *
+    * The operator's output is a pure function of (bucket membership, batch
+    * membership, id): per (band, bucket) and batch, canonical = min(state,
+    * batch ids); edges = (batch ids ∪ {previous state}) \ {canonical}. The
+    * DuckDB twin recomputes the SAME 32-component KM signature / 4×8 band
+    * buckets (the shared MinhashSigCtes chain that already twins the batch
+    * operator) and replays that recurrence with a running-min window over
+    * batch order — bucket state surviving micro-batch boundaries AND the
+    * canonical takeover are both oracle-verified.
+    *
+    * Same replay-scaffolding caveats as [[streamExactDedupReplay]]: the
+    * driver-side collect feeds the MemoryStream because a deterministic
+    * oracle requires pinned batch membership; id offsets assume max organic
+    * doc_id < 1,000,000 (guarded in R9ePlanSpec). */
+  private val streamNearDupReplay: Q = (s, dir) => {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val base = Synth.documents(s, dir).select(col("doc_id"), col("text"))
+      .filter(col("doc_id") % 5 === 0)
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    val copies = base.filter(_._1 % 10 == 0)
+    val wave0 = copies.map { case (id, t) => (id + 1000000L, t) }
+    val wave2 = copies.map { case (id, t) => (id + 2000000L, t) }
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val sinkName = s"graft_neardup_replay_${replaySeq.incrementAndGet()}"
+    val q = NearDupStream.candidates(
+        NearDupStream.bucketHits(input.toDF().toDF("doc_id", "text")))
+      .writeStream.format("memory").queryName(sinkName)
+      .outputMode("append").start()
+    val rows =
+      try {
+        input.addData(wave0); q.processAllAvailable()
+        input.addData(base); q.processAllAvailable()
+        input.addData(wave2); q.processAllAvailable()
+        s.table(sinkName).as[NearDupStream.Cand].collect().toSeq
+      } finally {
+        q.stop()
+        s.catalog.dropTempView(sinkName)
+      }
+    // bounded: ≤ bands × |replay corpus| candidate edges, materialized so
+    // the result outlives the stopped query (Verify writes it after return)
+    rows.toDF().select(col("ida"), col("idb"), col("band"), col("bucket"))
+      .orderBy("band", "bucket", "ida", "idb")
+  }
+
   val queries: Map[String, Q] = Map(
-    "stream_exact_dedup_replay" -> streamExactDedupReplay)
+    "stream_exact_dedup_replay" -> streamExactDedupReplay,
+    "stream_neardup_replay" -> streamNearDupReplay)
 
   val oracle: Map[String, String] = Map(
     // SQL replay of the identical admission order: canonical(ck) = the min
@@ -99,5 +161,40 @@ object R10Queries {
         |    FROM k) WHERE rn = 1)
         |SELECT k.doc_id, c.canonical, k.doc_id = c.canonical AS kept
         |FROM k JOIN canon c USING (ck)
-        |ORDER BY doc_id""".stripMargin)
+        |ORDER BY doc_id""".stripMargin,
+
+    // SQL replay of the stateful bucket recurrence: per (band, bucket) and
+    // batch bt, canonical = running min over batches ≤ bt; edges = batch
+    // ids joined to that canonical, PLUS the dethroned previous canonical
+    // when a smaller id takes over (the Scala operator re-emits it). Batch
+    // membership is id-coded ([1M,2M)=batch 0, <1M=batch 1, ≥2M=batch 2),
+    // and the signature/band chain is the SAME MinhashSigCtes that twins
+    // the batch dedup_minhash_lsh operator.
+    "stream_neardup_replay" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+         |  UNION ALL
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 10 = 0),
+         |${ExtQueries.MinhashSigCtes},
+         |hits AS (SELECT CAST(b AS INT) AS band,
+         |  md5(array_to_string(sig[b*8+1 : b*8+8], ',')) AS bucket, doc_id,
+         |  CASE WHEN doc_id >= 2000000 THEN 2
+         |       WHEN doc_id >= 1000000 THEN 0 ELSE 1 END AS bt
+         |  FROM sigl, range(0,4) r(b)),
+         |grp AS (SELECT band, bucket, bt,
+         |    min(min(doc_id)) OVER (PARTITION BY band, bucket ORDER BY bt) AS canonical,
+         |    min(min(doc_id)) OVER (PARTITION BY band, bucket ORDER BY bt
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev
+         |  FROM hits GROUP BY band, bucket, bt),
+         |edges AS (
+         |  SELECT g.canonical AS ida, h.doc_id AS idb, h.band, h.bucket
+         |  FROM hits h JOIN grp g USING (band, bucket, bt)
+         |  WHERE h.doc_id <> g.canonical
+         |  UNION ALL
+         |  SELECT canonical, prev, band, bucket FROM grp
+         |  WHERE prev IS NOT NULL AND prev <> canonical)
+         |SELECT ida, idb, band, bucket FROM edges
+         |ORDER BY band, bucket, ida, idb""".stripMargin)
 }
