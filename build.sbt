@@ -27,5 +27,11 @@ scalacOptions ++= Seq("-deprecation", "-unchecked")
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default on the 128 GiB box: an 8g heap put 321-key local[32] bench
+  // sittings into persistent old-gen-churn windows (whole key families 4-6x
+  // slow inside one JVM, fine in the next — PLANS.md round-10 variance
+  // study); 512m code cache for the same reason (hundreds of keys =
+  // thousands of codegen'd classes against the 240m JIT default).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  "-XX:ReservedCodeCacheSize=512m",
 )

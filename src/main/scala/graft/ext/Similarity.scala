@@ -56,8 +56,23 @@ object Similarity {
       case Some(planes) =>
         val b = emb.select(col("vec_id"),
           lshBucket(col("embedding"), planes).as("bucket"))
+        // Seed-join volume bound (found by the sf10 rung: the UNCAPPED
+        // bucket self-join is Σ|bucket|² rows — 625M at 200k vectors over
+        // 64 buckets, growing quadratically). Every node links only to its
+        // bucket's 2k smallest-id REPRESENTATIVES, so init volume is
+        // ≤ N·2k. This is RESULT-IDENTICAL to the uncapped join at every
+        // scale: the per-node cap below keeps only the k smallest mate ids
+        // (src=0 ranked by n_id), and the k smallest ids of B\{x} are
+        // always contained in the 2k smallest ids of B (2k ≥ k+1) — the
+        // dropped rows could never survive the cap.
+        val reps = b
+          .withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy("bucket")
+              .orderBy("vec_id")))
+          .filter(col("rn") <= 2 * k)
+          .select(col("vec_id").as("n_id"), col("bucket"))
         val mates = b
-          .join(b.select(col("vec_id").as("n_id"), col("bucket")), "bucket")
+          .join(reps, "bucket")
           .select(col("vec_id"), col("n_id"))
           .filter(col("vec_id") =!= col("n_id"))
         // mates (src=0) outrank ring fallbacks (src=1) in the per-node cap

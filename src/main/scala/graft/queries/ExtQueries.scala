@@ -1459,8 +1459,12 @@ object ExtQueries {
        |  FROM embeddings, range(1, ${k + 1}) r(j)),
        |bk AS MATERIALIZED (SELECT vec_id, ${bucketExpr("embedding")} AS bucket
        |  FROM embeddings),
-       |mates AS (SELECT a.vec_id, b.vec_id AS n_id
-       |  FROM bk a JOIN bk b USING (bucket) WHERE a.vec_id <> b.vec_id),
+       |reps AS (SELECT vec_id AS n_id, bucket FROM (
+       |    SELECT vec_id, bucket,
+       |      row_number() OVER (PARTITION BY bucket ORDER BY vec_id) AS rn
+       |    FROM bk) WHERE rn <= ${2 * k}),
+       |mates AS (SELECT a.vec_id, b.n_id
+       |  FROM bk a JOIN reps b USING (bucket) WHERE a.vec_id <> b.n_id),
        |nb0 AS MATERIALIZED (SELECT vec_id, n_id FROM (
        |    SELECT vec_id, n_id,
        |      row_number() OVER (PARTITION BY vec_id ORDER BY src, n_id) AS rn
