@@ -63,10 +63,34 @@ object EmbedPipeline {
     * DROPPED iff an earlier chunk (by (doc_id, chunk_id)) in the same
     * bucket has cosine ≥ `tau`; keeper = the minimal such predecessor —
     * the pairwise-local SemDeDup-style rule, no connected components.
-    * Output: one disposition row per chunk. */
+    * Output: one disposition row per chunk.
+    *
+    * The plane count GROWS with the corpus (the "planes ∝ log N" contract
+    * made real — the sf10 rung caught the fixed-4-plane version at 16
+    * buckets producing a Σ|bucket|² ≈ 1.2e11-row self-join over 1.36M
+    * chunks): starting from the `nPlanes` floor, planes are added until
+    * expected occupancy nChunks/2^nP ≤ 1024, capped at [[MaxPlanes]].
+    * Pure integer recurrence (shift-and-compare, no float log) so the
+    * DuckDB twin reproduces the count exactly; the plane family is the
+    * fixed prefix of hyperplanes(MaxPlanes) (row-major seeded draws, so
+    * the first nP rows never change as the count grows). At the oracle
+    * gate SFs (≤ 16384 chunks) the recurrence stays at the floor — the
+    * adaptivity only engages on the timing rungs and beyond. */
+  val MaxPlanes = 14
+
+  def planeCount(nChunks: Long, floor: Int = 4): Int = {
+    var nP = floor
+    while (nP < MaxPlanes && (nChunks >> nP) > 1024) nP += 1
+    nP
+  }
+
   def semanticChunkDedup(docs: DataFrame, dims: Int = 16, window: Int = 32,
       stride: Int = 24, tau: Double = 0.95, nPlanes: Int = 4): DataFrame = {
-    val planes = Similarity.hyperplanes(nPlanes, dims)
+    // bounded one-pass count (row-local chunking, no shuffle) — index
+    // construction in the same sense as the IVF centroid collect
+    val nChunks = chunkToks(docs, window, stride).count()
+    val planes = Similarity.hyperplanes(MaxPlanes, dims)
+      .take(planeCount(nChunks, nPlanes))
     val v = chunkVectors(docs, dims, window, stride)
       .withColumn("bucket", Similarity.lshBucket(col("vec"), planes))
     val earlier = v.select(col("bucket"), col("doc_id").as("a_doc"),

@@ -2265,12 +2265,15 @@ object ExtQueries {
     // 64-token windows at stride 48, trailing partials kept — 1-based
     // inclusive list slice mirrors Spark's slice(toks, s*48+1, 64)
     // embed-pipeline twin: 32/24 chunking, hashed-BoW dims via the hex
-    // fold, dense vectors through map_from_entries/map_extract, identical
-    // 4-plane 16-dim sign buckets and sequential cosine folds; keeper =
-    // min lexicographic predecessor via the doc·2^20+chunk composite
-    // (chunk_id bounded far below 2^20)
+    // fold, dense vectors through map_from_entries/map_extract, the
+    // ADAPTIVE sign-bucket (all 14 prefix-plane bits computed, masked to
+    // the same integer plane-count recurrence EmbedPipeline.planeCount
+    // runs: smallest nP in [4,14] with nChunks >> nP <= 1024) and
+    // sequential cosine folds; keeper = min lexicographic predecessor via
+    // the doc·2^20+chunk composite (chunk_id bounded far below 2^20)
     "corpus_embed_pipeline" -> {
-      val planes16 = graft.ext.Similarity.hyperplanes(4, 16)
+      val planes16 = graft.ext.Similarity.hyperplanes(
+        graft.ext.EmbedPipeline.MaxPlanes, 16)
       s"""WITH tok AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t
          |  FROM documents),
          |st AS (SELECT doc_id, t, unnest(range(0, (len(t)-1)//24 + 1)) AS s
@@ -2279,6 +2282,10 @@ object ExtQueries {
          |    t[s*24+1 : s*24+32] AS c,
          |    md5(array_to_string(t[s*24+1 : s*24+32], ' ')) AS chunk_md5
          |  FROM st),
+         |np AS (SELECT CAST(1 AS BIGINT) << min(j) AS nb FROM
+         |    (SELECT unnest(range(4, ${graft.ext.EmbedPipeline.MaxPlanes + 1})) AS j),
+         |    (SELECT count(*) AS n FROM ch)
+         |  WHERE (n >> j) <= 1024 OR j = ${graft.ext.EmbedPipeline.MaxPlanes}),
          |cells AS (SELECT doc_id, chunk_id, chunk_md5,
          |    ${hexFoldSql(1, 15)} % 16 AS dim, count(*) AS c
          |  FROM (SELECT doc_id, chunk_id, chunk_md5, md5(tok) AS hx
@@ -2294,7 +2301,7 @@ object ExtQueries {
          |      AS vec
          |  FROM vecs),
          |b AS (SELECT doc_id, chunk_id, chunk_md5, vec,
-         |    ${lshBucketSqlN("vec", planes16)} AS bucket FROM v),
+         |    ${lshBucketSqlN("vec", planes16)} % nb AS bucket FROM v, np),
          |drops AS (SELECT b2.doc_id, b2.chunk_id,
          |    min(a.a_doc * 1048576 + a.a_chunk) AS kp
          |  FROM b b2 JOIN (SELECT bucket, doc_id AS a_doc,
