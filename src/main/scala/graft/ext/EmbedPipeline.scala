@@ -86,13 +86,28 @@ object EmbedPipeline {
 
   def semanticChunkDedup(docs: DataFrame, dims: Int = 16, window: Int = 32,
       stride: Int = 24, tau: Double = 0.95, nPlanes: Int = 4): DataFrame = {
-    // bounded one-pass count (row-local chunking, no shuffle) — index
-    // construction in the same sense as the IVF centroid collect
-    val nChunks = chunkToks(docs, window, stride).count()
+    val v0 = chunkVectors(docs, dims, window, stride)
+    // CENTERED sign-LSH (sf10 rung, round 10): hashed-BoW count vectors
+    // all live in the positive orthant, so uncentered sign bits
+    // concentrate mass in a few buckets no matter how many planes —
+    // subtracting the corpus mean splits each hyperplane ~50/50. The
+    // mean is BIT-DETERMINISTIC across engines: each component is a sum
+    // of integer-valued doubles (exact in IEEE up to 2^53, order-free)
+    // divided once by the chunk count, so the DuckDB twin reproduces it
+    // exactly; the tau-cosine verify still runs on the RAW vectors —
+    // centering only moves the candidate-bucket boundary.
+    // (means + count are 16 doubles + a long — index construction,
+    // the IVF-centroid collect contract)
+    val mRow = v0.agg(
+      count(lit(1)).as("n"),
+      (0 until dims).map(i => sum(col("vec").getItem(i)).as(s"s$i")): _*).head()
+    val nChunks = mRow.getLong(0)
+    val mean = (0 until dims).map(i => mRow.getDouble(i + 1) / nChunks).toArray
     val planes = Similarity.hyperplanes(MaxPlanes, dims)
       .take(planeCount(nChunks, nPlanes))
-    val v = chunkVectors(docs, dims, window, stride)
-      .withColumn("bucket", Similarity.lshBucket(col("vec"), planes))
+    val centered = zip_with(col("vec"), typedLit(mean.toSeq), (a, b) => a - b)
+    val v = v0
+      .withColumn("bucket", Similarity.lshBucket(centered, planes))
     val earlier = v.select(col("bucket"), col("doc_id").as("a_doc"),
       col("chunk_id").as("a_chunk"), col("vec").as("a_vec"))
     val drops = v.join(earlier, "bucket")

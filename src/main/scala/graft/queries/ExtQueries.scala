@@ -2268,9 +2268,12 @@ object ExtQueries {
     // fold, dense vectors through map_from_entries/map_extract, the
     // ADAPTIVE sign-bucket (all 14 prefix-plane bits computed, masked to
     // the same integer plane-count recurrence EmbedPipeline.planeCount
-    // runs: smallest nP in [4,14] with nChunks >> nP <= 1024) and
-    // sequential cosine folds; keeper = min lexicographic predecessor via
-    // the doc·2^20+chunk composite (chunk_id bounded far below 2^20)
+    // runs: smallest nP in [4,14] with nChunks >> nP <= 1024) over
+    // MEAN-CENTERED vectors (per-dim sum of integer-valued doubles is
+    // IEEE-exact and order-free, so sum/count is bit-equal to Spark's),
+    // sequential cosine folds on the RAW vectors; keeper = min
+    // lexicographic predecessor via the doc·2^20+chunk composite
+    // (chunk_id bounded far below 2^20)
     "corpus_embed_pipeline" -> {
       val planes16 = graft.ext.Similarity.hyperplanes(
         graft.ext.EmbedPipeline.MaxPlanes, 16)
@@ -2300,8 +2303,15 @@ object ExtQueries {
          |      CAST(coalesce(list_extract(map_extract(m, d), 1), 0) AS DOUBLE))
          |      AS vec
          |  FROM vecs),
+         |mean AS (SELECT list(mv ORDER BY d) AS m FROM (
+         |    SELECT d, sum(vec[CAST(d AS INT)]) / (SELECT count(*) FROM v) AS mv
+         |    FROM v, (SELECT unnest(range(1, 17)) AS d) GROUP BY d)),
+         |cv AS (SELECT doc_id, chunk_id, chunk_md5, vec,
+         |    list_transform(range(1, 17),
+         |      i -> vec[CAST(i AS INT)] - m[CAST(i AS INT)]) AS c16
+         |  FROM v, mean),
          |b AS (SELECT doc_id, chunk_id, chunk_md5, vec,
-         |    ${lshBucketSqlN("vec", planes16)} % nb AS bucket FROM v, np),
+         |    ${lshBucketSqlN("c16", planes16)} % nb AS bucket FROM cv, np),
          |drops AS (SELECT b2.doc_id, b2.chunk_id,
          |    min(a.a_doc * 1048576 + a.a_chunk) AS kp
          |  FROM b b2 JOIN (SELECT bucket, doc_id AS a_doc,
