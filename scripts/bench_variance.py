@@ -30,6 +30,9 @@ def main() -> None:
     within = sum(1 for r, *_ in ratios if r <= 1.5)
     pct = 100.0 * within / n if n else 0.0
     print(f"keys compared: {n}")
+    if n == 0:
+        print("no overlapping keys with positive times — nothing to compare")
+        return
     print(f"within 1.5x:   {within} ({pct:.1f}%)  "
           f"[criterion: >= 95% -> {'PASS' if pct >= 95.0 else 'FAIL'}]")
     qs = sorted(r for r, *_ in ratios)

@@ -30,9 +30,12 @@ import org.apache.spark.sql.SparkSession
   *  2. Reported warm = MIN over all clean warm attempts: on a warm
   *     in-memory run, noise (GC pause, scheduler preemption) is strictly
   *     additive, so the minimum is the steady-state plan cost. Keys whose
-  *     fastest warm is under 2 s get one extra attempt (min-of-2) —
-  *     sub-second keys otherwise jitter past 1.5× on ~200 ms of absolute
-  *     noise.
+  *     fastest warm is under [[CheapKeyExtraRunSecs]] (5 s) get one extra
+  *     attempt (min-of-2) — sub-second keys otherwise jitter past 1.5× on
+  *     ~200 ms of absolute noise. The artifact records the estimator as
+  *     "warm_stat":"min" (it was the median through round 9 — per-key
+  *     comparisons that straddle the switch would otherwise read the
+  *     systematically-lower min as a spurious speedup).
   *  3. Trailing-round reference: the committed BENCH_full.json (env
   *     SPARK_GRAFT_BENCH_REF; used ONLY when its "sf" matches this run's)
   *     supplies each key's prior warm. A warm min above
@@ -47,6 +50,10 @@ import org.apache.spark.sql.SparkSession
   *     `n_retried` (stdout) so the artifact records its own corrections.
   */
 object Bench {
+
+  /** Defense-2 trigger: keys whose fastest warm is under this many seconds
+    * get one extra warm attempt (min-of-2) to kill sub-second jitter. */
+  private val CheapKeyExtraRunSecs = 5.0
 
   /** The distinct query keys BASELINE.md carries timings for — the set the
     * judge compares per-key. The stdout JSON line's `queries` map is
@@ -152,8 +159,8 @@ object Bench {
         else {
           val warm = scala.collection.mutable.ArrayBuffer[Double](
             (if (times.size > 1) times.tail else times): _*)
-          // cheap-key stabilization: one extra attempt under 5 s (defense 2)
-          if (warm.min < 5.0) timeOnce().foreach(warm += _)
+          // cheap-key stabilization: one extra attempt (defense 2)
+          if (warm.min < CheapKeyExtraRunSecs) timeOnce().foreach(warm += _)
           // suspicion threshold: trailing ref if usable, else own-fastest.
           // 1.2x (not 1.5x): the back-to-back criterion is 1.5x BETWEEN
           // runs, so each run must sit within ~sqrt(1.5) of the common
@@ -196,6 +203,7 @@ object Bench {
     // driver's 2000-char tail capture.
     val fullJson =
       s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec",""" +
+      s""""warm_stat":"min",""" +
       s""""total_cold":${fmt(totalCold, 3)},"queries":${obj(results, 3)(_._3)},""" +
       s""""queries_cold":${obj(results, 3)(_._2)},"errors":$errJson,""" +
       s""""retried":$retryJson,"sf":"$sfDir"}"""

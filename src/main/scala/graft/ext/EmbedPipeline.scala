@@ -102,6 +102,14 @@ object EmbedPipeline {
       count(lit(1)).as("n"),
       (0 until dims).map(i => sum(col("vec").getItem(i)).as(s"s$i")): _*).head()
     val nChunks = mRow.getLong(0)
+    if (nChunks == 0L) {
+      // empty corpus: the sums above are null (getDouble would NPE) and
+      // there is nothing to bucket — return the empty disposition frame
+      // with the same schema as the populated path.
+      return v0.select(col("doc_id"), col("chunk_id"), col("chunk_md5"),
+        lit(true).as("kept"),
+        col("doc_id").as("keeper_doc"), col("chunk_id").as("keeper_chunk"))
+    }
     val mean = (0 until dims).map(i => mRow.getDouble(i + 1) / nChunks).toArray
     val planes = Similarity.hyperplanes(MaxPlanes, dims)
       .take(planeCount(nChunks, nPlanes))

@@ -2285,10 +2285,6 @@ object ExtQueries {
          |    t[s*24+1 : s*24+32] AS c,
          |    md5(array_to_string(t[s*24+1 : s*24+32], ' ')) AS chunk_md5
          |  FROM st),
-         |np AS (SELECT CAST(1 AS BIGINT) << min(j) AS nb FROM
-         |    (SELECT unnest(range(4, ${graft.ext.EmbedPipeline.MaxPlanes + 1})) AS j),
-         |    (SELECT count(*) AS n FROM ch)
-         |  WHERE (n >> j) <= 1024 OR j = ${graft.ext.EmbedPipeline.MaxPlanes}),
          |cells AS (SELECT doc_id, chunk_id, chunk_md5,
          |    ${hexFoldSql(1, 15)} % 16 AS dim, count(*) AS c
          |  FROM (SELECT doc_id, chunk_id, chunk_md5, md5(tok) AS hx
@@ -2303,6 +2299,10 @@ object ExtQueries {
          |      CAST(coalesce(list_extract(map_extract(m, d), 1), 0) AS DOUBLE))
          |      AS vec
          |  FROM vecs),
+         |np AS (SELECT CAST(1 AS BIGINT) << min(j) AS nb FROM
+         |    (SELECT unnest(range(4, ${graft.ext.EmbedPipeline.MaxPlanes + 1})) AS j),
+         |    (SELECT count(*) AS n FROM v)
+         |  WHERE (n >> j) <= 1024 OR j = ${graft.ext.EmbedPipeline.MaxPlanes}),
          |mean AS (SELECT list(mv ORDER BY d) AS m FROM (
          |    SELECT d, sum(vec[CAST(d AS INT)]) / (SELECT count(*) FROM v) AS mv
          |    FROM v, (SELECT unnest(range(1, 17)) AS d) GROUP BY d)),

@@ -59,7 +59,8 @@ object Daemon {
       sourceName: String, listenPort: Int = 0, statusPort: Int = 0,
       statsdTarget: Option[(String, Int)] = None,
       tlsOptions: Map[String, String] = Map.empty,
-      triggerMs: Long = 0L): Handle = {
+      triggerMs: Long = 0L,
+      kafkaBootstrap: Option[String] = None): Handle = {
     val status = new StatusServer(statusPort)
     val emitter = statsdTarget.map { case (h, p) => new StatsdEmitter(h, p) }
     spark.streams.addListener(
@@ -67,12 +68,22 @@ object Daemon {
     val routed = GraftPipeline.tcpStream(spark, cfg, "127.0.0.1", listenPort,
       tlsOptions + ("name" -> sourceName))
     val cadence = if (triggerMs > 0) triggerMs else cfg.flushMs
+    // The reference's PRIMARY sink is Kafka (src/sink/kafka.rs:107-198) with
+    // parquet the alternative (src/main.rs:85-100, sink type from settings);
+    // `kafkaBootstrap` selects the same way: every micro-batch's (topic,
+    // value) rows go out over the raw wire client (conf-driven TLS/SCRAM/
+    // acks/codec, per-partition producers), checkpointed exactly like the
+    // parquet path so a restart resumes from the last delivered batch.
+    val deliver: (DataFrame, Long) => Unit = kafkaBootstrap match {
+      case Some(bootstrap) => (batch: DataFrame, _: Long) =>
+        RoutedSink.produceKafkaWithConf(batch, bootstrap, cfg, statsdTarget)
+      case None => (batch: DataFrame, _: Long) =>
+        RoutedSink.writeRouted(batch, cfg, outDir)
+    }
     val q = routed.writeStream
       .trigger(Trigger.ProcessingTime(cadence))
       .option("checkpointLocation", s"$outDir/_checkpoint")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        RoutedSink.writeRouted(batch, cfg, outDir)
-      }
+      .foreachBatch(deliver)
       .start()
     new Handle(q, status, emitter, sourceName)
   }
@@ -104,7 +115,10 @@ object Daemon {
     val h = start(spark, cfg, outDir, sourceName = "graft-daemon",
       listenPort = sys.env.getOrElse("GRAFT_PORT", "1514").toInt,
       statusPort = sys.env.getOrElse("GRAFT_STATUS_PORT", "8585").toInt,
-      statsdTarget = statsd, tlsOptions = tls)
+      statsdTarget = statsd, tlsOptions = tls,
+      // GRAFT_KAFKA=host:port[,host:port...] selects the Kafka sink (the
+      // reference's default); unset routes parquet to <outDir>
+      kafkaBootstrap = sys.env.get("GRAFT_KAFKA"))
     // SIGTERM/SIGINT land here: drain the in-flight batch, then exit —
     // the reference's shutdown flush contract
     Runtime.getRuntime.addShutdownHook(new Thread(() => h.drainAndStop()))
