@@ -214,8 +214,12 @@ object Bench {
     // tail window decapitates it and the round loses its bench.
     val baseRs = results.filter(t => BaselineKeys.contains(t._1))
     // drift alarm: a renamed/removed key must not silently vanish from the
-    // per-key map the judge compares — count what the filter dropped
-    val missingBase = BaselineKeys.diff(results.map(_._1).toSet)
+    // per-key map the judge compares — count what the filter dropped.
+    // Scoped to the env key filter: an SPARK_GRAFT_KEYS subset run is not
+    // baseline drift.
+    val missingBase = BaselineKeys
+      .filter(k => keyFilter.forall(_.contains(k)))
+      .diff(results.map(_._1).toSet)
     if (missingBase.nonEmpty) System.err.println(
       s"[bench] WARNING: ${missingBase.size} BASELINE.md keys absent from " +
         s"SparkEntry.queries: ${missingBase.toSeq.sorted.mkString(", ")}")

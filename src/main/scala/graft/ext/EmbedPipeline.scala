@@ -78,46 +78,89 @@ object EmbedPipeline {
     * adaptivity only engages on the timing rungs and beyond. */
   val MaxPlanes = 14
 
+  /** Bounded-verify width W: each chunk is checked against at most the W
+    * smallest-(doc_id, chunk_id) predecessors of its LSH bucket, bounding
+    * total verify work at N·W whatever the bucket distribution (Zipf token
+    * mass makes direction clusters — and therefore bucket sizes — heavy-
+    * tailed at every plane count). Chosen above the largest oracle-gate
+    * bucket (~850 at sf0.1), so gate results are cap-free. */
+  val CandidateCap = 1024
+
   def planeCount(nChunks: Long, floor: Int = 4): Int = {
     var nP = floor
     while (nP < MaxPlanes && (nChunks >> nP) > 1024) nP += 1
     nP
   }
 
+  /** The constant direction-space centering offset: the component every
+    * dim of a UNIT vector has when mass is spread uniformly (1/√dims —
+    * exactly 0.25 at dims = 16). A compile-time constant, so both engines
+    * embed the identical literal — no data-dependent statistic to mirror. */
+  def uniformDirComponent(dims: Int): Double = 1.0 / math.sqrt(dims.toDouble)
+
   def semanticChunkDedup(docs: DataFrame, dims: Int = 16, window: Int = 32,
       stride: Int = 24, tau: Double = 0.95, nPlanes: Int = 4): DataFrame = {
     val v0 = chunkVectors(docs, dims, window, stride)
-    // CENTERED sign-LSH (sf10 rung, round 10): hashed-BoW count vectors
-    // all live in the positive orthant, so uncentered sign bits
-    // concentrate mass in a few buckets no matter how many planes —
-    // subtracting the corpus mean splits each hyperplane ~50/50. The
-    // mean is BIT-DETERMINISTIC across engines: each component is a sum
-    // of integer-valued doubles (exact in IEEE up to 2^53, order-free)
-    // divided once by the chunk count, so the DuckDB twin reproduces it
-    // exactly; the tau-cosine verify still runs on the RAW vectors —
-    // centering only moves the candidate-bucket boundary.
-    // (means + count are 16 doubles + a long — index construction,
-    // the IVF-centroid collect contract)
-    val mRow = v0.agg(
-      count(lit(1)).as("n"),
-      (0 until dims).map(i => sum(col("vec").getItem(i)).as(s"s$i")): _*).head()
-    val nChunks = mRow.getLong(0)
+    // ANGULAR sign-LSH + bounded verify (sf10 rung, round 11). History:
+    // uncentered sign bits over positive count vectors concentrated mass
+    // (r10 fix: subtract the corpus mean) — but MEAN-centering has its
+    // own Θ(N²) cell: every SHORT chunk (tail windows; 9.5% of the sf10
+    // corpus) has a near-zero vector, so v − mean ≈ −mean and they ALL
+    // share the sign pattern of −mean (measured at sf10: one bucket held
+    // 118,576 of 1.36M chunks = 69% of Σ|bucket|² = 2.03e10 — a single
+    // 9-CPU-minute straggler task). Two changes, each measured:
+    //  1. Bucket in DIRECTION space, where the tau-cosine verifier
+    //     actually lives: normalize to the unit sphere (scale-invariant,
+    //     like cosine), then subtract the constant uniform direction
+    //     1/√dims so the typical full-window direction sits at the
+    //     hyperplane origin. This dissolves the degenerate short-chunk
+    //     cell (they spread by WHICH dims are hot) and removes the
+    //     data-dependent mean entirely — everything is ROW-LOCAL and
+    //     bit-deterministic (Σv² is an exact integer sum, sqrt correctly
+    //     rounded, division/subtraction single IEEE ops, plane dots fold
+    //     in the twin's pinned order). Measured at sf10: top bucket
+    //     118,576 → 54,908. But Zipf token mass hashes into a few hot
+    //     dims, so directions CLUSTER genuinely — Σ|bucket|² stays Θ(N²)
+    //     (2.4e10) under any plane count: near-parallel directions never
+    //     split.
+    //  2. Therefore bound the verify itself: each chunk checks only the
+    //     [[CandidateCap]] smallest-(doc,chunk) predecessors of its
+    //     bucket — the same linear-by-construction discipline as the
+    //     levenshtein block cap and the nnDescent representative cap.
+    //     Work ≤ N·W regardless of bucket shape. The keeper is still the
+    //     EXACT min tau-similar predecessor whenever that predecessor
+    //     ranks ≤ W in its bucket (candidates are the smallest ids, and
+    //     keeper = min); a drop is missed only when ALL of a chunk's
+    //     tau-similar predecessors rank > W. At the oracle gate SFs the
+    //     cap never binds (≤ 850-chunk buckets at sf0.1 vs W = 1024), so
+    //     this is purely the 100×-scale contract, mirrored verbatim in
+    //     the DuckDB twin's QUALIFY.
+    val nChunks = v0.count()
     if (nChunks == 0L) {
-      // empty corpus: the sums above are null (getDouble would NPE) and
-      // there is nothing to bucket — return the empty disposition frame
-      // with the same schema as the populated path.
+      // empty corpus: nothing to bucket — return the empty disposition
+      // frame with the same schema as the populated path.
       return v0.select(col("doc_id"), col("chunk_id"), col("chunk_md5"),
         lit(true).as("kept"),
         col("doc_id").as("keeper_doc"), col("chunk_id").as("keeper_chunk"))
     }
-    val mean = (0 until dims).map(i => mRow.getDouble(i + 1) / nChunks).toArray
     val planes = Similarity.hyperplanes(MaxPlanes, dims)
       .take(planeCount(nChunks, nPlanes))
-    val centered = zip_with(col("vec"), typedLit(mean.toSeq), (a, b) => a - b)
+    val norm = sqrt(aggregate(col("vec"), lit(0.0), (a, x) => a + x * x))
+    val dir = transform(col("vec"),
+      x => x / col("nrm") - lit(uniformDirComponent(dims)))
     val v = v0
-      .withColumn("bucket", Similarity.lshBucket(centered, planes))
+      .withColumn("nrm", norm)
+      .withColumn("bucket", Similarity.lshBucket(dir, planes))
+      .drop("nrm")
+    // bounded-verify candidate set: the W smallest (doc, chunk) per bucket
+    // (a 55k-row per-bucket sort is N log N — the skewed SORT is cheap,
+    // it is the skewed JOIN PRODUCT the cap removes)
     val earlier = v.select(col("bucket"), col("doc_id").as("a_doc"),
       col("chunk_id").as("a_chunk"), col("vec").as("a_vec"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("bucket").orderBy("a_doc", "a_chunk")))
+      .filter(col("rn") <= CandidateCap).drop("rn")
     val drops = v.join(earlier, "bucket")
       .filter(col("a_doc") < col("doc_id") ||
         (col("a_doc") === col("doc_id") && col("a_chunk") < col("chunk_id")))

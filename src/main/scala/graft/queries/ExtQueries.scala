@@ -1483,7 +1483,7 @@ object ExtQueries {
       s"list_transform(range(1,${n + 1}), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), " +
       "(x,y) -> x + y)"
 
-  private def cosSqlN(a: String, b: String, n: Int): String =
+  private[queries] def cosSqlN(a: String, b: String, n: Int): String =
     s"(${dotSqlN(a, b, n)} / (sqrt(${dotSqlN(a, a, n)}) * sqrt(${dotSqlN(b, b, n)})))"
 
   /** Shared twin of the filtered-search pair (in-memory and persisted
@@ -1506,7 +1506,7 @@ object ExtQueries {
 
   /** Sign-LSH bucket over an n-dim vector with the given plane literals —
     * the [[lshBucketSql]] generalization for the embed-pipeline vectors. */
-  private def lshBucketSqlN(emb: String, planes: Array[Array[Double]]): String =
+  private[queries] def lshBucketSqlN(emb: String, planes: Array[Array[Double]]): String =
     planes.zipWithIndex.map { case (p, j) =>
       val lit = p.map(d => s"CAST($d AS DOUBLE)").mkString("([", ", ", "])")
       s"(CASE WHEN ${dotSqlN(emb, lit, p.length)} > 0 THEN ${1L << j} ELSE 0 END)"
@@ -1658,7 +1658,7 @@ object ExtQueries {
 
   /** Recursive k-means over per-sub-space subvectors of the raw
     * embeddings: fixed sample (vec_id < 256). Ends in `cw(m, j, c)`. */
-  private val PqKmCtes: String =
+  private[queries] val PqKmCtes: String =
     s"""ms AS (SELECT unnest(range(0, 8)) AS m),
        |samp AS (SELECT vec_id, m,
        |    list_transform(range(1, 9), i -> CAST(embedding[m*8 + i] AS DOUBLE)) AS s
@@ -1668,7 +1668,7 @@ object ExtQueries {
 
   /** Recursive k-means over FULL 64-dim vectors (trainCodebook with m=1):
     * the coarse-quantizer twin. Ends in `reps(cell, rep)`. */
-  private val CoarseKmCtes: String = {
+  private[queries] val CoarseKmCtes: String = {
     val sqd = "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
       "list_transform(range(1, 65), i -> (s.s[i] - k.c[i]) * (s.s[i] - k.c[i]))), " +
       "(x, y) -> x + y)"
@@ -2269,11 +2269,14 @@ object ExtQueries {
     // ADAPTIVE sign-bucket (all 14 prefix-plane bits computed, masked to
     // the same integer plane-count recurrence EmbedPipeline.planeCount
     // runs: smallest nP in [4,14] with nChunks >> nP <= 1024) over
-    // MEAN-CENTERED vectors (per-dim sum of integer-valued doubles is
-    // IEEE-exact and order-free, so sum/count is bit-equal to Spark's),
-    // sequential cosine folds on the RAW vectors; keeper = min
-    // lexicographic predecessor via the doc·2^20+chunk composite
-    // (chunk_id bounded far below 2^20)
+    // ANGULAR direction vectors (v/|v| − 1/√16: Σv² is an exact integer
+    // sum, sqrt correctly rounded, division/subtraction single IEEE ops —
+    // all ROW-LOCAL, so bit-equal to Spark with no corpus statistic to
+    // mirror), candidate predecessors capped at the bucket's CandidateCap
+    // smallest (doc, chunk) via QUALIFY (the Spark side's bounded-verify
+    // row_number filter, verbatim), sequential cosine folds on the RAW
+    // vectors; keeper = min lexicographic predecessor via the
+    // doc·2^20+chunk composite (chunk_id bounded far below 2^20)
     "corpus_embed_pipeline" -> {
       val planes16 = graft.ext.Similarity.hyperplanes(
         graft.ext.EmbedPipeline.MaxPlanes, 16)
@@ -2303,19 +2306,24 @@ object ExtQueries {
          |    (SELECT unnest(range(4, ${graft.ext.EmbedPipeline.MaxPlanes + 1})) AS j),
          |    (SELECT count(*) AS n FROM v)
          |  WHERE (n >> j) <= 1024 OR j = ${graft.ext.EmbedPipeline.MaxPlanes}),
-         |mean AS (SELECT list(mv ORDER BY d) AS m FROM (
-         |    SELECT d, sum(vec[CAST(d AS INT)]) / (SELECT count(*) FROM v) AS mv
-         |    FROM v, (SELECT unnest(range(1, 17)) AS d) GROUP BY d)),
          |cv AS (SELECT doc_id, chunk_id, chunk_md5, vec,
          |    list_transform(range(1, 17),
-         |      i -> vec[CAST(i AS INT)] - m[CAST(i AS INT)]) AS c16
-         |  FROM v, mean),
+         |      i -> vec[CAST(i AS INT)]
+         |        / sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |            list_transform(range(1, 17),
+         |              j -> vec[CAST(j AS INT)] * vec[CAST(j AS INT)])),
+         |            (x, y) -> x + y))
+         |        - ${graft.ext.EmbedPipeline.uniformDirComponent(16)}) AS c16
+         |  FROM v),
          |b AS (SELECT doc_id, chunk_id, chunk_md5, vec,
          |    ${lshBucketSqlN("c16", planes16)} % nb AS bucket FROM cv, np),
          |drops AS (SELECT b2.doc_id, b2.chunk_id,
          |    min(a.a_doc * 1048576 + a.a_chunk) AS kp
          |  FROM b b2 JOIN (SELECT bucket, doc_id AS a_doc,
-         |      chunk_id AS a_chunk, vec AS a_vec FROM b) a
+         |      chunk_id AS a_chunk, vec AS a_vec FROM b
+         |    QUALIFY row_number() OVER (PARTITION BY bucket
+         |      ORDER BY doc_id, chunk_id)
+         |        <= ${graft.ext.EmbedPipeline.CandidateCap}) a
          |    ON a.bucket = b2.bucket
          |  WHERE (a.a_doc < b2.doc_id
          |         OR (a.a_doc = b2.doc_id AND a.a_chunk < b2.chunk_id))

@@ -36,8 +36,9 @@ object R11Queries {
   private val replaySeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Tercile batch id for `ts` given the corpus [tmin, tmax] — floor
-    * division on µs longs, mirrored verbatim by the oracle SQL. */
-  private def tercile(ts: Long, tmin: Long, tmax: Long): Int =
+    * division on µs longs, mirrored verbatim by the oracle SQL
+    * ([[TercileCaseSql]]). Shared with the wave-2 replays (R11bQueries). */
+  private[queries] def tercileOf(ts: Long, tmin: Long, tmax: Long): Int =
     if (ts < tmin + (tmax - tmin) / 3) 0
     else if (ts < tmin + 2 * (tmax - tmin) / 3) 1
     else 2
@@ -63,7 +64,7 @@ object R11Queries {
       .select(col("user_id"), col("event_id"), col("event_type"), col("ts_us"))
       .as[Scd2Stream.CEvt].collect().toSeq
     val (tmin, tmax) = (evs.map(_.ts_us).min, evs.map(_.ts_us).max)
-    val batches = (0 to 2).map(b => evs.filter(e => tercile(e.ts_us, tmin, tmax) == b))
+    val batches = (0 to 2).map(b => evs.filter(e => tercileOf(e.ts_us, tmin, tmax) == b))
     val input = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[Scd2Stream.CEvt]
     val sinkName = s"graft_scd2_replay_${replaySeq.incrementAndGet()}"
@@ -109,7 +110,7 @@ object R11Queries {
       .select(col("user_id"), col("ts_us"))
       .as[(Long, Long)].collect().toSeq
     val (tmin, tmax) = (evs.map(_._2).min, evs.map(_._2).max)
-    val batches = (0 to 2).map(b => evs.filter(e => tercile(e._2, tmin, tmax) == b))
+    val batches = (0 to 2).map(b => evs.filter(e => tercileOf(e._2, tmin, tmax) == b))
     val input = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(Long, Long)]
     val events = input.toDF().toDF("user_id", "ts_us")
@@ -190,7 +191,7 @@ object R11Queries {
 
   /** Shared tercile SQL fragment over a CTE `e(user_id, ..., ts_us)` with
     * bounds CTE `r(tmin, tmax)`. */
-  private val TercileCase =
+  private[queries] val TercileCaseSql =
     """CASE WHEN ts_us < tmin + (tmax - tmin) // 3 THEN 0
       |     WHEN ts_us < tmin + 2 * (tmax - tmin) // 3 THEN 1
       |     ELSE 2 END""".stripMargin
@@ -204,7 +205,7 @@ object R11Queries {
       s"""WITH e AS (
          |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events),
          |r AS (SELECT min(ts_us) AS tmin, max(ts_us) AS tmax FROM e),
-         |b AS (SELECT e.*, $TercileCase AS bt FROM e, r),
+         |b AS (SELECT e.*, $TercileCaseSql AS bt FROM e, r),
          |v AS (SELECT user_id, event_id, event_type, ts_us AS valid_from,
          |    lead(ts_us) OVER w AS valid_to, bt, lead(bt) OVER w AS next_bt
          |  FROM b WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id))

@@ -13,9 +13,9 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * Stage 1 computes each document's winnowing fingerprint SET row-locally
   * (streaming-safe: no window over the token stream — the batch operator's
   * doc-partitioned windows become array ops inside the row, producing the
-  * IDENTICAL 40-bit hash set, spec-asserted). Each intermediate array
-  * materializes as an attribute before a lambda indexes it — the
-  * interpreted-HOF re-evaluation trap recorded in PLANS.md.
+  * IDENTICAL 40-bit hash set, spec-asserted). See [[fingerprintHits]] for
+  * the construction rule that keeps the array lambdas out of the
+  * interpreted-HOF re-evaluation trap.
   *
   * Stage 2 is one stateful shuffle keyed by the fingerprint hash: per-hash
   * GroupState holds the hash's canonical (minimum) owner doc, and every
@@ -32,30 +32,54 @@ object WinnowingStream {
 
   /** Row-local (fingerprint-hash, doc_id) hits; docs under 8 tokens have
     * no full winnowing window (n_grams < w) and emit nothing — identical
-    * to the batch selection filter. */
+    * to the batch selection filter.
+    *
+    * Construction rule (round 11, measured): NO lambda body may reference
+    * an outer ARRAY column — the optimizer can inline the array's
+    * defining expression into the lambda, and interpreted higher-order
+    * eval then re-runs it PER ELEMENT (the original element_at(t, i)
+    * shape re-split the document per gram: 220 s of one-core eval on 100
+    * replay docs). Every step below is a zip_with/transform whose lambda
+    * touches only its element variables; shifted-array zips build the
+    * 5-gram strings, and a two-level sparse-table least() builds the
+    * 4-window minima. Values are identical to the old shape (same gram
+    * strings, same packed tie-break), only the eval cost changed. */
   def fingerprintHits(docs: DataFrame): Dataset[FpHit] = {
     val spark = docs.sparkSession
     import spark.implicits._
     val t = col("t")
-    val grams = transform(sequence(lit(1), size(t) - 4), i =>
-      conv(substring(md5(concat_ws(" ",
-        element_at(t, i), element_at(t, i + 1), element_at(t, i + 2),
-        element_at(t, i + 3), element_at(t, i + 4))), 1, 10), 16, 10)
-        .cast("long"))
+    def shift(n: Int) = slice(t, lit(n), greatest(size(t) - (n - 1), lit(0)))
+    val sp = lit(" ")
+    // 5-gram strings via shifted zips: g5[i] = t[i] ' ' t[i+1] .. t[i+4]
+    // (null past the full range — sliced away below)
+    val g2 = zip_with(t, shift(2), (a, b) => concat(a, sp, b))
+    val g5 = zip_with(
+      zip_with(g2, shift(3), (a, b) => concat(a, sp, b)),
+      zip_with(shift(4), shift(5), (a, b) => concat(a, sp, b)),
+      (a, b) => concat(a, sp, b))
     docs
       .withColumn("t", TextAnalysis.tokens(col("text")))
       .filter(size(col("t")) >= 8) // n_grams >= w = 4
-      .withColumn("gh", grams)
+      // gram hashes: 40-bit md5 prefix per full 5-gram
+      .withColumn("gh", transform(slice(g5, lit(1), size(t) - 4),
+        s => conv(substring(md5(s), 1, 10), 16, 10).cast("long")))
       // pack (hash, pos) exactly like the batch operator: h·2²⁰ +
       // (2²⁰−1−pos) — rightmost-min tie-break, integer-exact
-      .withColumn("packed", expr(
-        "transform(sequence(1, size(gh)), p -> " +
-          "element_at(gh, p) * 1048576L + (1048575L - p))"))
-      .withColumn("fps", expr(
-        "array_distinct(transform(" +
-          "transform(sequence(1, size(gh) - 3), p -> " +
-          "  array_min(slice(packed, p, 4)))," +
-          "  v -> v div 1048576L))"))
+      .withColumn("packed", zip_with(col("gh"),
+        sequence(lit(1L), size(col("gh")).cast("long")),
+        (h, p) => h * lit(1048576L) + (lit(1048575L) - p)))
+      // 4-window minima by doubling: w2[i] = min(p[i], p[i+1]);
+      // w4[i] = min(w2[i], w2[i+2]) = min(p[i..i+3])
+      .withColumn("w2", zip_with(col("packed"),
+        slice(col("packed"), lit(2), greatest(size(col("packed")) - 1, lit(0))),
+        (a, b) => least(a, b)))
+      .withColumn("fps", array_distinct(transform(
+        slice(zip_with(col("w2"),
+            slice(col("w2"), lit(3), greatest(size(col("w2")) - 2, lit(0))),
+            (a, b) => least(a, b)),
+          lit(1), size(col("packed")) - 3),
+        // packed is non-negative, so h = packed div 2²⁰ = a right shift
+        v => shiftright(v, 20))))
       .select(explode(col("fps")).as("h"), col("doc_id"))
       .as[FpHit]
   }
