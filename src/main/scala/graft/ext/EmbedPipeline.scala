@@ -175,4 +175,29 @@ object EmbedPipeline {
         col("keeper_doc"), col("keeper_chunk"))
       .orderBy("doc_id", "chunk_id")
   }
+
+  /** Bounded-verify RECEIPT: one row per LSH bucket with its population,
+    * the predecessor-candidate count actually served (min(n, W)), and
+    * whether [[CandidateCap]] truncated it — the same drop-accounting
+    * discipline as the minhash maxBucket cap, as a gate-checked key
+    * instead of a log line. At the oracle gates every `truncated` is
+    * false (the cap-free regime); on the timing rungs this is the receipt
+    * for exactly which cells pay the recall trade. */
+  def capAudit(docs: DataFrame, dims: Int = 16, window: Int = 32,
+      stride: Int = 24, nPlanes: Int = 4): DataFrame = {
+    val v0 = chunkVectors(docs, dims, window, stride)
+    val nChunks = v0.count()
+    val planes = Similarity.hyperplanes(MaxPlanes, dims)
+      .take(planeCount(math.max(nChunks, 1L), nPlanes))
+    val norm = sqrt(aggregate(col("vec"), lit(0.0), (a, x) => a + x * x))
+    val dir = transform(col("vec"),
+      x => x / col("nrm") - lit(uniformDirComponent(dims)))
+    v0.withColumn("nrm", norm)
+      .withColumn("bucket", Similarity.lshBucket(dir, planes))
+      .groupBy("bucket").agg(count(lit(1)).as("n_chunks"))
+      .select(col("bucket"), col("n_chunks"),
+        least(col("n_chunks"), lit(CandidateCap.toLong)).as("candidates_kept"),
+        (col("n_chunks") > CandidateCap).as("truncated"))
+      .orderBy("bucket")
+  }
 }

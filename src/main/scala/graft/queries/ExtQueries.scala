@@ -1668,6 +1668,52 @@ object ExtQueries {
 
   /** Recursive k-means over FULL 64-dim vectors (trainCodebook with m=1):
     * the coarse-quantizer twin. Ends in `reps(cell, rep)`. */
+  /** Shared chunk→vector→angular-bucket CTE chain of the embed
+    * pipeline twins, ending in `b(doc_id, chunk_id, chunk_md5, vec,
+    * bucket)` — used by corpus_embed_pipeline and the cap-audit
+    * receipt key (R11hQueries). */
+  private[queries] val EmbedBucketCtes: String = {
+    val planes16 = graft.ext.Similarity.hyperplanes(
+      graft.ext.EmbedPipeline.MaxPlanes, 16)
+    s"""tok AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t
+         |  FROM documents),
+         |st AS (SELECT doc_id, t, unnest(range(0, (len(t)-1)//24 + 1)) AS s
+         |  FROM tok WHERE len(t) > 0),
+         |ch AS (SELECT doc_id, CAST(s AS BIGINT) AS chunk_id,
+         |    t[s*24+1 : s*24+32] AS c,
+         |    md5(array_to_string(t[s*24+1 : s*24+32], ' ')) AS chunk_md5
+         |  FROM st),
+         |cells AS (SELECT doc_id, chunk_id, chunk_md5,
+         |    ${hexFoldSql(1, 15)} % 16 AS dim, count(*) AS c
+         |  FROM (SELECT doc_id, chunk_id, chunk_md5, md5(tok) AS hx
+         |        FROM (SELECT doc_id, chunk_id, chunk_md5, unnest(c) AS tok
+         |              FROM ch))
+         |  GROUP BY 1, 2, 3, 4),
+         |vecs AS (SELECT doc_id, chunk_id, chunk_md5,
+         |    map_from_entries(list({'k': dim, 'v': c})) AS m
+         |  FROM cells GROUP BY 1, 2, 3),
+         |v AS (SELECT doc_id, chunk_id, chunk_md5,
+         |    list_transform(range(0, 16), d ->
+         |      CAST(coalesce(list_extract(map_extract(m, d), 1), 0) AS DOUBLE))
+         |      AS vec
+         |  FROM vecs),
+         |np AS (SELECT CAST(1 AS BIGINT) << min(j) AS nb FROM
+         |    (SELECT unnest(range(4, ${graft.ext.EmbedPipeline.MaxPlanes + 1})) AS j),
+         |    (SELECT count(*) AS n FROM v)
+         |  WHERE (n >> j) <= 1024 OR j = ${graft.ext.EmbedPipeline.MaxPlanes}),
+         |cv AS (SELECT doc_id, chunk_id, chunk_md5, vec,
+         |    list_transform(range(1, 17),
+         |      i -> vec[CAST(i AS INT)]
+         |        / sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |            list_transform(range(1, 17),
+         |              j -> vec[CAST(j AS INT)] * vec[CAST(j AS INT)])),
+         |            (x, y) -> x + y))
+         |        - ${graft.ext.EmbedPipeline.uniformDirComponent(16)}) AS c16
+         |  FROM v),
+         |b AS (SELECT doc_id, chunk_id, chunk_md5, vec,
+         |    ${lshBucketSqlN("c16", planes16)} % nb AS bucket FROM cv, np)""".stripMargin
+  }
+
   private[queries] val CoarseKmCtes: String = {
     val sqd = "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
       "list_transform(range(1, 65), i -> (s.s[i] - k.c[i]) * (s.s[i] - k.c[i]))), " +
@@ -2280,43 +2326,7 @@ object ExtQueries {
     "corpus_embed_pipeline" -> {
       val planes16 = graft.ext.Similarity.hyperplanes(
         graft.ext.EmbedPipeline.MaxPlanes, 16)
-      s"""WITH tok AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t
-         |  FROM documents),
-         |st AS (SELECT doc_id, t, unnest(range(0, (len(t)-1)//24 + 1)) AS s
-         |  FROM tok WHERE len(t) > 0),
-         |ch AS (SELECT doc_id, CAST(s AS BIGINT) AS chunk_id,
-         |    t[s*24+1 : s*24+32] AS c,
-         |    md5(array_to_string(t[s*24+1 : s*24+32], ' ')) AS chunk_md5
-         |  FROM st),
-         |cells AS (SELECT doc_id, chunk_id, chunk_md5,
-         |    ${hexFoldSql(1, 15)} % 16 AS dim, count(*) AS c
-         |  FROM (SELECT doc_id, chunk_id, chunk_md5, md5(tok) AS hx
-         |        FROM (SELECT doc_id, chunk_id, chunk_md5, unnest(c) AS tok
-         |              FROM ch))
-         |  GROUP BY 1, 2, 3, 4),
-         |vecs AS (SELECT doc_id, chunk_id, chunk_md5,
-         |    map_from_entries(list({'k': dim, 'v': c})) AS m
-         |  FROM cells GROUP BY 1, 2, 3),
-         |v AS (SELECT doc_id, chunk_id, chunk_md5,
-         |    list_transform(range(0, 16), d ->
-         |      CAST(coalesce(list_extract(map_extract(m, d), 1), 0) AS DOUBLE))
-         |      AS vec
-         |  FROM vecs),
-         |np AS (SELECT CAST(1 AS BIGINT) << min(j) AS nb FROM
-         |    (SELECT unnest(range(4, ${graft.ext.EmbedPipeline.MaxPlanes + 1})) AS j),
-         |    (SELECT count(*) AS n FROM v)
-         |  WHERE (n >> j) <= 1024 OR j = ${graft.ext.EmbedPipeline.MaxPlanes}),
-         |cv AS (SELECT doc_id, chunk_id, chunk_md5, vec,
-         |    list_transform(range(1, 17),
-         |      i -> vec[CAST(i AS INT)]
-         |        / sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-         |            list_transform(range(1, 17),
-         |              j -> vec[CAST(j AS INT)] * vec[CAST(j AS INT)])),
-         |            (x, y) -> x + y))
-         |        - ${graft.ext.EmbedPipeline.uniformDirComponent(16)}) AS c16
-         |  FROM v),
-         |b AS (SELECT doc_id, chunk_id, chunk_md5, vec,
-         |    ${lshBucketSqlN("c16", planes16)} % nb AS bucket FROM cv, np),
+      s"""WITH ${EmbedBucketCtes},
          |drops AS (SELECT b2.doc_id, b2.chunk_id,
          |    min(a.a_doc * 1048576 + a.a_chunk) AS kp
          |  FROM b b2 JOIN (SELECT bucket, doc_id AS a_doc,

@@ -70,10 +70,27 @@ object R11hQueries {
       .orderBy("vec_id", "m")
   }
 
+  /** The bounded-verify receipt of the embed pipeline's CandidateCap —
+    * per-bucket population + candidates served + truncation flag (all
+    * false at gate SFs, where the cap is provably free). */
+  private val corpusEmbedCapAudit: Q = (s, dir) =>
+    graft.ext.EmbedPipeline.capAudit(Synth.documents(s, dir))
+
   val queries: Map[String, Q] = Map(
-    "stream_pqindex_replay" -> streamPqIndexReplay)
+    "stream_pqindex_replay" -> streamPqIndexReplay,
+    "corpus_embed_cap_audit" -> corpusEmbedCapAudit)
 
   val oracle: Map[String, String] = Map(
+    // the shared chunk→vector→angular-bucket chain, grouped per bucket
+    // with the same least/cap arithmetic as EmbedPipeline.capAudit
+    "corpus_embed_cap_audit" ->
+      s"""WITH ${ExtQueries.EmbedBucketCtes}
+         |SELECT bucket, CAST(count(*) AS BIGINT) AS n_chunks,
+         |  CAST(least(count(*), ${graft.ext.EmbedPipeline.CandidateCap})
+         |    AS BIGINT) AS candidates_kept,
+         |  count(*) > ${graft.ext.EmbedPipeline.CandidateCap} AS truncated
+         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+
     // trained coarse reps (first-max cosine cell) + per-subspace argmin
     // codes against the epoch of each vector's tercile batch: epoch 1 =
     // the SQL-trained codebook, epoch 2 = its elementwise negation
