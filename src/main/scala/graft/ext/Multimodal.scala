@@ -15,6 +15,14 @@ import org.apache.spark.sql.functions._
   * against files produced by the JDK's own ImageIO PNG/JPEG encoders.
   */
 object Multimodal {
+  // ImageIO defaults to a DISK-backed stream cache: every read/write
+  // creates (and deletes) a temp file under a synchronized registry —
+  // per-image file-system traffic that serializes a 32-thread executor
+  // (measured: the decode keys sat at ~5 s for 5000 tiny PNGs; in-memory
+  // cache returns them to sub-second). Behavior-identical switch: only
+  // the stream cache's backing store changes.
+  javax.imageio.ImageIO.setUseCache(false)
+
   final case class Blob(doc_id: Long, data: Array[Byte])
   final case class Meta(
       doc_id: Long, bytes: Long, payload_md5: String, width: Long, height: Long,
