@@ -145,13 +145,15 @@ object EmbedPipeline {
     }
     val planes = Similarity.hyperplanes(MaxPlanes, dims)
       .take(planeCount(nChunks, nPlanes))
+    // The lambda body touches ONLY its element variables (the HOF inlining
+    // trap this file's sibling WinnowingStream documents: a lambda that
+    // references an outer column can get that column's defining fold
+    // INLINED and re-run per element). The norm fold rides in via
+    // array_repeat — evaluated once per row, then zipped.
     val norm = sqrt(aggregate(col("vec"), lit(0.0), (a, x) => a + x * x))
-    val dir = transform(col("vec"),
-      x => x / col("nrm") - lit(uniformDirComponent(dims)))
-    val v = v0
-      .withColumn("nrm", norm)
-      .withColumn("bucket", Similarity.lshBucket(dir, planes))
-      .drop("nrm")
+    val dir = zip_with(col("vec"), array_repeat(norm, dims),
+      (x, n) => x / n - lit(uniformDirComponent(dims)))
+    val v = v0.withColumn("bucket", Similarity.lshBucket(dir, planes))
     // bounded-verify candidate set: the W smallest (doc, chunk) per bucket
     // (a 55k-row per-bucket sort is N log N — the skewed SORT is cheap,
     // it is the skewed JOIN PRODUCT the cap removes)
@@ -189,15 +191,21 @@ object EmbedPipeline {
     val nChunks = v0.count()
     val planes = Similarity.hyperplanes(MaxPlanes, dims)
       .take(planeCount(math.max(nChunks, 1L), nPlanes))
+    // element-local lambda (see semanticChunkDedup): one norm fold per row
     val norm = sqrt(aggregate(col("vec"), lit(0.0), (a, x) => a + x * x))
-    val dir = transform(col("vec"),
-      x => x / col("nrm") - lit(uniformDirComponent(dims)))
-    v0.withColumn("nrm", norm)
-      .withColumn("bucket", Similarity.lshBucket(dir, planes))
+    val dir = zip_with(col("vec"), array_repeat(norm, dims),
+      (x, n) => x / n - lit(uniformDirComponent(dims)))
+    v0.withColumn("bucket", Similarity.lshBucket(dir, planes))
       .groupBy("bucket").agg(count(lit(1)).as("n_chunks"))
       .select(col("bucket"), col("n_chunks"),
         least(col("n_chunks"), lit(CandidateCap.toLong)).as("candidates_kept"),
-        (col("n_chunks") > CandidateCap).as("truncated"))
+        (col("n_chunks") > CandidateCap).as("truncated"),
+        // upper bound on MISSED drops in this bucket: a chunk at bucket
+        // rank r sees all its predecessors iff r ≤ W+1, so at most
+        // n − W − 1 chunks can have a tau-similar predecessor outside
+        // their candidate window. 0 everywhere the cap doesn't bind.
+        greatest(col("n_chunks") - lit(CandidateCap.toLong + 1L), lit(0L))
+          .as("chunks_at_risk"))
       .orderBy("bucket")
   }
 }

@@ -88,7 +88,10 @@ object R11hQueries {
          |SELECT bucket, CAST(count(*) AS BIGINT) AS n_chunks,
          |  CAST(least(count(*), ${graft.ext.EmbedPipeline.CandidateCap})
          |    AS BIGINT) AS candidates_kept,
-         |  count(*) > ${graft.ext.EmbedPipeline.CandidateCap} AS truncated
+         |  count(*) > ${graft.ext.EmbedPipeline.CandidateCap} AS truncated,
+         |  CAST(greatest(
+         |    count(*) - ${graft.ext.EmbedPipeline.CandidateCap + 1}, 0)
+         |    AS BIGINT) AS chunks_at_risk
          |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     // trained coarse reps (first-max cosine cell) + per-subspace argmin

@@ -46,8 +46,12 @@ import org.apache.spark.sql.functions._
   */
 final class ByteThresholdParquetSink(cfg: GraftConfig, url: String)
     extends AutoCloseable {
-  private var batches: List[DataFrame] = Nil
-  private val sizes = mutable.Map.empty[String, Long]
+  // newest-first (epoch, batch) buffer: keyed by epoch so a RETRIED
+  // micro-batch (foreachBatch replays the same epoch id after a failed
+  // attempt — Spark's recovery unit) REPLACES its buffered predecessor
+  // instead of double-buffering; see the exactly-once note on [[addBatch]]
+  private var batches: List[(Long, DataFrame)] = Nil
+  private val epochBytes = mutable.Map.empty[Long, Map[String, Long]]
   private var lastFlushNs = System.nanoTime()
 
   private val timer =
@@ -65,17 +69,37 @@ final class ByteThresholdParquetSink(cfg: GraftConfig, url: String)
       (System.nanoTime() - lastFlushNs) / 1000000L >= cfg.flushMs) flush()
   }
 
-  /** foreachBatch entry point. */
-  def addBatch(batch: DataFrame, epoch: Long): Unit = synchronized {
-    val b = batch.persist()
-    b.groupBy("topic").agg(sum(octet_length(col("value"))).as("bytes"))
-      .collect().foreach { r =>
-        if (!r.isNullAt(1))
-          sizes(r.getString(0)) = sizes.getOrElse(r.getString(0), 0L) + r.getLong(1)
+  /** Merged per-destination byte tally across all buffered epochs. */
+  private def mergedSizes: Map[String, Long] =
+    epochBytes.valuesIterator.flatten
+      .foldLeft(Map.empty[String, Long]) { case (acc, (t, n)) =>
+        acc.updated(t, acc.getOrElse(t, 0L) + n)
       }
-    batches ::= b
-    val thresholdHit =
-      cfg.parquetBufferBytes.exists(max => sizes.valuesIterator.exists(_ >= max))
+
+  /** foreachBatch entry point. Idempotent per EPOCH while the epoch is
+    * still buffered: Spark's failure recovery replays a failed micro-batch
+    * under the same epoch id, so a retried addBatch REPLACES the buffered
+    * attempt (no double-count in rows or in the flush tally). An epoch
+    * replayed AFTER its flush has left the process is the documented
+    * at-most-one-buffer loss/duplication window of this sink — deployments
+    * needing cross-flush exactly-once use
+    * [[RoutedSink.writeRoutedExactlyOnce]] (epoch-marker committed). */
+  def addBatch(batch: DataFrame, epoch: Long): Unit = synchronized {
+    batches.find(_._1 == epoch).foreach { case (_, stale) =>
+      stale.unpersist()
+      batches = batches.filterNot(_._1 == epoch)
+      epochBytes.remove(epoch)
+    }
+    val b = batch.persist()
+    val tally = b.groupBy("topic")
+      .agg(sum(octet_length(col("value"))).as("bytes"))
+      .collect().flatMap { r =>
+        if (r.isNullAt(1)) None else Some(r.getString(0) -> r.getLong(1))
+      }.toMap
+    epochBytes(epoch) = tally
+    batches ::= (epoch, b)
+    val thresholdHit = cfg.parquetBufferBytes.exists(max =>
+      mergedSizes.valuesIterator.exists(_ >= max))
     val timerFired =
       (System.nanoTime() - lastFlushNs) / 1000000L >= cfg.flushMs
     if (thresholdHit || timerFired) flush()
@@ -84,17 +108,17 @@ final class ByteThresholdParquetSink(cfg: GraftConfig, url: String)
   /** Drain every destination's buffer into the routed parquet tree. */
   def flush(): Unit = synchronized {
     if (batches.nonEmpty) {
-      val all = batches.reverse.reduce(_ unionAll _)
+      val all = batches.reverse.map(_._2).reduce(_ unionAll _)
       RoutedSink.writeRouted(all, cfg, url)
-      batches.foreach(_.unpersist())
+      batches.foreach(_._2.unpersist())
     }
     batches = Nil
-    sizes.clear()
+    epochBytes.clear()
     lastFlushNs = System.nanoTime()
   }
 
   /** Buffered byte tally per destination (test/metrics introspection). */
-  def bufferedBytes: Map[String, Long] = synchronized { sizes.toMap }
+  def bufferedBytes: Map[String, Long] = synchronized { mergedSizes }
 
   /** Final drain + timer shutdown (the termination listener calls this). */
   override def close(): Unit = {

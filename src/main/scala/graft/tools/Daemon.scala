@@ -69,7 +69,8 @@ object Daemon {
       tlsOptions + ("name" -> sourceName))
     val cadence = if (triggerMs > 0) triggerMs else cfg.flushMs
     // The reference's PRIMARY sink is Kafka (src/sink/kafka.rs:107-198) with
-    // parquet the alternative (src/main.rs:85-100, sink type from settings);
+    // parquet the alternative (src/serve/mod.rs:81-117 picks the sink —
+    // Kafka if configured, else file — from settings);
     // `kafkaBootstrap` selects the same way: every micro-batch's (topic,
     // value) rows go out over the raw wire client (conf-driven TLS/SCRAM/
     // acks/codec, per-partition producers), checkpointed exactly like the

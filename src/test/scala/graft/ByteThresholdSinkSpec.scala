@@ -93,6 +93,32 @@ class ByteThresholdSinkSpec extends AnyFunSuite {
     } finally sink.close()
   }
 
+  test("retried micro-batch (same epoch) lands exactly once — no duplicate " +
+    "rows, no double-counted tally") {
+    // Spark's recovery unit: a failed foreachBatch attempt is REPLAYED
+    // under the same epoch id. Inject the retry directly — add epoch 5,
+    // then add it again (as the engine does after a failed attempt) —
+    // and assert replace-not-append semantics end to end.
+    val out = Files.createTempDirectory("graft-bts-retry").toString
+    val sink = new ByteThresholdParquetSink(cfg(bufferBytes = 1 << 30), out)
+    try {
+      val b5 = routedDf("a" -> "first", "b" -> "second")
+      sink.addBatch(b5, 5L)
+      val tallyOnce = sink.bufferedBytes
+      sink.addBatch(b5, 5L) // the retry
+      assert(sink.bufferedBytes == tallyOnce,
+        "replayed epoch must not inflate the flush tally")
+      sink.addBatch(routedDf("a" -> "next"), 6L) // a later epoch appends
+      sink.flush()
+      val rows = spark.read.parquet(out)
+      assert(rows.count() == 3L,
+        "retried epoch 5 must land its 2 rows exactly once (+1 from epoch 6)")
+      import spark.implicits._
+      assert(rows.select("value").as[String].collect().sorted.toSeq ==
+        Seq("first", "next", "second"))
+    } finally sink.close()
+  }
+
   test("streaming end-to-end: buffered sink + shutdown flush on termination") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -16,7 +16,8 @@ import scala.util.Try
 
 /** The daemon→Kafka composition (r10 verdict residual #3): the reference's
   * PRIMARY operating mode is syslog server → cascade → Kafka producer
-  * (src/main.rs:85-100 picks the sink, src/sink/kafka.rs:107-198 delivers)
+  * (src/serve/mod.rs:81-117 picks the sink, src/sink/kafka.rs:107-198
+  * delivers)
   * — DaemonSpec exhibits the parquet alternative; this drives the same
   * continuous assembly into the raw-wire Kafka client against the loopback
   * broker, on the ProcessingTime cadence, then drains cleanly.
@@ -53,6 +54,11 @@ class DaemonKafkaSpec extends AnyFunSuite {
       // own — that's the operating-mode claim
       while (broker.received.size < n &&
         System.currentTimeMillis() < deadline) Thread.sleep(200)
+      // duplicate-delivery window: once size n is reached, wait two more
+      // trigger intervals and re-read, so a replayed foreachBatch that
+      // re-produces records AFTER the nth arrival cannot escape the exact
+      // size assertion below
+      Thread.sleep(2 * 200L)
       val got = broker.received.asScala.toVector
       assert(got.size == n, s"expected $n produced records, got ${got.size}")
       // dynamic routing: every record landed on the meta.topic destination

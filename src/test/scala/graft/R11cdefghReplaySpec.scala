@@ -117,6 +117,8 @@ class R11cdefghReplaySpec extends AnyFunSuite {
     assert(rows.forall(!_.getBoolean(3)), "cap must not bind at gate SFs")
     assert(rows.forall(r => r.getLong(2) == r.getLong(1)),
       "candidates_kept must equal n_chunks when untruncated")
+    assert(rows.forall(_.getLong(4) == 0L),
+      "chunks_at_risk (missed-drop upper bound) must be 0 when cap-free")
     val total = rows.map(_.getLong(1)).sum
     val nChunks = graft.ext.EmbedPipeline
       .chunkVectors(graft.queries.Synth.documents(spark, sf)).count()
