@@ -23,6 +23,30 @@ object RoutedSink {
   def kafkaShape(routed: DataFrame): DataFrame =
     routed.select(col("topic").cast("string"), col("value").cast("string"))
 
+  /** Per-topic coalescing pump: buffers a Spark partition's rows by topic
+    * and ships each topic's buffer as ONE Produce request every `batchN`
+    * payloads (librdkafka's batch.num.messages) — the difference between
+    * ~1k and ~100k msgs/s through one broker socket. Remainders drain at
+    * partition end, before the client's flush barrier. */
+  private def pumpRows(rows: Iterator[org.apache.spark.sql.Row],
+      client: KafkaProduceClient, batchN: Int): Unit = {
+    val bufs = scala.collection.mutable.Map.empty[String,
+      scala.collection.mutable.ArrayBuffer[String]]
+    rows.foreach { r =>
+      val b = bufs.getOrElseUpdate(r.getString(0),
+        new scala.collection.mutable.ArrayBuffer[String](batchN))
+      b += r.getString(1)
+      if (b.length >= batchN) {
+        client.sendBatch(r.getString(0), b.toSeq)
+        b.clear()
+      }
+    }
+    bufs.foreach { case (topic, b) =>
+      if (b.nonEmpty) client.sendBatch(topic, b.toSeq)
+    }
+    client.flush()
+  }
+
   /** Deliver `(topic, value)` rows to a Kafka broker over the wire
     * protocol, one [[KafkaProduceClient]] per partition: sends are detached
     * within the partition (the reference's per-message spawn,
@@ -39,13 +63,14 @@ object RoutedSink {
     val acks = KafkaProduceClient.acksFromConf(kafkaConf)
     val codec = KafkaProduceClient.compressionFromConf(kafkaConf)
     val version = KafkaProduceClient.produceVersionFromConf(kafkaConf)
+    val batchN = KafkaProduceClient.batchNumMessagesFromConf(kafkaConf)
     kafkaShape(routed).foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
       // TLS context built HERE, per executor — only the PEM path ships
       val client = new KafkaProduceClient(broker, timeoutMs,
         statsdHostPort.map { case (h, p) => new graft.metrics.StatsdEmitter(h, p) },
         tlsCaCert = tlsCaCert, acks = acks, compression = codec,
         apiVersion = version)
-      try { rows.foreach(r => client.send(r.getString(0), r.getString(1))); client.flush() }
+      try pumpRows(rows, client, batchN)
       finally client.close()
     }
   }
@@ -72,6 +97,7 @@ object RoutedSink {
     val version = KafkaProduceClient.produceVersionFromConf(conf)
     val maxBytes = KafkaProduceClient.maxMessageBytesFromConf(conf)
     val idem = KafkaProduceClient.idempotenceFromConf(conf)
+    val batchN = KafkaProduceClient.batchNumMessagesFromConf(conf)
     val timeoutMs = cfg.kafkaTimeoutMs.toInt
     kafkaShape(routed).foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
       val client = new KafkaProduceClient(broker, timeoutMs,
@@ -79,7 +105,7 @@ object RoutedSink {
         tlsCaCert = tls, sasl = sasl, saslAlgo = algo,
         acks = acks, compression = codec, apiVersion = version,
         maxMessageBytes = maxBytes, idempotent = idem)
-      try { rows.foreach(r => client.send(r.getString(0), r.getString(1))); client.flush() }
+      try pumpRows(rows, client, batchN)
       finally client.close()
     }
   }

@@ -42,6 +42,66 @@ class KafkaProduceSpec extends AnyFunSuite {
     } finally { client.close(); broker.close() }
   }
 
+  test("sendBatch coalesces N payloads into ONE wire request (librdkafka " +
+    "batch.num.messages), legacy set and v3 record batch alike") {
+    // v3: one magic-2 record batch carrying all records
+    val b3 = new LoopbackBroker()
+    val c3 = new KafkaProduceClient(b3.broker, timeoutMs = 5000,
+      apiVersion = 3)
+    try {
+      c3.sendBatch("logs", (1 to 50).map(i => s"m$i"))
+      c3.flush()
+      val got = b3.received.toArray(Array.empty[(String, String)]).toSeq
+      assert(got.map(_._2).sorted == (1 to 50).map(i => s"m$i").sorted)
+      assert(b3.frames.size() == 1,
+        s"50 payloads must ride one Produce frame, got ${b3.frames.size()}")
+      assert(counts(c3)("hotdog.kafka.submitted.logs") == 50L)
+    } finally { c3.close(); b3.close() }
+    // legacy v0: one message set with 50 entries (frames records one tuple
+    // per set ENTRY — delivery and counters are the observable contract)
+    val b0 = new LoopbackBroker()
+    val c0 = new KafkaProduceClient(b0.broker, timeoutMs = 5000)
+    try {
+      c0.sendBatch("logs", (1 to 50).map(i => s"m$i"))
+      c0.flush()
+      assert(b0.received.size() == 50)
+      assert(counts(c0)("hotdog.kafka.submitted.logs") == 50L)
+    } finally { c0.close(); b0.close() }
+    // oversized members are screened individually, survivors still ship
+    val bx = new LoopbackBroker()
+    val cx = new KafkaProduceClient(bx.broker, timeoutMs = 5000,
+      maxMessageBytes = 8)
+    try {
+      cx.sendBatch("logs", Seq("ok-1", "way-too-large-payload", "ok-2"))
+      cx.flush()
+      assert(bx.received.size() == 2)
+      val c = counts(cx)
+      assert(c("hotdog.kafka.submitted.logs") == 2L)
+      assert(c("hotdog.kafka.producer.error.message") == 1L)
+    } finally { cx.close(); bx.close() }
+  }
+
+  test("idempotent sendBatch: base sequence advances by record count; a " +
+    "resent batch is absorbed once") {
+    val broker = new LoopbackBroker(dropResponses = 1)
+    val client = new KafkaProduceClient(broker.broker, timeoutMs = 5000,
+      apiVersion = 3, acks = 1, idempotent = true)
+    try {
+      client.sendBatchSync("logs", (1 to 10).map(i => s"b1-$i"))
+      client.sendBatchSync("logs", (1 to 10).map(i => s"b2-$i"))
+      client.flush()
+      // KIP-98: batch 1 base seq 0, batch 2 base seq 10
+      val ids = broker.batchIds.toArray(Array.empty[(Long, Short, Int)])
+        .toSeq.map(_._3).distinct.sorted
+      assert(ids.take(2) == Seq(0, 10),
+        s"base sequences must advance by record count: $ids")
+      // the dropped-ack first attempt was resent with the SAME frame: all
+      // 20 records land exactly once
+      val got = broker.received.toArray(Array.empty[(String, String)]).toSeq
+      assert(got.size == 20, s"exactly-once per batch: ${got.size}")
+    } finally { client.close(); broker.close() }
+  }
+
   test("broker error code maps to kafka.producer.error.<first-word>") {
     // code 3 = "Unknown topic or partition" → errcode "unknown"
     // (src/sink/kafka.rs:203-208 metric_name_for)
