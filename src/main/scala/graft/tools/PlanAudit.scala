@@ -1,19 +1,27 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{ArrayAggregate, Expression, HigherOrderFunction, LambdaFunction, NamedLambdaVariable}
 import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
 import org.apache.spark.sql.execution.window.WindowExec
 
 /** Full-surface physical-plan lint: builds EVERY SparkEntry query at the
-  * given SF, walks its executed plan, and flags the three shapes that do
+  * given SF, walks its executed plan, and flags the four shapes that do
   * not survive a 100x scale-up unless deliberately chosen:
   *
   *   - `cartesian` / `bnlj` — an unkeyed join (CartesianProduct /
   *     BroadcastNestedLoopJoin): quadratic unless one side is a bounded
   *     probe set;
   *   - `unpartitioned-window` — a WindowExec with an empty partition
-  *     spec: the whole input funnels through ONE task.
+  *     spec: the whole input funnels through ONE task;
+  *   - `fold-in-lambda` — an ArrayAggregate inside a higher-order-
+  *     function lambda whose folded array does NOT depend on the lambda's
+  *     own variables: the interpreted-HOF inlining trap (CollapseProject
+  *     inlines an outer column's defining fold into the lambda, re-running
+  *     it PER ELEMENT — 220 s for 100 docs in WinnowingStream before the
+  *     r9 fix; r11 advice asked for this lint after the same shape
+  *     appeared in EmbedPipeline).
   *
   * Keys that carry a flag ON PURPOSE (documented exact baselines, bounded
   * probe fan-outs, provably tiny windows) live in [[Allowed]] with the
@@ -117,7 +125,28 @@ object PlanAudit {
     case _ => false
   }
 
-  private def flags(p: SparkPlan): Seq[String] = {
+  /** True when some HOF lambda in `e` contains a fold whose ARRAY input is
+    * invariant w.r.t. that lambda's variables — i.e. the same fold re-runs
+    * for every element. (A fold over the lambda's own element is fine:
+    * transform(arrOfArrs, a => aggregate(a, ...)) does each fold once.) */
+  private[graft] def invariantFoldInLambda(e: Expression): Boolean = e.exists {
+    case hof: HigherOrderFunction =>
+      hof.functions.exists {
+        case lf: LambdaFunction =>
+          val outerVars = lf.arguments.map(_.exprId).toSet
+          lf.function.exists {
+            case agg: ArrayAggregate =>
+              agg.argument.collect {
+                case v: NamedLambdaVariable => v.exprId
+              }.toSet.intersect(outerVars).isEmpty
+            case _ => false
+          }
+        case _ => false
+      }
+    case _ => false
+  }
+
+  private[graft] def flags(p: SparkPlan): Seq[String] = {
     // a cross join with a single-row side is the scalar-subquery idiom
     // (1×N), not a quadratic product — never flagged
     val cart = p.collect {
@@ -131,7 +160,10 @@ object PlanAudit {
     val upw = p.collect {
       case w: WindowExec if w.partitionSpec.isEmpty => "unpartitioned-window"
     }
-    (cart ++ bnlj ++ upw).distinct
+    val fil = p.collect {
+      case n if n.expressions.exists(invariantFoldInLambda) => "fold-in-lambda"
+    }
+    (cart ++ bnlj ++ upw ++ fil).distinct
   }
 
   def main(args: Array[String]): Unit = {
