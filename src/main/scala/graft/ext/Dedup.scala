@@ -987,4 +987,33 @@ object Dedup {
       .filter(col("dist") <= maxDist)
       .groupBy("ida", "idb").agg(min("dist").as("dist"))
   }
+
+  /** The maxBlock cap's RECEIPT for [[levenshteinBlockPairs]] — one row
+    * per (prefix/suffix) block with its population, the members actually
+    * admitted (min(n, maxBlock)), the truncation flag, and the dropped
+    * count: exactly the drop-accounting discipline of the minhash
+    * maxBucket metrics and the embed pipeline's CandidateCap receipt, as
+    * a gate-checked key. The sf30 decade rung measured the cap's work
+    * ceiling directly (pair candidates ≤ C(maxBlock,2) per block ⇒ hard
+    * linear bound ~2016·|blocks|; the sf10→sf30 7.7× step is sub-cap
+    * blocks transiting the quadratic region toward that ceiling) — this
+    * key receipts the OTHER side of the same cap: how many members each
+    * saturated block silently excludes from pairing. Cap-free at every
+    * oracle SF (max block 63 even at sf1). */
+  def levCapAudit(corpus: DataFrame, sigLen: Int = 96, blockLen: Int = 16,
+      maxBlock: Int = 64): DataFrame = {
+    val sig = corpus.select(col("doc_id"),
+      substring(regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""),
+        1, sigLen).as("sig"))
+    sig.select(col("doc_id"),
+        explode(array(
+          concat(lit("p:"), substring(col("sig"), 1, blockLen)),
+          concat(lit("s:"), expr(s"right(sig, $blockLen)")))).as("bkey"))
+      .groupBy("bkey").agg(count(lit(1)).as("n_docs"))
+      .select(col("bkey"), col("n_docs"),
+        least(col("n_docs"), lit(maxBlock.toLong)).as("admitted"),
+        (col("n_docs") > maxBlock).as("truncated"),
+        greatest(col("n_docs") - maxBlock, lit(0L)).as("docs_dropped"))
+      .orderBy("bkey")
+  }
 }

@@ -377,6 +377,8 @@ object R9eQueries {
     "text_kneser_ney_bigram" -> textKneserNey,
     "text_textrank_keywords" -> textTextrank,
     "dedup_levenshtein_block" -> dedupLevBlock,
+    "dedup_lev_cap_audit" -> ((s, dir) =>
+      graft.ext.Dedup.levCapAudit(levCorpus(s, dir))),
     "dedup_keep_canonical_lev" -> dedupKeepCanonicalLev,
     "dedup_lev_recall" -> dedupLevRecall,
     "q_key_skew_profile" -> qKeySkewProfile,
@@ -551,6 +553,26 @@ object R9eQueries {
       s"""$LevCorpusCte,
          |$LevPairsCtes
          |SELECT ida, idb, dist FROM pairs ORDER BY ida, idb""".stripMargin,
+
+    // the maxBlock cap's receipt: per-block population + admitted +
+    // truncation + dropped count over the same signature/block chain as
+    // the pairs key (cap-free at every oracle SF — max block 63 at sf1)
+    "dedup_lev_cap_audit" ->
+      s"""$LevCorpusCte,
+         |sig0 AS (
+         |  SELECT doc_id,
+         |         substr(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+         |                1, 96) AS sig
+         |  FROM lc),
+         |keyed AS (
+         |  SELECT doc_id, 'p:' || substr(sig, 1, 16) AS bkey FROM sig0
+         |  UNION ALL
+         |  SELECT doc_id, 's:' || right(sig, 16) AS bkey FROM sig0)
+         |SELECT bkey, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(least(count(*), 64) AS BIGINT) AS admitted,
+         |  count(*) > 64 AS truncated,
+         |  CAST(greatest(count(*) - 64, 0) AS BIGINT) AS docs_dropped
+         |FROM keyed GROUP BY bkey ORDER BY bkey""".stripMargin,
 
     "dedup_keep_canonical_lev" ->
       s"""WITH RECURSIVE lc AS (
