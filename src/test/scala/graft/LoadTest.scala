@@ -53,6 +53,10 @@ object LoadTest {
     val conns = env("GRAFT_LT_CONNS", "100").toInt
     val mode = env("GRAFT_LT_MODE", "parquet")
     val triggerMs = env("GRAFT_LT_TRIGGER_MS", "1000").toLong
+    // offered-load pacing in msgs/s across ALL connections (0 = blast):
+    // a held rate measures steady-state latency (arrival → durable) the
+    // way tsung's arrivalrate does, instead of burst-absorb throughput
+    val rate = env("GRAFT_LT_RATE", "0").toDouble
     val cpus = env("SPARK_GRAFT_CPUS", "8")
 
     val spark = SparkSession.builder()
@@ -118,9 +122,23 @@ object LoadTest {
         sock.setTcpNoDelay(false)
         val w = new BufferedWriter(new OutputStreamWriter(
           sock.getOutputStream, StandardCharsets.UTF_8), 1 << 16)
+        val perConnRate = rate / conns // msgs/s this connection owes
+        val t0 = System.nanoTime()
         var i = 0
         while (i < perConn(c)) {
+          if (rate > 0) {
+            // token-bucket pacing: message i is due at i/perConnRate secs;
+            // flush each paced message so it actually leaves the buffer
+            val due = t0 + (i / perConnRate * 1e9).toLong
+            var now = System.nanoTime()
+            while (now < due) {
+              val ms = (due - now) / 1000000L
+              if (ms > 0) Thread.sleep(ms) else Thread.onSpinWait()
+              now = System.nanoTime()
+            }
+          }
           w.write(line(c.toLong * 1000000L + i))
+          if (rate > 0) w.flush()
           i += 1
         }
         w.flush(); sock.close()
@@ -182,6 +200,7 @@ object LoadTest {
     val sendSec = math.max(1L, tSendDone - tStart) / 1000.0
     println(s"""{"metric":"daemon_ingest","mode":"$mode","msgs":$total,""" +
       s""""conns":$conns,"trigger_ms":$triggerMs,""" +
+      s""""offered_rate":${rate.toLong},""" +
       s""""msgs_per_sec_send":${math.round(total / sendSec)},""" +
       s""""msgs_per_sec_e2e":${math.round(total / e2eSec)},""" +
       s""""elapsed_sec":$e2eSec,$extra""" +
