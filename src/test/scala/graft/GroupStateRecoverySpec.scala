@@ -183,6 +183,89 @@ class GroupStateRecoverySpec extends AnyFunSuite {
       s"fingerprint monoid must restore bit-exactly: $r")
   }
 
+  test("regression: all six sufficient statistics restore exactly") {
+    val outDf = twoPhase[RegressionStream.XY, RegressionStream.RegRow]("reg",
+      "key string, x long, y long",
+      ds => RegressionStream.regress(ds), "update",
+      Seq("""{"key":"k","x":0,"y":0}""", """{"key":"k","x":1,"y":1}"""),
+      Seq("""{"key":"k","x":2,"y":2}"""))
+    val r = lastEpoch(outDf).select("n", "num", "denx", "deny").head()
+    // n=3, num = 3*5-3*3 = 6 = denx = deny (slope 1 over all three points)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((3L, 6L, 6L, 6L)),
+      s"restored (n,Σx,Σy,Σxx,Σyy,Σxy) must cover phase-1 points: $r")
+  }
+
+  test("zscore: the trailing ring buffer restores — the post-restart " +
+    "outlier scores against phase-1 values") {
+    // phase 1 fills MinWindow with 5x8.0 + 5x12.0 (mean 10, pop-var 4);
+    // a FRESH buffer would emit nothing (below MinWindow)
+    val p1 = (0 until 10).map(i =>
+      s"""{"event_type":"t","event_id":$i,"ts_us":${100 + i},""" +
+        s""""value":${if (i % 2 == 0) 8.0 else 12.0}}""")
+    val outDf = twoPhase[(String, Long, Long, Double), ZscoreStream.Flagged](
+      "zs", "event_type string, event_id long, ts_us long, value double",
+      ds => ZscoreStream.flag(ds.toDF("event_type", "event_id", "ts_us",
+        "value")), "append",
+      p1, Seq("""{"event_type":"t","event_id":99,"ts_us":999,"value":100.0}"""))
+    val last = lastEpoch(outDf)
+    assert(last.count() == 1L, "exactly the outlier must flag post-restart")
+    val r = last.select("event_id", "z").head()
+    assert(r.getLong(0) == 99L && r.getDouble(1) == 45.0,
+      s"z = (100-10)/2 = 45 exactly, from the RESTORED buffer: $r")
+  }
+
+  test("pack: the cumulative token counter restores — the post-restart " +
+    "doc lands in the bin phase-1 filled up to") {
+    val outDf = twoPhase[(Long, Long, Long), PackStream.PackedDoc]("pack",
+      "shard long, doc_id long, n_tokens long",
+      ds => PackStream.pack(ds.toDF("shard", "doc_id", "n_tokens"), 1000L),
+      "append",
+      Seq("""{"shard":0,"doc_id":1,"n_tokens":600}""",
+        """{"shard":0,"doc_id":2,"n_tokens":600}"""),
+      Seq("""{"shard":0,"doc_id":3,"n_tokens":600}"""))
+    val r = lastEpoch(outDf).select("doc_id", "bin").head()
+    // restored cum = 1200 → bin 1; a fresh counter would say bin 0
+    assert(r.getLong(0) == 3L && r.getLong(1) == 1L,
+      s"doc 3 must land at cum=1200 → bin 1: $r")
+  }
+
+  test("hll: restored registers absorb a replayed corpus — no post-restart " +
+    "emission for unchanged ranks") {
+    val doc = """{"doc_id":1,"text":"alpha beta gamma delta epsilon"}"""
+    val outDf = twoPhase[(Long, String), HllStream.Register]("hll",
+      "doc_id long, text string",
+      ds => HllStream.registers(
+        HllStream.bucketRanks(ds.toDF("doc_id", "text"))), "update",
+      Seq(doc), Seq(doc))
+    // Update mode emits a register only when it CHANGES (or first touch);
+    // identical phase-2 content against restored registers changes nothing
+    assert(outDf.count() > 0, "phase 1 must emit first-touch registers")
+    val eps = outDf.select("epoch").distinct().count()
+    assert(eps == 1L,
+      s"replayed content must emit NOTHING post-restart (fresh state " +
+        s"would re-emit every bucket): $eps distinct emission epochs")
+  }
+
+  test("cms: restored cells double on a replayed corpus") {
+    import spark.implicits._
+    val doc = """{"doc_id":1,"text":"alpha beta gamma"}"""
+    val outDf = twoPhase[(Long, String), CmsStream.Cell]("cms",
+      "doc_id long, text string",
+      ds => CmsStream.cells(
+        CmsStream.cellHits(ds.toDF("doc_id", "text"))), "update",
+      Seq(doc), Seq(doc))
+    val maxEp = outDf.agg(max("epoch")).head().getLong(0)
+    val first = outDf.filter(col("epoch") =!= maxEp)
+      .select("cell", "count").as[(Long, Long)].collect().toMap
+    val last = outDf.filter(col("epoch") === maxEp)
+      .select("cell", "count").as[(Long, Long)].collect().toMap
+    assert(last.nonEmpty && last.keySet == first.keySet)
+    assert(last.forall { case (c, n) => n == 2 * first(c) },
+      s"every cell must carry its phase-1 increments into the restart: " +
+        s"$first vs $last")
+  }
+
   test("winnowing: the phase-1 fingerprint owner anchors the post-restart " +
     "candidate edge") {
     val outDf = twoPhase[WinnowingStream.FpHit, WinnowingStream.Cand]("win",
