@@ -55,13 +55,23 @@ object PqIndexStream {
   /** Maintenance loop: encode each micro-batch against whatever epoch
     * `current()` publishes AT THAT MOMENT (re-training rotates the epoch
     * without restarting the stream) and hand the rows to `sink` (the
-    * inverted-list append). Returns the started query. */
-  def maintain(vectors: DataFrame, current: () => CodebookEpoch)(
-      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
-    vectors.writeStream
+    * inverted-list append). Returns the started query.
+    *
+    * `checkpoint` makes the loop RESTARTABLE: source offsets commit per
+    * micro-batch, so a stopped/crashed maintainer resumes where it left
+    * off — already-encoded vectors are not re-encoded (no duplicate
+    * inverted-list rows), and rows arriving after a codebook rotation
+    * encode under the NEW epoch ([[GroupStateRecovery2Spec]] proves the
+    * stop → rotate → resume sequence). */
+  def maintain(vectors: DataFrame, current: () => CodebookEpoch,
+      checkpoint: Option[String] = None)(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = vectors.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         sink(encode(batch, current()))
       }
-      .start()
+    checkpoint.foreach(w.option("checkpointLocation", _))
+    w.start()
+  }
 }
