@@ -72,7 +72,11 @@ final class KafkaProduceClient(broker: String, timeoutMs: Int = 60000,
     compression: String = "none",
     apiVersion: Short = 0,
     maxMessageBytes: Int = 1000000,
-    idempotent: Boolean = false)
+    idempotent: Boolean = false,
+    batchNumMessages: Int = 10000,
+    lingerMs: Long = 0L,
+    retries: Int = 1,
+    retryBackoffMs: Long = 100L)
     extends AutoCloseable {
 
   require(acks == -1 || acks == 0 || acks == 1, s"unsupported acks $acks")
@@ -134,30 +138,94 @@ final class KafkaProduceClient(broker: String, timeoutMs: Int = 60000,
     * queue length to ~maxInFlight plus out-of-order stragglers. */
   def send(topic: String, payload: String): Unit = sendBatch(topic, Seq(payload))
 
-  /** Detached COALESCED send: the whole batch rides in one Produce request
-    * (librdkafka's batch.num.messages behavior — the reason the reference
-    * sustains 100k+ msgs/s over one socket instead of paying a round-trip
-    * per message). The bounded channel still counts MESSAGES: a batch
-    * holds min(n, maxInFlight) permits until delivered, so buffered
-    * payload volume stays bounded exactly as before. */
+  /** Detached COALESCED send (librdkafka's batch.num.messages behavior —
+    * the reason the reference sustains 100k+ msgs/s over one socket
+    * instead of paying a round-trip per message). The bounded channel
+    * counts MESSAGES: a batch larger than `maxInFlight` is chunked so
+    * every buffered payload holds a real permit — the heap bound is
+    * maxInFlight messages, not max(batch, maxInFlight). */
   def sendBatch(topic: String, payloads: Seq[String]): Unit = {
-    if (payloads.isEmpty) return
-    val permits = math.min(payloads.size, maxInFlight)
-    slots.acquire(permits)
-    var h = inFlight.peek()
-    while (h != null && h.isDone && inFlight.remove(h)) h = inFlight.peek()
-    inFlight.add(pool.submit(new Runnable {
-      override def run(): Unit =
-        try sendBatchSync(topic, payloads) finally slots.release(permits)
-    }))
+    payloads.grouped(math.max(1, maxInFlight)).foreach { chunk =>
+      val permits = chunk.size
+      slots.acquire(permits)
+      var h = inFlight.peek()
+      while (h != null && h.isDone && inFlight.remove(h)) h = inFlight.peek()
+      inFlight.add(pool.submit(new Runnable {
+        override def run(): Unit =
+          try sendBatchSync(topic, chunk) finally slots.release(permits)
+      }))
+    }
   }
+
+  // ------------------------------------------- producer-side accumulator
+
+  /** Per-topic pending buffer behind [[enqueue]] — librdkafka's message
+    * accumulator, where `batch.num.messages` and `linger.ms` live. */
+  private final class Pending {
+    val buf = new scala.collection.mutable.ArrayBuffer[String]()
+    var firstNs = 0L
+  }
+  private val pending = new ConcurrentHashMap[String, Pending]()
+  private val lingerTimer =
+    if (lingerMs <= 0) None
+    else Some {
+      val t = Executors.newSingleThreadScheduledExecutor(r => {
+        val th = new Thread(r, "graft-kafka-linger"); th.setDaemon(true); th
+      })
+      val cadence = math.max(1L, lingerMs / 2)
+      t.scheduleWithFixedDelay(() => lingerSweep(),
+        cadence, cadence, TimeUnit.MILLISECONDS)
+      t
+    }
+
+  /** Accumulated enqueue — librdkafka's produce() contract: the payload
+    * buffers per topic and SHIPS when the pending count reaches
+    * `batch.num.messages`, when `linger.ms` expires on the buffer's
+    * oldest message (the timer sweep), or at [[flush]]. `lingerMs <= 0`
+    * ships immediately (librdkafka's linger.ms=0: no batching delay). */
+  def enqueue(topic: String, payload: String): Unit = {
+    val pb = pending.computeIfAbsent(topic, _ => new Pending)
+    val ship: Seq[String] = pb.synchronized {
+      if (pb.buf.isEmpty) pb.firstNs = System.nanoTime()
+      pb.buf += payload
+      if (pb.buf.length >= batchNumMessages || lingerMs <= 0) {
+        val s = pb.buf.toSeq; pb.buf.clear(); s
+      } else null
+    }
+    if (ship != null) sendBatch(topic, ship)
+  }
+
+  /** Timer sweep: ship every buffer whose oldest pending message has
+    * waited `lingerMs` — the time-bounded half of the coalescing contract
+    * (a paced trickle must not sit in the accumulator indefinitely). */
+  private def lingerSweep(): Unit =
+    pending.forEach { (topic: String, pb: Pending) =>
+      val ship: Seq[String] = pb.synchronized {
+        if (pb.buf.nonEmpty &&
+          (System.nanoTime() - pb.firstNs) / 1000000L >= lingerMs) {
+          val s = pb.buf.toSeq; pb.buf.clear(); s
+        } else null
+      }
+      if (ship != null) sendBatch(topic, ship)
+    }
+
+  /** Drain every pending (lingering) buffer into detached sends. */
+  private def drainPending(): Unit =
+    pending.forEach { (topic: String, pb: Pending) =>
+      val ship: Seq[String] = pb.synchronized {
+        if (pb.buf.nonEmpty) { val s = pb.buf.toSeq; pb.buf.clear(); s }
+        else null
+      }
+      if (ship != null) sendBatch(topic, ship)
+    }
 
   /** One blocking produce round-trip with the reference's accounting. */
   def sendSync(topic: String, payload: String): Unit =
     sendBatchSync(topic, Seq(payload))
 
-  /** Blocking coalesced round-trip: size-screens each payload, ships the
-    * survivors as ONE request, counts per-message submissions. */
+  /** Blocking coalesced round-trip: size-screens each payload, re-splits
+    * the survivors into byte-bounded sub-batches, ships each as one
+    * request, counts per-message submissions. */
   def sendBatchSync(topic: String, payloads: Seq[String]): Unit = {
     // librdkafka's message.max.bytes contract: an oversized payload is
     // rejected LOCALLY before any wire traffic, surfacing through the
@@ -171,6 +239,35 @@ final class KafkaProduceClient(broker: String, timeoutMs: Int = 60000,
       count(Stats.kafkaProducerError(
         Stats.metricNameFor("Message size too large")), oversized.size.toLong)
     if (fit.isEmpty) return
+    // brokers enforce message.max.bytes against the WHOLE message set /
+    // record batch, so count-coalesced batches must ALSO split by
+    // accumulated bytes (librdkafka's batch.size ceiling) — 10k
+    // individually-small lines would otherwise ship as one >1MB set and
+    // bounce wholesale with MESSAGE_TOO_LARGE. The estimate is the
+    // UNCOMPRESSED size (librdkafka's accounting): per-record framing is
+    // ≤ ~40 bytes in either wire format (magic-1 entry: 8 offset + 4 size
+    // + 4 crc + 2 + 8 ts + 4 key + 4 len; magic-2 record: varints), and
+    // the batch header/wrapper rides in the allowance.
+    val perRecordAllowance = 64
+    val headerAllowance = 512
+    val byteCap = math.max(1L, maxMessageBytes.toLong - headerAllowance)
+    val subs = scala.collection.mutable.ArrayBuffer(
+      scala.collection.mutable.ArrayBuffer.empty[Array[Byte]])
+    var subBytes = 0L
+    fit.foreach { v =>
+      val w = v.length.toLong + perRecordAllowance
+      if (subs.last.nonEmpty && subBytes + w > byteCap) {
+        subs += scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+        subBytes = 0L
+      }
+      subs.last += v
+      subBytes += w
+    }
+    subs.foreach(sub => shipSubBatch(topic, sub.toSeq))
+  }
+
+  /** One sub-batch produce round-trip with the reference's accounting. */
+  private def shipSubBatch(topic: String, fit: Seq[Array[Byte]]): Unit = {
     val t0 = System.nanoTime()
     try {
       // idempotent mode serializes same-partition sends (max.in.flight=1,
@@ -200,13 +297,16 @@ final class KafkaProduceClient(broker: String, timeoutMs: Int = 60000,
     }
   }
 
-  /** Await every detached send issued so far. */
+  /** Drain the lingering accumulator, then await every detached send
+    * issued so far. */
   def flush(): Unit = {
+    drainPending()
     var f = inFlight.poll()
     while (f != null) { try f.get() catch { case _: Exception => () }; f = inFlight.poll() }
   }
 
   override def close(): Unit = {
+    lingerTimer.foreach(_.shutdown())
     flush()
     pool.shutdown()
     allConns.forEach(_.close())
@@ -407,7 +507,8 @@ final class KafkaProduceClient(broker: String, timeoutMs: Int = 60000,
     * Returns the full message-set bytes (offset + size + message, per
     * entry). */
   private def messageSet(values: Seq[Array[Byte]]): Array[Byte] = {
-    def oneMessage(magic: Byte, attributes: Byte, value: Array[Byte]): Array[Byte] = {
+    def oneMessage(magic: Byte, attributes: Byte, value: Array[Byte],
+        offset: Long): Array[Byte] = {
       val body = new java.io.ByteArrayOutputStream()
       val mb = new DataOutputStream(body)
       mb.writeByte(magic)
@@ -419,22 +520,31 @@ final class KafkaProduceClient(broker: String, timeoutMs: Int = 60000,
       crc.update(body.toByteArray)
       val out = new java.io.ByteArrayOutputStream()
       val ob = new DataOutputStream(out)
-      ob.writeLong(0L) // offset (assigned by the broker on produce)
+      ob.writeLong(offset)
       ob.writeInt(4 + body.size()) // crc + body
       ob.writeInt(crc.getValue.toInt)
       ob.write(body.toByteArray)
       out.toByteArray
     }
+    // KIP-31 relative inner offsets: producers since 0.10 write 0..n-1
+    // inside a compressed magic-1 wrapper (wrapper offset = n-1, the last
+    // inner's) so the broker can offset-assign by patching the wrapper
+    // alone; all-zero inner offsets force its slow deep-decompress
+    // validation path on every batch. Uncompressed entries carry the same
+    // index — the broker overwrites them on append either way.
     val magic: Byte = if (effectiveVersion >= 2) 1 else 0
     val plain = new java.io.ByteArrayOutputStream()
-    values.foreach(v => plain.write(oneMessage(magic, 0, v)))
+    values.zipWithIndex.foreach { case (v, i) =>
+      plain.write(oneMessage(magic, 0, v, i.toLong))
+    }
     val plainSet = plain.toByteArray
     if (compression != "gzip") plainSet
     else {
       val zipped = new java.io.ByteArrayOutputStream()
       val gz = new java.util.zip.GZIPOutputStream(zipped)
       gz.write(plainSet); gz.close()
-      oneMessage(1, 1, zipped.toByteArray) // attributes bits 0-2: 1 = gzip
+      // attributes bits 0-2: 1 = gzip
+      oneMessage(1, 1, zipped.toByteArray, (values.size - 1).toLong)
     }
   }
 
@@ -573,19 +683,33 @@ final class KafkaProduceClient(broker: String, timeoutMs: Int = 60000,
         buildProduceFrame(topic, partition, payloads, producerId,
           producerEpoch, s.getAndAdd(payloads.size))
       } else buildProduceFrame(topic, partition, payloads, -1L, -1, -1)
-    var attempt = 0
-    while (true) {
-      try return exchange(frame)
-      catch {
-        case e: SocketTimeoutException => dropConn(); throw e
-        case _: java.io.IOException if attempt == 0 =>
-          // reconnect + resend the identical frame once: at-least-once
-          // without idempotence (librdkafka retries>0), exactly-once per
-          // partition with it (broker dedups the seq)
-          dropConn()
-          attempt = 1
-        case e: Exception => dropConn(); throw e
+    // librdkafka's retry policy (`retries`/`message.send.max.retries` +
+    // `retry.backoff.ms`, bounded overall by the send timeout — its
+    // message.timeout.ms role): TRANSPORT failures and RETRIABLE broker
+    // codes resend the identical frame — at-least-once without
+    // idempotence, exactly-once per partition with it (broker dedups the
+    // seq). Delivery timeouts stay terminal — never retried.
+    val deadlineNs = System.nanoTime() + timeoutMs * 1000000L
+    var retriesLeft = retries
+    def mayRetry(): Boolean =
+      retriesLeft > 0 && System.nanoTime() < deadlineNs && {
+        retriesLeft -= 1
+        if (retryBackoffMs > 0) Thread.sleep(retryBackoffMs)
+        true
       }
+    while (true) {
+      val code =
+        try exchange(frame)
+        catch {
+          case e: SocketTimeoutException => dropConn(); throw e
+          case e: java.io.IOException =>
+            dropConn()
+            if (!mayRetry()) throw e
+            -1 // retry sentinel
+          case e: Exception => dropConn(); throw e
+        }
+      if (code >= 0 && !(KafkaProduceClient.RetriableCodes(code) && mayRetry()))
+        return code
     }
     0 // unreachable
   }
@@ -716,6 +840,33 @@ object KafkaProduceClient {
     * Produce request. 1 restores a round-trip per message. */
   def batchNumMessagesFromConf(conf: Map[String, String]): Int =
     math.max(1, conf.get("batch.num.messages").map(_.trim.toInt).getOrElse(10000))
+
+  /** librdkafka `linger.ms` (alias `queue.buffering.max.ms`, default 5 —
+    * librdkafka's): how long a partial batch may wait in the accumulator
+    * for more messages before it ships anyway. 0 disables lingering
+    * (every enqueue ships immediately). */
+  def lingerMsFromConf(conf: Map[String, String]): Long =
+    math.max(0L, conf.get("linger.ms")
+      .orElse(conf.get("queue.buffering.max.ms"))
+      .map(_.trim.toLong).getOrElse(5L))
+
+  /** librdkafka `retries` (alias `message.send.max.retries`): resend
+    * budget for transport failures and retriable broker codes. Default 2
+    * (classic librdkafka) — the overall send deadline (timeoutMs, the
+    * message.timeout.ms role) bounds the attempts either way. */
+  def retriesFromConf(conf: Map[String, String]): Int =
+    math.max(0, conf.get("retries")
+      .orElse(conf.get("message.send.max.retries"))
+      .map(_.trim.toInt).getOrElse(2))
+
+  /** librdkafka `retry.backoff.ms` (default 100): pause before a resend. */
+  def retryBackoffMsFromConf(conf: Map[String, String]): Long =
+    math.max(0L, conf.get("retry.backoff.ms").map(_.trim.toLong).getOrElse(100L))
+
+  /** Produce error codes a resend can fix (public protocol):
+    * LEADER_NOT_AVAILABLE(5), NOT_LEADER_FOR_PARTITION(6),
+    * REQUEST_TIMED_OUT(7) — the retriable set librdkafka resends on. */
+  val RetriableCodes: Set[Int] = Set(5, 6, 7)
 
   /** librdkafka `enable.idempotence` (default false, as librdkafka's):
     * true runs the KIP-98 idempotent producer — which needs record

@@ -23,27 +23,15 @@ object RoutedSink {
   def kafkaShape(routed: DataFrame): DataFrame =
     routed.select(col("topic").cast("string"), col("value").cast("string"))
 
-  /** Per-topic coalescing pump: buffers a Spark partition's rows by topic
-    * and ships each topic's buffer as ONE Produce request every `batchN`
-    * payloads (librdkafka's batch.num.messages) — the difference between
-    * ~1k and ~100k msgs/s through one broker socket. Remainders drain at
-    * partition end, before the client's flush barrier. */
+  /** Per-topic coalescing pump: rows feed the client's accumulator
+    * ([[KafkaProduceClient.enqueue]]), which ships each topic's buffer as
+    * ONE Produce request every `batch.num.messages` payloads or when
+    * `linger.ms` expires on a partial buffer (librdkafka's two coalescing
+    * triggers) — the difference between ~1k and ~100k msgs/s through one
+    * broker socket. Remainders drain at the partition-end flush. */
   private def pumpRows(rows: Iterator[org.apache.spark.sql.Row],
-      client: KafkaProduceClient, batchN: Int): Unit = {
-    val bufs = scala.collection.mutable.Map.empty[String,
-      scala.collection.mutable.ArrayBuffer[String]]
-    rows.foreach { r =>
-      val b = bufs.getOrElseUpdate(r.getString(0),
-        new scala.collection.mutable.ArrayBuffer[String](batchN))
-      b += r.getString(1)
-      if (b.length >= batchN) {
-        client.sendBatch(r.getString(0), b.toSeq)
-        b.clear()
-      }
-    }
-    bufs.foreach { case (topic, b) =>
-      if (b.nonEmpty) client.sendBatch(topic, b.toSeq)
-    }
+      client: KafkaProduceClient): Unit = {
+    rows.foreach(r => client.enqueue(r.getString(0), r.getString(1)))
     client.flush()
   }
 
@@ -64,13 +52,17 @@ object RoutedSink {
     val codec = KafkaProduceClient.compressionFromConf(kafkaConf)
     val version = KafkaProduceClient.produceVersionFromConf(kafkaConf)
     val batchN = KafkaProduceClient.batchNumMessagesFromConf(kafkaConf)
+    val linger = KafkaProduceClient.lingerMsFromConf(kafkaConf)
+    val nRetries = KafkaProduceClient.retriesFromConf(kafkaConf)
+    val backoff = KafkaProduceClient.retryBackoffMsFromConf(kafkaConf)
     kafkaShape(routed).foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
       // TLS context built HERE, per executor — only the PEM path ships
       val client = new KafkaProduceClient(broker, timeoutMs,
         statsdHostPort.map { case (h, p) => new graft.metrics.StatsdEmitter(h, p) },
         tlsCaCert = tlsCaCert, acks = acks, compression = codec,
-        apiVersion = version)
-      try pumpRows(rows, client, batchN)
+        apiVersion = version, batchNumMessages = batchN, lingerMs = linger,
+        retries = nRetries, retryBackoffMs = backoff)
+      try pumpRows(rows, client)
       finally client.close()
     }
   }
@@ -98,14 +90,19 @@ object RoutedSink {
     val maxBytes = KafkaProduceClient.maxMessageBytesFromConf(conf)
     val idem = KafkaProduceClient.idempotenceFromConf(conf)
     val batchN = KafkaProduceClient.batchNumMessagesFromConf(conf)
+    val linger = KafkaProduceClient.lingerMsFromConf(conf)
+    val nRetries = KafkaProduceClient.retriesFromConf(conf)
+    val backoff = KafkaProduceClient.retryBackoffMsFromConf(conf)
     val timeoutMs = cfg.kafkaTimeoutMs.toInt
     kafkaShape(routed).foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
       val client = new KafkaProduceClient(broker, timeoutMs,
         statsdHostPort.map { case (h, p) => new graft.metrics.StatsdEmitter(h, p) },
         tlsCaCert = tls, sasl = sasl, saslAlgo = algo,
         acks = acks, compression = codec, apiVersion = version,
-        maxMessageBytes = maxBytes, idempotent = idem)
-      try pumpRows(rows, client, batchN)
+        maxMessageBytes = maxBytes, idempotent = idem,
+        batchNumMessages = batchN, lingerMs = linger,
+        retries = nRetries, retryBackoffMs = backoff)
+      try pumpRows(rows, client)
       finally client.close()
     }
   }

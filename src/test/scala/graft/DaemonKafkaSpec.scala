@@ -54,11 +54,17 @@ class DaemonKafkaSpec extends AnyFunSuite {
       // own — that's the operating-mode claim
       while (broker.received.size < n &&
         System.currentTimeMillis() < deadline) Thread.sleep(200)
-      // duplicate-delivery window: once size n is reached, wait two more
-      // trigger intervals and re-read, so a replayed foreachBatch that
-      // re-produces records AFTER the nth arrival cannot escape the exact
-      // size assertion below
-      Thread.sleep(2 * 200L)
+      // duplicate-delivery window: poll until the received count is STABLE
+      // across two consecutive trigger-interval reads (a fixed sleep could
+      // both miss a GC-delayed replayed micro-batch and flake on a slow
+      // legitimate one)
+      var stable = 0
+      var lastN = broker.received.size
+      while (stable < 2 && System.currentTimeMillis() < deadline) {
+        Thread.sleep(200L)
+        val nowN = broker.received.size
+        if (nowN == lastN) stable += 1 else { stable = 0; lastN = nowN }
+      }
       val got = broker.received.asScala.toVector
       assert(got.size == n, s"expected $n produced records, got ${got.size}")
       // dynamic routing: every record landed on the meta.topic destination

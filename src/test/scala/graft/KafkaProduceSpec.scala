@@ -684,4 +684,104 @@ class KafkaProduceSpec extends AnyFunSuite {
       assert(counts(client)("hotdog.kafka.submitted.dup-t") == 1L)
     } finally { client.close(); broker.close() }
   }
+
+  test("byte-bounded batch split: a count-coalesced batch past " +
+    "message.max.bytes re-splits into multiple produce requests") {
+    // brokers enforce message.max.bytes against the WHOLE set/batch: 10
+    // individually-small 400B payloads must not ship as one 4KB set when
+    // the cap is 2000B. cap = 2000-512; per-payload 400+64 → 3 per request
+    val broker = new LoopbackBroker()
+    val client = new KafkaProduceClient(broker.broker, timeoutMs = 5000,
+      apiVersion = 3, maxMessageBytes = 2000)
+    try {
+      val payload = "x" * 400
+      client.sendBatch("big", Seq.fill(10)(payload))
+      client.flush()
+      assert(broker.received.size == 10, "every payload must deliver")
+      assert(broker.frames.size() == 4,
+        s"10×464B against a 1488B cap must ship as 3+3+3+1 requests, " +
+          s"got ${broker.frames.size()}")
+      assert(counts(client)("hotdog.kafka.submitted.big") == 10L)
+    } finally { client.close(); broker.close() }
+  }
+
+  test("linger.ms: a partial batch ships on the timer, without flush") {
+    val broker = new LoopbackBroker()
+    val client = new KafkaProduceClient(broker.broker, timeoutMs = 5000,
+      apiVersion = 3, batchNumMessages = 1000, lingerMs = 150L)
+    try {
+      (1 to 3).foreach(i => client.enqueue("ling", s"m$i"))
+      // no flush(): only the linger sweep can ship these
+      val deadline = System.currentTimeMillis() + 10000
+      while (broker.received.size < 3 &&
+        System.currentTimeMillis() < deadline) Thread.sleep(20)
+      assert(broker.received.size == 3,
+        "the expired partial buffer must ship on the linger timer alone")
+      assert(broker.frames.size() == 1,
+        s"the lingered trio must COALESCE into one request: ${broker.frames.size()}")
+    } finally { client.close(); broker.close() }
+  }
+
+  test("enqueue ships on the batch.num.messages count trigger while " +
+    "linger is still pending") {
+    val broker = new LoopbackBroker()
+    val client = new KafkaProduceClient(broker.broker, timeoutMs = 5000,
+      apiVersion = 3, batchNumMessages = 2, lingerMs = 60000L)
+    try {
+      client.enqueue("cnt", "m1")
+      client.enqueue("cnt", "m2") // count reached — must not wait a minute
+      val deadline = System.currentTimeMillis() + 10000
+      while (broker.received.size < 2 &&
+        System.currentTimeMillis() < deadline) Thread.sleep(20)
+      assert(broker.received.size == 2 && broker.frames.size() == 1,
+        s"count trigger must ship one coalesced request immediately: " +
+          s"${broker.received.size} msgs / ${broker.frames.size()} frames")
+    } finally { client.close(); broker.close() }
+  }
+
+  test("retries: a retriable broker code resends the identical frame " +
+    "until success, within the retry budget") {
+    val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+    // REQUEST_TIMED_OUT(7) twice, then healthy — a leader failover blip
+    val broker = new LoopbackBroker(
+      errorFor = _ => if (attempts.incrementAndGet() <= 2) 7 else 0)
+    val client = new KafkaProduceClient(broker.broker, timeoutMs = 5000,
+      retries = 3, retryBackoffMs = 10L)
+    try {
+      client.sendSync("blip", "m1")
+      assert(broker.frames.size() == 3,
+        s"two refused attempts + the success: ${broker.frames.size()}")
+      val c = counts(client)
+      assert(c("hotdog.kafka.submitted.blip") == 1L,
+        "the delivery counts ONCE despite the resends")
+      assert(!c.keys.exists(_.startsWith("hotdog.kafka.producer.error")),
+        s"a within-budget recovery is not an error: $c")
+    } finally { client.close(); broker.close() }
+  }
+
+  test("retries exhausted: the retriable code surfaces as the error " +
+    "counter after retries+1 attempts") {
+    val broker = new LoopbackBroker(errorFor = _ => 7) // never recovers
+    val client = new KafkaProduceClient(broker.broker, timeoutMs = 5000,
+      retries = 1, retryBackoffMs = 10L)
+    try {
+      client.sendSync("down", "m1")
+      assert(broker.frames.size() == 2,
+        s"retries=1 → exactly original + one resend: ${broker.frames.size()}")
+      assert(counts(client)("hotdog.kafka.producer.error.request") == 1L,
+        "exhausted retries surface the reference's first-word error counter")
+    } finally { client.close(); broker.close() }
+  }
+
+  test("retry conf dispatch follows librdkafka key names and defaults") {
+    import KafkaProduceClient._
+    assert(lingerMsFromConf(Map.empty) == 5L)
+    assert(lingerMsFromConf(Map("linger.ms" -> "250")) == 250L)
+    assert(lingerMsFromConf(Map("queue.buffering.max.ms" -> "0")) == 0L)
+    assert(retriesFromConf(Map.empty) == 2)
+    assert(retriesFromConf(Map("message.send.max.retries" -> "7")) == 7)
+    assert(retriesFromConf(Map("retries" -> "0")) == 0)
+    assert(retryBackoffMsFromConf(Map.empty) == 100L)
+    assert(retryBackoffMsFromConf(Map("retry.backoff.ms" -> "5")) == 5L)
+  }
 }
