@@ -13,6 +13,11 @@ package graft.sinks
   * `parse_url_opts`.
   */
 object ObjectStoreConfig {
+  /** True when the full hadoop-aws S3AFileSystem is on the classpath. */
+  private[sinks] lazy val hasS3AConnector: Boolean =
+    try { Class.forName("org.apache.hadoop.fs.s3a.S3AFileSystem"); true }
+    catch { case _: Throwable => false }
+
   /** (resolved URL, hadoop conf overrides to apply). Pure — callers apply
     * the pairs to their session's hadoopConfiguration ([[apply]] does both).
     * Env lookup is case-insensitive, mirroring the reference's lowercase
@@ -34,7 +39,12 @@ object ObjectStoreConfig {
             opt("fs.s3a.endpoint.region", "aws_region", "aws_default_region") ++
             // object_store's AWS_ALLOW_HTTP=true → plain-HTTP endpoint
             e.get("aws_allow_http").filter(_.equalsIgnoreCase("true"))
-              .map(_ => "fs.s3a.connection.ssl.enabled" -> "false").toSeq
+              .map(_ => "fs.s3a.connection.ssl.enabled" -> "false").toSeq ++
+            // clusters shipping hadoop-aws keep their full connector; a
+            // slim classpath gets graft's own S3-protocol client (SigV4 +
+            // multipart), the reference's object_store-in-process model
+            (if (hasS3AConnector) Nil
+             else Seq("fs.s3a.impl" -> "graft.sinks.S3LiteFileSystem"))
         (rewritten, conf)
       case _ => (url, Nil)
     }
