@@ -24,17 +24,17 @@ object ExtQueries {
   private[queries] def dupCorpus(s: SparkSession, dir: String): DataFrame = {
     val d = documents(s, dir).select("doc_id", "text")
     d.unionAll(d.filter(col("doc_id") % 20 === 0)
-        .select((col("doc_id") + 1000000).as("doc_id"),
+        .select((col("doc_id") + 100000000).as("doc_id"),
           concat(col("text"), lit(Suffix)).as("text")))
       .unionAll(d.filter(col("doc_id") % 25 === 0)
-        .select((col("doc_id") + 2000000).as("doc_id"), col("text")))
+        .select((col("doc_id") + 200000000).as("doc_id"), col("text")))
   }
 
   private[queries] val CorpusCte: String =
     s"""WITH corpus AS (
        |  SELECT doc_id, text FROM documents
-       |  UNION ALL SELECT doc_id + 1000000, text || '$Suffix' FROM documents WHERE doc_id % 20 = 0
-       |  UNION ALL SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 25 = 0)""".stripMargin
+       |  UNION ALL SELECT doc_id + 100000000, text || '$Suffix' FROM documents WHERE doc_id % 20 = 0
+       |  UNION ALL SELECT doc_id + 200000000, text FROM documents WHERE doc_id % 25 = 0)""".stripMargin
 
   // ------------------------------------------------------------- dedup
 
@@ -117,7 +117,7 @@ object ExtQueries {
     graft.functions.GraftFunctions.ensureRegistered(s)
     val e = embeddings(s, dir)
     val copies = e.filter(col("vec_id") % 50 === 0)
-      .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
+      .select((col("vec_id") + 100000000).as("vec_id"), col("embedding"))
     Dedup.embeddingCosinePairs(e, copies, Planes, threshold = 0.999)
       .orderBy("ida", "idb")
   }
@@ -137,17 +137,17 @@ object ExtQueries {
     val e = embeddings(s, dir)
     val thr = 0.8
     val probes = e.filter(col("vec_id") % 50 === 0)
-      .select((col("vec_id") + 1000000).as("vec_id"),
+      .select((col("vec_id") + 100000000).as("vec_id"),
         transform(col("embedding"), (x, i) =>
           x.cast("double") + when(i === 0, lit(0.5)).otherwise(lit(0.0)))
           .as("embedding"))
-    def planted(df: DataFrame) = df.filter(col("idb") === col("ida") - 1000000)
+    def planted(df: DataFrame) = df.filter(col("idb") === col("ida") - 100000000)
       .agg(count(lit(1)).as("detected"))
     def row(name: String, df: DataFrame) =
       df.select(lit(name).as("method"), col("detected"))
     val allPairs = probes.select(col("vec_id").as("ida"), col("embedding").as("ea"))
       .join(e.select(col("vec_id").as("idb"), col("embedding")),
-        col("idb") === col("ida") - 1000000)
+        col("idb") === col("ida") - 100000000)
       .filter(Similarity.cosine(col("ea"), col("embedding")) >= thr)
       .agg(count(lit(1)).as("detected"))
     row("all_pairs", allPairs)
@@ -166,7 +166,7 @@ object ExtQueries {
     * oracle-checked query. */
   private val dedupRecall: Q = (s, dir) => {
     val c = dupCorpus(s, dir)
-    val planted = c.filter(col("doc_id") >= 1000000).select("doc_id")
+    val planted = c.filter(col("doc_id") >= 100000000).select("doc_id")
     def row(name: String, det: DataFrame) =
       planted.join(det.select("doc_id").distinct(), "doc_id")
         .agg(count(lit(1)).as("detected"))
@@ -193,7 +193,7 @@ object ExtQueries {
   private val dedupCrossSource: Q = (s, dir) => {
     val d = documents(s, dir).select("doc_id", "text", "source")
     val mirrored = d.filter(col("doc_id") % 25 === 0)
-      .select((col("doc_id") + 2000000).as("doc_id"), col("text"),
+      .select((col("doc_id") + 200000000).as("doc_id"), col("text"),
         lit("mirror").as("source"))
     Dedup.crossSourceDups(d.unionByName(mirrored)).orderBy("keep_id")
   }
@@ -205,7 +205,7 @@ object ExtQueries {
     graft.functions.GraftFunctions.ensureRegistered(s)
     val e = embeddings(s, dir)
     val copies = e.filter(col("vec_id") % 50 === 0)
-      .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
+      .select((col("vec_id") + 100000000).as("vec_id"), col("embedding"))
     Dedup.semanticDedup(e.select("vec_id", "embedding").unionByName(copies),
         PqTrainer.trainCodebook(e, m = 1, ksub = 16)(0), threshold = 0.99)
       .orderBy("vec_id")
@@ -700,10 +700,10 @@ object ExtQueries {
   private val dedupBloomPrefilter: Q = (s, dir) => {
     val d = documents(s, dir).select("doc_id", "text")
     val epoch = d.filter(col("doc_id") % 20 === 0)
-      .select((col("doc_id") + 1000000).as("doc_id"),
+      .select((col("doc_id") + 100000000).as("doc_id"),
         concat(col("text"), lit(Suffix)).as("text"))
       .unionAll(d.filter(col("doc_id") % 25 === 0)
-        .select((col("doc_id") + 2000000).as("doc_id"), col("text")))
+        .select((col("doc_id") + 200000000).as("doc_id"), col("text")))
     Dedup.bloomPrefilter(epoch, d).orderBy("doc_id")
   }
 
@@ -1048,10 +1048,10 @@ object ExtQueries {
   private def dupCorpusLang(s: SparkSession, dir: String): DataFrame = {
     val d = documents(s, dir).select("doc_id", "text", "lang")
     d.unionAll(d.filter(col("doc_id") % 20 === 0)
-        .select((col("doc_id") + 1000000).as("doc_id"),
+        .select((col("doc_id") + 100000000).as("doc_id"),
           concat(col("text"), lit(Suffix)).as("text"), col("lang")))
       .unionAll(d.filter(col("doc_id") % 25 === 0)
-        .select((col("doc_id") + 2000000).as("doc_id"), col("text"), col("lang")))
+        .select((col("doc_id") + 200000000).as("doc_id"), col("text"), col("lang")))
   }
 
   private val corpusPipelineE2e: Q = (s, dir) =>
@@ -1202,7 +1202,7 @@ object ExtQueries {
     graft.functions.GraftFunctions.ensureRegistered(s)
     val base = documents(s, dir).filter(col("doc_id") % 20 === 0)
       .select(col("doc_id"), col("text"))
-    val epoch = base.select((col("doc_id") + 1000000L).as("doc_id"),
+    val epoch = base.select((col("doc_id") + 100000000L).as("doc_id"),
       concat(col("text"), lit(Suffix)).as("text"))
     Dedup.incrementalLshNewDups(base, epoch, indexSlot("lshinc", dir))
       .orderBy("ida", "idb")
@@ -2253,11 +2253,11 @@ object ExtQueries {
     "dedup_lsh_incremental" ->
       s"""WITH corpus AS (
          |  SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0
-         |  UNION ALL SELECT doc_id + 1000000, text || '$Suffix'
+         |  UNION ALL SELECT doc_id + 100000000, text || '$Suffix'
          |    FROM documents WHERE doc_id % 20 = 0),
          |$MinhashFromCorpus
          |SELECT ida, idb, jacc_x10000 FROM scored
-         |WHERE ida < 1000000 AND idb >= 1000000 AND jacc_x10000 >= 5000
+         |WHERE ida < 100000000 AND idb >= 100000000 AND jacc_x10000 >= 5000
          |ORDER BY ida, idb""".stripMargin,
 
     // medoid reps (min-id per label), nearest-rep assignment (cos desc,
@@ -2453,24 +2453,24 @@ object ExtQueries {
          |FROM pairs ORDER BY doc_id""".stripMargin,
 
     // signature-fidelity twin: the shared minhash CTE chain over the
-    // planted (base, base+1000000=suffixed) corpus; est = equal signature
+    // planted (base, base+100000000=suffixed) corpus; est = equal signature
     // components // 32 vs the exact token Jaccard from the same `ts` CTE
     "dedup_minhash_jaccard_est" ->
       s"""WITH corpus AS (
          |  SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0
-         |  UNION ALL SELECT doc_id + 1000000, text || '$Suffix'
+         |  UNION ALL SELECT doc_id + 100000000, text || '$Suffix'
          |    FROM documents WHERE doc_id % 20 = 0),
          |$MinhashFromCorpus,
          |est AS (SELECT a.doc_id,
          |    CAST(10000 * (${(0 until 32)
               .map(i => s"CAST(a.h$i = b.h$i AS INT)").mkString(" + ")})
          |      // 32 AS BIGINT) AS est_x10000
-         |  FROM sigs a JOIN sigs b ON b.doc_id = a.doc_id + 1000000),
+         |  FROM sigs a JOIN sigs b ON b.doc_id = a.doc_id + 100000000),
          |ex AS (SELECT x.doc_id,
          |    10000 * len(list_distinct(list_intersect(x.t, y.t)))
          |      // (len(x.t) + len(y.t)
          |         - len(list_distinct(list_intersect(x.t, y.t)))) AS jacc_x10000
-         |  FROM ts x JOIN ts y ON y.doc_id = x.doc_id + 1000000)
+         |  FROM ts x JOIN ts y ON y.doc_id = x.doc_id + 100000000)
          |SELECT doc_id, est_x10000, jacc_x10000
          |FROM est JOIN ex USING (doc_id) ORDER BY doc_id""".stripMargin,
 
@@ -2494,7 +2494,7 @@ object ExtQueries {
     // operator agree on ANY corpus, not just one with bit-identical dups
     "dedup_embedding_cosine" ->
       s"""WITH copies AS (
-         |  SELECT vec_id + 1000000 AS ida, embedding AS ea,
+         |  SELECT vec_id + 100000000 AS ida, embedding AS ea,
          |    ${lshBucketSql("embedding")} AS bucket
          |  FROM embeddings WHERE vec_id % 50 = 0),
          |corpus AS (
@@ -2514,7 +2514,7 @@ object ExtQueries {
       val mpOr = (0 until 6).map(j => s"e.bucket = xor(p.bucket0, ${1L << j})")
         .mkString(" OR ")
       s"""WITH probes AS (
-         |  SELECT vec_id + 1000000 AS ida,
+         |  SELECT vec_id + 100000000 AS ida,
          |    list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE)
          |      + CASE WHEN i = 1 THEN 0.5 ELSE 0.0 END) AS ea
          |  FROM embeddings WHERE vec_id % 50 = 0),
@@ -2524,17 +2524,17 @@ object ExtQueries {
          |pb AS (SELECT ida, ea, ${lshBucketSql("ea")} AS bucket0 FROM probes)
          |SELECT method, detected FROM (
          |  SELECT 'all_pairs' AS method, CAST(count(*) AS BIGINT) AS detected
-         |    FROM probes p JOIN embeddings e ON e.vec_id = p.ida - 1000000
+         |    FROM probes p JOIN embeddings e ON e.vec_id = p.ida - 100000000
          |    WHERE ${cosSql("p.ea", "e.embedding")} >= 0.8
          |  UNION ALL
          |  SELECT 'lsh', CAST(count(*) AS BIGINT)
          |    FROM pb p JOIN corpus e
-         |      ON e.vec_id = p.ida - 1000000 AND e.bucket = p.bucket0
+         |      ON e.vec_id = p.ida - 100000000 AND e.bucket = p.bucket0
          |    WHERE ${cosSql("p.ea", "e.embedding")} >= 0.8
          |  UNION ALL
          |  SELECT 'lsh_multiprobe', CAST(count(*) AS BIGINT)
          |    FROM pb p JOIN corpus e
-         |      ON e.vec_id = p.ida - 1000000 AND (e.bucket = p.bucket0 OR $mpOr)
+         |      ON e.vec_id = p.ida - 100000000 AND (e.bucket = p.bucket0 OR $mpOr)
          |    WHERE ${cosSql("p.ea", "e.embedding")} >= 0.8)
          |ORDER BY method""".stripMargin
     },
@@ -2544,7 +2544,7 @@ object ExtQueries {
     "dedup_recall" ->
       s"""$MinhashScoredCtes,
          |$HashesCte,
-         |planted AS (SELECT doc_id FROM corpus WHERE doc_id >= 1000000),
+         |planted AS (SELECT doc_id FROM corpus WHERE doc_id >= 100000000),
          |ckd AS (SELECT DISTINCT c.doc_id FROM corpus c JOIN (
          |    SELECT md5(text) AS k FROM corpus GROUP BY 1 HAVING count(*) >= 2) g
          |  ON md5(c.text) = g.k),
@@ -2569,7 +2569,7 @@ object ExtQueries {
     "dedup_cross_source" ->
       """WITH corpus AS (
         |  SELECT doc_id, text, source FROM documents
-        |  UNION ALL SELECT doc_id + 2000000, text, 'mirror'
+        |  UNION ALL SELECT doc_id + 200000000, text, 'mirror'
         |  FROM documents WHERE doc_id % 25 = 0),
         |g AS (SELECT md5(text) AS ck,
         |    CAST(min(doc_id) AS BIGINT) AS keep_id,
@@ -2589,7 +2589,7 @@ object ExtQueries {
          |$CoarseKmCtes,
          |corp AS (SELECT vec_id, embedding FROM embeddings
          |  UNION ALL
-         |  SELECT vec_id + 1000000, embedding FROM embeddings
+         |  SELECT vec_id + 100000000, embedding FROM embeddings
          |  WHERE vec_id % 50 = 0),
          |asg AS (
          |  SELECT vec_id, ivf_cell, csim FROM (
@@ -3742,9 +3742,9 @@ object ExtQueries {
       def bitsOf = s"(((${hexFoldSql(1, 15)} % 1000000007) " +
         s"+ i.i * (${hexFoldSql(17, 15)} % 1000000007)) % 1000000007) % 16384"
       s"""WITH ep AS (
-         |  SELECT doc_id + 1000000 AS doc_id, text || '$Suffix' AS text
+         |  SELECT doc_id + 100000000 AS doc_id, text || '$Suffix' AS text
          |    FROM documents WHERE doc_id % 20 = 0
-         |  UNION ALL SELECT doc_id + 2000000, text
+         |  UNION ALL SELECT doc_id + 200000000, text
          |    FROM documents WHERE doc_id % 25 = 0),
          |sh AS (SELECT md5(text) AS hx FROM documents),
          |bits AS (SELECT $bitsOf AS bit
@@ -4222,8 +4222,8 @@ object ExtQueries {
     "corpus_pipeline_e2e" ->
       s"""WITH RECURSIVE base AS (
          |  SELECT doc_id, text, lang FROM documents
-         |  UNION ALL SELECT doc_id + 1000000, text || '$Suffix', lang FROM documents WHERE doc_id % 20 = 0
-         |  UNION ALL SELECT doc_id + 2000000, text, lang FROM documents WHERE doc_id % 25 = 0),
+         |  UNION ALL SELECT doc_id + 100000000, text || '$Suffix', lang FROM documents WHERE doc_id % 20 = 0
+         |  UNION ALL SELECT doc_id + 200000000, text, lang FROM documents WHERE doc_id % 25 = 0),
          |qm AS (SELECT doc_id, lang,
          |  len(regexp_split_to_array(text, '\\s+')) AS words,
          |  100 * length(regexp_replace(text, '\\s+', '', 'g'))

@@ -177,7 +177,7 @@ object R9dQueries {
     * least one winnowing pair? */
   private val dedupWinnowingRecall: Q = (s, dir) => {
     val c = ExtQueries.dupCorpus(s, dir)
-    val planted = c.filter(col("doc_id") >= 1000000).select("doc_id")
+    val planted = c.filter(col("doc_id") >= 100000000).select("doc_id")
     val wp = graft.ext.Dedup.winnowingPairs(c)
     val det = wp.select(col("doc_a").as("doc_id"))
       .unionAll(wp.select(col("doc_b").as("doc_id"))).distinct()
@@ -403,7 +403,7 @@ object R9dQueries {
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
          |  FROM elig a JOIN elig b ON a.h = b.h AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2 HAVING count(*) >= 3),
-         |planted AS (SELECT doc_id FROM corpus WHERE doc_id >= 1000000),
+         |planted AS (SELECT doc_id FROM corpus WHERE doc_id >= 100000000),
          |det AS (SELECT DISTINCT doc_id FROM (
          |  SELECT doc_a AS doc_id FROM wpairs
          |  UNION ALL SELECT doc_b FROM wpairs))

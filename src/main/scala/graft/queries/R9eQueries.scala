@@ -26,13 +26,13 @@ object R9eQueries {
 
   /** documents ∪ single-character-edited copies (every 20th doc, the
     * char at position 40 replaced by 'x') — the planted TYPO corpus the
-    * levenshtein rung is graded on. +3000000 keeps the id space disjoint
+    * levenshtein rung is graded on. +300000000 keeps the id space disjoint
     * from [[ExtQueries.dupCorpus]]'s +1e6/+2e6 plantings. The mutation is
     * SQL-expressible so the DuckDB twin rebuilds the identical corpus. */
   private[graft] def levCorpus(s: SparkSession, dir: String): DataFrame = {
     val d = documents(s, dir).select("doc_id", "text")
     d.unionAll(d.filter(col("doc_id") % 20 === 0)
-      .select((col("doc_id") + 3000000).as("doc_id"),
+      .select((col("doc_id") + 300000000).as("doc_id"),
         concat(substring(col("text"), 1, 39), lit("x"),
           expr("substring(text, 41)")).as("text")))
   }
@@ -41,7 +41,7 @@ object R9eQueries {
     """WITH lc AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
-      |  SELECT doc_id + 3000000, substr(text, 1, 39) || 'x' || substr(text, 41)
+      |  SELECT doc_id + 300000000, substr(text, 1, 39) || 'x' || substr(text, 41)
       |  FROM documents WHERE doc_id % 20 = 0)""".stripMargin
 
   /** The DuckDB twin of [[graft.ext.Dedup.levenshteinBlockPairs]] at the
@@ -102,7 +102,7 @@ object R9eQueries {
   private val dedupLevRecall: Q = (s, dir) => {
     val c = levCorpus(s, dir)
     val pairs = graft.ext.Dedup.levenshteinBlockPairs(c)
-    val planted = c.filter(col("doc_id") >= 3000000).select("doc_id")
+    val planted = c.filter(col("doc_id") >= 300000000).select("doc_id")
     val det = pairs.select(col("ida").as("doc_id"))
       .unionAll(pairs.select(col("idb").as("doc_id"))).distinct()
     planted.agg(count(lit(1)).as("planted"))
@@ -110,7 +110,7 @@ object R9eQueries {
         .agg(count(lit(1)).as("detected")))
       .crossJoin(pairs.agg(count(lit(1)).as("pairs_total")))
       .crossJoin(pairs
-        .filter(col("idb") - col("ida") === 3000000 && col("ida") % 20 === 0)
+        .filter(col("idb") - col("ida") === 300000000 && col("ida") % 20 === 0)
         .agg(count(lit(1)).as("pairs_planted")))
   }
 
@@ -285,7 +285,7 @@ object R9eQueries {
     * verification as the production rung. */
   private val dedupLshBandCurve: Q = (s, dir) => {
     val c = ExtQueries.dupCorpus(s, dir)
-    val planted = c.filter(col("doc_id") >= 1000000).select("doc_id")
+    val planted = c.filter(col("doc_id") >= 100000000).select("doc_id")
     Seq(2, 4, 8).map { b =>
       val p = graft.ext.Dedup.minhashLshPairs(c, 32, b)
       val det = p.select(col("ida").as("doc_id"))
@@ -314,12 +314,12 @@ object R9eQueries {
     val origins = documents(s, dir).filter(col("doc_id") % 20 === 0)
       .select("doc_id", "text")
     val both = origins.unionAll(origins.select(
-      (col("doc_id") + 1000000).as("doc_id"),
+      (col("doc_id") + 100000000).as("doc_id"),
       concat(col("text"), lit(" almost identical suffix tokens")).as("text")))
     val sigs = TextAnalysis.minhashSignatureRows(both, 32)
     val twin = sigs.select(
       col("doc_id") +: (0 until 32).map(i => col(s"h$i").as(s"g$i")): _*)
-      .withColumn("doc_id", col("doc_id") - 1000000)
+      .withColumn("doc_id", col("doc_id") - 100000000)
     def m(b: Int) = (0 until 32).map(i =>
       when(col(s"h$i") % (1L << b) === col(s"g$i") % (1L << b), 1L)
         .otherwise(0L)).reduce(_ + _)
@@ -330,7 +330,7 @@ object R9eQueries {
         TextAnalysis.tokens(col("text")),
         TextAnalysis.tokens(concat(col("text"),
           lit(" almost identical suffix tokens")))).as("jacc_x10000"))
-    sigs.filter(col("doc_id") < 1000000).join(twin, "doc_id")
+    sigs.filter(col("doc_id") < 100000000).join(twin, "doc_id")
       .select(col("doc_id"), m(1).as("m1"), m(2).as("m2"), m(4).as("m4"))
       .select(col("doc_id"), col("m1"), est("m1", 1).as("est1_x10000"),
         col("m2"), est("m2", 2).as("est2_x10000"),
@@ -448,7 +448,7 @@ object R9eQueries {
        |ts AS (SELECT doc_id,
        |  list_distinct(regexp_split_to_array(text, '\\s+')) AS t
        |  FROM corpus),
-       |pl AS (SELECT doc_id FROM corpus WHERE doc_id >= 1000000),
+       |pl AS (SELECT doc_id FROM corpus WHERE doc_id >= 100000000),
        |${Seq(2, 4, 8).map(lshBandPoint).mkString(",\n")}
        |${Seq(2, 4, 8).map(b =>
           s"""SELECT CAST($b AS BIGINT) AS bands,
@@ -472,7 +472,7 @@ object R9eQueries {
     s"""WITH corpus AS (
        |  SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0
        |  UNION ALL
-       |  SELECT doc_id + 1000000, text || ' almost identical suffix tokens'
+       |  SELECT doc_id + 100000000, text || ' almost identical suffix tokens'
        |  FROM documents WHERE doc_id % 20 = 0),
        |${ExtQueries.MinhashSigCtes},
        |ts AS (SELECT doc_id,
@@ -483,13 +483,13 @@ object R9eQueries {
        |    CAST(${bbitMatchSql(1)} AS BIGINT) AS m1,
        |    CAST(${bbitMatchSql(2)} AS BIGINT) AS m2,
        |    CAST(${bbitMatchSql(4)} AS BIGINT) AS m4
-       |  FROM sigs a JOIN sigs t ON t.doc_id = a.doc_id + 1000000),
+       |  FROM sigs a JOIN sigs t ON t.doc_id = a.doc_id + 100000000),
        |ex AS (
        |  SELECT x.doc_id,
        |    10000 * len(list_distinct(list_intersect(x.t, y.t)))
        |      // (len(x.t) + len(y.t)
        |          - len(list_distinct(list_intersect(x.t, y.t)))) AS jacc_x10000
-       |  FROM ts x JOIN ts y ON y.doc_id = x.doc_id + 1000000)
+       |  FROM ts x JOIN ts y ON y.doc_id = x.doc_id + 100000000)
        |SELECT mm.doc_id, mm.m1,
        |  CAST(${bbitEstSql("mm.m1", 1)} AS BIGINT) AS est1_x10000,
        |  mm.m2, CAST(${bbitEstSql("mm.m2", 2)} AS BIGINT) AS est2_x10000,
@@ -578,7 +578,7 @@ object R9eQueries {
       s"""WITH RECURSIVE lc AS (
          |  SELECT doc_id, text FROM documents
          |  UNION ALL
-         |  SELECT doc_id + 3000000, substr(text, 1, 39) || 'x' || substr(text, 41)
+         |  SELECT doc_id + 300000000, substr(text, 1, 39) || 'x' || substr(text, 41)
          |  FROM documents WHERE doc_id % 20 = 0),
          |$LevPairsCtes,
          |edges AS (SELECT ida AS a, idb AS b FROM pairs
@@ -600,14 +600,14 @@ object R9eQueries {
          |det AS (SELECT DISTINCT doc_id FROM (
          |  SELECT ida AS doc_id FROM pairs
          |  UNION ALL SELECT idb FROM pairs)),
-         |pl AS (SELECT doc_id FROM lc WHERE doc_id >= 3000000)
+         |pl AS (SELECT doc_id FROM lc WHERE doc_id >= 300000000)
          |SELECT
          |  (SELECT CAST(count(*) AS BIGINT) FROM pl) AS planted,
          |  (SELECT CAST(count(*) AS BIGINT)
          |   FROM pl JOIN det ON pl.doc_id = det.doc_id) AS detected,
          |  (SELECT CAST(count(*) AS BIGINT) FROM pairs) AS pairs_total,
          |  (SELECT CAST(count(*) AS BIGINT) FROM pairs
-         |   WHERE idb - ida = 3000000 AND ida % 20 = 0) AS pairs_planted""".stripMargin,
+         |   WHERE idb - ida = 300000000 AND ida % 20 = 0) AS pairs_planted""".stripMargin,
 
     // the DuckDB twin replays assignment/probing/scoring at the widest
     // probe set with the probe rank kept, then ranks each curve point

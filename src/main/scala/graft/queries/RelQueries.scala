@@ -354,13 +354,24 @@ object RelQueries {
     val ev = eventsTs(s, dir)
       .select(col("user_id"), expr(s"ts_us div $B").as("bucket"))
     val counts = ev.groupBy("user_id", "bucket").agg(count(lit(1)).as("n"))
-    val spans = ev.groupBy("user_id")
-      .agg(min("bucket").as("b0"), max("bucket").as("b1"))
-    val dense = spans.select(col("user_id"),
-      explode(sequence(col("b0"), col("b1"))).as("bucket"))
-    dense.join(counts, Seq("user_id", "bucket"), "left_outer")
-      .select(col("user_id"), (col("bucket") * B).as("bucket_us"),
-        coalesce(col("n"), lit(0L)).as("n"))
+    // generate only the MISSING buckets (lead-delta gap ranges) instead of
+    // exploding the full dense span and outer-joining it back: the union
+    // replaces the join, and the explode fan-out shrinks from Σ span to
+    // Σ gaps — the occupancy complement (r12 verdict item 5: at sf30 the
+    // dense explode made this the worst absolute heavy key). Same rows:
+    // span endpoints are always present buckets, so present ∪ interior
+    // gaps = the dense span.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("bucket")
+    val gaps = counts
+      .withColumn("nxt", lead(col("bucket"), 1).over(w))
+      .where(col("nxt") > col("bucket") + 1)
+      .select(col("user_id"),
+        explode(sequence(col("bucket") + 1, col("nxt") - 1)).as("bucket"),
+        lit(0L).as("n"))
+    counts.select(col("user_id"), col("bucket"), col("n"))
+      .unionAll(gaps)
+      .select(col("user_id"), (col("bucket") * B).as("bucket_us"), col("n"))
       .orderBy("user_id", "bucket_us")
   }
 

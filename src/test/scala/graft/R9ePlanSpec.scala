@@ -94,17 +94,18 @@ class R9ePlanSpec extends AnyFunSuite {
       s"window not partitioned by bkey:\n${windows.mkString("\n")}")
   }
 
-  test("levCorpus id space: organic doc_ids stay below the +3000000 " +
+  test("levCorpus id space: organic doc_ids stay below the +300000000 " +
     "planted offset at every local SF") {
-    // the pairs_planted predicate (idb − ida == 3000000 && ida % 20 == 0)
-    // silently assumes max organic doc_id < 3,000,000; assert the bound on
+    // the pairs_planted predicate (idb − ida == 300000000 && ida % 20 == 0)
+    // silently assumes max organic doc_id < 3e8; assert the bound on
     // every corpus a key can run against so a larger SF can't alias
-    // planted and organic ids (r9 advice)
+    // planted and organic ids (r9 advice; offsets x100 in r13 for sf300+
+    // headroom)
     for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
         "/root/testdata/sf0.1")) {
       val maxId = graft.queries.Synth.documents(spark, d)
         .agg(max("doc_id")).as[Long].head()
-      assert(maxId < 3000000L,
+      assert(maxId < 300000000L,
         s"$d: doc_id space ($maxId) reaches the planted-id offset — " +
           "levCorpus planted ids would alias organic ids")
     }
