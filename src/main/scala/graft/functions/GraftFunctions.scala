@@ -15,7 +15,7 @@ object GraftFunctions {
     DotProduct.descriptor, BpeApply.descriptor, IvfAssign.descriptor,
     NfcNormalize.descriptor, HtmlEscape.descriptor,
     PolyHash16.descriptor, CdcChunks.descriptor, PqEncode.descriptor, PqLut.descriptor,
-    StrictPow.descriptor,
+    StrictPow.descriptor, MinhashSig.descriptor, WinnowFps.descriptor,
     TopKPairs.descriptor, VectorSumLong.descriptor,
     graft.syslog.ParseSyslog.descriptor,
     JmesPathEval.queryDescriptor, JmesPathEval.valueDescriptor,

@@ -117,8 +117,16 @@ object R10Queries {
     val input = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(Long, String)]
     val sinkName = s"graft_neardup_replay_${replaySeq.incrementAndGet()}"
+    // MemoryStream delivers each replay batch as ONE partition; production
+    // sources (socket/Kafka) arrive pre-partitioned, so re-spread the batch
+    // before the 32-permutation signature projection — otherwise the
+    // replay serializes the operator's heaviest row-local stage on a
+    // single core and the bench reads scaffolding, not operator cost
+    // (measured 17.7 s → ~5 s at sf0.1; content unchanged, deterministic
+    // hash partitioning on doc_id)
     val q = NearDupStream.candidates(
-        NearDupStream.bucketHits(input.toDF().toDF("doc_id", "text")))
+        NearDupStream.bucketHits(
+          input.toDF().toDF("doc_id", "text").repartition(col("doc_id"))))
       .writeStream.format("memory").queryName(sinkName)
       .outputMode("append").start()
     val rows =

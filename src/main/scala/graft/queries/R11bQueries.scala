@@ -242,12 +242,25 @@ object R11bQueries {
     val pIn = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(Long, Long, Long)]
     val sinkName = s"graft_attr_replay_${replaySeq.incrementAndGet()}"
-    val q = AttributionJoinStream.attribute(
-        cIn.toDF().toDF("user_id", "click_id", "ts_us"),
-        pIn.toDF().toDF("user_id", "purchase_id", "ts_us"),
-        "0 seconds", 3600L * 1000000L)
-      .writeStream.format("memory").queryName(sinkName)
-      .outputMode("append").start()
+    // Size the state partitioning to the BOUNDED replay corpus: a
+    // stream-stream join keeps four state stores per partition, and every
+    // micro-batch commits all of them — at the session's 32 partitions
+    // that is ~900 store commits across the replay's 7 micro-batches for
+    // ~40k buffered rows, and the commit I/O dominates the key (measured
+    // 22.3 s → 7.7 s at 4 partitions; ReplayProbe attr receipts, PLANS.md
+    // r13). Production sizes state partitions to state VOLUME — the same
+    // rule, opposite direction. Restored after start (the first batch
+    // pins the query's state partitioning via its offset log).
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    val q =
+      try AttributionJoinStream.attribute(
+          cIn.toDF().toDF("user_id", "click_id", "ts_us"),
+          pIn.toDF().toDF("user_id", "purchase_id", "ts_us"),
+          "0 seconds", 3600L * 1000000L)
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode("append").start()
+      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     val rows =
       try {
         (0 to 2).foreach { b =>

@@ -59,8 +59,13 @@ object R11dQueries {
     val input = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(Long, String)]
     val sinkName = s"graft_winnow_replay_${replaySeq.incrementAndGet()}"
+    // re-spread the single-partition MemoryStream batch before the n-gram
+    // fingerprint projection (same scaffolding-parity fix as the neardup
+    // replay: production sources arrive pre-partitioned; without this the
+    // replay serializes the operator's heaviest row-local stage)
     val q = WinnowingStream.candidates(
-        WinnowingStream.fingerprintHits(input.toDF().toDF("doc_id", "text")))
+        WinnowingStream.fingerprintHits(
+          input.toDF().toDF("doc_id", "text").repartition(col("doc_id"))))
       .writeStream.format("memory").queryName(sinkName)
       .outputMode("append").start()
     drain(s, input, Seq(wave0, base, wave2), sinkName, q)

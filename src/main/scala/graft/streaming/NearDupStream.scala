@@ -1,6 +1,5 @@
 package graft.streaming
 
-import graft.ext.TextAnalysis
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -33,28 +32,28 @@ object NearDupStream {
 
   /** Row-local (band, bucket, doc_id) hits. Docs under 3 tokens have no
     * shingles → no signature → no hits (matches the batch operator, which
-    * only signs docs with ≥1 shingle). */
+    * only signs docs with ≥1 shingle).
+    *
+    * The signature runs through the codegen'd `minhash_sig` Expression
+    * (bit-equal to the transform/zip_with HOF chain it replaces — HOFs are
+    * CodegenFallback, and the interpreted per-lambda eval made this
+    * projection the dominant cost of the streaming path: ~10 ms/doc
+    * interpreted vs sub-ms compiled; ReplayProbe receipts, PLANS.md r13). */
   def bucketHits(docs: DataFrame, n: Int = 32, bands: Int = 4): Dataset[Hit] = {
     val spark = docs.sparkSession
     import spark.implicits._
+    graft.functions.GraftFunctions.ensureRegistered(spark)
     val rows = n / bands
-    val p = TextAnalysis.MinhashP
-    val sh = TextAnalysis.shingles(TextAnalysis.tokens(col("text")))
-    // one md5 per shingle, split into the two 60-bit KM halves
-    val h1 = transform(sh, s => conv(substring(md5(s), 1, 15), 16, 10).cast("long") % p)
-    val h2 = transform(sh, s => conv(substring(md5(s), 17, 15), 16, 10).cast("long") % p)
-    val sigs = (0 until n).map(i =>
-      array_min(zip_with(col("h1"), col("h2"),
-        (a, b) => (a + lit(i.toLong) * b) % p)).as(s"h$i"))
+    val sigs = (0 until n).map(i => element_at(col("sig"), i + 1).as(s"h$i"))
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         md5(concat_ws(",",
           (0 until rows).map(r => col(s"h${b * rows + r}").cast("string")): _*)).as("bucket"))
     }
     docs
-      .withColumn("h1", h1).withColumn("h2", h2)
+      .withColumn("sig", call_function("minhash_sig", col("text"), lit(n)))
+      .filter(col("sig").isNotNull)
       .select(col("doc_id") +: sigs: _*)
-      .filter(col("h0").isNotNull)
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("bb.band").as("band"), col("bb.bucket").as("bucket"), col("doc_id"))
       .as[Hit]

@@ -47,40 +47,16 @@ object WinnowingStream {
   def fingerprintHits(docs: DataFrame): Dataset[FpHit] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val t = col("t")
-    def shift(n: Int) = slice(t, lit(n), greatest(size(t) - (n - 1), lit(0)))
-    val sp = lit(" ")
-    // 5-gram strings via shifted zips: g5[i] = t[i] ' ' t[i+1] .. t[i+4]
-    // (null past the full range — sliced away below)
-    val g2 = zip_with(t, shift(2), (a, b) => concat(a, sp, b))
-    val g5 = zip_with(
-      zip_with(g2, shift(3), (a, b) => concat(a, sp, b)),
-      zip_with(shift(4), shift(5), (a, b) => concat(a, sp, b)),
-      (a, b) => concat(a, sp, b))
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    // the codegen'd winnow_fps Expression (bit-equal to the shifted-array
+    // zip_with chain it replaces — HOFs are CodegenFallback, and the
+    // interpreted per-lambda eval dominated the streaming replay's wall
+    // time; ReplayProbe receipts, PLANS.md r13). winnow_fps is NULL for
+    // docs under 8 tokens and explode skips null arrays, preserving the
+    // old size filter.
     docs
-      .withColumn("t", TextAnalysis.tokens(col("text")))
-      .filter(size(col("t")) >= 8) // n_grams >= w = 4
-      // gram hashes: 40-bit md5 prefix per full 5-gram
-      .withColumn("gh", transform(slice(g5, lit(1), size(t) - 4),
-        s => conv(substring(md5(s), 1, 10), 16, 10).cast("long")))
-      // pack (hash, pos) exactly like the batch operator: h·2²⁰ +
-      // (2²⁰−1−pos) — rightmost-min tie-break, integer-exact
-      .withColumn("packed", zip_with(col("gh"),
-        sequence(lit(1L), size(col("gh")).cast("long")),
-        (h, p) => h * lit(1048576L) + (lit(1048575L) - p)))
-      // 4-window minima by doubling: w2[i] = min(p[i], p[i+1]);
-      // w4[i] = min(w2[i], w2[i+2]) = min(p[i..i+3])
-      .withColumn("w2", zip_with(col("packed"),
-        slice(col("packed"), lit(2), greatest(size(col("packed")) - 1, lit(0))),
-        (a, b) => least(a, b)))
-      .withColumn("fps", array_distinct(transform(
-        slice(zip_with(col("w2"),
-            slice(col("w2"), lit(3), greatest(size(col("w2")) - 2, lit(0))),
-            (a, b) => least(a, b)),
-          lit(1), size(col("packed")) - 3),
-        // packed is non-negative, so h = packed div 2²⁰ = a right shift
-        v => shiftright(v, 20))))
-      .select(explode(col("fps")).as("h"), col("doc_id"))
+      .select(explode(call_function("winnow_fps", col("text"))).as("h"),
+        col("doc_id"))
       .as[FpHit]
   }
 
