@@ -54,10 +54,10 @@ object R10Queries {
     val input = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(Long, String)]
     val sinkName = s"graft_exdedup_replay_${replaySeq.incrementAndGet()}"
-    val q = ExactDedupStream.decisions(
+    val q = ReplayHarness.sized(s)(ExactDedupStream.decisions(
         ExactDedupStream.keyed(input.toDF().toDF("doc_id", "text")))
       .writeStream.format("memory").queryName(sinkName)
-      .outputMode("append").start()
+      .outputMode("append").start())
     val rows =
       try {
         input.addData(base); q.processAllAvailable()
@@ -124,11 +124,11 @@ object R10Queries {
     // single core and the bench reads scaffolding, not operator cost
     // (measured 17.7 s → ~5 s at sf0.1; content unchanged, deterministic
     // hash partitioning on doc_id)
-    val q = NearDupStream.candidates(
+    val q = ReplayHarness.sized(s)(NearDupStream.candidates(
         NearDupStream.bucketHits(
           input.toDF().toDF("doc_id", "text").repartition(col("doc_id"))))
       .writeStream.format("memory").queryName(sinkName)
-      .outputMode("append").start()
+      .outputMode("append").start())
     val rows =
       try {
         input.addData(wave0); q.processAllAvailable()

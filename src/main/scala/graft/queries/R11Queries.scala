@@ -68,9 +68,9 @@ object R11Queries {
     val input = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[Scd2Stream.CEvt]
     val sinkName = s"graft_scd2_replay_${replaySeq.incrementAndGet()}"
-    val q = Scd2Stream.versions(input.toDS())
+    val q = ReplayHarness.sized(s)(Scd2Stream.versions(input.toDS())
       .writeStream.format("memory").queryName(sinkName)
-      .outputMode("update").start()
+      .outputMode("update").start())
     val rows =
       try {
         batches.foreach { b => input.addData(b); q.processAllAvailable() }
@@ -116,9 +116,9 @@ object R11Queries {
     val events = input.toDF().toDF("user_id", "ts_us")
       .withColumn("et", timestamp_micros(col("ts_us")))
     val sinkName = s"graft_sess_replay_${replaySeq.incrementAndGet()}"
-    val q = NativeSessionStream.sessions(events, "30 minutes", "0 seconds", gapUs)
+    val q = ReplayHarness.sized(s)(NativeSessionStream.sessions(events, "30 minutes", "0 seconds", gapUs)
       .writeStream.format("memory").queryName(sinkName)
-      .outputMode("append").start()
+      .outputMode("append").start())
     val rows =
       try {
         batches.foreach { b => input.addData(b); q.processAllAvailable() }
@@ -164,9 +164,9 @@ object R11Queries {
     val input = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[WeightedReservoirStream.Doc]
     val sinkName = s"graft_wres_replay_${replaySeq.incrementAndGet()}"
-    val q = WeightedReservoirStream.sample(input.toDS(), k = 16)
+    val q = ReplayHarness.sized(s)(WeightedReservoirStream.sample(input.toDS(), k = 16)
       .writeStream.format("memory").queryName(sinkName)
-      .outputMode("update").start()
+      .outputMode("update").start())
     val rows =
       try {
         batches.foreach { b => input.addData(b); q.processAllAvailable() }

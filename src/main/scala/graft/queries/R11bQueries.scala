@@ -72,9 +72,9 @@ object R11bQueries {
     val input = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[KmvStream.Item]
     val sinkName = s"graft_kmv_replay_${replaySeq.incrementAndGet()}"
-    val q = KmvStream.distinctEstimate(input.toDS(), k = 64)
+    val q = ReplayHarness.sized(s)(KmvStream.distinctEstimate(input.toDS(), k = 64)
       .writeStream.format("memory").queryName(sinkName)
-      .outputMode("update").start()
+      .outputMode("update").start())
     drain(s, input, batches, sinkName, q)
       .groupBy(col("group").as("grp"),
         col("nTracked").cast("long").as("n_tracked"),
@@ -99,10 +99,10 @@ object R11bQueries {
     val input = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(Long, String)]
     val sinkName = s"graft_hll_replay_${replaySeq.incrementAndGet()}"
-    val q = HllStream.registers(
+    val q = ReplayHarness.sized(s)(HllStream.registers(
         HllStream.bucketRanks(input.toDF().toDF("doc_id", "text")))
       .writeStream.format("memory").queryName(sinkName)
-      .outputMode("update").start()
+      .outputMode("update").start())
     drain(s, input, batches, sinkName, q)
       .select("bucket", "reg").orderBy("bucket", "reg")
   }
@@ -122,10 +122,10 @@ object R11bQueries {
     val input = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(Long, String)]
     val sinkName = s"graft_cms_replay_${replaySeq.incrementAndGet()}"
-    val q = CmsStream.cells(
+    val q = ReplayHarness.sized(s)(CmsStream.cells(
         CmsStream.cellHits(input.toDF().toDF("doc_id", "text")))
       .writeStream.format("memory").queryName(sinkName)
-      .outputMode("update").start()
+      .outputMode("update").start())
     drain(s, input, batches, sinkName, q)
       .select(col("cell"), col("count").as("running_count"))
       .orderBy("cell", "running_count")
@@ -151,9 +151,9 @@ object R11bQueries {
     val input = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[FingerprintStream.Doc]
     val sinkName = s"graft_fp_replay_${replaySeq.incrementAndGet()}"
-    val q = FingerprintStream.fingerprints(input.toDS())
+    val q = ReplayHarness.sized(s)(FingerprintStream.fingerprints(input.toDS())
       .writeStream.format("memory").queryName(sinkName)
-      .outputMode("update").start()
+      .outputMode("update").start())
     drain(s, input, batches, sinkName, q)
       .select(col("shard"), col("n").as("n_docs"),
         col("chars").as("total_chars"), col("xor").as("xor_hash"),
@@ -182,9 +182,9 @@ object R11bQueries {
     val input = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[FunnelStream.FEvt]
     val sinkName = s"graft_funnel_replay_${replaySeq.incrementAndGet()}"
-    val q = FunnelStream.funnel(input.toDS())
+    val q = ReplayHarness.sized(s)(FunnelStream.funnel(input.toDS())
       .writeStream.format("memory").queryName(sinkName)
-      .outputMode("update").start()
+      .outputMode("update").start())
     drain(s, input, batches, sinkName, q)
       .groupBy("user_id", "t_view", "t_click", "t_purchase", "stage")
       .agg(count(lit(1)).as("n"))
@@ -210,9 +210,9 @@ object R11bQueries {
     val input = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[TransitionStream.Ev]
     val sinkName = s"graft_trans_replay_${replaySeq.incrementAndGet()}"
-    val q = TransitionStream.transitions(input.toDS())
+    val q = ReplayHarness.sized(s)(TransitionStream.transitions(input.toDS())
       .writeStream.format("memory").queryName(sinkName)
-      .outputMode("append").start()
+      .outputMode("append").start())
     drain(s, input, batches, sinkName, q)
       .select("user_id", "src", "dst", "ts_us")
       .orderBy("user_id", "ts_us", "src", "dst")
@@ -242,25 +242,16 @@ object R11bQueries {
     val pIn = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(Long, Long, Long)]
     val sinkName = s"graft_attr_replay_${replaySeq.incrementAndGet()}"
-    // Size the state partitioning to the BOUNDED replay corpus: a
-    // stream-stream join keeps four state stores per partition, and every
-    // micro-batch commits all of them — at the session's 32 partitions
-    // that is ~900 store commits across the replay's 7 micro-batches for
-    // ~40k buffered rows, and the commit I/O dominates the key (measured
-    // 22.3 s → 7.7 s at 4 partitions; ReplayProbe attr receipts, PLANS.md
-    // r13). Production sizes state partitions to state VOLUME — the same
-    // rule, opposite direction. Restored after start (the first batch
-    // pins the query's state partitioning via its offset log).
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
-    val q =
-      try AttributionJoinStream.attribute(
-          cIn.toDF().toDF("user_id", "click_id", "ts_us"),
-          pIn.toDF().toDF("user_id", "purchase_id", "ts_us"),
-          "0 seconds", 3600L * 1000000L)
-        .writeStream.format("memory").queryName(sinkName)
-        .outputMode("append").start()
-      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    // state partitions sized to the bounded replay corpus — a
+    // stream-stream join commits FOUR stores per partition per
+    // micro-batch, ~900 commits at 32 partitions for ~40k buffered rows
+    // (measured 22.3 → 7.7 s; ReplayProbe attr receipts, PLANS.md r13)
+    val q = ReplayHarness.sized(s)(AttributionJoinStream.attribute(
+        cIn.toDF().toDF("user_id", "click_id", "ts_us"),
+        pIn.toDF().toDF("user_id", "purchase_id", "ts_us"),
+        "0 seconds", 3600L * 1000000L)
+      .writeStream.format("memory").queryName(sinkName)
+      .outputMode("append").start())
     val rows =
       try {
         (0 to 2).foreach { b =>
@@ -297,11 +288,11 @@ object R11bQueries {
     val input = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(Long, Long, Long, Double)]
     val sinkName = s"graft_ohlc_replay_${replaySeq.incrementAndGet()}"
-    val q = OhlcStream.bars(
+    val q = ReplayHarness.sized(s)(OhlcStream.bars(
         input.toDF().toDF("user_id", "event_id", "ts_us", "value"),
         "1 hour", "0 seconds")
       .writeStream.format("memory").queryName(sinkName)
-      .outputMode("append").start()
+      .outputMode("append").start())
     drain(s, input, batches, sinkName, q)
       .filter(col("user_id") >= 0)
       .orderBy("user_id", "bucket_us")

@@ -59,9 +59,9 @@ object R11cQueries {
     val input = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[TopKStream.Item]
     val sinkName = s"graft_topk_replay_${replaySeq.incrementAndGet()}"
-    val q = TopKStream.topK(input.toDS(), k = 5, capacity = 16)
+    val q = ReplayHarness.sized(s)(TopKStream.topK(input.toDS(), k = 5, capacity = 16)
       .writeStream.format("memory").queryName(sinkName)
-      .outputMode("update").start()
+      .outputMode("update").start())
     drain(s, input, batches, sinkName, q)
       .groupBy(col("group").as("grp"), col("rank").cast("long").as("rnk"),
         col("item"), col("count").as("cnt"), col("err"))
@@ -85,10 +85,10 @@ object R11cQueries {
     val input = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(Long, Long, Long)]
     val sinkName = s"graft_pack_replay_${replaySeq.incrementAndGet()}"
-    val q = PackStream.pack(
+    val q = ReplayHarness.sized(s)(PackStream.pack(
         input.toDF().toDF("shard", "doc_id", "n_tokens"), budgetTokens = 16384L)
       .writeStream.format("memory").queryName(sinkName)
-      .outputMode("append").start()
+      .outputMode("append").start())
     drain(s, input, batches, sinkName, q)
       .orderBy("shard", "doc_id")
   }
@@ -118,9 +118,9 @@ object R11cQueries {
       .withWatermark("et", "0 seconds")
       .as[Sessionize.Evt]
     val sinkName = s"graft_sessionize_replay_${replaySeq.incrementAndGet()}"
-    val q = Sessionize.sessions(events, gapUs)
+    val q = ReplayHarness.sized(s)(Sessionize.sessions(events, gapUs)
       .writeStream.format("memory").queryName(sinkName)
-      .outputMode("append").start()
+      .outputMode("append").start())
     drain(s, input, batches, sinkName, q)
       .filter(col("user_id") >= 0)
       .orderBy("user_id", "start_us")
@@ -144,9 +144,9 @@ object R11cQueries {
     val input = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[graft.streaming.RegressionStream.XY]
     val sinkName = s"graft_reg_replay_${replaySeq.incrementAndGet()}"
-    val q = graft.streaming.RegressionStream.regress(input.toDS())
+    val q = ReplayHarness.sized(s)(graft.streaming.RegressionStream.regress(input.toDS())
       .writeStream.format("memory").queryName(sinkName)
-      .outputMode("update").start()
+      .outputMode("update").start())
     drain(s, input, batches, sinkName, q)
       .select(col("key").as("rkey"), col("n"), col("num"),
         col("denx"), col("deny"))

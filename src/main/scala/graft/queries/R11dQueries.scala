@@ -63,11 +63,11 @@ object R11dQueries {
     // fingerprint projection (same scaffolding-parity fix as the neardup
     // replay: production sources arrive pre-partitioned; without this the
     // replay serializes the operator's heaviest row-local stage)
-    val q = WinnowingStream.candidates(
+    val q = ReplayHarness.sized(s)(WinnowingStream.candidates(
         WinnowingStream.fingerprintHits(
           input.toDF().toDF("doc_id", "text").repartition(col("doc_id"))))
       .writeStream.format("memory").queryName(sinkName)
-      .outputMode("append").start()
+      .outputMode("append").start())
     drain(s, input, Seq(wave0, base, wave2), sinkName, q)
       .select("ida", "idb", "h")
       .orderBy("h", "ida", "idb")
@@ -88,10 +88,10 @@ object R11dQueries {
     val input = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(String, Long, Long, Double)]
     val sinkName = s"graft_zscore_replay_${replaySeq.incrementAndGet()}"
-    val q = ZscoreStream.flag(
+    val q = ReplayHarness.sized(s)(ZscoreStream.flag(
         input.toDF().toDF("event_type", "event_id", "ts_us", "value"))
       .writeStream.format("memory").queryName(sinkName)
-      .outputMode("append").start()
+      .outputMode("append").start())
     drain(s, input, batches, sinkName, q)
       .orderBy("event_id")
   }
@@ -110,9 +110,9 @@ object R11dQueries {
     val input = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[QuantileHistStream.Obs]
     val sinkName = s"graft_qh_replay_${replaySeq.incrementAndGet()}"
-    val q = QuantileHistStream.quantiles(input.toDS())
+    val q = ReplayHarness.sized(s)(QuantileHistStream.quantiles(input.toDS())
       .writeStream.format("memory").queryName(sinkName)
-      .outputMode("update").start()
+      .outputMode("update").start())
     drain(s, input, batches, sinkName, q)
       .groupBy(col("group").as("grp"), col("n"), col("p50Us").as("p50_us"),
         col("p95Us").as("p95_us"), col("p99Us").as("p99_us"))

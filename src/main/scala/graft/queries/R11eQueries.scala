@@ -47,9 +47,9 @@ object R11eQueries {
     val input = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[MomentsStream.MEvt]
     val sinkName = s"graft_moments_replay_${replaySeq.incrementAndGet()}"
-    val q = MomentsStream.moments(input.toDS())
+    val q = ReplayHarness.sized(s)(MomentsStream.moments(input.toDS())
       .writeStream.format("memory").queryName(sinkName)
-      .outputMode("update").start()
+      .outputMode("update").start())
     drain(s, input, batches, sinkName, q)
       .orderBy("event_type", "n")
   }
@@ -73,9 +73,9 @@ object R11eQueries {
       .MemoryStream[(Long, Seq[Float])]
     val vecs = input.toDF().toDF("vec_id", "embedding")
     val sinkName = s"graft_drift_replay_${replaySeq.incrementAndGet()}"
-    val q = DriftStream.moments(DriftStream.assigned(vecs, cents))
+    val q = ReplayHarness.sized(s)(DriftStream.moments(DriftStream.assigned(vecs, cents))
       .writeStream.format("memory").queryName(sinkName)
-      .outputMode("update").start()
+      .outputMode("update").start())
     drain(s, input, batches, sinkName, q)
       .select(col("cluster"), col("n"), posexplode(col("s")))
       .select(col("cluster"), col("n"),

@@ -43,11 +43,11 @@ object R11fQueries {
     val input = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(Long, Seq[Float])]
     val sinkName = s"graft_nng_replay_${replaySeq.incrementAndGet()}"
-    val q = NnGraphStream.decisions(
+    val q = ReplayHarness.sized(s)(NnGraphStream.decisions(
         NnGraphStream.assign(input.toDF().toDF("vec_id", "embedding"), planes),
         k = K)
       .writeStream.format("memory").queryName(sinkName)
-      .outputMode("append").start()
+      .outputMode("append").start())
     val collected =
       try {
         batches.foreach { b => input.addData(b); q.processAllAvailable() }

@@ -43,10 +43,10 @@ object R11gQueries {
     val input = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(Long, String)]
     val sinkName = s"graft_lev_replay_${replaySeq.incrementAndGet()}"
-    val q = LevAdmissionStream.verdicts(
+    val q = ReplayHarness.sized(s)(LevAdmissionStream.verdicts(
         LevAdmissionStream.blockHits(input.toDF().toDF("doc_id", "text")))
       .writeStream.format("memory").queryName(sinkName)
-      .outputMode("append").start()
+      .outputMode("append").start())
     val collected =
       try {
         batches.foreach { b => input.addData(b); q.processAllAvailable() }
@@ -85,11 +85,11 @@ object R11gQueries {
     val input = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(Long, Seq[Float])]
     val sinkName = s"graft_semdedup_replay_${replaySeq.incrementAndGet()}"
-    val q = SemDedupStream.decisions(
+    val q = ReplayHarness.sized(s)(SemDedupStream.decisions(
         SemDedupStream.assign(input.toDF().toDF("vec_id", "embedding"), cents),
         threshold = 0.99)
       .writeStream.format("memory").queryName(sinkName)
-      .outputMode("append").start()
+      .outputMode("append").start())
     val collected =
       try {
         batches.foreach { b => input.addData(b); q.processAllAvailable() }

@@ -1,0 +1,31 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+
+/** Shared state-partition sizing for the deterministic replay harnesses.
+  *
+  * Every stateful micro-batch commits ONE state store per shuffle
+  * partition (four for a stream-stream join), and HDFSBackedStateStore
+  * commits are per-partition file writes — at the session's 32 partitions
+  * a 3-batch replay over a bounded corpus (~10³–10⁴ keys) pays hundreds
+  * of store commits that dwarf the operator logic (ReplayProbe receipts,
+  * PLANS.md r13: attribution 22.3 → 7.7 s at 4 partitions; the same
+  * shape taxes every GroupState twin ~2–4 s per key). Production sizes
+  * state partitions to state VOLUME — this helper applies the same rule
+  * to the replays' bounded corpora: the query starts under 4 shuffle
+  * partitions (pinned for the query's lifetime by its first batch's
+  * offset log) and the session conf is restored immediately after.
+  *
+  * Emission CONTENT is partition-invariant for every twin (keyed state,
+  * deterministic per-key transitions; final row order is pinned by each
+  * key's orderBy), so oracle hashes are unchanged — spec- and
+  * gate-verified.
+  */
+object ReplayHarness {
+  def sized[T](s: SparkSession)(startQuery: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try startQuery
+    finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+}
