@@ -27,7 +27,7 @@ object R9eQueries {
   /** documents ∪ single-character-edited copies (every 20th doc, the
     * char at position 40 replaced by 'x') — the planted TYPO corpus the
     * levenshtein rung is graded on. +300000000 keeps the id space disjoint
-    * from [[ExtQueries.dupCorpus]]'s +1e6/+2e6 plantings. The mutation is
+    * from [[ExtQueries.dupCorpus]]'s +1e8/+2e8 plantings. The mutation is
     * SQL-expressible so the DuckDB twin rebuilds the identical corpus. */
   private[graft] def levCorpus(s: SparkSession, dir: String): DataFrame = {
     val d = documents(s, dir).select("doc_id", "text")

@@ -76,7 +76,8 @@ final class KafkaProduceClient(broker: String, timeoutMs: Int = 60000,
     batchNumMessages: Int = 10000,
     lingerMs: Long = 0L,
     retries: Int = 1,
-    retryBackoffMs: Long = 100L)
+    retryBackoffMs: Long = 100L,
+    queueBufferingMaxBytes: Long = 1L << 30)
     extends AutoCloseable {
 
   require(acks == -1 || acks == 0 || acks == 1, s"unsupported acks $acks")
@@ -160,12 +161,47 @@ final class KafkaProduceClient(broker: String, timeoutMs: Int = 60000,
   // ------------------------------------------- producer-side accumulator
 
   /** Per-topic pending buffer behind [[enqueue]] — librdkafka's message
-    * accumulator, where `batch.num.messages` and `linger.ms` live. */
+    * accumulator, where `batch.num.messages`, `linger.ms` and the
+    * `queue.buffering.max.kbytes` byte bound live. */
   private final class Pending {
     val buf = new scala.collection.mutable.ArrayBuffer[String]()
     var firstNs = 0L
+    var bytes = 0L
+    val drainQueued = new java.util.concurrent.atomic.AtomicBoolean(false)
   }
   private val pending = new ConcurrentHashMap[String, Pending]()
+
+  /** Total bytes held across ALL topic accumulators — the
+    * queue.buffering.max.kbytes accounting (librdkafka counts the whole
+    * producer queue; here the accumulator half — the detached-send half
+    * is already bounded by the maxInFlight message permits, so the heap
+    * ceiling is cap + maxInFlight × message.max.bytes). */
+  private val accumulatedBytes = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** UTF-8 byte length without the getBytes allocation (each payload is
+    * re-encoded once more at send time; the accounting pass must not
+    * double the garbage). Surrogate halves count 2 each = 4 per pair. */
+  private def utf8Len(s: String): Long = {
+    var n = 0L; var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      n += (if (c < 0x80) 1 else if (c < 0x800) 2
+            else if (Character.isSurrogate(c)) 2 else 3)
+      i += 1
+    }
+    n
+  }
+
+  /** Take a topic's buffer (caller holds pb's lock), releasing its byte
+    * accounting. */
+  private def takeLocked(pb: Pending): Seq[String] = {
+    val s = pb.buf.toSeq
+    pb.buf.clear()
+    accumulatedBytes.addAndGet(-pb.bytes)
+    pb.bytes = 0L
+    s
+  }
+
   private val lingerTimer =
     if (lingerMs <= 0) None
     else Some {
@@ -178,21 +214,52 @@ final class KafkaProduceClient(broker: String, timeoutMs: Int = 60000,
       t
     }
 
+  /** linger.ms=0 drain thread: librdkafka's linger.ms=0 still COALESCES
+    * messages that queued while a send was in flight — only the *delay*
+    * is zero. Buffered payloads are handed to this single drainer
+    * immediately, so whatever accumulated between its turns ships as one
+    * request instead of one round-trip per row. A dedicated thread (not
+    * the send pool) so a permit-blocked drain can never occupy every pool
+    * thread and deadlock against the queued sends holding the permits. */
+  private val zeroLingerDrainer =
+    if (lingerMs > 0) None
+    else Some(Executors.newSingleThreadExecutor(r => {
+      val t = new Thread(r, "graft-kafka-drain0"); t.setDaemon(true); t
+    }))
+
   /** Accumulated enqueue — librdkafka's produce() contract: the payload
     * buffers per topic and SHIPS when the pending count reaches
     * `batch.num.messages`, when `linger.ms` expires on the buffer's
-    * oldest message (the timer sweep), or at [[flush]]. `lingerMs <= 0`
-    * ships immediately (librdkafka's linger.ms=0: no batching delay). */
+    * oldest message (the timer sweep), when total accumulator bytes cross
+    * `queue.buffering.max.kbytes` (every buffer force-ships — the heap
+    * bound), or at [[flush]]. `lingerMs <= 0` keeps coalescing on the
+    * count trigger plus an immediate async drain (librdkafka's
+    * linger.ms=0: zero DELAY, not zero batching). */
   def enqueue(topic: String, payload: String): Unit = {
     val pb = pending.computeIfAbsent(topic, _ => new Pending)
+    val sz = utf8Len(payload) + 64 // payload + per-record framing allowance
     val ship: Seq[String] = pb.synchronized {
       if (pb.buf.isEmpty) pb.firstNs = System.nanoTime()
       pb.buf += payload
-      if (pb.buf.length >= batchNumMessages || lingerMs <= 0) {
-        val s = pb.buf.toSeq; pb.buf.clear(); s
-      } else null
+      pb.bytes += sz
+      accumulatedBytes.addAndGet(sz)
+      if (pb.buf.length >= batchNumMessages) takeLocked(pb) else null
     }
     if (ship != null) sendBatch(topic, ship)
+    else if (accumulatedBytes.get() >= queueBufferingMaxBytes)
+      // byte cap crossed: force-ship everything SYNCHRONOUSLY in this
+      // thread — librdkafka BLOCKS produce() on a full queue, and the
+      // block is the point: the producer stalls instead of the heap
+      // growing, and a single-threaded enqueuer keeps strict send order
+      drainPendingSync()
+    else if (lingerMs <= 0 && pb.drainQueued.compareAndSet(false, true))
+      zeroLingerDrainer.foreach(_.submit(new Runnable {
+        override def run(): Unit = {
+          pb.drainQueued.set(false)
+          val s = pb.synchronized { if (pb.buf.nonEmpty) takeLocked(pb) else null }
+          if (s != null) sendBatch(topic, s)
+        }
+      }))
   }
 
   /** Timer sweep: ship every buffer whose oldest pending message has
@@ -202,9 +269,9 @@ final class KafkaProduceClient(broker: String, timeoutMs: Int = 60000,
     pending.forEach { (topic: String, pb: Pending) =>
       val ship: Seq[String] = pb.synchronized {
         if (pb.buf.nonEmpty &&
-          (System.nanoTime() - pb.firstNs) / 1000000L >= lingerMs) {
-          val s = pb.buf.toSeq; pb.buf.clear(); s
-        } else null
+          (System.nanoTime() - pb.firstNs) / 1000000L >= lingerMs)
+          takeLocked(pb)
+        else null
       }
       if (ship != null) sendBatch(topic, ship)
     }
@@ -213,10 +280,20 @@ final class KafkaProduceClient(broker: String, timeoutMs: Int = 60000,
   private def drainPending(): Unit =
     pending.forEach { (topic: String, pb: Pending) =>
       val ship: Seq[String] = pb.synchronized {
-        if (pb.buf.nonEmpty) { val s = pb.buf.toSeq; pb.buf.clear(); s }
-        else null
+        if (pb.buf.nonEmpty) takeLocked(pb) else null
       }
       if (ship != null) sendBatch(topic, ship)
+    }
+
+  /** Drain every pending buffer with BLOCKING round-trips — the
+    * queue-full path: the enqueuing thread pays the delivery latency
+    * itself, which is the backpressure the byte cap exists to apply. */
+  private def drainPendingSync(): Unit =
+    pending.forEach { (topic: String, pb: Pending) =>
+      val ship: Seq[String] = pb.synchronized {
+        if (pb.buf.nonEmpty) takeLocked(pb) else null
+      }
+      if (ship != null) sendBatchSync(topic, ship)
     }
 
   /** One blocking produce round-trip with the reference's accounting. */
@@ -298,16 +375,26 @@ final class KafkaProduceClient(broker: String, timeoutMs: Int = 60000,
   }
 
   /** Drain the lingering accumulator, then await every detached send
-    * issued so far. */
+    * issued so far. The linger-0 drainer is barriered FIRST: it is
+    * single-threaded FIFO, so awaiting a no-op task proves every earlier
+    * drain completed its sendBatch hand-off — otherwise a drain that had
+    * already TAKEN a buffer but not yet queued the send would slip past
+    * both the drainPending() and the in-flight await (message loss at the
+    * batch barrier). */
   def flush(): Unit = {
+    zeroLingerDrainer.foreach { d =>
+      try d.submit(new Runnable { override def run(): Unit = () }).get()
+      catch { case _: Exception => () } // already shut down: nothing queued
+    }
     drainPending()
     var f = inFlight.poll()
     while (f != null) { try f.get() catch { case _: Exception => () }; f = inFlight.poll() }
   }
 
   override def close(): Unit = {
-    lingerTimer.foreach(_.shutdown())
     flush()
+    lingerTimer.foreach(_.shutdown())
+    zeroLingerDrainer.foreach(_.shutdown())
     pool.shutdown()
     allConns.forEach(_.close())
     statsd.foreach(_.close())
@@ -850,6 +937,16 @@ object KafkaProduceClient {
       .orElse(conf.get("queue.buffering.max.ms"))
       .map(_.trim.toLong).getOrElse(5L))
 
+  /** librdkafka `queue.buffering.max.kbytes` (default 1048576 KiB =
+    * 1 GiB, librdkafka's default): total bytes the producer accumulator
+    * may hold across all topics; crossing it force-ships every pending
+    * buffer, so a burst of large payloads is heap-bounded by the cap
+    * plus the in-flight permits rather than
+    * batch.num.messages × topics × payload. */
+  def queueBufferingMaxBytesFromConf(conf: Map[String, String]): Long =
+    math.max(1L, conf.get("queue.buffering.max.kbytes")
+      .map(_.trim.toLong).getOrElse(1048576L)) * 1024L
+
   /** librdkafka `retries` (alias `message.send.max.retries`): resend
     * budget for transport failures and retriable broker codes. Default 2
     * (classic librdkafka) — the overall send deadline (timeoutMs, the
@@ -891,5 +988,18 @@ object KafkaProduceClient {
     case "lz4"    => new net.jpountz.lz4.LZ4FrameOutputStream(out)
     case "zstd"   => new com.github.luben.zstd.ZstdOutputStream(out)
     case other    => throw new IllegalArgumentException(s"no stream for '$other'")
+  }
+
+  /** The inverse streams, keyed by RecordBatch attributes bits 0-2 — the
+    * consumer ([[graft.sources.KafkaFetchClient]]) decompresses fetched
+    * batches through exactly the codecs the producer wrote with. */
+  private[graft] def compressIn(codecBits: Int,
+      in: java.io.InputStream): java.io.InputStream = codecBits match {
+    case 0 => in
+    case 1 => new java.util.zip.GZIPInputStream(in)
+    case 2 => new org.xerial.snappy.SnappyInputStream(in)
+    case 3 => new net.jpountz.lz4.LZ4FrameInputStream(in)
+    case 4 => new com.github.luben.zstd.ZstdInputStream(in)
+    case c => throw new IllegalArgumentException(s"no stream for codec bits $c")
   }
 }

@@ -55,13 +55,15 @@ object RoutedSink {
     val linger = KafkaProduceClient.lingerMsFromConf(kafkaConf)
     val nRetries = KafkaProduceClient.retriesFromConf(kafkaConf)
     val backoff = KafkaProduceClient.retryBackoffMsFromConf(kafkaConf)
+    val queueCap = KafkaProduceClient.queueBufferingMaxBytesFromConf(kafkaConf)
     kafkaShape(routed).foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
       // TLS context built HERE, per executor — only the PEM path ships
       val client = new KafkaProduceClient(broker, timeoutMs,
         statsdHostPort.map { case (h, p) => new graft.metrics.StatsdEmitter(h, p) },
         tlsCaCert = tlsCaCert, acks = acks, compression = codec,
         apiVersion = version, batchNumMessages = batchN, lingerMs = linger,
-        retries = nRetries, retryBackoffMs = backoff)
+        retries = nRetries, retryBackoffMs = backoff,
+        queueBufferingMaxBytes = queueCap)
       try pumpRows(rows, client)
       finally client.close()
     }
@@ -93,6 +95,7 @@ object RoutedSink {
     val linger = KafkaProduceClient.lingerMsFromConf(conf)
     val nRetries = KafkaProduceClient.retriesFromConf(conf)
     val backoff = KafkaProduceClient.retryBackoffMsFromConf(conf)
+    val queueCap = KafkaProduceClient.queueBufferingMaxBytesFromConf(conf)
     val timeoutMs = cfg.kafkaTimeoutMs.toInt
     kafkaShape(routed).foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
       val client = new KafkaProduceClient(broker, timeoutMs,
@@ -101,7 +104,8 @@ object RoutedSink {
         acks = acks, compression = codec, apiVersion = version,
         maxMessageBytes = maxBytes, idempotent = idem,
         batchNumMessages = batchN, lingerMs = linger,
-        retries = nRetries, retryBackoffMs = backoff)
+        retries = nRetries, retryBackoffMs = backoff,
+        queueBufferingMaxBytes = queueCap)
       try pumpRows(rows, client)
       finally client.close()
     }

@@ -26,6 +26,11 @@ import org.apache.hadoop.util.Progressable
   *     (initiate → UploadPart per buffer-full → complete), simple PUT
   *     below it — exactly `object_store`'s put/multipart split;
   *   - ranged GETs with a read-ahead buffer for seekable parquet reads;
+  *   - capped exponential backoff with jitter on 429/5xx (503 SlowDown is
+  *     routine under multipart load) and transport failures — the retry
+  *     the reference gets from `object_store` internally; terminal 4xx
+  *     still fail-fast, and a failed multipart upload is best-effort
+  *     ABORTED so real stores don't bill leaked parts;
   *   - directory emulation over the flat keyspace: ListObjectsV2 with
   *     delimiter, zero-byte `key/` markers for empty dirs, rename as
   *     server-side copy (`x-amz-copy-source`) + delete — the standard
@@ -35,7 +40,9 @@ import org.apache.hadoop.util.Progressable
   * Conf keys honored (the exact keys [[ObjectStoreConfig]] populates from
   * the reference's environment contract): `fs.s3a.endpoint`,
   * `fs.s3a.access.key`, `fs.s3a.secret.key`, `fs.s3a.endpoint.region`,
-  * `fs.s3a.connection.ssl.enabled`, `fs.s3a.multipart.size`.
+  * `fs.s3a.connection.ssl.enabled`, `fs.s3a.multipart.size`, plus the
+  * S3A retry knobs `fs.s3a.attempts.maximum` (default 5) and
+  * `fs.s3a.retry.interval` (base ms, default 200).
   */
 final class S3LiteFileSystem extends FileSystem {
   private var fsUri: URI = _
@@ -63,8 +70,13 @@ final class S3LiteFileSystem extends FileSystem {
     secret = conf.getTrimmed("fs.s3a.secret.key", "")
     partSize = math.max(1024,
       conf.getLong("fs.s3a.multipart.size", 8L * 1024 * 1024).toInt)
+    maxAttempts = math.max(1, conf.getInt("fs.s3a.attempts.maximum", 5))
+    retryBaseMs = math.max(1L, conf.getLong("fs.s3a.retry.interval", 200L))
     workDir = new Path(s"${name.getScheme}://$bucket/")
   }
+
+  private var maxAttempts: Int = 5
+  private var retryBaseMs: Long = 200L
 
   override def getUri: URI = fsUri
   override def getScheme: String = "s3a"
@@ -79,9 +91,54 @@ final class S3LiteFileSystem extends FileSystem {
 
   // -------------------------------------------------------- HTTP plumbing
 
+  /** The response codes S3 tells clients to retry: 429 plus the 5xx band
+    * (503 SlowDown is ROUTINE under multipart load — the reference rides
+    * it out because `object_store` retries internally; parquet.rs writes
+    * through that client without its own handling). Everything else is
+    * terminal on the first response — fail-closed stays fail-closed. */
+  private val RetriableCodes = Set(429, 500, 502, 503, 504)
+
+  /** Capped exponential backoff with decorrelating jitter around one
+    * idempotent HTTP exchange (every verb here is safe to replay: PUT
+    * bodies are buffered byte arrays, GET/DELETE/list are idempotent,
+    * multipart initiate/complete replays are resolved by the uploadId).
+    * A connect/transport IOException retries on the same schedule; after
+    * `fs.s3a.attempts.maximum` tries the last response (or exception)
+    * surfaces unchanged so callers' fail() paths stay terminal. */
+  private def withRetry(op: String)(
+      once: => (Int, Array[Byte], Map[String, String]))
+      : (Int, Array[Byte], Map[String, String]) = {
+    var attempt = 0
+    while (true) {
+      val res =
+        try Some(once)
+        catch {
+          case e: java.io.IOException =>
+            if (attempt >= maxAttempts - 1) throw e
+            None
+        }
+      res match {
+        case Some(r) if !RetriableCodes(r._1) || attempt >= maxAttempts - 1 =>
+          return r
+        case _ =>
+          val backoff = math.min(10000L, retryBaseMs << math.min(attempt, 6))
+          val jitter = java.util.concurrent.ThreadLocalRandom.current()
+            .nextLong(backoff / 2 + 1)
+          Thread.sleep(backoff / 2 + jitter)
+      }
+      attempt += 1
+    }
+    throw new IllegalStateException(s"unreachable: $op")
+  }
+
   private def request(method: String, key: String,
       query: Seq[(String, String)] = Nil, body: Array[Byte] = null,
-      copySource: Option[String] = None): (Int, Array[Byte], Map[String, String]) = {
+      copySource: Option[String] = None): (Int, Array[Byte], Map[String, String]) =
+    withRetry(s"$method $key")(requestOnce(method, key, query, body, copySource))
+
+  private def requestOnce(method: String, key: String,
+      query: Seq[(String, String)], body: Array[Byte],
+      copySource: Option[String]): (Int, Array[Byte], Map[String, String]) = {
     val qs = query.map { case (k, v) =>
       if (v == null) S3Sig.enc(k) else s"${S3Sig.enc(k)}=${S3Sig.enc(v)}"
     }.mkString("&")
@@ -153,7 +210,10 @@ final class S3LiteFileSystem extends FileSystem {
     }
   }
 
-  private def rangedGet(key: String, from: Long, to: Long): (Int, Array[Byte], Map[String, String]) = {
+  private def rangedGet(key: String, from: Long, to: Long): (Int, Array[Byte], Map[String, String]) =
+    withRetry(s"GET $key range")(rangedGetOnce(key, from, to))
+
+  private def rangedGetOnce(key: String, from: Long, to: Long): (Int, Array[Byte], Map[String, String]) = {
     val path = s"/$bucket/${S3Sig.encPath(key)}"
     val url = new URL(s"$endpoint$path")
     val c = url.openConnection().asInstanceOf[HttpURLConnection]
@@ -201,22 +261,35 @@ final class S3LiteFileSystem extends FileSystem {
       }
     }
 
+    /** Best-effort AbortMultipartUpload before surfacing a terminal
+      * failure — a real store bills pending parts until aborted, and every
+      * failed/retried task attempt would otherwise leak its upload. */
+    private def abortUpload(): Unit = uploadId.foreach { id =>
+      uploadId = None
+      try request("DELETE", key, Seq("uploadId" -> id))
+      catch { case _: Exception => () } // abort must not mask the cause
+    }
+
     private def shipPart(): Unit = {
-      val id = uploadId.getOrElse {
-        val (code, body, _) = request("POST", key, Seq("uploads" -> null))
-        if (code / 100 != 2) fail(s"initiate multipart $key", code, body)
-        val xml = new String(body, StandardCharsets.UTF_8)
-        val id = "<UploadId>([^<]+)</UploadId>".r.findFirstMatchIn(xml)
-          .map(_.group(1)).getOrElse(fail(s"initiate multipart $key", code, body))
-        uploadId = Some(id); id
+      try {
+        val id = uploadId.getOrElse {
+          val (code, body, _) = request("POST", key, Seq("uploads" -> null))
+          if (code / 100 != 2) fail(s"initiate multipart $key", code, body)
+          val xml = new String(body, StandardCharsets.UTF_8)
+          val id = "<UploadId>([^<]+)</UploadId>".r.findFirstMatchIn(xml)
+            .map(_.group(1)).getOrElse(fail(s"initiate multipart $key", code, body))
+          uploadId = Some(id); id
+        }
+        partNo += 1
+        val (code, body, hdrs) = request("PUT", key,
+          Seq("partNumber" -> partNo.toString, "uploadId" -> id),
+          buf.toByteArray)
+        if (code / 100 != 2) fail(s"UploadPart $partNo $key", code, body)
+        etags += partNo -> hdrs.getOrElse("etag", "\"\"")
+        buf.reset()
+      } catch {
+        case e: java.io.IOException => abortUpload(); closed = true; throw e
       }
-      partNo += 1
-      val (code, body, hdrs) = request("PUT", key,
-        Seq("partNumber" -> partNo.toString, "uploadId" -> id),
-        buf.toByteArray)
-      if (code / 100 != 2) fail(s"UploadPart $partNo $key", code, body)
-      etags += partNo -> hdrs.getOrElse("etag", "\"\"")
-      buf.reset()
     }
 
     override def close(): Unit = {
@@ -227,14 +300,27 @@ final class S3LiteFileSystem extends FileSystem {
           val (code, body, _) = request("PUT", key, Nil, buf.toByteArray)
           if (code / 100 != 2) fail(s"PUT $key", code, body)
         case Some(id) =>
-          if (buf.size() > 0) shipPart() // the undersized tail part
-          val parts = etags.map { case (n, e) =>
-            s"<Part><PartNumber>$n</PartNumber><ETag>$e</ETag></Part>"
-          }.mkString
-          val xml = s"<CompleteMultipartUpload>$parts</CompleteMultipartUpload>"
-          val (code, body, _) = request("POST", key, Seq("uploadId" -> id),
-            xml.getBytes(StandardCharsets.UTF_8))
-          if (code / 100 != 2) fail(s"complete multipart $key", code, body)
+          try {
+            if (buf.size() > 0) {
+              // inline tail-part ship (shipPart aborts on ITS failures)
+              partNo += 1
+              val (code, body, hdrs) = request("PUT", key,
+                Seq("partNumber" -> partNo.toString, "uploadId" -> id),
+                buf.toByteArray)
+              if (code / 100 != 2) fail(s"UploadPart $partNo $key", code, body)
+              etags += partNo -> hdrs.getOrElse("etag", "\"\"")
+              buf.reset()
+            }
+            val parts = etags.map { case (n, e) =>
+              s"<Part><PartNumber>$n</PartNumber><ETag>$e</ETag></Part>"
+            }.mkString
+            val xml = s"<CompleteMultipartUpload>$parts</CompleteMultipartUpload>"
+            val (code, body, _) = request("POST", key, Seq("uploadId" -> id),
+              xml.getBytes(StandardCharsets.UTF_8))
+            if (code / 100 != 2) fail(s"complete multipart $key", code, body)
+          } catch {
+            case e: java.io.IOException => abortUpload(); throw e
+          }
       }
     }
   }
@@ -255,28 +341,105 @@ final class S3LiteFileSystem extends FileSystem {
   // ------------------------------------------------- namespace emulation
 
   /** Exact-key stat via ListObjectsV2 (the exact key, if present, sorts
-    * FIRST among keys sharing it as a prefix — one bounded list replaces
-    * HEAD and keeps the whole client on two verbs). */
+    * FIRST among keys sharing it as a prefix — ONE max-keys=1 page
+    * replaces HEAD and keeps the whole client on two verbs; never
+    * paginates, a stat must stay O(1) requests). */
   private def headObject(key: String): Option[Long] = {
     if (key.isEmpty) return None
-    val (objs, _) = list(key, None)
-    objs.find(_._1 == key).map(_._2)
+    val q = Seq("list-type" -> "2", "prefix" -> key, "max-keys" -> "1")
+    val (code, body, _) = request("GET", "", q)
+    if (code / 100 != 2) fail(s"ListObjectsV2 $key", code, body)
+    val xml = new String(body, StandardCharsets.UTF_8)
+    ContentsRe.findFirstMatchIn(xml).flatMap { m =>
+      val blk = m.group(1)
+      for {
+        k <- KeyRe.findFirstMatchIn(blk).map(x => xmlUnescape(x.group(1)))
+        if k == key
+        sz <- SizeRe.findFirstMatchIn(blk).map(_.group(1).toLong)
+      } yield sz
+    }
   }
 
-  /** One ListObjectsV2 page (the stub has no pagination; real stores would
-    * need continuation-token loops — noted, not needed for sink trees). */
+  private val ContentsRe = "(?s)<Contents>(.*?)</Contents>".r
+  private val KeyRe = "(?s)<Key>(.*?)</Key>".r
+  private val SizeRe = "<Size>(\\d+)</Size>".r
+  private val PrefixBlockRe = "(?s)<CommonPrefixes>(.*?)</CommonPrefixes>".r
+  private val PrefixRe = "(?s)<Prefix>(.*?)</Prefix>".r
+  private val TruncRe = "<IsTruncated>\\s*(true|false)\\s*</IsTruncated>".r
+  private val TokenRe = "(?s)<NextContinuationToken>(.*?)</NextContinuationToken>".r
+
+  /** Undo the XML escaping ListObjectsV2 applies to key/prefix text —
+    * the five entities plus numeric character references. */
+  private[sinks] def xmlUnescape(s: String): String = {
+    if (!s.contains('&')) return s
+    val out = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '&') {
+        val end = s.indexOf(';', i + 1)
+        val ent = if (end < 0) "" else s.substring(i + 1, end)
+        val rep: String = ent match {
+          case "amp" => "&"
+          case "lt" => "<"
+          case "gt" => ">"
+          case "quot" => "\""
+          case "apos" => "'"
+          case e if e.startsWith("#x") || e.startsWith("#X") =>
+            try new String(Character.toChars(Integer.parseInt(e.drop(2), 16)))
+            catch { case _: Exception => null }
+          case e if e.startsWith("#") =>
+            try new String(Character.toChars(Integer.parseInt(e.drop(1))))
+            catch { case _: Exception => null }
+          case _ => null
+        }
+        if (rep != null) { out.append(rep); i = end + 1 }
+        else { out.append(c); i += 1 }
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
+  }
+
+  /** Full ListObjectsV2 (continuation-token pagination — real S3 clamps
+    * each page at 1000 keys, so a single-page read of a >1000-object tree
+    * would silently truncate and rename/delete would move a PARTIAL tree).
+    * Parsing is block-tolerant: a `<Contents>` element is located first,
+    * then `<Key>`/`<Size>` extracted WITHIN it — real S3/MinIO interleave
+    * LastModified/ETag/Owner/StorageClass between them — and key text is
+    * XML-unescaped. Truncation without a continuation token fails loudly
+    * rather than returning a partial listing as complete. */
   private def list(prefix: String, delimiter: Option[String])
       : (Seq[(String, Long)], Seq[String]) = {
-    val q = Seq("list-type" -> "2", "prefix" -> prefix,
-      "max-keys" -> "100000") ++ delimiter.map("delimiter" -> _)
-    val (code, body, _) = request("GET", "", q)
-    if (code / 100 != 2) fail(s"ListObjectsV2 $prefix", code, body)
-    val xml = new String(body, StandardCharsets.UTF_8)
-    val objects = "<Contents><Key>([^<]*)</Key><Size>(\\d+)</Size></Contents>".r
-      .findAllMatchIn(xml).map(m => m.group(1) -> m.group(2).toLong).toSeq
-    val prefixes = "<CommonPrefixes><Prefix>([^<]*)</Prefix></CommonPrefixes>".r
-      .findAllMatchIn(xml).map(_.group(1)).toSeq
-    (objects, prefixes)
+    val objects = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    val prefixes = scala.collection.mutable.ArrayBuffer.empty[String]
+    var token: Option[String] = None
+    var more = true
+    while (more) {
+      val q = Seq("list-type" -> "2", "prefix" -> prefix,
+        "max-keys" -> "1000") ++ delimiter.map("delimiter" -> _) ++
+        token.map("continuation-token" -> _)
+      val (code, body, _) = request("GET", "", q)
+      if (code / 100 != 2) fail(s"ListObjectsV2 $prefix", code, body)
+      val xml = new String(body, StandardCharsets.UTF_8)
+      ContentsRe.findAllMatchIn(xml).foreach { m =>
+        val blk = m.group(1)
+        for {
+          k <- KeyRe.findFirstMatchIn(blk).map(x => xmlUnescape(x.group(1)))
+          sz <- SizeRe.findFirstMatchIn(blk).map(_.group(1).toLong)
+        } objects += k -> sz
+      }
+      PrefixBlockRe.findAllMatchIn(xml).foreach { m =>
+        PrefixRe.findFirstMatchIn(m.group(1))
+          .foreach(x => prefixes += xmlUnescape(x.group(1)))
+      }
+      val truncated = TruncRe.findFirstMatchIn(xml).exists(_.group(1) == "true")
+      token = TokenRe.findFirstMatchIn(xml).map(x => xmlUnescape(x.group(1)))
+      if (truncated && token.isEmpty)
+        throw new java.io.IOException(
+          s"ListObjectsV2 $prefix: IsTruncated without NextContinuationToken")
+      more = truncated
+    }
+    (objects.toSeq, prefixes.distinct.toSeq)
   }
 
   private def fileStatus(p: Path, len: Long, dir: Boolean): FileStatus =
@@ -289,9 +452,13 @@ final class S3LiteFileSystem extends FileSystem {
     headObject(key) match {
       case Some(len) => fileStatus(f, len, dir = false)
       case None =>
-        // a "directory" exists iff any key lives under it (incl. marker)
-        val (objs, prefixes) = list(s"$key/", Some("/"))
-        if (objs.nonEmpty || prefixes.nonEmpty || headObject(s"$key/").nonEmpty)
+        // a "directory" exists iff any key lives under it (incl. marker);
+        // a single max-keys=1 page answers that — never paginate for a stat
+        val q = Seq("list-type" -> "2", "prefix" -> s"$key/", "max-keys" -> "1")
+        val (code, body, _) = request("GET", "", q)
+        if (code / 100 != 2) fail(s"ListObjectsV2 $key/", code, body)
+        val xml = new String(body, StandardCharsets.UTF_8)
+        if (ContentsRe.findFirstMatchIn(xml).nonEmpty)
           fileStatus(f, 0, dir = true)
         else throw new FileNotFoundException(f.toString)
     }

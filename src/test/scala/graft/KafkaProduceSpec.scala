@@ -6,7 +6,7 @@ import java.nio.charset.StandardCharsets
 import java.util.concurrent.{ConcurrentHashMap, ConcurrentLinkedQueue}
 
 import graft.sinks.{KafkaProduceClient, RoutedSink}
-import graft.LoopbackKafka.LoopbackBroker
+import graft.tools.EmbeddedKafka.LoopbackBroker
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Produce-path delivery semantics (src/sink/kafka.rs:137-191) against an
@@ -773,6 +773,49 @@ class KafkaProduceSpec extends AnyFunSuite {
     } finally { client.close(); broker.close() }
   }
 
+  test("linger.ms=0 keeps coalescing: messages queued while sends are " +
+    "in flight batch together — zero DELAY, not zero batching") {
+    // a slow broker (20 ms/request) + a tight in-flight window: once the
+    // permits are held, queued messages MUST pile into the accumulator
+    // and ship coalesced — the old behavior (one Produce request per
+    // enqueue at linger=0) would emit exactly 200 frames here
+    val broker = new LoopbackBroker(responseDelayMs = 20L)
+    val client = new KafkaProduceClient(broker.broker, timeoutMs = 5000,
+      apiVersion = 3, batchNumMessages = 10000, lingerMs = 0L,
+      maxInFlight = 4)
+    try {
+      (1 to 200).foreach(i => client.enqueue("z0", s"m$i"))
+      client.flush()
+      assert(broker.received.size == 200, "every message must deliver")
+      assert(broker.frames.size() < 100,
+        s"linger=0 must coalesce queued messages (librdkafka semantics): " +
+          s"${broker.frames.size()} frames for 200 msgs")
+    } finally { client.close(); broker.close() }
+  }
+
+  test("queue.buffering.max.kbytes: a large-payload burst force-ships at " +
+    "the byte cap — accumulator heap bounded, enqueue order preserved") {
+    val broker = new LoopbackBroker()
+    // count trigger (100k) and linger (10 min) can never fire: ONLY the
+    // byte cap can move these 100 × ~1 KiB payloads out of the heap
+    val client = new KafkaProduceClient(broker.broker, timeoutMs = 5000,
+      apiVersion = 3, batchNumMessages = 100000, lingerMs = 600000L,
+      queueBufferingMaxBytes = 8192L)
+    try {
+      (1 to 100).foreach(i => client.enqueue("cap", f"m$i%04d-" + "x" * 1000))
+      client.flush()
+      import scala.jdk.CollectionConverters._
+      val got = broker.received.asScala.toSeq.map(_._2.take(5))
+      assert(got.size == 100, s"every payload must deliver: ${got.size}")
+      assert(got == (1 to 100).map(i => f"m$i%04d"),
+        "cap-forced ships must preserve the enqueue order")
+      // ~1064 B/record against an 8 KiB cap → ships roughly every 8 msgs:
+      // the burst coalesces but can never sit whole in the accumulator
+      assert(broker.frames.size() >= 5 && broker.frames.size() <= 25,
+        s"the byte cap must force intermediate ships: ${broker.frames.size()}")
+    } finally { client.close(); broker.close() }
+  }
+
   test("retry conf dispatch follows librdkafka key names and defaults") {
     import KafkaProduceClient._
     assert(lingerMsFromConf(Map.empty) == 5L)
@@ -783,5 +826,8 @@ class KafkaProduceSpec extends AnyFunSuite {
     assert(retriesFromConf(Map("retries" -> "0")) == 0)
     assert(retryBackoffMsFromConf(Map.empty) == 100L)
     assert(retryBackoffMsFromConf(Map("retry.backoff.ms" -> "5")) == 5L)
+    assert(queueBufferingMaxBytesFromConf(Map.empty) == (1L << 30))
+    assert(queueBufferingMaxBytesFromConf(
+      Map("queue.buffering.max.kbytes" -> "64")) == 64L * 1024)
   }
 }

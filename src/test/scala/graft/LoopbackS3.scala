@@ -7,17 +7,24 @@ import java.util.concurrent.atomic.AtomicInteger
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
 
 /** In-process S3-API stub — the object-store sibling of
-  * [[LoopbackKafka.LoopbackBroker]]: an HTTP server implementing enough of
+  * [[graft.tools.EmbeddedKafka.LoopbackBroker]]: an HTTP server implementing enough of
   * the public S3 REST protocol (PUT/GET/HEAD/DELETE object, ranged GET,
   * ListObjectsV2, server-side COPY, and the full multipart-upload
   * handshake) over an in-memory object map, VERIFYING every request's
   * SigV4 signature against the configured credentials — so the spec proves
   * graft's wire client signs correctly, not merely that bytes moved.
   *
+  * Responses are REAL-AWS-SHAPED: ListObjectsV2 interleaves LastModified/
+  * ETag/Owner/StorageClass between Key and Size, XML-escapes key text,
+  * clamps pages at max-keys and paginates with IsTruncated +
+  * NextContinuationToken — so a client that only parses the stub's
+  * happy-path XML fails here exactly as it would against S3/MinIO.
+  *
   * Exhibits for specs: [[multipartInitiated]]/[[partPuts]]/
-  * [[multipartCompleted]] count the multipart protocol steps;
-  * [[authFailures]] counts rejected signatures; [[objects]] is the live
-  * keyspace.
+  * [[multipartCompleted]]/[[abortedUploads]]/[[pendingUploads]] count the
+  * multipart protocol steps; [[authFailures]] counts rejected signatures;
+  * [[objects]] is the live keyspace; [[throttleRemaining]]/[[throttled]]
+  * inject and count 503-SlowDown faults.
   */
 final class LoopbackS3(access: String = "", secret: String = "")
     extends AutoCloseable {
@@ -29,6 +36,33 @@ final class LoopbackS3(access: String = "", secret: String = "")
   val multipartCompleted = new AtomicInteger(0)
   val plainPuts = new AtomicInteger(0)
   val authFailures = new AtomicInteger(0)
+
+  /** Pending (initiated, never completed/aborted) multipart uploads —
+    * what a real store would bill until aborted. */
+  def pendingUploads: Int = uploads.size()
+  val abortedUploads = new AtomicInteger(0)
+
+  /** Fault injection: the next [[throttleRemaining]] requests answer
+    * [[throttleCode]] (`503 SlowDown` by default — the routine real-S3
+    * throttle) before the store behaves again; [[throttled]] counts the
+    * injected failures so specs can prove the client actually retried. */
+  val throttleRemaining = new AtomicInteger(0)
+  @volatile var throttleCode: Int = 503
+  val throttled = new AtomicInteger(0)
+
+  /** Page-size clamp for ListObjectsV2 (real S3 clamps max-keys at 1000;
+    * specs lower it to exercise continuation-token pagination cheaply). */
+  @volatile var maxKeysClamp: Int = 1000
+
+  private def xmlEsc(s: String): String =
+    s.flatMap {
+      case '&' => "&amp;"
+      case '<' => "&lt;"
+      case '>' => "&gt;"
+      case '"' => "&quot;"
+      case '\'' => "&apos;"
+      case c => c.toString
+    }
 
   private val server = HttpServer.create(
     new java.net.InetSocketAddress("127.0.0.1", 0), 64)
@@ -122,6 +156,13 @@ final class LoopbackS3(access: String = "", secret: String = "")
 
   private def handle(ex: HttpExchange): Unit = {
     val payload = ex.getRequestBody.readAllBytes()
+    if (throttleRemaining.getAndUpdate(n => math.max(0, n - 1)) > 0) {
+      throttled.incrementAndGet()
+      respond(ex, throttleCode,
+        "<Error><Code>SlowDown</Code><Message>Please reduce your request rate.</Message></Error>"
+          .getBytes(StandardCharsets.UTF_8))
+      return
+    }
     if (!verifySig(ex, payload)) { respond(ex, 403); return }
     val raw = ex.getRequestURI.getRawPath.stripPrefix("/")
     val (bucket, key) = raw.split("/", 2) match {
@@ -179,6 +220,12 @@ final class LoopbackS3(access: String = "", secret: String = "")
                 .getBytes(StandardCharsets.UTF_8))
         }
       case "GET" if key.isEmpty && q.get("list-type").contains("2") =>
+        // Real-AWS response shape: Contents carry LastModified/ETag/Owner/
+        // StorageClass INTERLEAVED with Key/Size (the fields the client
+        // must tolerate), key text is XML-escaped, and pages clamp at
+        // max-keys (≤ maxKeysClamp) with IsTruncated +
+        // NextContinuationToken pagination over the merged
+        // lexicographic (Contents ∪ CommonPrefixes) order.
         val prefix = q.getOrElse("prefix", "")
         val delim = q.get("delimiter")
         val keys = objects.keySet().stream().sorted().toArray
@@ -193,13 +240,40 @@ final class LoopbackS3(access: String = "", secret: String = "")
               k.stripPrefix(prefix).takeWhile(_ != d.head) + d)
               .distinct.toSeq)
         }
-        val contents = direct.map { k =>
-          s"<Contents><Key>$k</Key><Size>${objects.get(s"$bucket/$k").length}</Size></Contents>"
+        // merged lexicographic entries: Left = object key, Right = prefix
+        val entries = (direct.map(Left(_)) ++ rolled.map(Right(_)))
+          .sortBy(_.fold(identity, identity))
+        val after = q.get("continuation-token").map(t => new String(
+          java.util.Base64.getDecoder.decode(t), StandardCharsets.UTF_8))
+        val fromStart = after match {
+          case None => entries
+          case Some(a) => entries.dropWhile(_.fold(identity, identity) <= a)
+        }
+        val pageSize = math.min(maxKeysClamp,
+          q.get("max-keys").map(_.toInt).getOrElse(1000))
+        val page = fromStart.take(pageSize)
+        val truncated = fromStart.length > pageSize
+        val contents = page.collect { case Left(k) =>
+          s"<Contents><Key>${xmlEsc(k)}</Key>" +
+            "<LastModified>2026-01-01T00:00:00.000Z</LastModified>" +
+            "<ETag>&quot;d41d8cd98f00b204e9800998ecf8427e&quot;</ETag>" +
+            s"<Size>${objects.get(s"$bucket/$k").length}</Size>" +
+            "<Owner><ID>graft-loopback</ID><DisplayName>graft</DisplayName></Owner>" +
+            "<StorageClass>STANDARD</StorageClass></Contents>"
         }.mkString
-        val prefixes = rolled.map(p =>
-          s"<CommonPrefixes><Prefix>$p</Prefix></CommonPrefixes>").mkString
+        val prefixes = page.collect { case Right(p) =>
+          s"<CommonPrefixes><Prefix>${xmlEsc(p)}</Prefix></CommonPrefixes>"
+        }.mkString
+        val nextToken =
+          if (!truncated) ""
+          else "<NextContinuationToken>" + java.util.Base64.getEncoder
+            .encodeToString(page.last.fold(identity, identity)
+              .getBytes(StandardCharsets.UTF_8)) + "</NextContinuationToken>"
         respond(ex, 200,
-          (s"<ListBucketResult><IsTruncated>false</IsTruncated>$contents$prefixes" +
+          (s"<ListBucketResult><Name>${xmlEsc(bucket)}</Name>" +
+            s"<Prefix>${xmlEsc(prefix)}</Prefix><KeyCount>${page.length}</KeyCount>" +
+            s"<MaxKeys>$pageSize</MaxKeys><IsTruncated>$truncated</IsTruncated>" +
+            s"$contents$prefixes$nextToken" +
             "</ListBucketResult>").getBytes(StandardCharsets.UTF_8))
       case "GET" =>
         Option(objects.get(full)) match {
@@ -218,6 +292,12 @@ final class LoopbackS3(access: String = "", secret: String = "")
         Option(objects.get(full)) match {
           case None => respond(ex, 404)
           case Some(b) => respond(ex, 200, b)
+        }
+      case "DELETE" if q.contains("uploadId") =>
+        // AbortMultipartUpload: drop the pending parts, bill nothing
+        Option(uploads.remove(q("uploadId"))) match {
+          case None => respond(ex, 404)
+          case Some(_) => abortedUploads.incrementAndGet(); respond(ex, 204)
         }
       case "DELETE" =>
         objects.remove(full)

@@ -21,8 +21,9 @@ class S3SinkSpec extends AnyFunSuite {
   private val Access = "AKIDGRAFTTEST"
   private val Secret = "graft-s3-loopback-secret"
 
-  /** Stub + hadoop-conf wiring; tiny part size so multipart really runs. */
-  private def withStub(secretOnClient: String = Secret)
+  /** Stub + hadoop-conf wiring; tiny part size so multipart really runs,
+    * tiny retry base so the backoff specs stay fast. */
+  private def withStub(secretOnClient: String = Secret, attempts: Int = 5)
       (f: LoopbackS3 => Unit): Unit = {
     val stub = new LoopbackS3(Access, Secret)
     val h = spark.sparkContext.hadoopConfiguration
@@ -33,6 +34,8 @@ class S3SinkSpec extends AnyFunSuite {
     h.set("fs.s3a.access.key", Access)
     h.set("fs.s3a.secret.key", secretOnClient)
     h.set("fs.s3a.multipart.size", "8192")
+    h.set("fs.s3a.attempts.maximum", attempts.toString)
+    h.set("fs.s3a.retry.interval", "10")
     try f(stub) finally stub.close()
   }
 
@@ -122,6 +125,81 @@ class S3SinkSpec extends AnyFunSuite {
       assert(e.getMessage.contains("403"), s"must fail closed: ${e.getMessage}")
       assert(stub.authFailures.get() > 0, "the stub must count the rejection")
       assert(stub.objects.isEmpty, "nothing may be stored unauthenticated")
+    }
+  }
+
+  test("ListObjectsV2 pagination + AWS-shaped XML: a >page-size tree " +
+    "lists, renames and deletes COMPLETELY, escaped key names intact") {
+    withStub() { stub =>
+      stub.maxKeysClamp = 10 // force continuation-token pagination
+      val fs = new Path("s3a://bkt-page/").getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      // 25 plain keys + 1 key whose name needs XML escaping end-to-end
+      val names = (0 until 25).map(i => f"part-$i%03d.bin") :+ "a&b<c>'d.bin"
+      names.foreach { n =>
+        val out = fs.create(new Path(s"s3a://bkt-page/dir/$n"), true)
+        out.write(Array[Byte](1, 2, 3)); out.close()
+      }
+      val listed = fs.listStatus(new Path("s3a://bkt-page/dir"))
+        .map(_.getPath.getName).toSet
+      assert(listed == names.toSet,
+        s"pagination must surface ALL keys: missing ${names.toSet -- listed}")
+      // rename must move the FULL tree (the silent-partial-tree failure)
+      assert(fs.rename(new Path("s3a://bkt-page/dir"),
+        new Path("s3a://bkt-page/dir2")))
+      val moved = fs.listStatus(new Path("s3a://bkt-page/dir2"))
+        .map(_.getPath.getName).toSet
+      assert(moved == names.toSet, "rename must move every object")
+      assert(!fs.exists(new Path("s3a://bkt-page/dir")))
+      assert(fs.delete(new Path("s3a://bkt-page/dir2"), true))
+      assert(stub.objects.keySet().toArray.map(_.toString)
+        .count(_.startsWith("bkt-page/")) == 0, "recursive delete must drain")
+      assert(stub.authFailures.get() == 0)
+    }
+  }
+
+  test("503 SlowDown throttling: the client retries with backoff and " +
+    "converges — the object_store retry behavior on the lite path") {
+    withStub() { stub =>
+      val fs = new Path("s3a://bkt-throttle/").getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      stub.throttleRemaining.set(3) // first three requests bounce 503
+      val out = fs.create(new Path("s3a://bkt-throttle/x.bin"), true)
+      out.write(Array[Byte](9, 9, 9)); out.close()
+      assert(stub.throttled.get() == 3, "the faults must have been served")
+      assert(fs.getFileStatus(new Path("s3a://bkt-throttle/x.bin")).getLen == 3L,
+        "the write must converge after riding out the throttle")
+    }
+  }
+
+  test("a throttle outlasting fs.s3a.attempts.maximum stays terminal — " +
+    "bounded retries, no infinite spin") {
+    withStub(attempts = 2) { stub =>
+      val fs = new Path("s3a://bkt-term/").getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      stub.throttleRemaining.set(1000)
+      val out = fs.create(new Path("s3a://bkt-term/x.bin"), true)
+      out.write(Array[Byte](1))
+      val e = intercept[java.io.IOException](out.close())
+      assert(e.getMessage.contains("503"), s"terminal 503: ${e.getMessage}")
+      stub.throttleRemaining.set(0)
+      assert(stub.objects.isEmpty, "nothing may land through a dead store")
+    }
+  }
+
+  test("a failed UploadPart ABORTS the multipart upload — no leaked " +
+    "billed parts on real stores") {
+    withStub(attempts = 1) { stub =>
+      val fs = new Path("s3a://bkt-abort/").getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      val out = fs.create(new Path("s3a://bkt-abort/big.bin"), true)
+      out.write(new Array[Byte](8192)) // part 1 ships fine
+      assert(stub.multipartInitiated.get() == 1)
+      stub.throttleRemaining.set(1) // exactly the next part bounces
+      intercept[java.io.IOException](out.write(new Array[Byte](8192)))
+      assert(stub.abortedUploads.get() == 1, "the upload must be aborted")
+      assert(stub.pendingUploads == 0, "no pending upload may remain billed")
+      out.close() // idempotent after the failure — must not throw
     }
   }
 
