@@ -15,7 +15,12 @@ with seed base 70+i (disjoint from gen_sf10's 10+i and gen_sf30's 40+i,
 so new copies are not near-dups of each other or their parents). NOT
 oracle-checked — a timing corpus only.
 
-Usage: python3 scripts/gen_sf90.py [outdir]
+r14: `--events` also generates events at sf90 (90M rows, gen_sf30.py's
+exact events discipline — ids shift by copy*stride, per-copy microsecond
+ts offsets) so the events-bearing heavy keys (q_gap_fill) get their third
+decade rung from the same lineage.
+
+Usage: python3 scripts/gen_sf90.py [outdir] [--events]
 """
 import os
 import sys
@@ -28,11 +33,29 @@ COPIES = 3
 def main() -> None:
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     src = os.path.join(here, "testdata-sf30")
-    out = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
-        here, "testdata-sf90")
+    args = [a for a in sys.argv[1:] if a != "--events"]
+    events = "--events" in sys.argv[1:]
+    out = args[0] if args else os.path.join(here, "testdata-sf90")
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
     con.execute("SET threads TO 16")
+
+    if events:
+        evt_s = con.execute(
+            f"SELECT max(event_id) + 1 FROM '{src}/events.parquet'").fetchone()[0]
+        usr_s = con.execute(
+            f"SELECT max(user_id) + 1 FROM '{src}/events.parquet'").fetchone()[0]
+        eselects = " UNION ALL ".join(f"""
+            SELECT event_id + {i} * {evt_s} AS event_id,
+                   ts + INTERVAL ({i}) MICROSECOND AS ts,
+                   user_id + {i} * {usr_s} AS user_id,
+                   event_type, value, props
+            FROM '{src}/events.parquet'""" for i in range(COPIES))
+        con.execute(
+            f"COPY ({eselects}) TO '{out}/events.parquet' (FORMAT PARQUET)")
+        n = con.execute(
+            f"SELECT count(*) FROM '{out}/events.parquet'").fetchone()[0]
+        print(f"events: {n} rows", flush=True)
 
     doc_s = con.execute(
         f"SELECT max(doc_id) + 1 FROM '{src}/documents.parquet'").fetchone()[0]

@@ -319,6 +319,53 @@ object CoreQueries {
   private val sinkKafkaShape: Q = (s, dir) =>
     routed(s, dir).select(col("topic"), col("value")).orderBy("topic", "value")
 
+  // O17 consumed back — the full produce→consume wire round trip: the
+  // cascade's routed frame ships through [[graft.sinks.RoutedSink
+  // .produceKafka]] as gzip'd magic-2 record batches into an in-process
+  // embedded broker ([[graft.tools.EmbeddedKafka]], the status-server
+  // discipline applied to Kafka), then the `graft-kafka` DSv2 Fetch
+  // source reads every partition back and the per-topic tallies must
+  // reproduce the routed frame exactly — the consumer proves delivery
+  // instead of trusting the producer's own counters. Multi-partition
+  // (2) so the round-robin partitioner and per-partition snapshot reads
+  // are both on the hook. Collected eagerly (a handful of topic rows)
+  // because the broker's lifetime ends with this closure.
+  private val srcKafkaRoundtrip: Q = (s, dir) => {
+    val broker = new graft.tools.EmbeddedKafka.LoopbackBroker(partitions = 2)
+    try {
+      val frame = routed(s, dir).select(col("topic"), col("value"))
+      graft.sinks.RoutedSink.produceKafka(frame, broker.broker,
+        kafkaConf = Map("broker.version.fallback" -> "1.0",
+          "compression.codec" -> "gzip", "batch.num.messages" -> "200"))
+      val topics = frame.select("topic").distinct()
+        .collect().map(_.getString(0)).sorted // bounded by the rule config
+      val back = s.read.format("graft-kafka")
+        .option("broker", broker.broker)
+        .option("topic", topics.mkString(","))
+        .load()
+      val rows = back.groupBy("topic")
+        .agg(count(lit(1)).as("n"),
+          sum(octet_length(col("value"))).as("bytes"),
+          min(col("value")).as("min_v"), max(col("value")).as("max_v"))
+        .orderBy("topic")
+        .collect()
+      val out = s.createDataFrame(
+        s.sparkContext.parallelize(rows.toIndexedSeq, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("topic",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("n",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("bytes",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("min_v",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("max_v",
+            org.apache.spark.sql.types.StringType))))
+      out
+    } finally broker.close()
+  }
+
   // O18 — per-destination grouping (the system's one shuffle). Bytes =
   // stored buffer size: payload UTF-8 bytes + the appended newline
   // (parquet.rs:157-158 queue.extend(payload); queue.extend("\n")).
@@ -628,6 +675,7 @@ object CoreQueries {
     "route_first_match" -> routeFirstMatch,
     "stop_drop" -> stopDrop,
     "sink_kafka_shape" -> sinkKafkaShape,
+    "src_kafka_roundtrip" -> srcKafkaRoundtrip,
     "sink_group_by_destination" -> sinkGroupByDestination,
     "flush_size_threshold" -> flushSizeThreshold,
     "flush_time_interval" -> flushTimeInterval,
@@ -853,6 +901,15 @@ object CoreQueries {
     "sink_kafka_shape" ->
       s"""$RoutedSql
          |SELECT topic, value FROM routed ORDER BY topic, value""".stripMargin,
+
+    // the produce→consume round trip must reproduce the routed frame's
+    // per-topic tallies — the oracle computes them from the SOURCE, the
+    // Spark side from what actually came back off the broker's log
+    "src_kafka_roundtrip" ->
+      s"""$RoutedSql
+         |SELECT topic, count(*) AS n, CAST(sum(strlen(value)) AS BIGINT) AS bytes,
+         |       min(value) AS min_v, max(value) AS max_v
+         |FROM routed GROUP BY topic ORDER BY topic""".stripMargin,
 
     "sink_group_by_destination" ->
       s"""$RoutedSql

@@ -1,18 +1,25 @@
-package graft
+package graft.tools
 
 import java.io.{ByteArrayInputStream, DataInputStream, DataOutputStream}
 import java.net.ServerSocket
 import java.nio.charset.StandardCharsets
 import java.util.concurrent.{ConcurrentHashMap, ConcurrentLinkedQueue}
 
-/** In-process loopback Kafka broker + SCRAM server side, extracted from
-  * KafkaProduceSpec so composition exhibits (DaemonKafkaSpec: the daemon’s
-  * cascade delivering to Kafka end-to-end) can reuse the same wire-honest
-  * counterpart. Speaks Metadata v0, InitProducerId v0, and Produce v0-v9
+/** In-process embedded Kafka broker + SCRAM server side — the library's
+  * integration-test harness (the kafka-testkit pattern): a wire-honest
+  * counterpart every delivery spec, the daemon exhibits, and the
+  * `src_kafka_roundtrip` oracle key run against, in-process and
+  * dependency-free. Speaks Metadata v0, InitProducerId v0, Produce v0-v9
   * (magic-0/1 message sets and crc32c-verified magic-2 record batches, all
-  * four compression codecs), with optional TLS and SASL PLAIN/SCRAM fronts.
+  * four compression codecs), and Fetch v4 over a real per-partition log of
+  * the produced record batches (served verbatim, the broker zero-copy
+  * model — a compressed produce round-trips compressed), with optional TLS
+  * and SASL PLAIN/SCRAM fronts. Lives in main (not test) scope so the
+  * correctness gate's produce→consume round-trip key can host a broker
+  * inside the query closure, the same discipline as the O25 status-server
+  * HTTP round-trip key.
   */
-object LoopbackKafka {
+object EmbeddedKafka {
 
   /** Loopback broker: one Produce v0 request per connection; records each
     * (topic, payload) and answers with `errorFor(topic)`. `silent = true`
@@ -94,7 +101,8 @@ object LoopbackKafka {
       scramSignPassword: Option[String] = None,
       scramAlgo: graft.sinks.ScramAuth.Algo = graft.sinks.ScramAuth.Sha256,
       dropResponses: Int = 0,
-      partitions: Int = 1)
+      partitions: Int = 1,
+      responseDelayMs: Long = 0L)
       extends AutoCloseable {
     val received = new ConcurrentLinkedQueue[(String, String)]()
     /** (api_version, acks, wire attributes of the outermost message) per
@@ -109,6 +117,34 @@ object LoopbackKafka {
     /** Accepted sockets still open — lets tests simulate a broker restart. */
     private val liveSockets = new ConcurrentLinkedQueue[java.net.Socket]()
     private val nextPid = new java.util.concurrent.atomic.AtomicLong(1000L)
+
+    /** Per-(topic, partition) log of the magic-2 record batches as
+      * PRODUCED (bytes kept verbatim apart from the assigned baseOffset —
+      * the real broker's zero-copy model, so compressed batches
+      * round-trip compressed through Fetch). Legacy magic-0/1 produces
+      * are recorded in [[received]] but not fetchable. */
+    private final class PartitionLog {
+      val batches = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Array[Byte])]
+      var end: Long = 0L
+    }
+    private val logs = new ConcurrentHashMap[(String, Int), PartitionLog]()
+
+    private def appendLog(topic: String, partId: Int, n: Int,
+        batch: Array[Byte]): Unit = {
+      val log = logs.computeIfAbsent((topic, partId), _ => new PartitionLog)
+      log.synchronized {
+        val base = log.end
+        val withOffset = batch.clone()
+        // rewrite baseOffset (bytes 0-7); the batch CRC covers attributes
+        // onward, so no recompute — exactly the real broker's append path
+        var i = 0
+        while (i < 8) {
+          withOffset(i) = (base >>> (8 * (7 - i))).toByte; i += 1
+        }
+        log.batches += ((base, n, withOffset))
+        log.end = base + n
+      }
+    }
     // KIP-98 dedup window: last appended seq per (pid, topic); a replayed
     // or older seq is acknowledged but NOT appended again
     private val lastSeq = new ConcurrentHashMap[(Long, String), Integer]()
@@ -148,14 +184,66 @@ object LoopbackKafka {
             val size = in.readInt()
             val frame = new Array[Byte](size)
             in.readFully(frame)
+            // a slow broker: per-request service latency, so accumulator
+            // specs can prove coalescing under in-flight pressure
+            if (responseDelayMs > 0) Thread.sleep(responseDelayMs)
             val f = new DataInputStream(new ByteArrayInputStream(frame))
             val apiKey = f.readShort()
-            assert(apiKey == 0 || apiKey == 3 || apiKey == 22,
-              s"expected Produce/Metadata/InitProducerId, got api_key=$apiKey")
+            assert(apiKey == 0 || apiKey == 1 || apiKey == 3 || apiKey == 22,
+              s"expected Produce/Fetch/Metadata/InitProducerId, got api_key=$apiKey")
             val version = f.readShort()
             val corr = f.readInt()
             f.skipBytes(f.readShort()) // client_id
-            if (apiKey == 3) { // Metadata v0: advertise `partitions` per topic
+            if (apiKey == 1) { // Fetch v4: serve the appended batches verbatim
+              assert(version == 4, s"the embedded broker serves Fetch v4, got v$version")
+              f.readInt() // replica_id
+              f.readInt() // max_wait_ms
+              f.readInt() // min_bytes
+              f.readInt() // max_bytes
+              f.readByte() // isolation_level
+              val nT = f.readInt()
+              val wants = (0 until nT).map { _ =>
+                val tb = new Array[Byte](f.readShort()); f.readFully(tb)
+                val t = new String(tb, StandardCharsets.UTF_8)
+                val nP = f.readInt()
+                t -> (0 until nP).map { _ =>
+                  val p = f.readInt(); val off = f.readLong()
+                  f.readInt() // partition_max_bytes
+                  (p, off)
+                }
+              }
+              val body = new java.io.ByteArrayOutputStream()
+              val bo = new DataOutputStream(body)
+              bo.writeInt(corr)
+              bo.writeInt(0) // throttle_time_ms
+              bo.writeInt(wants.size)
+              wants.foreach { case (t, parts) =>
+                val tb = t.getBytes(StandardCharsets.UTF_8)
+                bo.writeShort(tb.length); bo.write(tb)
+                bo.writeInt(parts.size)
+                parts.foreach { case (p, off) =>
+                  val log = logs.get((t, p))
+                  val (hw, recs) =
+                    if (log == null) (0L, Array.emptyByteArray)
+                    else log.synchronized {
+                      // serve every batch whose range reaches past the
+                      // fetch offset; the consumer skips sub-offset records
+                      val out = new java.io.ByteArrayOutputStream()
+                      log.batches.foreach { case (base, n, bytes) =>
+                        if (base + n > off) out.write(bytes)
+                      }
+                      (log.end, out.toByteArray)
+                    }
+                  bo.writeInt(p)
+                  bo.writeShort(0) // error
+                  bo.writeLong(hw) // high_watermark
+                  bo.writeLong(hw) // last_stable_offset
+                  bo.writeInt(0) // aborted_transactions: none
+                  bo.writeInt(recs.length); bo.write(recs)
+                }
+              }
+              if (!silent) { out.writeInt(body.size()); body.writeTo(out); out.flush() }
+            } else if (apiKey == 3) { // Metadata v0: advertise `partitions` per topic
               val nT = f.readInt()
               val names = (0 until nT).map { _ =>
                 val b = new Array[Byte](f.readShort()); f.readFully(b)
@@ -299,6 +387,7 @@ object LoopbackKafka {
                 assert(nHeaders == 0, s"unexpected record headers $nHeaders")
                 if (!dup) received.add(topic -> new String(vb, StandardCharsets.UTF_8))
               }
+              if (!dup && errorFor(topic) == 0) appendLog(topic, partId, n, setB)
             }
 
             val nTopics = f.readInt()

@@ -5,7 +5,7 @@ import java.net.Socket
 import java.nio.charset.StandardCharsets
 import java.nio.file.Files
 
-import graft.LoopbackKafka.LoopbackBroker
+import graft.tools.EmbeddedKafka.LoopbackBroker
 import graft.queries.Synth
 import graft.sources.SyslogSocketSource
 import graft.tools.Daemon
