@@ -16,7 +16,7 @@ cd "$(dirname "$0")/.."
 SF="${1:-sf0.01}"
 OUT="${2:-/tmp/vout_lc}"
 KEYS="${3:-}"
-JAR=$(ls -t target/scala-2.13/graft*.jar 2>/dev/null | head -1)
+JAR=$(ls -t target/scala-2.13/*.jar 2>/dev/null | head -1)
 if [ -z "$JAR" ]; then echo "run: sbt -batch package" >&2; exit 2; fi
 export SPARK_HOME=/opt/spark
 # Verify honors SPARK_GRAFT_MASTER over its local[$cpus] default — the

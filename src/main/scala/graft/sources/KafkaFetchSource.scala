@@ -11,6 +11,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -203,11 +204,14 @@ object KafkaFetchSource {
   private[sources] val ProbeOffset: Long = 1L << 62
 }
 
-/** `graft-kafka` — a DataSource V2 BATCH source over [[KafkaFetchClient]]:
+/** `graft-kafka` — a DataSource V2 source over [[KafkaFetchClient]]:
   * one Spark input partition per Kafka partition (the natural parallelism
-  * — at 1000 executors each task owns whole partitions, no coordination),
-  * each reading `[0, highWatermark-at-planning)` so the scan is a
-  * consistent snapshot. Options: `broker` (host:port), `topic`
+  * — at 1000 executors each task owns whole partitions, no coordination).
+  * BATCH scans read `[0, highWatermark-at-planning)` — a consistent
+  * snapshot; MICRO_BATCH streams read `[checkpointed, latest)` per
+  * trigger with offsets durable in the checkpoint, so produce→consume
+  * replay across query restarts is exactly-once
+  * ([[KafkaStreamOffset]]). Options: `broker` (host:port), `topic`
   * (comma-separated list). Schema: (topic, partition, offset, value).
   */
 class KafkaFetchSourceProvider extends TableProvider with DataSourceRegister {
@@ -229,7 +233,7 @@ private[sources] class KafkaFetchTable(options: CaseInsensitiveStringMap)
   override def name(): String = s"graft-kafka($broker/${topics.mkString(",")})"
   override def schema(): StructType = KafkaFetchSource.Schema
   override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
 
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
@@ -242,19 +246,87 @@ private[sources] class KafkaFetchTable(options: CaseInsensitiveStringMap)
             try topics.flatMap { t =>
               (0 until c.partitionCount(t)).map { p =>
                 val (hw, _) = c.fetch(t, p, KafkaFetchSource.ProbeOffset, 1024)
-                KafkaFetchPartition(broker, t, p, hw): InputPartition
+                KafkaFetchPartition(broker, t, p, 0L, hw): InputPartition
               }
             } finally c.close()
           }
           override def createReaderFactory(): PartitionReaderFactory =
             new KafkaFetchReaderFactory
         }
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new KafkaFetchMicroBatchStream(broker, topics.toSeq)
       }
     }
 }
 
+/** Per-(topic, partition) consumed positions — durable in the query
+  * checkpoint, which is what makes resumption EXACTLY-ONCE: unlike the
+  * TCP line source (whose dead process cannot replay), a broker log
+  * replays any committed range on demand, so a restart re-plans from the
+  * checkpointed offsets and no record is lost or doubled. */
+private[sources] case class KafkaStreamOffset(offsets: Map[(String, Int), Long])
+    extends Offset {
+  // kafka topic names cannot contain ':' (legal chars: [a-zA-Z0-9._-])
+  override def json(): String = offsets.toSeq.sortBy(x => (x._1._1, x._1._2))
+    .map { case ((t, p), o) => s"$t:$p:$o" }.mkString(";")
+}
+
+private[sources] object KafkaStreamOffset {
+  def parse(json: String): KafkaStreamOffset = KafkaStreamOffset(
+    if (json.isEmpty) Map.empty
+    else json.split(';').map { s =>
+      val Array(t, p, o) = s.split(":")
+      (t, p.toInt) -> o.toLong
+    }.toMap)
+}
+
+/** Micro-batch half of `graft-kafka`: latestOffset probes each
+  * partition's high watermark, each micro-batch reads the
+  * [checkpointed, latest) range — one Spark partition per Kafka
+  * partition with a non-empty range. commit() is a no-op: the broker
+  * retains its log and the checkpoint owns the positions (the standard
+  * Kafka-source contract, no consumer-group state on the broker). */
+private[sources] class KafkaFetchMicroBatchStream(broker: String,
+    topics: Seq[String]) extends MicroBatchStream {
+  private def withClient[T](f: KafkaFetchClient => T): T = {
+    val c = new KafkaFetchClient(broker)
+    try f(c) finally c.close()
+  }
+
+  private lazy val parts: Seq[(String, Int)] = withClient { c =>
+    topics.flatMap(t => (0 until c.partitionCount(t)).map(t -> _))
+  }
+
+  override def initialOffset(): Offset =
+    KafkaStreamOffset(parts.map(_ -> 0L).toMap)
+
+  override def latestOffset(): Offset = KafkaStreamOffset(withClient { c =>
+    parts.map { case (t, p) =>
+      (t, p) -> c.fetch(t, p, KafkaFetchSource.ProbeOffset, 1024)._1
+    }.toMap
+  })
+
+  override def deserializeOffset(json: String): Offset =
+    KafkaStreamOffset.parse(json)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[KafkaStreamOffset].offsets
+    val e = end.asInstanceOf[KafkaStreamOffset].offsets
+    e.toSeq.sortBy(x => (x._1._1, x._1._2)).collect {
+      case ((t, p), eo) if eo > s.getOrElse((t, p), 0L) =>
+        KafkaFetchPartition(broker, t, p, s.getOrElse((t, p), 0L), eo): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new KafkaFetchReaderFactory
+}
+
 private[sources] case class KafkaFetchPartition(broker: String, topic: String,
-    partition: Int, endOffset: Long) extends InputPartition
+    partition: Int, startOffset: Long, endOffset: Long) extends InputPartition
 
 private[sources] class KafkaFetchReaderFactory extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
@@ -262,7 +334,7 @@ private[sources] class KafkaFetchReaderFactory extends PartitionReaderFactory {
     new PartitionReader[InternalRow] {
       private val client = new KafkaFetchClient(kp.broker)
       private val topicU = UTF8String.fromString(kp.topic)
-      private var cur = 0L
+      private var cur = kp.startOffset
       private var batch: Seq[(Long, String)] = Nil
       private var i = -1
 

@@ -55,6 +55,52 @@ class KafkaFetchSpec extends AnyFunSuite {
     } finally { fc.close(); broker.close() }
   }
 
+  test("graft-kafka micro-batch stream: produce waves consume exactly " +
+    "once across checkpointed query restarts") {
+    val broker = new LoopbackBroker(partitions = 2)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-kafka-stream").toString
+    def produce(prefix: String, n: Int): Unit = {
+      val p = new KafkaProduceClient(broker.broker, timeoutMs = 5000,
+        apiVersion = 3)
+      try (1 to n).foreach(i => p.sendSync("replay", s"$prefix-$i"))
+      finally p.close()
+    }
+    // AvailableNow + foreachBatch (a recovery-capable sink): each run
+    // drains what the broker holds into a shared ledger, then stops —
+    // the deterministic replay harness
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    def run(): Int = {
+      val before = seen.size
+      val q = spark.readStream.format("graft-kafka")
+        .option("broker", broker.broker)
+        .option("topic", "replay")
+        .load()
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.collect().foreach(r => seen.add(r.getString(3)))
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+      seen.size - before
+    }
+    try {
+      produce("a", 20)
+      assert(run() == 20, "first run drains wave A")
+      produce("b", 25)
+      // a RESTARTED query must see ONLY wave B: the checkpointed offsets
+      // make resumption exactly-once — no replay of A, no loss of B
+      assert(run() == 25,
+        "restart must consume exactly the new wave, nothing twice")
+      produce("c", 30)
+      assert(run() == 30)
+      val all = seen.toArray.map(_.toString).toSeq
+      assert(all.distinct.size == 75, "no payload may arrive twice, ever")
+    } finally broker.close()
+  }
+
   test("graft-kafka DSv2 batch scan: one input partition per Kafka " +
     "partition, snapshot-consistent, values intact") {
     val broker = new LoopbackBroker(partitions = 4)
