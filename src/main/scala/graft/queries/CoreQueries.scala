@@ -366,6 +366,71 @@ object CoreQueries {
     } finally broker.close()
   }
 
+  // The exactly-once produce→consume REPLAY as a gate-checked key (the
+  // wire sibling of the stream_*_replay twins): the routed frame ships in
+  // THREE waves (event_id % 3) through [[graft.sinks.RoutedSink
+  // .produceKafka]] into the embedded broker, and after each wave a
+  // `graft-kafka` micro-batch query — restarted every time from the SAME
+  // checkpoint — drains exactly what arrived since the previous run.
+  // Lost offsets double-count a wave; replayed offsets leak records
+  // across waves; either diverges from the oracle's per-(wave, topic)
+  // tallies. foreachBatch aggregates before collecting (tiny rows), and
+  // the result DataFrame is rebuilt locally so the broker's lifetime can
+  // end with this closure.
+  private val streamKafkaReplay: Q = (s, dir) => {
+    val broker = new graft.tools.EmbeddedKafka.LoopbackBroker(partitions = 2)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-kafka-replay").toString
+    try {
+      val frame = routed(s, dir)
+      val topics = frame.select("topic").distinct()
+        .collect().map(_.getString(0)).sorted // bounded by the rule config
+      val acc = scala.collection.mutable.ArrayBuffer
+        .empty[org.apache.spark.sql.Row]
+      (0 until 3).foreach { wave =>
+        graft.sinks.RoutedSink.produceKafka(
+          frame.filter(col("event_id") % 3 === wave)
+            .select(col("topic"), col("value")),
+          broker.broker,
+          kafkaConf = Map("broker.version.fallback" -> "1.0",
+            "batch.num.messages" -> "200"))
+        val q = s.readStream.format("graft-kafka")
+          .option("broker", broker.broker)
+          .option("topic", topics.mkString(","))
+          .load()
+          .writeStream
+          .foreachBatch { (df: DataFrame, _: Long) =>
+            val rows = df.groupBy("topic")
+              .agg(count(lit(1)).as("n"),
+                sum(octet_length(col("value"))).as("bytes"))
+              .collect()
+            acc.synchronized {
+              rows.foreach(r => acc += org.apache.spark.sql.Row(
+                wave, r.getString(0), r.getLong(1), r.getLong(2)))
+            }
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination(120000)
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("wave",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("topic",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("bytes",
+          org.apache.spark.sql.types.LongType)))
+      s.createDataFrame(
+        s.sparkContext.parallelize(acc.toSeq, 1), schema)
+        .groupBy("wave", "topic")
+        .agg(sum("n").as("n"), sum("bytes").as("bytes"))
+        .orderBy("wave", "topic")
+    } finally broker.close()
+  }
+
   // O18 — per-destination grouping (the system's one shuffle). Bytes =
   // stored buffer size: payload UTF-8 bytes + the appended newline
   // (parquet.rs:157-158 queue.extend(payload); queue.extend("\n")).
@@ -676,6 +741,7 @@ object CoreQueries {
     "stop_drop" -> stopDrop,
     "sink_kafka_shape" -> sinkKafkaShape,
     "src_kafka_roundtrip" -> srcKafkaRoundtrip,
+    "stream_kafka_replay" -> streamKafkaReplay,
     "sink_group_by_destination" -> sinkGroupByDestination,
     "flush_size_threshold" -> flushSizeThreshold,
     "flush_time_interval" -> flushTimeInterval,
@@ -910,6 +976,15 @@ object CoreQueries {
          |SELECT topic, count(*) AS n, CAST(sum(strlen(value)) AS BIGINT) AS bytes,
          |       min(value) AS min_v, max(value) AS max_v
          |FROM routed GROUP BY topic ORDER BY topic""".stripMargin,
+
+    // three produce waves, three checkpoint-resumed stream drains: each
+    // wave's consumed tallies must equal the oracle's event_id%3 split —
+    // a lost or replayed offset breaks exactly one wave's row
+    "stream_kafka_replay" ->
+      s"""$RoutedSql
+         |SELECT CAST(event_id % 3 AS INT) AS wave, topic, count(*) AS n,
+         |       CAST(sum(strlen(value)) AS BIGINT) AS bytes
+         |FROM routed GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "sink_group_by_destination" ->
       s"""$RoutedSql

@@ -34,27 +34,44 @@ import org.apache.spark.unsafe.types.UTF8String
   *   - the high watermark from each response bounds the read, so a batch
   *     scan is a SNAPSHOT: records appended after planning are excluded.
   *
-  * Plaintext only by design: the TLS/SASL fronts live on the produce path
-  * where the reference's deployment contract needs them; the consumer
-  * exists for round-trip verification and loopback replay.
+  * TLS (`tlsCaCert`, PEM trust anchors — `Some("")` = JVM default store)
+  * and SASL SCRAM/PLAIN (`sasl`, authenticated once per connection)
+  * compose exactly as on the produce path — the same deployment contract
+  * on both halves of the wire story.
   */
-final class KafkaFetchClient(broker: String, timeoutMs: Int = 30000)
+final class KafkaFetchClient(broker: String, timeoutMs: Int = 30000,
+    tlsCaCert: Option[String] = None,
+    sasl: Option[(String, String)] = None,
+    saslAlgo: graft.sinks.ScramAuth.Algo = graft.sinks.ScramAuth.Sha256)
     extends AutoCloseable {
   private val (host, port) = broker.lastIndexOf(':') match {
     case -1 => (broker, 9092)
     case i  => (broker.substring(0, i), broker.substring(i + 1).toInt)
   }
 
-  private val socket = {
-    val s = new Socket()
-    s.connect(new InetSocketAddress(host, port), timeoutMs)
-    s.setSoTimeout(timeoutMs)
-    s.setTcpNoDelay(true)
-    s
+  private val socket: Socket = {
+    val plain = new Socket()
+    plain.connect(new InetSocketAddress(host, port), timeoutMs)
+    plain.setSoTimeout(timeoutMs)
+    plain.setTcpNoDelay(true)
+    tlsCaCert.map(Pem.clientContext) match {
+      case None => plain
+      case Some(ctx) =>
+        val ss = ctx.getSocketFactory.createSocket(plain, host, port, true)
+          .asInstanceOf[javax.net.ssl.SSLSocket]
+        ss.setSoTimeout(timeoutMs)
+        ss.setUseClientMode(true)
+        ss.startHandshake() // chain-verified against the configured anchors
+        ss
+    }
   }
   private val in = new DataInputStream(socket.getInputStream)
   private val out = new DataOutputStream(
     new java.io.BufferedOutputStream(socket.getOutputStream))
+  // authenticate ONCE per connection, before any fetch traffic
+  sasl.foreach { case (u, p) =>
+    graft.sinks.ScramAuth.authenticate(in, out, u, p, algo = saslAlgo)
+  }
   private var corr = 0
 
   private def header(o: DataOutputStream, apiKey: Short, version: Short): Int = {
@@ -191,6 +208,28 @@ final class KafkaFetchClient(broker: String, timeoutMs: Int = 30000)
     try socket.close() catch { case _: Exception => () }
 }
 
+/** Serializable connection settings threaded from DSv2 options to every
+  * executor-side reader: `broker`, `tls.ca` (PEM path, "" = JVM default
+  * store), `sasl.username`/`sasl.password`/`sasl.mechanisms` — the same
+  * option names the produce path's librdkafka-style conf uses. */
+private[sources] case class KafkaFetchConf(broker: String,
+    tlsCa: Option[String], saslUser: Option[String],
+    saslPass: Option[String], saslMech: String) {
+  def open(): KafkaFetchClient = new KafkaFetchClient(broker,
+    tlsCaCert = tlsCa,
+    sasl = for (u <- saslUser; p <- saslPass) yield (u, p),
+    saslAlgo = graft.sinks.ScramAuth.algoFor(saslMech))
+}
+
+private[sources] object KafkaFetchConf {
+  def fromOptions(options: CaseInsensitiveStringMap): KafkaFetchConf =
+    KafkaFetchConf(options.get("broker"),
+      Option(options.get("tls.ca")),
+      Option(options.get("sasl.username")),
+      Option(options.get("sasl.password")),
+      Option(options.get("sasl.mechanisms")).getOrElse("SCRAM-SHA-256"))
+}
+
 object KafkaFetchSource {
   val Schema: StructType = StructType(Seq(
     StructField("topic", StringType, nullable = false),
@@ -225,12 +264,12 @@ class KafkaFetchSourceProvider extends TableProvider with DataSourceRegister {
 
 private[sources] class KafkaFetchTable(options: CaseInsensitiveStringMap)
     extends Table with SupportsRead {
-  private val broker = options.get("broker")
+  private val conf = KafkaFetchConf.fromOptions(options)
   private val topics = options.get("topic").split(',').map(_.trim).filter(_.nonEmpty)
-  require(broker != null && topics.nonEmpty,
+  require(conf.broker != null && topics.nonEmpty,
     "graft-kafka needs options broker=host:port and topic=a[,b,...]")
 
-  override def name(): String = s"graft-kafka($broker/${topics.mkString(",")})"
+  override def name(): String = s"graft-kafka(${conf.broker}/${topics.mkString(",")})"
   override def schema(): StructType = KafkaFetchSource.Schema
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
@@ -242,11 +281,11 @@ private[sources] class KafkaFetchTable(options: CaseInsensitiveStringMap)
         override def toBatch: Batch = new Batch {
           override def planInputPartitions(): Array[InputPartition] = {
             // snapshot bound per partition, captured once on the driver
-            val c = new KafkaFetchClient(broker)
+            val c = conf.open()
             try topics.flatMap { t =>
               (0 until c.partitionCount(t)).map { p =>
                 val (hw, _) = c.fetch(t, p, KafkaFetchSource.ProbeOffset, 1024)
-                KafkaFetchPartition(broker, t, p, 0L, hw): InputPartition
+                KafkaFetchPartition(conf, t, p, 0L, hw): InputPartition
               }
             } finally c.close()
           }
@@ -254,7 +293,7 @@ private[sources] class KafkaFetchTable(options: CaseInsensitiveStringMap)
             new KafkaFetchReaderFactory
         }
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new KafkaFetchMicroBatchStream(broker, topics.toSeq)
+          new KafkaFetchMicroBatchStream(conf, topics.toSeq)
       }
     }
 }
@@ -286,10 +325,10 @@ private[sources] object KafkaStreamOffset {
   * partition with a non-empty range. commit() is a no-op: the broker
   * retains its log and the checkpoint owns the positions (the standard
   * Kafka-source contract, no consumer-group state on the broker). */
-private[sources] class KafkaFetchMicroBatchStream(broker: String,
+private[sources] class KafkaFetchMicroBatchStream(conf: KafkaFetchConf,
     topics: Seq[String]) extends MicroBatchStream {
   private def withClient[T](f: KafkaFetchClient => T): T = {
-    val c = new KafkaFetchClient(broker)
+    val c = conf.open()
     try f(c) finally c.close()
   }
 
@@ -317,7 +356,7 @@ private[sources] class KafkaFetchMicroBatchStream(broker: String,
     val e = end.asInstanceOf[KafkaStreamOffset].offsets
     e.toSeq.sortBy(x => (x._1._1, x._1._2)).collect {
       case ((t, p), eo) if eo > s.getOrElse((t, p), 0L) =>
-        KafkaFetchPartition(broker, t, p, s.getOrElse((t, p), 0L), eo): InputPartition
+        KafkaFetchPartition(conf, t, p, s.getOrElse((t, p), 0L), eo): InputPartition
     }.toArray
   }
 
@@ -325,14 +364,15 @@ private[sources] class KafkaFetchMicroBatchStream(broker: String,
     new KafkaFetchReaderFactory
 }
 
-private[sources] case class KafkaFetchPartition(broker: String, topic: String,
-    partition: Int, startOffset: Long, endOffset: Long) extends InputPartition
+private[sources] case class KafkaFetchPartition(conf: KafkaFetchConf,
+    topic: String, partition: Int, startOffset: Long, endOffset: Long)
+    extends InputPartition
 
 private[sources] class KafkaFetchReaderFactory extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val kp = p.asInstanceOf[KafkaFetchPartition]
     new PartitionReader[InternalRow] {
-      private val client = new KafkaFetchClient(kp.broker)
+      private val client = kp.conf.open()
       private val topicU = UTF8String.fromString(kp.topic)
       private var cur = kp.startOffset
       private var batch: Seq[(Long, String)] = Nil

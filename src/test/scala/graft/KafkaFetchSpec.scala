@@ -41,6 +41,29 @@ class KafkaFetchSpec extends AnyFunSuite {
     }
   }
 
+  private def tlsRes(f: String): String =
+    getClass.getResource(s"/tls/$f").getPath
+
+  test("consumer over TLS + SCRAM: the same deployment contract as the " +
+    "produce path, end-to-end through the secured broker") {
+    val ctx = graft.sources.Pem.serverContext(
+      tlsRes("cert.pem"), tlsRes("pkcs8-key.pem"))
+    val broker = new LoopbackBroker(ssl = Some(ctx),
+      scram = Some(("svc", "s3cret")))
+    val producer = new KafkaProduceClient(broker.broker, timeoutMs = 5000,
+      apiVersion = 3, tlsCaCert = Some(tlsRes("cert.pem")),
+      sasl = Some(("svc", "s3cret")))
+    try (1 to 15).foreach(m => producer.sendSync("sec", s"m$m"))
+    finally producer.close()
+    val fc = new KafkaFetchClient(broker.broker,
+      tlsCaCert = Some(tlsRes("cert.pem")), sasl = Some(("svc", "s3cret")))
+    try {
+      val (hw, recs) = fc.fetch("sec", 0, 0L)
+      assert(hw == 15L && recs.map(_._2) == (1 to 15).map(i => s"m$i"),
+        "the secured consumer must read back the secured produce")
+    } finally { fc.close(); broker.close() }
+  }
+
   test("fetch from a mid-log offset serves only records at or past it") {
     val broker = new LoopbackBroker() // single partition
     val producer = new KafkaProduceClient(broker.broker, timeoutMs = 5000,
