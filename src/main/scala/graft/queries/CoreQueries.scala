@@ -332,11 +332,13 @@ object CoreQueries {
   // because the broker's lifetime ends with this closure.
   private val srcKafkaRoundtrip: Q = (s, dir) => {
     val broker = new graft.tools.EmbeddedKafka.LoopbackBroker(partitions = 2)
+    // the cascade output feeds the produce AND the topic census — compute
+    // the parse+cascade once, not once per consumer
+    val frame = routed(s, dir).select(col("topic"), col("value")).persist()
     try {
-      val frame = routed(s, dir).select(col("topic"), col("value"))
       graft.sinks.RoutedSink.produceKafka(frame, broker.broker,
         kafkaConf = Map("broker.version.fallback" -> "1.0",
-          "compression.codec" -> "gzip", "batch.num.messages" -> "200"))
+          "compression.codec" -> "gzip", "batch.num.messages" -> "1000"))
       val topics = frame.select("topic").distinct()
         .collect().map(_.getString(0)).sorted // bounded by the rule config
       val back = s.read.format("graft-kafka")
@@ -363,7 +365,7 @@ object CoreQueries {
           org.apache.spark.sql.types.StructField("max_v",
             org.apache.spark.sql.types.StringType))))
       out
-    } finally broker.close()
+    } finally { broker.close(); frame.unpersist() }
   }
 
   // The exactly-once produce→consume REPLAY as a gate-checked key (the
@@ -381,8 +383,11 @@ object CoreQueries {
     val broker = new graft.tools.EmbeddedKafka.LoopbackBroker(partitions = 2)
     val ckpt = java.nio.file.Files
       .createTempDirectory("graft-kafka-replay").toString
+    // four consumers of the cascade output (topic census + three wave
+    // filters): parse once, filter from cache
+    val frame = routed(s, dir)
+      .select(col("topic"), col("value"), col("event_id")).persist()
     try {
-      val frame = routed(s, dir)
       val topics = frame.select("topic").distinct()
         .collect().map(_.getString(0)).sorted // bounded by the rule config
       val acc = scala.collection.mutable.ArrayBuffer
@@ -393,7 +398,7 @@ object CoreQueries {
             .select(col("topic"), col("value")),
           broker.broker,
           kafkaConf = Map("broker.version.fallback" -> "1.0",
-            "batch.num.messages" -> "200"))
+            "batch.num.messages" -> "1000"))
         val q = s.readStream.format("graft-kafka")
           .option("broker", broker.broker)
           .option("topic", topics.mkString(","))
@@ -428,7 +433,7 @@ object CoreQueries {
         .groupBy("wave", "topic")
         .agg(sum("n").as("n"), sum("bytes").as("bytes"))
         .orderBy("wave", "topic")
-    } finally broker.close()
+    } finally { broker.close(); frame.unpersist() }
   }
 
   // O18 — per-destination grouping (the system's one shuffle). Bytes =
