@@ -293,7 +293,9 @@ private[sources] class KafkaFetchTable(options: CaseInsensitiveStringMap)
             new KafkaFetchReaderFactory
         }
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new KafkaFetchMicroBatchStream(conf, topics.toSeq)
+          new KafkaFetchMicroBatchStream(conf, topics.toSeq,
+            fromLatest = "latest".equalsIgnoreCase(
+              options.getOrDefault("startingOffsets", "earliest")))
       }
     }
 }
@@ -326,7 +328,7 @@ private[sources] object KafkaStreamOffset {
   * retains its log and the checkpoint owns the positions (the standard
   * Kafka-source contract, no consumer-group state on the broker). */
 private[sources] class KafkaFetchMicroBatchStream(conf: KafkaFetchConf,
-    topics: Seq[String]) extends MicroBatchStream {
+    topics: Seq[String], fromLatest: Boolean = false) extends MicroBatchStream {
   private def withClient[T](f: KafkaFetchClient => T): T = {
     val c = conf.open()
     try f(c) finally c.close()
@@ -336,8 +338,13 @@ private[sources] class KafkaFetchMicroBatchStream(conf: KafkaFetchConf,
     topics.flatMap(t => (0 until c.partitionCount(t)).map(t -> _))
   }
 
+  /** `startingOffsets=earliest` (default) replays the whole retained log
+    * on first start; `latest` begins at the CURRENT watermarks — the
+    * tail-follow mode. Only consulted on a fresh checkpoint: a restart
+    * resumes from the checkpointed positions either way. */
   override def initialOffset(): Offset =
-    KafkaStreamOffset(parts.map(_ -> 0L).toMap)
+    if (!fromLatest) KafkaStreamOffset(parts.map(_ -> 0L).toMap)
+    else latestOffset()
 
   override def latestOffset(): Offset = KafkaStreamOffset(withClient { c =>
     parts.map { case (t, p) =>

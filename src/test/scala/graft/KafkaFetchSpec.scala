@@ -124,6 +124,45 @@ class KafkaFetchSpec extends AnyFunSuite {
     } finally broker.close()
   }
 
+  test("startingOffsets=latest: a fresh stream tails the log — history " +
+    "skipped, new waves still exactly-once across restarts") {
+    val broker = new LoopbackBroker()
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-kafka-latest").toString
+    def produce(prefix: String, n: Int): Unit = {
+      val p = new KafkaProduceClient(broker.broker, timeoutMs = 5000,
+        apiVersion = 3)
+      try (1 to n).foreach(i => p.sendSync("tail", s"$prefix-$i"))
+      finally p.close()
+    }
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    def run(): Int = {
+      val before = seen.size
+      val q = spark.readStream.format("graft-kafka")
+        .option("broker", broker.broker)
+        .option("topic", "tail")
+        .option("startingOffsets", "latest")
+        .load()
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.collect().foreach(r => seen.add(r.getString(3)))
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+      seen.size - before
+    }
+    try {
+      produce("old", 30) // history a tailing consumer must NOT replay
+      assert(run() == 0, "latest start skips the retained history")
+      produce("new", 10)
+      assert(run() == 10,
+        "the checkpointed tail position picks up ONLY the new wave")
+      assert(seen.toArray.map(_.toString).forall(_.startsWith("new-")))
+    } finally broker.close()
+  }
+
   test("graft-kafka DSv2 batch scan: one input partition per Kafka " +
     "partition, snapshot-consistent, values intact") {
     val broker = new LoopbackBroker(partitions = 4)
