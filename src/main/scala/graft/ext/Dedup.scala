@@ -479,17 +479,22 @@ object Dedup {
         .join(labels.withColumnRenamed("doc_id", "a"), "a")
         .groupBy(col("b").as("doc_id"))
         .agg(min("comp").as("nbr_min"))
-      // Carry a per-row `chg` flag through the (eager) checkpoint so the
-      // convergence signal comes from the SAME propagation job; the agg
-      // below only scans the materialized blocks — one heavy job per
-      // iteration instead of two.
+      // The convergence signal rides INSIDE the propagation job as an
+      // `observe` metric (CollectMetrics), so each iteration costs exactly
+      // ONE driver-synchronous action — the eager checkpoint. The previous
+      // shape carried a `chg` column through the checkpoint and re-scanned
+      // the materialized blocks with a second agg job; at bench scale that
+      // doubled the per-iteration driver round-trips across every CC
+      // consumer (probe receipts, OPTIMIZATION_r14.md).
+      val obs = org.apache.spark.sql.Observation(s"cc_converged_$i")
       val next = ckpt(labels.join(msgs, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("comp"), coalesce(col("nbr_min"), col("comp"))).as("comp"),
           (col("nbr_min") < col("comp")).as("chg"))
-      ) // truncate the iterative lineage + materialize
-      converged = !next.agg(max(coalesce(col("chg"), lit(false))))
-        .head().getBoolean(0)
+        .observe(obs, max(coalesce(col("chg"), lit(false))).as("any_chg"))
+      ) // truncate the iterative lineage + materialize (delivers the metric)
+      converged = !Option(obs.get("any_chg"))
+        .exists(_.asInstanceOf[Boolean])
       labels = next.drop("chg")
       if (pointerDoubling && !converged) {
         // comp ← comp(comp): every comp value IS a node id present in
@@ -565,8 +570,8 @@ object Dedup {
     * the oracle replays it verbatim. */
   private def bloomBits(text: Column, mBits: Int, k: Int): Column = {
     val P = 1000000007L
-    val h1 = conv(substring(md5(text), 1, 15), 16, 10).cast("long") % P
-    val h2 = conv(substring(md5(text), 17, 15), 16, 10).cast("long") % P
+    val h1 = graft.functions.GraftFunctions.md5PrefixLong(text, 1, 15) % P
+    val h2 = graft.functions.GraftFunctions.md5PrefixLong(text, 17, 15) % P
     transform(sequence(lit(0), lit(k - 1)), i => (h1 + i * h2) % P % mBits)
   }
 
@@ -580,6 +585,7 @@ object Dedup {
     * sketch" build: the filter is KBs–GBs regardless of corpus size. */
   def bloomBuild(corpus: DataFrame, mBits: Int = 16384, k: Int = 4,
       text: String = "text"): Array[Long] = {
+    graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
     val words = corpus
       .select(explode(bloomBits(col(text), mBits, k)).as("bit"))
       .groupBy((col("bit") / 32).cast("long").as("w"))
@@ -636,9 +642,17 @@ object Dedup {
 
   /** (doc_id, band, bucket) LSH band rows for a corpus — the unit the
     * incremental index stores and probes. */
-  private def bandBuckets(corpus: DataFrame, n: Int, bands: Int): DataFrame = {
+  private def bandBuckets(corpus: DataFrame, n: Int, bands: Int): DataFrame =
+    bandBucketsFromSig(TextAnalysis.minhashSignatureRows(corpus, n), n, bands)
+
+  /** Band rows from a PRECOMPUTED signature frame — split out so sweeps
+    * that derive several band splits from one signature (bandSweep)
+    * compute/materialize the signature exactly once: the row-local
+    * minhash_sig projection has no Exchange for Catalyst to reuse across
+    * union branches, so without the split each branch would re-sign the
+    * corpus. */
+  private def bandBucketsFromSig(sig: DataFrame, n: Int, bands: Int): DataFrame = {
     val rows = n / bands
-    val sig = TextAnalysis.minhashSignatureRows(corpus, n)
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         md5(concat_ws(",",
@@ -659,8 +673,12 @@ object Dedup {
   def bandSweep(corpus: DataFrame, n: Int, bandsList: Seq[Int],
       thresholdX10000: Long = 5000L): DataFrame = {
     val toks = corpus.select(col("doc_id"), tokSet(col("text")).as("t"))
+    // one signature pass shared by every band split: eager checkpoint cuts
+    // the lineage so the |docs|×n frame materializes exactly once (the
+    // per-branch re-sign this replaces was measured at +50% on the key)
+    val sig = TextAnalysis.minhashSignatureRows(corpus, n).localCheckpoint(true)
     bandsList.map { bands =>
-      val buckets = bandBuckets(corpus, n, bands)
+      val buckets = bandBucketsFromSig(sig, n, bands)
       val cand = buckets.as("a")
         .join(buckets.as("b"), Seq("band", "bucket"))
         .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
@@ -907,8 +925,15 @@ object Dedup {
     */
   def winnowingPairs(corpus: DataFrame, minShared: Int = 3,
       hashCap: Int = 64): DataFrame = {
-    val fp = TextAnalysis.winnowingSelections(corpus)
-      .select("doc_id", "h").distinct()
+    graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
+    // pairing consumes only the distinct (doc_id, h) set — exactly what
+    // the codegen'd winnow_fps expression emits row-locally (bit-equal to
+    // winnowingSelections' h column, WinnowFpsSpec), so the two window
+    // passes + distinct shuffle of the selection chain drop out entirely
+    // (<8-token docs: winnow_fps is NULL, explode emits nothing — the
+    // same doc set the selection chain's size filters pass)
+    val fp = corpus.select(col("doc_id"),
+      explode(call_function("winnow_fps", col("text"))).as("h"))
     val eligible = fp.join(
       fp.groupBy("h").agg(count(lit(1)).as("nh"))
         .filter(col("nh") <= hashCap).select("h"),

@@ -42,8 +42,9 @@ object EmbedPipeline {
     * count in that dimension, materialized dense via a map lookup. */
   def chunkVectors(docs: DataFrame, dims: Int = 16, window: Int = 32,
       stride: Int = 24): DataFrame = {
-    val dim = conv(substring(md5(col("tok")), 1, 15), 16, 10)
-      .cast("long") % dims
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    val dim = graft.functions.GraftFunctions
+      .md5PrefixLong(col("tok"), 1, 15) % dims
     val cells = chunkToks(docs, window, stride)
       .select(col("doc_id"), col("chunk_id"), col("chunk_md5"),
         explode(col("ctoks")).as("tok"))

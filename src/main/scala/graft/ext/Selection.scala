@@ -148,7 +148,7 @@ object Selection {
     * the [[TextAnalysis.cmsHeavyHitters]] hashing convention, replayable
     * verbatim in DuckDB. */
   private def bucketOf(tok: Column, buckets: Int): Column =
-    conv(substring(md5(tok), 1, 15), 16, 10).cast("long") % buckets
+    graft.functions.GraftFunctions.md5PrefixLong(tok, 1, 15) % buckets
 
   /** DSIR importance weights in exact integer bits over a weakly labeled
     * corpus (doc_id, text, y): per hashed token bucket b, the
@@ -179,6 +179,7 @@ object Selection {
     * aggregate, map-side combined, output and collect bounded by
     * `buckets`. */
   def dsirTrain(docs: DataFrame, buckets: Int = 64): DsirModel = {
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
     val stats = docs
       .select(col("y").cast("long").as("y"), explode(tokens(col("text"))).as("tok"))
       .select(col("y"), bucketOf(col("tok"), buckets).as("b"))
@@ -205,13 +206,15 @@ object Selection {
   /** Score per doc under a trained model: explode + one doc_id reduction
     * (high-cardinality key, map-side combined — the batch/relational
     * form). */
-  def dsirScore(docs: DataFrame, m: DsirModel): DataFrame =
+  def dsirScore(docs: DataFrame, m: DsirModel): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
     docs.select(col("doc_id"),
         explode(tokens(col("text"))).as("tok"))
       .select(col("doc_id"),
         lamCol(bucketOf(col("tok"), m.buckets), m).as("lam"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"), sum("lam").as("dsir_bits"))
+  }
 
   /** Train + score in one call (the registry key's form). */
   def dsirBits(docs: DataFrame, buckets: Int = 64): DataFrame =
@@ -291,9 +294,10 @@ object Selection {
     * corpus-sized collect, one shuffle. */
   def ppsSample(docs: DataFrame, k: Long = 100L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
     // 60-bit fold of md5 hex chars [1,16); band = top 8 bits — band order
     // IS hash order, so per-band offsets compose to the global prefix sum
-    val h = conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long")
+    val h = graft.functions.GraftFunctions.md5PrefixLong(col("text"), 1, 15)
     val base = docs.select(col("doc_id"), col("n_chars").as("w"), h.as("h"))
       .withColumn("bkt", (col("h") / (1L << 52)).cast("int"))
     val bands = base.groupBy("bkt").agg(sum("w").as("bw"))
@@ -332,8 +336,9 @@ object Selection {
       weightCol: String = "n_chars"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
-    val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 13), 16, 10)
-      .cast("long") + 1).cast("double") / lit(4503599627370496L).cast("double")
+    val u = (graft.functions.GraftFunctions.md5PrefixLong(
+      col("doc_id").cast("string"), 1, 13)
+      + 1).cast("double") / lit(4503599627370496L).cast("double")
     // strict_pow, not pow: Math.pow is 1-ulp-loose across JIT tiers; the
     // stream twin's byte-parity contract needs fdlibm on both sides
     val p = call_function("strict_pow", u,
@@ -379,9 +384,11 @@ object Selection {
     * design). Long-safe while 10⁴·9·Σ n_chars < 2⁶³. */
   def bootstrapCi(docs: DataFrame, reps: Int = 200): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
     val t = PoissonThresholds
-    val u = conv(substring(md5(concat(col("doc_id").cast("string"), lit("_"),
-      col("b").cast("string"))), 1, 15), 16, 10).cast("long")
+    val u = graft.functions.GraftFunctions.md5PrefixLong(
+      concat(col("doc_id").cast("string"), lit("_"),
+        col("b").cast("string")), 1, 15)
     val cCol = t.zipWithIndex.foldRight(lit(9): Column) {
       case ((thr, j), other) => when(col("u") < thr, j).otherwise(other)
     }.cast("long")

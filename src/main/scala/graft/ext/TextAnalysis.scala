@@ -61,6 +61,7 @@ object TextAnalysis {
     * run of ≥ 8 selects at least one common HASH in both docs. */
   def winnowingSelections(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
     val byDoc = Window.partitionBy("doc_id")
     val seq = byDoc.orderBy("pos")
     val toks = docs.select(col("doc_id"),
@@ -73,7 +74,7 @@ object TextAnalysis {
       .filter(col("pos") <= col("n_toks") - 5)
       .select(col("doc_id"), (col("pos") + 1).as("pos1"),
         (col("n_toks") - 4).as("n_grams"),
-        conv(substring(md5(col("gram")), 1, 10), 16, 10).cast("long").as("h"))
+        graft.functions.GraftFunctions.md5PrefixLong(col("gram"), 1, 10).as("h"))
     grams
       .withColumn("fp", min(col("h") * lit(1048576L) +
           (lit(1048575L) - col("pos1")))
@@ -173,6 +174,24 @@ object TextAnalysis {
     * md5-per-seed with equivalent MinHash quality. One aggregation over the
     * shingle rows; integer arithmetic keeps the DuckDB oracle exact. */
   def minhashSignatureRows(corpus: DataFrame, n: Int): DataFrame = {
+    // the codegen'd row-local expression (bit-equal to the explode+agg
+    // reference chain below, cross-checked in ExtSpec/NearDupStreamSpec):
+    // zero shingle-row materialization, zero doc_id exchange — the whole
+    // signature is a narrow projection, so every LSH consumer
+    // (bandBuckets → all dedup_* keys) loses one shuffle and the explode
+    graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
+    val sig = call_function("minhash_sig", col("text"), lit(n))
+    corpus
+      .select(col("doc_id"), sig.as("sig"))
+      .filter(col("sig").isNotNull) // <3 tokens = no shingles = no row (agg parity)
+      .select(col("doc_id") +:
+        (0 until n).map(i => element_at(col("sig"), i + 1).as(s"h$i")): _*)
+  }
+
+  /** The explode+agg reference chain for [[minhashSignatureRows]] — kept
+    * as the independent implementation the parity specs compare the
+    * expression against (and as the shape the DuckDB oracle mirrors). */
+  def minhashSignatureRowsAgg(corpus: DataFrame, n: Int): DataFrame = {
     val hx = md5(col("shingle"))
     val h1m = conv(substring(hx, 1, 15), 16, 10).cast("long") % MinhashP
     val h2m = conv(substring(hx, 17, 15), 16, 10).cast("long") % MinhashP
@@ -290,6 +309,7 @@ object TextAnalysis {
     * divided at this scale factor, and at 100 TB the counts would move to
     * exact BigInt isqrt on the driver with the same contract. */
   def temperatureSample(docs: DataFrame, domainCol: String = "lang"): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
     val counts = docs.groupBy(domainCol).agg(count(lit(1)).as("c"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val cmin = counts.values.min
@@ -298,7 +318,7 @@ object TextAnalysis {
     val rate = rates.foldLeft(lit(0L)) { case (acc, (d, r)) =>
       when(col(domainCol) === d, r).otherwise(acc) }
     val bucket =
-      conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long") % 10000
+      graft.functions.GraftFunctions.md5PrefixLong(col("text"), 1, 8) % 10000
     docs.select(col("doc_id"), col(domainCol), bucket.as("bucket"),
         rate.as("rate_x10000"))
       .filter(col("bucket") < col("rate_x10000"))
@@ -551,10 +571,11 @@ object TextAnalysis {
     * comparison baseline; a production use keeps just the sketch.) */
   def cmsHeavyHitters(corpus: DataFrame, d: Int = 4, w: Int = 64,
       topN: Int = 20): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
     def h1(tok: Column): Column =
-      conv(substring(md5(tok), 1, 15), 16, 10).cast("long") % MinhashP
+      graft.functions.GraftFunctions.md5PrefixLong(tok, 1, 15) % MinhashP
     def h2(tok: Column): Column =
-      conv(substring(md5(tok), 17, 15), 16, 10).cast("long") % MinhashP
+      graft.functions.GraftFunctions.md5PrefixLong(tok, 17, 15) % MinhashP
     def cells(tok: Column): Column =
       transform(sequence(lit(0), lit(d - 1)), i =>
         struct(i.cast("long").as("r"),
@@ -602,8 +623,9 @@ object TextAnalysis {
     * actually asks at 100 TB.
     * Output: one row (m, exact_distinct, hll_est, err_x10000). */
   def hllDistinct(corpus: DataFrame, p: Int = 6): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
     val m = 1 << p
-    val h = conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long")
+    val h = graft.functions.GraftFunctions.md5PrefixLong(col("shingle"), 1, 15)
     val toks = shingleRows(corpus).select(col("shingle"))
     val hashed = toks.select((h % m).as("bucket"), (h / m).cast("long").as("rest"))
     val rank = least(lit(50),
@@ -643,7 +665,7 @@ object TextAnalysis {
     // join-back rows; accepted at ~2⁻⁶⁰ per pair — full-digest keying would
     // cost a string (not long) ranking key in the bounded aggregate.
     def tokId(tok: Column): Column =
-      conv(substring(md5(tok), 1, 15), 16, 10).cast("long")
+      graft.functions.GraftFunctions.md5PrefixLong(tok, 1, 15)
     val tf = tokenRows(corpus).groupBy("doc_id", "tok")
       .agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))

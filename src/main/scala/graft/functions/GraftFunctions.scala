@@ -16,6 +16,7 @@ object GraftFunctions {
     NfcNormalize.descriptor, HtmlEscape.descriptor,
     PolyHash16.descriptor, CdcChunks.descriptor, PqEncode.descriptor, PqLut.descriptor,
     StrictPow.descriptor, MinhashSig.descriptor, WinnowFps.descriptor,
+    Md5PrefixLong.descriptor,
     TopKPairs.descriptor, VectorSumLong.descriptor,
     graft.syslog.ParseSyslog.descriptor,
     JmesPathEval.queryDescriptor, JmesPathEval.valueDescriptor,
@@ -33,6 +34,15 @@ object GraftFunctions {
     * registered — all graft entry points do this). */
   def jsonDeepMerge(target: Column, fragment: Column): Column =
     call_function("json_deep_merge", target, fragment)
+
+  /** `md5_prefix_long(str, start, len)` as a Column — drop-in for
+    * `conv(substring(md5(str), start, len), 16, 10).cast("long")`
+    * (bit-equal; see [[Md5PrefixLong]]). Session must be registered —
+    * all graft entry points do this. */
+  def md5PrefixLong(str: Column, start: Int, len: Int): Column =
+    call_function("md5_prefix_long", str,
+      org.apache.spark.sql.functions.lit(start),
+      org.apache.spark.sql.functions.lit(len))
 
   private[graft] def inject(ext: SparkSessionExtensions): Unit =
     descriptors.foreach(ext.injectFunction)

@@ -1233,11 +1233,12 @@ object ExtQueries {
     * manifest is one map-side-combined agg onto S cells; at 100 TB the
     * same `shard` column IS the dynamic-partition write key. */
   private val corpusShardManifest: Q = (s, dir) => {
+    graft.functions.GraftFunctions.ensureRegistered(s)
     val shards = 16
     documents(s, dir)
       .select(col("doc_id"), col("n_chars"),
         size(TextAnalysis.tokens(col("text"))).cast("long").as("tok_n"),
-        (conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long") % shards)
+        (graft.functions.GraftFunctions.md5PrefixLong(col("text"), 1, 8) % shards)
           .as("shard"))
       .groupBy("shard")
       .agg(count(lit(1)).as("n_docs"), sum("tok_n").as("total_tokens"),
@@ -1255,10 +1256,11 @@ object ExtQueries {
     * joined to each side's split label. Output = the leaking pairs a
     * decontamination pass must break. */
   private val corpusLeakageAudit: Q = (s, dir) => {
+    graft.functions.GraftFunctions.ensureRegistered(s)
     val corpus = dupCorpus(s, dir)
     val pairs = Dedup.minhashLshPairs(corpus)
     val splits = corpus.select(col("doc_id"),
-      (conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long") % 100)
+      (graft.functions.GraftFunctions.md5PrefixLong(col("text"), 1, 8) % 100)
         .as("bucket"))
       .select(col("doc_id"),
         when(col("bucket") < 80, "train").when(col("bucket") < 90, "val")

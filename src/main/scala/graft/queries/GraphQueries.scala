@@ -542,14 +542,19 @@ object GraphQueries {
       // all attach to m(u) = min(N(u))
       val d = ls.select(col("b").as("u"), col("a").as("v")) // v < u by canon
       val sMins = d.groupBy("u").agg(min("v").as("m"))
+      // edge count rides in the checkpoint job as an observe metric —
+      // one driver-synchronous action per half-step instead of two
+      // (the CC-loop discipline; see Dedup.connectedComponents)
+      val obs = org.apache.spark.sql.Observation(s"star_count_$round")
       val ss = d.join(sMins, "u").select(col("v").as("x"), col("m"))
         .unionAll(sMins.select(col("u").as("x"), col("m")))
         .filter(col("x") =!= col("m"))
         .select(least(col("x"), col("m")).as("a"),
           greatest(col("x"), col("m")).as("b"))
         .distinct()
+        .observe(obs, count(lit(1)).as("n"))
         .localCheckpoint(true)
-      val ssCount = ss.count()
+      val ssCount = obs.get("n").asInstanceOf[Long]
       converged = ssCount == eCount && ss.except(e).isEmpty
       e = ss
       eCount = ssCount

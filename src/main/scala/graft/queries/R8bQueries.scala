@@ -187,11 +187,12 @@ object R8bQueries {
   /** Distinct (source, 52-bit hash) set — the shared input of [[qKmv]]. */
   private[graft] def kmvHashed(s: SparkSession, dir: String): DataFrame = {
     import graft.ext.TextAnalysis
+    graft.functions.GraftFunctions.ensureRegistered(s)
     documents(s, dir)
       .select(col("source"), TextAnalysis.tokens(col("text")).as("toks"))
       .select(col("source"), explode(TextAnalysis.shingles(col("toks"))).as("shingle"))
       .select(col("source"),
-        conv(substring(md5(col("shingle")), 1, 13), 16, 10).cast("long").as("h"))
+        graft.functions.GraftFunctions.md5PrefixLong(col("shingle"), 1, 13).as("h"))
       .distinct()
   }
 
@@ -254,6 +255,7 @@ object R8bQueries {
     * division is the pinned shared expression. */
   private val qHllUnion: Q = (s, dir) => {
     import graft.ext.TextAnalysis
+    graft.functions.GraftFunctions.ensureRegistered(s)
     val m = 64
     // distinct (source, shingle) feeds FOUR consumers (registers, the
     // merged registers, per-source exact, global exact) — persist so the
@@ -265,7 +267,7 @@ object R8bQueries {
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val h = conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long")
+      val h = graft.functions.GraftFunctions.md5PrefixLong(col("shingle"), 1, 15)
       val hashed = ss.select(col("source"), (h % m).as("bucket"),
         (h / m).cast("long").as("rest"))
       val rank = least(lit(50), lit(55) -
@@ -828,10 +830,11 @@ object R8bQueries {
     * the provenance receipt a dataset card carries; any single changed/
     * added/dropped document flips the shard's xor and sum. One map-side-
     * combined agg onto |shards| cells. */
-  private val qDatasetFingerprint: Q = (s, dir) =>
+  private val qDatasetFingerprint: Q = (s, dir) => {
+    graft.functions.GraftFunctions.ensureRegistered(s)
     documents(s, dir)
       .select(
-        conv(substring(md5(col("text")), 1, 13), 16, 10).cast("long").as("h"),
+        graft.functions.GraftFunctions.md5PrefixLong(col("text"), 1, 13).as("h"),
         col("n_chars"))
       .groupBy(expr("h % 16").as("shard"))
       .agg(count(lit(1)).as("n_docs"),
@@ -840,6 +843,7 @@ object R8bQueries {
         sum("h").as("sum_hash"),
         min("h").as("min_hash"), max("h").as("max_hash"))
       .orderBy("shard")
+  }
 
   // --------------------------------------------------------- epoch diff
 
@@ -851,9 +855,10 @@ object R8bQueries {
     * classifies each id; counts + a per-class content-hash XOR land in
     * one bounded result. */
   private val qEpochDiff: Q = (s, dir) => {
+    graft.functions.GraftFunctions.ensureRegistered(s)
     val base = documents(s, dir).select(col("doc_id"), col("text"))
     val a = base.select(col("doc_id"),
-      conv(substring(md5(col("text")), 1, 13), 16, 10).cast("long").as("ha"))
+      graft.functions.GraftFunctions.md5PrefixLong(col("text"), 1, 13).as("ha"))
     val b = base
       .filter(col("doc_id") % 13 =!= 0)
       .select(col("doc_id"),
@@ -862,7 +867,7 @@ object R8bQueries {
       .unionAll(base.filter(col("doc_id") % 13 === 0)
         .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
       .select(col("doc_id"),
-        conv(substring(md5(col("text")), 1, 13), 16, 10).cast("long").as("hb"))
+        graft.functions.GraftFunctions.md5PrefixLong(col("text"), 1, 13).as("hb"))
     a.join(b, Seq("doc_id"), "full_outer")
       .select(
         when(col("ha").isNull, lit("added"))
@@ -1092,11 +1097,15 @@ object R8bQueries {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         def normalize(raw: DataFrame): DataFrame = {
-          val mx = raw.agg(max("x")).first().getLong(0)
-          val d = mx / HitsM + 1
+          // the scalar max rides into the SAME job as a broadcast 1-row
+          // cross join instead of a separate agg().first() driver action:
+          // one eager checkpoint job per half-step instead of two (the agg
+          // subtree's exchange is reused, so `raw` is still computed once)
+          val mx = raw.agg(max("x").as("mx"))
           nd.join(raw, Seq("node"), "left")
+            .crossJoin(broadcast(mx))
             .select(col("node"),
-              expr(s"coalesce(x, 0L) div ${d}L").as("v"))
+              expr(s"coalesce(x, 0L) div (mx div ${HitsM}L + 1L)").as("v"))
             .localCheckpoint(true)
         }
         var h = nd.select(col("node"), lit(HitsM).as("v"))

@@ -202,14 +202,21 @@ object R9eQueries {
     * count, a (pair)-keyed map-side-combined aggregate; the PR rounds run
     * on the small graph with the usual per-round lineage cuts. */
   private val textTextrank: Q = (s, dir) => {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy("pos")
-    val toks = documents(s, dir).select(col("doc_id"),
-      posexplode(graft.ext.TextAnalysis.tokens(col("text")))
-        .as(Seq("pos", "w")))
-    val adj = toks
-      .withColumn("nxt", lead("w", 1).over(w))
-      .filter(col("nxt").isNotNull && col("w") =!= col("nxt"))
+    // adjacent-token pairs are ROW-LOCAL (bigram i = (t[i], t[i+1])):
+    // zipping the token array against its own tail replaces the previous
+    // posexplode + lead-window formulation, whose per-doc ordered window
+    // re-shuffled and sorted the whole token stream just to look one
+    // element ahead (guide §2.4: remove shuffles outright) — the codegen'd
+    // slice/arrays_zip pair emits the identical (w, nxt) multiset
+    val t = graft.ext.TextAnalysis.tokens(col("text"))
+    val adj = documents(s, dir)
+      .select(t.as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(explode(arrays_zip(
+        slice(col("t"), lit(1), size(col("t")) - 1),
+        slice(col("t"), lit(2), size(col("t")) - 1))).as("z"))
+      .select(col("z.0").as("w"), col("z.1").as("nxt"))
+      .filter(col("w") =!= col("nxt"))
       .select(least(col("w"), col("nxt")).as("u"),
         greatest(col("w"), col("nxt")).as("v"))
       .groupBy("u", "v").agg(count(lit(1)).as("n"))

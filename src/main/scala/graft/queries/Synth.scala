@@ -28,10 +28,47 @@ object Synth {
     * task and every narrow compute phase (regex parse, cascade, hashing)
     * would run on a single core. When the source is under-split relative to
     * the cluster, spread it once; on a real deployment with many splittable
-    * files this is a no-op branch. */
-  private def spread(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < math.max(2, target / 2)) df.repartition(target) else df
+    * files this is a no-op branch.
+    *
+    * The decision reads FILE METADATA, not `df.rdd.getNumPartitions`: the
+    * RDD conversion forces a full physical planning of the scan per call,
+    * and with every query key deriving 1–3 base tables that planning tax ran
+    * hundreds of times per bench sitting (guide §1.2: remove work you throw
+    * away). The split estimate mirrors FilePartition.maxSplitBytes, so the
+    * repartition/no-op decision flips at the same place: single-row-group
+    * test files always spread; a production table of many ≥split-sized
+    * files never does. Decision-only — results are partitioning-invariant. */
+  private def spreadPath(s: SparkSession, path: String): DataFrame =
+    spread(s.read.parquet(path), s, path)
+
+  private def spread(df: DataFrame, s: SparkSession, path: String): DataFrame = {
+    val target = s.sparkContext.defaultParallelism
+    if (estScanSplits(s, path) < math.max(2, target / 2)) df.repartition(target)
+    else df
+  }
+
+  /** Estimated scan partition count for `path` — the
+    * `FilePartition.maxSplitBytes` arithmetic over the file listing (one
+    * cheap FS metadata call; no query planning). */
+  private def estScanSplits(s: SparkSession, path: String): Int = {
+    val conf = s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf.newHadoopConf())
+    val st = fs.getFileStatus(p)
+    val lens: Seq[Long] =
+      if (st.isDirectory)
+        fs.listStatus(p).toSeq.filterNot(_.getPath.getName.startsWith("_"))
+          .map(_.getLen)
+      else Seq(st.getLen)
+    val maxPart = conf.conf.filesMaxPartitionBytes
+    val openCost = conf.conf.filesOpenCostInBytes
+    val minParts = conf.conf.filesMinPartitionNum
+      .getOrElse(s.sparkContext.defaultParallelism)
+    val totalBytes = lens.map(_ + openCost).sum
+    val bytesPerCore = totalBytes / math.max(1, minParts)
+    val maxSplit = math.min(maxPart, math.max(openCost, bytesPerCore))
+    lens.map(l => ((l + maxSplit - 1) / maxSplit).toInt).sum
   }
 
   /** events.parquet carries a TIMESTAMP(NANOS) column that Spark 4 rejects
@@ -40,7 +77,7 @@ object Synth {
   def events(s: SparkSession, dir: String): DataFrame =
     spread(s.read
       .schema("event_id long, user_id long, event_type string, value double, props string")
-      .parquet(s"$dir/events.parquet"))
+      .parquet(s"$dir/events.parquet"), s, s"$dir/events.parquet")
 
   /** events with a normalized `ts_us: long` (µs since epoch) — the ONE
     * audited time conversion every time-axis consumer goes through. The
@@ -53,7 +90,13 @@ object Synth {
   def eventsTs(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types._
     val path = s"$dir/events.parquet"
-    val tsType = s.read.parquet(path).schema("ts").dataType
+    // the unit sniff is one footer-read schema inference; memoized per
+    // path (a file's logical type cannot change inside one JVM run —
+    // Spark's own catalog caches table schemas the same way) so the
+    // dozens of eventsTs-derived keys don't each re-read the footer
+    val tsType = tsTypeCache.computeIfAbsent(
+      new java.io.File(path).getAbsolutePath,
+      _ => s.read.parquet(path).schema("ts").dataType)
     val base = s.read
       .schema(StructType(Seq(
         StructField("event_id", LongType), StructField("ts", tsType),
@@ -69,14 +112,19 @@ object Synth {
       case other => throw new IllegalStateException(
         s"events.ts has unsupported type $other — audit the unit before use")
     }
-    spread(base.withColumn("ts_us", tsUs).drop("ts"))
+    spread(base.withColumn("ts_us", tsUs).drop("ts"), s, path)
   }
+
+  private val tsTypeCache =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      org.apache.spark.sql.types.DataType]()
+
   def documents(s: SparkSession, dir: String): DataFrame =
-    spread(s.read.parquet(s"$dir/documents.parquet"))
+    spreadPath(s, s"$dir/documents.parquet")
   def embeddings(s: SparkSession, dir: String): DataFrame =
-    spread(s.read.parquet(s"$dir/embeddings.parquet"))
+    spreadPath(s, s"$dir/embeddings.parquet")
   def lineitem(s: SparkSession, dir: String): DataFrame =
-    spread(s.read.parquet(s"$dir/lineitem.parquet"))
+    spreadPath(s, s"$dir/lineitem.parquet")
   def orders(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/orders.parquet")
   def customer(s: SparkSession, dir: String): DataFrame =

@@ -227,10 +227,11 @@ object TsQueries {
     * chain + ONE pinned double division as the global key (oracle
     * bit-equal); p=6 → ±~13% — the err column is part of the output. */
   private val qHllPerGroup: Q = (s, dir) => {
+    graft.functions.GraftFunctions.ensureRegistered(s)
     val m = 64L
     val ev = eventsTs(s, dir).select(col("event_type"), col("user_id"))
-    val h = conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
-      .cast("long")
+    val h = graft.functions.GraftFunctions.md5PrefixLong(
+      col("user_id").cast("string"), 1, 15)
     val hashed = ev.select(col("event_type"),
       (h % m).as("bucket"), (h / m).cast("long").as("rest"))
     val rank = least(lit(50),

@@ -31,9 +31,10 @@ object CmsStream {
   def cellHits(docs: DataFrame, d: Int = 4, w: Int = 64): Dataset[CellHit] = {
     val spark = docs.sparkSession
     import spark.implicits._
+    graft.functions.GraftFunctions.ensureRegistered(spark)
     val toks = graft.ext.TextAnalysis.tokenRows(docs).select(col("tok"))
-    val h1 = conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long") % P
-    val h2 = conv(substring(md5(col("tok")), 17, 15), 16, 10).cast("long") % P
+    val h1 = graft.functions.GraftFunctions.md5PrefixLong(col("tok"), 1, 15) % P
+    val h2 = graft.functions.GraftFunctions.md5PrefixLong(col("tok"), 17, 15) % P
     toks.select(explode(transform(sequence(lit(0), lit(d - 1)), i =>
         (i.cast("long") * w) + ((h1 + i.cast("long") * h2) % P % w))).as("cell"))
       .select(col("cell"), lit(1L).as("inc"))
@@ -41,11 +42,28 @@ object CmsStream {
   }
 
   /** Cell maintenance: running sum per cell. Update-mode emission of the
-    * new running count for every touched cell. */
+    * new running count for every touched cell.
+    *
+    * The per-partition combine before the stateful shuffle is the
+    * map-side partial aggregation `groupByKey` cannot do on its own
+    * (guide §2.3 "aggregate before you shuffle" — streaming forbids an
+    * agg operator upstream of flatMapGroupsWithState, so it is hand-rolled
+    * here): each map partition collapses its hits onto ≤ d·w cells, so the
+    * stateful exchange carries at most d·w rows per partition instead of
+    * one row per (token, row-of-sketch) — ~4M rows per replay batch down
+    * to ≤256·partitions. Addition is commutative, so the post-batch state
+    * and the per-batch emissions are bit-identical. */
   def cells(hits: Dataset[CellHit]): Dataset[Cell] = {
+    implicit val hitEnc = Encoders.product[CellHit]
     implicit val longEnc = Encoders.scalaLong // key AND state encoder
     implicit val outEnc = Encoders.product[Cell]
     hits
+      .mapPartitions { it =>
+        val m = new java.util.HashMap[Long, Long]()
+        it.foreach(h => m.merge(h.cell, h.inc, (a, b) => a + b))
+        import scala.jdk.CollectionConverters._
+        m.entrySet().iterator().asScala.map(e => CellHit(e.getKey, e.getValue))
+      }
       .groupByKey(_.cell)
       .flatMapGroupsWithState[Long, Cell](
         OutputMode.Update(), GroupStateTimeout.NoTimeout()) {

@@ -32,9 +32,10 @@ object HllStream {
   def bucketRanks(docs: DataFrame, p: Int = 6): Dataset[BucketRank] = {
     val spark = docs.sparkSession
     import spark.implicits._
+    graft.functions.GraftFunctions.ensureRegistered(spark)
     val m = 1 << p
     val toks = graft.ext.TextAnalysis.shingleRows(docs)
-    val h = conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long")
+    val h = graft.functions.GraftFunctions.md5PrefixLong(col("shingle"), 1, 15)
     toks.select((h % m).as("bucket"), (h / m).cast("long").as("rest"))
       .select(col("bucket"),
         least(lit(50L), lit(55L) - when(col("rest") === 0, lit(0))
@@ -47,9 +48,22 @@ object HllStream {
     * its register changed (or on first touch), so the downstream register
     * table converges with at most m live rows. */
   def registers(ranks: Dataset[BucketRank]): Dataset[Register] = {
+    implicit val brEnc = Encoders.product[BucketRank]
     implicit val longEnc = Encoders.scalaLong // key AND state encoder
     implicit val outEnc = Encoders.product[Register]
     ranks
+      // per-partition combine before the stateful shuffle (the map-side
+      // partial agg groupByKey can't do; see CmsStream.cells): max per
+      // bucket is commutative/idempotent, so the post-batch register and
+      // the emit-on-increase decision are bit-identical while the
+      // exchange carries ≤ m rows per partition instead of one per shingle
+      .mapPartitions { it =>
+        val m = new java.util.HashMap[Long, Long]()
+        it.foreach(r => m.merge(r.bucket, r.rank, (a, b) => math.max(a, b)))
+        import scala.jdk.CollectionConverters._
+        m.entrySet().iterator().asScala
+          .map(e => BucketRank(e.getKey, e.getValue))
+      }
       .groupByKey(_.bucket)
       .flatMapGroupsWithState[Long, Register](
         OutputMode.Update(), GroupStateTimeout.NoTimeout()) {

@@ -26,8 +26,10 @@ class NearDupStreamSpec extends AnyFunSuite {
     val docs = Seq((1L, a0), (2L, b0)).toDF("doc_id", "text")
     val streamingHits = NearDupStream.bucketHits(docs)
       .collect().map(h => (h.band, h.bucket, h.doc_id)).toSet
-    // batch path: relational signature rows → same band/bucket construction
-    val sig = graft.ext.TextAnalysis.minhashSignatureRows(docs, 32)
+    // batch path: the INDEPENDENT explode+agg reference chain → same
+    // band/bucket construction (minhashSignatureRows itself now routes
+    // through minhash_sig, so comparing against it would be circular)
+    val sig = graft.ext.TextAnalysis.minhashSignatureRowsAgg(docs, 32)
     val rows = 8
     val bandCols = (0 until 4).map { b =>
       struct(lit(b).as("band"),
