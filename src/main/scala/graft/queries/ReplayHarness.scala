@@ -22,9 +22,17 @@ import org.apache.spark.sql.SparkSession
   * gate-verified.
   */
 object ReplayHarness {
+  /** State-partition count for the bounded replay corpora. Default 4 —
+    * the r13-measured knee; overridable (SPARK_GRAFT_REPLAY_PARTS) so
+    * sizing experiments don't need a rebuild. Production sizes state
+    * partitions to state volume; this is that rule applied to the
+    * replays' 10³–10⁴-key corpora. */
+  private val Parts: String =
+    sys.env.getOrElse("SPARK_GRAFT_REPLAY_PARTS", "4")
+
   def sized[T](s: SparkSession)(startQuery: => T): T = {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
+    s.conf.set("spark.sql.shuffle.partitions", Parts)
     try startQuery
     finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
