@@ -188,31 +188,14 @@ object Bench {
           times.map(t => f"$t%.2f").mkString(", ")})$note")
       (name, cold, warmMin)
     }
-    def fmt(d: Double, dp: Int): String = java.lang.String.format(
-      java.util.Locale.ROOT, s"%.${dp}f", java.lang.Double.valueOf(d))
-    def obj(rs: Seq[(String, Double, Double)], dp: Int)(
-        sel: ((String, Double, Double)) => Double) = rs
-      .map { case t @ (k, _, _) => "\"" + k + "\":" + fmt(sel(t), dp) }
-      .mkString("{", ",", "}")
     val total = results.collect { case (_, _, w) if w >= 0 => w }.sum
     val totalCold = results.collect { case (_, c, _) if c >= 0 => c }.sum
-    val errJson = errors.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val retryJson = retriedKeys.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     // Full per-key detail (every key, warm + cold, 3 dp) goes to a FILE —
     // the committed record; stdout carries only what must survive the
     // driver's 2000-char tail capture.
-    val fullJson =
-      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec",""" +
-      s""""warm_stat":"min",""" +
-      s""""total_cold":${fmt(totalCold, 3)},"queries":${obj(results, 3)(_._3)},""" +
-      s""""queries_cold":${obj(results, 3)(_._2)},"errors":$errJson,""" +
-      s""""retried":$retryJson,"sf":"$sfDir"}"""
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full.json")
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath), fullJson)
-    // ONE compact stdout line (≈1.7 KB): totals + the BASELINE.md keys the
-    // judge compares per-key. Must stay < ~1.9 KB end-to-end or the driver's
-    // tail window decapitates it and the round loses its bench.
-    val baseRs = results.filter(t => BaselineKeys.contains(t._1))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath),
+      renderFullJson(results, errors, retriedKeys, sfDir))
     // drift alarm: a renamed/removed key must not silently vanish from the
     // per-key map the judge compares — count what the filter dropped.
     // Scoped to the env key filter: an SPARK_GRAFT_KEYS subset run is not
@@ -223,12 +206,59 @@ object Bench {
     if (missingBase.nonEmpty) System.err.println(
       s"[bench] WARNING: ${missingBase.size} BASELINE.md keys absent from " +
         s"SparkEntry.queries: ${missingBase.toSeq.sorted.mkString(", ")}")
-    println(s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec",""" +
-      s""""total_cold":${fmt(totalCold, 2)},"n_keys":${results.size},""" +
-      s""""baseline_keys_missing":${missingBase.size},""" +
-      s""""n_retried":${retriedKeys.size},""" +
-      s""""errors":$errJson,"full":"$fullPath",""" +
-      s""""queries":${obj(baseRs, 2)(_._3)},"sf":"$sfDir"}""")
+    // Stop the session BEFORE the contract line so the one-line JSON is
+    // the LAST thing on stdout (r14 verdict: PERF ingest found neither
+    // bench even though both files carried the line mid-tail — any
+    // shutdown chatter after the line risks pushing it out of the
+    // driver's tail window). BenchContractSpec pins the line shape.
     spark.stop()
+    // ONE compact stdout line (≈1.7 KB): totals + the BASELINE.md keys the
+    // judge compares per-key. Must stay < ~1.9 KB end-to-end or the driver's
+    // tail window decapitates it and the round loses its bench.
+    println(renderStdoutLine(results, errors, retriedKeys.size,
+      missingBase.size, fullPath, sfDir))
+    System.out.flush()
+  }
+
+  private def fmt(d: Double, dp: Int): String = java.lang.String.format(
+    java.util.Locale.ROOT, s"%.${dp}f", java.lang.Double.valueOf(d))
+  private def obj(rs: Seq[(String, Double, Double)], dp: Int)(
+      sel: ((String, Double, Double)) => Double) = rs
+    .map { case t @ (k, _, _) => "\"" + k + "\":" + fmt(sel(t), dp) }
+    .mkString("{", ",", "}")
+  private def errJson(errors: Seq[String]): String =
+    errors.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+
+  /** The committed full-file record: every key, warm + cold, 3 dp.
+    * Format pinned by BenchContractSpec — the driver and the round
+    * reports both parse it. */
+  private[graft] def renderFullJson(results: Seq[(String, Double, Double)],
+      errors: Seq[String], retried: Seq[String], sfDir: String): String = {
+    val total = results.collect { case (_, _, w) if w >= 0 => w }.sum
+    val totalCold = results.collect { case (_, c, _) if c >= 0 => c }.sum
+    s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec",""" +
+      s""""warm_stat":"min",""" +
+      s""""total_cold":${fmt(totalCold, 3)},"queries":${obj(results, 3)(_._3)},""" +
+      s""""queries_cold":${obj(results, 3)(_._2)},"errors":${errJson(errors)},""" +
+      s""""retried":${retried.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+      s""""sf":"$sfDir"}"""
+  }
+
+  /** The driver-contract stdout line: ONE line of JSON, `"metric":"total"`
+    * first, totals + the BASELINE.md per-key map. Format pinned by
+    * BenchContractSpec (single line, leading token, sub-1.9 KB at the
+    * full key surface). */
+  private[graft] def renderStdoutLine(results: Seq[(String, Double, Double)],
+      errors: Seq[String], nRetried: Int, nMissingBase: Int,
+      fullPath: String, sfDir: String): String = {
+    val total = results.collect { case (_, _, w) if w >= 0 => w }.sum
+    val totalCold = results.collect { case (_, c, _) if c >= 0 => c }.sum
+    val baseRs = results.filter(t => BaselineKeys.contains(t._1))
+    s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec",""" +
+      s""""total_cold":${fmt(totalCold, 2)},"n_keys":${results.size},""" +
+      s""""baseline_keys_missing":$nMissingBase,""" +
+      s""""n_retried":$nRetried,""" +
+      s""""errors":${errJson(errors)},"full":"$fullPath",""" +
+      s""""queries":${obj(baseRs, 2)(_._3)},"sf":"$sfDir"}"""
   }
 }

@@ -96,7 +96,7 @@ object Dedup {
         // accumulating across calls in a long-lived session (the returned
         // frame would otherwise keep depending on it). Output blocks are
         // ContextCleaner-managed: freed when the frame is GC'd.
-        .localCheckpoint(true)
+        .transform(graft.config.Lineage.cut)
     } finally spanDocs.unpersist()
   }
 
@@ -173,7 +173,7 @@ object Dedup {
               coalesce(col("removed_tokens"), lit(0L)).as("removed_tokens"),
               coalesce(col("n_islands"), lit(0L)).as("n_islands"),
               coalesce(col("clean_md5"), md5(lit(""))).as("clean_md5"))
-            .localCheckpoint(true)
+            .transform(graft.config.Lineage.cut)
         } finally rem.unpersist()
       } finally occ.unpersist()
     } finally tokRows.unpersist()
@@ -453,17 +453,17 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, maxIter: Int = 15,
       reliableCheckpoint: Boolean = false,
       pointerDoubling: Boolean = false): DataFrame = {
-    // localCheckpoint() materializes to executor memory/disk only — fastest,
-    // but on a real cluster an executor loss mid-iteration kills the job.
-    // For long cluster runs pass reliableCheckpoint=true (requires
-    // spark.sparkContext.setCheckpointDir to a fault-tolerant FS) so each
-    // iteration's labels survive executor churn.
+    // Lineage-cut strategy: localCheckpoint locally (fastest), reliable
+    // checkpoint() on clusters — either via the explicit parameter or the
+    // session-wide spark.graft.checkpoint.reliable conf (Lineage.cut), so
+    // every iterative operator flips together at deployment time.
     if (reliableCheckpoint)
       require(pairs.sparkSession.sparkContext.getCheckpointDir.isDefined,
         "connectedComponents(reliableCheckpoint=true) needs " +
           "spark.sparkContext.setCheckpointDir(<fault-tolerant path>) first")
     def ckpt(df: DataFrame): DataFrame =
-      if (reliableCheckpoint) df.checkpoint() else df.localCheckpoint()
+      if (reliableCheckpoint) df.checkpoint()
+      else df.transform(graft.config.Lineage.cut)
     // materialize the edge list once: every iteration (and its convergence
     // count) would otherwise re-derive the full upstream pipeline (e.g. the
     // whole MinHash candidate generation) through lineage
@@ -486,26 +486,39 @@ object Dedup {
       // the materialized blocks with a second agg job; at bench scale that
       // doubled the per-iteration driver round-trips across every CC
       // consumer (probe receipts, OPTIMIZATION_r14.md).
-      val obs = org.apache.spark.sql.Observation(s"cc_converged_$i")
-      val next = ckpt(labels.join(msgs, Seq("doc_id"), "left")
+      val prop = labels.join(msgs, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("comp"), coalesce(col("nbr_min"), col("comp"))).as("comp"),
           (col("nbr_min") < col("comp")).as("chg"))
+      // Pointer doubling rides in the SAME checkpoint job (r15: the r14
+      // shape paid a second eager checkpoint per round for the shortcut
+      // pass): comp ← comp(comp) — every comp value IS a node id present
+      // in prop, so the self-join always resolves (coalesce for safety).
+      // At a converged round the doubling is the identity (comp is already
+      // the component min), so fusing it unconditionally cannot change the
+      // final labels — ExtSpec pins doubling ≡ plain label-prop.
+      val stepped =
+        if (!pointerDoubling) prop
+        else prop
+          .join(prop.select(col("doc_id").as("comp"), col("comp").as("comp2")),
+            Seq("comp"), "left")
+          .select(col("doc_id"),
+            coalesce(col("comp2"), col("comp")).as("comp"), col("chg"))
+      val obs = org.apache.spark.sql.Observation(s"cc_converged_$i")
+      val next = ckpt(stepped
         .observe(obs, max(coalesce(col("chg"), lit(false))).as("any_chg"))
       ) // truncate the iterative lineage + materialize (delivers the metric)
-      converged = !Option(obs.get("any_chg"))
-        .exists(_.asInstanceOf[Boolean])
+      // Bounded wait + loud failure (r14 advice): the metric is delivered
+      // by the eager checkpoint above — if a refactor ever makes the cut
+      // lazy or drops the observe node, fail with the iteration index
+      // instead of blocking forever on Observation.get.
+      converged = !graft.config.Metrics.awaitBool(obs, "any_chg",
+        s"connectedComponents iteration $i")
       labels = next.drop("chg")
-      if (pointerDoubling && !converged) {
-        // comp ← comp(comp): every comp value IS a node id present in
-        // labels, so the self-join always resolves (coalesce for safety)
-        labels = ckpt(labels
-          .join(labels.select(col("doc_id").as("comp"), col("comp").as("comp2")),
-            Seq("comp"), "left")
-          .select(col("doc_id"), coalesce(col("comp2"), col("comp")).as("comp")))
-      }
       i += 1
     }
+    if (sys.env.contains("SPARK_GRAFT_CC_LOG")) System.err.println(
+      s"[cc] converged=$converged rounds=$i pointerDoubling=$pointerDoubling")
     if (!converged)
       // min-label propagation needs `diameter` rounds; silently returning
       // partial labels would split components without any oracle catching it
@@ -612,7 +625,13 @@ object Dedup {
     * literal — the INGEST-TIME seam: a stream maps this column in the
     * admitting micro-batch (the filter is a frozen plan constant; no
     * state, no shuffle), routing probable-dups to the expensive exact
-    * path and everything else straight through. */
+    * path and everything else straight through.
+    *
+    * NOTE: the bit positions hash via the registered `md5_prefix_long`
+    * function, so the consuming session must have passed through
+    * [[graft.functions.GraftFunctions.ensureRegistered]] (every graft
+    * entry point does; a standalone consumer session must call it before
+    * analyzing a plan containing this column). */
   def bloomHitCol(text: Column, bloom: Array[Long], mBits: Int = 16384,
       k: Int = 4): Column = {
     val wLit = typedLit(bloom.toSeq)
@@ -626,6 +645,9 @@ object Dedup {
 
   def bloomPrefilter(epoch: DataFrame, standing: DataFrame,
       mBits: Int = 16384, k: Int = 4): DataFrame = {
+    // bloomBits emits the registered md5_prefix_long — make the seam safe
+    // for sessions that never passed a registering graft entry point
+    graft.functions.GraftFunctions.ensureRegistered(epoch.sparkSession)
     val bloom = bloomBuild(standing, mBits, k)
     val hit = bloomHitCol(col("text"), bloom, mBits, k)
     val tested = epoch.select(col("doc_id"), col("text"), hit.as("bloom_hit"))
@@ -676,7 +698,7 @@ object Dedup {
     // one signature pass shared by every band split: eager checkpoint cuts
     // the lineage so the |docs|×n frame materializes exactly once (the
     // per-branch re-sign this replaces was measured at +50% on the key)
-    val sig = TextAnalysis.minhashSignatureRows(corpus, n).localCheckpoint(true)
+    val sig = TextAnalysis.minhashSignatureRows(corpus, n).transform(graft.config.Lineage.cut)
     bandsList.map { bands =>
       val buckets = bandBucketsFromSig(sig, n, bands)
       val cand = buckets.as("a")
@@ -753,7 +775,7 @@ object Dedup {
     // 5.4 s → 3.3 s at sf0.1)
     val ss = shingleSets(corpus)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try prefixPairsFromSets(ss, tNum, tDen).localCheckpoint(true)
+    try prefixPairsFromSets(ss, tNum, tDen).transform(graft.config.Lineage.cut)
     finally ss.unpersist()
   }
 
@@ -848,7 +870,7 @@ object Dedup {
           coalesce(col("dup_chunks"), lit(0L)).as("dup_chunks"),
           coalesce((lit(10000L) * col("dup_chunks") / col("chunks")).cast("long"),
             lit(0L)).as("dup_x10000"))
-        .localCheckpoint(true)
+        .transform(graft.config.Lineage.cut)
     } finally chunkDocs.unpersist()
   }
 

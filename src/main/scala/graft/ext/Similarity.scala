@@ -85,8 +85,19 @@ object Similarity {
           .filter(col("rn") <= k)
           .select("vec_id", "n_id")
     }
+    nnDescentFrom(emb, nbrs, k, iters)
+  }
+
+  /** Run `iters` descent rounds from an EXISTING k-NN graph — split out of
+    * [[nnDescent]] so a consumer that needs both the init graph and the
+    * refined graph (ann_nndescent_recall grades init vs final) computes
+    * the seeded initialization once instead of once per consumer. */
+  def nnDescentFrom(emb: DataFrame, init: DataFrame, k: Int,
+      iters: Int): DataFrame = {
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+    var nbrs = init
     for (_ <- 1 to iters)
-      nbrs = nnDescentRound(vecs, nbrs, k).localCheckpoint(true)
+      nbrs = nnDescentRound(vecs, nbrs, k).transform(graft.config.Lineage.cut)
     nbrs
   }
 
@@ -111,19 +122,25 @@ object Similarity {
     for (_ <- 1 to hops) {
       // self may ride in the beam (it scores 1.0 — one slot, like HNSW's
       // visited set); it is excluded only from the FINAL answer below
-      val expanded = beamDf
+      // The beam is |Q|·beam rows — broadcast it against the graph and
+      // the corpus (r15: the hinted side is always the bounded one, so
+      // neither the adjacency nor the vectors are ever exchanged per hop;
+      // guide §3.1 — size estimates after an iterative checkpoint are
+      // unreliable, hint explicitly)
+      val expanded = broadcast(beamDf)
         .join(graph.select(col("vec_id").as("n_id"), col("n_id").as("next")), "n_id")
         .select(col("q_id"), col("next").as("n_id"))
         .union(beamDf)
         .distinct()
-      val scored = expanded.join(vecs, "n_id").join(q, "q_id")
+      val scored = broadcast(expanded).join(vecs, "n_id").join(q, "q_id")
         .select(col("q_id"), col("n_id"),
           cosine(col("q_emb"), col("n_emb")).as("sim"))
       beamDf = rankTopK(scored, beam, "sim", asc = false)
         .select("q_id", "n_id")
-        .localCheckpoint(true)
+        .transform(graft.config.Lineage.cut)
     }
     beamDf.filter(col("q_id") =!= col("n_id"))
+      .transform(b => broadcast(b))
       .join(vecs, "n_id").join(q, "q_id")
       .select(col("q_id"), col("n_id"),
         cosine(col("q_emb"), col("n_emb")).as("sim"))
@@ -136,8 +153,93 @@ object Similarity {
 
   /** One descent round, pre-lineage-cut — separated so specs can pin the
     * REAL plan (the looped version's executed plan is the checkpointed-RDD
-    * scan). */
+    * scan).
+    *
+    * r15 shape — the guide-§8 "decide with small rows, move big rows once"
+    * rewrite of [[nnDescentRoundRef]] (kept below as the bit-equal
+    * reference; R15OptSpec pins round-output equality). The r14 round
+    * joined embeddings onto the EXPLODED candidate set: the O(N·(2k)²)
+    * neighbor-of-neighbor pairs crossed an exchange once for the distinct
+    * and twice more to pick up each endpoint's embedding — pair-volume ×
+    * embedding-width shuffle bytes, the first thing that dies at 100 TB.
+    * Here the pairs NEVER cross the wire: each node ships its (id,
+    * embedding) once to every shared neighbor (N·2k messages — candidate
+    * DISCOVERY volume, not candidate volume), the shared neighbor emits
+    * scored pairs row-locally, and the bounded `topk_pairs_distinct`
+    * aggregate dedups cross-neighbor copies map-side (≤ k pairs per node
+    * per partition reach the final exchange). The reverse-side k-cap is a
+    * bounded aggregate instead of the r14 Window pass (no per-partition
+    * sort; ids tie-break exactly, so the cap set is identical).
+    *
+    * Message correctness: und is a DIRECTED edge set (fwd ∪ k-capped
+    * reverse). The reference's candidate pair (v, c) exists iff some mid
+    * has (v→mid) ∈ und ∧ (mid→c) ∈ und (plus und itself, which is the
+    * mid=v slice once mid joins its own in-list). v knows (v→mid) locally
+    * after the reverse-cap join (its own und list), so in-messages need no
+    * extra pass; out-members (mid→c needs emb_c at mid) are told where to
+    * send by the exploded und edge — the notification carries ids only. */
   private[graft] def nnDescentRound(vecs: DataFrame, nbrs: DataFrame,
+      k: Int): DataFrame = {
+    val emptyLongs = typedLit(Seq.empty[Long])
+    // forward adjacency lists: ≤ k per node by the round invariant
+    val fwd = nbrs.groupBy("vec_id").agg(collect_list(col("n_id")).as("fl"))
+    // reverse side capped at k per node (k smallest source ids — the
+    // classic ρ·K reverse sample). topk_pairs with score = (double)id and
+    // id tie-break ranks ids EXACTLY over the full long domain (equal
+    // doubles fall back to the id comparison).
+    val rev = nbrs.select(col("n_id").as("t"), col("vec_id").as("s"))
+      .groupBy("t")
+      .agg(call_function("topk_pairs",
+        col("s"), col("s").cast("double"), lit(k), lit(true)).as("rt"))
+      .select(col("t").as("vec_id"),
+        expr("transform(rt, x -> x.n_id)").as("rl"))
+    val und = fwd.join(rev, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        array_distinct(concat(col("fl"), coalesce(col("rl"), emptyLongs)))
+          .as("ul"))
+    // out-member notifications (ids only): member c of und(mid) must ship
+    // its embedding to mid
+    val notif = und.select(col("vec_id").as("mid"),
+      explode(col("ul")).as("member"))
+    val outMsgs = notif
+      .join(vecs.withColumnRenamed("vec_id", "member"), "member")
+      .select(col("mid"), lit(0).as("tag"), col("member").as("id"),
+        col("embedding").as("emb"))
+    // in-members: v owns its und list, so it ships (v, emb_v) directly
+    val inMsgs = und.join(vecs, "vec_id")
+      .select(explode(col("ul")).as("mid"), lit(1).as("tag"),
+        col("vec_id").as("id"), col("embedding").as("emb"))
+    val gathered = outMsgs.unionAll(inMsgs)
+      .groupBy("mid")
+      .agg(
+        collect_list(when(col("tag") === 0, struct(col("id"), col("emb"))))
+          .as("outs"),
+        collect_list(when(col("tag") === 1, struct(col("id"), col("emb"))))
+          .as("ins"))
+    // mid itself joins its in-list (the "∪ und" term: pairs (mid, c))
+    val pairs = gathered
+      .join(vecs.withColumnRenamed("vec_id", "mid"), "mid")
+      .select(col("outs"),
+        array_append(col("ins"),
+          struct(col("mid").as("id"), col("embedding").as("emb"))).as("ins2"))
+      .select(explode(col("ins2")).as("v"), col("outs"))
+      .select(col("v"), explode(col("outs")).as("c"))
+      .filter(col("v.id") =!= col("c.id"))
+      .select(col("v.id").as("q_id"), col("c.id").as("n_id"),
+        cosine(col("v.emb"), col("c.emb")).as("sim"))
+    // distinct-topk: cross-neighbor duplicate pairs are bit-equal (same
+    // cosine inputs), so the in-aggregate dedup IS the reference's
+    // pre-score .distinct()
+    pairs.groupBy("q_id")
+      .agg(call_function("topk_pairs_distinct",
+        col("n_id"), col("sim"), lit(k), lit(false)).as("top"))
+      .select(col("q_id").as("vec_id"),
+        explode(expr("transform(top, x -> x.n_id)")).as("n_id"))
+  }
+
+  /** The r14 relational round — kept as the independent parity reference
+    * for [[nnDescentRound]] (R15OptSpec compares outputs row-for-row). */
+  private[graft] def nnDescentRoundRef(vecs: DataFrame, nbrs: DataFrame,
       k: Int): DataFrame = {
     // undirected view with the reverse side capped at k per node
     val rev = nbrs
@@ -253,7 +355,7 @@ object Similarity {
       .join(corpus.select(col("vec_id").as("n_id"),
         col("embedding").as("n_emb")), "n_id")
       .select("q_id", "rank", "n_id", "sim", "n_emb")
-      .localCheckpoint(true) // bounded: |Q|·kCand rows
+      .transform(graft.config.Lineage.cut) // bounded: |Q|·kCand rows
     // first pick: argmax λ·sim ≡ the rank-1 candidate (same tie-break)
     var selected = cand.filter(col("rank") === 1)
       .select(col("q_id"), col("n_id"), col("sim"),
@@ -277,7 +379,7 @@ object Similarity {
           lit(r).as("sel_rank"))
         .join(cand.select("q_id", "n_id", "n_emb"), Seq("q_id", "n_id"))
         .select("q_id", "n_id", "sim", "mmr", "sel_rank", "n_emb")
-      selected = selected.union(pick).localCheckpoint(true)
+      selected = selected.union(pick).transform(graft.config.Lineage.cut)
     }
     selected.select("q_id", "sel_rank", "n_id", "sim", "mmr")
   }
@@ -1235,9 +1337,9 @@ object Similarity {
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("pr"), col("vec_id").as("n_id"),
         cosine(col("q_emb"), col("embedding")).as("sim"))
-      .localCheckpoint()
+      .transform(graft.config.Lineage.cutLazy)
     val exact = bruteForceTopK(corpus, queries, k).select("q_id", "n_id")
-      .localCheckpoint()
+      .transform(graft.config.Lineage.cutLazy)
     nprobes.map { np =>
       exact.join(
           rankTopK(scored.filter(col("pr") <= np), k, "sim", asc = false)

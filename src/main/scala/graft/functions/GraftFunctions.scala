@@ -17,7 +17,8 @@ object GraftFunctions {
     PolyHash16.descriptor, CdcChunks.descriptor, PqEncode.descriptor, PqLut.descriptor,
     StrictPow.descriptor, MinhashSig.descriptor, WinnowFps.descriptor,
     Md5PrefixLong.descriptor,
-    TopKPairs.descriptor, VectorSumLong.descriptor,
+    TopKPairs.descriptor, TopKPairsDistinct.descriptor,
+    VectorSumLong.descriptor,
     graft.syslog.ParseSyslog.descriptor,
     JmesPathEval.queryDescriptor, JmesPathEval.valueDescriptor,
     JmesPathQV.descriptor)

@@ -287,7 +287,11 @@ object ExtQueries {
     graft.functions.GraftFunctions.ensureRegistered(s)
     val e = embeddings(s, dir)
     val q = e.filter(col("vec_id") < 10)
+    // the exact baseline feeds all nine union branches — materialize its
+    // |Q|·k rows once (within-query lineage cut) instead of paying nine
+    // brute-force corpus passes, one per branch
     val bf = Similarity.bruteForceTopK(e, q, 5).select("q_id", "n_id")
+      .transform(graft.config.Lineage.cut)
     def hits(name: String, m: DataFrame) =
       bf.join(m.select("q_id", "n_id"), Seq("q_id", "n_id"))
         .agg(count(lit(1)).as("hits"))
@@ -315,17 +319,23 @@ object ExtQueries {
   private val annNnDescentRecall: Q = (s, dir) => {
     graft.functions.GraftFunctions.ensureRegistered(s)
     val e = embeddings(s, dir)
+    // feeds both grade joins — one brute-force pass, not two
     val exact = Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), 8)
       .select("q_id", "n_id")
+      .transform(graft.config.Lineage.cut)
     def hits(g: DataFrame, name: String) = g
       .filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("n_id"))
       .join(exact, Seq("q_id", "n_id"), "left_semi")
       .groupBy("q_id").agg(count(lit(1)).as(name))
+    // the seeded init graph feeds BOTH sides of the grade — compute it
+    // once (within-query lineage cut, the bandSweep discipline) instead
+    // of re-deriving it under the 4-round descent
+    val init = Similarity.nnDescent(e, 8, 0, Some(Planes))
+      .transform(graft.config.Lineage.cut)
     e.filter(col("vec_id") < 10).select(col("vec_id").as("q_id"))
-      .join(hits(Similarity.nnDescent(e, 8, 0, Some(Planes)), "hits_init"),
-        Seq("q_id"), "left")
-      .join(hits(Similarity.nnDescent(e, 8, 4, Some(Planes)), "hits_final"),
+      .join(hits(init, "hits_init"), Seq("q_id"), "left")
+      .join(hits(Similarity.nnDescentFrom(e, init, 8, 4), "hits_final"),
         Seq("q_id"), "left")
       .select(col("q_id"),
         coalesce(col("hits_init"), lit(0L)).as("hits_init"),
@@ -344,8 +354,11 @@ object ExtQueries {
     graft.functions.GraftFunctions.ensureRegistered(s)
     val e = embeddings(s, dir)
     val g = Similarity.nnDescent(e, 8, 4, Some(Planes))
+    // the beam result feeds the n_found agg AND the overlap join — one
+    // search, not two (within-query lineage cut; |Q|·k rows)
     val res = Similarity.graphBeamSearch(e, g, e.filter(col("vec_id") < 10),
       k = 5, beam = 8, hops = 3)
+      .transform(graft.config.Lineage.cut)
     val exact = Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), 5)
       .select("q_id", "n_id")
     val overlap = res.select("q_id", "n_id")

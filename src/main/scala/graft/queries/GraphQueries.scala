@@ -118,7 +118,7 @@ object GraphQueries {
         ranks = nd.join(inbound, Seq("node"), "left")
           .select(col("node"),
             (lit(base) + expr("85 * coalesce(inb, 0L) div 100")).as("rank_e12"))
-          .localCheckpoint(true)
+          .transform(graft.config.Lineage.cut)
       }
       ranks.orderBy("node")
     } finally { eDeg.unpersist(); nd.unpersist() }
@@ -157,7 +157,7 @@ object GraphQueries {
           .select(col("node"),
             (when(isSeed, lit(base)).otherwise(lit(0L)) +
               expr("85 * coalesce(inb, 0L) div 100")).as("rank_e12"))
-          .localCheckpoint(true)
+          .transform(graft.config.Lineage.cut)
       }
       ranks.orderBy("node")
     } finally { eDeg.unpersist(); nd.unpersist() }
@@ -348,7 +348,7 @@ object GraphQueries {
     var e = edgeDf.select(col("src").as("u"), col("dst").as("v"))
       .union(edgeDf.select(col("dst").as("u"), col("src").as("v")))
       .distinct()
-      .localCheckpoint(true)
+      .transform(graft.config.Lineage.cut)
     for (_ <- 1 to iters) {
       val alive = e.groupBy("u").agg(count(lit(1)).as("c"))
         .filter(col("c") >= k).select("u")
@@ -356,7 +356,7 @@ object GraphQueries {
       e = e.join(alive, "u")
         .join(alive.withColumnRenamed("u", "v"), "v")
         .select("u", "v")
-        .localCheckpoint(true)
+        .transform(graft.config.Lineage.cut)
     }
     e.groupBy(col("u").as("node")).agg(count(lit(1)).as("core_deg"))
       .orderBy("node")
@@ -406,7 +406,7 @@ object GraphQueries {
             when(col("dist").isNull, col("nd"))
               .when(col("nd").isNull, col("dist"))
               .otherwise(least(col("dist"), col("nd"))).as("dist"))
-          .localCheckpoint(true)
+          .transform(graft.config.Lineage.cut)
       }
       dist.orderBy("node")
     } finally sym.unpersist()
@@ -486,7 +486,7 @@ object GraphQueries {
         labels = labels.join(fromNbr, Seq("node"), "left")
           .select(col("node"),
             least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
-          .localCheckpoint(true)
+          .transform(graft.config.Lineage.cut)
       }
       labels
     } finally sym.unpersist()
@@ -519,11 +519,11 @@ object GraphQueries {
     * convergence each component is one star (a=root=component min,
     * b=member), so labels are a single left join from the node set. */
   def starContractCC(edgeDf: DataFrame, maxRounds: Int = 25): DataFrame = {
-    val allNodes = nodes(edgeDf).localCheckpoint(true)
+    val allNodes = nodes(edgeDf).transform(graft.config.Lineage.cut)
     var e = edgeDf.select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .filter(col("a") =!= col("b")).distinct()
-      .localCheckpoint(true)
+      .transform(graft.config.Lineage.cut)
     var eCount = e.count()
     var converged = false
     var round = 0
@@ -537,14 +537,18 @@ object GraphQueries {
         .select(least(col("v"), col("m")).as("a"),
           greatest(col("v"), col("m")).as("b"))
         .filter(col("a") =!= col("b")).distinct()
-        .localCheckpoint(true)
+        .transform(graft.config.Lineage.cut)
       // small-star: orient big→small; u and its smaller neighbors N(u)
       // all attach to m(u) = min(N(u))
       val d = ls.select(col("b").as("u"), col("a").as("v")) // v < u by canon
       val sMins = d.groupBy("u").agg(min("v").as("m"))
-      // edge count rides in the checkpoint job as an observe metric —
-      // one driver-synchronous action per half-step instead of two
-      // (the CC-loop discipline; see Dedup.connectedComponents)
+      // BOTH convergence signals ride the checkpoint job as observe
+      // metrics — one driver-synchronous action per half-step (the
+      // CC-loop discipline; see Dedup.connectedComponents). Set equality
+      // is |ss| == |e| ∧ ss ⊆ e; the subset test is a left join against
+      // the (checkpointed, canonical-unique) previous edge set counting
+      // unmatched rows — this replaces the converging round's separate
+      // `except` action (its own multi-stage job, r14 verdict item 10).
       val obs = org.apache.spark.sql.Observation(s"star_count_$round")
       val ss = d.join(sMins, "u").select(col("v").as("x"), col("m"))
         .unionAll(sMins.select(col("u").as("x"), col("m")))
@@ -552,10 +556,17 @@ object GraphQueries {
         .select(least(col("x"), col("m")).as("a"),
           greatest(col("x"), col("m")).as("b"))
         .distinct()
-        .observe(obs, count(lit(1)).as("n"))
-        .localCheckpoint(true)
-      val ssCount = obs.get("n").asInstanceOf[Long]
-      converged = ssCount == eCount && ss.except(e).isEmpty
+        // e is canonical-distinct, so the marker join is row-preserving
+        .join(e.select(col("a"), col("b"), lit(1).as("seen")),
+          Seq("a", "b"), "left")
+        .observe(obs, count(lit(1)).as("n"),
+          sum(when(col("seen").isNull, 1L).otherwise(0L)).as("n_new"))
+        .select(col("a"), col("b"))
+        .transform(graft.config.Lineage.cut)
+      def metric(k: String): Long = graft.config.Metrics.awaitLong(
+        obs, k, s"starContractCC round $round")
+      val ssCount = metric("n")
+      converged = ssCount == eCount && metric("n_new") == 0L
       e = ss
       eCount = ssCount
       round += 1
@@ -590,7 +601,7 @@ object GraphQueries {
     val und = edgeDf.select(
         least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
-      .distinct().localCheckpoint(true)
+      .distinct().transform(graft.config.Lineage.cut)
     val labels = labelProp(edgeDf, ModularityRounds)
     val m = und.count()
     val withLa = und

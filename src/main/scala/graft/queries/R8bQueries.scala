@@ -235,7 +235,7 @@ object R8bQueries {
     // exact baseline — persist so the corpus is tokenized+hashed once
     val hashed = kmvHashed(s, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try kmvResult(hashed).localCheckpoint(true)
+    try kmvResult(hashed).transform(graft.config.Lineage.cut)
     finally hashed.unpersist()
   }
 
@@ -300,7 +300,7 @@ object R8bQueries {
           (lit(0.709) * lit((m.toLong * m).toDouble) * lit((1L << 50).toDouble) /
             col("s").cast("double")).as("hll_est"))
         .orderBy("scope")
-        .localCheckpoint(true)
+        .transform(graft.config.Lineage.cut)
     } finally ss.unpersist()
   }
 
@@ -403,7 +403,7 @@ object R8bQueries {
     val ss = sourceShingles(s, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // eager |sources|²-row result, lineage cut → the cache drops here
-    try sourceOverlapResult(ss).localCheckpoint(true)
+    try sourceOverlapResult(ss).transform(graft.config.Lineage.cut)
     finally ss.unpersist()
   }
 
@@ -765,7 +765,7 @@ object R8bQueries {
             col("theta").cast("double")).as("theta_est"),
           coalesce(col("exact_common"), lit(0L)).as("exact_common"))
         .orderBy("s1", "s2")
-        .localCheckpoint(true)
+        .transform(graft.config.Lineage.cut)
     } finally hashed.unpersist()
   }
 
@@ -1098,25 +1098,32 @@ object R8bQueries {
       try {
         def normalize(raw: DataFrame): DataFrame = {
           // the scalar max rides into the SAME job as a broadcast 1-row
-          // cross join instead of a separate agg().first() driver action:
-          // one eager checkpoint job per half-step instead of two (the agg
-          // subtree's exchange is reused, so `raw` is still computed once)
+          // cross join instead of a separate agg().first() driver action
           val mx = raw.agg(max("x").as("mx"))
           nd.join(raw, Seq("node"), "left")
             .crossJoin(broadcast(mx))
             .select(col("node"),
               expr(s"coalesce(x, 0L) div (mx div ${HitsM}L + 1L)").as("v"))
-            .localCheckpoint(true)
         }
         var h = nd.select(col("node"), lit(HitsM).as("v"))
         var a: DataFrame = h
         for (_ <- 1 to HitsRounds) {
-          a = normalize(ed
+          // BOTH half-steps ride ONE eager checkpoint per round (r15: the
+          // r14 shape paid one driver action per half-step — 8 per key).
+          // h2 references a2's subtree, so within the job the a2 exchanges
+          // are computed once and reused (ReuseExchange); the tagged union
+          // is a single materialization both states then scan.
+          val a2 = normalize(ed
             .join(h.withColumnRenamed("node", "src"), "src")
             .groupBy(col("dst").as("node")).agg(sum("v").as("x")))
-          h = normalize(ed
-            .join(a.withColumnRenamed("node", "dst"), "dst")
+          val h2 = normalize(ed
+            .join(a2.withColumnRenamed("node", "dst"), "dst")
             .groupBy(col("src").as("node")).agg(sum("v").as("x")))
+          val combined = a2.withColumn("t", lit(0))
+            .unionAll(h2.withColumn("t", lit(1)))
+            .transform(graft.config.Lineage.cut)
+          a = combined.filter(col("t") === 0).drop("t")
+          h = combined.filter(col("t") === 1).drop("t")
         }
         h.withColumnRenamed("v", "hub")
           .join(a.withColumnRenamed("v", "auth"), "node")

@@ -30,10 +30,42 @@ object ReplayHarness {
   private val Parts: String =
     sys.env.getOrElse("SPARK_GRAFT_REPLAY_PARTS", "4")
 
+  /** State-store provider for the replay queries. Default: Spark's
+    * HDFS-backed provider. `SPARK_GRAFT_REPLAY_STATE=rocksdb` switches the
+    * replays to RocksDB + changelog checkpointing for A/B sizing runs —
+    * measured at the r15 bench point the RocksDB provider was SLOWER on
+    * these bounded corpora (native store open/commit per partition per
+    * batch dominates ~10³-key state; receipts in OPTIMIZATION_r15.md), so
+    * it stays opt-in: at production state volumes (state ≫ executor heap)
+    * it is the right provider, and this knob is the deployment seam.
+    * Emission CONTENT is provider-invariant (keyed state, deterministic
+    * transitions), so oracle hashes do not move. */
+  private val StateProvider: Option[String] =
+    sys.env.get("SPARK_GRAFT_REPLAY_STATE").map {
+      case "rocksdb" =>
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+      case other => other
+    }
+
   def sized[T](s: SparkSession)(startQuery: => T): T = {
+    val PK = "spark.sql.streaming.stateStore.providerClass"
+    val CK = "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
     val prev = s.conf.get("spark.sql.shuffle.partitions")
+    val prevProv = s.conf.getOption(PK)
     s.conf.set("spark.sql.shuffle.partitions", Parts)
+    StateProvider.foreach { p =>
+      s.conf.set(PK, p)
+      if (p.contains("RocksDB")) s.conf.set(CK, "true")
+    }
     try startQuery
-    finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    finally {
+      s.conf.set("spark.sql.shuffle.partitions", prev)
+      if (StateProvider.isDefined) {
+        prevProv match {
+          case Some(p) => s.conf.set(PK, p)
+          case None    => s.conf.unset(PK)
+        }
+      }
+    }
   }
 }

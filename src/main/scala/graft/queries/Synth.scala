@@ -49,22 +49,35 @@ object Synth {
 
   /** Estimated scan partition count for `path` — the
     * `FilePartition.maxSplitBytes` arithmetic over the file listing (one
-    * cheap FS metadata call; no query planning). */
+    * cheap FS metadata call; no query planning). Reads the three sizing
+    * confs through the PUBLIC RuntimeConfig surface (the r14 verdict
+    * flagged the internal `classic.SparkSession` cast — it breaks on a
+    * Spark minor bump) and lists files RECURSIVELY so a partitioned or
+    * nested layout is sized by its leaf files, not its 0-byte directory
+    * entries (which collapsed the estimate to "always repartition"). */
   private def estScanSplits(s: SparkSession, path: String): Int = {
-    val conf = s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .sessionState
+    def bytesConf(key: String, dflt: Long): Long =
+      s.conf.getOption(key)
+        .map(org.apache.spark.network.util.JavaUtils.byteStringAsBytes)
+        .getOrElse(dflt)
     val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(conf.newHadoopConf())
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     val st = fs.getFileStatus(p)
     val lens: Seq[Long] =
-      if (st.isDirectory)
-        fs.listStatus(p).toSeq.filterNot(_.getPath.getName.startsWith("_"))
-          .map(_.getLen)
-      else Seq(st.getLen)
-    val maxPart = conf.conf.filesMaxPartitionBytes
-    val openCost = conf.conf.filesOpenCostInBytes
-    val minParts = conf.conf.filesMinPartitionNum
-      .getOrElse(s.sparkContext.defaultParallelism)
+      if (st.isDirectory) {
+        val it = fs.listFiles(p, true)
+        val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+        while (it.hasNext) {
+          val f = it.next()
+          val name = f.getPath.getName
+          if (!name.startsWith("_") && !name.startsWith(".")) buf += f.getLen
+        }
+        buf.toSeq
+      } else Seq(st.getLen)
+    val maxPart = bytesConf("spark.sql.files.maxPartitionBytes", 128L << 20)
+    val openCost = bytesConf("spark.sql.files.openCostInBytes", 4L << 20)
+    val minParts = s.conf.getOption("spark.sql.files.minPartitionNum")
+      .map(_.toInt).getOrElse(s.sparkContext.defaultParallelism)
     val totalBytes = lens.map(_ + openCost).sum
     val bytesPerCore = totalBytes / math.max(1, minParts)
     val maxSplit = math.min(maxPart, math.max(openCost, bytesPerCore))
@@ -91,11 +104,14 @@ object Synth {
     import org.apache.spark.sql.types._
     val path = s"$dir/events.parquet"
     // the unit sniff is one footer-read schema inference; memoized per
-    // path (a file's logical type cannot change inside one JVM run —
-    // Spark's own catalog caches table schemas the same way) so the
-    // dozens of eventsTs-derived keys don't each re-read the footer
+    // (path, mtime, length) — not bare path, so a file regenerated
+    // in-process (datagen + bench in one JVM) with a different timestamp
+    // unit re-sniffs instead of silently mis-converting with the stale
+    // type — so the dozens of eventsTs-derived keys don't each re-read
+    // the footer
+    val f = new java.io.File(path)
     val tsType = tsTypeCache.computeIfAbsent(
-      new java.io.File(path).getAbsolutePath,
+      (f.getAbsolutePath, f.lastModified(), f.length()),
       _ => s.read.parquet(path).schema("ts").dataType)
     val base = s.read
       .schema(StructType(Seq(
@@ -116,7 +132,7 @@ object Synth {
   }
 
   private val tsTypeCache =
-    new java.util.concurrent.ConcurrentHashMap[String,
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long),
       org.apache.spark.sql.types.DataType]()
 
   def documents(s: SparkSession, dir: String): DataFrame =

@@ -74,12 +74,16 @@ class R14OptSpec extends AnyFunSuite {
       (3L, "a b c a b c a b c a b c a b c"), // repeated grams → repeated hashes
       (4L, "exactly eight whitespace separated tokens right here now"))
       .toDF("doc_id", "text")
+    // compare WITH multiplicity (sorted seqs, not sets): winnowingPairs'
+    // nh counts and pair-join cardinalities rely on winnow_fps emitting
+    // each (doc_id, h) exactly once — a Set compare would mask a future
+    // duplicate-emitting regression (r14 advice)
     val fast = docs.select(col("doc_id"),
       explode(call_function("winnow_fps", col("text"))).as("h"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
     val ref = TextAnalysis.winnowingSelections(docs)
       .select("doc_id", "h").distinct()
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
     assert(fast == ref)
   }
 
