@@ -91,14 +91,23 @@ object Similarity {
   /** Run `iters` descent rounds from an EXISTING k-NN graph — split out of
     * [[nnDescent]] so a consumer that needs both the init graph and the
     * refined graph (ann_nndescent_recall grades init vs final) computes
-    * the seeded initialization once instead of once per consumer. */
+    * the seeded initialization once instead of once per consumer.
+    *
+    * The loop keeps the graph in ADJACENCY-LIST form between rounds: the
+    * edge→list aggregation happens once at entry instead of once per
+    * round, each round's eager checkpoint materializes N array rows
+    * instead of N·k edge rows, and the round output (the per-node top-k
+    * aggregate) is already a list — the per-round re-grouping exchange of
+    * the edge-state loop disappears (guide §2.4). */
   def nnDescentFrom(emb: DataFrame, init: DataFrame, k: Int,
       iters: Int): DataFrame = {
+    if (iters <= 0) return init
     val vecs = emb.select(col("vec_id"), col("embedding"))
-    var nbrs = init
+    var state = init.groupBy("vec_id").agg(collect_list(col("n_id")).as("fl"))
     for (_ <- 1 to iters)
-      nbrs = nnDescentRound(vecs, nbrs, k).transform(graft.config.Lineage.cut)
-    nbrs
+      state = nnDescentArrayRound(vecs, state, k)
+        .transform(graft.config.Lineage.cut)
+    state.select(col("vec_id"), explode(col("fl")).as("n_id"))
   }
 
   /** BEAM SEARCH over a prebuilt k-NN graph (the query half of the
@@ -180,9 +189,18 @@ object Similarity {
     * send by the exploded und edge — the notification carries ids only. */
   private[graft] def nnDescentRound(vecs: DataFrame, nbrs: DataFrame,
       k: Int): DataFrame = {
-    val emptyLongs = typedLit(Seq.empty[Long])
-    // forward adjacency lists: ≤ k per node by the round invariant
+    // edge-interface wrapper (specs, plan pins): the loop itself stays in
+    // array form between rounds via nnDescentFrom/nnDescentArrayRound
     val fwd = nbrs.groupBy("vec_id").agg(collect_list(col("n_id")).as("fl"))
+    nnDescentArrayRound(vecs, fwd, k)
+      .select(col("vec_id"), explode(col("fl")).as("n_id"))
+  }
+
+  /** One descent round over ARRAY state `(vec_id, fl: array<long>)`. */
+  private[graft] def nnDescentArrayRound(vecs: DataFrame, fwd: DataFrame,
+      k: Int): DataFrame = {
+    val emptyLongs = typedLit(Seq.empty[Long])
+    val nbrs = fwd.select(col("vec_id"), explode(col("fl")).as("n_id"))
     // reverse side capped at k per node (k smallest source ids — the
     // classic ρ·K reverse sample). topk_pairs with score = (double)id and
     // id tie-break ranks ids EXACTLY over the full long domain (equal
@@ -229,12 +247,13 @@ object Similarity {
         cosine(col("v.emb"), col("c.emb")).as("sim"))
     // distinct-topk: cross-neighbor duplicate pairs are bit-equal (same
     // cosine inputs), so the in-aggregate dedup IS the reference's
-    // pre-score .distinct()
+    // pre-score .distinct(). Output stays in array form — the next
+    // round's state, no re-grouping.
     pairs.groupBy("q_id")
       .agg(call_function("topk_pairs_distinct",
         col("n_id"), col("sim"), lit(k), lit(false)).as("top"))
       .select(col("q_id").as("vec_id"),
-        explode(expr("transform(top, x -> x.n_id)")).as("n_id"))
+        expr("transform(top, x -> x.n_id)").as("fl"))
   }
 
   /** The r14 relational round — kept as the independent parity reference

@@ -1098,32 +1098,30 @@ object R8bQueries {
       try {
         def normalize(raw: DataFrame): DataFrame = {
           // the scalar max rides into the SAME job as a broadcast 1-row
-          // cross join instead of a separate agg().first() driver action
+          // cross join instead of a separate agg().first() driver action:
+          // one eager checkpoint job per half-step instead of two (the agg
+          // subtree's exchange is reused, so `raw` is still computed once).
+          // (r15 note: fusing BOTH half-steps into one tagged-union
+          // checkpoint per round was tried and measurably REGRESSED —
+          // probe jobs 84→139, tasks 1697→2837 — because the authority
+          // half-step's subtree is not exchange-reused under AQE inside
+          // the union; receipts in OPTIMIZATION_r15.md.)
           val mx = raw.agg(max("x").as("mx"))
           nd.join(raw, Seq("node"), "left")
             .crossJoin(broadcast(mx))
             .select(col("node"),
               expr(s"coalesce(x, 0L) div (mx div ${HitsM}L + 1L)").as("v"))
+            .transform(graft.config.Lineage.cut)
         }
         var h = nd.select(col("node"), lit(HitsM).as("v"))
         var a: DataFrame = h
         for (_ <- 1 to HitsRounds) {
-          // BOTH half-steps ride ONE eager checkpoint per round (r15: the
-          // r14 shape paid one driver action per half-step — 8 per key).
-          // h2 references a2's subtree, so within the job the a2 exchanges
-          // are computed once and reused (ReuseExchange); the tagged union
-          // is a single materialization both states then scan.
-          val a2 = normalize(ed
+          a = normalize(ed
             .join(h.withColumnRenamed("node", "src"), "src")
             .groupBy(col("dst").as("node")).agg(sum("v").as("x")))
-          val h2 = normalize(ed
-            .join(a2.withColumnRenamed("node", "dst"), "dst")
+          h = normalize(ed
+            .join(a.withColumnRenamed("node", "dst"), "dst")
             .groupBy(col("src").as("node")).agg(sum("v").as("x")))
-          val combined = a2.withColumn("t", lit(0))
-            .unionAll(h2.withColumn("t", lit(1)))
-            .transform(graft.config.Lineage.cut)
-          a = combined.filter(col("t") === 0).drop("t")
-          h = combined.filter(col("t") === 1).drop("t")
         }
         h.withColumnRenamed("v", "hub")
           .join(a.withColumnRenamed("v", "auth"), "node")

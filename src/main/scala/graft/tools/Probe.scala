@@ -70,6 +70,30 @@ object Probe {
           Files.writeString(Paths.get(s"$planDir/${k}_$tag.txt"),
             df2.queryExecution.explainString(
               org.apache.spark.sql.execution.FormattedMode))
+          // ALSO dump the WRITE's executed plan: sink-adjacent rewrites
+          // (SinkSortLocal) only exist under the write command — the bare
+          // df explain above cannot show them
+          @volatile var writeQe: Option[
+            org.apache.spark.sql.execution.QueryExecution] = None
+          val wl = new org.apache.spark.sql.util.QueryExecutionListener {
+            override def onSuccess(fn: String,
+                qe: org.apache.spark.sql.execution.QueryExecution,
+                d: Long): Unit = writeQe = Some(qe)
+            override def onFailure(fn: String,
+                qe: org.apache.spark.sql.execution.QueryExecution,
+                e: Exception): Unit = ()
+          }
+          spark.listenerManager.register(wl)
+          try {
+            spark.catalog.clearCache()
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            val dl = System.nanoTime() + 10L * 1000000000L
+            while (writeQe.isEmpty && System.nanoTime() < dl) Thread.sleep(20)
+            writeQe.foreach(qe => Files.writeString(
+              Paths.get(s"$planDir/${k}_${tag}_write.txt"),
+              qe.explainString(
+                org.apache.spark.sql.execution.FormattedMode)))
+          } finally spark.listenerManager.unregister(wl)
       }
     }
     spark.stop()
