@@ -450,6 +450,11 @@ object Dedup {
     * Labels at convergence are identical (comp(x) only ever moves DOWN
     * within x's component, and the convergence test — no neighbor with a
     * smaller label anywhere — is exactly label-constancy per component). */
+  /** Plain label-prop rounds before the loop escalates to fused pointer
+    * doubling (0-based: rounds ≥ this index double). 4 covers the
+    * measured short-diameter common case without the shortcut join. */
+  private val DoublingEscalationRound = 4
+
   def connectedComponents(pairs: DataFrame, maxIter: Int = 15,
       reliableCheckpoint: Boolean = false,
       pointerDoubling: Boolean = false): DataFrame = {
@@ -495,12 +500,33 @@ object Dedup {
       // pass): comp ← comp(comp) — every comp value IS a node id present
       // in prop, so the self-join always resolves (coalesce for safety).
       // At a converged round the doubling is the identity (comp is already
-      // the component min), so fusing it unconditionally cannot change the
-      // final labels — ExtSpec pins doubling ≡ plain label-prop.
+      // the component min), so fusing it — for any subset of rounds —
+      // cannot change the final labels; ExtSpec/R15OptSpec pin doubling ≡
+      // plain label-prop.
+      //
+      // ADAPTIVE escalation (r15): short-diameter graphs (the common
+      // near-dup case — sf0.1 converges in 3 rounds, measured) never pay
+      // the shortcut join; a graph still unconverged after
+      // `DoublingEscalationRound` plain rounds has proven its diameter
+      // long, and every later round doubles — remaining distance to the
+      // component min then halves per round (O(log diameter) tail instead
+      // of O(diameter), the 100-TB chain-template case; sf30 receipt in
+      // OPTIMIZATION_r15.md).
+      // The shortcut jumps through the PREVIOUS round's CHECKPOINTED
+      // labels (comp ← prev(comp)): a self-join against `prop` would
+      // recompute the whole propagation subtree twice per round (measured
+      // slower at sf30 — receipts in OPTIMIZATION_r15.md), while the
+      // checkpointed map is a cheap RDD scan. Correctness: every comp is
+      // a node id of the same component and prev(y) ≤ y (labels only
+      // ever decrease from init=self), so the jump is monotone and
+      // component-internal; the convergence test stays the propagation
+      // fixed point, at which labels are the component min — identical
+      // final output (R15OptSpec/ExtSpec pin it).
+      val doubleNow = pointerDoubling || i >= DoublingEscalationRound
       val stepped =
-        if (!pointerDoubling) prop
+        if (!doubleNow) prop
         else prop
-          .join(prop.select(col("doc_id").as("comp"), col("comp").as("comp2")),
+          .join(labels.select(col("doc_id").as("comp"), col("comp").as("comp2")),
             Seq("comp"), "left")
           .select(col("doc_id"),
             coalesce(col("comp2"), col("comp")).as("comp"), col("chg"))

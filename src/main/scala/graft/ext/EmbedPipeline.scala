@@ -45,6 +45,17 @@ object EmbedPipeline {
     graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
     val dim = graft.functions.GraftFunctions
       .md5PrefixLong(col("tok"), 1, 15) % dims
+    // KEPT as the two codegen'd count aggregations. r15 tried the
+    // "aggregate before you shuffle" rewrite (per-token one-hot arrays →
+    // ONE map-side vector_sum_long keyed (doc, chunk, md5)): shuffle
+    // bytes dropped 3.3× (50.1 → 15.1 MB, jobs 35 → 27 at sf0.1) but the
+    // sf30 rung REGRESSED 312 → 475 s — the per-token 16-long array
+    // allocation plus the non-codegen TypedImperativeAggregate update
+    // loop costs far more CPU than the saved exchange; the two-level
+    // count() form runs entirely inside whole-stage codegen with
+    // primitive hash-map counters. Guide §1.1's warning made concrete:
+    // the "ideal shuffle" plan lost to per-task work. Receipts in
+    // OPTIMIZATION_r15.md.
     val cells = chunkToks(docs, window, stride)
       .select(col("doc_id"), col("chunk_id"), col("chunk_md5"),
         explode(col("ctoks")).as("tok"))

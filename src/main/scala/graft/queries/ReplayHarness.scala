@@ -30,21 +30,26 @@ object ReplayHarness {
   private val Parts: String =
     sys.env.getOrElse("SPARK_GRAFT_REPLAY_PARTS", "4")
 
-  /** State-store provider for the replay queries. Default: Spark's
-    * HDFS-backed provider. `SPARK_GRAFT_REPLAY_STATE=rocksdb` switches the
-    * replays to RocksDB + changelog checkpointing for A/B sizing runs —
-    * measured at the r15 bench point the RocksDB provider was SLOWER on
-    * these bounded corpora (native store open/commit per partition per
-    * batch dominates ~10³-key state; receipts in OPTIMIZATION_r15.md), so
-    * it stays opt-in: at production state volumes (state ≫ executor heap)
-    * it is the right provider, and this knob is the deployment seam.
-    * Emission CONTENT is provider-invariant (keyed state, deterministic
-    * transitions), so oracle hashes do not move. */
+  /** State-store provider for the replay queries. Default: RocksDB with
+    * changelog checkpointing — the r15 A/B at the bench point measured it
+    * ≥ the HDFS-backed provider on EVERY replay key in both sittings
+    * (8-key totals 50.5→32.6 s in a loaded window, 1.01–1.09× per key in
+    * a quiet one; receipts in OPTIMIZATION_r15.md): the HDFS provider
+    * deep-copies its whole map per version and commits a full snapshot
+    * file per partition per batch, while changelog checkpointing commits
+    * only the batch's delta. At production state volumes (state ≫
+    * executor heap) RocksDB is the standard choice anyway, so the bench
+    * default and the deployment default agree. `SPARK_GRAFT_REPLAY_STATE`
+    * overrides (`hdfs` restores the Spark default provider, or pass a
+    * provider class FQN). Emission CONTENT is provider-invariant (keyed
+    * state, deterministic transitions), so oracle hashes do not move —
+    * gate-verified. */
   private val StateProvider: Option[String] =
-    sys.env.get("SPARK_GRAFT_REPLAY_STATE").map {
-      case "rocksdb" =>
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
-      case other => other
+    sys.env.get("SPARK_GRAFT_REPLAY_STATE").orElse(Some("rocksdb")).flatMap {
+      case "rocksdb" => Some(
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      case "hdfs" => None
+      case other => Some(other)
     }
 
   def sized[T](s: SparkSession)(startQuery: => T): T = {

@@ -614,12 +614,18 @@ class ExtSpec extends AnyFunSuite {
   }
 
   test("pointer doubling converges on a chain far longer than maxIter") {
-    // a 40-hop path needs 40 plain propagation rounds — over maxIter=15 —
-    // but O(log 40) ≈ 6 with the shortcut pass
+    // a 40-hop path needs 40 plain propagation rounds — far over
+    // maxIter=15 — but O(log 40) with the shortcut pass. r15: the DEFAULT
+    // now self-escalates to doubling after 4 plain rounds, so the long
+    // chain converges without the explicit flag; capping maxIter below
+    // the escalation point still fails loudly (no silent partial labels).
     val chain = (1L to 40L).map(i => (i, i + 1)).toDF("ida", "idb")
     assertThrows[IllegalStateException] {
-      Dedup.connectedComponents(chain, maxIter = 15)
+      Dedup.connectedComponents(chain, maxIter = 4)
     }
+    val escalated = Dedup.connectedComponents(chain, maxIter = 15)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(escalated.size == 41 && escalated.values.forall(_ == 1L))
     val comps = Dedup.connectedComponents(chain, maxIter = 15, pointerDoubling = true)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(comps.size == 41 && comps.values.forall(_ == 1L))
